@@ -1,13 +1,33 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.queries.HarnessCore
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries`: one key per implemented operator (SURVEY.md §2), each a
+  * composition of graft.ops combinators over the driver testdata.
+  * `oracleSql`: per-key ANSI SQL for the driver's DuckDB compare;
+  * keys without an oracle (approx sketches, LSH, hashes DuckDB can't
+  * reproduce) get the weaker rows-only check and are covered by
+  * scalatest invariants instead.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
+    * rows>0. The TPC-H-Q1-shaped pricing summary: pushed date filter,
+    * partial+final hash aggregation, deterministic sort — the
+    * reference's Q1 spine (visualization.py:100-105) re-expressed. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    HarnessCore.q1Agg(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    HarnessCore.queries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    HarnessCore.oracles
 }

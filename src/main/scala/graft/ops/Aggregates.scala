@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Aggregation operators — ref visualization.py:50, :104, :193,
+  * :237-238 plus harness ExtOps (SURVEY.md §2.4).
+  *
+  * All are hash aggregates: Spark plans partial (map-side) + final
+  * stages automatically, so each costs exactly one shuffle of the
+  * already-reduced partials — the shape that holds at 100 TB.
+  *
+  * Float-sum determinism: aggregation order is unspecified across
+  * partitions, so summing raw doubles is nondeterministic in the last
+  * ulps. [[sumExact]] sums decimal-cast values (exact integer-scaled
+  * arithmetic) and casts the result back to double — bit-identical
+  * across engines and runs.
+  */
+object Aggregates {
+
+  /** Exact, order-independent sum of a 2-decimal-valued double column. */
+  def sumExact(c: Column, scale: Int = 2): Column =
+    sum(c.cast(s"decimal(28,$scale)")).cast("double")
+
+  /** Exact mean: decimal-exact sum / count, one IEEE division. */
+  def avgExact(c: Column, scale: Int = 2): Column =
+    sumExact(c, scale) / count(c)
+
+  /** groupBy-count — ref visualization.py:104. */
+  def countByKey(df: DataFrame, keys: Seq[Column], out: String): DataFrame =
+    df.groupBy(keys: _*).agg(count(lit(1)).as(out))
+
+  /** groupBy-sum — ref visualization.py:193. */
+  def sumByKey(df: DataFrame, keys: Seq[Column], value: Column, out: String): DataFrame =
+    df.groupBy(keys: _*).agg(sumExact(value).as(out))
+
+  /** Distinct key pairs (legend domain) — ref visualization.py:50. */
+  def distinctPairs(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.select(cols.map(col): _*).distinct()
+
+  /** Global min/max bounds — ref visualization.py:237-238. */
+  def globalMinMax(df: DataFrame, c: String): DataFrame =
+    df.agg(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))
+
+  /** Sorted distinct values (picker options) — ref visualization.py:136. */
+  def distinctSorted(df: DataFrame, c: String): DataFrame =
+    df.select(col(c)).distinct().orderBy(col(c))
+
+  /** Exact count-distinct per group — ExtOp agg_countd_exact. */
+  def countDistinctByKey(df: DataFrame, keys: Seq[Column], value: Column, out: String): DataFrame =
+    df.groupBy(keys: _*).agg(countDistinct(value).as(out))
+
+  /** HLL approximate count-distinct — ExtOp agg_countd_approx. At
+    * 100 TB this is the only sane distinct-cardinality: fixed-size
+    * sketch, one shuffle of sketches, mergeable. rsd pinned for
+    * reproducibility. */
+  def approxCountDistinctByKey(df: DataFrame, keys: Seq[Column], value: Column,
+                               out: String, rsd: Double = 0.05): DataFrame =
+    df.groupBy(keys: _*).agg(approx_count_distinct(value, rsd).as(out))
+
+  /** ROLLUP with grouping-null labels coalesced to a sentinel so the
+    * output is a plain deterministic relation — ExtOp agg_rollup. */
+  def rollupSum(df: DataFrame, keys: Seq[String], value: Column, out: String,
+                allLabel: String = "ALL"): DataFrame = {
+    val agged = df.rollup(keys.map(col): _*).agg(sumExact(value).as(out))
+    keys.foldLeft(agged)((d, k) => d.withColumn(k, coalesce(col(k), lit(allLabel))))
+  }
+}

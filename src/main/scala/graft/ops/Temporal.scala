@@ -1,0 +1,96 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Interval / date-sequence / argmax / window operators.
+  *
+  * The reference's signature patterns (ref
+  * tasks/visualization/src/visualization.py):
+  *  - point-in-interval validity filter (:97-98)
+  *  - argmax-per-group via unstable sort + drop_duplicates (:103, :130)
+  *  - per-row day-range explode + re-aggregate (:186-193)
+  * re-expressed with Catalyst-native expressions. The pandas row-wise
+  * `apply` of :186 becomes the codegen'd `sequence()` + `explode()`
+  * generator; the unstable-sort argmax gets a pinned deterministic
+  * tiebreaker (SURVEY.md §2.4 caveat).
+  */
+object Temporal {
+
+  /** Point-in-time validity filter: start <= d AND d <= end —
+    * ref visualization.py:97-98. The predicate is scan-pushable. */
+  def pointInInterval(df: DataFrame, d: Column, start: String, end: String): DataFrame =
+    df.filter(col(start) <= d && d <= col(end))
+
+  /** Per-row array of all days in [start, end], exploded to one row per
+    * day — ref visualization.py:186-189, built-in generator instead of
+    * the reference's row-wise Python apply. Explode fan-out =
+    * interval length; at 100 TB keep intervals bounded (cap or bucket
+    * by month) before exploding. */
+  def explodeDays(df: DataFrame, out: String, start: Column, end: Column): DataFrame =
+    df.withColumn(out, explode(sequence(start, end, expr("interval 1 day"))))
+
+  /** Whole-row argmax per group with a DETERMINISTIC tiebreaker —
+    * ref visualization.py:103/:130 does
+    * `sort_values(desc).drop_duplicates(keep='first')` over an
+    * unstable quicksort, so its tie-break is nondeterministic; we pin
+    * the order. One shuffle on the group keys; no join. */
+  def argmaxPerGroup(df: DataFrame, keys: Seq[Column], order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys: _*).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Top-k rows per group (generalizes argmax k=1) — rank-1 pattern of
+    * ref visualization.py:103 widened for the harness (SURVEY.md §2.5). */
+  def topKPerGroup(df: DataFrame, keys: Seq[Column], order: Seq[Column], k: Int,
+                   rankName: String = "rnk"): DataFrame = {
+    val w = Window.partitionBy(keys: _*).orderBy(order: _*)
+    df.withColumn(rankName, row_number().over(w)).filter(col(rankName) <= k)
+  }
+
+  /** Running (cumulative) aggregate over an ordered partition —
+    * ExtOp win_running_sum (SURVEY.md §2.5). */
+  def runningSum(df: DataFrame, out: String, value: Column,
+                 partition: Seq[Column], order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(partition: _*).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn(out, sum(value).over(w))
+  }
+
+  /** Day-over-day (lag) delta — ExtOp win_lag_delta. */
+  def lagDelta(df: DataFrame, out: String, value: Column,
+               partition: Seq[Column], order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(partition: _*).orderBy(order: _*)
+    df.withColumn(out, value - lag(value, 1).over(w))
+  }
+
+  /** Dense rank within a partition — ExtOp win_rank_dense. */
+  def denseRankIn(df: DataFrame, out: String,
+                  partition: Seq[Column], order: Seq[Column]): DataFrame =
+    df.withColumn(out, dense_rank().over(Window.partitionBy(partition: _*).orderBy(order: _*)))
+
+  // ---- interval joins (generalized flt_point_in_interval, SURVEY.md §2.3) ----
+
+  /** Range join: probe dates x interval rows, probe side SMALL.
+    * Broadcasting the probe side turns Catalyst's default
+    * BroadcastNestedLoopJoin into a distributed O(|intervals| x |probes|)
+    * scan with no shuffle of the big side — the right plan whenever one
+    * side is dimension-sized. For big-x-big, use [[rangeJoinBucketed]]. */
+  def rangeJoinBroadcastProbes(probes: DataFrame, intervals: DataFrame,
+                               probeDate: String, start: String, end: String): DataFrame =
+    intervals.join(
+      broadcast(probes),
+      col(start) <= col(probeDate) && col(probeDate) <= col(end))
+
+  /** Range join for big-x-big: explode each interval into its days
+    * (reusing [[explodeDays]]) and equi-join on the day — a shuffled
+    * hash/sort-merge join Catalyst can plan and AQE can skew-split,
+    * instead of a nested-loop. Fan-out = interval length in days, so
+    * bound intervals before calling. */
+  def rangeJoinBucketed(probes: DataFrame, intervals: DataFrame,
+                        probeDate: String, start: String, end: String): DataFrame = {
+    val exploded = explodeDays(intervals, "__day", col(start), col(end))
+    exploded.join(probes, col("__day") === col(probeDate)).drop("__day")
+  }
+}

@@ -1,0 +1,573 @@
+package graft.queries
+
+import java.sql.Date
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Aggregates, Relational, Temporal}
+
+/** Harness keys for the core relational surface (SURVEY.md §2.2-2.8),
+  * each a composition of the graft.ops combinators over the driver's
+  * TPC-H-ish testdata, paired with a DuckDB oracle in
+  * [[HarnessCore.oracles]].
+  *
+  * Determinism rules (every key):
+  *  - total ORDER BY with full tiebreak, identical in Spark + SQL;
+  *  - identical output column names both sides (driver hashes by
+  *    name-sorted columns);
+  *  - double sums via Aggregates.sumExact (decimal-exact, then cast
+  *    back to double) — never order-dependent float accumulation;
+  *  - per-row double math restricted to IEEE-deterministic ops
+  *    (+ - * / sqrt abs), no libm-divergent transcendentals.
+  */
+object HarnessCore {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** events.parquet carries TIMESTAMP(NANOS), which Spark reads as Long
+    * ns (spark.sql.legacy.parquet.nanosAsLong). Convert to TimestampType
+    * via exact integer division — a double division would lose precision
+    * above 2^53 ns (~epoch 1970+104 days). */
+  def events(s: SparkSession, dir: String): DataFrame = {
+    val raw = t(s, dir, "events")
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
+
+  /** Flagship: TPC-H-Q1-shaped pricing summary — scan, pushed filter,
+    * partial+final hash agg, sort. Ref analog: the Q1 severity
+    * aggregation, visualization.py:100-105. */
+  def q1Agg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .filter(to_date($"l_shipdate") <= lit(Date.valueOf("1998-09-02")))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        Aggregates.sumExact($"l_quantity").as("sum_qty"),
+        Aggregates.sumExact($"l_extendedprice").as("sum_base_price"),
+        Aggregates.sumExact($"l_extendedprice" * (lit(1.0) - $"l_discount"), 4).as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> (q1Agg _),
+
+    // ---- §2.2 projections / filters / scalar column ops ----
+    "proj_essential" -> ((s, dir) => {
+      import s.implicits._
+      Relational.project(t(s, dir, "lineitem"), Seq("l_orderkey", "l_linenumber", "l_quantity"))
+        .orderBy($"l_orderkey", $"l_linenumber")
+    }),
+    "flt_eq" -> ((s, dir) => {
+      import s.implicits._
+      Relational.filterEq(t(s, dir, "orders"), "o_orderpriority", "1-URGENT")
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+        .orderBy($"o_orderkey")
+    }),
+    "flt_point_in_interval" -> ((s, dir) => {
+      import s.implicits._
+      val d = lit(Date.valueOf("1996-06-15"))
+      val withIntervals = t(s, dir, "orders")
+        .withColumn("start_date", to_date($"o_orderdate"))
+        .withColumn("end_date", date_add($"start_date", 30))
+      Temporal.pointInInterval(withIntervals, d, "start_date", "end_date")
+        .select($"o_orderkey", $"start_date", $"end_date")
+        .orderBy($"o_orderkey")
+    }),
+    "flt_isin" -> ((s, dir) => {
+      import s.implicits._
+      Relational.filterIsIn(t(s, dir, "customer"), "c_mktsegment", Seq("BUILDING", "AUTOMOBILE"))
+        .select($"c_custkey", $"c_mktsegment")
+        .orderBy($"c_custkey")
+    }),
+    "col_rename" -> ((s, dir) => {
+      import s.implicits._
+      val counts = Aggregates.countByKey(t(s, dir, "lineitem"), Seq($"l_returnflag"), "cnt")
+      Relational.renameAll(counts, Map("l_returnflag" -> "flag", "cnt" -> "nb_rows"))
+        .orderBy($"flag")
+    }),
+    "col_fillna_sentinel" -> ((s, dir) => {
+      import s.implicits._
+      val withNulls = t(s, dir, "orders")
+        .withColumn("prio", when($"o_orderpriority" === "5-LOW", lit(null)).otherwise($"o_orderpriority"))
+      Aggregates.countByKey(
+        Relational.fillNullSentinel(withNulls, "prio", "UNSPECIFIED"),
+        Seq($"prio"), "n")
+        .orderBy($"prio")
+    }),
+    "col_str_replace" -> ((s, dir) => {
+      import s.implicits._
+      val replaced = Relational.strReplaceLiteral(t(s, dir, "orders"), "o_orderpriority", "-", "_")
+      Aggregates.countByKey(replaced, Seq($"o_orderpriority"), "n")
+        .withColumnRenamed("o_orderpriority", "prio")
+        .orderBy($"prio")
+    }),
+    "col_to_date" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .select(to_date($"l_shipdate").as("ship_date")).distinct()
+        .orderBy($"ship_date")
+    }),
+    "col_date_diff" -> ((s, dir) => {
+      import s.implicits._
+      val joined = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+        .withColumn("od", to_date($"o_orderdate"))
+        .withColumn("sd", to_date($"l_shipdate"))
+      Aggregates.countByKey(
+        Relational.inclusiveDurationDays(joined, "duration_days", "od", "sd"),
+        Seq($"duration_days"), "n")
+        .orderBy($"duration_days")
+    }),
+    "col_fillna_zero" -> ((s, dir) => {
+      import s.implicits._
+      val withNulls = t(s, dir, "customer")
+        .withColumn("bal", when($"c_acctbal" < 0, lit(null)).otherwise($"c_acctbal"))
+      Relational.fillNullZero(withNulls, Seq("bal"))
+        .groupBy($"c_nationkey")
+        .agg(Aggregates.sumExact($"bal").as("bal_sum"))
+        .orderBy($"c_nationkey")
+    }),
+    "col_scalar_udf" -> ((s, dir) => {
+      import s.implicits._
+      // Reference's colormap-normalize lambda (visualization.py:51):
+      // clamp(x / domain_max) as a genuine Scala UDF to cover the
+      // scalar-UDF surface; everywhere else we stay codegen-native.
+      val normUdf = udf((x: Int) => math.min(1.0, math.max(0.0, x / 50.0)))
+      t(s, dir, "part")
+        .select($"p_size").distinct()
+        .withColumn("norm", normUdf($"p_size"))
+        .orderBy($"p_size")
+    }),
+    "col_date_sequence" -> ((s, dir) => {
+      import s.implicits._
+      val withRange = t(s, dir, "orders")
+        .withColumn("d0", to_date($"o_orderdate"))
+        .withColumn("d1", date_add($"d0", 3))
+      Aggregates.countByKey(
+        Temporal.explodeDays(withRange, "day", $"d0", $"d1"),
+        Seq($"day"), "n")
+        .orderBy($"day")
+    }),
+    "limit_head" -> ((s, dir) => {
+      import s.implicits._
+      Relational.topK(t(s, dir, "orders"), Seq($"o_totalprice".desc, $"o_orderkey".asc), 10)
+        .select($"o_orderkey", $"o_totalprice")
+    }),
+
+    // ---- §2.3 joins ----
+    "join_inner_eq" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "customer")
+        .join(t(s, dir, "nation"), $"c_nationkey" === $"n_nationkey")
+        .groupBy($"n_name")
+        .agg(count(lit(1)).as("n_customers"), Aggregates.sumExact($"c_acctbal").as("bal_sum"))
+        .orderBy($"n_name")
+    }),
+    "join_left_eq_diffkeys" -> ((s, dir) => {
+      import s.implicits._
+      val perNation = t(s, dir, "customer").groupBy($"c_nationkey").agg(count(lit(1)).as("n_cust"))
+      val joined = t(s, dir, "nation")
+        .join(perNation, $"n_nationkey" === $"c_nationkey", "left")
+      Relational.fillNullZero(joined, Seq("n_cust"))
+        .select($"n_nationkey", $"n_name", $"n_cust")
+        .orderBy($"n_nationkey")
+    }),
+    "join_range_interval" -> ((s, dir) => {
+      import s.implicits._
+      val probes = s.range(1).select(explode(sequence(
+        lit(Date.valueOf("1995-01-01")), lit(Date.valueOf("2001-12-01")),
+        expr("interval 1 month"))).as("d"))
+      val intervals = t(s, dir, "orders")
+        .withColumn("start_date", to_date($"o_orderdate"))
+        .withColumn("end_date", date_add($"start_date", 30))
+      Aggregates.countByKey(
+        Temporal.rangeJoinBroadcastProbes(probes, intervals, "d", "start_date", "end_date"),
+        Seq($"d"), "n_open")
+        .orderBy($"d")
+    }),
+    "join_semi" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .join(t(s, dir, "lineitem").filter($"l_quantity" >= 48),
+          $"o_orderkey" === $"l_orderkey", "leftsemi")
+        .select($"o_orderkey")
+        .orderBy($"o_orderkey")
+    }),
+    "join_anti" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), $"c_custkey" === $"o_custkey", "leftanti")
+        .select($"c_custkey")
+        .orderBy($"c_custkey")
+    }),
+
+    // ---- §2.4 aggregations ----
+    "agg_count_by_key" -> ((s, dir) => {
+      import s.implicits._
+      Aggregates.countByKey(t(s, dir, "orders"), Seq($"o_orderpriority"), "n")
+        .orderBy($"o_orderpriority")
+    }),
+    "agg_sum_by_key" -> ((s, dir) => {
+      import s.implicits._
+      Aggregates.sumByKey(t(s, dir, "lineitem"), Seq($"l_returnflag"), $"l_quantity", "sum_qty")
+        .orderBy($"l_returnflag")
+    }),
+    "agg_distinct_pairs" -> ((s, dir) => {
+      import s.implicits._
+      Aggregates.distinctPairs(t(s, dir, "lineitem"), Seq("l_returnflag", "l_linestatus"))
+        .orderBy($"l_returnflag", $"l_linestatus")
+    }),
+    "agg_global_minmax" -> ((s, dir) => {
+      val dated = t(s, dir, "orders").withColumn("od", to_date(col("o_orderdate")))
+      Aggregates.globalMinMax(dated, "od")
+    }),
+    "agg_distinct_sorted" -> ((s, dir) =>
+      Aggregates.distinctSorted(t(s, dir, "part"), "p_brand")),
+    "agg_argmax_per_group" -> ((s, dir) => {
+      import s.implicits._
+      Temporal.argmaxPerGroup(t(s, dir, "customer"),
+        Seq($"c_nationkey"), Seq($"c_acctbal".desc, $"c_custkey".asc))
+        .select($"c_nationkey", $"c_custkey", $"c_name", $"c_acctbal")
+        .orderBy($"c_nationkey")
+    }),
+    "agg_countd_exact" -> ((s, dir) => {
+      import s.implicits._
+      Aggregates.countDistinctByKey(t(s, dir, "lineitem"),
+        Seq($"l_returnflag"), $"l_partkey", "nd_parts")
+        .orderBy($"l_returnflag")
+    }),
+    "agg_countd_approx" -> ((s, dir) => {
+      import s.implicits._
+      // HLL sketch: no cross-engine oracle (rows-only check); bounded-
+      // error invariant is asserted in scalatest instead.
+      Aggregates.approxCountDistinctByKey(t(s, dir, "lineitem"),
+        Seq($"l_returnflag"), $"l_partkey", "nd_approx")
+        .orderBy($"l_returnflag")
+    }),
+    "agg_rollup" -> ((s, dir) => {
+      import s.implicits._
+      Aggregates.rollupSum(t(s, dir, "lineitem"),
+        Seq("l_returnflag", "l_linestatus"), $"l_quantity", "sum_qty")
+        .orderBy($"l_returnflag", $"l_linestatus")
+    }),
+
+    // ---- §2.5 windows ----
+    "win_rownum_topk" -> ((s, dir) => {
+      import s.implicits._
+      Temporal.topKPerGroup(t(s, dir, "orders"),
+        Seq($"o_orderpriority"), Seq($"o_totalprice".desc, $"o_orderkey".asc), 3)
+        .select($"o_orderpriority", $"rnk", $"o_orderkey", $"o_totalprice")
+        .orderBy($"o_orderpriority", $"rnk")
+    }),
+    "win_running_sum" -> ((s, dir) => {
+      import s.implicits._
+      val daily = t(s, dir, "orders")
+        .groupBy(to_date($"o_orderdate").as("day"))
+        .agg(count(lit(1)).as("n"))
+      Temporal.runningSum(daily, "cum_n", $"n", Nil, Seq($"day".asc))
+        .orderBy($"day")
+    }),
+    "win_lag_delta" -> ((s, dir) => {
+      import s.implicits._
+      val daily = t(s, dir, "orders")
+        .groupBy(to_date($"o_orderdate").as("day"))
+        .agg(count(lit(1)).as("n"))
+      Temporal.lagDelta(daily, "delta", $"n", Nil, Seq($"day".asc))
+        .orderBy($"day")
+    }),
+    "win_rank_dense" -> ((s, dir) => {
+      import s.implicits._
+      Temporal.denseRankIn(t(s, dir, "part"), "rnk",
+        Seq($"p_brand"), Seq($"p_retailprice".desc))
+        .filter($"rnk" <= 3)
+        .select($"p_brand", $"rnk", $"p_partkey", $"p_retailprice")
+        .orderBy($"p_brand", $"rnk", $"p_partkey")
+    }),
+
+    // ---- §2.6 sorts / limits ----
+    "sort_desc" -> ((s, dir) => {
+      import s.implicits._
+      Relational.sortDesc(
+        t(s, dir, "orders").select($"o_orderkey", $"o_totalprice"),
+        "o_totalprice", Seq($"o_orderkey".asc))
+    }),
+    "sort_multi_mixed" -> ((s, dir) => {
+      import s.implicits._
+      Relational.sortMulti(
+        t(s, dir, "lineitem").select($"l_returnflag", $"l_quantity", $"l_orderkey", $"l_linenumber"),
+        Seq($"l_returnflag".asc, $"l_quantity".desc, $"l_orderkey".asc, $"l_linenumber".asc))
+    }),
+    "sort_collect_map" -> ((s, dir) => {
+      import s.implicits._
+      // Driver-side collect of a provably tiny sorted dimension (the
+      // reference's legend map, visualization.py:50-52), then
+      // re-parallelized so the harness can hash it.
+      val m = t(s, dir, "region").select($"r_regionkey", $"r_name")
+        .orderBy($"r_regionkey").collect()
+        .map(r => (r.getInt(0), r.getString(1)))
+      s.createDataFrame(m.toSeq).toDF("r_regionkey", "r_name")
+        .orderBy($"r_regionkey")
+    }),
+
+    // ---- §2.7 set operations ----
+    "set_union" -> ((s, dir) => {
+      import s.implicits._
+      val c = t(s, dir, "customer")
+      val a = c.filter($"c_mktsegment" === "BUILDING").select($"c_custkey", $"c_mktsegment".as("seg"))
+      val b = c.filter($"c_mktsegment" === "AUTOMOBILE").select($"c_custkey", $"c_mktsegment".as("seg"))
+      Relational.unionAll(a, b).orderBy($"seg", $"c_custkey")
+    }),
+    "set_intersect" -> ((s, dir) => {
+      import s.implicits._
+      val l = t(s, dir, "lineitem")
+      Relational.intersectAll(
+        l.filter($"l_returnflag" === "R").select($"l_suppkey"),
+        l.filter($"l_returnflag" === "A").select($"l_suppkey"))
+        .orderBy($"l_suppkey")
+    }),
+    "set_except" -> ((s, dir) => {
+      import s.implicits._
+      val l = t(s, dir, "lineitem")
+      Relational.exceptAll(
+        l.filter($"l_returnflag" === "R").select($"l_suppkey"),
+        l.filter($"l_returnflag" === "A").select($"l_suppkey"))
+        .orderBy($"l_suppkey")
+    }),
+
+    // ---- §2.8 scalar function families ----
+    "fn_str" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents").select(
+        $"doc_id",
+        length($"text").as("n_chars_m"),
+        upper(substring($"text", 1, 3)).as("up3"),
+        regexp_extract($"text", "^(\\w+)", 1).as("first_word"),
+        size(split($"text", "\\s+")).as("n_words"))
+        .orderBy($"doc_id")
+    }),
+    "fn_date" -> ((s, dir) => {
+      import s.implicits._
+      val d = to_date($"l_shipdate")
+      t(s, dir, "lineitem")
+        .groupBy(year(d).as("y"), month(d).as("m"), dayofweek(d).as("dow"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"y", $"m", $"dow")
+    }),
+    "fn_math" -> ((s, dir) => {
+      import s.implicits._
+      // Restricted to IEEE-deterministic scalar math (abs/sqrt/floor/
+      // ceil are correctly rounded; log/pow are libm-divergent).
+      t(s, dir, "lineitem").select(
+        $"l_orderkey", $"l_linenumber",
+        abs($"l_discount" - lit(0.05)).as("d_abs"),
+        sqrt($"l_quantity").as("q_sqrt"),
+        floor($"l_extendedprice").as("p_floor"),
+        ceil($"l_extendedprice").as("p_ceil"))
+        .orderBy($"l_orderkey", $"l_linenumber")
+    }),
+    "fn_array" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "embeddings").select(
+        $"vec_id",
+        size($"embedding").as("dim"),
+        element_at($"embedding", 1).as("e0"),
+        array_max($"embedding").as("emax"),
+        array_min($"embedding").as("emin"))
+        .orderBy($"vec_id")
+    }),
+    "fn_map_json" -> ((s, dir) => {
+      import s.implicits._
+      events(s, dir).select(
+        $"event_id",
+        get_json_object($"props", "$.k").as("k_str"),
+        get_json_object($"props", "$.k").cast("int").as("k_int"))
+        .orderBy($"event_id")
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS sum_base_price,
+        | CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS sum_disc_price,
+        | count(*) AS count_order
+        |FROM lineitem WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "proj_essential" ->
+      "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem ORDER BY 1, 2",
+    "flt_eq" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_orderpriority = '1-URGENT' ORDER BY 1""".stripMargin,
+    "flt_point_in_interval" ->
+      """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS start_date,
+        | CAST(o_orderdate AS DATE) + 30 AS end_date
+        |FROM orders
+        |WHERE CAST(o_orderdate AS DATE) <= DATE '1996-06-15'
+        |  AND DATE '1996-06-15' <= CAST(o_orderdate AS DATE) + 30
+        |ORDER BY 1""".stripMargin,
+    "flt_isin" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE') ORDER BY 1""".stripMargin,
+    "col_rename" ->
+      "SELECT l_returnflag AS flag, count(*) AS nb_rows FROM lineitem GROUP BY 1 ORDER BY 1",
+    "col_fillna_sentinel" ->
+      """SELECT coalesce(nullif(o_orderpriority, '5-LOW'), 'UNSPECIFIED') AS prio,
+        | count(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "col_str_replace" ->
+      "SELECT replace(o_orderpriority, '-', '_') AS prio, count(*) AS n FROM orders GROUP BY 1 ORDER BY 1",
+    "col_to_date" ->
+      "SELECT DISTINCT CAST(l_shipdate AS DATE) AS ship_date FROM lineitem ORDER BY 1",
+    "col_date_diff" ->
+      """SELECT date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) + 1 AS duration_days,
+        | count(*) AS n
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "col_fillna_zero" ->
+      """SELECT c_nationkey,
+        | CAST(SUM(CAST(CASE WHEN c_acctbal < 0 THEN 0 ELSE c_acctbal END AS DECIMAL(28,2))) AS DOUBLE) AS bal_sum
+        |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin,
+    "col_scalar_udf" ->
+      """SELECT DISTINCT p_size,
+        | CAST(LEAST(1.0, GREATEST(0.0, p_size / 50.0)) AS DOUBLE) AS norm
+        |FROM part ORDER BY p_size""".stripMargin,
+    "col_date_sequence" ->
+      """SELECT CAST(u AS DATE) AS day, count(*) AS n FROM (
+        | SELECT unnest(generate_series(CAST(o_orderdate AS DATE),
+        |   CAST(o_orderdate AS DATE) + 3, INTERVAL 1 DAY)) AS u
+        | FROM orders)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "limit_head" ->
+      "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
+    "join_inner_eq" ->
+      """SELECT n_name, count(*) AS n_customers,
+        | CAST(SUM(CAST(c_acctbal AS DECIMAL(28,2))) AS DOUBLE) AS bal_sum
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "join_left_eq_diffkeys" ->
+      """SELECT n_nationkey, n_name, coalesce(n_cust, 0) AS n_cust
+        |FROM nation LEFT JOIN (
+        | SELECT c_nationkey, count(*) AS n_cust FROM customer GROUP BY 1
+        |) AS pc ON n_nationkey = c_nationkey
+        |ORDER BY n_nationkey""".stripMargin,
+    "join_range_interval" ->
+      """WITH probes AS (
+        | SELECT CAST(unnest(generate_series(DATE '1995-01-01', DATE '2001-12-01',
+        |   INTERVAL 1 MONTH)) AS DATE) AS d)
+        |SELECT d, count(*) AS n_open
+        |FROM probes, orders
+        |WHERE CAST(o_orderdate AS DATE) <= d AND d <= CAST(o_orderdate AS DATE) + 30
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "join_semi" ->
+      """SELECT o_orderkey FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey AND l_quantity >= 48)
+        |ORDER BY 1""".stripMargin,
+    "join_anti" ->
+      """SELECT c_custkey FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY 1""".stripMargin,
+    "agg_count_by_key" ->
+      "SELECT o_orderpriority, count(*) AS n FROM orders GROUP BY 1 ORDER BY 1",
+    "agg_sum_by_key" ->
+      """SELECT l_returnflag,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "agg_distinct_pairs" ->
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem ORDER BY 1, 2",
+    "agg_global_minmax" ->
+      """SELECT min(CAST(o_orderdate AS DATE)) AS min_od,
+        | max(CAST(o_orderdate AS DATE)) AS max_od
+        |FROM orders""".stripMargin,
+    "agg_distinct_sorted" ->
+      "SELECT DISTINCT p_brand FROM part ORDER BY 1",
+    "agg_argmax_per_group" ->
+      """SELECT c_nationkey, c_custkey, c_name, c_acctbal FROM (
+        | SELECT *, row_number() OVER (
+        |   PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rn
+        | FROM customer)
+        |WHERE rn = 1 ORDER BY c_nationkey""".stripMargin,
+    "agg_countd_exact" ->
+      "SELECT l_returnflag, count(DISTINCT l_partkey) AS nd_parts FROM lineitem GROUP BY 1 ORDER BY 1",
+    "agg_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+        | coalesce(l_linestatus, 'ALL') AS l_linestatus,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY 1, 2""".stripMargin,
+    "win_rownum_topk" ->
+      """SELECT o_orderpriority, rnk, o_orderkey, o_totalprice FROM (
+        | SELECT o_orderpriority, o_orderkey, o_totalprice, row_number() OVER (
+        |   PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        | FROM orders)
+        |WHERE rnk <= 3 ORDER BY o_orderpriority, rnk""".stripMargin,
+    "win_running_sum" ->
+      """WITH daily AS (
+        | SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n FROM orders GROUP BY 1)
+        |SELECT day, n, CAST(sum(n) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_n
+        |FROM daily ORDER BY day""".stripMargin,
+    "win_lag_delta" ->
+      """WITH daily AS (
+        | SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n FROM orders GROUP BY 1)
+        |SELECT day, n, n - lag(n, 1) OVER (ORDER BY day) AS delta
+        |FROM daily ORDER BY day""".stripMargin,
+    "win_rank_dense" ->
+      """SELECT p_brand, rnk, p_partkey, p_retailprice FROM (
+        | SELECT p_brand, p_partkey, p_retailprice, dense_rank() OVER (
+        |   PARTITION BY p_brand ORDER BY p_retailprice DESC) AS rnk
+        | FROM part)
+        |WHERE rnk <= 3 ORDER BY p_brand, rnk, p_partkey""".stripMargin,
+    "sort_desc" ->
+      "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey",
+    "sort_multi_mixed" ->
+      """SELECT l_returnflag, l_quantity, l_orderkey, l_linenumber FROM lineitem
+        |ORDER BY l_returnflag ASC, l_quantity DESC, l_orderkey, l_linenumber""".stripMargin,
+    "sort_collect_map" ->
+      "SELECT r_regionkey, r_name FROM region ORDER BY 1",
+    "set_union" ->
+      """SELECT c_custkey, c_mktsegment AS seg FROM customer WHERE c_mktsegment = 'BUILDING'
+        |UNION ALL
+        |SELECT c_custkey, c_mktsegment AS seg FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+        |ORDER BY seg, c_custkey""".stripMargin,
+    "set_intersect" ->
+      """SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R'
+        |INTERSECT
+        |SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'A'
+        |ORDER BY 1""".stripMargin,
+    "set_except" ->
+      """SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R'
+        |EXCEPT
+        |SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'A'
+        |ORDER BY 1""".stripMargin,
+    "fn_str" ->
+      """SELECT doc_id, length(text) AS n_chars_m, upper(substr(text, 1, 3)) AS up3,
+        | regexp_extract(text, '^(\w+)', 1) AS first_word,
+        | len(regexp_split_to_array(text, '\s+')) AS n_words
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "fn_date" ->
+      """SELECT year(CAST(l_shipdate AS DATE)) AS y, month(CAST(l_shipdate AS DATE)) AS m,
+        | dayofweek(CAST(l_shipdate AS DATE)) + 1 AS dow, count(*) AS n
+        |FROM lineitem GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "fn_math" ->
+      """SELECT l_orderkey, l_linenumber,
+        | abs(l_discount - 0.05) AS d_abs,
+        | sqrt(l_quantity) AS q_sqrt,
+        | CAST(floor(l_extendedprice) AS BIGINT) AS p_floor,
+        | CAST(ceil(l_extendedprice) AS BIGINT) AS p_ceil
+        |FROM lineitem ORDER BY 1, 2""".stripMargin,
+    "fn_array" ->
+      """SELECT vec_id, len(embedding) AS dim, embedding[1] AS e0,
+        | list_max(embedding) AS emax, list_min(embedding) AS emin
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "fn_map_json" ->
+      """SELECT event_id, json_extract_string(props, '$.k') AS k_str,
+        | CAST(json_extract_string(props, '$.k') AS INT) AS k_int
+        |FROM events ORDER BY event_id""".stripMargin,
+  )
+}
