@@ -1,0 +1,106 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.streaming.Streams
+
+/** Harness keys for the streaming operators (SURVEY.md §2.9), run in
+  * batch mode over `events` so the driver's DuckDB compare applies;
+  * the streaming execution path of the same transforms is exercised by
+  * MemoryStream tests (StreamingSpec).
+  */
+object HarnessStream {
+
+  private def ev(s: SparkSession, dir: String): DataFrame =
+    HarnessCore.events(s, dir)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_tumbling" -> ((s, dir) => {
+      import s.implicits._
+      Streams.tumblingCounts(ev(s, dir))
+        .orderBy($"window_start", $"event_type")
+    }),
+    "stream_sliding" -> ((s, dir) => {
+      import s.implicits._
+      Streams.slidingCounts(ev(s, dir))
+        .orderBy($"window_start", $"event_type")
+    }),
+    "stream_session" -> ((s, dir) => {
+      import s.implicits._
+      Streams.sessionAgg(ev(s, dir))
+        .orderBy($"user_id", $"session_start")
+    }),
+    "stream_late_data" -> ((s, dir) => {
+      import s.implicits._
+      Streams.lateCounts(ev(s, dir)).orderBy($"event_type")
+    }),
+    "stream_stateful_dedup" -> ((s, dir) => {
+      import s.implicits._
+      Streams.dedupFirst(ev(s, dir), Seq("user_id", "event_type"))
+        .select($"user_id", $"event_type", $"ts".as("first_ts"))
+        .orderBy($"user_id", $"event_type")
+    }),
+    "stream_custom_state" -> ((s, dir) => {
+      import s.implicits._
+      Streams.lastStatePerUser(ev(s, dir).as[Streams.Event])
+        .toDF()
+        .orderBy($"user_id")
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "stream_tumbling" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+        | event_type, count(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // 1h window sliding by 30m: each event belongs to the windows
+    // starting at floor30(ts) and floor30(ts)-30m. Naive-timestamp
+    // arithmetic only (no to_timestamp: it returns TIMESTAMPTZ and
+    // would couple the oracle to the session timezone).
+    "stream_sliding" ->
+      """SELECT TIMESTAMP '1970-01-01 00:00:00'
+        |   + to_seconds(CAST(floor(epoch(ts) / 1800) * 1800 - o * 1800 AS BIGINT)) AS window_start,
+        | event_type, count(*) AS n
+        |FROM events, (SELECT unnest([0, 1]) AS o) AS off
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    //
+
+    // Gaps-and-islands sessionization: a session breaks when the gap
+    // to the previous event of the same user exceeds 30 minutes;
+    // session_end is last-event + gap (Spark session_window semantics).
+    "stream_session" ->
+      """WITH marked AS (
+        | SELECT user_id, ts,
+        |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |        OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE
+        |       THEN 1 ELSE 0 END AS new_session
+        | FROM events),
+        |numbered AS (
+        | SELECT user_id, ts,
+        |  CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+        | FROM marked)
+        |SELECT user_id, CAST(min(ts) AS TIMESTAMP) AS session_start,
+        | CAST(max(ts) AS TIMESTAMP) + INTERVAL 30 MINUTE AS session_end,
+        | count(*) AS n_events
+        |FROM numbered GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
+    "stream_late_data" ->
+      """SELECT event_type, count(*) AS n_late FROM (
+        | SELECT event_type, ts,
+        |  max(ts) OVER (ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS max_seen
+        | FROM events) AS x
+        |WHERE ts < max_seen - INTERVAL 10 MINUTE
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "stream_stateful_dedup" ->
+      """SELECT user_id, event_type, CAST(min(ts) AS TIMESTAMP) AS first_ts
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "stream_custom_state" ->
+      """SELECT user_id, event_type AS last_event, n_events FROM (
+        | SELECT user_id, event_type,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_type DESC) AS rn,
+        |  count(*) OVER (PARTITION BY user_id) AS n_events
+        | FROM events) AS x
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+  )
+}

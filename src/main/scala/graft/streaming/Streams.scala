@@ -1,0 +1,136 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming operators over the `events` stream
+  * (SURVEY.md §2.9).
+  *
+  * The reference's "streaming" is a manual refresh button that fully
+  * recomputes (visualization.py:226-233) — last-write-wins micro-batch
+  * with no incremental state. The Spark-native upgrade is incremental:
+  * watermarked windowed aggregation and keyed state, identical
+  * transforms in batch and stream (same `DataFrame => DataFrame`
+  * function applied to a static or streaming frame), so correctness is
+  * oracle-checkable in batch while the streaming path is exercised with
+  * MemoryStream in tests.
+  *
+  * Scale posture: every stateful op below is keyed (windows or
+  * user_id), so state partitions across executors; watermarks bound
+  * state size — the two properties that keep a 100 TB/day stream
+  * runnable.
+  */
+object Streams {
+
+  /** Event row of the driver's `events` table (ts already µs-converted
+    * — see HarnessCore.events). */
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                   event_type: String, value: Double, props: String)
+
+  /** Watermark only applies to streaming frames; batch frames pass
+    * through so one transform serves both modes. */
+  private def watermarked(df: DataFrame, delay: String): DataFrame =
+    if (df.isStreaming) df.withWatermark("ts", delay) else df
+
+  /** Tumbling-window counts per event_type — 1 shuffle, partial aggs,
+    * state keyed by (window, type) and expired by the watermark. */
+  def tumblingCounts(df: DataFrame, width: String = "1 hour",
+                     watermark: String = "10 minutes"): DataFrame =
+    watermarked(df, watermark)
+      .groupBy(window(col("ts"), width).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"))
+
+  /** Sliding-window counts (each event lands in width/slide windows). */
+  def slidingCounts(df: DataFrame, width: String = "1 hour",
+                    slide: String = "30 minutes",
+                    watermark: String = "10 minutes"): DataFrame =
+    watermarked(df, watermark)
+      .groupBy(window(col("ts"), width, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"))
+
+  /** Per-user session windows with a fixed inactivity gap; session end
+    * is last-event + gap (Spark session_window semantics). */
+  def sessionAgg(df: DataFrame, gap: String = "30 minutes",
+                 watermark: String = "10 minutes"): DataFrame =
+    watermarked(df, watermark)
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"))
+
+  /** Stateful dedup: first row per key within the watermark horizon.
+    * Streaming path uses dropDuplicatesWithinWatermark (bounded state);
+    * the batch analog keeps the earliest (ts, event_id) row per key. */
+  def dedupFirst(df: DataFrame, keys: Seq[String],
+                 watermark: String = "10 minutes"): DataFrame =
+    if (df.isStreaming)
+      df.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+    else
+      graft.ops.Temporal.argmaxPerGroup(df, keys.map(col),
+        Seq(col("ts").asc, col("event_id").asc))
+
+  /** Final per-user state (last event type + event count) via typed
+    * keyed state — flatMapGroupsWithState in streaming, the identical
+    * fold via mapGroups in batch. The state machine is deliberately
+    * simple (last-write + counter); the shape generalizes to
+    * sessionization / abandoned-cart logic. */
+  case class UserState(lastType: String, lastTs: Timestamp, n: Long)
+  case class UserFinal(user_id: Long, last_event: String, n_events: Long)
+
+  private def fold(state: Option[UserState], e: Event): UserState = {
+    val next = state match {
+      case Some(s) =>
+        val isLater = e.ts.after(s.lastTs) ||
+          (e.ts.equals(s.lastTs) && e.event_type > s.lastType)
+        UserState(if (isLater) e.event_type else s.lastType,
+          if (isLater) e.ts else s.lastTs, s.n + 1)
+      case None => UserState(e.event_type, e.ts, 1L)
+    }
+    next
+  }
+
+  def lastStatePerUser(events: Dataset[Event]): Dataset[UserFinal] = {
+    import events.sparkSession.implicits._
+    if (events.isStreaming)
+      events.groupByKey(_.user_id)
+        .flatMapGroupsWithState[UserState, UserFinal](
+          OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+          (uid: Long, it: Iterator[Event], gs: GroupState[UserState]) =>
+            val s = it.foldLeft(gs.getOption)((acc, e) => Some(fold(acc, e)))
+            s.foreach(gs.update)
+            s.map(st => UserFinal(uid, st.lastType, st.n)).iterator
+        }
+    else
+      events.groupByKey(_.user_id).mapGroups { (uid, it) =>
+        // Deterministic regardless of iterator order: fold picks the
+        // latest (ts, event_type) pair and counts.
+        val s = it.foldLeft(Option.empty[UserState])((acc, e) => Some(fold(acc, e)))
+          .get
+        UserFinal(uid, s.lastType, s.n)
+      }
+  }
+
+  /** Late-row accounting relative to a running max-event-time (the
+    * batch analog of a watermark: a row is "late" if it arrives — in
+    * event_id order — more than `delay` behind the max event time seen
+    * so far). In streaming this is exactly what `withWatermark` drops;
+    * here it is observable as a count per type.
+    *
+    * The global ordered window is the semantics of a single logical
+    * arrival stream; at scale the streaming engine (per-partition
+    * watermarks) replaces it — this batch form exists for the oracle. */
+  def lateCounts(df: DataFrame, delay: String = "10 minutes"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("event_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    df.withColumn("__maxSeen", max(col("ts")).over(w))
+      .filter(col("ts") < col("__maxSeen") - expr(s"interval $delay"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_late"))
+  }
+}

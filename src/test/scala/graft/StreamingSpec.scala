@@ -1,0 +1,128 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.Streams
+import graft.streaming.Streams.Event
+
+/** Real streaming-path tests: the same transforms the harness verifies
+  * in batch, executed incrementally over MemoryStream with watermarks,
+  * late data, duplicates, and keyed state. */
+class StreamingSpec extends AnyFunSuite with SparkTestBase {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private def e(id: Long, t: String, uid: Long = 1L, typ: String = "click"): Event =
+    Event(id, ts(t), uid, typ, 1.0, "{}")
+
+  test("tumbling counts: stream equals batch on the same data") {
+    import spark.implicits._
+    val events = Seq(
+      e(1, "2024-01-01 10:05:00"), e(2, "2024-01-01 10:35:00"),
+      e(3, "2024-01-01 11:05:00", typ = "view"), e(4, "2024-01-01 11:15:00"))
+
+    val batch = Streams.tumblingCounts(events.toDF())
+      .orderBy("window_start", "event_type").collect()
+
+    val ms = MemoryStream[Event](spark)
+    val q = Streams.tumblingCounts(ms.toDF())
+      .writeStream.format("memory").queryName("tumbling_t")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    ms.addData(events: _*)
+    q.processAllAvailable(); q.stop()
+
+    val streamed = spark.table("tumbling_t")
+      .orderBy("window_start", "event_type").collect()
+    assert(streamed.toSeq == batch.toSeq)
+  }
+
+  test("watermark drops late rows in append mode") {
+    import spark.implicits._
+    val ms = MemoryStream[Event](spark)
+    val q = Streams.tumblingCounts(ms.toDF(), watermark = "10 minutes")
+      .writeStream.format("memory").queryName("late_t")
+      .outputMode("append").start()
+
+    // Batch 1 sets max event time to 11:00 -> watermark 10:50.
+    ms.addData(e(1, "2024-01-01 10:05:00"), e(2, "2024-01-01 11:00:00"))
+    q.processAllAvailable()
+    // Batch 2: a 09:30 row is far behind the watermark -> dropped;
+    // 12:15 advances the watermark to 12:05, past the end of the
+    // 10:00 and 11:00 windows, finalizing them.
+    ms.addData(e(3, "2024-01-01 09:30:00"), e(4, "2024-01-01 12:15:00"))
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.table("late_t").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getLong(2))).toMap
+    // The dropped 09:30 row would have created a 09:00 window.
+    assert(!out.contains("2024-01-01 09:00:00.0"))
+    assert(out("2024-01-01 10:00:00.0") == 1L)
+    assert(out("2024-01-01 11:00:00.0") == 1L)
+  }
+
+  test("dropDuplicatesWithinWatermark dedupes across micro-batches") {
+    import spark.implicits._
+    val ms = MemoryStream[Event](spark)
+    val q = Streams.dedupFirst(ms.toDF(), Seq("event_id"), watermark = "1 hour")
+      .writeStream.format("memory").queryName("dedup_t")
+      .outputMode("append").start()
+
+    ms.addData(e(1, "2024-01-01 10:00:00"), e(1, "2024-01-01 10:00:30"))
+    q.processAllAvailable()
+    ms.addData(e(1, "2024-01-01 10:01:00"), e(2, "2024-01-01 10:02:00"))
+    q.processAllAvailable()
+    q.stop()
+
+    val ids = spark.table("dedup_t").select("event_id").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == Seq(1L, 2L))
+  }
+
+  test("keyed state (flatMapGroupsWithState) folds across micro-batches") {
+    import spark.implicits._
+    val ms = MemoryStream[Event](spark)
+    val q = Streams.lastStatePerUser(ms.toDS())
+      .writeStream.format("memory").queryName("state_t")
+      .outputMode("update").start()
+
+    ms.addData(e(1, "2024-01-01 10:00:00", uid = 7, typ = "view"))
+    q.processAllAvailable()
+    ms.addData(e(2, "2024-01-01 10:05:00", uid = 7, typ = "purchase"))
+    q.processAllAvailable()
+    q.stop()
+
+    // Update mode re-emits the latest state per key; take the last row.
+    val rows = spark.table("state_t").collect()
+    val last = rows.last
+    assert(last.getLong(0) == 7L)
+    assert(last.getString(1) == "purchase")
+    assert(last.getLong(2) == 2L)
+  }
+
+  test("session windows split on gap > 30 minutes (batch and stream agree)") {
+    import spark.implicits._
+    val events = Seq(
+      e(1, "2024-01-01 10:00:00", uid = 5), e(2, "2024-01-01 10:20:00", uid = 5),
+      e(3, "2024-01-01 11:30:00", uid = 5)) // 70-min gap -> new session
+
+    val batch = Streams.sessionAgg(events.toDF())
+      .orderBy("session_start").collect()
+    assert(batch.length == 2)
+    assert(batch(0).getAs[Long]("n_events") == 2L)
+    assert(batch(0).getAs[Timestamp]("session_end") == ts("2024-01-01 10:50:00"))
+    assert(batch(1).getAs[Long]("n_events") == 1L)
+
+    val ms = MemoryStream[Event](spark)
+    val q = Streams.sessionAgg(ms.toDF())
+      .writeStream.format("memory").queryName("session_t")
+      .outputMode("complete").start()
+    ms.addData(events: _*)
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("session_t").orderBy("session_start").collect()
+    assert(streamed.toSeq == batch.toSeq)
+  }
+}
