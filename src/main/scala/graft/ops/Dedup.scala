@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for a training-data corpus (north-star
+  * ExtOps): exact, MinHash+LSH near-dup, SimHash, n-gram Jaccard.
+  *
+  * Scale posture: every path is bucketed — exact dedup groups by a
+  * 16-byte fingerprint; MinHash compares only LSH-bucket collisions
+  * (never the O(n^2) cross join); SimHash reduces each doc to one
+  * 64-bit word whose banded prefixes are join keys. That is the
+  * difference between "works on 5k docs" and "works on 10^10 docs".
+  */
+object Dedup {
+
+  /** Keeper row per duplicate-group: smallest id (deterministic). */
+  def keepersByKey(df: DataFrame, key: Seq[Column], idOrder: Seq[Column]): DataFrame =
+    Temporal.argmaxPerGroup(df, key, idOrder)
+
+  /** Rows exact dedup would REMOVE: everything not the keeper of its
+    * group — the `leftanti` diff of the corpus against its keepers. */
+  def removedByKey(df: DataFrame, key: Seq[Column], id: String, idOrder: Seq[Column]): DataFrame = {
+    val keepers = keepersByKey(df, key, idOrder).select(col(id))
+    df.join(keepers, Seq(id), "leftanti")
+  }
+
+  /** Word-level n-gram shingles (distinct), the unit set for Jaccard
+    * similarity. */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val toks = split(trim(lower(text)), "\\s+")
+    // sliding n-gram join: transform over start indices
+    array_distinct(
+      filter(
+        transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
+          i => when(i + n <= size(toks),
+            concat_ws(" ", slice(toks, i + 1, lit(n)))).otherwise(lit(null))),
+        x => x.isNotNull))
+  }
+
+  /** MinHash + LSH near-duplicate pairs via spark.ml: shingle sets ->
+    * hashed binary feature vectors (HashingTF, no vocabulary fit — no
+    * driver-side state, streams at any scale) -> MinHashLSH banded
+    * join. approxSimilarityJoin compares ONLY bucket collisions; the
+    * threshold is Jaccard distance (1 - similarity). Seeded, so
+    * deterministic. */
+  def minhashNearDups(df: DataFrame, id: String, text: Column,
+                      jaccardDistThreshold: Double = 0.5,
+                      numHashTables: Int = 5): DataFrame = {
+    val withShingles = df.withColumn("__sh", shingles(text))
+      .filter(size(col("__sh")) > 0)
+    val tf = new HashingTF().setInputCol("__sh").setOutputCol("__features")
+      .setNumFeatures(1 << 18).setBinary(true)
+    val feats = tf.transform(withShingles)
+    val lsh = new MinHashLSH().setInputCol("__features").setOutputCol("__hashes")
+      .setNumHashTables(numHashTables).setSeed(42L)
+    val model = lsh.fit(feats)
+    model.approxSimilarityJoin(feats, feats, jaccardDistThreshold, "jaccard_dist")
+      .select(
+        col(s"datasetA.$id").as("id_a"),
+        col(s"datasetB.$id").as("id_b"),
+        col("jaccard_dist"))
+      .filter(col("id_a") < col("id_b"))
+  }
+
+  /** SimHash: 64-bit locality-sensitive signature. Explode tokens,
+    * hash each (xxhash64, fixed seed), majority-vote each bit over the
+    * document, reassemble. One groupBy(doc) with 64 int sums — a
+    * partial-aggregated shuffle of 64 ints per doc, any scale. */
+  def simhash(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val tokens = df.select(id, explode(Text.wsTokens(text)).as("__tok"))
+      .withColumn("__h", xxhash64(col("__tok")))
+    val bitSums = (0 until 64).map { b =>
+      sum(when(shiftright(col("__h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"__b$b")
+    }
+    val agged = tokens.groupBy(id).agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until 64).map { b =>
+      when(col(s"__b$b") >= 0, lit(1L) * lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    agged.withColumn("simhash", sig).select(id, col("simhash"))
+  }
+
+  /** Exact n-gram Jaccard for CANDIDATE pairs only (feed it LSH-bucket
+    * collisions, never a cross join): |A∩B| / |A∪B| over distinct
+    * shingle arrays. */
+  def jaccardOnPairs(pairs: DataFrame, aShingles: Column, bShingles: Column): DataFrame =
+    pairs.withColumn("jaccard",
+      size(array_intersect(aShingles, bShingles)).cast("double") /
+        size(array_union(aShingles, bShingles)))
+}

@@ -1,0 +1,60 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over a document corpus (north-star ExtOps;
+  * driver table `documents(doc_id, text, lang, source, n_chars)`).
+  *
+  * All expressions are Catalyst built-ins (codegen'd, no UDFs), so at
+  * 100 TB they run scan-local with zero shuffle: per-document scores
+  * are narrow maps; only downstream aggregations shuffle.
+  */
+object Text {
+
+  /** Whitespace tokens — the cheap token count. */
+  def wsTokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** BPE-ish pre-tokenization: letter runs, digit runs, single
+    * punctuation — the shape a byte-pair encoder sees before merges. */
+  val bpeishPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  def tokenCounts(df: DataFrame, text: Column): DataFrame =
+    df.withColumn("n_ws_tokens", size(wsTokens(text)))
+      .withColumn("n_bpeish", size(regexp_extract_all(text, lit(bpeishPattern), lit(0))))
+
+  /** Stopword-hit count for a fixed (small) stopword list, as one
+    * regex scan per row. */
+  val stopwords = Seq("the", "a", "an", "and", "of", "to", "in", "is")
+
+  def stopwordHits(text: Column): Column =
+    size(regexp_extract_all(lower(text),
+      lit("\\b(" + stopwords.mkString("|") + ")\\b"), lit(0)))
+
+  /** n-gram-heuristic language ID: English function words are the
+    * discriminating 1-grams; >= 2 hits votes 'en'. (A real model would
+    * score char-3-gram profiles per language; the operator shape —
+    * per-row scan-local classify — is identical.) */
+  def languageId(df: DataFrame, text: Column, out: String): DataFrame =
+    df.withColumn(out, when(stopwordHits(text) >= 2, lit("en")).otherwise(lit("unk")))
+
+  /** Quality scoring: length, token/punctuation/stopword counts and
+    * ratios. Ratios are single IEEE divisions of exact integer counts
+    * (bit-deterministic across engines — no float accumulation). */
+  def qualityScore(df: DataFrame, text: Column): DataFrame = {
+    val toks = size(wsTokens(text))
+    df.withColumn("n_chars_m", length(text))
+      .withColumn("n_tok", toks)
+      .withColumn("n_punct", size(regexp_extract_all(text, lit("[.,!?;:]"), lit(0))))
+      .withColumn("n_stop", stopwordHits(text))
+      .withColumn("stop_ratio", col("n_stop").cast("double") / col("n_tok"))
+      .withColumn("punct_ratio", col("n_punct").cast("double") / col("n_chars_m"))
+  }
+
+  /** Canonical-form document fingerprint: lowercase, collapse
+    * whitespace, md5. Equal fingerprints = exact near-identical dup
+    * (case/spacing-insensitive); the groupBy key for exact dedup at
+    * scale (16-byte key instead of the full text). */
+  def fingerprint(df: DataFrame, text: Column, out: String): DataFrame =
+    df.withColumn(out, md5(regexp_replace(lower(text), "\\s+", " ")))
+}

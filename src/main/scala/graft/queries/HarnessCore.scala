@@ -425,7 +425,7 @@ object HarnessCore {
     "col_to_date" ->
       "SELECT DISTINCT CAST(l_shipdate AS DATE) AS ship_date FROM lineitem ORDER BY 1",
     "col_date_diff" ->
-      """SELECT date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) + 1 AS duration_days,
+      """SELECT CAST(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) + 1 AS INT) AS duration_days,
         | count(*) AS n
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
@@ -503,8 +503,8 @@ object HarnessCore {
         |ORDER BY 1, 2""".stripMargin,
     "win_rownum_topk" ->
       """SELECT o_orderpriority, rnk, o_orderkey, o_totalprice FROM (
-        | SELECT o_orderpriority, o_orderkey, o_totalprice, row_number() OVER (
-        |   PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        | SELECT o_orderpriority, o_orderkey, o_totalprice, CAST(row_number() OVER (
+        |   PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rnk
         | FROM orders)
         |WHERE rnk <= 3 ORDER BY o_orderpriority, rnk""".stripMargin,
     "win_running_sum" ->
@@ -519,8 +519,8 @@ object HarnessCore {
         |FROM daily ORDER BY day""".stripMargin,
     "win_rank_dense" ->
       """SELECT p_brand, rnk, p_partkey, p_retailprice FROM (
-        | SELECT p_brand, p_partkey, p_retailprice, dense_rank() OVER (
-        |   PARTITION BY p_brand ORDER BY p_retailprice DESC) AS rnk
+        | SELECT p_brand, p_partkey, p_retailprice, CAST(dense_rank() OVER (
+        |   PARTITION BY p_brand ORDER BY p_retailprice DESC) AS INT) AS rnk
         | FROM part)
         |WHERE rnk <= 3 ORDER BY p_brand, rnk, p_partkey""".stripMargin,
     "sort_desc" ->
@@ -546,13 +546,13 @@ object HarnessCore {
         |SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'A'
         |ORDER BY 1""".stripMargin,
     "fn_str" ->
-      """SELECT doc_id, length(text) AS n_chars_m, upper(substr(text, 1, 3)) AS up3,
+      """SELECT doc_id, CAST(length(text) AS INT) AS n_chars_m, upper(substr(text, 1, 3)) AS up3,
         | regexp_extract(text, '^(\w+)', 1) AS first_word,
-        | len(regexp_split_to_array(text, '\s+')) AS n_words
+        | CAST(len(regexp_split_to_array(text, '\s+')) AS INT) AS n_words
         |FROM documents ORDER BY doc_id""".stripMargin,
     "fn_date" ->
-      """SELECT year(CAST(l_shipdate AS DATE)) AS y, month(CAST(l_shipdate AS DATE)) AS m,
-        | dayofweek(CAST(l_shipdate AS DATE)) + 1 AS dow, count(*) AS n
+      """SELECT CAST(year(CAST(l_shipdate AS DATE)) AS INT) AS y, CAST(month(CAST(l_shipdate AS DATE)) AS INT) AS m,
+        | CAST(dayofweek(CAST(l_shipdate AS DATE)) + 1 AS INT) AS dow, count(*) AS n
         |FROM lineitem GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     "fn_math" ->
       """SELECT l_orderkey, l_linenumber,
@@ -562,7 +562,7 @@ object HarnessCore {
         | CAST(ceil(l_extendedprice) AS BIGINT) AS p_ceil
         |FROM lineitem ORDER BY 1, 2""".stripMargin,
     "fn_array" ->
-      """SELECT vec_id, len(embedding) AS dim, embedding[1] AS e0,
+      """SELECT vec_id, CAST(len(embedding) AS INT) AS dim, embedding[1] AS e0,
         | list_max(embedding) AS emax, list_min(embedding) AS emin
         |FROM embeddings ORDER BY vec_id""".stripMargin,
     "fn_map_json" ->

@@ -1,0 +1,166 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Multimodal, Text, Vectors}
+
+/** Harness keys for the LLM-training-data-pipeline operators
+  * (north-star ExtOps): dedup, similarity search, text analysis,
+  * multimodal plumbing, over `documents` and `embeddings`.
+  *
+  * Keys without oracle SQL (MinHash/SimHash/LSH — DuckDB cannot
+  * reproduce Spark's seeded hash families) get the rows-only check
+  * here and invariant tests in DedupSpec/VectorsSpec.
+  */
+object HarnessLLM {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- deduplication ----
+    "dedup_exact" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"), countDistinct($"text").as("n_distinct"))
+        .orderBy($"lang")
+    }),
+    "dedup_exact_diff" -> ((s, dir) => {
+      import s.implicits._
+      Dedup.removedByKey(t(s, dir, "documents"),
+        Seq($"lang", $"source"), "doc_id", Seq($"doc_id".asc))
+        .select($"doc_id")
+        .orderBy($"doc_id")
+    }),
+    "dedup_minhash" -> ((s, dir) => {
+      import s.implicits._
+      Dedup.minhashNearDups(t(s, dir, "documents"), "doc_id", $"text",
+        jaccardDistThreshold = 0.8)
+        .select($"id_a", $"id_b")
+        .orderBy($"id_a", $"id_b")
+    }),
+    "dedup_simhash" -> ((s, dir) => {
+      import s.implicits._
+      Dedup.simhash(t(s, dir, "documents"), $"doc_id", $"text")
+        .orderBy($"doc_id")
+    }),
+    "dedup_ngram_jaccard" -> ((s, dir) => {
+      import s.implicits._
+      // Exact Jaccard over LSH candidates (never all-pairs): rescore
+      // the MinHash bucket collisions with true shingle-set Jaccard.
+      val docs = t(s, dir, "documents")
+      val cands = Dedup.minhashNearDups(docs, "doc_id", $"text", jaccardDistThreshold = 0.9)
+      val sh = docs.select($"doc_id", Dedup.shingles($"text").as("sh"))
+      val pairs = cands
+        .join(sh.select($"doc_id".as("id_a"), $"sh".as("sh_a")), "id_a")
+        .join(sh.select($"doc_id".as("id_b"), $"sh".as("sh_b")), "id_b")
+      Dedup.jaccardOnPairs(pairs, $"sh_a", $"sh_b")
+        .filter($"jaccard" >= 0.2)
+        .select($"id_a", $"id_b")
+        .orderBy($"id_a", $"id_b")
+    }),
+
+    // ---- similarity search ----
+    "sim_cosine_topk" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      Vectors.cosineTopK(emb, emb.filter($"vec_id" < 5), "vec_id", "embedding", k = 10)
+        .orderBy($"qid", $"rnk")
+    }),
+    "sim_ann_lsh" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      Vectors.annTopK(emb, emb.filter($"vec_id" < 5), "vec_id", "embedding", k = 10)
+        .orderBy($"qid", $"rnk")
+    }),
+
+    // ---- text analysis ----
+    "text_tokens" -> ((s, dir) => {
+      import s.implicits._
+      Text.tokenCounts(t(s, dir, "documents"), $"text")
+        .select($"doc_id", $"n_ws_tokens", $"n_bpeish")
+        .orderBy($"doc_id")
+    }),
+    "text_langid" -> ((s, dir) => {
+      import s.implicits._
+      Text.languageId(t(s, dir, "documents"), $"text", "pred_lang")
+        .groupBy($"pred_lang")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"pred_lang")
+    }),
+    "text_quality" -> ((s, dir) => {
+      import s.implicits._
+      Text.qualityScore(t(s, dir, "documents"), $"text")
+        .select($"doc_id", $"n_chars_m", $"n_tok", $"n_punct", $"n_stop",
+          $"stop_ratio", $"punct_ratio")
+        .orderBy($"doc_id")
+    }),
+    "text_fingerprint" -> ((s, dir) => {
+      import s.implicits._
+      Text.fingerprint(t(s, dir, "documents"), $"text", "fp")
+        .select($"doc_id", $"fp")
+        .orderBy($"doc_id")
+    }),
+
+    // ---- multimodal plumbing ----
+    "multimodal_binary_meta" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      val withMedia = Multimodal.withBinaryPayload(t(s, dir, "documents"), "text", "media")
+      Multimodal.decodePartitions(withMedia).toDF().orderBy($"doc_id")
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT lang, count(*) AS n_docs, count(DISTINCT text) AS n_distinct
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "dedup_exact_diff" ->
+      """SELECT d.doc_id FROM documents d
+        |JOIN (SELECT lang, source, min(doc_id) AS keep FROM documents GROUP BY 1, 2) k
+        |  ON d.lang = k.lang AND d.source = k.source
+        |WHERE d.doc_id <> k.keep ORDER BY 1""".stripMargin,
+    "sim_cosine_topk" ->
+      """SELECT qid, rnk, vec_id FROM (
+        | SELECT q.vec_id AS qid, c.vec_id AS vec_id,
+        |  CAST(row_number() OVER (PARTITION BY q.vec_id
+        |    ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id) AS INT) AS rnk
+        | FROM embeddings q, embeddings c
+        | WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id) AS x
+        |WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin,
+    "text_tokens" ->
+      """SELECT doc_id,
+        | CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_ws_tokens,
+        | CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT) AS n_bpeish
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_langid" ->
+      """SELECT CASE WHEN len(regexp_extract_all(lower(text),
+        |   '\b(the|a|an|and|of|to|in|is)\b')) >= 2
+        |  THEN 'en' ELSE 'unk' END AS pred_lang, count(*) AS n
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "text_quality" ->
+      """SELECT doc_id,
+        | CAST(length(text) AS INT) AS n_chars_m,
+        | CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_tok,
+        | CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS INT) AS n_punct,
+        | CAST(len(regexp_extract_all(lower(text), '\b(the|a|an|and|of|to|in|is)\b')) AS INT) AS n_stop,
+        | CAST(len(regexp_extract_all(lower(text), '\b(the|a|an|and|of|to|in|is)\b')) AS DOUBLE)
+        |   / len(regexp_split_to_array(trim(text), '\s+')) AS stop_ratio,
+        | CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE)
+        |   / length(text) AS punct_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_fingerprint" ->
+      """SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "multimodal_binary_meta" ->
+      """SELECT doc_id,
+        | CAST(strlen(text) AS BIGINT) AS n_bytes,
+        | CAST(64 + strlen(text) % 512 AS INT) AS width,
+        | CAST(64 + (strlen(text) * 31) % 384 AS INT) AS height,
+        | 'fake/raw' AS fmt,
+        | md5(text) AS checksum
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}

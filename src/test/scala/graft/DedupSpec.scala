@@ -1,0 +1,88 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Dedup, Text}
+
+/** Invariants for the hash-based dedup ops the DuckDB oracle can't
+  * reproduce (seeded MinHash/SimHash families). */
+class DedupSpec extends AnyFunSuite with SparkTestBase {
+
+  private def corpus() = {
+    import spark.implicits._
+    // 0/1 near-identical (one word changed), 2 a copy of 0, 3/4 unrelated.
+    Seq(
+      (0L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (1L, "the quick brown fox jumps over the lazy cat again and again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (3L, "completely different content about spark query engines at scale"),
+      (4L, "unrelated words nothing shared with anything else whatsoever here"))
+      .toDF("doc_id", "text")
+  }
+
+  test("minhash finds planted near-duplicates and skips unrelated docs") {
+    import spark.implicits._
+    val pairs = Dedup.minhashNearDups(corpus(), "doc_id", $"text",
+      jaccardDistThreshold = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 2L)), "exact copy must collide")
+    assert(pairs.contains((0L, 1L)) && pairs.contains((1L, 2L)), "near-dup must collide")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L), "unrelated doc must not collide")
+  }
+
+  test("minhash is deterministic across runs (fixed seed)") {
+    import spark.implicits._
+    def run() = Dedup.minhashNearDups(corpus(), "doc_id", $"text", 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(run() == run())
+  }
+
+  test("simhash: identical docs get identical signatures; near-dups are close in hamming") {
+    import spark.implicits._
+    val sig = Dedup.simhash(corpus(), $"doc_id", $"text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    assert(sig(0L) == sig(2L), "identical text, identical simhash")
+    assert(hamming(sig(0L), sig(1L)) < hamming(sig(0L), sig(4L)),
+      "near-dup closer than unrelated")
+  }
+
+  test("ngram jaccard on LSH candidates: exact copy scores 1.0") {
+    import spark.implicits._
+    val docs = corpus()
+    val cands = Dedup.minhashNearDups(docs, "doc_id", $"text", 0.9)
+    val sh = docs.select($"doc_id", Dedup.shingles($"text").as("sh"))
+    val scored = Dedup.jaccardOnPairs(
+      cands.join(sh.select($"doc_id".as("id_a"), $"sh".as("sh_a")), "id_a")
+        .join(sh.select($"doc_id".as("id_b"), $"sh".as("sh_b")), "id_b"),
+      $"sh_a", $"sh_b")
+      .select($"id_a", $"id_b", $"jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(scored((0L, 2L)) == 1.0)
+    assert(scored((0L, 1L)) > 0.5 && scored((0L, 1L)) < 1.0)
+  }
+
+  test("exact dedup keeps one row per fingerprint group") {
+    import spark.implicits._
+    val fp = Text.fingerprint(corpus(), $"text", "fp")
+    val keepers = Dedup.keepersByKey(fp, Seq($"fp"), Seq($"doc_id".asc))
+    assert(keepers.count() == 4) // 0 and 2 collapse
+    val removed = Dedup.removedByKey(fp, Seq($"fp"), "doc_id", Seq($"doc_id".asc))
+    assert(removed.select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
+  test("approx_count_distinct within rsd bound on real data") {
+    val li = spark.read.parquet(sf("lineitem"))
+    import spark.implicits._
+    val exact = li.select(countDistinctCol).collect()(0).getLong(0)
+    val approx = graft.ops.Aggregates
+      .approxCountDistinctByKey(li, Seq(org.apache.spark.sql.functions.lit(1)),
+        $"l_partkey", "nd", rsd = 0.05)
+      .collect()(0).getAs[Long]("nd")
+    assert(math.abs(approx - exact).toDouble / exact < 0.15, s"approx=$approx exact=$exact")
+  }
+
+  private def countDistinctCol =
+    org.apache.spark.sql.functions.countDistinct(
+      org.apache.spark.sql.functions.col("l_partkey")).as("nd")
+}

@@ -1,0 +1,49 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Vectors
+
+/** Similarity-search invariants: brute-force exactness on a known
+  * geometry, and ANN recall against the brute-force oracle on real
+  * embeddings. */
+class VectorsSpec extends AnyFunSuite with SparkTestBase {
+
+  test("cosineTopK ranks an obvious geometry correctly") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f)),  // closest to 0
+      (2L, Array(0.0f, 1.0f, 0.0f)),  // orthogonal
+      (3L, Array(-1.0f, 0.0f, 0.0f))) // opposite
+      .toDF("vec_id", "embedding")
+    val top = Vectors.cosineTopK(vecs, vecs.filter($"vec_id" === 0), "vec_id", "embedding", 3)
+      .orderBy($"rnk").collect().map(_.getLong(2)).toSeq
+    assert(top == Seq(1L, 2L, 3L))
+  }
+
+  test("ANN recall@10 >= 0.6 vs brute force on real embeddings") {
+    import spark.implicits._
+    val emb = spark.read.parquet(sf("embeddings"))
+    val q = emb.filter($"vec_id" < 5)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val exact = pairs(Vectors.cosineTopK(emb, q, "vec_id", "embedding", 10))
+    val ann = pairs(Vectors.annTopK(emb, q, "vec_id", "embedding", 10))
+    val recall = (exact & ann).size.toDouble / exact.size
+    // Random-hyperplane LSH on random 64-d vectors: recall is modest by
+    // construction; the invariant is "far better than chance" (chance
+    // ~= 10/N) and deterministic.
+    assert(recall >= 0.6, s"recall=$recall")
+    assert(ann == pairs(Vectors.annTopK(emb, q, "vec_id", "embedding", 10)),
+      "ANN must be deterministic (fixed seed)")
+  }
+
+  test("cosine of a vector with itself is 1.0") {
+    import spark.implicits._
+    val v = Seq((0L, Array.fill(8)(0.5f))).toDF("vec_id", "embedding")
+    val c = v.select(Vectors.cosine($"embedding", $"embedding").as("c"))
+      .collect()(0).getDouble(0)
+    assert(math.abs(c - 1.0) < 1e-12)
+  }
+}
