@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{HarnessCore, HarnessLLM, HarnessStream}
+import graft.queries.{Golden, HarnessCore, HarnessIO, HarnessLLM, HarnessStream}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -24,10 +24,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    HarnessCore.queries ++ HarnessStream.queries ++ HarnessLLM.queries
+    HarnessCore.queries ++ HarnessStream.queries ++ HarnessLLM.queries ++
+      HarnessIO.queries ++ Golden.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    HarnessCore.oracles ++ HarnessStream.oracles ++ HarnessLLM.oracles
+    HarnessCore.oracles ++ HarnessStream.oracles ++ HarnessLLM.oracles ++
+      HarnessIO.oracles ++ Golden.oracles
 }

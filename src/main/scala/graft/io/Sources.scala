@@ -1,0 +1,76 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Sources and sinks (SURVEY.md §2.1).
+  *
+  * The reference ingests two CSVs over HTTP with inferred schemas
+  * (tasks/scraper/src/utils/utils.py:5-20), full-replaces Postgres
+  * tables (tasks/scraper/src/scraper.py:23-24), reads them back
+  * whole-table (tasks/visualization/src/visualization.py:14-21), and
+  * flattens a GeoJSON FeatureCollection into a table
+  * (visualization.py:23-26).
+  *
+  * Spark-first re-expression: the HTTP fetch is driver-side staging IO
+  * (at 100 TB the data lands on object storage first; an engine that
+  * streams HTTP bodies through the driver is a non-starter), then
+  * `spark.read` with an EXPLICIT schema — inference at scale costs an
+  * extra full pass and is nondeterministic across samples. Sinks write
+  * `SaveMode.Overwrite` — the drop-and-recreate semantics of
+  * `to_sql(if_exists='replace')`.
+  */
+object Sources {
+
+  /** CSV read with a pinned schema — the scale-safe form of the
+    * reference's `pd.read_csv` (utils.py:18). header=true matches the
+    * reference's first-row-is-names behavior. */
+  def csvWithSchema(s: SparkSession, path: String, schema: StructType): DataFrame =
+    s.read.option("header", "true").schema(schema).csv(path)
+
+  /** Convenience/compat path: schema inference (two passes — sample +
+    * read). Allowed for small staged files only, never the 100 TB path. */
+  def csvInferred(s: SparkSession, path: String): DataFrame =
+    s.read.option("header", "true").option("inferSchema", "true").csv(path)
+
+  /** GeoJSON FeatureCollection -> flat table: one row per feature,
+    * properties lifted to columns, geometry kept as an opaque JSON
+    * string (the reference never computes on it — SURVEY.md §1.1).
+    * multiLine=true because a FeatureCollection is one JSON document. */
+  def geojsonFeatures(s: SparkSession, path: String): DataFrame =
+    s.read.option("multiLine", "true").json(path)
+      .select(explode(col("features")).as("f"))
+      .select(col("f.properties.*"), to_json(col("f.geometry")).as("geometry"))
+
+  /** Full-replace parquet sink — the harness analog of
+    * `to_sql(if_exists='replace')` (scraper.py:23-24). Overwrite is
+    * atomic per-table via the commit protocol; at scale add
+    * `.partitionBy(dateCol)` so readers prune. */
+  def overwriteParquet(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** Full-replace JDBC sink — the literal reference semantics; not
+    * exercised by the harness (no DB in the container) but kept as the
+    * drop-in production path. */
+  def overwriteJdbc(df: DataFrame, url: String, table: String,
+                    props: java.util.Properties = new java.util.Properties()): Unit =
+    df.write.mode(SaveMode.Overwrite).jdbc(url, table, props)
+
+  /** Whole-table JDBC scan (visualization.py:14-21). For big tables
+    * pass partitioning bounds so the read parallelizes instead of
+    * flowing through one connection. */
+  def jdbcTable(s: SparkSession, url: String, table: String,
+                partitionColumn: Option[(String, Long, Long, Int)] = None): DataFrame = {
+    val base = s.read.format("jdbc").option("url", url).option("dbtable", table)
+    partitionColumn.fold(base) { case (c, lo, hi, n) =>
+      base.option("partitionColumn", c).option("lowerBound", lo)
+        .option("upperBound", hi).option("numPartitions", n)
+    }.load()
+  }
+
+  /** Catalog existence check guarding first-load
+    * (visualization.py:64-73). */
+  def tableExists(s: SparkSession, name: String): Boolean =
+    s.catalog.tableExists(name)
+}

@@ -1,7 +1,8 @@
 package graft.ops
 
+import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
-import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -79,5 +80,74 @@ object Vectors {
     joined.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("qid"), col("rnk"), col("vec_id"))
+  }
+
+  /** Near-duplicate pairs by embedding cosine >= simThreshold.
+    * Candidates come from random-hyperplane LSH buckets (sub-linear,
+    * never the all-pairs cross join); each candidate is then EXACTLY
+    * rescored with [[cosine]] — LSH only prunes, the rescore decides,
+    * so false positives are impossible and recall is tuned by
+    * numHashTables/bucketLength. On L2-normalized vectors euclidean
+    * distance d and cosine c satisfy d^2 = 2(1-c), so the LSH join
+    * threshold is sqrt(2*(1-simThreshold)). */
+  def cosineNearDups(df: DataFrame, id: String, vec: String,
+                     simThreshold: Double, numHashTables: Int = 8,
+                     bucketLength: Double = 4.0): DataFrame = {
+    val normed = df.select(col(id), col(vec),
+      array_to_vector(transform(col(vec), x => x.cast("double") / l2norm(col(vec))))
+        .as("__nv"))
+    val lsh = new BucketedRandomProjectionLSH()
+      .setInputCol("__nv").setOutputCol("__h")
+      .setBucketLength(bucketLength).setNumHashTables(numHashTables).setSeed(42L)
+    val model = lsh.fit(normed)
+    val distThreshold = math.sqrt(2.0 * (1.0 - simThreshold))
+    model.approxSimilarityJoin(normed, normed, distThreshold, "__d")
+      .select(
+        col(s"datasetA.$id").as("id_a"), col(s"datasetA.$vec").as("__va"),
+        col(s"datasetB.$id").as("id_b"), col(s"datasetB.$vec").as("__vb"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos_sim", cosine(col("__va"), col("__vb")))
+      .filter(col("cos_sim") >= simThreshold)
+      .select(col("id_a"), col("id_b"), col("cos_sim"))
+  }
+
+  /** IVF (inverted-file) approximate top-k: a k-means coarse quantizer
+    * partitions the corpus into nlist cells; each query searches only
+    * its nprobe nearest cells. The cell assignment is an equi-join key,
+    * so the search is a shuffled hash join on cell id — partitioned,
+    * skew-handled by AQE, no all-pairs anywhere. At 100 TB fit the
+    * quantizer on a sample (kmeans cost is per-row × iters) and persist
+    * the cell column with the table; here it is fit in-line, seeded. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, id: String,
+              vec: String, k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    def normed(df: DataFrame): DataFrame = df.select(col(id),
+      array_to_vector(transform(col(vec), x => x.cast("double") / l2norm(col(vec))))
+        .as("__nv"))
+    val km = new KMeans().setK(nlist).setSeed(42L)
+      .setFeaturesCol("__nv").setPredictionCol("__cell")
+    val model = km.fit(normed(corpus))
+    val cells = model.transform(normed(corpus))
+      .select(col(id).as("cid"), col("__cell"),
+        vector_to_array(col("__nv")).as("__cv"))
+    // centroid relation is nlist rows — broadcast to route each query
+    // to its nprobe nearest cells.
+    val centroids = corpus.sparkSession.createDataFrame(
+      model.clusterCenters.zipWithIndex.toSeq
+        .map { case (c, i) => (i, c.toArray) }).toDF("__cell", "__centroid")
+    val qn = normed(queries)
+      .select(col(id).as("qid"), vector_to_array(col("__nv")).as("__qv"))
+    val routed = qn.join(broadcast(centroids))
+      .withColumn("__cdist", dot(col("__qv"), col("__centroid")))
+    val wRoute = Window.partitionBy(col("qid")).orderBy(col("__cdist").desc, col("__cell").asc)
+    val probeCells = routed.withColumn("__cr", row_number().over(wRoute))
+      .filter(col("__cr") <= nprobe)
+      .select(col("qid"), col("__qv"), col("__cell"))
+    val scored = probeCells.join(cells, Seq("__cell"))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("__cos", dot(col("__qv"), col("__cv")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("__cos").desc, col("cid").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("cid").as("vec_id"))
   }
 }

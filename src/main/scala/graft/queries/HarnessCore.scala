@@ -200,8 +200,11 @@ object HarnessCore {
     }),
     "join_anti" -> ((s, dir) => {
       import s.implicits._
+      // vs URGENT orders only: every customer has *some* order at
+      // sf0.01, which would make the plain anti join vacuously empty.
       t(s, dir, "customer")
-        .join(t(s, dir, "orders"), $"c_custkey" === $"o_custkey", "leftanti")
+        .join(t(s, dir, "orders").filter($"o_orderpriority" === "1-URGENT"),
+          $"c_custkey" === $"o_custkey", "leftanti")
         .select($"c_custkey")
         .orderBy($"c_custkey")
     }),
@@ -332,11 +335,13 @@ object HarnessCore {
     }),
     "set_except" -> ((s, dir) => {
       import s.implicits._
+      // orderkeys, not suppkeys: every supplier ships all flags at
+      // sf0.01, which would make the suppkey except vacuously empty.
       val l = t(s, dir, "lineitem")
       Relational.exceptAll(
-        l.filter($"l_returnflag" === "R").select($"l_suppkey"),
-        l.filter($"l_returnflag" === "A").select($"l_suppkey"))
-        .orderBy($"l_suppkey")
+        l.filter($"l_returnflag" === "R").select($"l_orderkey"),
+        l.filter($"l_returnflag" === "A").select($"l_orderkey"))
+        .orderBy($"l_orderkey")
     }),
 
     // ---- §2.8 scalar function families ----
@@ -471,7 +476,8 @@ object HarnessCore {
         |ORDER BY 1""".stripMargin,
     "join_anti" ->
       """SELECT c_custkey FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
         |ORDER BY 1""".stripMargin,
     "agg_count_by_key" ->
       "SELECT o_orderpriority, count(*) AS n FROM orders GROUP BY 1 ORDER BY 1",
@@ -541,9 +547,9 @@ object HarnessCore {
         |SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'A'
         |ORDER BY 1""".stripMargin,
     "set_except" ->
-      """SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R'
+      """SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'
         |EXCEPT
-        |SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'A'
+        |SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'A'
         |ORDER BY 1""".stripMargin,
     "fn_str" ->
       """SELECT doc_id, CAST(length(text) AS INT) AS n_chars_m, upper(substr(text, 1, 3)) AS up3,

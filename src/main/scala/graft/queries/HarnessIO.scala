@@ -1,0 +1,99 @@
+package graft.queries
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.io.Sources
+import graft.ops.Aggregates
+
+/** Harness keys for sources/sinks (SURVEY.md §2.1). Each key
+  * round-trips driver testdata through the source/sink under test and
+  * is oracled against the original parquet table, so the check proves
+  * the IO path is lossless, not just non-empty.
+  *
+  * Staging side-effects write only under /tmp/graft_stage.
+  */
+object HarnessIO {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  private val stage = "/tmp/graft_stage"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // CSV with explicit schema (ref utils.py:18): parquet -> staged CSV
+    // -> csvWithSchema -> compare against the parquet original.
+    "src_csv_schema" -> ((s, dir) => {
+      import s.implicits._
+      val out = s"$stage/customer_csv"
+      t(s, dir, "customer")
+        .select($"c_custkey", $"c_name", $"c_nationkey", $"c_acctbal", $"c_mktsegment")
+        .write.mode("overwrite").option("header", "true").csv(out)
+      val schema = StructType(Seq(
+        StructField("c_custkey", LongType),
+        StructField("c_name", StringType),
+        StructField("c_nationkey", IntegerType),
+        StructField("c_acctbal", DoubleType),
+        StructField("c_mktsegment", StringType)))
+      Sources.csvWithSchema(s, out, schema).orderBy($"c_custkey")
+    }),
+
+    // GeoJSON FeatureCollection flatten (ref visualization.py:23-26):
+    // build a FeatureCollection from `nation` (driver-side staging, 25
+    // features), read multiLine, explode features, lift properties,
+    // keep geometry as opaque JSON.
+    "src_geojson" -> ((s, dir) => {
+      import s.implicits._
+      val rows = t(s, dir, "nation")
+        .select($"n_nationkey", $"n_name", $"n_regionkey")
+        .orderBy($"n_nationkey").collect()
+      val features = rows.map { r =>
+        val (k, nm, rk) = (r.getInt(0), r.getString(1), r.getInt(2))
+        s"""{"type":"Feature","properties":{"code":$k,"nom":"$nm","region":$rk},""" +
+          s""""geometry":{"type":"Point","coordinates":[$k,0]}}"""
+      }.mkString("""{"type":"FeatureCollection","features":[""", ",", "]}")
+      Files.createDirectories(Paths.get(stage))
+      Files.writeString(Paths.get(s"$stage/nations.geojson"), features)
+      Sources.geojsonFeatures(s, s"$stage/nations.geojson")
+        .select($"code", $"nom", $"region")
+        .orderBy($"code")
+    }),
+
+    // Overwrite sink (ref scraper.py:23-24 to_sql if_exists='replace'):
+    // write a stale aggregate, overwrite it with the real one, read
+    // back — proves replace (not append) semantics.
+    "sink_overwrite" -> ((s, dir) => {
+      import s.implicits._
+      val out = s"$stage/agg_overwrite"
+      val real = Aggregates.countByKey(t(s, dir, "orders"), Seq($"o_orderpriority"), "n")
+      Sources.overwriteParquet(real.limit(1), out)          // stale write
+      Sources.overwriteParquet(real, out)                   // replace
+      s.read.parquet(out).orderBy($"o_orderpriority")
+    }),
+
+    // Catalog existence check (ref visualization.py:64-73).
+    "meta_table_exists" -> ((s, dir) => {
+      t(s, dir, "region").createOrReplaceTempView("graft_region_view")
+      val a = Sources.tableExists(s, "graft_region_view")
+      val b = Sources.tableExists(s, "graft_no_such_table")
+      import s.implicits._
+      Seq((a, b)).toDF("exists_registered", "exists_missing")
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "src_csv_schema" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |FROM customer ORDER BY 1""".stripMargin,
+    "src_geojson" ->
+      """SELECT n_nationkey AS code, n_name AS nom, n_regionkey AS region
+        |FROM nation ORDER BY 1""".stripMargin,
+    "sink_overwrite" ->
+      "SELECT o_orderpriority, count(*) AS n FROM orders GROUP BY 1 ORDER BY 1",
+    "meta_table_exists" ->
+      "SELECT true AS exists_registered, false AS exists_missing",
+  )
+}

@@ -75,6 +75,24 @@ object HarnessLLM {
       Vectors.annTopK(emb, emb.filter($"vec_id" < 5), "vec_id", "embedding", k = 10)
         .orderBy($"qid", $"rnk")
     }),
+    "sim_ann_ivf" -> ((s, dir) => {
+      import s.implicits._
+      // IVF coarse-quantized ANN — approximate (rows-only check);
+      // recall vs brute force is asserted in VectorsSpec.
+      val emb = t(s, dir, "embeddings")
+      Vectors.ivfTopK(emb, emb.filter($"vec_id" < 5), "vec_id", "embedding", k = 10)
+        .orderBy($"qid", $"rnk")
+    }),
+    "dedup_embedding" -> ((s, dir) => {
+      import s.implicits._
+      // Embedding-cosine near-dup: LSH candidates + exact rescore.
+      // Exact-valued, so oracle-checkable: the pair set at sim>=0.45 is
+      // boundary-safe on this data (nearest pair values 0.449/0.452).
+      Vectors.cosineNearDups(t(s, dir, "embeddings"), "vec_id", "embedding",
+        simThreshold = 0.45)
+        .select($"id_a", $"id_b")
+        .orderBy($"id_a", $"id_b")
+    }),
 
     // ---- text analysis ----
     "text_tokens" -> ((s, dir) => {
@@ -122,6 +140,12 @@ object HarnessLLM {
         |JOIN (SELECT lang, source, min(doc_id) AS keep FROM documents GROUP BY 1, 2) k
         |  ON d.lang = k.lang AND d.source = k.source
         |WHERE d.doc_id <> k.keep ORDER BY 1""".stripMargin,
+    "dedup_embedding" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |FROM embeddings a, embeddings b
+        |WHERE a.vec_id < b.vec_id
+        |  AND list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+        |ORDER BY 1, 2""".stripMargin,
     "sim_cosine_topk" ->
       """SELECT qid, rnk, vec_id FROM (
         | SELECT q.vec_id AS qid, c.vec_id AS vec_id,

@@ -33,7 +33,13 @@ object HarnessStream {
     }),
     "stream_late_data" -> ((s, dir) => {
       import s.implicits._
-      Streams.lateCounts(ev(s, dir)).orderBy($"event_type")
+      // The driver's events are generated arrival==event-time ordered,
+      // so a straight event_id arrival order has zero late rows (a
+      // vacuous check). Scramble arrival deterministically
+      // (event_id % 97, event_id) to exercise the late-drop semantics.
+      Streams.lateCounts(ev(s, dir),
+        arrivalOrder = Seq($"event_id" % 97, $"event_id"))
+        .orderBy($"event_type")
     }),
     "stream_stateful_dedup" -> ((s, dir) => {
       import s.implicits._
@@ -88,7 +94,8 @@ object HarnessStream {
     "stream_late_data" ->
       """SELECT event_type, count(*) AS n_late FROM (
         | SELECT event_type, ts,
-        |  max(ts) OVER (ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS max_seen
+        |  max(ts) OVER (ORDER BY event_id % 97, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS max_seen
         | FROM events) AS x
         |WHERE ts < max_seen - INTERVAL 10 MINUTE
         |GROUP BY 1 ORDER BY 1""".stripMargin,

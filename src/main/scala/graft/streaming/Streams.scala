@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -124,9 +124,10 @@ object Streams {
     * The global ordered window is the semantics of a single logical
     * arrival stream; at scale the streaming engine (per-partition
     * watermarks) replaces it — this batch form exists for the oracle. */
-  def lateCounts(df: DataFrame, delay: String = "10 minutes"): DataFrame = {
+  def lateCounts(df: DataFrame, delay: String = "10 minutes",
+                 arrivalOrder: Seq[Column] = Seq(col("event_id"))): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("event_id"))
+      .orderBy(arrivalOrder: _*)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     df.withColumn("__maxSeen", max(col("ts")).over(w))
       .filter(col("ts") < col("__maxSeen") - expr(s"interval $delay"))

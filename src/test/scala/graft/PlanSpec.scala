@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Relational, Temporal}
+
+/** Plan-shape assertions: correctness tests prove the answers, these
+  * prove the plans are the ones that survive a 100 TB scale-up —
+  * filters reach the parquet scan, dimension joins broadcast, top-k
+  * never globally sorts, argmax costs exactly one shuffle. */
+class PlanSpec extends AnyFunSuite with SparkTestBase {
+
+  private def plan(df: DataFrame): String = df.queryExecution.executedPlan.toString
+
+  private def countExchanges(df: DataFrame): Int =
+    "Exchange".r.findAllIn(plan(df)).length
+
+  test("filter pushdown reaches the parquet scan") {
+    import spark.implicits._
+    val df = spark.read.parquet(sf("orders"))
+      .filter($"o_orderpriority" === "1-URGENT")
+      .select($"o_orderkey")
+    val p = plan(df)
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("o_orderpriority"), p)
+  }
+
+  test("column pruning: 2-column projection reads a 2-column schema") {
+    import spark.implicits._
+    val df = spark.read.parquet(sf("lineitem")).select($"l_orderkey", $"l_quantity")
+    val p = plan(df)
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"), p)
+  }
+
+  test("dimension join broadcasts the small side") {
+    import spark.implicits._
+    val c = spark.read.parquet(sf("customer"))
+    val n = spark.read.parquet(sf("nation"))
+    val df = c.join(n, $"c_nationkey" === $"n_nationkey")
+    assert(plan(df).contains("BroadcastHashJoin"), plan(df))
+  }
+
+  test("topK plans as TakeOrderedAndProject, not a global sort") {
+    import spark.implicits._
+    val df = Relational.topK(spark.read.parquet(sf("orders")),
+      Seq($"o_totalprice".desc, $"o_orderkey".asc), 10)
+    val p = plan(df)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("argmaxPerGroup costs exactly one shuffle") {
+    import spark.implicits._
+    val df = Temporal.argmaxPerGroup(spark.read.parquet(sf("customer")),
+      Seq($"c_nationkey"), Seq($"c_acctbal".desc, $"c_custkey".asc))
+    assert(countExchanges(df) == 1, plan(df))
+  }
+
+  test("groupBy aggregation is partial+final (map-side combine)") {
+    import spark.implicits._
+    val df = spark.read.parquet(sf("lineitem"))
+      .groupBy($"l_returnflag").agg(count(lit(1)).as("n"))
+    val p = plan(df)
+    // two HashAggregate nodes (partial below the exchange, final above)
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+    assert(countExchanges(df) == 1, p)
+  }
+
+  test("explode-days pipeline stays a Generate, no nested-loop join") {
+    val df = Temporal.explodeDays(
+      spark.read.parquet(sf("orders"))
+        .withColumn("d0", to_date(col("o_orderdate")))
+        .withColumn("d1", date_add(col("d0"), 6)),
+      "day", col("d0"), col("d1"))
+    val p = plan(df)
+    assert(p.contains("Generate"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("whole-stage codegen covers the scan-filter-project hot path") {
+    import spark.implicits._
+    val df = spark.read.parquet(sf("lineitem"))
+      .filter($"l_quantity" > 10)
+      .select($"l_orderkey", ($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("rev"))
+    // codegen'd stages print with a "*(n)" prefix in the physical plan
+    assert(plan(df).contains("*("), plan(df))
+  }
+}

