@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{DotProduct, L2Norm}
+
+/** Engine extension point (SURVEY.md §4.2): registers graft's native
+  * expressions with the session so they are callable from SQL
+  * (`SELECT graft_dot(a.embedding, b.embedding) ...`) as well as from
+  * the Column API.
+  *
+  * Two wirings:
+  *  - session owned by us: `SparkSession.builder().withExtensions(new
+  *    GraftExtensions)` — custom optimizer rules / strategies would be
+  *    injected here too;
+  *  - session owned by a host (the round driver hands us its session):
+  *    [[GraftExtensions.register]] adds the functions to the live
+  *    session's registry.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (new FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (args: Seq[Expression]) => DotProduct(args(0), args(1))),
+    (new FunctionIdentifier("graft_l2norm"),
+      new ExpressionInfo(classOf[L2Norm].getName, "graft_l2norm"),
+      (args: Seq[Expression]) => L2Norm(args(0))),
+  )
+
+  /** Imperative registration into an already-running session. */
+  def register(s: SparkSession): Unit = functions.foreach { case (id, info, builder) =>
+    s.sessionState.functionRegistry.registerFunction(id, info, builder)
+  }
+}

@@ -52,8 +52,11 @@ object Dedup {
     val withShingles = df.withColumn("__sh", shingles(text))
       .filter(size(col("__sh")) > 0)
     val tf = new HashingTF().setInputCol("__sh").setOutputCol("__features")
-      .setNumFeatures(1 << 18).setBinary(true)
-    val feats = tf.transform(withShingles)
+      .setNumFeatures(1 << 16).setBinary(true)
+    // Cache: the self-join reads the featurized corpus twice (and the
+    // shingle+TF pipeline is the expensive part); without this every
+    // branch of the join recomputes it.
+    val feats = tf.transform(withShingles.select(col(id), col("__sh"))).cache()
     val lsh = new MinHashLSH().setInputCol("__features").setOutputCol("__hashes")
       .setNumHashTables(numHashTables).setSeed(42L)
     val model = lsh.fit(feats)

@@ -85,10 +85,12 @@ object HarnessLLM {
     }),
     "dedup_embedding" -> ((s, dir) => {
       import s.implicits._
-      // Embedding-cosine near-dup: LSH candidates + exact rescore.
-      // Exact-valued, so oracle-checkable: the pair set at sim>=0.45 is
-      // boundary-safe on this data (nearest pair values 0.449/0.452).
-      Vectors.cosineNearDups(t(s, dir, "embeddings"), "vec_id", "embedding",
+      // Embedding-cosine near-dup, exact tier (oracle-checkable; the
+      // pair set at sim>=0.45 is boundary-safe on this data — nearest
+      // pair values 0.449/0.452). The approximate LSH tier
+      // (Vectors.cosineNearDups) is the corpus-scale path, covered by
+      // VectorsSpec invariants.
+      Vectors.cosineNearDupsExact(t(s, dir, "embeddings"), "vec_id", "embedding",
         simThreshold = 0.45)
         .select($"id_a", $"id_b")
         .orderBy($"id_a", $"id_b")

@@ -73,6 +73,30 @@ class VectorsSpec extends AnyFunSuite with SparkTestBase {
     assert(got == brute, s"got=${got.size} brute=${brute.size} missing=${brute -- got}")
   }
 
+  test("native dot/l2norm expressions are bit-identical to the HOF fold") {
+    import spark.implicits._
+    val emb = spark.read.parquet(sf("embeddings"))
+    val cmp = emb.select(
+      Vectors.dot($"embedding", $"embedding").as("dn"),
+      Vectors.dotHof($"embedding", $"embedding").as("dh"),
+      Vectors.l2norm($"embedding").as("nn"),
+      Vectors.l2normHof($"embedding").as("nh"))
+    // bitwise equality — same IEEE accumulation order, not "close"
+    val bad = cmp.filter($"dn" =!= $"dh" || $"nn" =!= $"nh").count()
+    assert(bad == 0)
+  }
+
+  test("graft_dot / graft_l2norm are SQL-callable after registration") {
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    Seq((Array(3.0f, 4.0f), Array(1.0f, 0.0f))).toDF("a", "b")
+      .createOrReplaceTempView("graft_vec_test")
+    val r = spark.sql(
+      "SELECT graft_dot(a, b) AS d, graft_l2norm(a) AS n FROM graft_vec_test")
+      .collect()(0)
+    assert(r.getDouble(0) == 3.0 && r.getDouble(1) == 5.0)
+  }
+
   test("cosine of a vector with itself is 1.0") {
     import spark.implicits._
     val v = Seq((0L, Array.fill(8)(0.5f))).toDF("vec_id", "embedding")
