@@ -131,6 +131,31 @@ object HarnessLLM {
       val withMedia = Multimodal.withBinaryPayload(t(s, dir, "documents"), "text", "media")
       Multimodal.decodePartitions(withMedia).toDF().orderBy($"doc_id")
     }),
+    "multimodal_resize" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      val withMedia = Multimodal.withBinaryPayload(t(s, dir, "documents"), "text", "media")
+      Multimodal.resizePartitions(withMedia, 128, 64).toDF().orderBy($"doc_id")
+    }),
+    "multimodal_frames" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      val withMedia = Multimodal.withBinaryPayload(t(s, dir, "documents"), "text", "media")
+      // every 2nd 256-byte "frame"; checksum is Spark-side only (blob
+      // slicing differs across engines) — oracle checks the fan-out.
+      Multimodal.sampleFrames(withMedia, frameBytes = 256, stride = 2).toDF()
+        .select($"doc_id", $"frame_idx", $"frame_len")
+        .orderBy($"doc_id", $"frame_idx")
+    }),
+    "multimodal_features" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      val withMedia = Multimodal.withBinaryPayload(t(s, dir, "documents"), "text", "media")
+      Multimodal.featureExtractPartitions(withMedia, dim = 8)
+        .select($"doc_id", size($"feature").as("dim"),
+          element_at($"feature", 1).as("f1"), element_at($"feature", 8).as("f8"))
+        .orderBy($"doc_id")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -187,6 +212,23 @@ object HarnessLLM {
         | CAST(64 + (strlen(text) * 31) % 384 AS INT) AS height,
         | 'fake/raw' AS fmt,
         | md5(text) AS checksum
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "multimodal_resize" ->
+      """SELECT doc_id, CAST(128 AS INT) AS out_w, CAST(64 AS INT) AS out_h,
+        | CAST(128 * 64 * 3 AS BIGINT) AS n_bytes_out
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "multimodal_frames" ->
+      """SELECT doc_id, CAST(u AS INT) AS frame_idx,
+        | CAST(least(256, strlen(text) - u * 256) AS INT) AS frame_len
+        |FROM (
+        | SELECT doc_id, text,
+        |  unnest(generate_series(0, CAST(ceil(strlen(text) / 256.0) AS INT) - 1, 2)) AS u
+        | FROM documents)
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+    "multimodal_features" ->
+      """SELECT doc_id, CAST(8 AS INT) AS dim,
+        | CAST(strlen(text) * 1 % 1024 AS DOUBLE) / 1024.0 AS f1,
+        | CAST(strlen(text) * 8 % 1024 AS DOUBLE) / 1024.0 AS f8
         |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

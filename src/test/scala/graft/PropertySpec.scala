@@ -1,0 +1,142 @@
+package graft
+
+import java.sql.Date
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Aggregates, Dedup, Relational, Temporal}
+
+/** Property-based invariants (SURVEY.md §5.2.3): the algebraic facts
+  * each operator must preserve regardless of data, checked over seeded
+  * random inputs (deterministic — no scalatestplus bridge in the
+  * offline cache, so generation is hand-rolled with fixed seeds).
+  * Inputs are small (each trial materializes Spark jobs) but
+  * adversarial: ties, single-day intervals, duplicate keys. */
+class PropertySpec extends AnyFunSuite with SparkTestBase {
+
+  private val Trials = 8
+  private def toDate(d: Int): Date =
+    Date.valueOf(java.time.LocalDate.of(2015, 1, 1).plusDays(d))
+
+  private def trials(test: Random => Unit): Unit =
+    (1 to Trials).foreach(seed => test(new Random(seed)))
+
+  test("explodeDays emits exactly datediff+1 rows per interval") {
+    import spark.implicits._
+    trials { rnd =>
+      val spans = List.fill(1 + rnd.nextInt(30))((rnd.nextInt(3650), rnd.nextInt(41)))
+      val df = spans.zipWithIndex
+        .map { case ((start, len), i) => (i.toLong, toDate(start), toDate(start + len)) }
+        .toDF("id", "d0", "d1")
+      val exploded = Temporal.explodeDays(df, "day", $"d0", $"d1")
+      val expected = spans.map { case (_, len) => len + 1L }.sum
+      assert(exploded.count() == expected)
+    }
+  }
+
+  test("explode + group-sum conserves value x duration (the Q4 invariant)") {
+    import spark.implicits._
+    trials { rnd =>
+      val rows = List.fill(1 + rnd.nextInt(25))(
+        (rnd.nextInt(3650), rnd.nextInt(31), 1 + rnd.nextInt(1000)))
+      val df = rows.zipWithIndex
+        .map { case ((start, len, v), i) => (i.toLong, toDate(start), toDate(start + len), v.toDouble) }
+        .toDF("id", "d0", "d1", "value")
+      val perDay = Temporal.explodeDays(df, "day", $"d0", $"d1")
+        .groupBy($"day").agg(Aggregates.sumExact($"value").as("s"))
+      val total = perDay.agg(Aggregates.sumExact($"s")).collect()(0).getDouble(0)
+      val expected = rows.map { case (_, len, v) => (len + 1L) * v.toDouble }.sum
+      assert(math.abs(total - expected) < 1e-6)
+    }
+  }
+
+  test("argmaxPerGroup returns one row per group, and it is a group maximum") {
+    import spark.implicits._
+    trials { rnd =>
+      val rows = List.fill(1 + rnd.nextInt(40))((rnd.nextInt(6), rnd.nextInt(201) - 100))
+      val df = rows.zipWithIndex.map { case ((g, v), i) => (g, v, i.toLong) }.toDF("g", "v", "id")
+      val top = Temporal.argmaxPerGroup(df, Seq($"g"), Seq($"v".desc, $"id".asc))
+        .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+      val maxima = rows.groupBy(_._1).map { case (g, rs) => g -> rs.map(_._2).max }
+      assert(top == maxima)
+    }
+  }
+
+  test("argmaxPerGroup tiebreak is deterministic: smallest id among maxima wins") {
+    import spark.implicits._
+    trials { rnd =>
+      // value range 0..3 over up to 40 rows forces plenty of ties
+      val rows = List.fill(1 + rnd.nextInt(40))((rnd.nextInt(4), rnd.nextInt(4)))
+      val df = rows.zipWithIndex.map { case ((g, v), i) => (g, v, i.toLong) }.toDF("g", "v", "id")
+      val winners = Temporal.argmaxPerGroup(df, Seq($"g"), Seq($"v".desc, $"id".asc))
+        .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+      val expected = rows.zipWithIndex.groupBy(_._1._1).map { case (g, rs) =>
+        val maxV = rs.map(_._1._2).max
+        g -> rs.filter(_._1._2 == maxV).map(_._2.toLong).min
+      }
+      assert(winners == expected)
+    }
+  }
+
+  test("topK never exceeds k and equals the sorted prefix") {
+    import spark.implicits._
+    trials { rnd =>
+      val vs = List.fill(rnd.nextInt(60))(rnd.nextInt(2001) - 1000)
+      val k = 1 + rnd.nextInt(10)
+      val df = vs.zipWithIndex.map { case (v, i) => (v, i.toLong) }.toDF("v", "id")
+      val got = Relational.topK(df, Seq($"v".desc, $"id".asc), k)
+        .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+      val expected = vs.zipWithIndex.map { case (v, i) => (v, i.toLong) }
+        .sortBy { case (v, i) => (-v, i) }.take(k)
+      assert(got == expected)
+    }
+  }
+
+  test("exact dedup is idempotent and keeper+removed partitions the corpus") {
+    import spark.implicits._
+    trials { rnd =>
+      val keys = List.fill(1 + rnd.nextInt(40))(rnd.nextInt(9))
+      val df = keys.zipWithIndex.map { case (k, i) => (k, i.toLong) }.toDF("k", "id")
+      val keepers = Dedup.keepersByKey(df, Seq($"k"), Seq($"id".asc))
+      val removed = Dedup.removedByKey(df, Seq($"k"), "id", Seq($"id".asc))
+      assert(keepers.count() + removed.count() == keys.length)
+      assert(keepers.select($"k").distinct().count() == keepers.count())
+      val again = Dedup.keepersByKey(keepers, Seq($"k"), Seq($"id".asc))
+      assert(again.count() == keepers.count())
+    }
+  }
+
+  test("point-in-interval filter keeps exactly the covering intervals") {
+    import spark.implicits._
+    trials { rnd =>
+      val spans = List.fill(1 + rnd.nextInt(40))((rnd.nextInt(3650), rnd.nextInt(61)))
+      val probe = rnd.nextInt(3650)
+      val df = spans.zipWithIndex
+        .map { case ((s, len), i) => (i.toLong, toDate(s), toDate(s + len)) }
+        .toDF("id", "d0", "d1")
+      val got = Temporal.pointInInterval(df, lit(toDate(probe)), "d0", "d1").count()
+      val expected = spans.count { case (s, len) => s <= probe && probe <= s + len }
+      assert(got == expected)
+    }
+  }
+
+  test("set ops: union counts add; except+intersect partition the left side") {
+    import spark.implicits._
+    trials { rnd =>
+      val a = List.fill(1 + rnd.nextInt(30))(rnd.nextInt(15))
+      val b = List.fill(1 + rnd.nextInt(30))(rnd.nextInt(15))
+      val da = a.toDF("v")
+      val db = b.toDF("v")
+      assert(Relational.unionAll(da, db).count() == a.length + b.length)
+      val exc = Relational.exceptAll(da, db).collect().map(_.getInt(0)).toSet
+      val inter = Relational.intersectAll(da, db).collect().map(_.getInt(0)).toSet
+      assert(exc == (a.toSet -- b.toSet))
+      assert(inter == (a.toSet & b.toSet))
+      assert((exc & inter).isEmpty)
+      assert((exc | inter) == a.toSet)
+    }
+  }
+}
