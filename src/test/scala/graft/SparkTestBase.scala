@@ -13,6 +13,7 @@ trait SparkTestBase extends BeforeAndAfterAll { this: Suite =>
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
     .appName("graft-test")
     .getOrCreate()
 
