@@ -28,8 +28,31 @@ object Dedup {
   }
 
   /** Word-level n-gram shingles (distinct), the unit set for Jaccard
-    * similarity. */
+    * similarity.
+    *
+    * Implemented as a typed JVM function (`udf`), not the equivalent
+    * higher-order-function expression ([[shinglesExpr]]): Catalyst
+    * HOF lambdas are interpreted per element, and profiling the sf0.1
+    * corpus put the expression form at ~1.4 ms/doc — ~10x the whole
+    * LSH join. The UDF is a plain projection feeding grouped ops, so
+    * nothing pushdown-relevant sits above it. Semantics are pinned
+    * equal to the expression form by a DedupSpec test. */
   def shingles(text: Column, n: Int = 3): Column = {
+    val f = udf { (s: String) =>
+      if (s == null) null
+      else {
+        val toks = s.toLowerCase.trim.split("\\s+")
+        if (toks.length < n) Array.empty[String]
+        else toks.sliding(n).map(_.mkString(" ")).distinct.toArray
+      }
+    }
+    f(text)
+  }
+
+  /** Reference formulation via Catalyst higher-order functions —
+    * interpreted and slow; kept to pin [[shingles]]' exact semantics
+    * in DedupSpec. */
+  private[graft] def shinglesExpr(text: Column, n: Int = 3): Column = {
     val toks = split(trim(lower(text)), "\\s+")
     // sliding n-gram join: transform over start indices
     array_distinct(

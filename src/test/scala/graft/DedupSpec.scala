@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.not
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.ops.{Dedup, Text}
@@ -60,6 +61,19 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     assert(scored((0L, 2L)) == 1.0)
     assert(scored((0L, 1L)) > 0.5 && scored((0L, 1L)) < 1.0)
+  }
+
+  test("shingles UDF matches the HOF-expression formulation exactly") {
+    import spark.implicits._
+    val docs = spark.read.parquet(sf("documents"))
+    val cmp = docs.select(
+      Dedup.shingles($"text").as("fast"),
+      Dedup.shinglesExpr($"text").as("ref"))
+    assert(cmp.filter(not($"fast" <=> $"ref")).count() == 0)
+    // and on degenerate inputs: under-n tokens, empty string
+    val edge = Seq("one two", "a", "", "x y z w").toDF("text")
+      .select(Dedup.shingles($"text").as("fast"), Dedup.shinglesExpr($"text").as("ref"))
+    assert(edge.filter(not($"fast" <=> $"ref")).count() == 0)
   }
 
   test("exact dedup keeps one row per fingerprint group") {

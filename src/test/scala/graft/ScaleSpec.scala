@@ -55,6 +55,19 @@ class ScaleSpec extends AnyFunSuite with SparkTestBase {
   test("bucketed-by-join-key tables sort-merge join with zero Exchange") {
     import spark.implicits._
     val s = spark // warehouse.dir is static conf, set in SparkTestBase
+    // the catalog is in-memory per JVM but the warehouse dir persists —
+    // clear stale locations from previous runs
+    Seq("graft_orders_b", "graft_lineitem_b").foreach { tbl =>
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      val dir = new java.io.File(s"/tmp/graft_warehouse/$tbl")
+      if (dir.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(dir)
+      }
+    }
     val orders = s.read.parquet(sf("orders"))
     val lineitem = s.read.parquet(sf("lineitem"))
     Bucketing.writeBucketed(orders, "graft_orders_b", "o_orderkey", 4, Some("o_orderkey"))
