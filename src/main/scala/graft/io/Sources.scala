@@ -50,6 +50,15 @@ object Sources {
   def overwriteParquet(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(path)
 
+  /** Date-partitioned overwrite: the 100 TB layout. Writing a fact
+    * table partitioned by a low-cardinality date derivative (month/day
+    * directory per partition) lets every date-ranged query prune
+    * partitions at planning time (`PartitionFilters` in the scan, whole
+    * directories skipped) instead of reading 100 TB to filter it. */
+  def overwriteParquetPartitioned(df: DataFrame, path: String,
+                                  partitionCols: Seq[String]): Unit =
+    df.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*).parquet(path)
+
   /** Full-replace JDBC sink — the literal reference semantics; not
     * exercised by the harness (no DB in the container) but kept as the
     * drop-in production path. */

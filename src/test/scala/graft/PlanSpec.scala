@@ -78,6 +78,25 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("date-partitioned layout prunes partitions for a date-ranged query") {
+    import spark.implicits._
+    val out = "/tmp/graft_part_test"
+    val li = spark.read.parquet(sf("lineitem"))
+      .withColumn("ship_month", date_format(to_date($"l_shipdate"), "yyyy-MM"))
+    graft.io.Sources.overwriteParquetPartitioned(li, out, Seq("ship_month"))
+    val pruned = spark.read.parquet(out)
+      .filter($"ship_month" === "1996-06")
+      .select($"l_orderkey", $"l_quantity")
+    val p = plan(pruned)
+    assert(p.contains("PartitionFilters: [isnotnull(ship_month"), p)
+    // the pruned scan must read only the matching partition directory
+    val scanned = pruned.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString
+    assert(scanned.contains("PartitionFilters"), scanned)
+    assert(pruned.count() ==
+      li.filter($"ship_month" === "1996-06").count())
+  }
+
   test("whole-stage codegen covers the scan-filter-project hot path") {
     import spark.implicits._
     val df = spark.read.parquet(sf("lineitem"))
