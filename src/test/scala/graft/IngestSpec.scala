@@ -1,0 +1,65 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import java.sql.Date
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.io.{Schemas, Sources}
+import graft.queries.RefPipeline
+
+/** End-to-end ingest test mirroring the reference's full flow
+  * (E1 ingest -> E2 analytics, SURVEY.md §3): dirty CSVs staged to
+  * disk -> schema-pinned CSV read -> overwrite sink -> re-read ->
+  * prepData cleaning -> Q1. Exercises the same dirty-data branches as
+  * the reference's real feed: null dates, '0023' years, quoted
+  * strings, Corsican department codes. */
+class IngestSpec extends AnyFunSuite with SparkTestBase {
+
+  private val stage = "/tmp/graft_ingest_test"
+
+  test("CSV ingest -> overwrite sink -> prepData -> Q1, end to end") {
+    Files.createDirectories(Paths.get(stage))
+    Files.writeString(Paths.get(s"$stage/zones.csv"),
+      """id_zone,nom_zone,code_departement,nom_departement,surface_zone,type_zone
+        |1,"Zone Ardèche Nord",07,"Ardèche",100.5,SUP
+        |2,"Zone Ajaccio",2A,"Corse-du-Sud",200.0,SUP
+        |3,"Zone sans arrêté",01,"Ain",300.0,SOU
+        |""".stripMargin)
+    Files.writeString(Paths.get(s"$stage/arretes.csv"),
+      """id_zone,debut_validite_arrete,fin_validite_arrete,numero_niveau,nom_niveau,statut_arrete
+        |1,2023-08-01,0023-08-20,3,"alerte renforcée",actif
+        |1,2023-08-10,,2,alerte,actif
+        |2,,2023-08-20,4,crise,actif
+        |99,2023-08-01,2023-08-31,1,vigilance,actif
+        |""".stripMargin)
+
+    // E1: schema-pinned read (no inference pass), full-replace sink
+    val zonesRaw = Sources.csvWithSchema(spark, s"$stage/zones.csv", Schemas.zones)
+    val arretesRaw = Sources.csvWithSchema(spark, s"$stage/arretes.csv", Schemas.arretes)
+    Sources.overwriteParquet(zonesRaw, s"$stage/zones.parquet")
+    Sources.overwriteParquet(arretesRaw, s"$stage/arretes.parquet")
+
+    // schema survived the sink round-trip: codes stayed strings
+    val zones = spark.read.parquet(s"$stage/zones.parquet")
+    assert(zones.schema("code_departement").dataType.typeName == "string")
+    assert(zones.filter(col("code_departement") === "2A").count() == 1)
+
+    // E2: clean + join + Q1 at a date inside every repaired interval
+    val arretes = spark.read.parquet(s"$stage/arretes.parquet")
+    val prepped = RefPipeline.prepData(zones, arretes)
+    // '0023-08-20' repaired to 2023-08-20; null fin -> sentinel; orphan
+    // id_zone=99 dropped by the inner join
+    assert(prepped.count() == 3)
+    val repaired = prepped
+      .filter(col("id_zone") === 1 && col("numero_niveau") === 3)
+      .select(col("fin_validite_arrete")).collect()(0).getDate(0)
+    assert(repaired.toString == "2023-08-20")
+
+    val q1 = RefPipeline.q1NbDepPerAlert(prepped, lit(Date.valueOf("2023-08-12")))
+      .collect().map(r => (r.getInt(0), r.getLong(2))).toSeq
+    // dept 07 -> max(3, 2) = 3; dept 2A -> 4
+    assert(q1 == Seq((4, 1L), (3, 1L)))
+  }
+}
