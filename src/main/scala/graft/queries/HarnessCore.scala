@@ -267,6 +267,20 @@ object HarnessCore {
         .select($"o_orderpriority", $"rnk", $"o_orderkey", $"o_totalprice")
         .orderBy($"o_orderpriority", $"rnk")
     }),
+    "win_topk_udaf" -> ((s, dir) => {
+      import s.implicits._
+      // same answer as win_rownum_topk, via the typed bounded-buffer
+      // aggregator: partial aggregation truncates to k per group
+      // map-side, so the shuffle carries O(groups x k), not O(rows).
+      val topk = graft.functions.TopKByValue.topK(3)
+      t(s, dir, "orders")
+        .groupBy($"o_orderpriority")
+        .agg(topk($"o_totalprice", $"o_orderkey").as("tk"))
+        .select($"o_orderpriority", posexplode($"tk").as(Seq("pos", "pair")))
+        .select($"o_orderpriority", ($"pos" + 1).cast("int").as("rnk"),
+          $"pair._2".as("o_orderkey"), $"pair._1".as("o_totalprice"))
+        .orderBy($"o_orderpriority", $"rnk")
+    }),
     "win_running_sum" -> ((s, dir) => {
       import s.implicits._
       val daily = t(s, dir, "orders")
@@ -508,6 +522,12 @@ object HarnessCore {
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY 1, 2""".stripMargin,
     "win_rownum_topk" ->
+      """SELECT o_orderpriority, rnk, o_orderkey, o_totalprice FROM (
+        | SELECT o_orderpriority, o_orderkey, o_totalprice, CAST(row_number() OVER (
+        |   PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rnk
+        | FROM orders)
+        |WHERE rnk <= 3 ORDER BY o_orderpriority, rnk""".stripMargin,
+    "win_topk_udaf" ->
       """SELECT o_orderpriority, rnk, o_orderkey, o_totalprice FROM (
         | SELECT o_orderpriority, o_orderkey, o_totalprice, CAST(row_number() OVER (
         |   PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rnk

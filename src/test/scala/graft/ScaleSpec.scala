@@ -86,6 +86,27 @@ class ScaleSpec extends AnyFunSuite with SparkTestBase {
     assert(joined == expected)
   }
 
+  test("TopKByValue aggregator equals the window top-k and partial-aggregates") {
+    import spark.implicits._
+    val orders = spark.read.parquet(sf("orders"))
+    val topk = graft.functions.TopKByValue.topK(3)
+    val viaUdaf = orders.groupBy($"o_orderpriority")
+      .agg(topk($"o_totalprice", $"o_orderkey").as("tk"))
+      .select($"o_orderpriority", posexplode($"tk").as(Seq("pos", "pair")))
+      .select($"o_orderpriority", ($"pos" + 1).cast("long").as("rnk"), $"pair._2".as("id"))
+    val viaWindow = graft.ops.Temporal.topKPerGroup(orders,
+      Seq($"o_orderpriority"), Seq($"o_totalprice".desc, $"o_orderkey".asc), 3)
+      .select($"o_orderpriority", $"rnk".cast("long"), $"o_orderkey".as("id"))
+    val a = viaUdaf.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val b = viaWindow.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(a == b)
+    // the scale property: partial (map-side) + final aggregate stages
+    val agged = orders.groupBy($"o_orderpriority")
+      .agg(topk($"o_totalprice", $"o_orderkey").as("tk"))
+    val p = plan(agged)
+    assert("Aggregate".r.findAllIn(p).length >= 2, p)
+  }
+
   private def withConf[T](key: String, value: String)(body: => T): T = {
     val old = spark.conf.getOption(key)
     spark.conf.set(key, value)
