@@ -220,6 +220,16 @@ object HarnessCore {
       Aggregates.sumByKey(t(s, dir, "lineitem"), Seq($"l_returnflag"), $"l_quantity", "sum_qty")
         .orderBy($"l_returnflag")
     }),
+    "agg_avg_by_key" -> ((s, dir) => {
+      import s.implicits._
+      // decimal-exact sum / count, one IEEE division — deterministic
+      // across engines (plain avg() accumulates doubles in partition
+      // order, which is not).
+      t(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(Aggregates.avgExact($"l_quantity").as("avg_qty"))
+        .orderBy($"l_returnflag")
+    }),
     "agg_distinct_pairs" -> ((s, dir) => {
       import s.implicits._
       Aggregates.distinctPairs(t(s, dir, "lineitem"), Seq("l_returnflag", "l_linestatus"))
@@ -498,6 +508,10 @@ object HarnessCore {
     "agg_sum_by_key" ->
       """SELECT l_returnflag,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "agg_avg_by_key" ->
+      """SELECT l_returnflag,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) / count(l_quantity) AS avg_qty
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "agg_distinct_pairs" ->
       "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem ORDER BY 1, 2",

@@ -97,6 +97,12 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       li.filter($"ship_month" === "1996-06").count())
   }
 
+  test("golden Q2 pipeline broadcasts the dimension side of its left join") {
+    val df = graft.queries.Golden.q2(spark, "/root/testdata/sf0.001")
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("whole-stage codegen covers the scan-filter-project hot path") {
     import spark.implicits._
     val df = spark.read.parquet(sf("lineitem"))

@@ -40,6 +40,28 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("sliding counts: stream equals batch on the same data") {
+    import spark.implicits._
+    val events = Seq(
+      e(1, "2024-01-01 10:05:00"), e(2, "2024-01-01 10:40:00"),
+      e(3, "2024-01-01 10:50:00", typ = "view"))
+
+    val batch = Streams.slidingCounts(events.toDF())
+      .orderBy("window_start", "event_type").collect()
+    // 1h window / 30m slide: each event lands in exactly two windows
+    assert(batch.map(_.getLong(2)).sum == events.length * 2L)
+
+    val ms = MemoryStream[Event](spark)
+    val q = Streams.slidingCounts(ms.toDF())
+      .writeStream.format("memory").queryName("sliding_t")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    ms.addData(events: _*)
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("sliding_t")
+      .orderBy("window_start", "event_type").collect()
+    assert(streamed.toSeq == batch.toSeq)
+  }
+
   test("watermark drops late rows in append mode") {
     import spark.implicits._
     val ms = MemoryStream[Event](spark)
