@@ -83,6 +83,49 @@ object Temporal {
       broadcast(probes),
       col(start) <= col(probeDate) && col(probeDate) <= col(end))
 
+  /** As-of join: for every left (probe) row, the LATEST right row with
+    * rightTime <= leftTime within the same key — event attribution,
+    * point-in-time dimension lookup, "price as of trade time".
+    *
+    * Spark-first composition, no custom strategy and no range cross
+    * join: tag both sides, union, and run `last(_, ignoreNulls)` over a
+    * (key)-partitioned window ordered by (time, side) — right rows sort
+    * before left rows at equal timestamps, so exact-time matches are
+    * visible (<= semantics). Costs exactly ONE shuffle+sort on the
+    * keys; at 100 TB both sides stream through the same partitioning,
+    * which is the plan a native as-of operator would pick anyway.
+    *
+    * Left-join semantics: probes with no prior right row keep nulls.
+    * Right-side ties at identical (key, time) resolve to the later row
+    * in union order; emit order-insensitive values (e.g. the time
+    * itself) or pre-dedup the right side if tie identity matters. */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               leftTime: String, rightTime: String,
+               rightVals: Seq[String], outPrefix: String = "asof_"): DataFrame = {
+    val rightTypes = rightVals.map(c => c -> right.schema(c).dataType).toMap
+    val lAug = rightVals.foldLeft(
+      left.withColumn("__t", col(leftTime)).withColumn("__side", lit(1))) {
+      (d, c) => d.withColumn(s"$outPrefix$c", lit(null).cast(rightTypes(c)))
+    }
+    val rBase = right.select(
+      keys.map(col) ++ (col(rightTime).as("__t") +:
+        rightVals.map(c => col(c).as(s"$outPrefix$c"))): _*)
+      .withColumn("__side", lit(0))
+    val leftOnly = lAug.columns.filterNot(rBase.columns.contains)
+    val rAug = leftOnly.foldLeft(rBase) { (d, c) =>
+      d.withColumn(c, lit(null).cast(lAug.schema(c).dataType))
+    }
+    val unioned = lAug.unionByName(rAug)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = rightVals.foldLeft(unioned) { (d, c) =>
+      d.withColumn(s"$outPrefix$c",
+        last(col(s"$outPrefix$c"), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("__side") === 1).drop("__t", "__side")
+  }
+
   /** Range join for big-x-big: explode each interval into its days
     * (reusing [[explodeDays]]) and equi-join on the day — a shuffled
     * hash/sort-merge join Catalyst can plan and AQE can skew-split,

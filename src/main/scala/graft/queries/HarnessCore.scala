@@ -190,6 +190,21 @@ object HarnessCore {
         Seq($"d"), "n_open")
         .orderBy($"d")
     }),
+    "join_asof" -> ((s, dir) => {
+      import s.implicits._
+      // Event attribution: each purchase matched to the user's latest
+      // prior (or same-instant) view. One shuffle on user_id.
+      val ev = events(s, dir)
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"event_id", $"user_id", $"ts")
+      val views = ev.filter($"event_type" === "view")
+        .select($"user_id", $"ts")
+      Temporal.asofJoin(purchases, views, Seq("user_id"), "ts", "ts",
+        rightVals = Seq("ts"))
+        .withColumnRenamed("asof_ts", "last_view_ts")
+        .select($"event_id", $"user_id", $"ts", $"last_view_ts")
+        .orderBy($"event_id")
+    }),
     "join_semi" -> ((s, dir) => {
       import s.implicits._
       t(s, dir, "orders")
@@ -493,6 +508,13 @@ object HarnessCore {
         |FROM probes, orders
         |WHERE CAST(o_orderdate AS DATE) <= d AND d <= CAST(o_orderdate AS DATE) + 30
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "join_asof" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |     v AS (SELECT user_id, ts FROM events WHERE event_type = 'view')
+        |SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS ts,
+        | CAST(v.ts AS TIMESTAMP) AS last_view_ts
+        |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts
+        |ORDER BY p.event_id""".stripMargin,
     "join_semi" ->
       """SELECT o_orderkey FROM orders
         |WHERE EXISTS (SELECT 1 FROM lineitem

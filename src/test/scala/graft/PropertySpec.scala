@@ -123,6 +123,36 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("asofJoin matches the latest right time <= probe time, per key") {
+    import spark.implicits._
+    trials { rnd =>
+      val probes = List.fill(1 + rnd.nextInt(20))((rnd.nextInt(4), rnd.nextInt(100)))
+      val rights = List.fill(1 + rnd.nextInt(20))((rnd.nextInt(4), rnd.nextInt(100)))
+      val l = probes.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t.toLong) }
+        .toDF("probe_id", "k", "t")
+      val r = rights.map { case (k, t) => (k, t.toLong) }.toDF("k", "rt")
+      val got = graft.ops.Temporal.asofJoin(l, r, Seq("k"), "t", "rt", Seq("rt"))
+        .select($"probe_id", $"asof_rt")
+        .collect().map(row => row.getLong(0) ->
+          (if (row.isNullAt(1)) None else Some(row.getLong(1)))).toMap
+      val expected = probes.zipWithIndex.map { case ((k, t), i) =>
+        val cands = rights.filter(x => x._1 == k && x._2 <= t).map(_._2.toLong)
+        i.toLong -> (if (cands.isEmpty) None else Some(cands.max))
+      }.toMap
+      assert(got == expected)
+    }
+  }
+
+  test("asofJoin: exact-time right rows are visible (<= semantics)") {
+    import spark.implicits._
+    val l = Seq((1L, 1, 50L), (2L, 1, 10L)).toDF("probe_id", "k", "t")
+    val r = Seq((1, 50L), (1, 49L)).toDF("k", "rt")
+    val got = graft.ops.Temporal.asofJoin(l, r, Seq("k"), "t", "rt", Seq("rt"))
+      .select($"probe_id", $"asof_rt").collect()
+      .map(row => row.getLong(0) -> (if (row.isNullAt(1)) None else Some(row.getLong(1)))).toMap
+    assert(got == Map(1L -> Some(50L), 2L -> None))
+  }
+
   test("set ops: union counts add; except+intersect partition the left side") {
     import spark.implicits._
     trials { rnd =>
