@@ -65,4 +65,21 @@ object Aggregates {
     val agged = df.rollup(keys.map(col): _*).agg(sumExact(value).as(out))
     keys.foldLeft(agged)((d, k) => d.withColumn(k, coalesce(col(k), lit(allLabel))))
   }
+
+  /** CUBE (all grouping-set combinations), same sentinel treatment —
+    * ExtOp agg_cube. */
+  def cubeSum(df: DataFrame, keys: Seq[String], value: Column, out: String,
+              allLabel: String = "ALL"): DataFrame = {
+    val agged = df.cube(keys.map(col): _*).agg(sumExact(value).as(out))
+    keys.foldLeft(agged)((d, k) => d.withColumn(k, coalesce(col(k), lit(allLabel))))
+  }
+
+  /** Discrete (type-1) median per group: the smallest value whose rank
+    * reaches p — no interpolation, so the result is an actual data
+    * value and bit-deterministic across engines (interpolated
+    * percentiles mix float arithmetic orders). */
+  def medianDiscByKey(df: DataFrame, keys: Seq[Column], valueCol: String,
+                      out: String): DataFrame =
+    df.groupBy(keys: _*).agg(
+      expr(s"percentile_disc(0.5) WITHIN GROUP (ORDER BY $valueCol)").as(out))
 }

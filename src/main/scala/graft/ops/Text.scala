@@ -51,6 +51,16 @@ object Text {
       .withColumn("punct_ratio", col("n_punct").cast("double") / col("n_chars_m"))
   }
 
+  /** Corpus word frequencies (vocabulary building): explode tokens,
+    * count, keep the top k. TakeOrderedAndProject after a partial+final
+    * hash agg — at 100 TB the shuffle carries one (word, count) pair
+    * per distinct word per partition, never raw tokens. */
+  def wordFrequencies(df: DataFrame, text: Column, k: Int): DataFrame =
+    df.select(explode(wsTokens(lower(text))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w").asc)
+      .limit(k)
+
   /** Canonical-form document fingerprint: lowercase, collapse
     * whitespace, md5. Equal fingerprints = exact near-identical dup
     * (case/spacing-insensitive); the groupBy key for exact dedup at

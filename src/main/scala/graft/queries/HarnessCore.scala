@@ -277,6 +277,18 @@ object HarnessCore {
         Seq($"l_returnflag"), $"l_partkey", "nd_approx")
         .orderBy($"l_returnflag")
     }),
+    "agg_cube" -> ((s, dir) => {
+      import s.implicits._
+      Aggregates.cubeSum(t(s, dir, "lineitem"),
+        Seq("l_returnflag", "l_linestatus"), $"l_quantity", "sum_qty")
+        .orderBy($"l_returnflag", $"l_linestatus")
+    }),
+    "agg_median_disc" -> ((s, dir) => {
+      import s.implicits._
+      Aggregates.medianDiscByKey(t(s, dir, "lineitem"),
+        Seq($"l_returnflag"), "l_quantity", "med_qty")
+        .orderBy($"l_returnflag")
+    }),
     "agg_rollup" -> ((s, dir) => {
       import s.implicits._
       Aggregates.rollupSum(t(s, dir, "lineitem"),
@@ -551,6 +563,15 @@ object HarnessCore {
         |WHERE rn = 1 ORDER BY c_nationkey""".stripMargin,
     "agg_countd_exact" ->
       "SELECT l_returnflag, count(DISTINCT l_partkey) AS nd_parts FROM lineitem GROUP BY 1 ORDER BY 1",
+    "agg_cube" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+        | coalesce(l_linestatus, 'ALL') AS l_linestatus,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY 1, 2""".stripMargin,
+    "agg_median_disc" ->
+      """SELECT l_returnflag, quantile_disc(l_quantity, 0.5) AS med_qty
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "agg_rollup" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
         | coalesce(l_linestatus, 'ALL') AS l_linestatus,

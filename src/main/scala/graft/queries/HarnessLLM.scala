@@ -117,6 +117,10 @@ object HarnessLLM {
           $"stop_ratio", $"punct_ratio")
         .orderBy($"doc_id")
     }),
+    "text_word_freq" -> ((s, dir) => {
+      import s.implicits._
+      Text.wordFrequencies(t(s, dir, "documents"), $"text", k = 20)
+    }),
     "text_fingerprint" -> ((s, dir) => {
       import s.implicits._
       Text.fingerprint(t(s, dir, "documents"), $"text", "fp")
@@ -202,6 +206,11 @@ object HarnessLLM {
         | CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE)
         |   / length(text) AS punct_ratio
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_word_freq" ->
+      """SELECT w, count(*) AS n FROM (
+        | SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+        | FROM documents)
+        |GROUP BY 1 ORDER BY n DESC, w LIMIT 20""".stripMargin,
     "text_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
