@@ -115,4 +115,49 @@ object Dedup {
     pairs.withColumn("jaccard",
       size(array_intersect(aShingles, bShingles)).cast("double") /
         size(array_union(aShingles, bShingles)))
+
+  /** Near-dup pairs -> dedup clusters (connected components), the step
+    * that makes a pair list actionable: every doc gets the cluster's
+    * minimum id as its `cluster` label; keep rows where
+    * `id == cluster`, drop the rest.
+    *
+    * Distributed min-label propagation: each iteration joins the label
+    * relation to the (symmetrized) edge relation and takes the
+    * neighborhood minimum — one shuffle per iteration, converging in
+    * O(component diameter) iterations (near-dup clusters are shallow:
+    * a handful). `localCheckpoint` truncates the growing lineage each
+    * round, which is what keeps iteration N from replaying rounds
+    * 1..N-1; convergence is detected by the label checksum going
+    * stable (monotonically non-increasing labels guarantee progress
+    * and termination). */
+  def clusterPairs(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
+                   maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("v")).distinct()
+      .withColumn("label", col("v"))
+      .localCheckpoint(true)
+    var checksum = labels.agg(sum(col("label"))).collect()(0).getLong(0)
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val nbrMin = edges.join(labels.withColumnRenamed("v", "src"), "src")
+        .groupBy(col("dst").as("v")).agg(min(col("label")).as("nl"))
+      labels = labels.join(nbrMin, Seq("v"), "left")
+        .select(col("v"), least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      val next = labels.agg(sum(col("label"))).collect()(0).getLong(0)
+      converged = next == checksum
+      checksum = next
+      iter += 1
+    }
+    labels.select(col("v").as("id"), col("label").as("cluster"))
+  }
+
+  /** The rows near-dup clustering would remove: every non-keeper
+    * member of each cluster. */
+  def clusterRemovals(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b"): DataFrame =
+    clusterPairs(pairs, idA, idB).filter(col("id") =!= col("cluster"))
 }

@@ -85,6 +85,28 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(removed.select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(2L))
   }
 
+  test("clusterPairs finds connected components and min-id keepers") {
+    import spark.implicits._
+    // components: {0,1,2} (chain), {5,6}, {8,9,10,11} (star on 8)
+    val pairs = Seq((0L, 1L), (1L, 2L), (5L, 6L), (8L, 9L), (8L, 10L), (8L, 11L))
+      .toDF("id_a", "id_b")
+    val clusters = Dedup.clusterPairs(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 5L -> 5L, 6L -> 5L,
+      8L -> 8L, 9L -> 8L, 10L -> 8L, 11L -> 8L))
+    val removed = Dedup.clusterRemovals(pairs)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(removed == Set(1L, 2L, 6L, 9L, 10L, 11L))
+  }
+
+  test("clusterPairs converges on a long chain (diameter > 2)") {
+    import spark.implicits._
+    val chain = (0L until 12L).sliding(2).map(s => (s(0), s(1))).toSeq.toDF("id_a", "id_b")
+    val clusters = Dedup.clusterPairs(chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters.values.toSet == Set(0L), clusters.toString)
+  }
+
   test("approx_count_distinct within rsd bound on real data") {
     val li = spark.read.parquet(sf("lineitem"))
     import spark.implicits._
