@@ -62,6 +62,27 @@ object HarnessLLM {
         .orderBy($"id_a", $"id_b")
     }),
 
+    "pipeline_corpus_prep" -> ((s, dir) => {
+      import s.implicits._
+      // The composite training-corpus preparation flow: quality filter
+      // -> canonical-fingerprint exact dedup -> clean corpus with
+      // stats. The driver corpus has no exact dups, so case-variant
+      // copies of the first 50 docs are planted (fingerprint is
+      // case/spacing-insensitive) to make the dedup stage observable;
+      // keepers are the original (minimum) doc_ids.
+      val docs = t(s, dir, "documents")
+      val planted = docs.filter($"doc_id" < 50)
+        .select(($"doc_id" + 10000).as("doc_id"), upper($"text").as("text"),
+          $"lang", $"source", $"n_chars")
+      val corpus = docs.unionByName(planted)
+      val scored = Text.qualityScore(corpus, $"text")
+      val kept = scored.filter($"n_tok" >= 50)
+      val fp = Text.fingerprint(kept, $"text", "fp")
+      Dedup.keepersByKey(fp, Seq($"fp"), Seq($"doc_id".asc))
+        .select($"doc_id", $"lang", $"n_tok")
+        .orderBy($"doc_id")
+    }),
+
     // ---- similarity search ----
     "sim_cosine_topk" -> ((s, dir) => {
       import s.implicits._
@@ -177,6 +198,22 @@ object HarnessLLM {
         |WHERE a.vec_id < b.vec_id
         |  AND list_cosine_similarity(a.embedding, b.embedding) >= 0.45
         |ORDER BY 1, 2""".stripMargin,
+    "pipeline_corpus_prep" ->
+      """WITH corpus AS (
+        | SELECT doc_id, text, lang FROM documents
+        | UNION ALL
+        | SELECT doc_id + 10000, upper(text), lang FROM documents WHERE doc_id < 50),
+        |q AS (
+        | SELECT doc_id, text, lang,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_tok
+        | FROM corpus),
+        |f AS (
+        | SELECT *, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+        | FROM q WHERE n_tok >= 50),
+        |k AS (SELECT fp, min(doc_id) AS keep FROM f GROUP BY 1)
+        |SELECT f.doc_id, f.lang, f.n_tok
+        |FROM f JOIN k ON f.fp = k.fp AND f.doc_id = k.keep
+        |ORDER BY f.doc_id""".stripMargin,
     "sim_cosine_topk" ->
       """SELECT qid, rnk, vec_id FROM (
         | SELECT q.vec_id AS qid, c.vec_id AS vec_id,
