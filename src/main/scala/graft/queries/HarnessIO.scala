@@ -74,6 +74,34 @@ object HarnessIO {
       s.read.parquet(out).orderBy($"o_orderpriority")
     }),
 
+    // JSON-lines round-trip: parquet -> JSONL -> schema-pinned read.
+    // Schema is pinned on read (inference on JSON is a full extra pass
+    // and type-lossy: longs vs doubles).
+    "src_jsonl" -> ((s, dir) => {
+      import s.implicits._
+      val out = s"$stage/orders_jsonl"
+      t(s, dir, "orders")
+        .select($"o_orderkey", $"o_custkey", $"o_orderstatus", $"o_totalprice")
+        .write.mode("overwrite").json(out)
+      val schema = StructType(Seq(
+        StructField("o_orderkey", LongType),
+        StructField("o_custkey", LongType),
+        StructField("o_orderstatus", StringType),
+        StructField("o_totalprice", DoubleType)))
+      s.read.schema(schema).json(out).orderBy($"o_orderkey")
+    }),
+
+    // ORC round-trip: the other columnar format Spark ships natively —
+    // typed, splittable, predicate-pushdown-capable like parquet.
+    "sink_orc" -> ((s, dir) => {
+      import s.implicits._
+      val out = s"$stage/lineitem_orc"
+      t(s, dir, "lineitem")
+        .select($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_returnflag")
+        .write.mode("overwrite").orc(out)
+      s.read.orc(out).orderBy($"l_orderkey", $"l_linenumber")
+    }),
+
     // Catalog existence check (ref visualization.py:64-73).
     "meta_table_exists" -> ((s, dir) => {
       t(s, dir, "region").createOrReplaceTempView("graft_region_view")
@@ -93,6 +121,12 @@ object HarnessIO {
         |FROM nation ORDER BY 1""".stripMargin,
     "sink_overwrite" ->
       "SELECT o_orderpriority, count(*) AS n FROM orders GROUP BY 1 ORDER BY 1",
+    "src_jsonl" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |FROM orders ORDER BY 1""".stripMargin,
+    "sink_orc" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+        |FROM lineitem ORDER BY 1, 2""".stripMargin,
     "meta_table_exists" ->
       "SELECT true AS exists_registered, false AS exists_missing",
   )
