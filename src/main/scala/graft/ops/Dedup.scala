@@ -116,6 +116,21 @@ object Dedup {
       size(array_intersect(aShingles, bShingles)).cast("double") /
         size(array_union(aShingles, bShingles)))
 
+  /** Normalized edit-distance similarity for CANDIDATE pairs (feed it
+    * LSH collisions): 1 - levenshtein/max_len. Codegen'd built-in;
+    * O(len^2) per pair, so only ever on pruned candidates. */
+  def levenshteinOnPairs(pairs: DataFrame, aText: Column, bText: Column): DataFrame =
+    pairs.withColumn("edit_sim",
+      lit(1.0) - levenshtein(aText, bText).cast("double") /
+        greatest(length(aText), length(bText)))
+
+  /** Stratified sample with per-stratum fractions (seeded, so
+    * deterministic given identical partitioning): the
+    * source/lang-balanced subsampling step of a corpus pipeline. */
+  def stratifiedSample(df: DataFrame, stratumCol: String,
+                       fractions: Map[String, Double], seed: Long = 42L): DataFrame =
+    df.stat.sampleBy(stratumCol, fractions, seed)
+
   /** Near-dup pairs -> dedup clusters (connected components), the step
     * that makes a pair list actionable: every doc gets the cluster's
     * minimum id as its `cluster` label; keep rows where

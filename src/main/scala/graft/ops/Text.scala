@@ -61,6 +61,25 @@ object Text {
       .orderBy(col("n").desc, col("w").asc)
       .limit(k)
 
+  /** Per-document top terms with corpus document frequency — the
+    * integer core of TF-IDF, kept as exact counts (tf, df) rather than
+    * the log-weighted score so results are bit-deterministic across
+    * engines (ln is libm-divergent). Two hash aggregations + one
+    * broadcast-ish join on term; the token explode never leaves the
+    * scan stage's partitioning until the (doc, term) groupBy. */
+  def termStats(df: DataFrame, id: Column, text: Column, topPerDoc: Int): DataFrame = {
+    val toks = df.select(id.as("doc_id"), explode(wsTokens(lower(text))).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("tf").desc, col("term").asc)
+    tf.join(dfreq, "term")
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topPerDoc)
+      .select(col("doc_id"), col("rnk"), col("term"), col("tf"), col("df"))
+  }
+
   /** Canonical-form document fingerprint: lowercase, collapse
     * whitespace, md5. Equal fingerprints = exact near-identical dup
     * (case/spacing-insensitive); the groupBy key for exact dedup at

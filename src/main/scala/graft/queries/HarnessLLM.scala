@@ -138,6 +138,14 @@ object HarnessLLM {
           $"stop_ratio", $"punct_ratio")
         .orderBy($"doc_id")
     }),
+    "text_term_stats" -> ((s, dir) => {
+      import s.implicits._
+      // integer TF/DF core of TF-IDF: top-3 terms per doc (first 50
+      // docs to bound output) with corpus document frequency.
+      Text.termStats(t(s, dir, "documents").filter($"doc_id" < 50),
+        $"doc_id", $"text", topPerDoc = 3)
+        .orderBy($"doc_id", $"rnk")
+    }),
     "text_word_freq" -> ((s, dir) => {
       import s.implicits._
       Text.wordFrequencies(t(s, dir, "documents"), $"text", k = 20)
@@ -243,6 +251,18 @@ object HarnessLLM {
         | CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE)
         |   / length(text) AS punct_ratio
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_term_stats" ->
+      """WITH toks AS (
+        | SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+        | FROM documents WHERE doc_id < 50),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)
+        |SELECT doc_id, rnk, term, tf, df FROM (
+        | SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+        |  CAST(row_number() OVER (PARTITION BY tf.doc_id
+        |    ORDER BY tf.tf DESC, tf.term) AS INT) AS rnk
+        | FROM tf JOIN dfreq USING (term)) AS x
+        |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
     "text_word_freq" ->
       """SELECT w, count(*) AS n FROM (
         | SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w

@@ -85,6 +85,36 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(removed.select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(2L))
   }
 
+  test("levenshtein rescoring ranks the planted near-dup above unrelated") {
+    import spark.implicits._
+    val pairs = Seq(
+      (0L, 1L, "the quick brown fox", "the quick brown cat"),
+      (0L, 4L, "the quick brown fox", "completely different words here"))
+      .toDF("id_a", "id_b", "ta", "tb")
+    val scored = Dedup.levenshteinOnPairs(pairs, $"ta", $"tb")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(4)).toMap
+    assert(scored((0L, 1L)) > 0.8)
+    assert(scored((0L, 1L)) > scored((0L, 4L)))
+  }
+
+  test("stratified sample respects per-stratum fractions and is seeded-deterministic") {
+    import spark.implicits._
+    val docs = spark.read.parquet(sf("documents"))
+    val fractions = Map("en" -> 0.5, "fr" -> 0.1)
+    def run() = Dedup.stratifiedSample(docs, "lang", fractions)
+        .groupBy($"lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = run()
+    val totals = docs.groupBy($"lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.keySet.subsetOf(fractions.keySet), "unlisted strata are dropped")
+    fractions.foreach { case (k, f) =>
+      val expected = totals(k) * f
+      assert(math.abs(got.getOrElse(k, 0L) - expected) <= totals(k) * 0.25,
+        s"$k: got ${got.get(k)}, expected ~$expected")
+    }
+    assert(run() == got, "sampleBy must be deterministic under a fixed seed")
+  }
+
   test("clusterPairs finds connected components and min-id keepers") {
     import spark.implicits._
     // components: {0,1,2} (chain), {5,6}, {8,9,10,11} (star on 8)
