@@ -74,6 +74,14 @@ object Aggregates {
     keys.foldLeft(agged)((d, k) => d.withColumn(k, coalesce(col(k), lit(allLabel))))
   }
 
+  /** Pivot: one column per (pinned) pivot value, decimal-exact sums.
+    * Pinning the value list keeps the plan single-pass — without it
+    * Spark first runs a distinct scan to discover the columns. */
+  def pivotSum(df: DataFrame, key: Column, pivotCol: String,
+               pivotValues: Seq[String], value: Column): DataFrame =
+    df.groupBy(key).pivot(pivotCol, pivotValues)
+      .agg(sumExact(value))
+
   /** Discrete (type-1) median per group: the smallest value whose rank
     * reaches p — no interpolation, so the result is an actual data
     * value and bit-deterministic across engines (interpolated

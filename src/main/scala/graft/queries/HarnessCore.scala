@@ -289,6 +289,14 @@ object HarnessCore {
         Seq($"l_returnflag"), "l_quantity", "med_qty")
         .orderBy($"l_returnflag")
     }),
+    "agg_pivot" -> ((s, dir) => {
+      import s.implicits._
+      Aggregates.pivotSum(t(s, dir, "lineitem"),
+        $"l_returnflag", "l_linestatus", Seq("F", "O"), $"l_quantity")
+        .withColumnRenamed("F", "qty_f")
+        .withColumnRenamed("O", "qty_o")
+        .orderBy($"l_returnflag")
+    }),
     "agg_rollup" -> ((s, dir) => {
       import s.implicits._
       Aggregates.rollupSum(t(s, dir, "lineitem"),
@@ -297,6 +305,17 @@ object HarnessCore {
     }),
 
     // ---- §2.5 windows ----
+    "win_ntile" -> ((s, dir) => {
+      import s.implicits._
+      // quartile assignment over a total order — deterministic because
+      // the order has a full tiebreak
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+      t(s, dir, "orders")
+        .select($"o_orderkey", $"o_totalprice")
+        .withColumn("quartile", ntile(4).over(w))
+        .orderBy($"o_orderkey")
+    }),
     "win_rownum_topk" -> ((s, dir) => {
       import s.implicits._
       Temporal.topKPerGroup(t(s, dir, "orders"),
@@ -572,6 +591,15 @@ object HarnessCore {
     "agg_median_disc" ->
       """SELECT l_returnflag, quantile_disc(l_quantity, 0.5) AS med_qty
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "agg_pivot" ->
+      """SELECT l_returnflag,
+        | CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(28,2)) END) AS DOUBLE) AS qty_f,
+        | CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(28,2)) END) AS DOUBLE) AS qty_o
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "win_ntile" ->
+      """SELECT o_orderkey, o_totalprice,
+        | CAST(ntile(4) OVER (ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS quartile
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "agg_rollup" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
         | coalesce(l_linestatus, 'ALL') AS l_linestatus,
