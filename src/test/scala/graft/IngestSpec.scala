@@ -19,6 +19,36 @@ class IngestSpec extends AnyFunSuite with SparkTestBase {
 
   private val stage = "/tmp/graft_ingest_test"
 
+  test("malformed rows: PERMISSIVE captures them, DROPMALFORMED drops them") {
+    import org.apache.spark.sql.types._
+    Files.createDirectories(Paths.get(stage))
+    Files.writeString(Paths.get(s"$stage/dirty.csv"),
+      """id_zone,surface_zone
+        |1,100.5
+        |not_a_number,oops
+        |3,300.25
+        |""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("id_zone", LongType),
+      StructField("surface_zone", DoubleType),
+      StructField("_corrupt_record", StringType)))
+    val permissive = spark.read.option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .schema(schema).csv(s"$stage/dirty.csv").cache()
+    assert(permissive.count() == 3)
+    val corrupt = permissive.filter(col("_corrupt_record").isNotNull)
+    assert(corrupt.count() == 1, "the bad row is captured, not silently nulled")
+    val dropped = spark.read.option("header", "true")
+      .option("mode", "DROPMALFORMED")
+      .schema(StructType(schema.fields.take(2))).csv(s"$stage/dirty.csv")
+    // gotcha: count() prunes every column, so nothing parses and
+    // nothing is dropped — malformed-row dropping only applies to the
+    // columns a query actually reads
+    assert(dropped.select("id_zone", "surface_zone").collect().length == 2)
+    permissive.unpersist()
+  }
+
   test("CSV ingest -> overwrite sink -> prepData -> Q1, end to end") {
     Files.createDirectories(Paths.get(stage))
     Files.writeString(Paths.get(s"$stage/zones.csv"),
