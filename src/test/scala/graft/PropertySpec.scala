@@ -123,6 +123,26 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("rangeJoinBucketed equals rangeJoinBroadcastProbes (the two scale tiers)") {
+    import spark.implicits._
+    val probes = spark.range(1).select(explode(sequence(
+      lit(Date.valueOf("1996-01-01")), lit(Date.valueOf("1996-12-01")),
+      expr("interval 1 month"))).as("d"))
+    val intervals = spark.read.parquet(sf("orders"))
+      .withColumn("start_date", to_date($"o_orderdate"))
+      .withColumn("end_date", date_add($"start_date", 30))
+      .select($"o_orderkey", $"start_date", $"end_date")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select($"o_orderkey", $"d").collect()
+        .map(r => (r.getLong(0), r.getDate(1).toString)).toSet
+    val broadcastSide = pairs(graft.ops.Temporal.rangeJoinBroadcastProbes(
+      probes, intervals, "d", "start_date", "end_date"))
+    val bucketed = pairs(graft.ops.Temporal.rangeJoinBucketed(
+      probes, intervals, "d", "start_date", "end_date"))
+    assert(broadcastSide.nonEmpty)
+    assert(bucketed == broadcastSide)
+  }
+
   test("asofJoin matches the latest right time <= probe time, per key") {
     import spark.implicits._
     trials { rnd =>
