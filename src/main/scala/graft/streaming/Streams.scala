@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig}
 
 /** Structured-Streaming operators over the `events` stream
   * (SURVEY.md §2.9).
@@ -113,6 +113,35 @@ object Streams {
           .get
         UserFinal(uid, s.lastType, s.n)
       }
+  }
+
+  /** The same per-user fold on Spark 4's arbitrary-state v2 API
+    * (`transformWithState` + `StatefulProcessor` + typed `ValueState`):
+    * the modern replacement for flatMapGroupsWithState, with
+    * first-class state TTL and timers (unused here), backed by the
+    * RocksDB state store. Requires
+    * `spark.sql.streaming.stateStore.providerClass =
+    * ...RocksDBStateStoreProvider`. */
+  class LastStateProcessor extends StatefulProcessor[Long, Event, UserFinal] {
+    @transient private var state: org.apache.spark.sql.streaming.ValueState[UserState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[UserState]("userState",
+        org.apache.spark.sql.Encoders.product[UserState], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+                                 timerValues: TimerValues): Iterator[UserFinal] = {
+      val prev = if (state.exists()) Some(state.get()) else None
+      val next = rows.foldLeft(prev)((acc, e) => Some(fold(acc, e)))
+      next.foreach(state.update)
+      next.map(st => UserFinal(key, st.lastType, st.n)).iterator
+    }
+  }
+
+  def lastStatePerUserTWS(events: Dataset[Event]): Dataset[UserFinal] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new LastStateProcessor, TimeMode.None(), OutputMode.Update())
   }
 
   /** Late-row accounting relative to a running max-event-time (the

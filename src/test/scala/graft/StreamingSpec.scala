@@ -29,10 +29,10 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       .orderBy("window_start", "event_type").collect()
 
     val ms = MemoryStream[Event](spark)
+    ms.addData(events: _*) // buffer BEFORE start: AvailableNow stops at the data horizon it sees
     val q = Streams.tumblingCounts(ms.toDF())
       .writeStream.format("memory").queryName("tumbling_t")
       .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-    ms.addData(events: _*)
     q.processAllAvailable(); q.stop()
 
     val streamed = spark.table("tumbling_t")
@@ -52,10 +52,10 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(batch.map(_.getLong(2)).sum == events.length * 2L)
 
     val ms = MemoryStream[Event](spark)
+    ms.addData(events: _*) // buffer BEFORE start: AvailableNow stops at the data horizon it sees
     val q = Streams.slidingCounts(ms.toDF())
       .writeStream.format("memory").queryName("sliding_t")
       .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-    ms.addData(events: _*)
     q.processAllAvailable(); q.stop()
     val streamed = spark.table("sliding_t")
       .orderBy("window_start", "event_type").collect()
@@ -123,6 +123,35 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(last.getLong(0) == 7L)
     assert(last.getString(1) == "purchase")
     assert(last.getLong(2) == 2L)
+  }
+
+  test("transformWithState (arbitrary-state v2) matches flatMapGroupsWithState") {
+    import spark.implicits._
+    val old = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[Event](spark)
+      val q = Streams.lastStatePerUserTWS(ms.toDS())
+        .writeStream.format("memory").queryName("tws_t")
+        .outputMode("update").start()
+      ms.addData(e(1, "2024-01-01 10:00:00", uid = 7, typ = "view"))
+      q.processAllAvailable()
+      ms.addData(e(2, "2024-01-01 10:05:00", uid = 7, typ = "purchase"),
+        e(3, "2024-01-01 10:06:00", uid = 9, typ = "signup"))
+      q.processAllAvailable()
+      q.stop()
+      val rows = spark.table("tws_t").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      // latest state per user: user 7 folded over both batches
+      assert(rows.contains((7L, "purchase", 2L)))
+      assert(rows.contains((9L, "signup", 1L)))
+    } finally {
+      old match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
   }
 
   test("session windows split on gap > 30 minutes (batch and stream agree)") {
