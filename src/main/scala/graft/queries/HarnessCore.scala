@@ -305,6 +305,35 @@ object HarnessCore {
     }),
 
     // ---- §2.5 windows ----
+    "win_first_last" -> ((s, dir) => {
+      import s.implicits._
+      // explicit frame specs: running first (default frame) and a
+      // full-partition last via unbounded following
+      val byPrio = org.apache.spark.sql.expressions.Window
+        .partitionBy($"o_orderpriority")
+        .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+      val full = byPrio.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      t(s, dir, "orders")
+        .select($"o_orderpriority", $"o_orderkey", $"o_totalprice")
+        .withColumn("best_key", first($"o_orderkey").over(full))
+        .withColumn("worst_key", last($"o_orderkey").over(full))
+        .orderBy($"o_orderkey")
+    }),
+    "fn_null" -> ((s, dir) => {
+      import s.implicits._
+      // null-handling family over a derived nullable column
+      val withNulls = t(s, dir, "customer")
+        .withColumn("seg", when($"c_mktsegment" === "MACHINERY", lit(null)).otherwise($"c_mktsegment"))
+      withNulls.select(
+        $"c_custkey",
+        coalesce($"seg", lit("NONE")).as("seg_or_none"),
+        $"seg".isNull.as("is_missing"),
+        nullif($"c_mktsegment", lit("MACHINERY")).as("nullified"),
+        nvl2($"seg", lit(1), lit(0)).as("has_seg"))
+        .orderBy($"c_custkey")
+    }),
     "win_ntile" -> ((s, dir) => {
       import s.implicits._
       // quartile assignment over a total order — deterministic because
@@ -596,6 +625,22 @@ object HarnessCore {
         | CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(28,2)) END) AS DOUBLE) AS qty_f,
         | CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(28,2)) END) AS DOUBLE) AS qty_o
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "win_first_last" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice,
+        | first_value(o_orderkey) OVER w AS best_key,
+        | last_value(o_orderkey) OVER w AS worst_key
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |  ORDER BY o_totalprice DESC, o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_orderkey""".stripMargin,
+    "fn_null" ->
+      """SELECT c_custkey,
+        | coalesce(nullif(c_mktsegment, 'MACHINERY'), 'NONE') AS seg_or_none,
+        | nullif(c_mktsegment, 'MACHINERY') IS NULL AS is_missing,
+        | nullif(c_mktsegment, 'MACHINERY') AS nullified,
+        | CAST(CASE WHEN nullif(c_mktsegment, 'MACHINERY') IS NOT NULL THEN 1 ELSE 0 END AS INT) AS has_seg
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     "win_ntile" ->
       """SELECT o_orderkey, o_totalprice,
         | CAST(ntile(4) OVER (ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS quartile
