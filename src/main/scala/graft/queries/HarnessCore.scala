@@ -84,6 +84,24 @@ object HarnessCore {
         .select($"c_custkey", $"c_mktsegment")
         .orderBy($"c_custkey")
     }),
+    "flt_like" -> ((s, dir) => {
+      import s.implicits._
+      // prefix LIKE pushes to the scan as StringStartsWith
+      t(s, dir, "part")
+        .filter($"p_type".like("S%") && $"p_name".contains("a"))
+        .select($"p_partkey", $"p_name", $"p_type")
+        .orderBy($"p_partkey")
+    }),
+    "agg_listagg" -> ((s, dir) => {
+      import s.implicits._
+      // ordered string aggregation — deterministic because the WITHIN
+      // GROUP order is total (duplicate values concatenate identically)
+      t(s, dir, "part")
+        .filter($"p_size" < 3)
+        .groupBy($"p_brand")
+        .agg(expr("listagg(p_type, '|') WITHIN GROUP (ORDER BY p_type)").as("types"))
+        .orderBy($"p_brand")
+    }),
     "col_rename" -> ((s, dir) => {
       import s.implicits._
       val counts = Aggregates.countByKey(t(s, dir, "lineitem"), Seq($"l_returnflag"), "cnt")
@@ -518,6 +536,13 @@ object HarnessCore {
     "flt_isin" ->
       """SELECT c_custkey, c_mktsegment FROM customer
         |WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE') ORDER BY 1""".stripMargin,
+    "flt_like" ->
+      """SELECT p_partkey, p_name, p_type FROM part
+        |WHERE p_type LIKE 'S%' AND p_name LIKE '%a%'
+        |ORDER BY 1""".stripMargin,
+    "agg_listagg" ->
+      """SELECT p_brand, string_agg(p_type, '|' ORDER BY p_type) AS types
+        |FROM part WHERE p_size < 3 GROUP BY 1 ORDER BY 1""".stripMargin,
     "col_rename" ->
       "SELECT l_returnflag AS flag, count(*) AS nb_rows FROM lineitem GROUP BY 1 ORDER BY 1",
     "col_fillna_sentinel" ->
