@@ -442,6 +442,14 @@ object HarnessCore {
       val b = c.filter($"c_mktsegment" === "AUTOMOBILE").select($"c_custkey", $"c_mktsegment".as("seg"))
       Relational.unionAll(a, b).orderBy($"seg", $"c_custkey")
     }),
+    "set_union_distinct" -> ((s, dir) => {
+      import s.implicits._
+      val l = t(s, dir, "lineitem")
+      Relational.unionDistinct(
+        l.filter($"l_returnflag" === "R").select($"l_suppkey"),
+        l.filter($"l_returnflag" === "A").select($"l_suppkey"))
+        .orderBy($"l_suppkey")
+    }),
     "set_intersect" -> ((s, dir) => {
       import s.implicits._
       val l = t(s, dir, "lineitem")
@@ -716,6 +724,11 @@ object HarnessCore {
         |UNION ALL
         |SELECT c_custkey, c_mktsegment AS seg FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
         |ORDER BY seg, c_custkey""".stripMargin,
+    "set_union_distinct" ->
+      """SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R'
+        |UNION
+        |SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'A'
+        |ORDER BY 1""".stripMargin,
     "set_intersect" ->
       """SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R'
         |INTERSECT

@@ -19,6 +19,23 @@ class IngestSpec extends AnyFunSuite with SparkTestBase {
 
   private val stage = "/tmp/graft_ingest_test"
 
+  test("csvInferred round-trips types for the convenience path") {
+    Files.createDirectories(Paths.get(stage))
+    Files.writeString(Paths.get(s"$stage/infer.csv"),
+      "id,score,name\n1,2.5,alpha\n2,3.0,beta\n")
+    val df = Sources.csvInferred(spark, s"$stage/infer.csv")
+    assert(df.schema("id").dataType.typeName == "integer")
+    assert(df.schema("score").dataType.typeName == "double")
+    assert(df.count() == 2)
+  }
+
+  test("collectSortedMap returns the sorted small-dimension map") {
+    import spark.implicits._
+    val dim = Seq(("b", 2), ("a", 1), ("c", 3)).toDF("k", "v")
+    val m = graft.ops.Relational.collectSortedMap(dim, "k", "v")
+    assert(m == Map("a" -> 1, "b" -> 2, "c" -> 3))
+  }
+
   test("malformed rows: PERMISSIVE captures them, DROPMALFORMED drops them") {
     import org.apache.spark.sql.types._
     Files.createDirectories(Paths.get(stage))
