@@ -58,21 +58,30 @@ object Aggregates {
                                out: String, rsd: Double = 0.05): DataFrame =
     df.groupBy(keys: _*).agg(approx_count_distinct(value, rsd).as(out))
 
-  /** ROLLUP with grouping-null labels coalesced to a sentinel so the
-    * output is a plain deterministic relation — ExtOp agg_rollup. */
-  def rollupSum(df: DataFrame, keys: Seq[String], value: Column, out: String,
-                allLabel: String = "ALL"): DataFrame = {
-    val agged = df.rollup(keys.map(col): _*).agg(sumExact(value).as(out))
-    keys.foldLeft(agged)((d, k) => d.withColumn(k, coalesce(col(k), lit(allLabel))))
+  /** Sentinel labels via grouping(), not coalesce: a genuine NULL key
+    * value must stay distinguishable from a subtotal row (coalescing
+    * both to the sentinel silently merges them). */
+  private def sentinelGroupingSum(grouped: org.apache.spark.sql.RelationalGroupedDataset,
+                                  keys: Seq[String], value: Column, out: String,
+                                  allLabel: String): DataFrame = {
+    val aggs = sumExact(value).as(out) +:
+      keys.map(k => grouping(col(k)).as(s"__g_$k"))
+    val agged = grouped.agg(aggs.head, aggs.tail: _*)
+    keys.foldLeft(agged) { (d, k) =>
+      d.withColumn(k, when(col(s"__g_$k") === 1, lit(allLabel)).otherwise(col(k)))
+    }.drop(keys.map(k => s"__g_$k"): _*)
   }
+
+  /** ROLLUP with sentinel labels on subtotal rows — ExtOp agg_rollup. */
+  def rollupSum(df: DataFrame, keys: Seq[String], value: Column, out: String,
+                allLabel: String = "ALL"): DataFrame =
+    sentinelGroupingSum(df.rollup(keys.map(col): _*), keys, value, out, allLabel)
 
   /** CUBE (all grouping-set combinations), same sentinel treatment —
     * ExtOp agg_cube. */
   def cubeSum(df: DataFrame, keys: Seq[String], value: Column, out: String,
-              allLabel: String = "ALL"): DataFrame = {
-    val agged = df.cube(keys.map(col): _*).agg(sumExact(value).as(out))
-    keys.foldLeft(agged)((d, k) => d.withColumn(k, coalesce(col(k), lit(allLabel))))
-  }
+              allLabel: String = "ALL"): DataFrame =
+    sentinelGroupingSum(df.cube(keys.map(col): _*), keys, value, out, allLabel)
 
   /** Pivot: one column per (pinned) pivot value, decimal-exact sums.
     * Pinning the value list keeps the plan single-pass — without it

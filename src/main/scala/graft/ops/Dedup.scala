@@ -154,7 +154,11 @@ object Dedup {
     var labels = edges.select(col("src").as("v")).distinct()
       .withColumn("label", col("v"))
       .localCheckpoint(true)
-    var checksum = labels.agg(sum(col("label"))).collect()(0).getLong(0)
+    // coalesce: an empty pair set (a corpus with no near-dups) must
+    // yield an empty relation, not an NPE unboxing a null SUM
+    def sumLabels(): Long =
+      labels.agg(coalesce(sum(col("label")), lit(0L))).collect()(0).getLong(0)
+    var checksum = sumLabels()
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -163,7 +167,7 @@ object Dedup {
       labels = labels.join(nbrMin, Seq("v"), "left")
         .select(col("v"), least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
         .localCheckpoint(true)
-      val next = labels.agg(sum(col("label"))).collect()(0).getLong(0)
+      val next = sumLabels()
       converged = next == checksum
       checksum = next
       iter += 1

@@ -35,7 +35,8 @@ object Multimodal {
       doc_id = docId,
       n_bytes = payload.length.toLong,
       width = 64 + (payload.length % 512),
-      height = 64 + ((payload.length * 31) % 384),
+      // Long math: length * 31 overflows Int for payloads >= ~69 MB
+      height = 64 + ((payload.length.toLong * 31) % 384).toInt,
       fmt = "fake/raw",
       checksum = md5hex(payload))
 

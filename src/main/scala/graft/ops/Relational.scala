@@ -95,7 +95,15 @@ object Relational {
   /** Set union (distinct). */
   def unionDistinct(a: DataFrame, b: DataFrame): DataFrame = a.unionByName(b).distinct()
 
-  def intersectAll(a: DataFrame, b: DataFrame): DataFrame = a.intersect(b)
+  /** Set semantics (SQL INTERSECT / EXCEPT — distinct). Named
+    * *Distinct to avoid colliding with Spark's multiset
+    * `DataFrame.intersectAll/exceptAll`, which keep duplicates. */
+  def intersectDistinct(a: DataFrame, b: DataFrame): DataFrame = a.intersect(b)
 
-  def exceptAll(a: DataFrame, b: DataFrame): DataFrame = a.except(b)
+  def exceptDistinct(a: DataFrame, b: DataFrame): DataFrame = a.except(b)
+
+  /** Multiset semantics (SQL INTERSECT ALL / EXCEPT ALL). */
+  def intersectAll(a: DataFrame, b: DataFrame): DataFrame = a.intersectAll(b)
+
+  def exceptAll(a: DataFrame, b: DataFrame): DataFrame = a.exceptAll(b)
 }

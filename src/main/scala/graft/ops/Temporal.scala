@@ -96,21 +96,21 @@ object Temporal {
     * which is the plan a native as-of operator would pick anyway.
     *
     * Left-join semantics: probes with no prior right row keep nulls.
-    * Right-side ties at identical (key, time) resolve to the later row
-    * in union order; emit order-insensitive values (e.g. the time
-    * itself) or pre-dedup the right side if tie identity matters. */
+    * The fill carries ONE struct of the whole matched right row (not
+    * per-column fills), so a latest right row whose value is genuinely
+    * NULL yields null — never a stale older value. Right-side ties at
+    * identical (key, time) resolve to the later row in union order;
+    * emit order-insensitive values (e.g. the time itself) or pre-dedup
+    * the right side if tie identity matters. */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                leftTime: String, rightTime: String,
                rightVals: Seq[String], outPrefix: String = "asof_"): DataFrame = {
-    val rightTypes = rightVals.map(c => c -> right.schema(c).dataType).toMap
-    val lAug = rightVals.foldLeft(
-      left.withColumn("__t", col(leftTime)).withColumn("__side", lit(1))) {
-      (d, c) => d.withColumn(s"$outPrefix$c", lit(null).cast(rightTypes(c)))
-    }
+    val rvStruct = struct(rightVals.map(col): _*)
     val rBase = right.select(
-      keys.map(col) ++ (col(rightTime).as("__t") +:
-        rightVals.map(c => col(c).as(s"$outPrefix$c"))): _*)
+      keys.map(col) ++ Seq(col(rightTime).as("__t"), rvStruct.as("__rv")): _*)
       .withColumn("__side", lit(0))
+    val lAug = left.withColumn("__t", col(leftTime)).withColumn("__side", lit(1))
+      .withColumn("__rv", lit(null).cast(rBase.schema("__rv").dataType))
     val leftOnly = lAug.columns.filterNot(rBase.columns.contains)
     val rAug = leftOnly.foldLeft(rBase) { (d, c) =>
       d.withColumn(c, lit(null).cast(lAug.schema(c).dataType))
@@ -119,11 +119,11 @@ object Temporal {
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__t").asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = rightVals.foldLeft(unioned) { (d, c) =>
-      d.withColumn(s"$outPrefix$c",
-        last(col(s"$outPrefix$c"), ignoreNulls = true).over(w))
-    }
-    filled.filter(col("__side") === 1).drop("__t", "__side")
+    val filled = unioned.withColumn("__rv",
+      last(col("__rv"), ignoreNulls = true).over(w))
+    rightVals.foldLeft(filled.filter(col("__side") === 1)) { (d, c) =>
+      d.withColumn(s"$outPrefix$c", col(s"__rv.$c"))
+    }.drop("__t", "__side", "__rv")
   }
 
   /** Range join for big-x-big: explode each interval into its days

@@ -43,12 +43,18 @@ object Text {
     * (bit-deterministic across engines — no float accumulation). */
   def qualityScore(df: DataFrame, text: Column): DataFrame = {
     val toks = size(wsTokens(text))
+    // nullif guards: an empty document has n_chars_m = 0 (and "" splits
+    // to one empty token, but guard n_tok anyway) — under Spark 4's
+    // default ANSI mode a zero denominator would otherwise kill the
+    // job with DIVIDE_BY_ZERO; ratios are null for degenerate docs.
     df.withColumn("n_chars_m", length(text))
       .withColumn("n_tok", toks)
       .withColumn("n_punct", size(regexp_extract_all(text, lit("[.,!?;:]"), lit(0))))
       .withColumn("n_stop", stopwordHits(text))
-      .withColumn("stop_ratio", col("n_stop").cast("double") / col("n_tok"))
-      .withColumn("punct_ratio", col("n_punct").cast("double") / col("n_chars_m"))
+      .withColumn("stop_ratio",
+        col("n_stop").cast("double") / nullif(col("n_tok"), lit(0)))
+      .withColumn("punct_ratio",
+        col("n_punct").cast("double") / nullif(col("n_chars_m"), lit(0)))
   }
 
   /** Corpus word frequencies (vocabulary building): explode tokens,

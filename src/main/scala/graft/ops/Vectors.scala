@@ -47,7 +47,19 @@ object Vectors {
     sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
       lit(0.0), (acc, v) => acc + v))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+  /** Null for zero vectors (nullif guard) instead of a NaN/ANSI error;
+    * null cosines sort last under desc ordering, so zero vectors
+    * simply never rank. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / nullif(l2norm(a) * l2norm(b), lit(0.0))
+
+  /** L2-normalize an array column: norm computed ONCE (not per element
+    * — a lambda-captured l2norm re-evaluates per component, O(d^2));
+    * zero vectors normalize to null and are filtered by callers. */
+  private def normalized(vec: Column): Column = {
+    val n = nullif(l2norm(vec), lit(0.0))
+    transform(vec, x => x.cast("double") / n)
+  }
 
   /** Exact cosine top-k of every corpus vector against each query
     * vector. Queries are broadcast (dimension-sized); the corpus is
@@ -74,9 +86,9 @@ object Vectors {
               vec: String, k: Int, bucketLength: Double = 2.0,
               numHashTables: Int = 3): DataFrame = {
     def normed(df: DataFrame, outId: String): DataFrame =
-      df.select(col(id).as(outId),
-        array_to_vector(transform(col(vec), x => x.cast("double") / l2norm(col(vec))))
-          .as(s"__v_$outId"))
+      df.select(col(id).as(outId), normalized(col(vec)).as("__nv"))
+        .filter(col("__nv").isNotNull) // zero vectors cannot rank
+        .select(col(outId), array_to_vector(col("__nv")).as(s"__v_$outId"))
     val c = normed(corpus, "cid")
     val q = normed(queries, "qid")
     val lsh = new BucketedRandomProjectionLSH()
@@ -102,8 +114,8 @@ object Vectors {
     * which trades recall for sub-linear candidates. */
   def cosineNearDupsExact(df: DataFrame, id: String, vec: String,
                           simThreshold: Double): DataFrame = {
-    val normed = df.select(col(id),
-      transform(col(vec), x => x.cast("double") / l2norm(col(vec))).as("__nv"))
+    val normed = df.select(col(id), normalized(col(vec)).as("__nv"))
+      .filter(col("__nv").isNotNull)
     val a = normed.select(col(id).as("id_a"), col("__nv").as("__na"))
     val b = normed.select(col(id).as("id_b"), col("__nv").as("__nb"))
     a.join(b, col("id_a") < col("id_b"))
@@ -123,9 +135,9 @@ object Vectors {
   def cosineNearDups(df: DataFrame, id: String, vec: String,
                      simThreshold: Double, numHashTables: Int = 8,
                      bucketLength: Double = 4.0): DataFrame = {
-    val normed = df.select(col(id), col(vec),
-      array_to_vector(transform(col(vec), x => x.cast("double") / l2norm(col(vec))))
-        .as("__nv"))
+    val normed = df.select(col(id), col(vec), normalized(col(vec)).as("__na"))
+      .filter(col("__na").isNotNull)
+      .select(col(id), col(vec), array_to_vector(col("__na")).as("__nv"))
     val lsh = new BucketedRandomProjectionLSH()
       .setInputCol("__nv").setOutputCol("__h")
       .setBucketLength(bucketLength).setNumHashTables(numHashTables).setSeed(42L)
@@ -150,9 +162,10 @@ object Vectors {
     * the cell column with the table; here it is fit in-line, seeded. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, id: String,
               vec: String, k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
-    def normed(df: DataFrame): DataFrame = df.select(col(id),
-      array_to_vector(transform(col(vec), x => x.cast("double") / l2norm(col(vec))))
-        .as("__nv"))
+    def normed(df: DataFrame): DataFrame =
+      df.select(col(id), normalized(col(vec)).as("__na"))
+        .filter(col("__na").isNotNull)
+        .select(col(id), array_to_vector(col("__na")).as("__nv"))
     val km = new KMeans().setK(nlist).setSeed(42L)
       .setFeaturesCol("__nv").setPredictionCol("__cell")
     // normalized corpus is read by fit (x iterations) and transform —
@@ -163,15 +176,21 @@ object Vectors {
       .select(col(id).as("cid"), col("__cell"),
         vector_to_array(col("__nv")).as("__cv"))
     // centroid relation is nlist rows — broadcast to route each query
-    // to its nprobe nearest cells.
+    // to its nprobe nearest cells. Routing must use the SAME metric
+    // KMeans assigned cells with (euclidean): centroids are means of
+    // unit vectors so their norms differ, and raw dot(q,c) would rank
+    // cells differently from argmin ||q-c||^2. For unit q,
+    // ||q-c||^2 = 1 - 2 dot(q,c) + ||c||^2, so maximize
+    // dot(q,c) - ||c||^2 / 2.
     val centroids = corpus.sparkSession.createDataFrame(
       model.clusterCenters.zipWithIndex.toSeq
-        .map { case (c, i) => (i, c.toArray) }).toDF("__cell", "__centroid")
+        .map { case (c, i) => (i, c.toArray, c.toArray.map(x => x * x).sum) })
+      .toDF("__cell", "__centroid", "__cn2")
     val qn = normed(queries)
       .select(col(id).as("qid"), vector_to_array(col("__nv")).as("__qv"))
     val routed = qn.join(broadcast(centroids))
-      .withColumn("__cdist", dot(col("__qv"), col("__centroid")))
-    val wRoute = Window.partitionBy(col("qid")).orderBy(col("__cdist").desc, col("__cell").asc)
+      .withColumn("__cscore", dot(col("__qv"), col("__centroid")) - col("__cn2") / 2.0)
+    val wRoute = Window.partitionBy(col("qid")).orderBy(col("__cscore").desc, col("__cell").asc)
     val probeCells = routed.withColumn("__cr", row_number().over(wRoute))
       .filter(col("__cr") <= nprobe)
       .select(col("qid"), col("__qv"), col("__cell"))

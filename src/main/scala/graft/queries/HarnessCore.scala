@@ -442,6 +442,22 @@ object HarnessCore {
       val b = c.filter($"c_mktsegment" === "AUTOMOBILE").select($"c_custkey", $"c_mktsegment".as("seg"))
       Relational.unionAll(a, b).orderBy($"seg", $"c_custkey")
     }),
+    "set_intersect_all" -> ((s, dir) => {
+      import s.implicits._
+      val l = t(s, dir, "lineitem")
+      Relational.intersectAll(
+        l.filter($"l_returnflag" === "R").select($"l_suppkey"),
+        l.filter($"l_returnflag" === "A").select($"l_suppkey"))
+        .orderBy($"l_suppkey")
+    }),
+    "set_except_all" -> ((s, dir) => {
+      import s.implicits._
+      val l = t(s, dir, "lineitem")
+      Relational.exceptAll(
+        l.filter($"l_returnflag" === "R").select($"l_suppkey"),
+        l.filter($"l_returnflag" === "A").select($"l_suppkey"))
+        .orderBy($"l_suppkey")
+    }),
     "set_union_distinct" -> ((s, dir) => {
       import s.implicits._
       val l = t(s, dir, "lineitem")
@@ -453,7 +469,7 @@ object HarnessCore {
     "set_intersect" -> ((s, dir) => {
       import s.implicits._
       val l = t(s, dir, "lineitem")
-      Relational.intersectAll(
+      Relational.intersectDistinct(
         l.filter($"l_returnflag" === "R").select($"l_suppkey"),
         l.filter($"l_returnflag" === "A").select($"l_suppkey"))
         .orderBy($"l_suppkey")
@@ -463,7 +479,7 @@ object HarnessCore {
       // orderkeys, not suppkeys: every supplier ships all flags at
       // sf0.01, which would make the suppkey except vacuously empty.
       val l = t(s, dir, "lineitem")
-      Relational.exceptAll(
+      Relational.exceptDistinct(
         l.filter($"l_returnflag" === "R").select($"l_orderkey"),
         l.filter($"l_returnflag" === "A").select($"l_orderkey"))
         .orderBy($"l_orderkey")
@@ -645,8 +661,8 @@ object HarnessCore {
     "agg_countd_exact" ->
       "SELECT l_returnflag, count(DISTINCT l_partkey) AS nd_parts FROM lineitem GROUP BY 1 ORDER BY 1",
     "agg_cube" ->
-      """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
-        | coalesce(l_linestatus, 'ALL') AS l_linestatus,
+      """SELECT CASE WHEN GROUPING(l_returnflag) = 1 THEN 'ALL' ELSE l_returnflag END AS l_returnflag,
+        | CASE WHEN GROUPING(l_linestatus) = 1 THEN 'ALL' ELSE l_linestatus END AS l_linestatus,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
         |ORDER BY 1, 2""".stripMargin,
@@ -679,8 +695,8 @@ object HarnessCore {
         | CAST(ntile(4) OVER (ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS quartile
         |FROM orders ORDER BY o_orderkey""".stripMargin,
     "agg_rollup" ->
-      """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
-        | coalesce(l_linestatus, 'ALL') AS l_linestatus,
+      """SELECT CASE WHEN GROUPING(l_returnflag) = 1 THEN 'ALL' ELSE l_returnflag END AS l_returnflag,
+        | CASE WHEN GROUPING(l_linestatus) = 1 THEN 'ALL' ELSE l_linestatus END AS l_linestatus,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY 1, 2""".stripMargin,
@@ -724,6 +740,16 @@ object HarnessCore {
         |UNION ALL
         |SELECT c_custkey, c_mktsegment AS seg FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
         |ORDER BY seg, c_custkey""".stripMargin,
+    "set_intersect_all" ->
+      """SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R'
+        |INTERSECT ALL
+        |SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'A'
+        |ORDER BY 1""".stripMargin,
+    "set_except_all" ->
+      """SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R'
+        |EXCEPT ALL
+        |SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'A'
+        |ORDER BY 1""".stripMargin,
     "set_union_distinct" ->
       """SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R'
         |UNION

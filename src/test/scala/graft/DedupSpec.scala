@@ -129,6 +129,13 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(removed == Set(1L, 2L, 6L, 9L, 10L, 11L))
   }
 
+  test("clusterPairs on an empty pair set returns an empty relation") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.clusterPairs(empty).count() == 0)
+    assert(Dedup.clusterRemovals(empty).count() == 0)
+  }
+
   test("clusterPairs converges on a long chain (diameter > 2)") {
     import spark.implicits._
     val chain = (0L until 12L).sliding(2).map(s => (s(0), s(1))).toSeq.toDF("id_a", "id_b")

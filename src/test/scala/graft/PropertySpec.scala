@@ -163,6 +163,17 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("asofJoin: a latest right row with a NULL value yields null, not a stale value") {
+    import spark.implicits._
+    val l = Seq((1L, 1, 10L)).toDF("probe_id", "k", "t")
+    val r = Seq((1, 1L, Some(99L)), (1, 5L, None))
+      .toDF("k", "rt", "payload")
+    val got = graft.ops.Temporal.asofJoin(l, r, Seq("k"), "t", "rt", Seq("payload"))
+      .select($"probe_id", $"asof_payload").collect()(0)
+    // latest right row (t=5) has payload null — must NOT fall back to 99
+    assert(got.isNullAt(1))
+  }
+
   test("asofJoin: exact-time right rows are visible (<= semantics)") {
     import spark.implicits._
     val l = Seq((1L, 1, 50L), (2L, 1, 10L)).toDF("probe_id", "k", "t")
@@ -173,6 +184,18 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
     assert(got == Map(1L -> Some(50L), 2L -> None))
   }
 
+  test("rollup sentinel distinguishes genuine NULL keys from subtotal rows") {
+    import spark.implicits._
+    val df = Seq((Some("a"), 1.0), (None, 2.0), (Some("a"), 3.0))
+      .toDF("k", "v")
+    val rolled = Aggregates.rollupSum(df, Seq("k"), $"v", "s")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // NULL key stays null (printed as null -> Map key null), subtotal is ALL
+    assert(rolled("a") == 4.0)
+    assert(rolled("ALL") == 6.0)
+    assert(rolled(null) == 2.0, s"genuine NULL group must not merge into ALL: $rolled")
+  }
+
   test("set ops: union counts add; except+intersect partition the left side") {
     import spark.implicits._
     trials { rnd =>
@@ -181,12 +204,18 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
       val da = a.toDF("v")
       val db = b.toDF("v")
       assert(Relational.unionAll(da, db).count() == a.length + b.length)
-      val exc = Relational.exceptAll(da, db).collect().map(_.getInt(0)).toSet
-      val inter = Relational.intersectAll(da, db).collect().map(_.getInt(0)).toSet
+      val exc = Relational.exceptDistinct(da, db).collect().map(_.getInt(0)).toSet
+      val inter = Relational.intersectDistinct(da, db).collect().map(_.getInt(0)).toSet
       assert(exc == (a.toSet -- b.toSet))
       assert(inter == (a.toSet & b.toSet))
       assert((exc & inter).isEmpty)
       assert((exc | inter) == a.toSet)
+      // multiset variants: EXCEPT ALL keeps surplus duplicate counts
+      val excAll = Relational.exceptAll(da, db).collect().map(_.getInt(0)).toList.sorted
+      val expectedAll = a.groupBy(identity).flatMap { case (v, vs) =>
+        List.fill(math.max(0, vs.length - b.count(_ == v)))(v)
+      }.toList.sorted
+      assert(excAll == expectedAll)
     }
   }
 }

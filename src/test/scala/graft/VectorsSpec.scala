@@ -97,6 +97,24 @@ class VectorsSpec extends AnyFunSuite with SparkTestBase {
     assert(r.getDouble(0) == 3.0 && r.getDouble(1) == 5.0)
   }
 
+  test("zero vectors: cosine is null and similarity ops skip them, not crash") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.0f, 0.0f)), // zero vector
+      (2L, Array(0.9f, 0.1f)))
+      .toDF("vec_id", "embedding")
+    val c = vecs.filter($"vec_id" === 1)
+      .select(Vectors.cosine($"embedding", $"embedding").as("c")).collect()(0)
+    assert(c.isNullAt(0))
+    val top = Vectors.cosineTopK(vecs, vecs.filter($"vec_id" === 0), "vec_id", "embedding", 2)
+      .orderBy($"rnk").collect().map(_.getLong(2)).toSeq
+    assert(top.head == 2L, s"zero vector must not outrank a real neighbor: $top")
+    val dups = Vectors.cosineNearDupsExact(vecs, "vec_id", "embedding", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dups == Set((0L, 2L)))
+  }
+
   test("cosine of a vector with itself is 1.0") {
     import spark.implicits._
     val v = Seq((0L, Array.fill(8)(0.5f))).toDF("vec_id", "embedding")
