@@ -21,7 +21,11 @@ import org.apache.spark.sql.types._
   * double accumulation order as the fold they replace.
   *
   * Null semantics match the HOF versions: null input → null; mismatched
-  * lengths → null (zip_with pads with null, which poisons the sum).
+  * lengths → null (zip_with pads with null, which poisons the sum);
+  * a null ELEMENT → null (the lambda product/square is null, which
+  * poisons the aggregate fold). The element check is emitted only when
+  * the static schema says `containsNull` — arrays declared null-free
+  * keep the branch-free tight loop.
   */
 object VectorExprs {
 
@@ -61,6 +65,11 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
 
   private def isFloat = VectorExprs.elemOf(left.dataType) == FloatType
 
+  private def elemsNullable: Boolean = (left.dataType, right.dataType) match {
+    case (ArrayType(_, ln), ArrayType(_, rn)) => ln || rn
+    case _ => true
+  }
+
   override def eval(input: InternalRow): Any = {
     val l = left.eval(input)
     if (l == null) return null
@@ -70,10 +79,17 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
     val b = r.asInstanceOf[ArrayData]
     val n = a.numElements()
     if (n != b.numElements()) return null
+    val checkNulls = elemsNullable
     var s = 0.0
     var i = 0
-    if (isFloat) while (i < n) { s += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
-    else while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
+    if (isFloat) while (i < n) {
+      if (checkNulls && (a.isNullAt(i) || b.isNullAt(i))) return null
+      s += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1
+    }
+    else while (i < n) {
+      if (checkNulls && (a.isNullAt(i) || b.isNullAt(i))) return null
+      s += a.getDouble(i) * b.getDouble(i); i += 1
+    }
     s
   }
 
@@ -84,6 +100,13 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
     val n = ctx.freshName("n")
     val i = ctx.freshName("i")
     val s = ctx.freshName("s")
+    val anyNull = ctx.freshName("anyNull")
+    // only arrays whose schema admits null elements pay the per-element
+    // branch; null-free arrays keep the branch-free loop
+    val nullCheck =
+      if (elemsNullable)
+        s"if (${lg.value}.isNullAt($i) || ${rg.value}.isNullAt($i)) { $anyNull = true; break; }"
+      else ""
     ev.copy(code =
       code"""
         ${lg.code}
@@ -93,12 +116,16 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
         if (!${lg.isNull} && !${rg.isNull}) {
           int $n = ${lg.value}.numElements();
           if ($n == ${rg.value}.numElements()) {
-            ${ev.isNull} = false;
             double $s = 0.0;
+            boolean $anyNull = false;
             for (int $i = 0; $i < $n; $i++) {
+              $nullCheck
               $s += (double) ${lg.value}.$get($i) * (double) ${rg.value}.$get($i);
             }
-            ${ev.value} = $s;
+            if (!$anyNull) {
+              ${ev.isNull} = false;
+              ${ev.value} = $s;
+            }
           }
         }""")
   }
@@ -120,13 +147,25 @@ case class L2Norm(child: Expression) extends UnaryExpression {
 
   private def isFloat = VectorExprs.elemOf(child.dataType) == FloatType
 
+  private def elemsNullable: Boolean = child.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => true
+  }
+
   override def nullSafeEval(input: Any): Any = {
     val a = input.asInstanceOf[ArrayData]
     val n = a.numElements()
+    val checkNulls = elemsNullable
     var s = 0.0
     var i = 0
-    if (isFloat) while (i < n) { val v = a.getFloat(i).toDouble; s += v * v; i += 1 }
-    else while (i < n) { val v = a.getDouble(i); s += v * v; i += 1 }
+    if (isFloat) while (i < n) {
+      if (checkNulls && a.isNullAt(i)) return null
+      val v = a.getFloat(i).toDouble; s += v * v; i += 1
+    }
+    else while (i < n) {
+      if (checkNulls && a.isNullAt(i)) return null
+      val v = a.getDouble(i); s += v * v; i += 1
+    }
     math.sqrt(s)
   }
 
@@ -137,14 +176,24 @@ case class L2Norm(child: Expression) extends UnaryExpression {
       val i = ctx.freshName("i")
       val s = ctx.freshName("s")
       val v = ctx.freshName("v")
+      val anyNull = ctx.freshName("anyNull")
+      val nullCheck =
+        if (elemsNullable) s"if ($c.isNullAt($i)) { $anyNull = true; break; }"
+        else ""
       s"""
         int $n = $c.numElements();
         double $s = 0.0;
+        boolean $anyNull = false;
         for (int $i = 0; $i < $n; $i++) {
+          $nullCheck
           double $v = (double) $c.$get($i);
           $s += $v * $v;
         }
-        ${ev.value} = java.lang.Math.sqrt($s);
+        if ($anyNull) {
+          ${ev.isNull} = true;
+        } else {
+          ${ev.value} = java.lang.Math.sqrt($s);
+        }
       """
     })
   }

@@ -76,19 +76,28 @@ object Dedup {
       .filter(size(col("__sh")) > 0)
     val tf = new HashingTF().setInputCol("__sh").setOutputCol("__features")
       .setNumFeatures(1 << 16).setBinary(true)
-    // Cache: the self-join reads the featurized corpus twice (and the
-    // shingle+TF pipeline is the expensive part); without this every
-    // branch of the join recomputes it.
-    val feats = tf.transform(withShingles.select(col(id), col("__sh"))).cache()
+    // Materialize the featurized corpus once: the LSH fit and both
+    // branches of the self-join read it, and the shingle+TF pipeline is
+    // the expensive part. `persist` + explicit blocking `unpersist`
+    // (after the eager checkpoint of the small pair result below) keeps
+    // a long-lived session from accumulating cached corpora across
+    // invocations.
+    val feats = tf.transform(withShingles.select(col(id), col("__sh"))).persist()
     val lsh = new MinHashLSH().setInputCol("__features").setOutputCol("__hashes")
       .setNumHashTables(numHashTables).setSeed(42L)
     val model = lsh.fit(feats)
-    model.approxSimilarityJoin(feats, feats, jaccardDistThreshold, "jaccard_dist")
+    val pairs = model
+      .approxSimilarityJoin(feats, feats, jaccardDistThreshold, "jaccard_dist")
       .select(
         col(s"datasetA.$id").as("id_a"),
         col(s"datasetB.$id").as("id_b"),
         col("jaccard_dist"))
       .filter(col("id_a") < col("id_b"))
+      // eager: the pair list (tiny next to the corpus) is computed while
+      // the cache is live, then the cache can be dropped deterministically
+      .localCheckpoint(true)
+    feats.unpersist(blocking = true)
+    pairs
   }
 
   /** SimHash: 64-bit locality-sensitive signature. Explode tokens,
@@ -142,9 +151,12 @@ object Dedup {
     * O(component diameter) iterations (near-dup clusters are shallow:
     * a handful). `localCheckpoint` truncates the growing lineage each
     * round, which is what keeps iteration N from replaying rounds
-    * 1..N-1; convergence is detected by the label checksum going
-    * stable (monotonically non-increasing labels guarantee progress
-    * and termination). */
+    * 1..N-1; convergence is detected STRUCTURALLY — an iteration that
+    * changes no vertex's label (checked by diffing the new label
+    * relation against the previous one) is a fixed point. The
+    * structural check works for any id type (string doc ids included)
+    * and cannot be fooled the way a numeric label checksum can (null
+    * on non-numeric ids, ANSI overflow on wide 64-bit id spaces). */
   def clusterPairs(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
                    maxIter: Int = 20): DataFrame = {
     val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
@@ -154,23 +166,31 @@ object Dedup {
     var labels = edges.select(col("src").as("v")).distinct()
       .withColumn("label", col("v"))
       .localCheckpoint(true)
-    // coalesce: an empty pair set (a corpus with no near-dups) must
-    // yield an empty relation, not an NPE unboxing a null SUM
-    def sumLabels(): Long =
-      labels.agg(coalesce(sum(col("label")), lit(0L))).collect()(0).getLong(0)
-    var checksum = sumLabels()
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
       val nbrMin = edges.join(labels.withColumnRenamed("v", "src"), "src")
         .groupBy(col("dst").as("v")).agg(min(col("label")).as("nl"))
-      labels = labels.join(nbrMin, Seq("v"), "left")
+      val next = labels.join(nbrMin, Seq("v"), "left")
         .select(col("v"), least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
         .localCheckpoint(true)
-      val next = sumLabels()
-      converged = next == checksum
-      checksum = next
+      // fixed point iff no vertex changed label this round; the vertex
+      // set is static and labels are non-null, so an inner join on v
+      // plus an inequality filter sees exactly the changed rows (and
+      // `isEmpty` plans it with a limit-1, not a full count)
+      converged = next.join(labels.withColumnRenamed("label", "__prev"), Seq("v"))
+        .filter(col("label") =!= col("__prev"))
+        .isEmpty
+      labels = next
       iter += 1
+    }
+    if (!converged && maxIter > 0) {
+      // under-removal hazard: a component with diameter > maxIter keeps
+      // split labels, so clusterRemovals would silently keep dup rows
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"clusterPairs stopped at maxIter=$maxIter before reaching a fixed " +
+          "point; labels are partially propagated (component diameter " +
+          "exceeds maxIter). Raise maxIter for deeper components.")
     }
     labels.select(col("v").as("id"), col("label").as("cluster"))
   }

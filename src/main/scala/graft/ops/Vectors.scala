@@ -169,8 +169,9 @@ object Vectors {
     val km = new KMeans().setK(nlist).setSeed(42L)
       .setFeaturesCol("__nv").setPredictionCol("__cell")
     // normalized corpus is read by fit (x iterations) and transform —
-    // cache it once.
-    val cn = normed(corpus).cache()
+    // persist once; unpersisted below after the (tiny) top-k result is
+    // eagerly materialized, so repeated calls don't accumulate caches.
+    val cn = normed(corpus).persist()
     val model = km.fit(cn)
     val cells = model.transform(cn)
       .select(col(id).as("cid"), col("__cell"),
@@ -198,8 +199,13 @@ object Vectors {
       .filter(col("qid") =!= col("cid"))
       .withColumn("__cos", dot(col("__qv"), col("__cv")))
     val w = Window.partitionBy(col("qid")).orderBy(col("__cos").desc, col("cid").asc)
-    scored.withColumn("rnk", row_number().over(w))
+    val topk = scored.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("qid"), col("rnk"), col("cid").as("vec_id"))
+      // eager: k rows per query — materialize while cn is cached, then
+      // release the cached corpus deterministically
+      .localCheckpoint(true)
+    cn.unpersist(blocking = true)
+    topk
   }
 }

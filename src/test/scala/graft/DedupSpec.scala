@@ -144,6 +144,33 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(clusters.values.toSet == Set(0L), clusters.toString)
   }
 
+  test("clusterPairs works on string doc ids (structural convergence)") {
+    import spark.implicits._
+    // the old numeric label checksum null'd (or overflowed) on string
+    // ids; the structural fixed-point check is type-agnostic
+    val pairs = Seq(("doc-a", "doc-b"), ("doc-b", "doc-c"), ("doc-x", "doc-y"))
+      .toDF("id_a", "id_b")
+    val clusters = Dedup.clusterPairs(pairs)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(clusters == Map("doc-a" -> "doc-a", "doc-b" -> "doc-a",
+      "doc-c" -> "doc-a", "doc-x" -> "doc-x", "doc-y" -> "doc-x"))
+    val removed = Dedup.clusterRemovals(pairs)
+      .select("id").collect().map(_.getString(0)).toSet
+    assert(removed == Set("doc-b", "doc-c", "doc-y"))
+  }
+
+  test("minhashNearDups leaves no cached (non-checkpoint) RDD behind") {
+    import spark.implicits._
+    val docs = spark.read.parquet(sf("documents"))
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    Dedup.minhashNearDups(docs, "doc_id", $"text", jaccardDistThreshold = 0.8).count()
+    val leaked = spark.sparkContext.getPersistentRDDs
+      .filter { case (id, rdd) => !before(id) && !rdd.isCheckpointed }
+    // localCheckpoint blocks are context-cleaned on GC; an explicit
+    // cache that outlives the call is the leak this pins against
+    assert(leaked.isEmpty, s"leaked cached RDDs: ${leaked.keys}")
+  }
+
   test("approx_count_distinct within rsd bound on real data") {
     val li = spark.read.parquet(sf("lineitem"))
     import spark.implicits._

@@ -122,4 +122,41 @@ class VectorsSpec extends AnyFunSuite with SparkTestBase {
       .collect()(0).getDouble(0)
     assert(math.abs(c - 1.0) < 1e-12)
   }
+
+  test("null array element poisons dot/l2norm to null, matching the HOF fold") {
+    import spark.implicits._
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("a", ArrayType(FloatType, containsNull = true)),
+      StructField("b", ArrayType(FloatType, containsNull = true))))
+    val rows = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(0L, Seq(1.0f, 2.0f), Seq(3.0f, 4.0f)),
+        Row(1L, Seq(1.0f, null), Seq(3.0f, 4.0f)),
+        Row(2L, Seq(1.0f, 2.0f), Seq(null, 4.0f))),
+      schema)
+    val got = rows.select($"id",
+      Vectors.dot($"a", $"b").as("dn"), Vectors.dotHof($"a", $"b").as("dh"),
+      Vectors.l2norm($"a").as("nn"), Vectors.l2normHof($"a").as("nh"))
+      .orderBy($"id").collect()
+    // row 0: clean -> equal non-null values both ways
+    assert(got(0).getDouble(1) == 11.0 && got(0).getDouble(2) == 11.0)
+    // rows 1-2: a null element must null the result in BOTH forms
+    for (i <- 1 to 2; c <- 1 to 2)
+      assert(got(i).isNullAt(c), s"row $i col $c: expected null (native==HOF)")
+    assert(got(1).isNullAt(3) && got(1).isNullAt(4),
+      "l2norm of an array with a null element must be null in both forms")
+  }
+
+  test("ivfTopK leaves no cached (non-checkpoint) RDD behind") {
+    import spark.implicits._
+    val emb = spark.read.parquet(sf("embeddings"))
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    Vectors.ivfTopK(emb, emb.filter($"vec_id" < 3), "vec_id", "embedding", 5).count()
+    val leaked = spark.sparkContext.getPersistentRDDs
+      .filter { case (id, rdd) => !before(id) && !rdd.isCheckpointed }
+    assert(leaked.isEmpty, s"leaked cached RDDs: ${leaked.keys}")
+  }
 }
