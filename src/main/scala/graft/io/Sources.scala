@@ -59,12 +59,24 @@ object Sources {
                                   partitionCols: Seq[String]): Unit =
     df.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*).parquet(path)
 
-  /** Full-replace JDBC sink — the literal reference semantics; not
-    * exercised by the harness (no DB in the container) but kept as the
-    * drop-in production path. */
+  /** Full-replace JDBC sink — the literal reference semantics
+    * (scraper.py:23-24 `to_sql(if_exists='replace')`). Exercised by the
+    * harness against embedded Derby (the only DB in the container); the
+    * production path is the same call with a Postgres URL. */
   def overwriteJdbc(df: DataFrame, url: String, table: String,
                     props: java.util.Properties = new java.util.Properties()): Unit =
     df.write.mode(SaveMode.Overwrite).jdbc(url, table, props)
+
+  /** In-process Derby URL under `dir` (created on first connect).
+    * Derby's engine lives in the session JVM — the same wire-free shape
+    * a unit-testable Postgres swap needs; `derby.system.home` keeps its
+    * derby.log out of the repo. */
+  def embeddedDerbyUrl(dir: String): String = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    if (System.getProperty("derby.system.home") == null)
+      System.setProperty("derby.system.home", dir)
+    s"jdbc:derby:$dir/graft_db;create=true"
+  }
 
   /** Whole-table JDBC scan (visualization.py:14-21). For big tables
     * pass partitioning bounds so the read parallelizes instead of

@@ -102,6 +102,24 @@ object HarnessIO {
       s.read.orc(out).orderBy($"l_orderkey", $"l_linenumber")
     }),
 
+    // JDBC round-trip against embedded Derby (ref scraper.py:20-24
+    // writes Postgres, visualization.py:14-21 reads it back): stale
+    // write, full replace, then a PARTITIONED read (4 range-split
+    // connections on c_custkey — the parallel-scan shape a big table
+    // needs; rows outside the bounds still land in the edge partitions,
+    // so the read is lossless at any sf).
+    "src_jdbc_table" -> ((s, dir) => {
+      import s.implicits._
+      val url = Sources.embeddedDerbyUrl(s"$stage/derby")
+      val cust = t(s, dir, "customer")
+        .select($"c_custkey", $"c_name", $"c_nationkey", $"c_acctbal", $"c_mktsegment")
+      Sources.overwriteJdbc(cust.limit(1), url, "graft_customer")  // stale write
+      Sources.overwriteJdbc(cust, url, "graft_customer")           // replace
+      Sources.jdbcTable(s, url, "graft_customer",
+        partitionColumn = Some(("c_custkey", 1L, 200000L, 4)))
+        .orderBy($"c_custkey")
+    }),
+
     // Catalog existence check (ref visualization.py:64-73).
     "meta_table_exists" -> ((s, dir) => {
       t(s, dir, "region").createOrReplaceTempView("graft_region_view")
@@ -127,6 +145,9 @@ object HarnessIO {
     "sink_orc" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
         |FROM lineitem ORDER BY 1, 2""".stripMargin,
+    "src_jdbc_table" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |FROM customer ORDER BY 1""".stripMargin,
     "meta_table_exists" ->
       "SELECT true AS exists_registered, false AS exists_missing",
   )

@@ -29,6 +29,27 @@ class IngestSpec extends AnyFunSuite with SparkTestBase {
     assert(df.count() == 2)
   }
 
+  test("JDBC round-trip against embedded Derby: replace semantics + partitioned read") {
+    import spark.implicits._
+    val url = Sources.embeddedDerbyUrl(s"$stage/derby")
+    val cust = spark.read.parquet(sf("customer"))
+      .select($"c_custkey", $"c_name", $"c_nationkey", $"c_acctbal", $"c_mktsegment")
+    // stale write then full replace: Overwrite must drop-and-recreate,
+    // not append (the reference's to_sql(if_exists='replace'))
+    Sources.overwriteJdbc(cust.limit(1), url, "graft_cust_test")
+    Sources.overwriteJdbc(cust, url, "graft_cust_test")
+    val whole = Sources.jdbcTable(spark, url, "graft_cust_test")
+    assert(whole.count() == cust.count(), "replace must not append")
+    // partitioned read: 4 range-split connections, lossless (rows
+    // outside the bounds land in the open-ended edge partitions)
+    val part = Sources.jdbcTable(spark, url, "graft_cust_test",
+      partitionColumn = Some(("c_custkey", 1L, 200000L, 4)))
+    assert(part.rdd.getNumPartitions == 4, "partitioned read must fan out")
+    val back = part.orderBy($"c_custkey").collect().toSeq
+    val orig = cust.orderBy($"c_custkey").collect().toSeq
+    assert(back == orig, "JDBC round-trip must be lossless")
+  }
+
   test("collectSortedMap returns the sorted small-dimension map") {
     import spark.implicits._
     val dim = Seq(("b", 2), ("a", 1), ("c", 3)).toDF("k", "v")
