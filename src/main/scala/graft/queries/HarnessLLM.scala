@@ -108,11 +108,29 @@ object HarnessLLM {
       import s.implicits._
       // Embedding-cosine near-dup, exact tier (oracle-checkable; the
       // pair set at sim>=0.45 is boundary-safe on this data — nearest
-      // pair values 0.449/0.452). The approximate LSH tier
-      // (Vectors.cosineNearDups) is the corpus-scale path, covered by
-      // VectorsSpec invariants.
+      // pair values 0.449/0.452). The scale tier is keyed separately as
+      // dedup_embedding_lsh.
       Vectors.cosineNearDupsExact(t(s, dir, "embeddings"), "vec_id", "embedding",
         simThreshold = 0.45)
+        .select($"id_a", $"id_b")
+        .orderBy($"id_a", $"id_b")
+    }),
+    "dedup_embedding_lsh" -> ((s, dir) => {
+      import s.implicits._
+      // The corpus-scale near-dup tier: banded SRP LSH candidates +
+      // exact cosine rescore at the true near-duplicate threshold 0.9.
+      // The random corpus has no pairs that similar, so scaled copies
+      // of the first 20 vectors are planted (cosine with the original
+      // is exactly 1, and sign signatures are scale-invariant, so the
+      // planted pairs collide in every band — recall 1 by
+      // construction). The expected pair set is closed-form and the
+      // oracle recomputes it with a full cross join.
+      val emb = t(s, dir, "embeddings").select($"vec_id", $"embedding")
+      val planted = emb.filter($"vec_id" < 20)
+        .select(($"vec_id" + 100000).as("vec_id"),
+          transform($"embedding", x => (x * lit(0.5f)).cast("float")).as("embedding"))
+      Vectors.srpNearDups(emb.unionByName(planted), "vec_id", "embedding",
+        simThreshold = 0.9)
         .select($"id_a", $"id_b")
         .orderBy($"id_a", $"id_b")
     }),
@@ -205,6 +223,18 @@ object HarnessLLM {
         |FROM embeddings a, embeddings b
         |WHERE a.vec_id < b.vec_id
         |  AND list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+        |ORDER BY 1, 2""".stripMargin,
+    "dedup_embedding_lsh" ->
+      """WITH corpus AS (
+        | SELECT vec_id, embedding FROM embeddings
+        | UNION ALL
+        | SELECT vec_id + 100000 AS vec_id,
+        |  list_transform(embedding, x -> CAST(x * 0.5 AS FLOAT)) AS embedding
+        | FROM embeddings WHERE vec_id < 20)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |FROM corpus a, corpus b
+        |WHERE a.vec_id < b.vec_id
+        |  AND list_cosine_similarity(a.embedding, b.embedding) >= 0.9
         |ORDER BY 1, 2""".stripMargin,
     "pipeline_corpus_prep" ->
       """WITH corpus AS (

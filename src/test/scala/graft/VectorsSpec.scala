@@ -150,6 +150,43 @@ class VectorsSpec extends AnyFunSuite with SparkTestBase {
       "l2norm of an array with a null element must be null in both forms")
   }
 
+  test("srpNearDups equals brute force on a planted near-dup corpus") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet(sf("embeddings")).select($"vec_id", $"embedding")
+    // scaled copies: cosine with the original is exactly 1.0 and sign
+    // signatures are scale-invariant -> guaranteed bucket collision
+    val planted = emb.filter($"vec_id" < 20)
+      .select(($"vec_id" + 100000).as("vec_id"),
+        transform($"embedding", x => (x * lit(0.5f)).cast("float")).as("embedding"))
+    val corpus = emb.unionByName(planted)
+    def pairsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = pairsOf(Vectors.srpNearDups(corpus, "vec_id", "embedding", 0.9)
+      .select($"id_a", $"id_b"))
+    val brute = pairsOf(
+      Vectors.cosineNearDupsExact(corpus, "vec_id", "embedding", 0.9)
+        .select($"id_a", $"id_b"))
+    assert(brute.size >= 20, "planted pairs must be in the brute-force set")
+    assert(got == brute, s"missing=${brute -- got} extra=${got -- brute}")
+    assert(got == pairsOf(Vectors.srpNearDups(corpus, "vec_id", "embedding", 0.9)
+      .select($"id_a", $"id_b")), "SRP must be deterministic (fixed seed)")
+  }
+
+  test("srpNearDups buckets genuinely: candidate pairs far below all-pairs") {
+    import spark.implicits._
+    val emb = spark.read.parquet(sf("embeddings"))
+    val n = emb.count()
+    // count candidates the bucket join generates (pre-rescore) by
+    // running with an impossible threshold and counting rescored rows
+    // via the op's own plan: instead, check output at sim 0.0 — every
+    // CANDIDATE passes, so the output size IS the candidate count.
+    val candidates = Vectors.srpNearDups(emb, "vec_id", "embedding", 0.0).count()
+    val allPairs = n * (n - 1) / 2
+    assert(candidates < allPairs / 4,
+      s"SRP must prune: candidates=$candidates allPairs=$allPairs")
+  }
+
   test("ivfTopK leaves no cached (non-checkpoint) RDD behind") {
     import spark.implicits._
     val emb = spark.read.parquet(sf("embeddings"))
