@@ -50,6 +50,18 @@ object VectorExprs {
 
   def l2norm(a: Column): Column =
     GraftColumnBridge.column(L2Norm(GraftColumnBridge.expression(a)))
+
+  /** All SRP band keys of a vector in ONE expression. `planes` is
+    * indexed `planes(band * bits + j)(d)`. Composing this from
+    * bands*bits separate [[dot]] calls generates a whole-stage-codegen
+    * method far past HotSpot's huge-method compile limit (8 KB
+    * bytecode), which silently runs as INTERPRETED bytecode — ~100x.
+    * One expression with a data-driven loop over a referenced plane
+    * matrix stays small and JIT-compiles. */
+  def srpBandKeys(vec: Column, planes: Array[Array[Double]], bits: Int,
+                  bands: Int): Column =
+    GraftColumnBridge.column(SrpBandKeys(
+      GraftColumnBridge.expression(vec), planes.flatten, bits, bands))
 }
 
 /** Sequential-order dot product of two equal-typed float/double
@@ -193,6 +205,106 @@ case class L2Norm(child: Expression) extends UnaryExpression {
           ${ev.isNull} = true;
         } else {
           ${ev.value} = java.lang.Math.sqrt($s);
+        }
+      """
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Banded sign-random-projection signature: for each band b,
+  * key(b) = Σ_j [dot(planes(b*bits+j), v) > 0] << j. `planes` is the
+  * flattened (bands*bits) x dim hyperplane matrix (row-major). Null
+  * input, a null element, or a dim mismatch with the plane matrix →
+  * null (poison semantics, matching [[DotProduct]]). */
+case class SrpBandKeys(child: Expression, planes: Array[Double], bits: Int,
+                       bands: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_srp_band_keys"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorExprs.checkVec(prettyName, child.dataType, child.dataType)
+
+  private def isFloat = VectorExprs.elemOf(child.dataType) == FloatType
+
+  private def elemsNullable: Boolean = child.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => true
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    if (n * bands * bits != planes.length) return null
+    if (elemsNullable) {
+      var i = 0
+      while (i < n) { if (v.isNullAt(i)) return null; i += 1 }
+    }
+    val keys = new Array[Int](bands)
+    var p = 0
+    var b = 0
+    while (b < bands) {
+      var key = 0
+      var j = 0
+      while (j < bits) {
+        var s = 0.0
+        var d = 0
+        if (isFloat) while (d < n) { s += planes(p + d) * v.getFloat(d); d += 1 }
+        else while (d < n) { s += planes(p + d) * v.getDouble(d); d += 1 }
+        p += n
+        if (s > 0) key |= (1 << j)
+        j += 1
+      }
+      keys(b) = key
+      b += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(keys)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val get = if (isFloat) "getFloat" else "getDouble"
+    val planesRef = ctx.addReferenceObj("srpPlanes", planes, "double[]")
+    nullSafeCodeGen(ctx, ev, c => {
+      val n = ctx.freshName("n")
+      val keys = ctx.freshName("keys")
+      val p = ctx.freshName("p")
+      val b = ctx.freshName("b")
+      val j = ctx.freshName("j")
+      val d = ctx.freshName("d")
+      val s = ctx.freshName("s")
+      val key = ctx.freshName("key")
+      val bad = ctx.freshName("bad")
+      val i = ctx.freshName("i")
+      val nullElemCheck =
+        if (elemsNullable)
+          s"for (int $i = 0; $i < $n && !$bad; $i++) { if ($c.isNullAt($i)) $bad = true; }"
+        else ""
+      s"""
+        int $n = $c.numElements();
+        boolean $bad = ($n * $bands * $bits != $planesRef.length);
+        $nullElemCheck
+        if ($bad) {
+          ${ev.isNull} = true;
+        } else {
+          int[] $keys = new int[$bands];
+          int $p = 0;
+          for (int $b = 0; $b < $bands; $b++) {
+            int $key = 0;
+            for (int $j = 0; $j < $bits; $j++) {
+              double $s = 0.0;
+              for (int $d = 0; $d < $n; $d++) {
+                $s += $planesRef[$p + $d] * (double) $c.$get($d);
+              }
+              $p += $n;
+              if ($s > 0) $key |= (1 << $j);
+            }
+            $keys[$b] = $key;
+          }
+          ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($keys);
         }
       """
     })

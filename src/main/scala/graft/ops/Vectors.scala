@@ -188,16 +188,13 @@ object Vectors {
     val dim = df.select(size(col(vec))).head().getInt(0)
     val rnd = new scala.util.Random(seed)
     val planes = Array.fill(bands * bits)(Array.fill(dim)(rnd.nextGaussian()))
-    // cast once: the codegen dot needs matching element types with the
-    // double hyperplane literals
-    val vd = col(vec).cast("array<double>")
-    val bandKeys = (0 until bands).map { b =>
-      (0 until bits).map { j =>
-        when(dot(vd, lit(planes(b * bits + j))) > 0, lit(1 << j)).otherwise(lit(0))
-      }.reduce(_ + _)
-    }
+    // ONE native expression for all bands*bits sign projections — the
+    // composed per-plane form (96 dot exprs) generates a whole-stage
+    // method past HotSpot's compile limit and runs as interpreted
+    // bytecode (measured ~100x on this path)
+    val keysCol = graft.functions.VectorExprs.srpBandKeys(col(vec), planes, bits, bands)
     val sigs = df.select(col(id), col(vec),
-        posexplode(array(bandKeys: _*)).as(Seq("__band", "__key")))
+        posexplode(keysCol).as(Seq("__band", "__key")))
     val a = sigs.select(col("__band"), col("__key"),
       col(id).as("id_a"), col(vec).as("__va"))
     val b = sigs.select(col("__band"), col("__key"),
@@ -212,29 +209,40 @@ object Vectors {
       .select(col("id_a"), col("id_b"), col("cos_sim"))
   }
 
-  /** IVF (inverted-file) approximate top-k: a k-means coarse quantizer
-    * partitions the corpus into nlist cells; each query searches only
-    * its nprobe nearest cells. The cell assignment is an equi-join key,
-    * so the search is a shuffled hash join on cell id — partitioned,
-    * skew-handled by AQE, no all-pairs anywhere. At 100 TB fit the
-    * quantizer on a sample (kmeans cost is per-row × iters) and persist
-    * the cell column with the table; here it is fit in-line, seeded. */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, id: String,
-              vec: String, k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
-    def normed(df: DataFrame): DataFrame =
-      df.select(col(id), normalized(col(vec)).as("__na"))
-        .filter(col("__na").isNotNull)
-        .select(col(id), array_to_vector(col("__na")).as("__nv"))
-    val km = new KMeans().setK(nlist).setSeed(42L)
+  /** A prebuilt IVF index. `cells` carries each corpus vector's coarse-
+    * quantizer cell id and normalized components — at production scale
+    * this is a `__cell` column WRITTEN WITH THE TABLE at ingest, so no
+    * query ever pays the quantizer fit. `centroids` is the nlist-row
+    * routing relation, broadcast at search time. */
+  final case class IvfIndexData(cells: DataFrame, centroids: DataFrame)
+
+  /** Build an IVF index ONCE per corpus: fit the k-means coarse
+    * quantizer (optionally on a seeded sample — at 100 TB the fit must
+    * not scan the full table; cell QUALITY needs only a representative
+    * sample, cell ASSIGNMENT is the cheap single transform pass) and
+    * assign every vector its cell. The cells relation is eagerly
+    * materialized (`localCheckpoint`) — the in-session analog of
+    * persisting the cell column with the table — so searches over the
+    * returned index never re-run the fit or the normalization scan. */
+  def ivfIndex(corpus: DataFrame, id: String, vec: String, nlist: Int = 16,
+               sampleFraction: Double = 1.0, seed: Long = 42L): IvfIndexData = {
+    val cn = corpus.select(col(id), normalized(col(vec)).as("__na"))
+      .filter(col("__na").isNotNull)
+      .select(col(id), array_to_vector(col("__na")).as("__nv"))
+      .persist()
+    val fitOn =
+      if (sampleFraction < 1.0) cn.sample(withReplacement = false, sampleFraction, seed)
+      else cn
+    val model = new KMeans().setK(nlist).setSeed(seed)
       .setFeaturesCol("__nv").setPredictionCol("__cell")
-    // normalized corpus is read by fit (x iterations) and transform —
-    // persist once; unpersisted below after the (tiny) top-k result is
-    // eagerly materialized, so repeated calls don't accumulate caches.
-    val cn = normed(corpus).persist()
-    val model = km.fit(cn)
+      .fit(fitOn)
+    // eager: materialize the assignment while cn is cached, then
+    // release the cached corpus deterministically (no leaked blocks)
     val cells = model.transform(cn)
       .select(col(id).as("cid"), col("__cell"),
         vector_to_array(col("__nv")).as("__cv"))
+      .localCheckpoint(true)
+    cn.unpersist(blocking = true)
     // centroid relation is nlist rows — broadcast to route each query
     // to its nprobe nearest cells. Routing must use the SAME metric
     // KMeans assigned cells with (euclidean): centroids are means of
@@ -246,25 +254,40 @@ object Vectors {
       model.clusterCenters.zipWithIndex.toSeq
         .map { case (c, i) => (i, c.toArray, c.toArray.map(x => x * x).sum) })
       .toDF("__cell", "__centroid", "__cn2")
-    val qn = normed(queries)
-      .select(col(id).as("qid"), vector_to_array(col("__nv")).as("__qv"))
-    val routed = qn.join(broadcast(centroids))
+    IvfIndexData(cells, centroids)
+  }
+
+  /** Search a prebuilt IVF index: route each query to its nprobe
+    * nearest cells via the broadcast centroid relation, then score only
+    * the vectors in those cells — an equi-join on cell id (partitioned,
+    * skew-handled by AQE, no all-pairs anywhere). Pure search: no fit,
+    * no corpus scan beyond the probed cells. */
+  def ivfSearch(index: IvfIndexData, queries: DataFrame, id: String,
+                vec: String, k: Int, nprobe: Int = 4): DataFrame = {
+    val qn = queries.select(col(id), normalized(col(vec)).as("__na"))
+      .filter(col("__na").isNotNull)
+      .select(col(id).as("qid"), col("__na").cast("array<double>").as("__qv"))
+    val routed = qn.join(broadcast(index.centroids))
       .withColumn("__cscore", dot(col("__qv"), col("__centroid")) - col("__cn2") / 2.0)
     val wRoute = Window.partitionBy(col("qid")).orderBy(col("__cscore").desc, col("__cell").asc)
     val probeCells = routed.withColumn("__cr", row_number().over(wRoute))
       .filter(col("__cr") <= nprobe)
       .select(col("qid"), col("__qv"), col("__cell"))
-    val scored = probeCells.join(cells, Seq("__cell"))
+    val scored = probeCells.join(index.cells, Seq("__cell"))
       .filter(col("qid") =!= col("cid"))
       .withColumn("__cos", dot(col("__qv"), col("__cv")))
     val w = Window.partitionBy(col("qid")).orderBy(col("__cos").desc, col("cid").asc)
-    val topk = scored.withColumn("rnk", row_number().over(w))
+    scored.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("qid"), col("rnk"), col("cid").as("vec_id"))
-      // eager: k rows per query — materialize while cn is cached, then
-      // release the cached corpus deterministically
-      .localCheckpoint(true)
-    cn.unpersist(blocking = true)
-    topk
   }
+
+  /** IVF (inverted-file) approximate top-k, one-shot form: build the
+    * index inline (full-corpus fit, seeded) and search it. For repeated
+    * queries over the same corpus build the index once with
+    * [[ivfIndex]] and call [[ivfSearch]] — the fit is the dominant cost
+    * and amortizes to zero. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, id: String,
+              vec: String, k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame =
+    ivfSearch(ivfIndex(corpus, id, vec, nlist), queries, id, vec, k, nprobe)
 }

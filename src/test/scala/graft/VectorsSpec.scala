@@ -57,6 +57,29 @@ class VectorsSpec extends AnyFunSuite with SparkTestBase {
       "IVF must be deterministic (fixed seed)")
   }
 
+  test("prebuilt IVF index: sample-fit quantizer keeps recall, search is fit-free") {
+    import spark.implicits._
+    val emb = spark.read.parquet(sf("embeddings"))
+    val q = emb.filter($"vec_id" < 5)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val exact = pairs(Vectors.cosineTopK(emb, q, "vec_id", "embedding", 10))
+    // the 100 TB shape: quantizer fit on half the corpus, cells
+    // persisted once, searches consume the index
+    val idx = Vectors.ivfIndex(emb, "vec_id", "embedding", nlist = 16,
+      sampleFraction = 0.5)
+    val got = pairs(Vectors.ivfSearch(idx, q, "vec_id", "embedding", 10, nprobe = 8))
+    val recall = (exact & got).size.toDouble / exact.size
+    assert(recall >= 0.55, s"recall=$recall")
+    assert(got == pairs(Vectors.ivfSearch(idx, q, "vec_id", "embedding", 10, nprobe = 8)),
+      "repeated searches over one index must be identical")
+    // full-fit index + default nprobe must reproduce the one-shot form
+    val full = Vectors.ivfIndex(emb, "vec_id", "embedding", nlist = 16)
+    assert(pairs(Vectors.ivfSearch(full, q, "vec_id", "embedding", 10, nprobe = 8)) ==
+      pairs(Vectors.ivfTopK(emb, q, "vec_id", "embedding", 10, nlist = 16, nprobe = 8)),
+      "ivfTopK must equal ivfIndex+ivfSearch with the same parameters")
+  }
+
   test("cosineNearDups finds exactly the brute-force pair set") {
     import spark.implicits._
     val emb = spark.read.parquet(sf("embeddings"))
