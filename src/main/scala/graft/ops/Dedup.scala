@@ -63,38 +63,57 @@ object Dedup {
         x => x.isNotNull))
   }
 
-  /** MinHash + LSH near-duplicate pairs via spark.ml: shingle sets ->
-    * hashed binary feature vectors (HashingTF, no vocabulary fit — no
-    * driver-side state, streams at any scale) -> MinHashLSH banded
-    * join. approxSimilarityJoin compares ONLY bucket collisions; the
-    * threshold is Jaccard distance (1 - similarity). Seeded, so
-    * deterministic. */
-  def minhashNearDups(df: DataFrame, id: String, text: Column,
-                      jaccardDistThreshold: Double = 0.5,
-                      numHashTables: Int = 5): DataFrame = {
+  /** The shingle + binary-HashingTF featurization every MinHash-family
+    * op consumes: `__sh` (the distinct shingle array, reused by the
+    * exact-Jaccard rescore) and `__features` (the hashed binary vector
+    * MinHashLSH banding reads). HashingTF has no vocabulary fit — no
+    * driver-side state, streams at any scale. Split out so callers
+    * running SEVERAL minhash-family ops over one corpus featurize once
+    * (persist/checkpoint the result) instead of once per op — this is
+    * the expensive pass. */
+  def minhashFeaturize(df: DataFrame, id: String, text: Column): DataFrame = {
     val withShingles = df.withColumn("__sh", shingles(text))
       .filter(size(col("__sh")) > 0)
     val tf = new HashingTF().setInputCol("__sh").setOutputCol("__features")
       .setNumFeatures(1 << 16).setBinary(true)
-    // Materialize the featurized corpus once: the LSH fit and both
-    // branches of the self-join read it, and the shingle+TF pipeline is
-    // the expensive part. `persist` + explicit blocking `unpersist`
-    // (after the eager checkpoint of the small pair result below) keeps
-    // a long-lived session from accumulating cached corpora across
-    // invocations.
-    val feats = tf.transform(withShingles.select(col(id), col("__sh"))).persist()
+    tf.transform(withShingles.select(col(id), col("__sh")))
+  }
+
+  /** MinHash + LSH near-duplicate pairs over a pre-featurized corpus
+    * ([[minhashFeaturize]]): MinHashLSH banded join compares ONLY
+    * bucket collisions; the threshold is Jaccard distance
+    * (1 - similarity). Seeded, so deterministic. The fit is cheap
+    * (draws hash-family coefficients; no data pass beyond a first-row
+    * dimension probe), so all the weight is in the join — callers
+    * should hand in a cached/checkpointed `feats` since both sides of
+    * the self-join read it. */
+  def minhashNearDupsOnFeatures(feats: DataFrame, id: String,
+                                jaccardDistThreshold: Double = 0.5,
+                                numHashTables: Int = 5): DataFrame = {
     val lsh = new MinHashLSH().setInputCol("__features").setOutputCol("__hashes")
       .setNumHashTables(numHashTables).setSeed(42L)
     val model = lsh.fit(feats)
-    val pairs = model
+    model
       .approxSimilarityJoin(feats, feats, jaccardDistThreshold, "jaccard_dist")
       .select(
         col(s"datasetA.$id").as("id_a"),
         col(s"datasetB.$id").as("id_b"),
         col("jaccard_dist"))
       .filter(col("id_a") < col("id_b"))
-      // eager: the pair list (tiny next to the corpus) is computed while
-      // the cache is live, then the cache can be dropped deterministically
+  }
+
+  /** One-shot form: featurize + LSH join. The featurized corpus is
+    * persisted for the duration (both branches of the self-join read
+    * it), the (tiny) pair list eagerly checkpointed, and the cache
+    * dropped deterministically so a long-lived session never
+    * accumulates cached corpora. For several minhash-family ops over
+    * one corpus, featurize once yourself and call
+    * [[minhashNearDupsOnFeatures]]. */
+  def minhashNearDups(df: DataFrame, id: String, text: Column,
+                      jaccardDistThreshold: Double = 0.5,
+                      numHashTables: Int = 5): DataFrame = {
+    val feats = minhashFeaturize(df, id, text).persist()
+    val pairs = minhashNearDupsOnFeatures(feats, id, jaccardDistThreshold, numHashTables)
       .localCheckpoint(true)
     feats.unpersist(blocking = true)
     pairs

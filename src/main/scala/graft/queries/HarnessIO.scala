@@ -110,7 +110,10 @@ object HarnessIO {
     // so the read is lossless at any sf).
     "src_jdbc_table" -> ((s, dir) => {
       import s.implicits._
-      val url = Sources.embeddedDerbyUrl(s"$stage/derby")
+      // per-process db dir: embedded Derby allows ONE booting JVM per
+      // database (XSDB6 otherwise), and a concurrent test-suite or
+      // second harness run is routine
+      val url = Sources.embeddedDerbyUrl(s"$stage/derby_${ProcessHandle.current().pid()}")
       val cust = t(s, dir, "customer")
         .select($"c_custkey", $"c_name", $"c_nationkey", $"c_acctbal", $"c_mktsegment")
       Sources.overwriteJdbc(cust.limit(1), url, "graft_customer")  // stale write

@@ -200,14 +200,45 @@ class VectorsSpec extends AnyFunSuite with SparkTestBase {
     import spark.implicits._
     val emb = spark.read.parquet(sf("embeddings"))
     val n = emb.count()
-    // count candidates the bucket join generates (pre-rescore) by
-    // running with an impossible threshold and counting rescored rows
-    // via the op's own plan: instead, check output at sim 0.0 — every
-    // CANDIDATE passes, so the output size IS the candidate count.
-    val candidates = Vectors.srpNearDups(emb, "vec_id", "embedding", 0.0).count()
+    // count candidates the bucket join generates (pre-rescore): at
+    // threshold -1.0 every candidate with a defined cosine passes (the
+    // corpus has no zero/null vectors), so output size == candidate count
+    val candidates = Vectors.srpNearDups(emb, "vec_id", "embedding", -1.0).count()
     val allPairs = n * (n - 1) / 2
     assert(candidates < allPairs / 4,
       s"SRP must prune: candidates=$candidates allPairs=$allPairs")
+  }
+
+  test("annTopK buckets genuinely: candidates far below the query x corpus space") {
+    import spark.implicits._
+    val emb = spark.read.parquet(sf("embeddings"))
+    val q = emb.filter($"vec_id" < 5)
+    val n = emb.count()
+    val nq = q.count()
+    val candidates = Vectors.annCandidates(emb, q, "vec_id", "embedding",
+      bits = 6, bands = 32, seed = 42L).count()
+    // uniform random vectors are the LSH worst case (no structure) —
+    // the gate is a real constant-factor prune of the probe space, not
+    // the near-zero prune the high-sim near-dup regime gets
+    assert(candidates < nq * (n - 1) * 6 / 10,
+      s"ANN buckets must prune: candidates=$candidates space=${nq * (n - 1)}")
+  }
+
+  test("annTopK and srpNearDups return empty (not throw) on empty/all-null corpora") {
+    import spark.implicits._
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val empty = spark.createDataFrame(
+      java.util.Collections.emptyList[Row](), schema)
+    val allNull = spark.createDataFrame(
+      java.util.Arrays.asList(Row(0L, null), Row(1L, null)), schema)
+    for (df <- Seq(empty, allNull)) {
+      assert(Vectors.srpNearDups(df, "vec_id", "embedding", 0.9).isEmpty)
+      assert(Vectors.annTopK(df, df, "vec_id", "embedding", 5).isEmpty)
+    }
   }
 
   test("ivfTopK leaves no cached (non-checkpoint) RDD behind") {
