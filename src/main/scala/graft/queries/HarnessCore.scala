@@ -504,6 +504,16 @@ object HarnessCore {
         .agg(count(lit(1)).as("n"))
         .orderBy($"y", $"m", $"dow")
     }),
+    "fn_date_format" -> ((s, dir) => {
+      import s.implicits._
+      // The reference's presentation-layer date formatting
+      // (visualization.py:107,:133 — strftime("%d/%m/%Y") on every plot
+      // title): date_format over the distinct shipdates.
+      t(s, dir, "lineitem")
+        .select(to_date($"l_shipdate").as("d")).distinct()
+        .select($"d", date_format($"d", "dd/MM/yyyy").as("d_fmt"))
+        .orderBy($"d")
+    }),
     "fn_math" -> ((s, dir) => {
       import s.implicits._
       // Restricted to IEEE-deterministic scalar math (abs/sqrt/floor/
@@ -774,6 +784,10 @@ object HarnessCore {
       """SELECT CAST(year(CAST(l_shipdate AS DATE)) AS INT) AS y, CAST(month(CAST(l_shipdate AS DATE)) AS INT) AS m,
         | CAST(dayofweek(CAST(l_shipdate AS DATE)) + 1 AS INT) AS dow, count(*) AS n
         |FROM lineitem GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "fn_date_format" ->
+      """SELECT d, strftime(d, '%d/%m/%Y') AS d_fmt
+        |FROM (SELECT DISTINCT CAST(l_shipdate AS DATE) AS d FROM lineitem)
+        |ORDER BY 1""".stripMargin,
     "fn_math" ->
       """SELECT l_orderkey, l_linenumber,
         | abs(l_discount - 0.05) AS d_abs,

@@ -41,6 +41,28 @@ object HarnessStream {
         arrivalOrder = Seq($"event_id" % 97, $"event_id"))
         .orderBy($"event_type")
     }),
+    "stream_late_data_keyed" -> ((s, dir) => {
+      import s.implicits._
+      // The scale form of stream_late_data: the running high-water mark
+      // is tracked per event_type (keyed shuffle + per-partition sort),
+      // not through one global ordered window.
+      Streams.lateCountsPerKey(ev(s, dir), $"event_type",
+        arrivalOrder = Seq($"event_id" % 97, $"event_id"))
+        .orderBy($"event_type")
+    }),
+    "stream_join_attrib" -> ((s, dir) => {
+      import s.implicits._
+      // Watermarked stream-stream join, batch analog: views joined to
+      // purchases of the same user within the 1-hour horizon before the
+      // purchase. The streaming execution path (bounded join state via
+      // watermark + time-range condition) runs in StreamingSpec.
+      val e = ev(s, dir)
+      Streams.attributionJoin(
+        e.filter($"event_type" === "view"),
+        e.filter($"event_type" === "purchase"))
+        .select($"purchase_id", $"view_id", $"user_id")
+        .orderBy($"purchase_id", $"view_id")
+    }),
     "stream_stateful_dedup" -> ((s, dir) => {
       import s.implicits._
       Streams.dedupFirst(ev(s, dir), Seq("user_id", "event_type"))
@@ -99,6 +121,20 @@ object HarnessStream {
         | FROM events) AS x
         |WHERE ts < max_seen - INTERVAL 10 MINUTE
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "stream_late_data_keyed" ->
+      """SELECT event_type, count(*) AS n_late FROM (
+        | SELECT event_type, ts,
+        |  max(ts) OVER (PARTITION BY event_type ORDER BY event_id % 97, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS max_seen
+        | FROM events) AS x
+        |WHERE ts < max_seen - INTERVAL 10 MINUTE
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "stream_join_attrib" ->
+      """SELECT p.event_id AS purchase_id, v.event_id AS view_id, p.user_id
+        |FROM events p JOIN events v ON p.user_id = v.user_id
+        |WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+        |  AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 1 HOUR
+        |ORDER BY 1, 2""".stripMargin,
     "stream_stateful_dedup" ->
       """SELECT user_id, event_type, CAST(min(ts) AS TIMESTAMP) AS first_ts
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,

@@ -144,6 +144,35 @@ object Streams {
       .transformWithState(new LastStateProcessor, TimeMode.None(), OutputMode.Update())
   }
 
+  /** Stream-stream equi+range join with watermarks: attribute each
+    * purchase to the views by the same user within `horizon` before it
+    * (the streaming enrichment of the reference's refresh loop, and the
+    * canonical ad-attribution shape). Both sides carry watermarks and
+    * the join condition bounds view_ts to
+    * [purchase_ts - horizon, purchase_ts], which is exactly what lets
+    * Spark expire per-key join state: a buffered view can be dropped
+    * once the purchase-side watermark passes view_ts + horizon. Without
+    * the range bound the state would grow without limit — the watermark
+    * + range pair IS the 100 TB knob. Works identically on batch frames
+    * (watermark is a streaming-only hint), so the DuckDB oracle applies.
+    */
+  def attributionJoin(views: DataFrame, purchases: DataFrame,
+                      horizon: String = "1 hour",
+                      watermark: String = "10 minutes"): DataFrame = {
+    val v = watermarked(views, watermark).select(
+      col("event_id").as("view_id"), col("user_id").as("__vu"),
+      col("ts").as("view_ts"))
+    val p = watermarked(purchases, watermark).select(
+      col("event_id").as("purchase_id"), col("user_id"),
+      col("ts").as("purchase_ts"))
+    p.join(v,
+      col("user_id") === col("__vu") &&
+        col("view_ts") <= col("purchase_ts") &&
+        col("view_ts") >= col("purchase_ts") - expr(s"interval $horizon"))
+      .select(col("purchase_id"), col("view_id"), col("user_id"),
+        col("purchase_ts"), col("view_ts"))
+  }
+
   /** Late-row accounting relative to a running max-event-time (the
     * batch analog of a watermark: a row is "late" if it arrives — in
     * event_id order — more than `delay` behind the max event time seen
@@ -156,6 +185,27 @@ object Streams {
   def lateCounts(df: DataFrame, delay: String = "10 minutes",
                  arrivalOrder: Seq[Column] = Seq(col("event_id"))): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
+      .orderBy(arrivalOrder: _*)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    df.withColumn("__maxSeen", max(col("ts")).over(w))
+      .filter(col("ts") < col("__maxSeen") - expr(s"interval $delay"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_late"))
+  }
+
+  /** [[lateCounts]] with the running max-event-time tracked PER KEY —
+    * the window partitions by `key`, so the plan is a keyed shuffle
+    * plus per-partition sort instead of the global single-reducer sort
+    * the unpartitioned form needs. This is the batch analog of
+    * per-partition watermarks (each key's arrival substream carries its
+    * own high-water mark) and the form that scales: semantically, each
+    * key's lateness here equals [[lateCounts]] run on that key's
+    * substream alone (spec-pinned in StreamingSpec). */
+  def lateCountsPerKey(df: DataFrame, key: Column,
+                       delay: String = "10 minutes",
+                       arrivalOrder: Seq[Column] = Seq(col("event_id"))): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(key)
       .orderBy(arrivalOrder: _*)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     df.withColumn("__maxSeen", max(col("ts")).over(w))

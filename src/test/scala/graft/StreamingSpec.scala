@@ -154,6 +154,49 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("stream-stream attribution join: stream equals batch, horizon excludes stale views") {
+    import spark.implicits._
+    val views = Seq(
+      e(10, "2024-01-01 10:00:00", uid = 1, typ = "view"),
+      e(11, "2024-01-01 08:00:00", uid = 1, typ = "view"), // > 1h before -> excluded
+      e(12, "2024-01-01 10:10:00", uid = 2, typ = "view")) // no purchase
+    val purchases = Seq(
+      e(20, "2024-01-01 10:30:00", uid = 1, typ = "purchase"))
+
+    val batch = Streams.attributionJoin(views.toDF(), purchases.toDF())
+      .select("purchase_id", "view_id", "user_id")
+      .orderBy("purchase_id", "view_id").collect()
+    assert(batch.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((20L, 10L)))
+
+    val msV = MemoryStream[Event](spark)
+    val msP = MemoryStream[Event](spark)
+    msV.addData(views: _*)
+    msP.addData(purchases: _*)
+    val q = Streams.attributionJoin(msV.toDF(), msP.toDF())
+      .select("purchase_id", "view_id", "user_id")
+      .writeStream.format("memory").queryName("attrib_t")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("attrib_t")
+      .orderBy("purchase_id", "view_id").collect()
+    assert(streamed.toSeq == batch.toSeq)
+  }
+
+  test("lateCountsPerKey equals global lateCounts on each key's own substream") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val ev = graft.queries.HarnessCore.events(spark, "/root/testdata/sf0.001")
+    val order = Seq(col("event_id") % 97, col("event_id"))
+    val perKey = Streams.lateCountsPerKey(ev, col("event_type"), arrivalOrder = order)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val types = ev.select("event_type").distinct().collect().map(_.getString(0))
+    val perSub = types.flatMap { t =>
+      Streams.lateCounts(ev.filter(col("event_type") === t), arrivalOrder = order)
+        .collect().map(r => r.getString(0) -> r.getLong(1))
+    }.toMap
+    assert(perKey == perSub)
+  }
+
   test("session windows split on gap > 30 minutes (batch and stream agree)") {
     import spark.implicits._
     val events = Seq(
