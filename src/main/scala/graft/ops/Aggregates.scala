@@ -83,6 +83,15 @@ object Aggregates {
               allLabel: String = "ALL"): DataFrame =
     sentinelGroupingSum(df.cube(keys.map(col): _*), keys, value, out, allLabel)
 
+  /** Arbitrary GROUPING SETS with the same sentinel treatment — the
+    * general form ROLLUP/CUBE specialize (e.g. the two marginals
+    * without the full cross grouping). One pass: Spark expands the
+    * sets into a single Expand + hash agg, not one scan per set. */
+  def groupingSetsSum(df: DataFrame, sets: Seq[Seq[String]], keys: Seq[String],
+                      value: Column, out: String, allLabel: String = "ALL"): DataFrame =
+    sentinelGroupingSum(df.groupingSets(sets.map(_.map(col)), keys.map(col): _*),
+      keys, value, out, allLabel)
+
   /** Pivot: one column per (pinned) pivot value, decimal-exact sums.
     * Pinning the value list keeps the plan single-pass — without it
     * Spark first runs a distinct scan to discover the columns. */

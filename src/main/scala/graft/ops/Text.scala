@@ -86,6 +86,44 @@ object Text {
       .select(col("doc_id"), col("rnk"), col("term"), col("tf"), col("df"))
   }
 
+  /** Intra-document repetition signals — the corpus-quality rules that
+    * flag boilerplate/spam (high token or n-gram repetition):
+    * `top_tok_share` (count of the most frequent token / total tokens)
+    * and `dup_bigram_frac` (1 - distinct bigrams / total bigrams).
+    * Exact integer counts with one IEEE division each, so results are
+    * bit-deterministic across engines. The token explode stays
+    * scan-local; the only shuffles are the (doc, token) and (doc) hash
+    * aggs. The bigram tally is a typed JVM function for the same
+    * reason [[Dedup.shingles]] is (interpreted HOF lambdas are ~10x
+    * slower on sliding n-grams), and it returns just the two counts —
+    * no gram array ever leaves the scan. Docs with < 2 tokens have no
+    * bigrams and are excluded (matching SQL semantics, where the
+    * bigram relation is empty for them). */
+  def repetitionScore(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val bigramTally = udf { (s: String) =>
+      if (s == null) (0, 0)
+      else {
+        val t = s.toLowerCase.trim.split("\\s+")
+        if (t.length < 2) (0, 0)
+        else {
+          val grams = t.sliding(2).map(_.mkString(" ")).toArray
+          (grams.length, grams.distinct.length)
+        }
+      }
+    }
+    val toks = df.select(id.as("doc_id"), explode(wsTokens(lower(text))).as("w"))
+    val tf = toks.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+    val tstat = tf.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tok"), max(col("c")).as("mx"))
+    val bstat = df.select(id.as("doc_id"), bigramTally(text).as("__bg"))
+      .select(col("doc_id"), col("__bg._1").as("n_bg"), col("__bg._2").as("n_bg_d"))
+      .filter(col("n_bg") > 0)
+    tstat.join(bstat, "doc_id")
+      .select(col("doc_id"),
+        (col("mx").cast("double") / col("n_tok")).as("top_tok_share"),
+        (lit(1.0) - col("n_bg_d").cast("double") / col("n_bg")).as("dup_bigram_frac"))
+  }
+
   /** Canonical-form document fingerprint: lowercase, collapse
     * whitespace, md5. Equal fingerprints = exact near-identical dup
     * (case/spacing-insensitive); the groupBy key for exact dedup at

@@ -321,6 +321,15 @@ object HarnessCore {
         Seq("l_returnflag", "l_linestatus"), $"l_quantity", "sum_qty")
         .orderBy($"l_returnflag", $"l_linestatus")
     }),
+    "agg_grouping_sets" -> ((s, dir) => {
+      import s.implicits._
+      // the two one-key marginals in one pass — the grouping-set shape
+      // rollup/cube can't express
+      Aggregates.groupingSetsSum(t(s, dir, "lineitem"),
+        Seq(Seq("l_returnflag"), Seq("l_linestatus")),
+        Seq("l_returnflag", "l_linestatus"), $"l_quantity", "sum_qty")
+        .orderBy($"l_returnflag", $"l_linestatus")
+    }),
 
     // ---- §2.5 windows ----
     "win_first_last" -> ((s, dir) => {
@@ -709,6 +718,12 @@ object HarnessCore {
         | CASE WHEN GROUPING(l_linestatus) = 1 THEN 'ALL' ELSE l_linestatus END AS l_linestatus,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY 1, 2""".stripMargin,
+    "agg_grouping_sets" ->
+      """SELECT CASE WHEN GROUPING(l_returnflag) = 1 THEN 'ALL' ELSE l_returnflag END AS l_returnflag,
+        | CASE WHEN GROUPING(l_linestatus) = 1 THEN 'ALL' ELSE l_linestatus END AS l_linestatus,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
         |ORDER BY 1, 2""".stripMargin,
     "win_rownum_topk" ->
       """SELECT o_orderpriority, rnk, o_orderkey, o_totalprice FROM (

@@ -101,6 +101,21 @@ object HarnessLLM {
         .orderBy($"id_a", $"id_b")
     }),
 
+    "dedup_cluster" -> ((s, dir) => {
+      import s.implicits._
+      // Connected-components clustering of a near-dup pair list, as an
+      // oracle-checkable key: planted chains base -> base+10000 ->
+      // base+20000 over real doc ids (diameter 2, so min-label
+      // propagation needs the full fixed-point loop, not one hop).
+      // Every member's cluster label is the closed-form minimum (the
+      // base id), which the oracle recomputes directly.
+      val base = t(s, dir, "documents").select($"doc_id").filter($"doc_id" < 30)
+      val hop1 = base.select($"doc_id".as("id_a"), ($"doc_id" + 10000).as("id_b"))
+      val hop2 = base.select(($"doc_id" + 10000).as("id_a"), ($"doc_id" + 20000).as("id_b"))
+      Dedup.clusterPairs(hop1.unionByName(hop2))
+        .orderBy($"id")
+    }),
+
     "pipeline_corpus_prep" -> ((s, dir) => {
       import s.implicits._
       // The composite training-corpus preparation flow: quality filter
@@ -210,6 +225,11 @@ object HarnessLLM {
       import s.implicits._
       Text.wordFrequencies(t(s, dir, "documents"), $"text", k = 20)
     }),
+    "text_repetition" -> ((s, dir) => {
+      import s.implicits._
+      Text.repetitionScore(t(s, dir, "documents"), $"doc_id", $"text")
+        .orderBy($"doc_id")
+    }),
     "text_fingerprint" -> ((s, dir) => {
       import s.implicits._
       Text.fingerprint(t(s, dir, "documents"), $"text", "fp")
@@ -278,6 +298,25 @@ object HarnessLLM {
         |WHERE a.vec_id < b.vec_id
         |  AND list_cosine_similarity(a.embedding, b.embedding) >= 0.9
         |ORDER BY 1, 2""".stripMargin,
+    "dedup_cluster" ->
+      """SELECT doc_id AS id, doc_id AS cluster FROM documents WHERE doc_id < 30
+        |UNION ALL
+        |SELECT doc_id + 10000 AS id, doc_id AS cluster FROM documents WHERE doc_id < 30
+        |UNION ALL
+        |SELECT doc_id + 20000 AS id, doc_id AS cluster FROM documents WHERE doc_id < 30
+        |ORDER BY 1""".stripMargin,
+    "text_repetition" ->
+      """WITH arr AS (
+        | SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS a FROM documents),
+        |idx AS (SELECT doc_id, a, unnest(generate_series(1, len(a)-1)) AS i FROM arr),
+        |bg AS (SELECT doc_id, a[i] || ' ' || a[i+1] AS bg FROM idx),
+        |bstat AS (SELECT doc_id, count(*) AS n_bg, count(DISTINCT bg) AS n_bg_d FROM bg GROUP BY 1),
+        |toks AS (SELECT doc_id, unnest(a) AS w FROM arr),
+        |tf AS (SELECT doc_id, w, count(*) AS c FROM toks GROUP BY 1, 2),
+        |tstat AS (SELECT doc_id, sum(c) AS n_tok, max(c) AS mx FROM tf GROUP BY 1)
+        |SELECT t.doc_id, CAST(t.mx AS DOUBLE) / t.n_tok AS top_tok_share,
+        | 1.0 - CAST(b.n_bg_d AS DOUBLE) / b.n_bg AS dup_bigram_frac
+        |FROM tstat t JOIN bstat b USING (doc_id) ORDER BY 1""".stripMargin,
     "pipeline_corpus_prep" ->
       """WITH corpus AS (
         | SELECT doc_id, text, lang FROM documents

@@ -171,6 +171,21 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(leaked.isEmpty, s"leaked cached RDDs: ${leaked.keys}")
   }
 
+  test("repetitionScore: repeated text scores high, distinct text zero, <2-token docs excluded") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spam spam spam spam"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "one")).toDF("doc_id", "text")
+    val r = Text.repetitionScore(docs, $"doc_id", $"text")
+      .collect().map(x => x.getLong(0) -> (x.getDouble(1), x.getDouble(2))).toMap
+    assert(r(1L)._1 == 1.0)             // all 4 tokens are the top token
+    assert(r(1L)._2 == 1.0 - 1.0 / 3.0) // 3 bigrams, 1 distinct
+    assert(r(2L)._1 == 1.0 / 6.0)
+    assert(r(2L)._2 == 0.0)
+    assert(!r.contains(3L))             // no bigrams -> excluded
+  }
+
   test("approx_count_distinct within rsd bound on real data") {
     val li = spark.read.parquet(sf("lineitem"))
     import spark.implicits._

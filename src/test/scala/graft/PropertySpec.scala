@@ -196,6 +196,19 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
     assert(rolled(null) == 2.0, s"genuine NULL group must not merge into ALL: $rolled")
   }
 
+  test("groupingSets equals the union of its per-set groupBy aggregates") {
+    import spark.implicits._
+    val df = Seq(("a", "x", 1.0), ("a", "y", 2.0), ("b", "x", 4.0))
+      .toDF("k1", "k2", "v")
+    val gs = Aggregates.groupingSetsSum(df, Seq(Seq("k1"), Seq("k2")),
+      Seq("k1", "k2"), $"v", "s")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    // (k1) marginal rows carry the ALL sentinel in k2, and vice versa
+    assert(gs == Map(
+      ("a", "ALL") -> 3.0, ("b", "ALL") -> 4.0,
+      ("ALL", "x") -> 5.0, ("ALL", "y") -> 2.0))
+  }
+
   test("set ops: union counts add; except+intersect partition the left side") {
     import spark.implicits._
     trials { rnd =>
