@@ -124,6 +124,21 @@ object Text {
         (lit(1.0) - col("n_bg_d").cast("double") / col("n_bg")).as("dup_bigram_frac"))
   }
 
+  /** PII / boilerplate scrub: redact email addresses and URLs with
+    * typed placeholders — the standard pre-training hygiene pass. Two
+    * codegen'd regexp_replace scans per row, zero shuffle; order
+    * matters (emails first, or the URL rule would eat `user@host`
+    * inside mailto-ish strings). The patterns are deliberately simple
+    * (word-boundary email, scheme-prefixed URL) — recall/precision
+    * tuning belongs to the caller, the operator is the scan shape. */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val urlPattern = "https?://[^\\s]+"
+
+  def piiScrub(df: DataFrame, text: Column, out: String): DataFrame =
+    df.withColumn(out,
+      regexp_replace(regexp_replace(text, emailPattern, "<EMAIL>"),
+        urlPattern, "<URL>"))
+
   /** Canonical-form document fingerprint: lowercase, collapse
     * whitespace, md5. Equal fingerprints = exact near-identical dup
     * (case/spacing-insensitive); the groupBy key for exact dedup at

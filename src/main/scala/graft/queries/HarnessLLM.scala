@@ -116,6 +116,26 @@ object HarnessLLM {
         .orderBy($"id")
     }),
 
+    "dedup_semantic_cluster" -> ((s, dir) => {
+      import s.implicits._
+      // End-to-end embedding dedup at the scale tier: banded SRP
+      // near-dup pairs -> connected components -> removal list (the
+      // rows a dedup pass would drop). Planted power-of-two-scaled
+      // copies (+100000 for the first 20 vectors, +200000 for the
+      // first 10) have cosine 1 with their base and scale-invariant
+      // sign signatures, so recall is 1 by construction and the
+      // cluster memberships are closed-form: removals are exactly the
+      // copies, labeled with the base id.
+      val emb = t(s, dir, "embeddings").select($"vec_id", $"embedding")
+      def planted(n: Int, offset: Int, scale: Float) =
+        emb.filter($"vec_id" < n).select(($"vec_id" + offset).as("vec_id"),
+          transform($"embedding", x => (x * lit(scale)).cast("float")).as("embedding"))
+      val corpus = emb.unionByName(planted(20, 100000, 0.5f))
+        .unionByName(planted(10, 200000, 0.25f))
+      val pairs = Vectors.srpNearDups(corpus, "vec_id", "embedding", simThreshold = 0.9)
+      Dedup.clusterRemovals(pairs).orderBy($"id")
+    }),
+
     "pipeline_corpus_prep" -> ((s, dir) => {
       import s.implicits._
       // The composite training-corpus preparation flow: quality filter
@@ -230,6 +250,19 @@ object HarnessLLM {
       Text.repetitionScore(t(s, dir, "documents"), $"doc_id", $"text")
         .orderBy($"doc_id")
     }),
+    "text_pii_scrub" -> ((s, dir) => {
+      import s.implicits._
+      // the synthetic corpus carries no PII, so an email+URL tail is
+      // planted on the first 50 docs to make the redaction observable
+      val docs = t(s, dir, "documents")
+        .withColumn("text2", when($"doc_id" < 50,
+          concat($"text",
+            lit(" contact bob@example.com via https://example.com/a?b=1 now")))
+          .otherwise($"text"))
+      Text.piiScrub(docs, $"text2", "clean")
+        .select($"doc_id", $"clean")
+        .orderBy($"doc_id")
+    }),
     "text_fingerprint" -> ((s, dir) => {
       import s.implicits._
       Text.fingerprint(t(s, dir, "documents"), $"text", "fp")
@@ -298,6 +331,20 @@ object HarnessLLM {
         |WHERE a.vec_id < b.vec_id
         |  AND list_cosine_similarity(a.embedding, b.embedding) >= 0.9
         |ORDER BY 1, 2""".stripMargin,
+    "dedup_semantic_cluster" ->
+      """SELECT vec_id + 100000 AS id, vec_id AS cluster FROM embeddings WHERE vec_id < 20
+        |UNION ALL
+        |SELECT vec_id + 200000 AS id, vec_id AS cluster FROM embeddings WHERE vec_id < 10
+        |ORDER BY 1""".stripMargin,
+    "text_pii_scrub" ->
+      """SELECT doc_id,
+        | regexp_replace(regexp_replace(
+        |   CASE WHEN doc_id < 50
+        |        THEN text || ' contact bob@example.com via https://example.com/a?b=1 now'
+        |        ELSE text END,
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |   'https?://[^\s]+', '<URL>', 'g') AS clean
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "dedup_cluster" ->
       """SELECT doc_id AS id, doc_id AS cluster FROM documents WHERE doc_id < 30
         |UNION ALL

@@ -103,6 +103,30 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("annTopK plans equi-joins only — no cartesian or nested-loop candidate generation") {
+    import spark.implicits._
+    val emb = spark.read.parquet(sf("embeddings"))
+    val df = graft.ops.Vectors.annTopK(emb, emb.filter($"vec_id" < 5),
+      "vec_id", "embedding", k = 10)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("attributionJoin (batch) plans as an equi-join on user_id, range as post-filter") {
+    import spark.implicits._
+    val ev = graft.queries.HarnessCore.events(spark, "/root/testdata/sf0.001")
+    val df = graft.streaming.Streams.attributionJoin(
+      ev.filter($"event_type" === "view"),
+      ev.filter($"event_type" === "purchase"))
+    val p = plan(df)
+    // the user_id equality must drive the join (hash/merge), never a
+    // nested loop over the time-range predicate
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("HashJoin"), p)
+  }
+
   test("whole-stage codegen covers the scan-filter-project hot path") {
     import spark.implicits._
     val df = spark.read.parquet(sf("lineitem"))
