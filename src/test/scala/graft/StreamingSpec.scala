@@ -197,6 +197,38 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(perKey == perSub)
   }
 
+  test("foreachBatch parquet sink: complete-mode refresh overwrites the file snapshot") {
+    import spark.implicits._
+    import org.apache.spark.sql.DataFrame
+    // The reference's refresh loop is a full recompute + replace
+    // (visualization.py:226-233); the streaming-native equivalent is
+    // complete-mode foreachBatch overwriting a parquet snapshot — the
+    // production file-sink shape, checkpointed for exactly-once.
+    val out = "/tmp/graft_stream_sink_test"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+    val events1 = Seq(e(1, "2024-01-01 10:05:00"), e(2, "2024-01-01 10:35:00"))
+    val events2 = Seq(e(3, "2024-01-01 11:05:00", typ = "view"))
+    val ms = MemoryStream[Event](spark)
+    val q = Streams.tumblingCounts(ms.toDF())
+      .writeStream
+      .outputMode("complete")
+      .option("checkpointLocation", s"$out/_chk")
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        df.write.mode("overwrite").parquet(s"$out/data")
+      }
+      .start()
+    ms.addData(events1: _*)
+    q.processAllAvailable()
+    ms.addData(events2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val snap = spark.read.parquet(s"$out/data")
+      .orderBy("window_start", "event_type").collect()
+    val batch = Streams.tumblingCounts((events1 ++ events2).toDF())
+      .orderBy("window_start", "event_type").collect()
+    assert(snap.toSeq == batch.toSeq)
+  }
+
   test("session windows split on gap > 30 minutes (batch and stream agree)") {
     import spark.implicits._
     val events = Seq(
