@@ -1,8 +1,7 @@
 package graft.ops
 
-import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
-import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -267,43 +266,108 @@ object Vectors {
     * routing relation, broadcast at search time. */
   final case class IvfIndexData(cells: DataFrame, centroids: DataFrame)
 
-  /** Build an IVF index ONCE per corpus: fit the k-means coarse
-    * quantizer (optionally on a seeded sample — at 100 TB the fit must
-    * not scan the full table; cell QUALITY needs only a representative
-    * sample, cell ASSIGNMENT is the cheap single transform pass) and
-    * assign every vector its cell. The cells relation is eagerly
-    * materialized (`localCheckpoint`) — the in-session analog of
-    * persisting the cell column with the table — so searches over the
-    * returned index never re-run the fit or the normalization scan. */
+  /** Plain Lloyd k-means over a driver-held sample: seeded init from
+    * shuffled sample points, squared-euclidean assignment, empty cells
+    * keep their centroid. Deterministic. The O(n·k·d·iters) work runs
+    * in tight primitive loops — for the bounded samples a coarse
+    * quantizer needs (≤ ~100k points), milliseconds, with zero Spark
+    * job scheduling. */
+  private def lloydFit(points: Array[Array[Double]], k: Int, iters: Int,
+                       seed: Long): Array[Array[Double]] = {
+    require(points.nonEmpty, "cannot fit a quantizer on an empty sample")
+    val n = points.length
+    val dim = points(0).length
+    val kk = math.min(k, n)
+    val rnd = new scala.util.Random(seed)
+    var centroids = rnd.shuffle(points.indices.toVector).take(kk)
+      .map(points(_).clone).toArray
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(kk)(new Array[Double](dim))
+      val counts = new Array[Long](kk)
+      var i = 0
+      while (i < n) {
+        val p = points(i)
+        var best = 0
+        var bestD = Double.MaxValue
+        var c = 0
+        while (c < kk) {
+          val ce = centroids(c)
+          var d = 0.0
+          var j = 0
+          while (j < dim) { val t = p(j) - ce(j); d += t * t; j += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        val s = sums(best)
+        var j = 0
+        while (j < dim) { s(j) += p(j); j += 1 }
+        counts(best) += 1
+        i += 1
+      }
+      centroids = Array.tabulate(kk) { c =>
+        if (counts(c) == 0) centroids(c)
+        else sums(c).map(_ / counts(c).toDouble)
+      }
+    }
+    centroids
+  }
+
+  /** Build an IVF index ONCE per corpus. The coarse quantizer is fit
+    * DRIVER-SIDE on a bounded seeded sample ([[lloydFit]]) — at 100 TB
+    * the fit must not scan the full table, and cell QUALITY needs only
+    * a representative sample (the faiss design); a distributed k-means
+    * would spend multiple scheduled jobs to compute what a driver loop
+    * over ≤100k points does in milliseconds. Cell ASSIGNMENT is the one
+    * genuinely data-sized step: a single scan-local pass against the
+    * broadcast centroids. The cells relation is eagerly materialized
+    * (`localCheckpoint`) — the in-session analog of persisting a
+    * `__cell` column with the table — so searches never re-run the fit
+    * or the normalization scan. */
   def ivfIndex(corpus: DataFrame, id: String, vec: String, nlist: Int = 16,
-               sampleFraction: Double = 1.0, seed: Long = 42L): IvfIndexData = {
+               sampleFraction: Double = 1.0, seed: Long = 42L,
+               maxSamples: Int = 100000, iters: Int = 10): IvfIndexData = {
     val cn = corpus.select(col(id), normalized(col(vec)).as("__na"))
       .filter(col("__na").isNotNull)
-      .select(col(id), array_to_vector(col("__na")).as("__nv"))
-      .persist()
-    val fitOn =
+    val sampled =
       if (sampleFraction < 1.0) cn.sample(withReplacement = false, sampleFraction, seed)
       else cn
-    val model = new KMeans().setK(nlist).setSeed(seed)
-      .setFeaturesCol("__nv").setPredictionCol("__cell")
-      .fit(fitOn)
-    // eager: materialize the assignment while cn is cached, then
-    // release the cached corpus deterministically (no leaked blocks)
-    val cells = model.transform(cn)
-      .select(col(id).as("cid"), col("__cell"),
-        vector_to_array(col("__nv")).as("__cv"))
+    val sample = sampled.select(col("__na")).limit(maxSamples)
+      .collect().map(_.getSeq[Double](0).toArray)
+    val centroidArr = lloydFit(sample, nlist, iters, seed)
+    // assignment: one pass, broadcast centroids. A JVM function (udf)
+    // rather than a composed per-centroid expression — nlist dot
+    // expressions would bloat the codegen method (the SrpBandKeys
+    // lesson), and this is a once-per-ingest pass, not a query path.
+    val bc = corpus.sparkSession.sparkContext.broadcast(centroidArr)
+    val assign = udf { (v: Seq[Double]) =>
+      val cs = bc.value
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < cs.length) {
+        val ce = cs(c)
+        var d = 0.0
+        var j = 0
+        while (j < ce.length) { val t = v(j) - ce(j); d += t * t; j += 1 }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    }
+    val cells = cn
+      .select(col(id).as("cid"), assign(col("__na")).as("__cell"),
+        col("__na").as("__cv"))
       .localCheckpoint(true)
-    cn.unpersist(blocking = true)
     // centroid relation is nlist rows — broadcast to route each query
     // to its nprobe nearest cells. Routing must use the SAME metric
-    // KMeans assigned cells with (euclidean): centroids are means of
+    // cells were assigned with (euclidean): centroids are means of
     // unit vectors so their norms differ, and raw dot(q,c) would rank
     // cells differently from argmin ||q-c||^2. For unit q,
     // ||q-c||^2 = 1 - 2 dot(q,c) + ||c||^2, so maximize
     // dot(q,c) - ||c||^2 / 2.
     val centroids = corpus.sparkSession.createDataFrame(
-      model.clusterCenters.zipWithIndex.toSeq
-        .map { case (c, i) => (i, c.toArray, c.toArray.map(x => x * x).sum) })
+      centroidArr.zipWithIndex.toSeq
+        .map { case (c, i) => (i, c.toSeq, c.map(x => x * x).sum) })
       .toDF("__cell", "__centroid", "__cn2")
     IvfIndexData(cells, centroids)
   }
