@@ -58,6 +58,18 @@ object Temporal {
     df.withColumn(out, sum(value).over(w))
   }
 
+  /** Trailing `windowDays`-day sum per key — an event-time RANGE frame
+    * over integer day numbers, the batch form of a sliding event-time
+    * window. RANGE (not ROWS) so same-day peers share one frame and the
+    * result is deterministic even when intra-day order is ambiguous.
+    * Decimal-exact sum (see Aggregates float-sum determinism note). */
+  def trailingSumByDays(df: DataFrame, keys: Seq[Column], day: Column,
+                        value: Column, windowDays: Int, out: String): DataFrame = {
+    val w = Window.partitionBy(keys: _*).orderBy(day)
+      .rangeBetween(-(windowDays - 1).toLong, 0L)
+    df.withColumn(out, sum(value.cast("decimal(28,2)")).over(w).cast("double"))
+  }
+
   /** Day-over-day (lag) delta — ExtOp win_lag_delta. */
   def lagDelta(df: DataFrame, out: String, value: Column,
                partition: Seq[Column], order: Seq[Column]): DataFrame = {

@@ -418,6 +418,19 @@ object HarnessCore {
         .orderBy($"p_brand", $"rnk", $"p_partkey")
     }),
 
+    "win_range_frame" -> ((s, dir) => {
+      import s.implicits._
+      // 7-day trailing quantity per supplier: event-time RANGE frame
+      // over integer day numbers (not ROWS — same-day peers share the
+      // frame, so intra-day order ambiguity cannot change the result)
+      val li = t(s, dir, "lineitem")
+        .select($"l_suppkey", $"l_orderkey", $"l_linenumber", $"l_quantity",
+          datediff(to_date($"l_shipdate"), lit("1992-01-01").cast("date")).as("d"))
+      Temporal.trailingSumByDays(li, Seq($"l_suppkey"), $"d", $"l_quantity", 7, "qty_7d")
+        .select($"l_suppkey", $"l_orderkey", $"l_linenumber", $"d", $"qty_7d")
+        .orderBy($"l_suppkey", $"l_orderkey", $"l_linenumber")
+    }),
+
     // ---- §2.6 sorts / limits ----
     "sort_desc" -> ((s, dir) => {
       import s.implicits._
@@ -747,6 +760,14 @@ object HarnessCore {
         | SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n FROM orders GROUP BY 1)
         |SELECT day, n, n - lag(n, 1) OVER (ORDER BY day) AS delta
         |FROM daily ORDER BY day""".stripMargin,
+    "win_range_frame" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        | CAST(datediff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE)) AS INT) AS d,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) OVER (
+        |   PARTITION BY l_suppkey
+        |   ORDER BY datediff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE))
+        |   RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS qty_7d
+        |FROM lineitem ORDER BY 1, 2, 3""".stripMargin,
     "win_rank_dense" ->
       """SELECT p_brand, rnk, p_partkey, p_retailprice FROM (
         | SELECT p_brand, p_partkey, p_retailprice, CAST(dense_rank() OVER (

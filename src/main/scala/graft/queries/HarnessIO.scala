@@ -23,6 +23,16 @@ object HarnessIO {
 
   private val stage = "/tmp/graft_stage"
 
+  /** Per-process Derby db dir (embedded Derby allows ONE booting JVM
+    * per database), removed on JVM exit so repeated harness runs do not
+    * accumulate orphaned databases under /tmp. */
+  private lazy val derbyDir = {
+    val d = s"$stage/derby_${ProcessHandle.current().pid()}"
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d))))
+    d
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // CSV with explicit schema (ref utils.py:18): parquet -> staged CSV
     // -> csvWithSchema -> compare against the parquet original.
@@ -110,10 +120,7 @@ object HarnessIO {
     // so the read is lossless at any sf).
     "src_jdbc_table" -> ((s, dir) => {
       import s.implicits._
-      // per-process db dir: embedded Derby allows ONE booting JVM per
-      // database (XSDB6 otherwise), and a concurrent test-suite or
-      // second harness run is routine
-      val url = Sources.embeddedDerbyUrl(s"$stage/derby_${ProcessHandle.current().pid()}")
+      val url = Sources.embeddedDerbyUrl(derbyDir)
       val cust = t(s, dir, "customer")
         .select($"c_custkey", $"c_name", $"c_nationkey", $"c_acctbal", $"c_mktsegment")
       Sources.overwriteJdbc(cust.limit(1), url, "graft_customer")  // stale write
@@ -121,6 +128,29 @@ object HarnessIO {
       Sources.jdbcTable(s, url, "graft_customer",
         partitionColumn = Some(("c_custkey", 1L, 200000L, 4)))
         .orderBy($"c_custkey")
+    }),
+
+    // binaryFile source — the multimodal ingest shape (a directory of
+    // image/audio blobs at production). Stage one .bin per doc
+    // (driver-side staging, same pattern as src_geojson), ingest via
+    // `format("binaryFile")`, and prove content fidelity against the
+    // parquet original via byte length + md5.
+    "src_binary_files" -> ((s, dir) => {
+      import s.implicits._
+      val out = new java.io.File(s"$stage/bin")
+      org.apache.commons.io.FileUtils.deleteQuietly(out)
+      out.mkdirs()
+      t(s, dir, "documents").filter($"doc_id" < 100)
+        .select($"doc_id", $"text").collect().foreach { r =>
+          Files.write(Paths.get(f"$stage/bin/doc_${r.getLong(0)}%05d.bin"),
+            r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
+      s.read.format("binaryFile").load(s"$stage/bin/*.bin")
+        .select(
+          regexp_extract($"path", "doc_(\\d+)\\.bin", 1).cast("long").as("doc_id"),
+          $"length".as("n_bytes"),
+          md5($"content").as("chk"))
+        .orderBy($"doc_id")
     }),
 
     // Catalog existence check (ref visualization.py:64-73).
@@ -134,6 +164,9 @@ object HarnessIO {
   )
 
   val oracles: Map[String, String] = Map(
+    "src_binary_files" ->
+      """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes, md5(text) AS chk
+        |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
     "src_csv_schema" ->
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
         |FROM customer ORDER BY 1""".stripMargin,
