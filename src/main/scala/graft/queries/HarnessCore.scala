@@ -5,7 +5,7 @@ import java.sql.Date
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Aggregates, Relational, Temporal}
+import graft.ops.{Aggregates, Relational, Skew, Temporal}
 
 /** Harness keys for the core relational surface (SURVEY.md §2.2-2.8),
   * each a composition of the graft.ops combinators over the driver's
@@ -320,6 +320,30 @@ object HarnessCore {
       Aggregates.rollupSum(t(s, dir, "lineitem"),
         Seq("l_returnflag", "l_linestatus"), $"l_quantity", "sum_qty")
         .orderBy($"l_returnflag", $"l_linestatus")
+    }),
+    "agg_salted_sum" -> ((s, dir) => {
+      import s.implicits._
+      // Explicit two-stage salted aggregation (the known-extreme-skew
+      // form): stage 1 on (key, salt) spreads a hot flag over 8
+      // reducers, stage 2 merges partials. Partials stay DECIMAL so the
+      // merge is exact — the oracle is the plain one-stage groupBy.
+      Skew.saltedAggregate(t(s, dir, "lineitem"),
+        keys = Seq($"l_returnflag"), fineGrain = Seq($"l_orderkey"),
+        saltBuckets = 8,
+        partials = Seq(sum($"l_quantity".cast("decimal(28,2)")).as("__s"),
+          count(lit(1)).as("__n")),
+        merges = Seq(sum($"__s").cast("double").as("sum_qty"),
+          sum($"__n").as("n_rows")))
+        .orderBy($"l_returnflag")
+    }),
+    "join_salted" -> ((s, dir) => {
+      import s.implicits._
+      // Salted fact x replicated-dim join: must equal the plain join
+      // (the oracle) while splitting each hot nation key 8 ways.
+      Skew.saltedJoin(t(s, dir, "customer"), t(s, dir, "nation"),
+        $"c_nationkey", $"n_nationkey", Seq($"c_custkey"), saltBuckets = 8)
+        .select($"c_custkey", $"n_name")
+        .orderBy($"c_custkey")
     }),
     "agg_grouping_sets" -> ((s, dir) => {
       import s.implicits._
@@ -732,6 +756,15 @@ object HarnessCore {
         | CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY 1, 2""".stripMargin,
+    "agg_salted_sum" ->
+      """SELECT l_returnflag,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty,
+        | count(*) AS n_rows
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "join_salted" ->
+      """SELECT c_custkey, n_name FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |ORDER BY 1""".stripMargin,
     "agg_grouping_sets" ->
       """SELECT CASE WHEN GROUPING(l_returnflag) = 1 THEN 'ALL' ELSE l_returnflag END AS l_returnflag,
         | CASE WHEN GROUPING(l_linestatus) = 1 THEN 'ALL' ELSE l_linestatus END AS l_linestatus,

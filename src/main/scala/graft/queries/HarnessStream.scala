@@ -63,6 +63,21 @@ object HarnessStream {
         .select($"purchase_id", $"view_id", $"user_id")
         .orderBy($"purchase_id", $"view_id")
     }),
+    "stream_join_attrib_outer" -> ((s, dir) => {
+      import s.implicits._
+      // Left-outer form: unattributed purchases survive with a null
+      // view (coalesced to -1 so the row is null-free for the
+      // engine-agnostic sorted compare). In streaming the null row
+      // emits once the watermark closes the purchase's horizon.
+      val e = ev(s, dir)
+      Streams.attributionJoin(
+        e.filter($"event_type" === "view"),
+        e.filter($"event_type" === "purchase"),
+        joinType = "left_outer")
+        .select($"purchase_id", coalesce($"view_id", lit(-1L)).as("view_id"),
+          $"user_id")
+        .orderBy($"purchase_id", $"view_id")
+    }),
     "stream_stateful_dedup" -> ((s, dir) => {
       import s.implicits._
       Streams.dedupFirst(ev(s, dir), Seq("user_id", "event_type"))
@@ -134,6 +149,14 @@ object HarnessStream {
         |FROM events p JOIN events v ON p.user_id = v.user_id
         |WHERE p.event_type = 'purchase' AND v.event_type = 'view'
         |  AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 1 HOUR
+        |ORDER BY 1, 2""".stripMargin,
+    "stream_join_attrib_outer" ->
+      """SELECT p.event_id AS purchase_id,
+        | coalesce(v.event_id, -1) AS view_id, p.user_id
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        |  ON p.user_id = v.user_id
+        | AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 1 HOUR
         |ORDER BY 1, 2""".stripMargin,
     "stream_stateful_dedup" ->
       """SELECT user_id, event_type, CAST(min(ts) AS TIMESTAMP) AS first_ts

@@ -158,17 +158,23 @@ object Streams {
     */
   def attributionJoin(views: DataFrame, purchases: DataFrame,
                       horizon: String = "1 hour",
-                      watermark: String = "10 minutes"): DataFrame = {
+                      watermark: String = "10 minutes",
+                      joinType: String = "inner"): DataFrame = {
     val v = watermarked(views, watermark).select(
       col("event_id").as("view_id"), col("user_id").as("__vu"),
       col("ts").as("view_ts"))
     val p = watermarked(purchases, watermark).select(
       col("event_id").as("purchase_id"), col("user_id"),
       col("ts").as("purchase_ts"))
+    // "left_outer" keeps unattributed purchases (null view): in
+    // streaming, Spark emits the null row once the view-side watermark
+    // passes the purchase's horizon — i.e. when no matching view can
+    // arrive anymore — with the same bounded state as the inner form.
     p.join(v,
       col("user_id") === col("__vu") &&
         col("view_ts") <= col("purchase_ts") &&
-        col("view_ts") >= col("purchase_ts") - expr(s"interval $horizon"))
+        col("view_ts") >= col("purchase_ts") - expr(s"interval $horizon"),
+      joinType)
       .select(col("purchase_id"), col("view_id"), col("user_id"),
         col("purchase_ts"), col("view_ts"))
   }
