@@ -100,22 +100,22 @@ object Text {
     * bigrams and are excluded (matching SQL semantics, where the
     * bigram relation is empty for them). */
   def repetitionScore(df: DataFrame, id: Column, text: Column): DataFrame = {
-    val bigramTally = udf { (s: String) =>
-      if (s == null) (0, 0)
+    // the tally consumes the SAME Catalyst token array the token
+    // metrics use (wsTokens over lowered text) — a second JVM-side
+    // tokenization (String.trim/split) has subtly different whitespace
+    // semantics and would let the two metrics disagree on edge docs
+    val bigramTally = udf { (t: Seq[String]) =>
+      if (t == null || t.length < 2) (0, 0)
       else {
-        val t = s.toLowerCase.trim.split("\\s+")
-        if (t.length < 2) (0, 0)
-        else {
-          val grams = t.sliding(2).map(_.mkString(" ")).toArray
-          (grams.length, grams.distinct.length)
-        }
+        val grams = t.sliding(2).map(_.mkString(" ")).toArray
+        (grams.length, grams.distinct.length)
       }
     }
     val toks = df.select(id.as("doc_id"), explode(wsTokens(lower(text))).as("w"))
     val tf = toks.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
     val tstat = tf.groupBy(col("doc_id"))
       .agg(sum(col("c")).as("n_tok"), max(col("c")).as("mx"))
-    val bstat = df.select(id.as("doc_id"), bigramTally(text).as("__bg"))
+    val bstat = df.select(id.as("doc_id"), bigramTally(wsTokens(lower(text))).as("__bg"))
       .select(col("doc_id"), col("__bg._1").as("n_bg"), col("__bg._2").as("n_bg_d"))
       .filter(col("n_bg") > 0)
     tstat.join(bstat, "doc_id")

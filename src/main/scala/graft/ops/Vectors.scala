@@ -326,13 +326,27 @@ object Vectors {
   def ivfIndex(corpus: DataFrame, id: String, vec: String, nlist: Int = 16,
                sampleFraction: Double = 1.0, seed: Long = 42L,
                maxSamples: Int = 100000, iters: Int = 10): IvfIndexData = {
-    val cn = corpus.select(col(id), normalized(col(vec)).as("__na"))
-      .filter(col("__na").isNotNull)
+    // zero vectors normalize to an array of NULL ELEMENTS (non-null
+    // array — `__na IS NOT NULL` alone would pass them into the driver
+    // unboxing / assignment loops as NPEs); gate on the norm instead,
+    // which is null for null, null-element, and zero vectors alike
+    val cn = corpus
+      .filter(nullif(l2norm(col(vec)), lit(0.0)).isNotNull)
+      .select(col(id), normalized(col(vec)).as("__na"))
     val sampled =
       if (sampleFraction < 1.0) cn.sample(withReplacement = false, sampleFraction, seed)
       else cn
     val sample = sampled.select(col("__na")).limit(maxSamples)
       .collect().map(_.getSeq[Double](0).toArray)
+    if (sampleFraction >= 1.0 && sample.length == maxSamples) {
+      // limit() takes a partition-order prefix, not a random sample —
+      // on ordered/clustered layouts a truncated prefix biases the
+      // quantizer. The caller controls randomness via sampleFraction.
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"ivfIndex quantizer sample truncated at maxSamples=$maxSamples " +
+          "in partition order; pass sampleFraction < 1.0 for an unbiased " +
+          "seeded sample on corpora larger than the cap.")
+    }
     val centroidArr = lloydFit(sample, nlist, iters, seed)
     // assignment: one pass, broadcast centroids. A JVM function (udf)
     // rather than a composed per-centroid expression — nlist dot

@@ -32,10 +32,20 @@ object HarnessLLM {
   private val ivfIndexCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Vectors.IvfIndexData]
 
-  def ivfIndexFor(s: SparkSession, dir: String): Vectors.IvfIndexData =
+  /** Evict entries owned by stopped sessions before every cache access:
+    * a stopped session's checkpointed blocks are gone, and retaining
+    * the (session, DataFrame) pair would pin dead sessions in a
+    * long-lived JVM forever. */
+  private def pruneStopped[V](
+      cache: scala.collection.concurrent.TrieMap[(SparkSession, String), V]): Unit =
+    cache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
+
+  def ivfIndexFor(s: SparkSession, dir: String): Vectors.IvfIndexData = {
+    pruneStopped(ivfIndexCache)
     ivfIndexCache.getOrElseUpdate((s, dir),
       Vectors.ivfIndex(t(s, dir, "embeddings"), "vec_id", "embedding", nlist = 16,
         sampleFraction = 0.5))
+  }
 
   /** Featurize-once (shingles + HashingTF) per (session, corpus dir),
     * shared by every minhash-family key — `dedup_minhash` generates LSH
@@ -48,10 +58,12 @@ object HarnessLLM {
   private val docFeatsCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
-  def docFeaturesFor(s: SparkSession, dir: String): DataFrame =
+  def docFeaturesFor(s: SparkSession, dir: String): DataFrame = {
+    pruneStopped(docFeatsCache)
     docFeatsCache.getOrElseUpdate((s, dir),
       Dedup.minhashFeaturize(t(s, dir, "documents"), "doc_id", col("text"))
         .localCheckpoint(true))
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- deduplication ----

@@ -216,7 +216,7 @@ object Streams {
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     df.withColumn("__maxSeen", max(col("ts")).over(w))
       .filter(col("ts") < col("__maxSeen") - expr(s"interval $delay"))
-      .groupBy(col("event_type"))
+      .groupBy(key)
       .agg(count(lit(1)).as("n_late"))
   }
 }

@@ -182,6 +182,22 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("lateCountsPerKey groups by the key it partitions by (not a hardcoded column)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val evs = Seq(
+      e(1, "2024-01-01 10:00:00", uid = 1),
+      e(2, "2024-01-01 11:00:00", uid = 1),
+      e(3, "2024-01-01 10:00:00", uid = 1), // 60 min behind user 1's max -> late
+      e(4, "2024-01-01 10:00:00", uid = 2),
+      e(5, "2024-01-01 10:05:00", uid = 2)) // in order -> on time
+      .toDF()
+    val byUser = Streams.lateCountsPerKey(evs, col("user_id"))
+    assert(byUser.columns.toSeq == Seq("user_id", "n_late"))
+    val got = byUser.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L))
+  }
+
   test("lateCountsPerKey equals global lateCounts on each key's own substream") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

@@ -241,6 +241,30 @@ class VectorsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("ivfIndex survives zero and null vectors in the corpus (norm-gated, no NPE)") {
+    import spark.implicits._
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val good = spark.read.parquet(sf("embeddings"))
+      .filter($"vec_id" < 50).select($"vec_id", $"embedding")
+    val dim = good.select(org.apache.spark.sql.functions.size($"embedding"))
+      .head().getInt(0)
+    val bad = spark.createDataFrame(java.util.Arrays.asList(
+      Row(9000L, Array.fill(dim)(0.0f).toSeq), // zero vector
+      Row(9001L, null)),                       // null vector
+      schema)
+    val idx = Vectors.ivfIndex(good.unionByName(bad), "vec_id", "embedding",
+      nlist = 4)
+    val res = Vectors.ivfSearch(idx, good.filter($"vec_id" < 3), "vec_id",
+      "embedding", k = 5)
+    assert(res.count() > 0)
+    // the degenerate vectors are excluded from the index, never ranked
+    assert(res.filter($"vec_id" >= 9000L).isEmpty)
+  }
+
   test("ivfTopK leaves no cached (non-checkpoint) RDD behind") {
     import spark.implicits._
     val emb = spark.read.parquet(sf("embeddings"))
