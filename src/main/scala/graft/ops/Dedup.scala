@@ -190,17 +190,18 @@ object Dedup {
     while (iter < maxIter && !converged) {
       val nbrMin = edges.join(labels.withColumnRenamed("v", "src"), "src")
         .groupBy(col("dst").as("v")).agg(min(col("label")).as("nl"))
+      // the changed-flag rides along in the SAME pass as the label
+      // update, so the fixed-point check below reads the checkpointed
+      // result instead of re-joining against the previous labels
       val next = labels.join(nbrMin, Seq("v"), "left")
-        .select(col("v"), least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+        .select(col("v"),
+          least(col("label"), coalesce(col("nl"), col("label"))).as("label"),
+          (col("nl").isNotNull && col("nl") < col("label")).as("__changed"))
         .localCheckpoint(true)
-      // fixed point iff no vertex changed label this round; the vertex
-      // set is static and labels are non-null, so an inner join on v
-      // plus an inequality filter sees exactly the changed rows (and
-      // `isEmpty` plans it with a limit-1, not a full count)
-      converged = next.join(labels.withColumnRenamed("label", "__prev"), Seq("v"))
-        .filter(col("label") =!= col("__prev"))
-        .isEmpty
-      labels = next
+      // fixed point iff no vertex changed label this round (`isEmpty`
+      // plans a limit-1 over the checkpointed relation, not a full scan)
+      converged = next.filter(col("__changed")).isEmpty
+      labels = next.drop("__changed")
       iter += 1
     }
     if (!converged && maxIter > 0) {
