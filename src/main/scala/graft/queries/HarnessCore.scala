@@ -321,6 +321,18 @@ object HarnessCore {
         Seq("l_returnflag", "l_linestatus"), $"l_quantity", "sum_qty")
         .orderBy($"l_returnflag", $"l_linestatus")
     }),
+    "agg_mode_by_key" -> ((s, dir) => {
+      import s.implicits._
+      // deterministic mode: count per (key, value), then argmax with a
+      // pinned (count desc, value asc) tiebreak — Spark's built-in
+      // mode() is tie-arbitrary, so the engine composes the exact form
+      val counts = t(s, dir, "lineitem")
+        .groupBy($"l_returnflag", $"l_quantity").agg(count(lit(1)).as("c"))
+      Temporal.argmaxPerGroup(counts, Seq($"l_returnflag"),
+        Seq($"c".desc, $"l_quantity".asc))
+        .select($"l_returnflag", $"l_quantity".as("mode_qty"))
+        .orderBy($"l_returnflag")
+    }),
     "agg_salted_sum" -> ((s, dir) => {
       import s.implicits._
       // Explicit two-stage salted aggregation (the known-extreme-skew
@@ -442,6 +454,20 @@ object HarnessCore {
         .orderBy($"p_brand", $"rnk", $"p_partkey")
     }),
 
+    "win_pct_rank" -> ((s, dir) => {
+      import s.implicits._
+      // rational-rank windows: percent_rank and cume_dist are exact
+      // integer-ratio divisions, deterministic across engines when the
+      // order is fully tie-broken
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"o_orderpriority")
+        .orderBy($"o_totalprice".asc, $"o_orderkey".asc)
+      t(s, dir, "orders").filter($"o_custkey" < 100)
+        .select($"o_orderpriority", $"o_orderkey", $"o_totalprice")
+        .withColumn("pct_rank", percent_rank().over(w))
+        .withColumn("cume", cume_dist().over(w))
+        .orderBy($"o_orderpriority", $"o_orderkey")
+    }),
     "win_range_frame" -> ((s, dir) => {
       import s.implicits._
       // 7-day trailing quantity per supplier: event-time RANGE frame
@@ -756,6 +782,20 @@ object HarnessCore {
         | CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY 1, 2""".stripMargin,
+    "win_pct_rank" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice,
+        | percent_rank() OVER (PARTITION BY o_orderpriority
+        |   ORDER BY o_totalprice, o_orderkey) AS pct_rank,
+        | cume_dist() OVER (PARTITION BY o_orderpriority
+        |   ORDER BY o_totalprice, o_orderkey) AS cume
+        |FROM orders WHERE o_custkey < 100 ORDER BY 1, 2""".stripMargin,
+    "agg_mode_by_key" ->
+      """SELECT l_returnflag, qty AS mode_qty FROM (
+        | SELECT l_returnflag, qty,
+        |  row_number() OVER (PARTITION BY l_returnflag ORDER BY c DESC, qty) AS rn
+        | FROM (SELECT l_returnflag, l_quantity AS qty, count(*) AS c
+        |       FROM lineitem GROUP BY 1, 2) AS counts) AS ranked
+        |WHERE rn = 1 ORDER BY 1""".stripMargin,
     "agg_salted_sum" ->
       """SELECT l_returnflag,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty,

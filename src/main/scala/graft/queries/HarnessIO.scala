@@ -130,6 +130,23 @@ object HarnessIO {
         .orderBy($"c_custkey")
     }),
 
+    // Partitioned parquet layout: write date-partitioned, read back a
+    // single partition — the layout that turns a date-ranged query on
+    // a 100 TB table into a directory prune (PlanSpec asserts the
+    // PartitionFilters); the oracle recomputes the filter from the
+    // unpartitioned original, so the round-trip is proven lossless.
+    "sink_partitioned" -> ((s, dir) => {
+      import s.implicits._
+      val out = s"$stage/lineitem_by_year"
+      val li = t(s, dir, "lineitem")
+        .select($"l_orderkey", $"l_linenumber", $"l_quantity",
+          year(to_date($"l_shipdate")).as("ship_year"))
+      Sources.overwriteParquetPartitioned(li, out, Seq("ship_year"))
+      s.read.parquet(out).filter($"ship_year" === 1994)
+        .select($"l_orderkey", $"l_linenumber", $"l_quantity")
+        .orderBy($"l_orderkey", $"l_linenumber")
+    }),
+
     // binaryFile source — the multimodal ingest shape (a directory of
     // image/audio blobs at production). Stage one .bin per doc
     // (driver-side staging, same pattern as src_geojson), ingest via
@@ -167,6 +184,10 @@ object HarnessIO {
     "src_binary_files" ->
       """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes, md5(text) AS chk
         |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
+    "sink_partitioned" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE year(CAST(l_shipdate AS DATE)) = 1994
+        |ORDER BY 1, 2""".stripMargin,
     "src_csv_schema" ->
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
         |FROM customer ORDER BY 1""".stripMargin,
