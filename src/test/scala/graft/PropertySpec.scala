@@ -196,6 +196,37 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
     assert(rolled(null) == 2.0, s"genuine NULL group must not merge into ALL: $rolled")
   }
 
+  test("saltedAggregate equals the plain one-stage groupBy for sum and count") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = spark.read.parquet(sf("lineitem"))
+    val salted = graft.ops.Skew.saltedAggregate(df,
+      keys = Seq($"l_returnflag"), fineGrain = Seq($"l_orderkey"), saltBuckets = 7,
+      partials = Seq(sum($"l_quantity".cast("decimal(28,2)")).as("__s"),
+        count(lit(1)).as("__n")),
+      merges = Seq(sum($"__s").cast("double").as("s"), sum($"__n").as("n")))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    val plain = df.groupBy($"l_returnflag")
+      .agg(sum($"l_quantity".cast("decimal(28,2)")).cast("double").as("s"),
+        count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(salted == plain)
+  }
+
+  test("saltedJoin equals the plain equi-join") {
+    import spark.implicits._
+    val c = spark.read.parquet(sf("customer"))
+    val n = spark.read.parquet(sf("nation"))
+    val salted = graft.ops.Skew.saltedJoin(c, n, $"c_nationkey", $"n_nationkey",
+      Seq($"c_custkey"), saltBuckets = 7)
+      .select($"c_custkey", $"n_name")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    val plain = c.join(n, $"c_nationkey" === $"n_nationkey")
+      .select($"c_custkey", $"n_name")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(salted == plain)
+  }
+
   test("groupingSets equals the union of its per-set groupBy aggregates") {
     import spark.implicits._
     val df = Seq(("a", "x", 1.0), ("a", "y", 2.0), ("b", "x", 4.0))

@@ -213,6 +213,37 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(perKey == perSub)
   }
 
+  test("left-outer attribution join emits the unmatched purchase after the watermark closes its horizon") {
+    import spark.implicits._
+    val msV = MemoryStream[Event](spark)
+    val msP = MemoryStream[Event](spark)
+    val q = Streams.attributionJoin(msV.toDF(), msP.toDF(),
+      joinType = "left_outer")
+      .select($"purchase_id", $"view_id")
+      .writeStream.format("memory").queryName("attrib_outer_t")
+      .outputMode("append").start()
+    // purchase with no matching view; the view stream sees an
+    // unrelated user so both sides carry event time
+    msP.addData(e(20, "2024-01-01 10:00:00", uid = 1, typ = "purchase"))
+    msV.addData(e(10, "2024-01-01 09:30:00", uid = 2, typ = "view"))
+    q.processAllAvailable()
+    // the null row must NOT emit yet: a matching view could still arrive
+    assert(spark.table("attrib_outer_t").isEmpty)
+    // sentinels on BOTH streams push the global watermark past the
+    // purchase's match horizon (10:00), allowing state eviction
+    msP.addData(e(21, "2024-01-01 13:00:00", uid = 3, typ = "purchase"))
+    msV.addData(e(11, "2024-01-01 13:00:00", uid = 2, typ = "view"))
+    q.processAllAvailable()
+    // eviction output lands in the batch AFTER the watermark advances
+    msV.addData(e(12, "2024-01-01 13:30:00", uid = 2, typ = "view"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("attrib_outer_t").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+    assert(rows.contains((20L, -1L)),
+      s"unmatched purchase must emit with null view after watermark close: ${rows.toSeq}")
+  }
+
   test("foreachBatch parquet sink: complete-mode refresh overwrites the file snapshot") {
     import spark.implicits._
     import org.apache.spark.sql.DataFrame
