@@ -586,6 +586,28 @@ object HarnessCore {
         .select($"d", date_format($"d", "dd/MM/yyyy").as("d_fmt"))
         .orderBy($"d")
     }),
+    "fn_bitwise" -> ((s, dir) => {
+      import s.implicits._
+      // bit ops are exact integer arithmetic — deterministic across
+      // engines with explicit result widths
+      t(s, dir, "lineitem").select(
+        $"l_orderkey", $"l_linenumber",
+        $"l_orderkey".bitwiseAND(lit(255L)).as("b_and"),
+        $"l_orderkey".bitwiseOR(lit(16L)).as("b_or"),
+        $"l_orderkey".bitwiseXOR($"l_linenumber".cast("long")).as("b_xor"),
+        shiftleft($"l_linenumber", 3).as("b_shl"),
+        shiftright($"l_orderkey", 2).as("b_shr"))
+        .orderBy($"l_orderkey", $"l_linenumber")
+    }),
+    "agg_bool_by_key" -> ((s, dir) => {
+      import s.implicits._
+      // universal/existential aggregates (bool_and / bool_or)
+      t(s, dir, "lineitem").groupBy($"l_returnflag").agg(
+        expr("bool_and(l_quantity > 0)").as("all_pos"),
+        expr("bool_or(l_discount > 0.09)").as("any_deep_discount"),
+        expr("bool_and(l_shipdate IS NOT NULL)").as("all_shipped"))
+        .orderBy($"l_returnflag")
+    }),
     "fn_math" -> ((s, dir) => {
       import s.implicits._
       // Restricted to IEEE-deterministic scalar math (abs/sqrt/floor/
@@ -897,6 +919,20 @@ object HarnessCore {
       """SELECT d, strftime(d, '%d/%m/%Y') AS d_fmt
         |FROM (SELECT DISTINCT CAST(l_shipdate AS DATE) AS d FROM lineitem)
         |ORDER BY 1""".stripMargin,
+    "fn_bitwise" ->
+      """SELECT l_orderkey, l_linenumber,
+        | l_orderkey & 255 AS b_and,
+        | l_orderkey | 16 AS b_or,
+        | xor(l_orderkey, CAST(l_linenumber AS BIGINT)) AS b_xor,
+        | CAST(l_linenumber << 3 AS INT) AS b_shl,
+        | l_orderkey >> 2 AS b_shr
+        |FROM lineitem ORDER BY 1, 2""".stripMargin,
+    "agg_bool_by_key" ->
+      """SELECT l_returnflag,
+        | bool_and(l_quantity > 0) AS all_pos,
+        | bool_or(l_discount > 0.09) AS any_deep_discount,
+        | bool_and(l_shipdate IS NOT NULL) AS all_shipped
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "fn_math" ->
       """SELECT l_orderkey, l_linenumber,
         | abs(l_discount - 0.05) AS d_abs,
