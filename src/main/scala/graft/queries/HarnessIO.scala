@@ -170,6 +170,31 @@ object HarnessIO {
         .orderBy($"doc_id")
     }),
 
+    // Data-quality audit — the constraint-validation step a pipeline
+    // runs before publishing (referential integrity, null rate,
+    // primary-key uniqueness), as one (metric, value) relation. Each
+    // check is an aggregate the optimizer can evaluate independently;
+    // an orphan key is planted so the FK check is observably non-zero.
+    "meta_quality_audit" -> ((s, dir) => {
+      import s.implicits._
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val keys = li.select($"l_orderkey")
+        .unionByName(Seq(-1L).toDF("l_orderkey"))
+      val orphans = keys.join(o.select($"o_orderkey"),
+          keys("l_orderkey") === $"o_orderkey", "leftanti")
+        .agg(count(lit(1)).as("value"))
+        .select(lit("lineitem_orphan_orders").as("metric"), $"value")
+      val nullBal = c.agg(count(when($"c_acctbal".isNull, 1)).as("value"))
+        .select(lit("customer_null_acctbal").as("metric"), $"value")
+      val dupPk = o.groupBy($"o_orderkey").agg(count(lit(1)).as("n"))
+        .filter($"n" > 1)
+        .agg(count(lit(1)).as("value"))
+        .select(lit("orders_dup_pk").as("metric"), $"value")
+      orphans.unionByName(nullBal).unionByName(dupPk).orderBy($"metric")
+    }),
+
     // Catalog existence check (ref visualization.py:64-73).
     "meta_table_exists" -> ((s, dir) => {
       t(s, dir, "region").createOrReplaceTempView("graft_region_view")
@@ -188,6 +213,17 @@ object HarnessIO {
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
         |WHERE year(CAST(l_shipdate AS DATE)) = 1994
         |ORDER BY 1, 2""".stripMargin,
+    "meta_quality_audit" ->
+      """SELECT 'lineitem_orphan_orders' AS metric, count(*) AS value
+        |FROM (SELECT l_orderkey FROM lineitem UNION ALL SELECT -1) l
+        |LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_orderkey IS NULL
+        |UNION ALL
+        |SELECT 'customer_null_acctbal', count(*) FROM customer WHERE c_acctbal IS NULL
+        |UNION ALL
+        |SELECT 'orders_dup_pk', count(*) FROM (
+        | SELECT o_orderkey FROM orders GROUP BY 1 HAVING count(*) > 1) AS d
+        |ORDER BY 1""".stripMargin,
     "src_csv_schema" ->
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
         |FROM customer ORDER BY 1""".stripMargin,

@@ -144,6 +144,60 @@ object Streams {
       .transformWithState(new LastStateProcessor, TimeMode.None(), OutputMode.Update())
   }
 
+  /** A closed session: emitted once a user goes `gap` without activity
+    * (event-time), carrying the fold of everything seen. */
+  case class SessionClose(user_id: Long, n_events: Long, last_ts: Timestamp)
+
+  /** Inactivity-closed sessions via transformWithState EVENT-TIME
+    * TIMERS — the state-machine shape session_window cannot express
+    * (emit-on-close with arbitrary per-key state, e.g. abandoned-cart
+    * alerts). Each input batch re-arms a timer at last-activity + gap;
+    * a firing timer emits and clears only if no newer activity
+    * superseded it (stale timers are recognized by comparing the
+    * expiry against the state's own clock). Timers fire when the
+    * event-time WATERMARK passes them, so state is bounded and output
+    * is deterministic under late data within the watermark. */
+  class InactivityCloseProcessor(gapMs: Long)
+      extends StatefulProcessor[Long, Event, SessionClose] {
+    @transient private var state: org.apache.spark.sql.streaming.ValueState[UserState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[UserState]("inactState",
+        org.apache.spark.sql.Encoders.product[UserState], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+                                 timerValues: TimerValues): Iterator[SessionClose] = {
+      val prev = if (state.exists()) Some(state.get()) else None
+      val next = rows.foldLeft(prev)((acc, e) => Some(fold(acc, e)))
+      next.foreach { st =>
+        state.update(st)
+        getHandle.registerTimer(st.lastTs.getTime + gapMs)
+      }
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[SessionClose] = {
+      if (!state.exists()) Iterator.empty
+      else {
+        val st = state.get()
+        if (expiredTimerInfo.getExpiryTimeInMs >= st.lastTs.getTime + gapMs) {
+          state.clear()
+          Iterator.single(SessionClose(key, st.n, st.lastTs))
+        } else Iterator.empty // superseded by newer activity
+      }
+    }
+  }
+
+  def inactivityClosedSessions(events: Dataset[Event], gapMinutes: Int = 30,
+                               watermark: String = "10 minutes"): Dataset[SessionClose] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .transformWithState(new InactivityCloseProcessor(gapMinutes * 60000L),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
   /** Stream-stream equi+range join with watermarks: attribute each
     * purchase to the views by the same user within `horizon` before it
     * (the streaming enrichment of the reference's refresh loop, and the

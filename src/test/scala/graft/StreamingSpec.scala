@@ -276,6 +276,40 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(snap.toSeq == batch.toSeq)
   }
 
+  test("event-time timers close inactive sessions (transformWithState timer API)") {
+    import spark.implicits._
+    val old = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[Event](spark)
+      val q = Streams.inactivityClosedSessions(ms.toDS(), gapMinutes = 30)
+        .writeStream.format("memory").queryName("inact_t")
+        .outputMode("append").start()
+      // user 7 active at 10:00 and 10:05 -> timer armed at 10:35
+      ms.addData(e(1, "2024-01-01 10:00:00", uid = 7),
+        e(2, "2024-01-01 10:05:00", uid = 7))
+      q.processAllAvailable()
+      assert(spark.table("inact_t").isEmpty) // watermark has not passed 10:35
+      // sentinel advances the watermark to 11:20 (> 10:35) ...
+      ms.addData(e(3, "2024-01-01 11:30:00", uid = 9))
+      q.processAllAvailable()
+      // ... and the close emits while processing the following batch
+      ms.addData(e(4, "2024-01-01 11:40:00", uid = 9))
+      q.processAllAvailable()
+      q.stop()
+      val rows = spark.table("inact_t").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(rows.contains((7L, 2L)),
+        s"user 7's session must close with 2 events after inactivity: ${rows.toSeq}")
+    } finally {
+      old match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("session windows split on gap > 30 minutes (batch and stream agree)") {
     import spark.implicits._
     val events = Seq(
