@@ -171,8 +171,8 @@ object Dedup {
     * a handful). `localCheckpoint` truncates the growing lineage each
     * round, which is what keeps iteration N from replaying rounds
     * 1..N-1; convergence is detected STRUCTURALLY — an iteration that
-    * changes no vertex's label (checked by diffing the new label
-    * relation against the previous one) is a fixed point. The
+    * changes no vertex's label (observed via a changed-flag computed
+    * in the same pass as the label update) is a fixed point. The
     * structural check works for any id type (string doc ids included)
     * and cannot be fooled the way a numeric label checksum can (null
     * on non-numeric ids, ANSI overflow on wide 64-bit id spaces). */

@@ -151,12 +151,18 @@ object Streams {
   /** Inactivity-closed sessions via transformWithState EVENT-TIME
     * TIMERS — the state-machine shape session_window cannot express
     * (emit-on-close with arbitrary per-key state, e.g. abandoned-cart
-    * alerts). Each input batch re-arms a timer at last-activity + gap;
-    * a firing timer emits and clears only if no newer activity
-    * superseded it (stale timers are recognized by comparing the
-    * expiry against the state's own clock). Timers fire when the
-    * event-time WATERMARK passes them, so state is bounded and output
-    * is deterministic under late data within the watermark. */
+    * alerts). Two close paths, both required for correct semantics:
+    *  - INPUT-DRIVEN: a batch's events are processed in event-time
+    *    order, and an event that lands `gap` or more past the state's
+    *    last activity closes the old session inline and starts a new
+    *    one — the watermark (which lags arrivals) must NOT be needed to
+    *    separate sessions a later batch makes obvious;
+    *  - TIMER-DRIVEN: the armed timer (always exactly ONE per key: the
+    *    previous one is deleted on every re-arm) fires when the
+    *    event-time watermark passes last-activity + gap, closing a
+    *    session no further input will touch. The expiry re-check in
+    *    handleExpiredTimer is defense in depth against any timer the
+    *    delete missed. Watermark-bounded timers keep state finite. */
   class InactivityCloseProcessor(gapMs: Long)
       extends StatefulProcessor[Long, Event, SessionClose] {
     @transient private var state: org.apache.spark.sql.streaming.ValueState[UserState] = _
@@ -167,13 +173,26 @@ object Streams {
 
     override def handleInputRows(key: Long, rows: Iterator[Event],
                                  timerValues: TimerValues): Iterator[SessionClose] = {
-      val prev = if (state.exists()) Some(state.get()) else None
-      val next = rows.foldLeft(prev)((acc, e) => Some(fold(acc, e)))
-      next.foreach { st =>
-        state.update(st)
-        getHandle.registerTimer(st.lastTs.getTime + gapMs)
+      val prevArmed =
+        if (state.exists()) Some(state.get().lastTs.getTime + gapMs) else None
+      val closed = scala.collection.mutable.ArrayBuffer.empty[SessionClose]
+      var cur = if (state.exists()) Some(state.get()) else None
+      rows.toArray.sortBy(_.ts.getTime).foreach { ev =>
+        cur match {
+          case Some(st) if ev.ts.getTime >= st.lastTs.getTime + gapMs =>
+            closed += SessionClose(key, st.n, st.lastTs)
+            cur = Some(fold(None, ev))
+          case other =>
+            cur = Some(fold(other, ev))
+        }
       }
-      Iterator.empty
+      cur.foreach { st =>
+        val armed = st.lastTs.getTime + gapMs
+        prevArmed.filter(_ != armed).foreach(getHandle.deleteTimer)
+        state.update(st)
+        getHandle.registerTimer(armed)
+      }
+      closed.iterator
     }
 
     override def handleExpiredTimer(key: Long, timerValues: TimerValues,
@@ -184,7 +203,7 @@ object Streams {
         if (expiredTimerInfo.getExpiryTimeInMs >= st.lastTs.getTime + gapMs) {
           state.clear()
           Iterator.single(SessionClose(key, st.n, st.lastTs))
-        } else Iterator.empty // superseded by newer activity
+        } else Iterator.empty // stale timer the delete missed
       }
     }
   }

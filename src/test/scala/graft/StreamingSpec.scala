@@ -19,6 +19,20 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
   private def e(id: Long, t: String, uid: Long = 1L, typ: String = "click"): Event =
     Event(id, ts(t), uid, typ, 1.0, "{}")
 
+  /** transformWithState needs the RocksDB state store; set it for the
+    * block and restore whatever was configured before. */
+  private def withRocksDBStateStore(body: => Unit): Unit = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally old match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("tumbling counts: stream equals batch on the same data") {
     import spark.implicits._
     val events = Seq(
@@ -127,10 +141,7 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
 
   test("transformWithState (arbitrary-state v2) matches flatMapGroupsWithState") {
     import spark.implicits._
-    val old = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+    withRocksDBStateStore {
       val ms = MemoryStream[Event](spark)
       val q = Streams.lastStatePerUserTWS(ms.toDS())
         .writeStream.format("memory").queryName("tws_t")
@@ -146,11 +157,6 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       // latest state per user: user 7 folded over both batches
       assert(rows.contains((7L, "purchase", 2L)))
       assert(rows.contains((9L, "signup", 1L)))
-    } finally {
-      old match {
-        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
-        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-      }
     }
   }
 
@@ -278,10 +284,7 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
 
   test("event-time timers close inactive sessions (transformWithState timer API)") {
     import spark.implicits._
-    val old = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+    withRocksDBStateStore {
       val ms = MemoryStream[Event](spark)
       val q = Streams.inactivityClosedSessions(ms.toDS(), gapMinutes = 30)
         .writeStream.format("memory").queryName("inact_t")
@@ -291,22 +294,27 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
         e(2, "2024-01-01 10:05:00", uid = 7))
       q.processAllAvailable()
       assert(spark.table("inact_t").isEmpty) // watermark has not passed 10:35
-      // sentinel advances the watermark to 11:20 (> 10:35) ...
-      ms.addData(e(3, "2024-01-01 11:30:00", uid = 9))
+      // user 7 re-activates far past the gap BEFORE any timer fired
+      // (the watermark still lags): the gap-crossing input must close
+      // the first session inline, not merge into it
+      ms.addData(e(3, "2024-01-01 14:00:00", uid = 7))
       q.processAllAvailable()
-      // ... and the close emits while processing the following batch
-      ms.addData(e(4, "2024-01-01 11:40:00", uid = 9))
+      val afterReactivation = spark.table("inact_t").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(afterReactivation.contains((7L, 2L)),
+        s"gap-crossing input must close the first session: ${afterReactivation.toSeq}")
+      // sentinels advance the watermark past 14:30, firing the timer
+      // for the second session; the emission lands next batch
+      ms.addData(e(4, "2024-01-01 15:30:00", uid = 9))
+      q.processAllAvailable()
+      ms.addData(e(5, "2024-01-01 15:40:00", uid = 9))
       q.processAllAvailable()
       q.stop()
       val rows = spark.table("inact_t").collect()
         .map(r => (r.getLong(0), r.getLong(1)))
-      assert(rows.contains((7L, 2L)),
-        s"user 7's session must close with 2 events after inactivity: ${rows.toSeq}")
-    } finally {
-      old match {
-        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
-        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-      }
+      assert(rows.count(_ == (7L, 2L)) == 1)
+      assert(rows.contains((7L, 1L)),
+        s"the re-activation session must close by timer with 1 event: ${rows.toSeq}")
     }
   }
 
