@@ -159,6 +159,21 @@ object Dedup {
                        fractions: Map[String, Double], seed: Long = 42L): DataFrame =
     df.stat.sampleBy(stratumCol, fractions, seed)
 
+  /** Engine-portable stable sampling: keep rows whose md5-derived
+    * bucket (first 8 hex chars of md5(id) as an integer, mod 100)
+    * falls below `pctOf100`. Unlike `sample()`/`rand()`, selection is
+    * a pure function of the id — reproducible across engines, runs,
+    * partitionings, and cluster sizes, which is exactly what a
+    * training-corpus subset needs ("the same stable 20% everywhere").
+    * Scan-local codegen'd expression; composes with any downstream op. */
+  def stableHashSample(df: DataFrame, id: Column, pctOf100: Int): DataFrame = {
+    require(pctOf100 >= 0 && pctOf100 <= 100, "pctOf100 must be in [0, 100]")
+    val bucket = pmod(
+      conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("long"),
+      lit(100L))
+    df.filter(bucket < pctOf100)
+  }
+
   /** Near-dup pairs -> dedup clusters (connected components), the step
     * that makes a pair list actionable: every doc gets the cluster's
     * minimum id as its `cluster` label; keep rows where

@@ -113,6 +113,15 @@ object HarnessLLM {
         .orderBy($"id_a", $"id_b")
     }),
 
+    "sample_stable_hash" -> ((s, dir) => {
+      import s.implicits._
+      // reproducible 20% corpus subset as a pure function of doc_id —
+      // the cross-engine, cross-run stable form of sampling a training
+      // corpus (rand()/sample() give a different subset every layout)
+      Dedup.stableHashSample(t(s, dir, "documents"), $"doc_id", 20)
+        .select($"doc_id")
+        .orderBy($"doc_id")
+    }),
     "dedup_cluster" -> ((s, dir) => {
       import s.implicits._
       // Connected-components clustering of a near-dup pair list, as an
@@ -343,6 +352,10 @@ object HarnessLLM {
         |WHERE a.vec_id < b.vec_id
         |  AND list_cosine_similarity(a.embedding, b.embedding) >= 0.9
         |ORDER BY 1, 2""".stripMargin,
+    "sample_stable_hash" ->
+      """SELECT doc_id FROM documents
+        |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 100 < 20
+        |ORDER BY 1""".stripMargin,
     "dedup_semantic_cluster" ->
       """SELECT vec_id + 100000 AS id, vec_id AS cluster FROM embeddings WHERE vec_id < 20
         |UNION ALL
