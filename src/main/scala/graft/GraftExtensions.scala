@@ -2,9 +2,10 @@ package graft
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{DotProduct, L2Norm}
+import graft.functions.{DotProduct, L2Norm, Shingles}
 
 /** Engine extension point (SURVEY.md §4.2): registers graft's native
   * expressions with the session so they are callable from SQL
@@ -33,6 +34,14 @@ object GraftExtensions {
     (new FunctionIdentifier("graft_l2norm"),
       new ExpressionInfo(classOf[L2Norm].getName, "graft_l2norm"),
       (args: Seq[Expression]) => L2Norm(args(0))),
+    (new FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[Shingles].getName, "graft_shingles"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => Shingles(c, 3)
+        case Seq(c, Literal(n: Int, IntegerType)) => Shingles(c, n)
+        case _ => throw new IllegalArgumentException(
+          "graft_shingles(text[, n]) expects a string column and an optional int literal")
+      }),
   )
 
   /** Imperative registration into an already-running session. */

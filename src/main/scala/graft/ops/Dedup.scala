@@ -30,14 +30,20 @@ object Dedup {
   /** Word-level n-gram shingles (distinct), the unit set for Jaccard
     * similarity.
     *
-    * Implemented as a typed JVM function (`udf`), not the equivalent
-    * higher-order-function expression ([[shinglesExpr]]): Catalyst
-    * HOF lambdas are interpreted per element, and profiling the sf0.1
-    * corpus put the expression form at ~1.4 ms/doc — ~10x the whole
-    * LSH join. The UDF is a plain projection feeding grouped ops, so
-    * nothing pushdown-relevant sits above it. Semantics are pinned
-    * equal to the expression form by a DedupSpec test. */
-  def shingles(text: Column, n: Int = 3): Column = {
+    * Implemented as a native codegen expression
+    * (graft.functions.Shingles): the interpreted HOF pipeline
+    * ([[shinglesExpr]]) measured ~1.4 ms/doc (~10x the whole LSH
+    * join), a JVM `udf` beat that but still paid the Catalyst
+    * converter round-trip per row outside whole-stage codegen; the
+    * native expression calls its shingle kernel directly inside the
+    * generated projection. Semantics pinned equal to both prior forms
+    * by DedupSpec. */
+  def shingles(text: Column, n: Int = 3): Column =
+    graft.functions.TextExprs.shingles(text, n)
+
+  /** The prior `udf` formulation, kept only to pin [[shingles]]'
+    * semantics in DedupSpec. */
+  private[graft] def shinglesUdf(text: Column, n: Int = 3): Column = {
     val f = udf { (s: String) =>
       if (s == null) null
       else {

@@ -63,17 +63,24 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(scored((0L, 1L)) > 0.5 && scored((0L, 1L)) < 1.0)
   }
 
-  test("shingles UDF matches the HOF-expression formulation exactly") {
+  test("native shingles expression matches the udf and HOF formulations exactly") {
     import spark.implicits._
     val docs = spark.read.parquet(sf("documents"))
     val cmp = docs.select(
       Dedup.shingles($"text").as("fast"),
+      Dedup.shinglesUdf($"text").as("udf"),
       Dedup.shinglesExpr($"text").as("ref"))
-    assert(cmp.filter(not($"fast" <=> $"ref")).count() == 0)
-    // and on degenerate inputs: under-n tokens, empty string
-    val edge = Seq("one two", "a", "", "x y z w").toDF("text")
-      .select(Dedup.shingles($"text").as("fast"), Dedup.shinglesExpr($"text").as("ref"))
-    assert(edge.filter(not($"fast" <=> $"ref")).count() == 0)
+    assert(cmp.filter(not($"fast" <=> $"udf") || not($"fast" <=> $"ref")).count() == 0)
+    // and on degenerate inputs: under-n tokens, empty string, null
+    val edge = Seq(Some("one two"), Some("a"), Some(""), Some("x y z w"), None)
+      .toDF("text")
+      .select(Dedup.shingles($"text").as("fast"),
+        Dedup.shinglesUdf($"text").as("udf"),
+        Dedup.shinglesExpr($"text").as("ref"))
+    assert(edge.filter(not($"fast" <=> $"udf")).count() == 0)
+    // HOF returns [] for null input's split-null case only when text is
+    // non-null; compare fast vs ref on the non-null rows
+    assert(edge.filter($"fast".isNotNull && not($"fast" <=> $"ref")).count() == 0)
   }
 
   test("exact dedup keeps one row per fingerprint group") {
