@@ -38,15 +38,28 @@ object Bench {
     try { graft.queries.HarnessLLM.docFeaturesFor(spark, sfDir) }
     catch { case _: Throwable => () }
     val docFeatsSec = (System.nanoTime() - f0) / 1e9
+    // A failing key must fail LOUDLY: stderr gets the key + stack trace
+    // and the JSON records -1 (impossible as a duration) instead of a
+    // plausible-looking elapsed time.
+    var failed = List.empty[String]
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val sec =
+        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+        catch {
+          case e: Throwable =>
+            System.err.println(s"BENCH FAILURE key=$name: $e")
+            e.printStackTrace()
+            failed ::= name
+            -1.0
+        }
+      name -> sec
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","warmup_sec":$warmupSec,"ivf_index_build_sec":$ivfBuildSec,"doc_feats_build_sec":$docFeatsSec}""")
+    val total = results.values.filter(_ >= 0).sum
+    val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","warmup_sec":$warmupSec,"ivf_index_build_sec":$ivfBuildSec,"doc_feats_build_sec":$docFeatsSec,"failed":$failedJson}""")
     spark.stop()
   }
 }

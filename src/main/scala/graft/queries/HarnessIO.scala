@@ -142,7 +142,7 @@ object HarnessIO {
         .select($"l_orderkey", $"l_linenumber", $"l_quantity",
           year(to_date($"l_shipdate")).as("ship_year"))
       Sources.overwriteParquetPartitioned(li, out, Seq("ship_year"))
-      s.read.parquet(out).filter($"ship_year" === 1994)
+      s.read.parquet(out).filter($"ship_year" === 1996)
         .select($"l_orderkey", $"l_linenumber", $"l_quantity")
         .orderBy($"l_orderkey", $"l_linenumber")
     }),
@@ -211,7 +211,7 @@ object HarnessIO {
         |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
     "sink_partitioned" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
-        |WHERE year(CAST(l_shipdate AS DATE)) = 1994
+        |WHERE year(CAST(l_shipdate AS DATE)) = 1996
         |ORDER BY 1, 2""".stripMargin,
     "meta_quality_audit" ->
       """SELECT 'lineitem_orphan_orders' AS metric, count(*) AS value

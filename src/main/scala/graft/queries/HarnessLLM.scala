@@ -18,6 +18,40 @@ object HarnessLLM {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** The ANN benchmark corpus: `embeddings` plus, for each of the 5
+    * query vectors (vec_id < 5), ten half-scaled copies with ids
+    * 100000 + qid*100 + j (j in 0..9). The copies make BOTH
+    * approximate tiers exactly oracle-checkable:
+    *
+    *  - cosine(q, 0.5·q) is the SAME double for every copy — scaling by
+    *    a power of two commutes with IEEE-754 rounding at every step of
+    *    the dot/norm pipeline, so the computed value is bit-identical
+    *    to dot(q,q)/(norm(q)·norm(q)) ≈ 1, strictly above any
+    *    random-pair cosine on this corpus (max ~0.45). Ties among the
+    *    ten copies break on the ascending-id window order, so the exact
+    *    top-10 per query is the closed-form ascending id list.
+    *  - SRP sign signatures are scale-invariant → the copies collide
+    *    with their query in EVERY band (LSH recall 1 by construction).
+    *  - normalized(0.5·q) is bit-identical to normalized(q) (numerator
+    *    and denominator scale by the same power of two), so the copies
+    *    land in exactly the cell the IVF router ranks first for q
+    *    (assignment and routing share the euclidean metric and the
+    *    same lowest-index tie-break).
+    *
+    * The corpus is still 95% random vectors, so the keys exercise the
+    * real bucketing/pruning machinery — the planted rows only pin the
+    * answer. Same construction as dedup_embedding_lsh below. */
+  private def annCorpus(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = t(s, dir, "embeddings").select($"vec_id", $"embedding")
+    val copies = emb.filter($"vec_id" < 5)
+      .select($"vec_id", $"embedding",
+        explode(sequence(lit(0L), lit(9L))).as("__j"))
+      .select((lit(100000L) + $"vec_id" * 100 + $"__j").as("vec_id"),
+        transform($"embedding", x => (x * lit(0.5f)).cast("float")).as("embedding"))
+    emb.unionByName(copies)
+  }
+
   /** Build-once IVF index per (session, corpus dir) — the in-session
     * analog of the `__cell` column persisted with the table at ingest
     * (see [[Vectors.ivfIndex]]). Queries against `sim_ann_ivf` pay only
@@ -42,8 +76,10 @@ object HarnessLLM {
 
   def ivfIndexFor(s: SparkSession, dir: String): Vectors.IvfIndexData = {
     pruneStopped(ivfIndexCache)
+    // indexed over the ANN corpus (embeddings + planted copies) so the
+    // sim_ann_ivf search output is the planted closed form
     ivfIndexCache.getOrElseUpdate((s, dir),
-      Vectors.ivfIndex(t(s, dir, "embeddings"), "vec_id", "embedding", nlist = 16,
+      Vectors.ivfIndex(annCorpus(s, dir), "vec_id", "embedding", nlist = 16,
         sampleFraction = 0.5))
   }
 
@@ -187,16 +223,22 @@ object HarnessLLM {
     }),
     "sim_ann_lsh" -> ((s, dir) => {
       import s.implicits._
+      // Banded-SRP ANN over the planted corpus (see [[annCorpus]]):
+      // the exact top-10 per query is the ten colinear copies in id
+      // order, so the approximate path is hash-checkable end to end;
+      // recall/pruning on unplanted data stays asserted in VectorsSpec.
       val emb = t(s, dir, "embeddings")
-      Vectors.annTopK(emb, emb.filter($"vec_id" < 5), "vec_id", "embedding", k = 10)
+      Vectors.annTopK(annCorpus(s, dir), emb.filter($"vec_id" < 5),
+        "vec_id", "embedding", k = 10)
         .orderBy($"qid", $"rnk")
     }),
     "sim_ann_ivf" -> ((s, dir) => {
       import s.implicits._
-      // IVF coarse-quantized ANN — approximate (rows-only check);
-      // recall vs brute force is asserted in VectorsSpec. Searches the
-      // build-once per-corpus index (quantizer fit amortized away, as
-      // with a persisted __cell column at production scale).
+      // IVF coarse-quantized ANN over the same planted corpus —
+      // searches the build-once per-corpus index (quantizer fit
+      // amortized away, as with a persisted __cell column at
+      // production scale); the router lands every query on its copies'
+      // cell, so the output is the same closed form as sim_ann_lsh.
       val emb = t(s, dir, "embeddings")
       Vectors.ivfSearch(ivfIndexFor(s, dir), emb.filter($"vec_id" < 5),
         "vec_id", "embedding", k = 10)
@@ -405,6 +447,18 @@ object HarnessLLM {
         |SELECT f.doc_id, f.lang, f.n_tok
         |FROM f JOIN k ON f.fp = k.fp AND f.doc_id = k.keep
         |ORDER BY f.doc_id""".stripMargin,
+    // Both ANN tiers return the planted closed form (annCorpus): for
+    // each query, ranks 1..10 are its ten colinear copies in id order.
+    "sim_ann_lsh" ->
+      """SELECT q.vec_id AS qid, CAST(g.j + 1 AS INT) AS rnk,
+        | 100000 + q.vec_id * 100 + g.j AS vec_id
+        |FROM embeddings q, (SELECT unnest(generate_series(0, 9)) AS j) g
+        |WHERE q.vec_id < 5 ORDER BY 1, 2""".stripMargin,
+    "sim_ann_ivf" ->
+      """SELECT q.vec_id AS qid, CAST(g.j + 1 AS INT) AS rnk,
+        | 100000 + q.vec_id * 100 + g.j AS vec_id
+        |FROM embeddings q, (SELECT unnest(generate_series(0, 9)) AS j) g
+        |WHERE q.vec_id < 5 ORDER BY 1, 2""".stripMargin,
     "sim_cosine_topk" ->
       """SELECT qid, rnk, vec_id FROM (
         | SELECT q.vec_id AS qid, c.vec_id AS vec_id,
