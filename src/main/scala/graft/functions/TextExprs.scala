@@ -3,7 +3,8 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftColumnBridge
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -27,6 +28,9 @@ object TextExprs {
 
   def shingles(text: Column, n: Int = 3): Column =
     GraftColumnBridge.column(Shingles(GraftColumnBridge.expression(text), n))
+
+  def bigramTally(tokens: Column): Column =
+    GraftColumnBridge.column(BigramTally(GraftColumnBridge.expression(tokens)))
 }
 
 /** Shared by interpreted eval and generated code — the generated call
@@ -55,6 +59,59 @@ object ShingleKernel {
       new GenericArrayData(out)
     }
   }
+}
+
+/** Bigram tally kernel: total and distinct adjacent-pair counts over a
+  * token array, without ever materializing the gram strings as column
+  * data — only the two ints leave the scan. Static and stateless so the
+  * generated projection can call it directly. */
+object BigramTallyKernel {
+  def tally(toks: ArrayData): InternalRow = {
+    val n = toks.numElements()
+    if (n < 2) new GenericInternalRow(Array[Any](0, 0))
+    else {
+      // distinct over "a b" joined grams, matching the udf pin's
+      // sliding(2).mkString(" ") semantics exactly
+      val seen = new java.util.HashSet[String]()
+      var i = 0
+      while (i + 2 <= n) {
+        seen.add(toks.getUTF8String(i).toString + " " +
+          toks.getUTF8String(i + 1).toString)
+        i += 1
+      }
+      new GenericInternalRow(Array[Any](n - 1, seen.size()))
+    }
+  }
+}
+
+/** Native codegen form of the bigram tally (the one remaining hot-path
+  * udf after Shingles went native): same UnaryExpression shape, same
+  * kernel-call codegen, semantics pinned equal to the udf formulation
+  * in DedupSpec. Null token array (null document) → null, which the
+  * caller's `n_bg > 0` filter drops exactly like the udf's (0, 0). */
+case class BigramTally(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_bg", IntegerType, nullable = false),
+    StructField("n_bg_d", IntegerType, nullable = false)))
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "graft_bigram_tally"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    BigramTallyKernel.tally(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.BigramTallyKernel.tally($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 case class Shingles(child: Expression, n: Int) extends UnaryExpression {

@@ -93,10 +93,11 @@ object Text {
     * Exact integer counts with one IEEE division each, so results are
     * bit-deterministic across engines. The token explode stays
     * scan-local; the only shuffles are the (doc, token) and (doc) hash
-    * aggs. The bigram tally is a typed JVM function for the same
-    * reason [[Dedup.shingles]] is (interpreted HOF lambdas are ~10x
-    * slower on sliding n-grams), and it returns just the two counts —
-    * no gram array ever leaves the scan. Docs with < 2 tokens have no
+    * aggs. The bigram tally is a native codegen expression
+    * (graft.functions.BigramTally, the [[Dedup.shingles]] kernel
+    * pattern) returning just the two counts — no gram array ever
+    * leaves the scan; semantics pinned equal to the udf formulation
+    * ([[bigramTallyUdf]]) in DedupSpec. Docs with < 2 tokens have no
     * bigrams and are excluded (matching SQL semantics, where the
     * bigram relation is empty for them). */
   def repetitionScore(df: DataFrame, id: Column, text: Column): DataFrame = {
@@ -104,24 +105,31 @@ object Text {
     // metrics use (wsTokens over lowered text) — a second JVM-side
     // tokenization (String.trim/split) has subtly different whitespace
     // semantics and would let the two metrics disagree on edge docs
-    val bigramTally = udf { (t: Seq[String]) =>
+    val toks = df.select(id.as("doc_id"), explode(wsTokens(lower(text))).as("w"))
+    val tf = toks.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+    val tstat = tf.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tok"), max(col("c")).as("mx"))
+    val bstat = df.select(id.as("doc_id"),
+        graft.functions.TextExprs.bigramTally(wsTokens(lower(text))).as("__bg"))
+      .select(col("doc_id"), col("__bg.n_bg").as("n_bg"), col("__bg.n_bg_d").as("n_bg_d"))
+      .filter(col("n_bg") > 0)
+    tstat.join(bstat, "doc_id")
+      .select(col("doc_id"),
+        (col("mx").cast("double") / col("n_tok")).as("top_tok_share"),
+        (lit(1.0) - col("n_bg_d").cast("double") / col("n_bg")).as("dup_bigram_frac"))
+  }
+
+  /** The prior `udf` bigram-tally formulation, kept only to pin the
+    * native expression's semantics in DedupSpec. */
+  private[graft] def bigramTallyUdf(tokens: Column): Column = {
+    val f = udf { (t: Seq[String]) =>
       if (t == null || t.length < 2) (0, 0)
       else {
         val grams = t.sliding(2).map(_.mkString(" ")).toArray
         (grams.length, grams.distinct.length)
       }
     }
-    val toks = df.select(id.as("doc_id"), explode(wsTokens(lower(text))).as("w"))
-    val tf = toks.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
-    val tstat = tf.groupBy(col("doc_id"))
-      .agg(sum(col("c")).as("n_tok"), max(col("c")).as("mx"))
-    val bstat = df.select(id.as("doc_id"), bigramTally(wsTokens(lower(text))).as("__bg"))
-      .select(col("doc_id"), col("__bg._1").as("n_bg"), col("__bg._2").as("n_bg_d"))
-      .filter(col("n_bg") > 0)
-    tstat.join(bstat, "doc_id")
-      .select(col("doc_id"),
-        (col("mx").cast("double") / col("n_tok")).as("top_tok_share"),
-        (lit(1.0) - col("n_bg_d").cast("double") / col("n_bg")).as("dup_bigram_frac"))
+    f(tokens)
   }
 
   /** PII / boilerplate scrub: redact email addresses and URLs with

@@ -136,9 +136,16 @@ object HarnessLLM {
       // Candidates AND rescore shingles both come from the shared
       // featurize-once pass — the `__sh` arrays the LSH features were
       // hashed from are exactly the sets the rescore needs.
+      // The candidate net is TIED to the rescore cutoff: the rescore
+      // keeps jaccard >= 0.2, i.e. distance <= 0.8, so candidates at
+      // distance > 0.82 can never survive it — admitting them (the old
+      // 0.9 net) only inflates the rescore join. The 0.02 margin
+      // absorbs the tiny feature-vs-shingle Jaccard jitter from
+      // HashingTF bucket collisions (2^16 features vs ~10^2 shingles
+      // per doc). DedupSpec asserts the candidate-volume gate.
       val feats = docFeaturesFor(s, dir)
       val cands = Dedup.minhashNearDupsOnFeatures(feats, "doc_id",
-        jaccardDistThreshold = 0.9)
+        jaccardDistThreshold = 0.82)
       val sh = feats.select($"doc_id", $"__sh".as("sh"))
       val pairs = cands
         .join(sh.select($"doc_id".as("id_a"), $"sh".as("sh_a")), "id_a")

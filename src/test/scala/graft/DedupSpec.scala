@@ -193,6 +193,53 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(!r.contains(3L))             // no bigrams -> excluded
   }
 
+  test("native bigram tally matches the udf formulation exactly") {
+    import spark.implicits._
+    val docs = spark.read.parquet(sf("documents"))
+    val toks = Text.wsTokens(org.apache.spark.sql.functions.lower($"text"))
+    val cmp = docs.select(
+      graft.functions.TextExprs.bigramTally(toks).as("fast"),
+      Text.bigramTallyUdf(toks).as("udf"))
+    assert(cmp.filter(
+      not($"fast.n_bg" <=> $"udf._1") || not($"fast.n_bg_d" <=> $"udf._2"))
+      .count() == 0)
+    // degenerate inputs: <2 tokens, repeated bigrams, empty-ish strings
+    val edge = Seq("one", "a a a a a", "x y", "", "  ").toDF("text")
+      .select(Text.wsTokens(org.apache.spark.sql.functions.lower($"text")).as("t"))
+      .select(graft.functions.TextExprs.bigramTally($"t").as("fast"),
+        Text.bigramTallyUdf($"t").as("udf"))
+    assert(edge.filter(
+      not($"fast.n_bg" <=> $"udf._1") || not($"fast.n_bg_d" <=> $"udf._2"))
+      .count() == 0)
+  }
+
+  test("ngram-jaccard candidate net tied to the rescore cutoff prunes, loses nothing") {
+    import spark.implicits._
+    // The harness rescore keeps jaccard >= 0.2 (distance <= 0.8); a
+    // candidate net at 0.82 must (a) admit strictly fewer pairs than
+    // the old demo-wide 0.9 net, and (b) surface the SAME surviving
+    // pair set after the exact rescore.
+    val docs = spark.read.parquet(sf("documents"))
+    val feats = Dedup.minhashFeaturize(docs, "doc_id", $"text").persist()
+    def survivors(net: Double): (Long, Set[(Long, Long)]) = {
+      val cands = Dedup.minhashNearDupsOnFeatures(feats, "doc_id", net)
+      val sh = feats.select($"doc_id", $"__sh".as("sh"))
+      val surv = Dedup.jaccardOnPairs(
+        cands.join(sh.select($"doc_id".as("id_a"), $"sh".as("sh_a")), "id_a")
+          .join(sh.select($"doc_id".as("id_b"), $"sh".as("sh_b")), "id_b"),
+        $"sh_a", $"sh_b")
+        .filter($"jaccard" >= 0.2)
+        .select($"id_a", $"id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (cands.count(), surv)
+    }
+    val (nWide, sWide) = survivors(0.9)
+    val (nTight, sTight) = survivors(0.82)
+    feats.unpersist(blocking = true)
+    assert(nTight <= nWide, s"tight net admitted MORE candidates: $nTight > $nWide")
+    assert(sTight == sWide, "tightening the net must not change the rescored pair set")
+  }
+
   test("approx_count_distinct within rsd bound on real data") {
     val li = spark.read.parquet(sf("lineitem"))
     import spark.implicits._
