@@ -55,7 +55,7 @@ object Vectors {
   /** L2-normalize an array column: norm computed ONCE (not per element
     * — a lambda-captured l2norm re-evaluates per component, O(d^2));
     * zero vectors normalize to null and are filtered by callers. */
-  private def normalized(vec: Column): Column = {
+  private[graft] def normalized(vec: Column): Column = {
     val n = nullif(l2norm(vec), lit(0.0))
     transform(vec, x => x.cast("double") / n)
   }
@@ -89,6 +89,17 @@ object Vectors {
     val rnd = new scala.util.Random(seed)
     Array.fill(bands * bits)(Array.fill(dim)(rnd.nextGaussian()))
   }
+
+  /** The banded SRP signature column for a FIXED (dim, bits, bands,
+    * seed) — the ingest-time index column. Freezing the parameters at
+    * bootstrap is what lets a streaming maintenance loop
+    * ([[graft.streaming.VectorIngest]]) compute signatures batch by
+    * batch that are bit-identical to a one-shot batch build over the
+    * same rows. Scan-local codegen; no fit step. */
+  def srpSignatureCol(vec: Column, dim: Int, bits: Int = 12, bands: Int = 8,
+                      seed: Long = 42L): Column =
+    graft.functions.VectorExprs.srpBandKeys(
+      vec, srpPlanes(dim, bits, bands, seed), bits, bands)
 
   /** ANN candidate (qid, cid) pairs from banded SRP signatures: corpus
     * and queries are projected onto the SAME seeded hyperplanes
@@ -263,8 +274,12 @@ object Vectors {
     * quantizer cell id and normalized components — at production scale
     * this is a `__cell` column WRITTEN WITH THE TABLE at ingest, so no
     * query ever pays the quantizer fit. `centroids` is the nlist-row
-    * routing relation, broadcast at search time. */
-  final case class IvfIndexData(cells: DataFrame, centroids: DataFrame)
+    * routing relation, broadcast at search time; `centroidArr` the same
+    * centroids as the raw driver-side array, for streaming maintenance
+    * and drift monitoring (assigning NEW batches needs the frozen
+    * quantizer, not the routing relation). */
+  final case class IvfIndexData(cells: DataFrame, centroids: DataFrame,
+                                centroidArr: Array[Array[Double]])
 
   /** Plain Lloyd k-means over a driver-held sample: seeded init from
     * shuffled sample points, squared-euclidean assignment, empty cells
@@ -312,47 +327,48 @@ object Vectors {
     centroids
   }
 
-  /** Build an IVF index ONCE per corpus. The coarse quantizer is fit
-    * DRIVER-SIDE on a bounded seeded sample ([[lloydFit]]) — at 100 TB
-    * the fit must not scan the full table, and cell QUALITY needs only
-    * a representative sample (the faiss design); a distributed k-means
-    * would spend multiple scheduled jobs to compute what a driver loop
-    * over ≤100k points does in milliseconds. Cell ASSIGNMENT is the one
-    * genuinely data-sized step: a single scan-local pass against the
-    * broadcast centroids. The cells relation is eagerly materialized
-    * (`localCheckpoint`) — the in-session analog of persisting a
-    * `__cell` column with the table — so searches never re-run the fit
-    * or the normalization scan. */
-  def ivfIndex(corpus: DataFrame, id: String, vec: String, nlist: Int = 16,
-               sampleFraction: Double = 1.0, seed: Long = 42L,
-               maxSamples: Int = 100000, iters: Int = 10): IvfIndexData = {
-    // zero vectors normalize to an array of NULL ELEMENTS (non-null
-    // array — `__na IS NOT NULL` alone would pass them into the driver
-    // unboxing / assignment loops as NPEs); gate on the norm instead,
-    // which is null for null, null-element, and zero vectors alike
+  /** Fit the coarse quantizer DRIVER-SIDE on a bounded seeded sample
+    * ([[lloydFit]]) — at 100 TB the fit must not scan the full table,
+    * and cell QUALITY needs only a representative sample (the faiss
+    * design); a distributed k-means would spend multiple scheduled
+    * jobs to compute what a driver loop over ≤100k points does in
+    * milliseconds. Exposed separately from [[ivfIndex]] so a drifted
+    * corpus can REFIT from a fresh sample and re-derive the index via
+    * [[ivfIndexFrom]]. */
+  def fitQuantizer(corpus: DataFrame, vec: String, nlist: Int = 16,
+                   sampleFraction: Double = 1.0, seed: Long = 42L,
+                   maxSamples: Int = 100000, iters: Int = 10): Array[Array[Double]] = {
     val cn = corpus
       .filter(nullif(l2norm(col(vec)), lit(0.0)).isNotNull)
-      .select(col(id), normalized(col(vec)).as("__na"))
+      .select(normalized(col(vec)).as("__na"))
     val sampled =
       if (sampleFraction < 1.0) cn.sample(withReplacement = false, sampleFraction, seed)
       else cn
-    val sample = sampled.select(col("__na")).limit(maxSamples)
+    val sample = sampled.limit(maxSamples)
       .collect().map(_.getSeq[Double](0).toArray)
     if (sampleFraction >= 1.0 && sample.length == maxSamples) {
       // limit() takes a partition-order prefix, not a random sample —
       // on ordered/clustered layouts a truncated prefix biases the
       // quantizer. The caller controls randomness via sampleFraction.
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        s"ivfIndex quantizer sample truncated at maxSamples=$maxSamples " +
+        s"fitQuantizer sample truncated at maxSamples=$maxSamples " +
           "in partition order; pass sampleFraction < 1.0 for an unbiased " +
           "seeded sample on corpora larger than the cap.")
     }
-    val centroidArr = lloydFit(sample, nlist, iters, seed)
-    // assignment: one pass, broadcast centroids. A JVM function (udf)
-    // rather than a composed per-centroid expression — nlist dot
-    // expressions would bloat the codegen method (the SrpBandKeys
-    // lesson), and this is a once-per-ingest pass, not a query path.
-    val bc = corpus.sparkSession.sparkContext.broadcast(centroidArr)
+    lloydFit(sample, nlist, iters, seed)
+  }
+
+  /** Nearest-centroid assignment as a scan-local pass against the
+    * broadcast centroid array, returning (cell id, squared distance).
+    * A JVM function (udf) rather than a composed per-centroid
+    * expression — nlist dot expressions would bloat the codegen method
+    * (the SrpBandKeys lesson), and this is a once-per-ingest pass, not
+    * a query path. Shared by the batch index build and the streaming
+    * maintenance loop so their cells agree by construction; the
+    * distance rides along so drift monitoring costs no second scan. */
+  private[graft] def cellAssigner(df: DataFrame,
+                                  centroidArr: Array[Array[Double]]): Column => Column = {
+    val bc = df.sparkSession.sparkContext.broadcast(centroidArr)
     val assign = udf { (v: Seq[Double]) =>
       val cs = bc.value
       var best = 0
@@ -366,25 +382,87 @@ object Vectors {
         if (d < bestD) { bestD = d; best = c }
         c += 1
       }
-      best
+      (best, bestD)
     }
-    val cells = cn
-      .select(col(id).as("cid"), assign(col("__na")).as("__cell"),
-        col("__na").as("__cv"))
-      .localCheckpoint(true)
-    // centroid relation is nlist rows — broadcast to route each query
-    // to its nprobe nearest cells. Routing must use the SAME metric
-    // cells were assigned with (euclidean): centroids are means of
-    // unit vectors so their norms differ, and raw dot(q,c) would rank
-    // cells differently from argmin ||q-c||^2. For unit q,
-    // ||q-c||^2 = 1 - 2 dot(q,c) + ||c||^2, so maximize
-    // dot(q,c) - ||c||^2 / 2.
-    val centroids = corpus.sparkSession.createDataFrame(
+    v => assign(v)
+  }
+
+  /** The per-row index-column projection: (cid, __cell, __cv, __d2) for
+    * every non-degenerate vector — identical for a static corpus and a
+    * streaming micro-batch, which is what makes stream-maintained cells
+    * provably equal to a batch build.
+    *
+    * Zero vectors normalize to an array of NULL ELEMENTS (non-null
+    * array — `__na IS NOT NULL` alone would pass them into the driver
+    * unboxing / assignment loops as NPEs); gate on the norm instead,
+    * which is null for null, null-element, and zero vectors alike. */
+  private[graft] def cellColumns(df: DataFrame, id: String, vec: String,
+                                 centroidArr: Array[Array[Double]]): DataFrame = {
+    val assign = cellAssigner(df, centroidArr)
+    df.filter(nullif(l2norm(col(vec)), lit(0.0)).isNotNull)
+      .select(col(id).as("cid"), normalized(col(vec)).as("__na"))
+      .withColumn("__a", assign(col("__na")))
+      .select(col("cid"), col("__a._1").as("__cell"), col("__na").as("__cv"),
+        col("__a._2").as("__d2"))
+  }
+
+  /** The nlist-row routing relation for a centroid array — broadcast
+    * at search time to route each query to its nprobe nearest cells.
+    * Routing must use the SAME metric cells were assigned with
+    * (euclidean): centroids are means of unit vectors so their norms
+    * differ, and raw dot(q,c) would rank cells differently from
+    * argmin ||q-c||^2. For unit q, ||q-c||^2 = 1 - 2 dot(q,c) +
+    * ||c||^2, so maximize dot(q,c) - ||c||^2 / 2. */
+  private[graft] def centroidRelation(spark: org.apache.spark.sql.SparkSession,
+                                      centroidArr: Array[Array[Double]]): DataFrame =
+    spark.createDataFrame(
       centroidArr.zipWithIndex.toSeq
         .map { case (c, i) => (i, c.toSeq, c.map(x => x * x).sum) })
       .toDF("__cell", "__centroid", "__cn2")
-    IvfIndexData(cells, centroids)
+
+  /** Derive the full index from a corpus and an ALREADY-FIT quantizer
+    * — the refit path (drift detected → [[fitQuantizer]] on a fresh
+    * sample → re-derive) and the spec's handle for building an index
+    * over one distribution with another's centroids. Cell assignment
+    * is the one genuinely data-sized step: a single scan-local pass.
+    * The cells relation is eagerly materialized (`localCheckpoint`) —
+    * the in-session analog of persisting a `__cell` column with the
+    * table — so searches never re-run the fit or the normalization
+    * scan. */
+  def ivfIndexFrom(corpus: DataFrame, id: String, vec: String,
+                   centroidArr: Array[Array[Double]]): IvfIndexData = {
+    val cells = cellColumns(corpus, id, vec, centroidArr).drop("__d2")
+      .localCheckpoint(true)
+    IvfIndexData(cells, centroidRelation(corpus.sparkSession, centroidArr), centroidArr)
   }
+
+  /** Build an IVF index ONCE per corpus: [[fitQuantizer]] on a bounded
+    * seeded sample, then [[ivfIndexFrom]]. */
+  def ivfIndex(corpus: DataFrame, id: String, vec: String, nlist: Int = 16,
+               sampleFraction: Double = 1.0, seed: Long = 42L,
+               maxSamples: Int = 100000, iters: Int = 10): IvfIndexData =
+    ivfIndexFrom(corpus, id, vec,
+      fitQuantizer(corpus, vec, nlist, sampleFraction, seed, maxSamples, iters))
+
+  /** Mean squared assignment distance of a corpus (or micro-batch)
+    * against a quantizer — the drift statistic: a distribution the
+    * quantizer was fit on scores near its training distortion, a
+    * shifted one scores higher (its mass sits far from every
+    * centroid). One scan-local pass; None for an empty/degenerate
+    * batch. */
+  def quantizerDistortion(df: DataFrame, id: String, vec: String,
+                          centroidArr: Array[Array[Double]]): Option[Double] =
+    cellColumns(df, id, vec, centroidArr)
+      .agg(avg(col("__d2")).as("__md"))
+      .take(1).headOption.flatMap(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+
+  /** Refit trigger: the current (batch) distortion degraded past
+    * `factor` times the fit-time baseline. The factor rides well above
+    * sampling noise (same-distribution batches score within a few
+    * percent of baseline) while any real shift — new embedding model,
+    * new domain — lands far past 2x on normalized vectors. */
+  def shouldRefit(current: Double, baseline: Double, factor: Double = 2.0): Boolean =
+    current > baseline * factor
 
   /** Search a prebuilt IVF index: route each query to its nprobe
     * nearest cells via the broadcast centroid relation, then score only

@@ -41,15 +41,18 @@ object HarnessLLM {
     * The corpus is still 95% random vectors, so the keys exercise the
     * real bucketing/pruning machinery — the planted rows only pin the
     * answer. Same construction as dedup_embedding_lsh below. */
+  private def annCorpusOf(emb: DataFrame): DataFrame = {
+    val copies = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id"), col("embedding"),
+        explode(sequence(lit(0L), lit(9L))).as("__j"))
+      .select((lit(100000L) + col("vec_id") * 100 + col("__j")).as("vec_id"),
+        transform(col("embedding"), x => (x * lit(0.5f)).cast("float")).as("embedding"))
+    emb.unionByName(copies)
+  }
+
   private def annCorpus(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val emb = t(s, dir, "embeddings").select($"vec_id", $"embedding")
-    val copies = emb.filter($"vec_id" < 5)
-      .select($"vec_id", $"embedding",
-        explode(sequence(lit(0L), lit(9L))).as("__j"))
-      .select((lit(100000L) + $"vec_id" * 100 + $"__j").as("vec_id"),
-        transform($"embedding", x => (x * lit(0.5f)).cast("float")).as("embedding"))
-    emb.unionByName(copies)
+    annCorpusOf(t(s, dir, "embeddings").select($"vec_id", $"embedding"))
   }
 
   /** Build-once IVF index per (session, corpus dir) — the in-session
@@ -249,6 +252,37 @@ object HarnessLLM {
       val emb = t(s, dir, "embeddings")
       Vectors.ivfSearch(ivfIndexFor(s, dir), emb.filter($"vec_id" < 5),
         "vec_id", "embedding", k = 10)
+        .orderBy($"qid", $"rnk")
+    }),
+    "stream_vector_ingest" -> ((s, dir) => {
+      import s.implicits._
+      // Streaming vector ingest (SURVEY §9): the ANN corpus arrives as
+      // a file-source STREAM; foreachBatch maintains the SRP-signature
+      // and IVF-cell index columns batch by batch into a parquet store
+      // (quantizer + hyperplanes frozen at the ingest-time bootstrap);
+      // the final stream-maintained store answers the SAME planted
+      // closed-form search as sim_ann_ivf — proving index state stayed
+      // correct through incremental maintenance. Stream==batch
+      // cell/signature equality on arbitrary data is separately pinned
+      // in StreamingSpec.
+      val emb = t(s, dir, "embeddings")
+      val index = ivfIndexFor(s, dir)
+      val boot = graft.streaming.VectorIngest.bootstrapFrom(index,
+        dim = emb.select(size($"embedding")).head().getInt(0))
+      val store = "/tmp/graft_stage/vec_ingest_store"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(store))
+      // the streaming file source takes a DIRECTORY; glob-filter it to
+      // the embeddings table (driver testdata is one file per table)
+      val stream = s.readStream.schema(emb.schema)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(dir)
+      graft.streaming.VectorIngest.maintainIndex(
+        annCorpusOf(stream.select($"vec_id", $"embedding")),
+        "vec_id", "embedding", boot, store)
+        .awaitTermination()
+      Vectors.ivfSearch(
+        graft.streaming.VectorIngest.indexFromStore(s, store, boot),
+        emb.filter($"vec_id" < 5), "vec_id", "embedding", k = 10)
         .orderBy($"qid", $"rnk")
     }),
     "dedup_embedding" -> ((s, dir) => {
@@ -462,6 +496,13 @@ object HarnessLLM {
         |FROM embeddings q, (SELECT unnest(generate_series(0, 9)) AS j) g
         |WHERE q.vec_id < 5 ORDER BY 1, 2""".stripMargin,
     "sim_ann_ivf" ->
+      """SELECT q.vec_id AS qid, CAST(g.j + 1 AS INT) AS rnk,
+        | 100000 + q.vec_id * 100 + g.j AS vec_id
+        |FROM embeddings q, (SELECT unnest(generate_series(0, 9)) AS j) g
+        |WHERE q.vec_id < 5 ORDER BY 1, 2""".stripMargin,
+    // the stream-maintained index must answer exactly what the batch
+    // index answers: the same planted closed form
+    "stream_vector_ingest" ->
       """SELECT q.vec_id AS qid, CAST(g.j + 1 AS INT) AS rnk,
         | 100000 + q.vec_id * 100 + g.j AS vec_id
         |FROM embeddings q, (SELECT unnest(generate_series(0, 9)) AS j) g

@@ -340,4 +340,63 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     val streamed = spark.table("session_t").orderBy("session_start").collect()
     assert(streamed.toSeq == batch.toSeq)
   }
+
+  test("stream-maintained vector index equals the batch build; drift flagged per batch") {
+    import spark.implicits._
+    import graft.ops.Vectors
+    import graft.streaming.VectorIngest
+    val dim = 8
+    def cluster(center: Array[Double], n: Int, base: Long, seed: Int) = {
+      val rnd = new scala.util.Random(500 + seed)
+      (0 until n).map { i =>
+        (base + i, Array.tabulate(dim)(d =>
+          (center(d) + rnd.nextGaussian() * 0.05).toFloat))
+      }
+    }
+    def axis(i: Int) = Array.tabulate(dim)(d => if (d == i) 1.0 else 0.0)
+    def between(i: Int, j: Int) = Array.tabulate(dim)(d =>
+      if (d == i || d == j) math.sqrt(0.5) else 0.0)
+    // bootstrap: quantizer fit on the first two clusters' distribution
+    val b1 = cluster(axis(0), 30, 0L, 1)
+    val b2 = cluster(axis(1), 30, 1000L, 2)
+    val b3 = cluster(between(2, 3), 30, 2000L, 3) // drifted batch
+    val fitDf = (b1 ++ b2).toDF("vec_id", "embedding")
+    val centroids = Vectors.fitQuantizer(fitDf, "embedding", nlist = 2)
+    val baseline = Vectors.quantizerDistortion(fitDf, "vec_id", "embedding", centroids).get
+    val boot = VectorIngest.IndexBootstrap(dim, centroids)
+    val store = "/tmp/graft_test/vec_ingest_spec"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(store))
+    val distortions = scala.collection.mutable.SortedMap.empty[Long, Option[Double]]
+    val ms = MemoryStream[(Long, Array[Float])](spark)
+    val q = VectorIngest.maintainIndex(
+      ms.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding", boot, store,
+      onBatch = (id, d) => distortions.synchronized { distortions(id) = d },
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    ms.addData(b1: _*); q.processAllAvailable()
+    ms.addData(b2: _*); q.processAllAvailable()
+    ms.addData(b3: _*); q.processAllAvailable()
+    q.stop()
+    // the stream-maintained store is EXACTLY the one-shot batch build
+    // over the same rows (same frozen planes + quantizer, same rounding)
+    val streamCols = spark.read.parquet(store)
+    val batchCols = VectorIngest.indexColumns(
+      (b1 ++ b2 ++ b3).toDF("vec_id", "embedding"), "vec_id", "embedding", boot)
+    assert(streamCols.count() == 90)
+    assert(streamCols.exceptAll(batchCols).isEmpty &&
+      batchCols.exceptAll(streamCols).isEmpty,
+      "stream-maintained index columns must be bit-identical to the batch build")
+    // the two in-distribution batches ride under the refit bound; the
+    // shifted one trips it
+    val ds = distortions.values.flatten.toSeq
+    assert(ds.length == 3, s"expected 3 non-empty batches, got $distortions")
+    assert(!Vectors.shouldRefit(ds(0), baseline), s"b1 d=${ds(0)} base=$baseline")
+    assert(!Vectors.shouldRefit(ds(1), baseline), s"b2 d=${ds(1)} base=$baseline")
+    assert(Vectors.shouldRefit(ds(2), baseline), s"b3 d=${ds(2)} base=$baseline")
+    // and the mid-stream store is searchable as a regular IVF index
+    val idx = VectorIngest.indexFromStore(spark, store, boot)
+    val res = Vectors.ivfSearch(idx,
+      Seq((0L, axis(0).map(_.toFloat))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", k = 5, nprobe = 1)
+    assert(res.count() == 5)
+  }
 }

@@ -265,6 +265,59 @@ class VectorsSpec extends AnyFunSuite with SparkTestBase {
     assert(res.filter($"vec_id" >= 9000L).isEmpty)
   }
 
+  test("IVF drift: distortion flags a shifted distribution and refit restores recall") {
+    import spark.implicits._
+    // Quantizer fit on distribution A (clusters at axis directions);
+    // distribution B's clusters sit BETWEEN adjacent A-centroids, so
+    // under the stale quantizer each B cluster splits ~50/50 across two
+    // cells and nprobe=1 misses the half in the other cell. The drift
+    // statistic (mean squared assignment distance) jumps ~30x on B, the
+    // refit trigger fires, and a fresh fit restores recall. All seeded.
+    val dim = 8
+    def cluster(center: Array[Double], n: Int, base: Long, seed: Int) = {
+      val rnd = new scala.util.Random(1000 + seed)
+      (0 until n).map { i =>
+        (base + i, Array.tabulate(dim)(d =>
+          (center(d) + rnd.nextGaussian() * 0.05).toFloat))
+      }
+    }
+    def axis(i: Int) = Array.tabulate(dim)(d => if (d == i) 1.0 else 0.0)
+    def between(i: Int, j: Int) = Array.tabulate(dim)(d =>
+      if (d == i || d == j) math.sqrt(0.5) else 0.0)
+    val corpusA = (0 until 4).flatMap(i => cluster(axis(i), 50, i * 1000L, i))
+      .toDF("vec_id", "embedding")
+    val corpusB = (0 until 4)
+      .flatMap(i => cluster(between(i, (i + 1) % 4), 50, 10000 + i * 1000L, 10 + i))
+      .toDF("vec_id", "embedding")
+    val centroidsA = Vectors.fitQuantizer(corpusA, "embedding", nlist = 4)
+    val baseline = Vectors.quantizerDistortion(corpusA, "vec_id", "embedding", centroidsA).get
+    // a same-distribution batch must NOT trigger a refit
+    val moreA = (0 until 4).flatMap(i => cluster(axis(i), 30, 20000 + i * 1000L, 20 + i))
+      .toDF("vec_id", "embedding")
+    val dA = Vectors.quantizerDistortion(moreA, "vec_id", "embedding", centroidsA).get
+    assert(!Vectors.shouldRefit(dA, baseline), s"dA=$dA baseline=$baseline")
+    // the shifted distribution must
+    val dB = Vectors.quantizerDistortion(corpusB, "vec_id", "embedding", centroidsA).get
+    assert(Vectors.shouldRefit(dB, baseline), s"dB=$dB baseline=$baseline")
+    // recall against brute force, stale vs refit quantizer (nprobe=1 —
+    // the setting where cell quality IS recall)
+    val q = corpusB.filter($"vec_id" % 1000 < 5)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val exact = pairs(Vectors.cosineTopK(corpusB, q, "vec_id", "embedding", 10))
+    val stale = Vectors.ivfIndexFrom(corpusB, "vec_id", "embedding", centroidsA)
+    val rStale = (exact & pairs(
+      Vectors.ivfSearch(stale, q, "vec_id", "embedding", 10, nprobe = 1)))
+      .size.toDouble / exact.size
+    val centroidsB = Vectors.fitQuantizer(corpusB, "embedding", nlist = 4)
+    val refit = Vectors.ivfIndexFrom(corpusB, "vec_id", "embedding", centroidsB)
+    val rRefit = (exact & pairs(
+      Vectors.ivfSearch(refit, q, "vec_id", "embedding", 10, nprobe = 1)))
+      .size.toDouble / exact.size
+    assert(rRefit > rStale, s"refit must improve recall: stale=$rStale refit=$rRefit")
+    assert(rRefit >= 0.9, s"refit recall=$rRefit")
+  }
+
   test("ivfTopK leaves no cached (non-checkpoint) RDD behind") {
     import spark.implicits._
     val emb = spark.read.parquet(sf("embeddings"))
