@@ -180,6 +180,26 @@ object Dedup {
     df.filter(bucket < pctOf100)
   }
 
+  /** Domain mixing, reproducibly: per-stratum stable-hash sampling
+    * rates (percent of 100) — "keep 50% of web, 20% of books" as a
+    * pure function of the id, so the mix is identical across engines,
+    * runs, and layouts (the [[stableHashSample]] guarantee, applied
+    * per stratum). Strata absent from the map are DROPPED (a mixing
+    * spec is a whitelist). Scan-local codegen'd CASE over the bucket;
+    * no shuffle. */
+  def stableStratifiedSample(df: DataFrame, id: Column, stratum: Column,
+                             pctByStratum: Map[String, Int]): DataFrame = {
+    require(pctByStratum.values.forall(p => p >= 0 && p <= 100),
+      "per-stratum pct must be in [0, 100]")
+    val bucket = pmod(
+      conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("long"),
+      lit(100L))
+    val pct = pctByStratum.foldLeft(lit(-1)) { case (acc, (s, p)) =>
+      when(stratum === s, lit(p)).otherwise(acc)
+    }
+    df.filter(bucket < pct)
+  }
+
   /** Near-dup pairs -> dedup clusters (connected components), the step
     * that makes a pair list actionable: every doc gets the cluster's
     * minimum id as its `cluster` label; keep rows where

@@ -147,6 +147,41 @@ object Text {
       regexp_replace(regexp_replace(text, emailPattern, "<EMAIL>"),
         urlPattern, "<URL>"))
 
+  /** Benchmark decontamination: the ids of corpus documents sharing at
+    * least one word n-gram with a (small) benchmark/eval set — the
+    * standard pre-training hygiene pass that keeps test data out of
+    * training corpora. The benchmark's distinct shingle set is tiny
+    * relative to any corpus, so the overlap test is one broadcast hash
+    * join probed by the scan-local corpus shingle explode — no shuffle
+    * of corpus data at any scale; the explode never widens past
+    * (id, gram). Shingle semantics are exactly [[Dedup.shingles]]
+    * (lowercase, \s+ split, n-gram), so the check is engine-portable. */
+  def contaminatedIds(corpus: DataFrame, bench: DataFrame, id: Column,
+                      text: Column, benchText: Column, n: Int = 3): DataFrame = {
+    val corpusGrams = corpus.select(id.as("doc_id"),
+      explode(Dedup.shingles(text, n)).as("__g"))
+    val benchGrams = bench.select(explode(Dedup.shingles(benchText, n)).as("__g"))
+      .distinct()
+    corpusGrams.join(broadcast(benchGrams), "__g")
+      .select(col("doc_id")).distinct()
+  }
+
+  /** Per-group token-budget packing: rank documents within each group
+    * (e.g. language) by a deterministic quality order, keep rows while
+    * the running token total stays within `budget` — the "fill the
+    * training mix to N tokens per language, best docs first" step.
+    * One keyed window (partitioned shuffle + per-partition sort), so
+    * the plan scales with group cardinality; budgets are enforced
+    * per-group, never through a global sort. */
+  def packTokenBudget(df: DataFrame, group: Column, order: Seq[Column],
+                      tok: Column, budget: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(group).orderBy(order: _*)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    df.withColumn("cum_tok", sum(tok).over(w))
+      .filter(col("cum_tok") <= budget)
+  }
+
   /** Canonical-form document fingerprint: lowercase, collapse
     * whitespace, md5. Equal fingerprints = exact near-identical dup
     * (case/spacing-insensitive); the groupBy key for exact dedup at

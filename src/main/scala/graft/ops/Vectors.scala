@@ -248,13 +248,24 @@ object Vectors {
     // composed per-plane form (96 dot exprs) generates a whole-stage
     // method past HotSpot's compile limit and runs as interpreted
     // bytecode (measured ~100x on this path)
-    val keysCol = graft.functions.VectorExprs.srpBandKeys(
-      col(vec), srpPlanes(dim, bits, bands, seed), bits, bands)
+    val withSig = df.select(col(id), col(vec),
+      srpSignatureCol(col(vec), dim, bits, bands, seed).as("__sig"))
+    srpNearDupsOnSigs(withSig, id, "__sig", vec, simThreshold)
+  }
+
+  /** [[srpNearDups]] over PRE-COMPUTED signatures — the form that
+    * consumes an ingest-time `__sig` column (e.g. the one a streaming
+    * maintenance loop keeps appending, [[graft.streaming.VectorIngest]])
+    * instead of re-projecting the corpus. Same candidate generation and
+    * exact rescore; `vec` may be the raw embedding or the stored
+    * normalized copy (cosine is scale-invariant). */
+  def srpNearDupsOnSigs(withSig: DataFrame, id: String, sig: String,
+                        vec: String, simThreshold: Double): DataFrame = {
     // ids ONLY through the band join: carrying the vectors would
     // multiply the shuffle payload by ~bands per side; instead the
     // deduped candidate pair list re-joins the corpus to fetch the two
     // vectors exactly once per pair for the rescore
-    val sigs = df.select(col(id), posexplode(keysCol).as(Seq("__band", "__key")))
+    val sigs = withSig.select(col(id), posexplode(col(sig)).as(Seq("__band", "__key")))
     val a = sigs.select(col("__band"), col("__key"), col(id).as("id_a"))
     val b = sigs.select(col("__band"), col("__key"), col(id).as("id_b"))
     val cands = a.join(b, Seq("__band", "__key"))
@@ -263,8 +274,8 @@ object Vectors {
       // id-keyed dedup before the (more expensive) rescore
       .dropDuplicates("id_a", "id_b")
     cands
-      .join(df.select(col(id).as("id_a"), col(vec).as("__va")), Seq("id_a"))
-      .join(df.select(col(id).as("id_b"), col(vec).as("__vb")), Seq("id_b"))
+      .join(withSig.select(col(id).as("id_a"), col(vec).as("__va")), Seq("id_a"))
+      .join(withSig.select(col(id).as("id_b"), col(vec).as("__vb")), Seq("id_b"))
       .withColumn("cos_sim", cosine(col("__va"), col("__vb")))
       .filter(col("cos_sim") >= simThreshold)
       .select(col("id_a"), col("id_b"), col("cos_sim"))

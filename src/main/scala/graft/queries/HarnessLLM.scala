@@ -316,6 +316,33 @@ object HarnessLLM {
         .orderBy($"id_a", $"id_b")
     }),
 
+    "dedup_embedding_stream" -> ((s, dir) => {
+      import s.implicits._
+      // The OTHER half of the §9 ingest-time-column story: near-dup
+      // pairs computed FROM the stream-maintained SRP signature column
+      // (srpNearDupsOnSigs over the store's __sig/__cv — no
+      // re-projection of the corpus), with the same planted closed
+      // form: per query, the 11 colinear vectors {q, 10 copies} are
+      // pairwise cosine ~1, so the pair set is all C(11,2) pairs per
+      // query and nothing else (max random-pair cosine ~0.45).
+      val emb = t(s, dir, "embeddings")
+      val boot = graft.streaming.VectorIngest.bootstrapFrom(ivfIndexFor(s, dir),
+        dim = emb.select(size($"embedding")).head().getInt(0))
+      val store = "/tmp/graft_stage/vec_sig_store"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(store))
+      val stream = s.readStream.schema(emb.schema)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(dir)
+      graft.streaming.VectorIngest.maintainIndex(
+        annCorpusOf(stream.select($"vec_id", $"embedding")),
+        "vec_id", "embedding", boot, store)
+        .awaitTermination()
+      Vectors.srpNearDupsOnSigs(s.read.parquet(store), "cid", "__sig", "__cv",
+        simThreshold = 0.9)
+        .select($"id_a", $"id_b")
+        .orderBy($"id_a", $"id_b")
+    }),
+
     // ---- text analysis ----
     "text_tokens" -> ((s, dir) => {
       import s.implicits._
@@ -371,6 +398,38 @@ object HarnessLLM {
       import s.implicits._
       Text.fingerprint(t(s, dir, "documents"), $"text", "fp")
         .select($"doc_id", $"fp")
+        .orderBy($"doc_id")
+    }),
+    "text_decontaminate" -> ((s, dir) => {
+      import s.implicits._
+      // Benchmark decontamination: the first 10 docs stand in for an
+      // eval set; every corpus doc sharing a 3-gram with them is
+      // flagged (the bench docs flag themselves, plus any organic
+      // trigram collisions — the oracle recomputes both).
+      val docs = t(s, dir, "documents")
+      Text.contaminatedIds(docs, docs.filter($"doc_id" < 10),
+        $"doc_id", $"text", $"text")
+        .orderBy($"doc_id")
+    }),
+    "pipeline_token_budget" -> ((s, dir) => {
+      import s.implicits._
+      // Fill each language's slice of the training mix to a 2000-token
+      // budget, longest (best-scoring stand-in) docs first — keyed
+      // window, deterministic (n_tok desc, doc_id) order.
+      val scored = Text.qualityScore(t(s, dir, "documents"), $"text")
+      Text.packTokenBudget(scored, $"lang",
+        Seq($"n_tok".desc, $"doc_id".asc), $"n_tok", budget = 2000L)
+        .select($"doc_id", $"lang", $"n_tok", $"cum_tok")
+        .orderBy($"lang", $"cum_tok")
+    }),
+    "pipeline_domain_mix" -> ((s, dir) => {
+      import s.implicits._
+      // Reproducible domain mixing: keep 80% of src0, 50% of src3,
+      // 20% of src7, drop everything else — selection a pure function
+      // of doc_id, so the mix is identical on any engine or layout.
+      Dedup.stableStratifiedSample(t(s, dir, "documents"), $"doc_id", $"source",
+        Map("src0" -> 80, "src3" -> 50, "src7" -> 20))
+        .select($"doc_id", $"source")
         .orderBy($"doc_id")
     }),
 
@@ -556,6 +615,44 @@ object HarnessLLM {
     "text_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_decontaminate" ->
+      """WITH arr AS (
+        | SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS a
+        | FROM documents),
+        |g AS (
+        | SELECT doc_id, a[i] || ' ' || a[i+1] || ' ' || a[i+2] AS g
+        | FROM (SELECT doc_id, a, unnest(generate_series(1, len(a) - 2)) AS i
+        |       FROM arr) AS x),
+        |b AS (SELECT DISTINCT g FROM g WHERE doc_id < 10)
+        |SELECT DISTINCT doc_id FROM g JOIN b USING (g) ORDER BY 1""".stripMargin,
+    "pipeline_token_budget" ->
+      """WITH q AS (
+        | SELECT doc_id, lang,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_tok
+        | FROM documents),
+        |c AS (
+        | SELECT doc_id, lang, n_tok,
+        |  CAST(sum(n_tok) OVER (PARTITION BY lang
+        |    ORDER BY n_tok DESC, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok
+        | FROM q)
+        |SELECT doc_id, lang, n_tok, cum_tok FROM c
+        |WHERE cum_tok <= 2000 ORDER BY lang, cum_tok""".stripMargin,
+    "pipeline_domain_mix" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 100
+        |  < CASE source WHEN 'src0' THEN 80 WHEN 'src3' THEN 50
+        |                WHEN 'src7' THEN 20 ELSE -1 END
+        |ORDER BY 1""".stripMargin,
+    "dedup_embedding_stream" ->
+      """WITH m AS (
+        | SELECT vec_id AS qid, vec_id AS id FROM embeddings WHERE vec_id < 5
+        | UNION ALL
+        | SELECT q.vec_id AS qid, 100000 + q.vec_id * 100 + g.j AS id
+        | FROM embeddings q, (SELECT unnest(generate_series(0, 9)) AS j) g
+        | WHERE q.vec_id < 5)
+        |SELECT a.id AS id_a, b.id AS id_b
+        |FROM m a JOIN m b ON a.qid = b.qid AND a.id < b.id
+        |ORDER BY 1, 2""".stripMargin,
     "multimodal_binary_meta" ->
       """SELECT doc_id,
         | CAST(strlen(text) AS BIGINT) AS n_bytes,

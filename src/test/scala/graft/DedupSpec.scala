@@ -240,6 +240,72 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(sTight == sWide, "tightening the net must not change the rescored pair set")
   }
 
+  test("contaminatedIds flags exactly the docs sharing an n-gram with the benchmark") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon"),      // shares "alpha beta gamma"
+      (2L, "totally unrelated words in this doc"),
+      (3L, "zeta eta theta and then alpha beta gamma"), // shares at the tail
+      (4L, "alpha gamma beta reordered so no trigram match"))
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, "alpha beta gamma iota kappa")).toDF("bid", "btext")
+    val got = Text.contaminatedIds(corpus, bench, $"doc_id", $"text", $"btext")
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 3L))
+  }
+
+  test("packTokenBudget fills each group best-first and stops at the budget") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "en", 500), (2L, "en", 400), (3L, "en", 300), (4L, "en", 200),
+      (5L, "fr", 900), (6L, "fr", 150))
+      .toDF("doc_id", "lang", "n_tok")
+    val got = Text.packTokenBudget(docs, col("lang"),
+      Seq(col("n_tok").desc, col("doc_id").asc), col("n_tok"), budget = 1000L)
+      .select($"doc_id", $"cum_tok").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // en: 500 + 400 = 900 fits, +300 would overflow -> docs 1, 2;
+    // fr: 900 fits, +150 overflows -> doc 5
+    assert(got == Map(1L -> 500L, 2L -> 900L, 5L -> 900L))
+  }
+
+  test("stableStratifiedSample: whitelist semantics, per-stratum rates, determinism") {
+    import spark.implicits._
+    val docs = spark.read.parquet(sf("documents"))
+    val pcts = Map("src0" -> 80, "src3" -> 50, "src7" -> 20)
+    def run() = Dedup.stableStratifiedSample(docs, $"doc_id", $"source", pcts)
+      .select($"doc_id", $"source").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val got = run()
+    assert(got == run(), "stable sampling must be a pure function of the id")
+    assert(got.forall { case (_, s) => pcts.contains(s) }, "unlisted strata dropped")
+    // each stratum's kept set is exactly stableHashSample at its rate
+    for ((s, p) <- pcts) {
+      val expect = Dedup.stableHashSample(docs.filter($"source" === s), $"doc_id", p)
+        .select($"doc_id").collect().map(_.getLong(0)).toSet
+      assert(got.filter(_._2 == s).map(_._1) == expect, s"stratum $s")
+    }
+  }
+
+  test("srpNearDupsOnSigs over a precomputed signature column equals the direct form") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet(sf("embeddings")).select($"vec_id", $"embedding")
+    val dim = emb.select(org.apache.spark.sql.functions.size($"embedding"))
+      .head().getInt(0)
+    val withSig = emb.select(col("vec_id"), col("embedding"),
+      graft.ops.Vectors.srpSignatureCol(col("embedding"), dim).as("__sig"))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val direct = pairs(graft.ops.Vectors
+      .srpNearDups(emb, "vec_id", "embedding", 0.4).select($"id_a", $"id_b"))
+    val onSigs = pairs(graft.ops.Vectors
+      .srpNearDupsOnSigs(withSig, "vec_id", "__sig", "embedding", 0.4)
+      .select($"id_a", $"id_b"))
+    assert(onSigs == direct)
+  }
+
   test("approx_count_distinct within rsd bound on real data") {
     val li = spark.read.parquet(sf("lineitem"))
     import spark.implicits._
