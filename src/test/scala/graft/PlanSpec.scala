@@ -127,6 +127,38 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(p.contains("SortMergeJoin") || p.contains("HashJoin"), p)
   }
 
+  test("contaminatedIds probes a BROADCAST benchmark gram set — corpus never shuffles") {
+    import spark.implicits._
+    val docs = spark.read.parquet(sf("documents"))
+    val df = graft.ops.Text.contaminatedIds(docs, docs.filter($"doc_id" < 10),
+      $"doc_id", $"text", $"text")
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("packTokenBudget is one keyed window shuffle — no global sort") {
+    import spark.implicits._
+    val scored = graft.ops.Text.qualityScore(
+      spark.read.parquet(sf("documents")), $"text")
+    val df = graft.ops.Text.packTokenBudget(scored, $"lang",
+      Seq($"n_tok".desc, $"doc_id".asc), $"n_tok", budget = 2000L)
+    val p = plan(df)
+    // hashpartitioning on the group key, never a rangepartitioning
+    // (global sort) — the shape that scales with group cardinality
+    assert(p.contains("hashpartitioning(lang"), p)
+    assert(!p.contains("rangepartitioning"), p)
+    assert(countExchanges(df) == 1, p)
+  }
+
+  test("stableStratifiedSample is a scan-local filter — zero exchanges") {
+    import spark.implicits._
+    val df = graft.ops.Dedup.stableStratifiedSample(
+      spark.read.parquet(sf("documents")), $"doc_id", $"source",
+      Map("src0" -> 80, "src3" -> 50))
+    assert(countExchanges(df) == 0, plan(df))
+  }
+
   test("whole-stage codegen covers the scan-filter-project hot path") {
     import spark.implicits._
     val df = spark.read.parquet(sf("lineitem"))
