@@ -78,6 +78,15 @@ object HarnessStream {
           $"user_id")
         .orderBy($"purchase_id", $"view_id")
     }),
+    "stream_funnel" -> ((s, dir) => {
+      import s.implicits._
+      // First-touch conversion funnel over the event log: each step
+      // counts users whose first qualifying event strictly follows
+      // their first qualifying event of the previous step.
+      Streams.funnelSteps(ev(s, dir), $"user_id", $"ts", $"event_type",
+        Seq("signup", "view", "click", "purchase"))
+        .orderBy($"step_idx")
+    }),
     "stream_stateful_dedup" -> ((s, dir) => {
       import s.implicits._
       Streams.dedupFirst(ev(s, dir), Seq("user_id", "event_type"))
@@ -158,6 +167,31 @@ object HarnessStream {
         |  ON p.user_id = v.user_id
         | AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 1 HOUR
         |ORDER BY 1, 2""".stripMargin,
+    // Greedy min-chain funnel: step k's time per user is the earliest
+    // qualifying event strictly after the user's step k-1 time.
+    "stream_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id AS u, min(ts) AS t FROM events
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id AS u, min(e.ts) AS t FROM events e
+        |  JOIN s1 ON e.user_id = s1.u
+        |  WHERE e.event_type = 'view' AND e.ts > s1.t GROUP BY 1),
+        |s3 AS (
+        |  SELECT e.user_id AS u, min(e.ts) AS t FROM events e
+        |  JOIN s2 ON e.user_id = s2.u
+        |  WHERE e.event_type = 'click' AND e.ts > s2.t GROUP BY 1),
+        |s4 AS (
+        |  SELECT e.user_id AS u, min(e.ts) AS t FROM events e
+        |  JOIN s3 ON e.user_id = s3.u
+        |  WHERE e.event_type = 'purchase' AND e.ts > s3.t GROUP BY 1)
+        |SELECT * FROM (
+        |  SELECT 1 AS step_idx, 'signup' AS step,
+        |    (SELECT count(*) FROM s1) AS n_users
+        |  UNION ALL SELECT 2, 'view', (SELECT count(*) FROM s2)
+        |  UNION ALL SELECT 3, 'click', (SELECT count(*) FROM s3)
+        |  UNION ALL SELECT 4, 'purchase', (SELECT count(*) FROM s4)
+        |) ORDER BY step_idx""".stripMargin,
     "stream_stateful_dedup" ->
       """SELECT user_id, event_type, CAST(min(ts) AS TIMESTAMP) AS first_ts
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,

@@ -252,6 +252,37 @@ object Streams {
         col("purchase_ts"), col("view_ts"))
   }
 
+  /** First-touch funnel: how many users progress through an ordered
+    * event-type sequence, where each step must STRICTLY follow the
+    * user's first qualifying occurrence of the previous step (the
+    * standard product-analytics funnel definition — greedy min-chain,
+    * deterministic under ties because only strict inequalities and
+    * mins are used). Returns (step_idx, step, n_users).
+    *
+    * Shape: one keyed aggregate per step plus a user_id equi-join back
+    * to the event stream — every exchange hashes on user_id, so the
+    * chain re-uses one partitioning end to end and each step's state
+    * is a single timestamp per surviving user. No windows, no global
+    * sort; step fan-out is len(steps), a constant. */
+  def funnelSteps(events: DataFrame, user: Column, ts: Column, typ: Column,
+                  steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    def countOf(df: DataFrame, idx: Int, name: String) =
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(idx).as("step_idx"), lit(name).as("step"), col("n_users"))
+    var reached = events.filter(typ === steps.head)
+      .groupBy(user.as("u")).agg(min(ts).as("t"))
+    var out = countOf(reached, 1, steps.head)
+    steps.zipWithIndex.drop(1).foreach { case (s, i) =>
+      reached = events.filter(typ === s).select(user.as("u"), ts.as("__ts"))
+        .join(reached, "u")
+        .filter(col("__ts") > col("t"))
+        .groupBy(col("u")).agg(min(col("__ts")).as("t"))
+      out = out.unionByName(countOf(reached, i + 1, s))
+    }
+    out
+  }
+
   /** Late-row accounting relative to a running max-event-time (the
     * batch analog of a watermark: a row is "late" if it arrives — in
     * event_id order — more than `delay` behind the max event time seen

@@ -399,4 +399,24 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       "vec_id", "embedding", k = 5, nprobe = 1)
     assert(res.count() == 5)
   }
+
+  test("funnelSteps: strict first-touch chain on a hand-computed log") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    // u1 converts fully in order; u2 clicked BEFORE its first view, so
+    // it stalls at view (strict ordering, first-touch chain); u3 never
+    // views; u4's purchase ties its click's ts — strict '>' drops it.
+    val ev = Seq(
+      (1L, "view", t(0)), (1L, "click", t(5)), (1L, "purchase", t(9)),
+      (2L, "click", t(1)), (2L, "view", t(2)),
+      (3L, "click", t(3)), (3L, "purchase", t(4)),
+      (4L, "view", t(0)), (4L, "click", t(6)), (4L, "purchase", t(6))
+    ).toDF("user_id", "event_type", "ts")
+    val out = Streams.funnelSteps(ev, col("user_id"), col("ts"),
+      col("event_type"), Seq("view", "click", "purchase"))
+      .orderBy("step_idx")
+      .as[(Int, String, Long)].collect().toSeq
+    assert(out === Seq((1, "view", 3L), (2, "click", 2L), (3, "purchase", 1L)))
+  }
 }
