@@ -71,12 +71,18 @@ object BigramTallyKernel {
     if (n < 2) new GenericInternalRow(Array[Any](0, 0))
     else {
       // distinct over "a b" joined grams, matching the udf pin's
-      // sliding(2).mkString(" ") semantics exactly
+      // sliding(2).mkString(" ") semantics exactly — including null
+      // array elements, which mkString renders as the literal "null"
+      // (the declared input type allows containsNull=true, so the
+      // kernel must not NPE where the udf didn't)
+      def tok(i: Int): String = {
+        val s = toks.getUTF8String(i)
+        if (s == null) "null" else s.toString
+      }
       val seen = new java.util.HashSet[String]()
       var i = 0
       while (i + 2 <= n) {
-        seen.add(toks.getUTF8String(i).toString + " " +
-          toks.getUTF8String(i + 1).toString)
+        seen.add(tok(i) + " " + tok(i + 1))
         i += 1
       }
       new GenericInternalRow(Array[Any](n - 1, seen.size()))

@@ -172,7 +172,11 @@ object Text {
     * training mix to N tokens per language, best docs first" step.
     * One keyed window (partitioned shuffle + per-partition sort), so
     * the plan scales with group cardinality; budgets are enforced
-    * per-group, never through a global sort. */
+    * per-group, never through a global sort.
+    *
+    * `cum_tok` is a RESERVED output column (the per-group running token
+    * total the filter is defined over): an input column of that name is
+    * replaced, like any withColumn target. */
   def packTokenBudget(df: DataFrame, group: Column, order: Seq[Column],
                       tok: Column, budget: Long): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window

@@ -376,10 +376,16 @@ object Vectors {
     * (the SrpBandKeys lesson), and this is a once-per-ingest pass, not
     * a query path. Shared by the batch index build and the streaming
     * maintenance loop so their cells agree by construction; the
-    * distance rides along so drift monitoring costs no second scan. */
-  private[graft] def cellAssigner(df: DataFrame,
+    * distance rides along so drift monitoring costs no second scan.
+    *
+    * The centroid broadcast is created HERE, once per assigner — build
+    * the assigner once and reuse it across calls (the streaming
+    * maintenance loop does exactly this) rather than re-invoking this
+    * per micro-batch, which would pile up one broadcast per batch on a
+    * long-lived stream until the ContextCleaner lazily reclaims them. */
+  private[graft] def cellAssigner(spark: org.apache.spark.sql.SparkSession,
                                   centroidArr: Array[Array[Double]]): Column => Column = {
-    val bc = df.sparkSession.sparkContext.broadcast(centroidArr)
+    val bc = spark.sparkContext.broadcast(centroidArr)
     val assign = udf { (v: Seq[Double]) =>
       val cs = bc.value
       var best = 0
@@ -409,7 +415,7 @@ object Vectors {
     * which is null for null, null-element, and zero vectors alike. */
   private[graft] def cellColumns(df: DataFrame, id: String, vec: String,
                                  centroidArr: Array[Array[Double]]): DataFrame = {
-    val assign = cellAssigner(df, centroidArr)
+    val assign = cellAssigner(df.sparkSession, centroidArr)
     df.filter(nullif(l2norm(col(vec)), lit(0.0)).isNotNull)
       .select(col(id).as("cid"), normalized(col(vec)).as("__na"))
       .withColumn("__a", assign(col("__na")))

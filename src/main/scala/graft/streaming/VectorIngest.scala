@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
@@ -51,11 +51,18 @@ object VectorIngest {
     * scores against, `__d2` the squared assignment distance the drift
     * monitor averages. */
   def indexColumns(df: DataFrame, id: String, vec: String,
-                   b: IndexBootstrap): DataFrame = {
+                   b: IndexBootstrap): DataFrame =
+    indexColumns(df, id, vec, b, Vectors.cellAssigner(df.sparkSession, b.centroids))
+
+  /** The assigner-supplied form: [[maintainIndex]] builds the assigner
+    * (and its centroid broadcast) ONCE at stream start and reuses it
+    * every micro-batch — re-deriving it per batch would leak one
+    * broadcast per batch on a long-lived ProcessingTime stream. */
+  private def indexColumns(df: DataFrame, id: String, vec: String,
+                           b: IndexBootstrap, assign: Column => Column): DataFrame = {
     // ONE projection — signature, normalization, and assignment all
     // scan-local; a join-shaped formulation would put a shuffle in
     // every micro-batch for nothing
-    val assign = Vectors.cellAssigner(df, b.centroids)
     df.filter(nullif(Vectors.l2norm(col(vec)), lit(0.0)).isNotNull)
       .select(col(id).as("cid"),
         Vectors.srpSignatureCol(col(vec), b.dim, b.bits, b.bands, b.seed)
@@ -66,23 +73,38 @@ object VectorIngest {
         col("__na").as("__cv"), col("__a._2").as("__d2"))
   }
 
-  /** Run the maintenance loop over a streaming frame: append index
+  /** Run the maintenance loop over a streaming frame: write index
     * columns for every arriving micro-batch to the parquet store and
     * report the batch's mean assignment distortion to `onBatch` (the
     * drift-detection hook; None for an empty batch). Returns the
     * started query; callers await it. AvailableNow by default so a
     * bounded source drains and stops — pass ProcessingTime for a
-    * long-lived feed. */
+    * long-lived feed.
+    *
+    * Exactly-once store contents: each batch lands in its own
+    * `__batch=<id>` partition via DYNAMIC partition overwrite, so a
+    * micro-batch replayed after a failure REPLACES its own partition
+    * instead of appending duplicate cid rows (a blind append would give
+    * at-least-once store semantics — duplicate top-k ids out of
+    * ivfSearch, duplicate pairs out of srpNearDupsOnSigs). With that,
+    * the final store really is row-identical to a one-shot batch build
+    * on failure-free AND replayed runs (StreamingSpec pins both). */
   def maintainIndex(stream: DataFrame, id: String, vec: String,
                     b: IndexBootstrap, storeDir: String,
                     onBatch: (Long, Option[Double]) => Unit = (_, _) => (),
-                    trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+                    trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    // one assigner (= one centroid broadcast) for the stream's lifetime
+    val assign = Vectors.cellAssigner(stream.sparkSession, b.centroids)
     stream.writeStream
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        val cols = indexColumns(batch.toDF(), id, vec, b)
+        val cols = indexColumns(batch.toDF(), id, vec, b, assign)
           .persist()
         try {
-          cols.write.mode("append").parquet(storeDir)
+          cols.withColumn("__batch", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__batch")
+            .parquet(storeDir)
           val d = cols.agg(avg(col("__d2"))).take(1).headOption
             .flatMap(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
           onBatch(batchId, d)
@@ -91,6 +113,7 @@ object VectorIngest {
       .trigger(trigger)
       .option("checkpointLocation", s"$storeDir/_checkpoint")
       .start()
+  }
 
   /** Read the stream-maintained store back as a searchable IVF index
     * (same shape [[Vectors.ivfSearch]] takes from a batch build). */

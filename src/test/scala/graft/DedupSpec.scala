@@ -211,6 +211,17 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(edge.filter(
       not($"fast.n_bg" <=> $"udf._1") || not($"fast.n_bg_d" <=> $"udf._2"))
       .count() == 0)
+    // null ARRAY ELEMENTS (containsNull=true input, reachable via e.g.
+    // transform+when even though wsTokens never produces them): the udf
+    // renders a null token as the literal "null" via mkString — the
+    // kernel must match, not NPE
+    val nullElems = Seq(Seq("a", null, "a"), Seq(null, null), Seq("x", null))
+      .toDF("t")
+      .select(graft.functions.TextExprs.bigramTally($"t").as("fast"),
+        Text.bigramTallyUdf($"t").as("udf"))
+    assert(nullElems.filter(
+      not($"fast.n_bg" <=> $"udf._1") || not($"fast.n_bg_d" <=> $"udf._2"))
+      .count() == 0)
   }
 
   test("ngram-jaccard candidate net tied to the rescore cutoff prunes, loses nothing") {
@@ -238,6 +249,33 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     feats.unpersist(blocking = true)
     assert(nTight <= nWide, s"tight net admitted MORE candidates: $nTight > $nWide")
     assert(sTight == sWide, "tightening the net must not change the rescored pair set")
+  }
+
+  test("the 0.02 candidate-net margin covers the observed feature-vs-shingle deviation") {
+    import org.apache.spark.sql.functions.{abs, lit, max}
+    import spark.implicits._
+    // The 0.82 net = the 0.8 rescore bound + a 0.02 margin for the gap
+    // between HashingTF-feature Jaccard (what MinHashLSH's distCol
+    // measures, subject to 2^16-bucket collisions) and true shingle
+    // Jaccard (what the rescore keeps). Derive the margin from the data
+    // instead of trusting the constant: over EVERY bucket-surfaced pair
+    // the two distances must agree within it — a corpus that drifts
+    // past the margin fails here, loudly, instead of silently dropping
+    // rescue-survivable pairs at the net.
+    val docs = spark.read.parquet(sf("documents"))
+    val feats = Dedup.minhashFeaturize(docs, "doc_id", $"text").persist()
+    val cands = Dedup.minhashNearDupsOnFeatures(feats, "doc_id",
+      jaccardDistThreshold = 1.0)
+    val sh = feats.select($"doc_id", $"__sh".as("sh"))
+    val dev = Dedup.jaccardOnPairs(
+      cands.join(sh.select($"doc_id".as("id_a"), $"sh".as("sh_a")), "id_a")
+        .join(sh.select($"doc_id".as("id_b"), $"sh".as("sh_b")), "id_b"),
+      $"sh_a", $"sh_b")
+      .select(abs((lit(1.0) - $"jaccard") - $"jaccard_dist").as("dev"))
+      .agg(max($"dev")).head().getDouble(0)
+    feats.unpersist(blocking = true)
+    assert(dev <= 0.02,
+      f"feature-vs-shingle jaccard deviation $dev%.4f exceeds the 0.02 net margin")
   }
 
   test("contaminatedIds flags exactly the docs sharing an n-gram with the benchmark") {
