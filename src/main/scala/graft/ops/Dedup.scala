@@ -76,12 +76,20 @@ object Dedup {
     * driver-side state, streams at any scale. Split out so callers
     * running SEVERAL minhash-family ops over one corpus featurize once
     * (persist/checkpoint the result) instead of once per op — this is
-    * the expensive pass. */
+    * the expensive pass.
+    *
+    * 2^18 features (binary vectors are index lists, so width is free):
+    * hash-bucket collisions make feature Jaccard deviate from true
+    * shingle Jaccard by ~shingles/numFeatures — at 2^16 the corpus
+    * measured 0.037 deviation, enough for a tight candidate net to
+    * silently drop rescore-survivable pairs; at 2^18 it is ~4x
+    * smaller. DedupSpec derives the deviation from data and asserts
+    * the harness net covers it. */
   def minhashFeaturize(df: DataFrame, id: String, text: Column): DataFrame = {
     val withShingles = df.withColumn("__sh", shingles(text))
       .filter(size(col("__sh")) > 0)
     val tf = new HashingTF().setInputCol("__sh").setOutputCol("__features")
-      .setNumFeatures(1 << 16).setBinary(true)
+      .setNumFeatures(1 << 18).setBinary(true)
     tf.transform(withShingles.select(col(id), col("__sh")))
   }
 

@@ -47,8 +47,8 @@ object Vectors {
       lit(0.0), (acc, v) => acc + v))
 
   /** Null for zero vectors (nullif guard) instead of a NaN/ANSI error;
-    * null cosines sort last under desc ordering, so zero vectors
-    * simply never rank. */
+    * the rank step drops null cosines, so zero vectors simply never
+    * rank. */
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / nullif(l2norm(a) * l2norm(b), lit(0.0))
 
@@ -60,20 +60,56 @@ object Vectors {
     transform(vec, x => x.cast("double") / n)
   }
 
+  /** Per-query top-k rank via the map-side-truncating [[TopKByValue]]
+    * aggregator — the scale-correct replacement for
+    * `row_number().over(Window.partitionBy(qid))`: a qid-partitioned
+    * window shuffles EVERY candidate of a query to one reducer (a
+    * corpus-sized, skew-prone shuffle when queries are few), while the
+    * aggregator's partial aggregation truncates each map partition to
+    * k rows per query BEFORE the shuffle, so only O(queries x k)
+    * travels. Identical answer and tiebreak (value desc, id asc); rows
+    * with a null value are dropped (they could only ever rank when a
+    * query has < k candidates, and "never rank" is the documented
+    * contract for degenerate vectors).
+    *
+    * The aggregator buffer is (Double, Long), so integral ids take the
+    * aggregate path (output cast back to the source type); any other
+    * id type keeps the window formulation as a correctness fallback. */
+  private def topKPerGroup(scored: DataFrame, group: String, value: String,
+                           idCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val idType = scored.schema(idCol).dataType
+    idType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        val fn = graft.functions.TopKByValue.topK(k)
+        scored.filter(col(value).isNotNull)
+          .groupBy(col(group))
+          .agg(fn(col(value), col(idCol).cast("long")).as("__top"))
+          .select(col(group), posexplode(col("__top")).as(Seq("__i", "__t")))
+          .select(col(group), (col("__i") + 1).as("rnk"),
+            col("__t._2").cast(idType).as(idCol))
+      case _ =>
+        val w = Window.partitionBy(col(group)).orderBy(col(value).desc, col(idCol).asc)
+        scored.filter(col(value).isNotNull)
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= k)
+          .select(col(group), col("rnk"), col(idCol))
+    }
+  }
+
   /** Exact cosine top-k of every corpus vector against each query
     * vector. Queries are broadcast (dimension-sized); the corpus is
-    * scanned once; the per-query rank is one window shuffle keyed by
-    * query — at 1000 executors each holds corpus/1000 and the shuffle
-    * moves only (qid, vec_id, cos) triples. */
+    * scanned once; the per-query rank is the map-side-truncating
+    * [[topKPerGroup]] aggregation — at 1000 executors each holds
+    * corpus/1000, truncates its slice to k rows per query locally, and
+    * the shuffle moves only O(queries x k) triples (a qid window here
+    * would move the whole scored corpus to one reducer per query). */
   def cosineTopK(corpus: DataFrame, queries: DataFrame, id: String,
                  vec: String, k: Int): DataFrame = {
     val q = queries.select(col(id).as("qid"), col(vec).as("__qv"))
     val scored = corpus.join(broadcast(q), col(id) =!= col("qid"))
       .withColumn("__cos", cosine(col("__qv"), col(vec)))
-    val w = Window.partitionBy(col("qid")).orderBy(col("__cos").desc, col(id).asc)
-    scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("qid"), col("rnk"), col(id))
+    topKPerGroup(scored, "qid", "__cos", id, k)
   }
 
   /** Dimensionality of the first non-null vector; None when the corpus
@@ -155,11 +191,8 @@ object Vectors {
     val cv = corpus.select(col(id).as("cid"), col(vec).as("__cv"))
     val scored = cand.join(broadcast(qv), Seq("qid")).join(cv, Seq("cid"))
       .withColumn("__cos", cosine(col("__qv"), col("__cv")))
-      .filter(col("__cos").isNotNull)
-    val w = Window.partitionBy(col("qid")).orderBy(col("__cos").desc, col("cid").asc)
-    scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("qid"), col("rnk"), col("cid").as("vec_id"))
+    topKPerGroup(scored, "qid", "__cos", "cid", k)
+      .withColumnRenamed("cid", "vec_id")
   }
 
   /** Exact near-duplicate pairs by embedding cosine >= simThreshold,
@@ -493,17 +526,21 @@ object Vectors {
       .select(col(id).as("qid"), col("__na").cast("array<double>").as("__qv"))
     val routed = qn.join(broadcast(index.centroids))
       .withColumn("__cscore", dot(col("__qv"), col("__centroid")) - col("__cn2") / 2.0)
-    val wRoute = Window.partitionBy(col("qid")).orderBy(col("__cscore").desc, col("__cell").asc)
-    val probeCells = routed.withColumn("__cr", row_number().over(wRoute))
-      .filter(col("__cr") <= nprobe)
-      .select(col("qid"), col("__qv"), col("__cell"))
+    // nprobe-cell routing with the same map-side-truncating aggregator
+    // as the rank step (cell asc tiebreak preserved); __qv is constant
+    // per qid so first() carries it through without a second join
+    val topNprobe = graft.functions.TopKByValue.topK(nprobe)
+    val probeCells = routed
+      .groupBy(col("qid"))
+      .agg(topNprobe(col("__cscore"), col("__cell").cast("long")).as("__pc"),
+        first(col("__qv")).as("__qv"))
+      .select(col("qid"), col("__qv"), explode(col("__pc")).as("__t"))
+      .select(col("qid"), col("__qv"), col("__t._2").cast("integer").as("__cell"))
     val scored = probeCells.join(index.cells, Seq("__cell"))
       .filter(col("qid") =!= col("cid"))
       .withColumn("__cos", dot(col("__qv"), col("__cv")))
-    val w = Window.partitionBy(col("qid")).orderBy(col("__cos").desc, col("cid").asc)
-    scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("qid"), col("rnk"), col("cid").as("vec_id"))
+    topKPerGroup(scored, "qid", "__cos", "cid", k)
+      .withColumnRenamed("cid", "vec_id")
   }
 
   /** IVF (inverted-file) approximate top-k, one-shot form: build the

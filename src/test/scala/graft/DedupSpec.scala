@@ -227,9 +227,9 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
   test("ngram-jaccard candidate net tied to the rescore cutoff prunes, loses nothing") {
     import spark.implicits._
     // The harness rescore keeps jaccard >= 0.2 (distance <= 0.8); a
-    // candidate net at 0.82 must (a) admit strictly fewer pairs than
-    // the old demo-wide 0.9 net, and (b) surface the SAME surviving
-    // pair set after the exact rescore.
+    // candidate net at 0.85 must (a) admit no more pairs than the old
+    // demo-wide 0.9 net, and (b) surface the SAME surviving pair set
+    // after the exact rescore.
     val docs = spark.read.parquet(sf("documents"))
     val feats = Dedup.minhashFeaturize(docs, "doc_id", $"text").persist()
     def survivors(net: Double): (Long, Set[(Long, Long)]) = {
@@ -245,23 +245,23 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       (cands.count(), surv)
     }
     val (nWide, sWide) = survivors(0.9)
-    val (nTight, sTight) = survivors(0.82)
+    val (nTight, sTight) = survivors(0.85)
     feats.unpersist(blocking = true)
     assert(nTight <= nWide, s"tight net admitted MORE candidates: $nTight > $nWide")
     assert(sTight == sWide, "tightening the net must not change the rescored pair set")
   }
 
-  test("the 0.02 candidate-net margin covers the observed feature-vs-shingle deviation") {
+  test("the candidate-net margin covers the observed feature-vs-shingle deviation") {
     import org.apache.spark.sql.functions.{abs, lit, max}
     import spark.implicits._
-    // The 0.82 net = the 0.8 rescore bound + a 0.02 margin for the gap
+    // The 0.85 net = the 0.8 rescore bound + a margin for the gap
     // between HashingTF-feature Jaccard (what MinHashLSH's distCol
-    // measures, subject to 2^16-bucket collisions) and true shingle
-    // Jaccard (what the rescore keeps). Derive the margin from the data
-    // instead of trusting the constant: over EVERY bucket-surfaced pair
-    // the two distances must agree within it — a corpus that drifts
-    // past the margin fails here, loudly, instead of silently dropping
-    // rescue-survivable pairs at the net.
+    // measures, subject to 2^18-bucket collisions) and true shingle
+    // Jaccard (what the rescore keeps). Derive the margin from the
+    // data instead of trusting a constant: over EVERY bucket-surfaced
+    // pair, 0.8 + the worst observed deviation must stay inside the
+    // net — a corpus that drifts past it fails here, loudly, instead
+    // of silently dropping rescore-survivable pairs at the net.
     val docs = spark.read.parquet(sf("documents"))
     val feats = Dedup.minhashFeaturize(docs, "doc_id", $"text").persist()
     val cands = Dedup.minhashNearDupsOnFeatures(feats, "doc_id",
@@ -274,8 +274,9 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       .select(abs((lit(1.0) - $"jaccard") - $"jaccard_dist").as("dev"))
       .agg(max($"dev")).head().getDouble(0)
     feats.unpersist(blocking = true)
-    assert(dev <= 0.02,
-      f"feature-vs-shingle jaccard deviation $dev%.4f exceeds the 0.02 net margin")
+    assert(0.8 + dev <= 0.85,
+      f"rescore bound 0.8 + observed feature-vs-shingle deviation $dev%.4f " +
+        "escapes the 0.85 candidate net — survivable pairs could be dropped")
   }
 
   test("contaminatedIds flags exactly the docs sharing an n-gram with the benchmark") {

@@ -113,6 +113,26 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("similarity rank is partial top-k aggregation — no per-query window shuffle") {
+    import spark.implicits._
+    // A row_number window partitioned by qid would shuffle EVERY
+    // candidate of a query to one reducer (corpus-sized when queries
+    // are few); the TopKByValue aggregator truncates map-side, so the
+    // plan must show partial aggregation and no Window operator on any
+    // similarity search path (exact, SRP-ANN, IVF — routing included).
+    val emb = spark.read.parquet(sf("embeddings"))
+    val q = emb.filter($"vec_id" < 5)
+    val ivf = graft.ops.Vectors.ivfIndex(emb, "vec_id", "embedding", nlist = 4)
+    for (df <- Seq(
+      graft.ops.Vectors.cosineTopK(emb, q, "vec_id", "embedding", k = 10),
+      graft.ops.Vectors.annTopK(emb, q, "vec_id", "embedding", k = 10),
+      graft.ops.Vectors.ivfSearch(ivf, q, "vec_id", "embedding", k = 10))) {
+      val p = plan(df)
+      assert(!p.contains("Window"), p)
+      assert(p.contains("partial_topkbyvalue") || p.contains("ObjectHashAggregate"), p)
+    }
+  }
+
   test("attributionJoin (batch) plans as an equi-join on user_id, range as post-filter") {
     import spark.implicits._
     val ev = graft.queries.HarnessCore.events(spark, "/root/testdata/sf0.001")

@@ -318,6 +318,58 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("replayed micro-batch overwrites its own partition — store equals a failure-free run") {
+    import spark.implicits._
+    import graft.ops.Vectors
+    import graft.streaming.VectorIngest
+    val dim = 4
+    def vecs(base: Long, n: Int, seed: Int) = {
+      val rnd = new scala.util.Random(600 + seed)
+      (0 until n).map(i => (base + i, Array.fill(dim)(rnd.nextGaussian().toFloat)))
+    }
+    val b1 = vecs(0L, 20, 1)
+    val b2 = vecs(1000L, 20, 2)
+    val root = "/tmp/graft_test/vec_replay"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val src = s"$root/src"
+    val store = s"$root/store"
+    val centroids = Vectors.fitQuantizer(b1.toDF("vec_id", "embedding"), "embedding", nlist = 2)
+    val boot = VectorIngest.IndexBootstrap(dim, centroids)
+    val schema = b1.toDF("vec_id", "embedding").schema
+    def run(): Unit = {
+      val stream = spark.readStream.schema(schema).parquet(src)
+      VectorIngest.maintainIndex(stream, "vec_id", "embedding", boot, store)
+        .awaitTermination()
+    }
+    b1.toDF("vec_id", "embedding").write.mode("append").parquet(src)
+    run() // batch 0 = b1
+    b2.toDF("vec_id", "embedding").write.mode("append").parquet(src)
+    run() // batch 1 = b2
+    val committed = spark.read.parquet(store).drop("__batch")
+      .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    // simulate a crash between the batch-1 write and its commit: the
+    // offset survives, the commit record does not, so the restarted
+    // query RE-EXECUTES batch 1 over the same source files
+    assert(new java.io.File(s"$store/_checkpoint/commits/1").delete(),
+      "expected a commit record for batch 1")
+    // the local checksum fs keeps a .crc sidecar; a stale one blocks
+    // the replayed commit's rename
+    new java.io.File(s"$store/_checkpoint/commits/.1.crc").delete()
+    run() // replays batch 1
+    val replayed = spark.read.parquet(store).drop("__batch")
+      .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    assert(replayed.size == 40,
+      s"replay must not duplicate rows: ${replayed.size}")
+    assert(replayed == committed,
+      "store after a replayed batch must equal the failure-free store")
+    // and still row-identical to a one-shot batch build over all rows
+    val batchCols = VectorIngest.indexColumns(
+      (b1 ++ b2).toDF("vec_id", "embedding"), "vec_id", "embedding", boot)
+      .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    assert(replayed == batchCols,
+      "replayed store must equal the one-shot batch build")
+  }
+
   test("session windows split on gap > 30 minutes (batch and stream agree)") {
     import spark.implicits._
     val events = Seq(
@@ -378,7 +430,10 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     q.stop()
     // the stream-maintained store is EXACTLY the one-shot batch build
     // over the same rows (same frozen planes + quantizer, same rounding)
-    val streamCols = spark.read.parquet(store)
+    // the store carries the per-batch partition column its
+    // replay-safe dynamic-overwrite write added; drop it for the
+    // row-identity comparison (it is layout, not index state)
+    val streamCols = spark.read.parquet(store).drop("__batch")
     val batchCols = VectorIngest.indexColumns(
       (b1 ++ b2 ++ b3).toDF("vec_id", "embedding"), "vec_id", "embedding", boot)
     assert(streamCols.count() == 90)
