@@ -59,7 +59,14 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","warmup_sec":$warmupSec,"ivf_index_build_sec":$ivfBuildSec,"doc_feats_build_sec":$docFeatsSec,"failed":$failedJson}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","warmup_sec":$warmupSec,"ivf_index_build_sec":$ivfBuildSec,"doc_feats_build_sec":$docFeatsSec,"failed":$failedJson}"""
+    println(line)
+    // The driver keeps only a 2000-char tail of stdout, which truncates
+    // the per-key map and loses the total; persist the full line so
+    // round-over-round totals stay recoverable from the repo itself.
+    try java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable => System.err.println(s"bench_full.json write failed: $e") }
     spark.stop()
   }
 }

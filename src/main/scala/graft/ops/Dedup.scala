@@ -213,55 +213,91 @@ object Dedup {
     * minimum id as its `cluster` label; keep rows where
     * `id == cluster`, drop the rest.
     *
-    * Distributed min-label propagation: each iteration joins the label
-    * relation to the (symmetrized) edge relation and takes the
-    * neighborhood minimum — one shuffle per iteration, converging in
-    * O(component diameter) iterations (near-dup clusters are shallow:
-    * a handful). `localCheckpoint` truncates the growing lineage each
-    * round, which is what keeps iteration N from replaying rounds
-    * 1..N-1; convergence is detected STRUCTURALLY — an iteration that
-    * changes no vertex's label (observed via a changed-flag computed
-    * in the same pass as the label update) is a fixed point. The
-    * structural check works for any id type (string doc ids included)
-    * and cannot be fooled the way a numeric label checksum can (null
-    * on non-numeric ids, ANSI overflow on wide 64-bit id spaces). */
+    * Alternating large-star / small-star contraction (the MapReduce
+    * connected-components algorithm of Kiveris et al., "Connected
+    * Components in MapReduce and Beyond"): each round, every node
+    * rewires its larger neighbors (large-star) then its smaller
+    * neighbors (small-star) to its neighborhood minimum, so the edge
+    * relation contracts toward one star per component in O(log n)
+    * rounds — min-label propagation's O(component diameter) rounds
+    * made logarithmic, the difference between ~7 and ~100 shuffles on
+    * a 100-hop near-dup chain. Each pass is a grouped min + an
+    * equi-join (both partial-aggregated, any scale); `localCheckpoint`
+    * truncates the growing lineage every round; convergence is the
+    * STRUCTURAL fixed point of the edge relation (set equality via
+    * `exceptAll`), which works for any id type — string doc ids
+    * cluster under their lexicographic minimum exactly as longs do
+    * under the numeric one. */
   def clusterPairs(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
-                   maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
-      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
-      .distinct()
-      .localCheckpoint(true)
-    var labels = edges.select(col("src").as("v")).distinct()
-      .withColumn("label", col("v"))
-      .localCheckpoint(true)
+                   maxIter: Int = 20): DataFrame =
+    clusterPairsWithIters(pairs, idA, idB, maxIter)._1
+
+  /** [[clusterPairs]] exposing the round count, so the spec can assert
+    * logarithmic (not diameter-bound) convergence. */
+  private[graft] def clusterPairsWithIters(pairs: DataFrame, idA: String,
+                                           idB: String, maxIter: Int): (DataFrame, Int) = {
+    val raw = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+    // vertex universe BEFORE dropping self-loops: a (x, x) pair still
+    // means x exists and labels itself
+    val verts = raw.select(col("src").as("v"))
+      .union(raw.select(col("dst").as("v")))
+      .distinct().localCheckpoint(true)
+
+    // large-star: every node points its strictly LARGER neighbors at
+    // min(neighborhood ∪ self) — long tails hook onto small ids fast
+    def largeStar(edges: DataFrame): DataFrame = {
+      val sym = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      val mins = sym.groupBy(col("src")).agg(min(col("dst")).as("__nm"))
+        .select(col("src"), least(col("__nm"), col("src")).as("m"))
+      sym.filter(col("dst") > col("src"))
+        .join(mins, "src")
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+    }
+
+    // small-star: orient src > dst, then point every smaller neighbor
+    // (and the node itself) at the minimum — stars flatten to depth 1
+    def smallStar(edges: DataFrame): DataFrame = {
+      val oriented = edges.select(
+        greatest(col("src"), col("dst")).as("src"),
+        least(col("src"), col("dst")).as("dst"))
+      val mins = oriented.groupBy(col("src")).agg(min(col("dst")).as("m"))
+      val nbrs = oriented.join(mins, "src")
+        .select(col("dst").as("src"), col("m").as("dst"))
+      nbrs.union(mins.select(col("src"), col("m").as("dst")))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+    }
+
+    var edges = raw.filter(col("src") =!= col("dst")).distinct().localCheckpoint(true)
     var iter = 0
-    var converged = false
+    var converged = edges.isEmpty
     while (iter < maxIter && !converged) {
-      val nbrMin = edges.join(labels.withColumnRenamed("v", "src"), "src")
-        .groupBy(col("dst").as("v")).agg(min(col("label")).as("nl"))
-      // the changed-flag rides along in the SAME pass as the label
-      // update, so the fixed-point check below reads the checkpointed
-      // result instead of re-joining against the previous labels
-      val next = labels.join(nbrMin, Seq("v"), "left")
-        .select(col("v"),
-          least(col("label"), coalesce(col("nl"), col("label"))).as("label"),
-          (col("nl").isNotNull && col("nl") < col("label")).as("__changed"))
-        .localCheckpoint(true)
-      // fixed point iff no vertex changed label this round (`isEmpty`
-      // plans a limit-1 over the checkpointed relation, not a full scan)
-      converged = next.filter(col("__changed")).isEmpty
-      labels = next.drop("__changed")
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      // fixed point iff the (canonicalized, distinct) edge set is
+      // unchanged — at that point the graph is one star per component,
+      // rooted at the component minimum
+      converged = next.exceptAll(edges).isEmpty && edges.exceptAll(next).isEmpty
+      edges = next
       iter += 1
     }
     if (!converged && maxIter > 0) {
-      // under-removal hazard: a component with diameter > maxIter keeps
-      // split labels, so clusterRemovals would silently keep dup rows
+      // under-removal hazard: an unconverged edge relation can still
+      // hold chains, so clusterRemovals would silently keep dup rows
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        s"clusterPairs stopped at maxIter=$maxIter before reaching a fixed " +
-          "point; labels are partially propagated (component diameter " +
-          "exceeds maxIter). Raise maxIter for deeper components.")
+        s"clusterPairs stopped at maxIter=$maxIter before the edge relation " +
+          "reached its fixed point; labels may be partially propagated. " +
+          "Raise maxIter (rounds needed grow with log of component size).")
     }
-    labels.select(col("v").as("id"), col("label").as("cluster"))
+    // at the fixed point every non-root has exactly one star edge to
+    // its component min; min() makes the label unique even when
+    // stopped early at maxIter
+    val ptr = edges.groupBy(col("src")).agg(min(col("dst")).as("label"))
+      .select(col("src").as("v"), col("label"))
+    val labels = verts.join(ptr, Seq("v"), "left")
+      .select(col("v").as("id"), coalesce(col("label"), col("v")).as("cluster"))
+    (labels, iter)
   }
 
   /** The rows near-dup clustering would remove: every non-keeper

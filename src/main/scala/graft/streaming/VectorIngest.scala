@@ -73,6 +73,108 @@ object VectorIngest {
         col("__na").as("__cv"), col("__a._2").as("__d2"))
   }
 
+  /** Auto-refit policy for [[maintainIndex]]: when a batch's mean
+    * squared assignment distortion exceeds `factor` times the running
+    * baseline ([[Vectors.shouldRefit]]), the loop refits the coarse
+    * quantizer from the store + the arriving batch, REASSIGNS every
+    * stored row's cell under the new centroids (reconciling rows
+    * assigned under the old quantizer), persists the new quantizer to
+    * the store's sidecar, and resets the baseline to the post-refit
+    * distortion — all mid-stream, without stopping the query. */
+  final case class RefitPolicy(baseline: Double, factor: Double = 2.0,
+                               nlist: Int = 16, seed: Long = 42L,
+                               iters: Int = 10, maxSamples: Int = 100000)
+
+  /** Reserved `__batch` partition id compaction folds old batches into
+    * — real micro-batch ids are >= 0, so no replay ever claims it. */
+  private[graft] val CompactedBatchId = -1L
+
+  private def quantizerFile(storeDir: String): java.io.File =
+    new java.io.File(s"$storeDir/_quantizer/centroids.txt")
+
+  /** Persist the CURRENT quantizer (baseline distortion + centroids)
+    * to the store's sidecar — underscore-prefixed, so parquet readers
+    * skip it like `_checkpoint`. Atomic tmp-file + rename: a restart
+    * or a concurrent searcher sees the old quantizer or the new one,
+    * never a torn file. */
+  private[graft] def saveQuantizer(storeDir: String, baseline: Double,
+                                   centroids: Array[Array[Double]]): Unit = {
+    val dir = quantizerFile(storeDir).getParentFile
+    dir.mkdirs()
+    val tmp = new java.io.File(dir, ".centroids.tmp")
+    val body = (s"baseline=$baseline" +: centroids.toSeq.map(_.mkString(",")))
+      .mkString("", "\n", "\n")
+    java.nio.file.Files.write(tmp.toPath, body.getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp.toPath, quantizerFile(storeDir).toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    ()
+  }
+
+  /** The persisted (baseline, centroids) of a store whose quantizer
+    * has been refit mid-stream; None for a store still on its
+    * bootstrap quantizer. */
+  private[graft] def loadQuantizer(storeDir: String): Option[(Double, Array[Array[Double]])] = {
+    val f = quantizerFile(storeDir)
+    if (!f.exists()) None
+    else {
+      val lines = java.nio.file.Files.readAllLines(f.toPath).toArray(Array.empty[String])
+      val baseline = lines.head.stripPrefix("baseline=").toDouble
+      Some((baseline, lines.tail.map(_.split(",").map(_.toDouble))))
+    }
+  }
+
+  /** The store's `__batch=*` partition directories (data partitions
+    * only — `_checkpoint`/`_quantizer` sidecars excluded). */
+  private def batchPartitionDirs(storeDir: String): Array[java.io.File] =
+    Option(new java.io.File(storeDir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("__batch="))
+
+  private def storeHasData(storeDir: String): Boolean =
+    batchPartitionDirs(storeDir).nonEmpty
+
+  private def distortionOf(cols: DataFrame): Option[Double] =
+    cols.agg(avg(col("__d2"))).take(1).headOption
+      .flatMap(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+
+  /** Fold every batch partition strictly below `upToBatch` (including
+    * a previous compacted partition) into the single reserved
+    * `__batch=-1` partition, then remove the folded directories — the
+    * maintenance that keeps a long-lived [[maintainIndex]] store from
+    * accumulating one small parquet partition per micro-batch.
+    *
+    * Only COMMITTED batches are folded (the in-flight batch keeps its
+    * own partition), so a replayed batch still overwrites exactly its
+    * own partition. The fold dedups on cid, which makes compaction
+    * idempotent: if a crash lands between the compacted write and the
+    * old-directory delete, the next compaction folds the duplicate
+    * copies back to one row. Plain parquet has no multi-partition
+    * transaction, so that crash window exists — a table format with
+    * atomic commits would close it; at this layer it is documented and
+    * self-healing. */
+  def compactStore(spark: org.apache.spark.sql.SparkSession, storeDir: String,
+                   upToBatch: Long, targetFiles: Int = 1): Unit = {
+    val fold = batchPartitionDirs(storeDir)
+      .filter(_.getName.stripPrefix("__batch=").toLong < upToBatch)
+    if (fold.length > 1) {
+      val folded = spark.read.option("basePath", storeDir)
+        .parquet(fold.map(_.getPath).toIndexedSeq: _*)
+        .drop("__batch")
+        .dropDuplicates("cid")
+        .withColumn("__batch", lit(CompactedBatchId))
+        .coalesce(math.max(1, targetFiles))
+        // materialize BEFORE the write: the fold may read the very
+        // __batch=-1 partition the write replaces
+        .localCheckpoint(true)
+      folded.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__batch")
+        .parquet(storeDir)
+      fold.filter(_.getName != s"__batch=$CompactedBatchId")
+        .foreach(org.apache.commons.io.FileUtils.deleteDirectory)
+    }
+  }
+
   /** Run the maintenance loop over a streaming frame: write index
     * columns for every arriving micro-batch to the parquet store and
     * report the batch's mean assignment distortion to `onBatch` (the
@@ -88,25 +190,85 @@ object VectorIngest {
     * at-least-once store semantics — duplicate top-k ids out of
     * ivfSearch, duplicate pairs out of srpNearDupsOnSigs). With that,
     * the final store really is row-identical to a one-shot batch build
-    * on failure-free AND replayed runs (StreamingSpec pins both). */
+    * on failure-free AND replayed runs (StreamingSpec pins both).
+    *
+    * `refit` closes the drift loop (see [[RefitPolicy]]): on trigger,
+    * the quantizer refits from store + batch, the store's cells are
+    * reassigned, the new quantizer persists to the `_quantizer`
+    * sidecar (so restarts and [[indexFromStore]] pick it up), and
+    * `onRefit` fires. SRP signatures are untouched — the hyperplanes
+    * stay frozen; only the IVF routing refits.
+    *
+    * `compactEvery` > 0 bounds the store's partition count: whenever
+    * the store reaches that many batch partitions, committed ones fold
+    * into the reserved compacted partition ([[compactStore]]). */
   def maintainIndex(stream: DataFrame, id: String, vec: String,
                     b: IndexBootstrap, storeDir: String,
                     onBatch: (Long, Option[Double]) => Unit = (_, _) => (),
-                    trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
-    // one assigner (= one centroid broadcast) for the stream's lifetime
-    val assign = Vectors.cellAssigner(stream.sparkSession, b.centroids)
+                    trigger: Trigger = Trigger.AvailableNow(),
+                    refit: Option[RefitPolicy] = None,
+                    onRefit: (Long, Array[Array[Double]]) => Unit = (_, _) => (),
+                    compactEvery: Int = 0): StreamingQuery = {
+    val spark = stream.sparkSession
+    // resume the quantizer a previous run's refit persisted; otherwise
+    // start from the bootstrap. One assigner (= one centroid
+    // broadcast) per quantizer generation, reused across batches.
+    var (baseline, centroids) = loadQuantizer(storeDir) match {
+      case Some((base, cs)) => (Some(base), cs)
+      case None => (refit.map(_.baseline), b.centroids)
+    }
+    var assign = Vectors.cellAssigner(spark, centroids)
     stream.writeStream
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        val cols = indexColumns(batch.toDF(), id, vec, b, assign)
-          .persist()
+        var cols = indexColumns(batch.toDF(), id, vec, b, assign).persist()
         try {
+          var d = distortionOf(cols)
+          for (p <- refit; dd <- d; base <- baseline
+               if Vectors.shouldRefit(dd, base, p.factor)) {
+            // 1. refit on the full observed distribution: everything
+            //    already stored plus the drifting batch (__cv is the
+            //    normalized vector, so the fit is normalization-stable)
+            val batchVecs = cols.select(col("__cv"))
+            val fitInput =
+              if (storeHasData(storeDir))
+                spark.read.parquet(storeDir).select(col("__cv")).unionByName(batchVecs)
+              else batchVecs
+            val newCentroids = Vectors.fitQuantizer(fitInput, "__cv", p.nlist,
+              sampleFraction = 1.0, seed = p.seed, maxSamples = p.maxSamples,
+              iters = p.iters)
+            val newAssign = Vectors.cellAssigner(spark, newCentroids)
+            // 2. reconcile: reassign every stored row's cell under the
+            //    new quantizer (materialize first — the write replaces
+            //    the partitions the reassignment reads)
+            if (storeHasData(storeDir)) {
+              val reassigned = spark.read.parquet(storeDir)
+                .withColumn("__a", newAssign(col("__cv")))
+                .select(col("cid"), col("__sig"), col("__a._1").as("__cell"),
+                  col("__cv"), col("__a._2").as("__d2"), col("__batch"))
+                .localCheckpoint(true)
+              reassigned.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("__batch")
+                .parquet(storeDir)
+            }
+            // 3. recompute the triggering batch under the new quantizer
+            //    and reset the baseline to its post-refit distortion
+            cols.unpersist()
+            cols = indexColumns(batch.toDF(), id, vec, b, newAssign).persist()
+            d = distortionOf(cols)
+            saveQuantizer(storeDir, d.getOrElse(base), newCentroids)
+            centroids = newCentroids
+            assign = newAssign
+            baseline = d.orElse(baseline)
+            onRefit(batchId, newCentroids)
+          }
           cols.withColumn("__batch", lit(batchId))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("__batch")
             .parquet(storeDir)
-          val d = cols.agg(avg(col("__d2"))).take(1).headOption
-            .flatMap(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+          if (compactEvery > 0 && batchPartitionDirs(storeDir).length >= compactEvery)
+            compactStore(spark, storeDir, upToBatch = batchId)
           onBatch(batchId, d)
         } finally { cols.unpersist(); () }
       }
@@ -116,12 +278,16 @@ object VectorIngest {
   }
 
   /** Read the stream-maintained store back as a searchable IVF index
-    * (same shape [[Vectors.ivfSearch]] takes from a batch build). */
+    * (same shape [[Vectors.ivfSearch]] takes from a batch build). A
+    * store whose quantizer was refit mid-stream routes with the
+    * PERSISTED centroids from its `_quantizer` sidecar — the ones its
+    * cells were (re)assigned under — not the stale bootstrap. */
   def indexFromStore(spark: org.apache.spark.sql.SparkSession, storeDir: String,
                      b: IndexBootstrap): Vectors.IvfIndexData = {
+    val centroids = loadQuantizer(storeDir).map(_._2).getOrElse(b.centroids)
     val cells = spark.read.parquet(storeDir)
       .select(col("cid"), col("__cell"), col("__cv"))
     Vectors.IvfIndexData(cells,
-      Vectors.centroidRelation(spark, b.centroids), b.centroids)
+      Vectors.centroidRelation(spark, centroids), centroids)
   }
 }

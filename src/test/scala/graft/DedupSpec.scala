@@ -151,6 +151,19 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(clusters.values.toSet == Set(0L), clusters.toString)
   }
 
+  test("clusterPairs converges logarithmically: a 100-link chain in <= 8 rounds") {
+    import spark.implicits._
+    // min-label propagation needs O(diameter) = 100 rounds here; the
+    // alternating large-star/small-star contraction must land the
+    // whole chain on cluster 0 in O(log n) rounds
+    val chain = (0L until 100L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val (labels, iters) = Dedup.clusterPairsWithIters(chain, "id_a", "id_b", maxIter = 20)
+    val got = labels.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == 101, s"all 101 chain vertices must be labeled: ${got.length}")
+    assert(got.forall(_._2 == 0L), s"all labels must be the chain minimum 0")
+    assert(iters <= 8, s"expected logarithmic convergence, took $iters rounds")
+  }
+
   test("clusterPairs works on string doc ids (structural convergence)") {
     import spark.implicits._
     // the old numeric label checksum null'd (or overflowed) on string

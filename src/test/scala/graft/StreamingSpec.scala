@@ -318,6 +318,145 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("drift auto-refit: quantizer refits mid-stream, store reconciled, baseline resets") {
+    import spark.implicits._
+    import graft.ops.Vectors
+    import graft.streaming.VectorIngest
+    val dim = 8
+    def cluster(center: Array[Double], n: Int, base: Long, seed: Int) = {
+      val rnd = new scala.util.Random(700 + seed)
+      (0 until n).map { i =>
+        (base + i, Array.tabulate(dim)(d =>
+          (center(d) + rnd.nextGaussian() * 0.05).toFloat))
+      }
+    }
+    def axis(i: Int) = Array.tabulate(dim)(d => if (d == i) 1.0 else 0.0)
+    def between(i: Int, j: Int) = Array.tabulate(dim)(d =>
+      if (d == i || d == j) math.sqrt(0.5) else 0.0)
+    val b1 = cluster(axis(0), 30, 0L, 1)
+    val b2 = cluster(axis(1), 30, 1000L, 2)
+    val b3 = cluster(between(2, 3), 30, 2000L, 3) // drifted: triggers refit
+    val b4 = cluster(between(2, 3), 30, 3000L, 4) // post-refit: must NOT re-trigger
+    val fitDf = (b1 ++ b2).toDF("vec_id", "embedding")
+    val centroids = Vectors.fitQuantizer(fitDf, "embedding", nlist = 2)
+    val baseline = Vectors.quantizerDistortion(fitDf, "vec_id", "embedding", centroids).get
+    val boot = VectorIngest.IndexBootstrap(dim, centroids)
+    val store = "/tmp/graft_test/vec_refit_spec"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(store))
+    val refits = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Array[Double]])]
+    val distortions = scala.collection.mutable.SortedMap.empty[Long, Option[Double]]
+    val ms = MemoryStream[(Long, Array[Float])](spark)
+    val q = VectorIngest.maintainIndex(
+      ms.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding", boot, store,
+      onBatch = (id, d) => distortions.synchronized { distortions(id) = d },
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0),
+      refit = Some(VectorIngest.RefitPolicy(baseline, factor = 2.0, nlist = 3)),
+      onRefit = (id, cs) => refits.synchronized { refits += ((id, cs)); () })
+    ms.addData(b1: _*); q.processAllAvailable()
+    ms.addData(b2: _*); q.processAllAvailable()
+    ms.addData(b3: _*); q.processAllAvailable()
+    ms.addData(b4: _*); q.processAllAvailable()
+    q.stop()
+    // exactly ONE refit, fired by the drifted batch; the next batch of
+    // the SAME drifted distribution rides under the reset baseline
+    assert(refits.map(_._1).toSeq == Seq(2L),
+      s"expected one refit at batch 2, got ${refits.map(_._1)}")
+    val newCentroids = refits.head._2
+    // the refit quantizer actually covers the drifted cluster: some
+    // centroid points at between(2,3)
+    val drift = between(2, 3)
+    def cos(a: Array[Double], b: Array[Double]) = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    assert(newCentroids.map(c => cos(c, drift)).max > 0.9,
+      "refit centroids must cover the drifted cluster")
+    // post-refit distortion is back under the refit bound (recovery)
+    val ds = distortions.values.flatten.toSeq
+    assert(ds.length == 4)
+    assert(Vectors.shouldRefit(ds(2), baseline) == false || refits.nonEmpty)
+    assert(!Vectors.shouldRefit(ds(3), ds(2)),
+      s"post-refit batch must not re-trigger: d4=${ds(3)} vs new baseline ${ds(2)}")
+    // reconciliation: EVERY stored row's cell is the new quantizer's
+    // assignment — including the rows written under the old quantizer
+    val expected = Vectors.cellColumns(
+      (b1 ++ b2 ++ b3 ++ b4).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", newCentroids)
+      .select($"cid", $"__cell").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val got = spark.read.parquet(store)
+      .select($"cid", $"__cell").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(got == expected,
+      "store cells must be fully reassigned under the refit quantizer")
+    // and the store searches with the PERSISTED refit quantizer: a
+    // drifted-cluster query routes straight to its members at nprobe=1
+    val idx = VectorIngest.indexFromStore(spark, store, boot)
+    assert(idx.centroidArr.map(c => cos(c, drift)).max > 0.9,
+      "indexFromStore must route with the refit quantizer, not the bootstrap")
+    val res = Vectors.ivfSearch(idx,
+      Seq((9999L, drift.map(_.toFloat))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", k = 5, nprobe = 1)
+      .collect().map(_.getLong(2)).toSet
+    assert(res.forall(id => id >= 2000L),
+      s"drifted-cluster query must hit drifted members post-refit: $res")
+  }
+
+  test("store compaction bounds partition count and preserves the row set") {
+    import spark.implicits._
+    import graft.ops.Vectors
+    import graft.streaming.VectorIngest
+    val dim = 4
+    def vecs(base: Long, n: Int, seed: Int) = {
+      val rnd = new scala.util.Random(800 + seed)
+      (0 until n).map(i => (base + i, Array.fill(dim)(rnd.nextGaussian().toFloat)))
+    }
+    val batches = (0 until 5).map(k => vecs(k * 1000L, 10, k))
+    val all = batches.flatten
+    val centroids = Vectors.fitQuantizer(
+      batches.head.toDF("vec_id", "embedding"), "embedding", nlist = 2)
+    val boot = VectorIngest.IndexBootstrap(dim, centroids)
+    def partitionDirs(store: String) =
+      Option(new java.io.File(store).listFiles()).getOrElse(Array.empty[java.io.File])
+        .filter(f => f.isDirectory && f.getName.startsWith("__batch="))
+    def rows(store: String) = spark.read.parquet(store).drop("__batch")
+      .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+
+    // integrated: count-triggered compaction inside the stream
+    val store1 = "/tmp/graft_test/vec_compact_stream"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(store1))
+    val ms = MemoryStream[(Long, Array[Float])](spark)
+    val q = VectorIngest.maintainIndex(
+      ms.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding", boot, store1,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0),
+      compactEvery = 3)
+    batches.foreach { b => ms.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+    assert(partitionDirs(store1).length <= 3,
+      s"compaction must bound partitions: ${partitionDirs(store1).map(_.getName).toSeq}")
+    val batchBuild = VectorIngest.indexColumns(
+      all.toDF("vec_id", "embedding"), "vec_id", "embedding", boot)
+      .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    assert(rows(store1) == batchBuild,
+      "compacted store must stay row-identical to the one-shot batch build")
+
+    // direct: full fold preserves the row set and lands in ONE file
+    val store2 = "/tmp/graft_test/vec_compact_direct"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(store2))
+    val ms2 = MemoryStream[(Long, Array[Float])](spark)
+    val q2 = VectorIngest.maintainIndex(
+      ms2.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding", boot, store2,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    batches.foreach { b => ms2.addData(b: _*); q2.processAllAvailable() }
+    q2.stop()
+    assert(partitionDirs(store2).length == 5)
+    val before = rows(store2)
+    VectorIngest.compactStore(spark, store2, upToBatch = 5)
+    assert(rows(store2) == before, "compaction must preserve the row set exactly")
+    val dirs = partitionDirs(store2)
+    assert(dirs.map(_.getName).toSeq == Seq("__batch=-1"), dirs.map(_.getName).toSeq)
+    val files = dirs.head.listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(files.length == 1, s"full fold must land in one file: ${files.length}")
+  }
+
   test("replayed micro-batch overwrites its own partition — store equals a failure-free run") {
     import spark.implicits._
     import graft.ops.Vectors
