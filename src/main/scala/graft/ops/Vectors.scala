@@ -119,6 +119,50 @@ object Vectors {
     df.select(size(col(vec)).as("__d")).filter(col("__d").isNotNull)
       .take(1).headOption.map(_.getInt(0))
 
+  /** Per-band collision probability of two vectors at cosine `sim`
+    * under `bits` sign-random-projections: (1 - θ/π)^bits with
+    * θ = acos(sim) — the Goemans–Williamson hyperplane bound, exact
+    * for independent Gaussian planes. */
+  def srpBandCollisionProb(sim: Double, bits: Int): Double = {
+    val theta = math.acos(math.max(-1.0, math.min(1.0, sim)))
+    math.pow(1.0 - theta / math.Pi, bits)
+  }
+
+  /** Probability a pair at cosine `sim` collides in AT LEAST one of
+    * `bands` independent bands — the recall of the banded-SRP
+    * candidate net for pairs at that similarity level. */
+  def srpRecall(sim: Double, bits: Int, bands: Int): Double =
+    1.0 - math.pow(1.0 - srpBandCollisionProb(sim, bits), bands)
+
+  /** Derive (bits, bands) instead of hand-tuning them: bits ≈
+    * log2(corpus) holds expected bucket occupancy constant as the
+    * corpus grows (the standard n^ρ LSH scaling), then bands is the
+    * smallest count whose [[srpRecall]] meets `targetRecall` at the
+    * similarity level `sim` that must be recalled — for near-dup
+    * mining that is the dedup threshold; for top-k search, the
+    * similarity of the k-th true neighbor (measure it on a sample).
+    * `maxBands` caps the cost blow-up of asking for high recall at
+    * low similarity, where LSH fundamentally degrades to a scan —
+    * hitting the cap means the operating point is wrong for LSH, and
+    * the computed recall is whatever [[srpRecall]] reports at the cap.
+    * VectorsSpec property-tests measured recall@10 >= target across
+    * corpus sizes with exactly these parameters. */
+  def srpParams(corpusSize: Long, sim: Double, targetRecall: Double = 0.9,
+                minBits: Int = 4, maxBands: Int = 4096): (Int, Int) = {
+    require(corpusSize > 0, "corpusSize must be positive")
+    require(targetRecall > 0.0 && targetRecall < 1.0,
+      "targetRecall must be in (0, 1)")
+    val bits = math.min(30, math.max(minBits,
+      math.ceil(math.log(corpusSize.toDouble) / math.log(2.0)).toInt))
+    val p = srpBandCollisionProb(sim, bits)
+    val bands =
+      if (p >= 1.0) 1
+      else if (p <= 0.0) maxBands
+      else math.min(maxBands, math.max(1,
+        math.ceil(math.log1p(-targetRecall) / math.log1p(-p)).toInt))
+    (bits, bands)
+  }
+
   /** Seeded Gaussian hyperplanes for banded SRP signatures, indexed
     * `planes(band * bits + j)(d)`. */
   private def srpPlanes(dim: Int, bits: Int, bands: Int, seed: Long): Array[Array[Double]] = {
@@ -261,11 +305,13 @@ object Vectors {
     * (codegen dot products against literal hyperplanes — no fit step,
     * no driver-side model); the only shuffle is the bucket join, whose
     * key cardinality grows with the corpus (2^bits per band), so
-    * buckets stay small and candidates stay near-linear. Per-band
-    * collision probability for angle θ is (1-θ/π)^bits — at sim 0.9
-    * and bits=12, 8 bands give >0.999 pair recall; colinear vectors
-    * (exact or scaled copies, cos = 1) collide in EVERY band, so
-    * recall on true duplicates is 1 by construction.
+    * buckets stay small and candidates stay near-linear. Recall math
+    * lives in [[srpRecall]]: at the default bits=12 / bands=8 it is
+    * 0.74 for pairs exactly at sim 0.9 and 0.93 at sim 0.95, while
+    * colinear vectors (exact or scaled copies, cos = 1) collide in
+    * EVERY band, so recall on true duplicates is 1 by construction —
+    * derive parameters for a different operating point with
+    * [[srpParams]].
     *
     * Signatures are scale-invariant (sign(p·v) == sign(p·λv) for λ>0),
     * so no normalization pass is needed; zero vectors rescore to null

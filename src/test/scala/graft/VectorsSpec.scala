@@ -22,6 +22,48 @@ class VectorsSpec extends AnyFunSuite with SparkTestBase {
     assert(top == Seq(1L, 2L, 3L))
   }
 
+  test("srpParams: auto-derived parameters hit the recall target across corpus sizes") {
+    import spark.implicits._
+    // the collision model is exact for independent Gaussian planes, so
+    // (bits, bands) derived for the WEAKEST true top-10 similarity must
+    // deliver >= the target recall on every corpus size — no hand-tuned
+    // constants anywhere in this test
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var j = 0
+      while (j < a.length) {
+        d += a(j) * b(j); na += a(j) * a(j); nb += b(j) * b(j); j += 1
+      }
+      d / math.sqrt(na * nb)
+    }
+    for ((n, seed) <- Seq((1000, 1), (10000, 2))) {
+      val dim = 16
+      val rnd = new scala.util.Random(900 + seed)
+      val corpus = (0 until n).map(i =>
+        (i.toLong, Array.fill(dim)(rnd.nextGaussian().toFloat)))
+      val queries = corpus.take(5)
+      // driver-side brute-force oracle (5 x n dots) + the similarity
+      // level the candidate net must recall
+      val brute = queries.map { case (qid, qv) =>
+        qid -> corpus.filter(_._1 != qid)
+          .map { case (cid, cv) => (cid, cos(qv, cv)) }
+          .sortBy { case (cid, c) => (-c, cid) }.take(10)
+      }
+      val weakest = brute.flatMap(_._2.map(_._2)).min
+      val (bits, bands) = Vectors.srpParams(n, weakest, targetRecall = 0.9)
+      assert(bits == math.ceil(math.log(n.toDouble) / math.log(2.0)).toInt,
+        s"bits must scale as log2(corpus): $bits for n=$n")
+      assert(Vectors.srpRecall(weakest, bits, bands) >= 0.9)
+      val ann = Vectors.annTopK(corpus.toDF("vec_id", "embedding"),
+        queries.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", k = 10, bits = bits, bands = bands)
+        .collect().map(r => (r.getLong(0), r.getLong(2)))
+      val bruteSet = brute.flatMap { case (q, nn) => nn.map(c => (q, c._1)) }.toSet
+      val recall = ann.count(bruteSet.contains).toDouble / bruteSet.size
+      assert(recall >= 0.9,
+        s"n=$n bits=$bits bands=$bands: recall@10 $recall below the 0.9 target")
+    }
+  }
+
   test("ANN recall@10 >= 0.6 vs brute force on real embeddings") {
     import spark.implicits._
     val emb = spark.read.parquet(sf("embeddings"))
