@@ -1,0 +1,79 @@
+package graft.io
+
+import java.io.OutputStream
+import java.net.InetSocketAddress
+import java.nio.file.{Files, Path}
+
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+
+/** Loopback static-file HTTP server with RFC-7233 single-range support
+  * (`Range: bytes=a-b` / `bytes=a-`), used by HttpSourceSpec and the
+  * `src_http_csv` harness key to exercise [[HttpCsvSource]] in the
+  * zero-egress container. JDK-built-in (`com.sun.net.httpserver`), no
+  * dependencies. Serves only files under `root` (no path escape).
+  *
+  * `noRanges = true` simulates a server that ignores Range headers
+  * (always 200 + full body) to test the source's fallback paths.
+  */
+final class RangeFileServer(root: Path, noRanges: Boolean = false) {
+
+  private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+  server.createContext("/", new Handler)
+  server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
+  server.start()
+
+  val port: Int = server.getAddress.getPort
+  def url(file: String): String = s"http://127.0.0.1:$port/$file"
+  def stop(): Unit = server.stop(0)
+
+  private final class Handler extends HttpHandler {
+    override def handle(ex: HttpExchange): Unit = try {
+      val rel = ex.getRequestURI.getPath.stripPrefix("/")
+      val f = root.resolve(rel).normalize()
+      if (!f.startsWith(root) || !Files.isRegularFile(f)) {
+        ex.sendResponseHeaders(404, -1); return
+      }
+      val total = Files.size(f)
+      val range = Option(ex.getRequestHeaders.getFirst("Range"))
+        .filter(_ => !noRanges)
+        .flatMap(parseRange(_, total))
+      range match {
+        case Some((a, b)) =>
+          val len = b - a + 1
+          ex.getResponseHeaders.set("Content-Range", s"bytes $a-$b/$total")
+          ex.getResponseHeaders.set("Accept-Ranges", "bytes")
+          ex.sendResponseHeaders(206, len)
+          copyRange(f, a, len, ex.getResponseBody)
+        case None =>
+          ex.sendResponseHeaders(200, total)
+          copyRange(f, 0, total, ex.getResponseBody)
+      }
+    } finally ex.close()
+
+    private def parseRange(h: String, total: Long): Option[(Long, Long)] =
+      if (!h.startsWith("bytes=")) None
+      else h.stripPrefix("bytes=").split("-", 2) match {
+        case Array(a, "") => a.toLongOption.map(s => (s, total - 1)).filter(_._1 < total)
+        case Array(a, b) => for {
+          s <- a.toLongOption; e <- b.toLongOption
+          if s <= e && s < total
+        } yield (s, math.min(e, total - 1))
+        case _ => None
+      }
+
+    private def copyRange(f: Path, start: Long, len: Long, out: OutputStream): Unit = {
+      val in = Files.newInputStream(f)
+      try {
+        var left = start
+        while (left > 0) left -= in.skip(left)
+        val buf = new Array[Byte](1 << 16)
+        var remain = len
+        while (remain > 0) {
+          val n = in.read(buf, 0, math.min(remain, buf.length.toLong).toInt)
+          if (n < 0) remain = 0
+          else { out.write(buf, 0, n); remain -= n }
+        }
+      } finally { in.close(); out.close() }
+    }
+  }
+}

@@ -195,6 +195,50 @@ object HarnessIO {
       orphans.unionByName(nullBal).unionByName(dupPk).orderBy($"metric")
     }),
 
+    // In-engine HTTP CSV ingest (ref utils.py:5-20 requests.get →
+    // pd.read_csv — there a driver-side download; here a partitioned
+    // DataSourceV2 scan): stage customer as one CSV file, serve it from
+    // a loopback Range-capable server, read it back through
+    // format("graft_http") with 4 byte-range splits. The oracle against
+    // the parquet original proves the ranged, line-split read is
+    // lossless regardless of where the byte boundaries fall.
+    "src_http_csv" -> ((s, dir) => {
+      import s.implicits._
+      val srvDir = Paths.get(s"$stage/http")
+      Files.createDirectories(srvDir)
+      val tmp = s"$stage/customer_http_csv"
+      t(s, dir, "customer")
+        .select($"c_custkey", $"c_name", $"c_nationkey", $"c_acctbal", $"c_mktsegment")
+        .coalesce(1)
+        .write.mode("overwrite").option("header", "true").csv(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".csv"))
+        .getOrElse(sys.error(s"no CSV part file under $tmp"))
+      Files.copy(part.toPath, srvDir.resolve("customer.csv"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      val schema = StructType(Seq(
+        StructField("c_custkey", LongType),
+        StructField("c_name", StringType),
+        StructField("c_nationkey", IntegerType),
+        StructField("c_acctbal", DoubleType),
+        StructField("c_mktsegment", StringType)))
+      s.read.format("graft_http")
+        .schema(schema)
+        .option("url", httpServer.url("customer.csv"))
+        .option("splits", "4")
+        .load()
+        .orderBy($"c_custkey")
+    }),
+
+    // Bucketed co-located join (io/Bucketing.scala, SURVEY §4.2): both
+    // sides written bucketed+sorted by the join key through the session
+    // catalog, then sort-merge-joined with ZERO Exchange on either side
+    // (PlanSpec pins the shape) — the layout that makes a recurring
+    // big-x-big join over a 100 TB fact table shuffle-free. The oracle
+    // is the plain join+agg on the unbucketed originals, proving the
+    // bucketed layout changes the plan, not the answer.
+    "join_bucketed" -> ((s, dir) => joinBucketed(s, dir)),
+
     // Catalog existence check (ref visualization.py:64-73).
     "meta_table_exists" -> ((s, dir) => {
       t(s, dir, "region").createOrReplaceTempView("graft_region_view")
@@ -205,7 +249,55 @@ object HarnessIO {
     }),
   )
 
+  /** Loopback Range-capable server over the staged HTTP fixture dir;
+    * created once per JVM (the scan re-fetches lazily at execution
+    * time, so the server must outlive the query lambda), stopped by a
+    * shutdown hook. */
+  private lazy val httpServer = {
+    Files.createDirectories(Paths.get(s"$stage/http"))
+    val srv = new graft.io.RangeFileServer(Paths.get(s"$stage/http"))
+    Runtime.getRuntime.addShutdownHook(new Thread(() => srv.stop()))
+    srv
+  }
+
+  /** Body of `join_bucketed` (named so PlanSpec can pin its shape):
+    * revenue per order priority over bucketed orders ⋈ lineitem. The
+    * merge hint makes the co-located SMJ explicit (independent of the
+    * broadcast threshold at the driver's session defaults). */
+  def joinBucketed(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.sql(s"CREATE DATABASE IF NOT EXISTS graft_stage LOCATION '$stage/warehouse'")
+    Seq("graft_stage.orders_b", "graft_stage.lineitem_b").foreach { tbl =>
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(s"$stage/warehouse/${tbl.split('.').last}"))
+    }
+    graft.io.Bucketing.writeBucketed(
+      t(s, dir, "orders").select($"o_orderkey", $"o_orderpriority"),
+      "graft_stage.orders_b", "o_orderkey", 8, Some("o_orderkey"))
+    graft.io.Bucketing.writeBucketed(
+      t(s, dir, "lineitem").select($"l_orderkey", $"l_extendedprice", $"l_discount"),
+      "graft_stage.lineitem_b", "l_orderkey", 8, Some("l_orderkey"))
+    s.table("graft_stage.orders_b").hint("merge")
+      .join(s.table("graft_stage.lineitem_b").hint("merge"),
+        $"o_orderkey" === $"l_orderkey")
+      .groupBy($"o_orderpriority")
+      .agg(
+        Aggregates.sumExact($"l_extendedprice" * (lit(1.0) - $"l_discount"), 4).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy($"o_orderpriority")
+  }
+
   val oracles: Map[String, String] = Map(
+    "src_http_csv" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |FROM customer ORDER BY 1""".stripMargin,
+    "join_bucketed" ->
+      """SELECT o_orderpriority,
+        | CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS revenue,
+        | count(*) AS n_items
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "src_binary_files" ->
       """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes, md5(text) AS chk
         |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,

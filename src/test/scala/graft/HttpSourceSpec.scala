@@ -1,0 +1,158 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.io.{HttpLines, RangeFileServer}
+
+/** [[graft.io.HttpCsvSource]] against a loopback Range-capable server:
+  * split-boundary row identity, fallback paths, pruning pushdown. */
+class HttpSourceSpec extends AnyFunSuite with SparkTestBase {
+
+  private lazy val stageDir = {
+    val d = Paths.get("/tmp/graft_stage/http_spec")
+    Files.createDirectories(d)
+    d
+  }
+
+  private lazy val server = {
+    val s = new RangeFileServer(stageDir)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => s.stop()))
+    s
+  }
+
+  private val schema = StructType(Seq(
+    StructField("c_custkey", LongType),
+    StructField("c_name", StringType),
+    StructField("c_acctbal", DoubleType)))
+
+  /** Stage customer as a single CSV file; return (fileName, expected). */
+  private lazy val staged = {
+    import spark.implicits._
+    val df = spark.read.parquet(sf("customer"))
+      .select($"c_custkey", $"c_name", $"c_acctbal")
+    val rows = df.orderBy($"c_custkey").collect()
+    val csv = "c_custkey,c_name,c_acctbal\n" + rows.map { r =>
+      s"${r.getLong(0)},${r.getString(1)},${r.getDouble(2)}"
+    }.mkString("\n") + "\n"
+    Files.write(stageDir.resolve("customer.csv"), csv.getBytes("UTF-8"))
+    ("customer.csv", rows)
+  }
+
+  private def readHttp(splits: Int, extra: Map[String, String] = Map.empty) = {
+    val (file, _) = staged
+    spark.read.format("graft_http")
+      .schema(schema)
+      .option("url", server.url(file))
+      .option("splits", splits.toString)
+      .options(extra)
+      .load()
+  }
+
+  test("round-trip equality, row identity across split counts 1/3/7") {
+    val (_, expected) = staged
+    for (splits <- Seq(1, 3, 7)) {
+      val got = readHttp(splits).orderBy(col("c_custkey")).collect()
+      assert(got.length === expected.length, s"splits=$splits")
+      got.zip(expected).foreach { case (g, e) =>
+        assert(g.getLong(0) === e.getLong(0))
+        assert(g.getString(1) === e.getString(1))
+        assert(g.getDouble(2) === e.getDouble(2))
+      }
+    }
+  }
+
+  test("ranged scan plans one input partition per byte chunk") {
+    assert(readHttp(5).rdd.getNumPartitions === 5)
+  }
+
+  test("range-ignoring server falls back to a single partition, same rows") {
+    val (file, expected) = staged
+    val dumb = new RangeFileServer(stageDir, noRanges = true)
+    try {
+      val df = spark.read.format("graft_http").schema(schema)
+        .option("url", dumb.url(file)).option("splits", 4).load()
+      assert(df.rdd.getNumPartitions === 1)
+      assert(df.count() === expected.length)
+    } finally dumb.stop()
+  }
+
+  test("multiple URLs union: one partition set per URL") {
+    val (file, expected) = staged
+    val df = spark.read.format("graft_http").schema(schema)
+      .option("url", s"${server.url(file)},${server.url(file)}")
+      .option("splits", 3).load()
+    assert(df.rdd.getNumPartitions === 6)
+    assert(df.count() === 2L * expected.length)
+  }
+
+  test("column pruning reaches the scan (BatchScan readSchema = projection)") {
+    val df = readHttp(3).select(col("c_name"))
+    val scans = df.queryExecution.executedPlan.collect { case b: BatchScanExec => b }
+    assert(scans.nonEmpty)
+    assert(scans.head.scan.readSchema().fieldNames.toSeq === Seq("c_name"))
+    assert(df.count() === staged._2.length)
+  }
+
+  test("quoted fields: embedded delimiter and escaped quote") {
+    val csv = "k,v\n1,\"a,b\"\n2,\"say \"\"hi\"\"\"\n"
+    Files.write(stageDir.resolve("quoted.csv"), csv.getBytes("UTF-8"))
+    val df = spark.read.format("graft_http")
+      .schema(StructType(Seq(StructField("k", IntegerType), StructField("v", StringType))))
+      .option("url", server.url("quoted.csv")).load()
+    val rows = df.orderBy("k").collect()
+    assert(rows.map(_.getString(1)).toSeq === Seq("a,b", "say \"hi\""))
+  }
+
+  test("schema inference falls back to header names, all strings") {
+    val df = spark.read.format("graft_http")
+      .option("url", server.url(staged._1)).load()
+    assert(df.schema.fieldNames.toSeq === Seq("c_custkey", "c_name", "c_acctbal"))
+    assert(df.schema.fields.forall(_.dataType == StringType))
+  }
+
+  test("filter pushdown: accepted filters reach the scan and results stay exact") {
+    val (_, expected) = staged
+    val df = readHttp(3).filter(col("c_acctbal") > 0.0).filter(col("c_name").isNotNull)
+    val scans = df.queryExecution.executedPlan.collect { case b: BatchScanExec => b }
+    assert(scans.nonEmpty)
+    val desc = scans.head.scan.description()
+    assert(desc.contains("GreaterThan(c_acctbal,0.0)"), desc)
+    assert(desc.contains("IsNotNull(c_name)"), desc)
+    val want = expected.filter(r => r.getDouble(2) > 0.0 && r.getString(1) != null)
+    assert(df.count() === want.length)
+  }
+
+  test("HttpFilterEval: compiled predicates drop rows at the reader, null-safe") {
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.sql.sources._
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.io.HttpFilterEval
+    val sch = StructType(Seq(
+      StructField("k", LongType), StructField("v", StringType)))
+    def row(k: Any, v: String) = new GenericInternalRow(
+      Array[Any](k, if (v == null) null else UTF8String.fromString(v)))
+    val gt = HttpFilterEval.compile(GreaterThan("k", 5L), sch).get
+    assert(gt(row(6L, "x")) && !gt(row(5L, "x")) && !gt(row(null, "x")))
+    val in = HttpFilterEval.compile(In("v", Array("a", "b")), sch).get
+    assert(in(row(1L, "a")) && !in(row(1L, "c")) && !in(row(1L, null)))
+    val nn = HttpFilterEval.compile(IsNotNull("v"), sch).get
+    assert(nn(row(1L, "a")) && !nn(row(1L, null)))
+    // unsupported shape stays residual-only
+    assert(HttpFilterEval.compile(StringContains("v", "a"), sch).isEmpty)
+    assert(!HttpFilterEval.supported(StringContains("v", "a")))
+  }
+
+  test("probe: 206 Content-Range yields total; no-range server yields None") {
+    val (file, _) = staged
+    val total = Files.size(stageDir.resolve(file))
+    assert(HttpLines.probe(server.url(file)) === Some(total))
+    val dumb = new RangeFileServer(stageDir, noRanges = true)
+    try assert(HttpLines.probe(dumb.url(file)) === None)
+    finally dumb.stop()
+  }
+}

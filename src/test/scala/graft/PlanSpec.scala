@@ -179,6 +179,19 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(countExchanges(df) == 0, plan(df))
   }
 
+  test("join_bucketed: zero Exchange beneath the sort-merge join") {
+    val df = graft.queries.HarnessIO.joinBucketed(spark, "/root/testdata/sf0.001")
+    val p = plan(df)
+    val smjAt = p.indexOf("SortMergeJoin")
+    assert(smjAt >= 0, p)
+    // everything printed below the SMJ is its subtree (the only ops
+    // above it are the post-join agg + sort, whose Exchanges are fine):
+    // the bucketed layout must have replaced BOTH pre-join shuffles
+    assert(!p.substring(smjAt).contains("Exchange"), p)
+    assert(p.contains("Bucketed: true"), p)
+    assert(p.contains("SelectedBucketsCount: 8 out of 8"), p)
+  }
+
   test("whole-stage codegen covers the scan-filter-project hot path") {
     import spark.implicits._
     val df = spark.read.parquet(sf("lineitem"))
