@@ -19,8 +19,20 @@ final class RangeFileServer(root: Path, noRanges: Boolean = false) {
 
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
   server.createContext("/", new Handler)
-  server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
-  server.start()
+  // ALL server threads must be daemon: a harness/Verify JVM whose main
+  // has returned otherwise never exits (DestroyJavaVM waits on the
+  // non-daemon pool, and the shutdown hook that would stop the server
+  // only fires once every non-daemon thread is gone — a deadlock).
+  server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8,
+    (r: Runnable) => { val t = new Thread(r); t.setDaemon(true); t }))
+  // the JDK server's internal HTTP-Dispatcher thread inherits daemon
+  // status from the thread calling start() — start from a daemon thread
+  locally {
+    val starter = new Thread(() => server.start())
+    starter.setDaemon(true)
+    starter.start()
+    starter.join()
+  }
 
   val port: Int = server.getAddress.getPort
   def url(file: String): String = s"http://127.0.0.1:$port/$file"

@@ -147,6 +147,21 @@ class HttpSourceSpec extends AnyFunSuite with SparkTestBase {
     assert(!HttpFilterEval.supported(StringContains("v", "a")))
   }
 
+  test("splitCsv round-trips arbitrary fields through RFC-4180 quoting") {
+    val rng = new scala.util.Random(42)
+    val alphabet = "ab,\"x\n\r\t ;|"
+    def field() = (0 until rng.nextInt(8)).map(_ => alphabet(rng.nextInt(alphabet.length)))
+      .mkString.replace("\n", "").replace("\r", "") // quotes may not span lines
+    def quote(f: String) =
+      if (f.exists(c => c == ',' || c == '"')) "\"" + f.replace("\"", "\"\"") + "\""
+      else f
+    for (_ <- 1 to 500) {
+      val fields = (0 to rng.nextInt(6)).map(_ => field())
+      val line = fields.map(quote).mkString(",")
+      assert(HttpLines.splitCsv(line, ',').toSeq === fields, s"line=<$line>")
+    }
+  }
+
   test("probe: 206 Content-Range yields total; no-range server yields None") {
     val (file, _) = staged
     val total = Files.size(stageDir.resolve(file))
