@@ -31,6 +31,12 @@ object Bench {
     try { graft.queries.HarnessLLM.ivfIndexFor(spark, sfDir) }
     catch { case _: Throwable => () }
     val ivfBuildSec = (System.nanoTime() - i0) / 1e9
+    // PQ code build is likewise ingest-time (the m-byte code column is
+    // written with the table) — prebuild untimed, report the cost.
+    val p0 = System.nanoTime()
+    try { graft.queries.HarnessLLM.pqIndexFor(spark, sfDir) }
+    catch { case _: Throwable => () }
+    val pqBuildSec = (System.nanoTime() - p0) / 1e9
     // Shingle+HashingTF featurize is likewise an ingest-time step (the
     // feature columns persist with the corpus) shared by the
     // minhash-family keys — prebuild untimed, report the cost.
@@ -66,7 +72,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","warmup_sec":$warmupSec,"ivf_index_build_sec":$ivfBuildSec,"doc_feats_build_sec":$docFeatsSec,"bucketed_build_sec":$bucketedSec,"failed":$failedJson}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","warmup_sec":$warmupSec,"ivf_index_build_sec":$ivfBuildSec,"pq_index_build_sec":$pqBuildSec,"doc_feats_build_sec":$docFeatsSec,"bucketed_build_sec":$bucketedSec,"failed":$failedJson}"""
     println(line)
     // The driver keeps only a 2000-char tail of stdout, which truncates
     // the per-key map and loses the total; persist the full line so

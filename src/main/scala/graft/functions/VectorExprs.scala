@@ -62,6 +62,14 @@ object VectorExprs {
                   bands: Int): Column =
     GraftColumnBridge.column(SrpBandKeys(
       GraftColumnBridge.expression(vec), planes.flatten, bits, bands))
+
+  /** Asymmetric-distance (ADC) score of a product-quantized code
+    * against a per-query lookup table: Σ_s lut[s*ksub + codes[s]].
+    * The PQ query hot path — runs once per (query, corpus-code) pair,
+    * so it must stay inside whole-stage codegen like [[dot]]. */
+  def pqAdc(codes: Column, lut: Column, ksub: Int): Column =
+    GraftColumnBridge.column(PqAdcScore(
+      GraftColumnBridge.expression(codes), GraftColumnBridge.expression(lut), ksub))
 }
 
 /** Sequential-order dot product of two equal-typed float/double
@@ -212,6 +220,71 @@ case class L2Norm(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+/** Product-quantization asymmetric-distance score (ADC, Jégou et al.,
+  * "Product Quantization for Nearest Neighbor Search", TPAMI 2011):
+  * `codes` is the corpus row's m-byte PQ code (BinaryType, one unsigned
+  * byte per subspace), `lut` the query's flattened m×ksub inner-product
+  * lookup table (`lut[s*ksub + c] = dot(q_s, codebook_s[c])`), and the
+  * score Σ_s lut[s*ksub + (codes[s] & 0xFF)] approximates dot(q, v)
+  * reading only m bytes of corpus data — the compressed-domain scan
+  * that makes a 100 TB corpus ADC-searchable at ~1/32 the bytes.
+  *
+  * Null semantics: null codes or null lut → null; a lut sized
+  * differently from codes.length*ksub (a codebook/codes mismatch) →
+  * null, poisoning the rank step rather than mis-scoring. lut is an
+  * ArrayType(Double, containsNull=false) produced by the LUT builder,
+  * so no per-element null branch is emitted. */
+case class PqAdcScore(left: Expression, right: Expression, ksub: Int)
+  extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_pq_adc"
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (BinaryType, ArrayType(DoubleType, false)) if ksub >= 1 && ksub <= 256 =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (binary codes, array<double> lut not null) and ksub in [1,256], " +
+        s"got (${left.dataType}, ${right.dataType}) ksub=$ksub")
+  }
+
+  override def nullSafeEval(codesAny: Any, lutAny: Any): Any = {
+    val codes = codesAny.asInstanceOf[Array[Byte]]
+    val lut = lutAny.asInstanceOf[ArrayData]
+    if (lut.numElements() != codes.length * ksub) return null
+    var s = 0.0
+    var i = 0
+    while (i < codes.length) {
+      s += lut.getDouble(i * ksub + (codes(i) & 0xFF))
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (codes, lut) => {
+      val m = ctx.freshName("m")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      s"""
+        int $m = $codes.length;
+        if ($lut.numElements() != $m * $ksub) {
+          ${ev.isNull} = true;
+        } else {
+          double $s = 0.0;
+          for (int $i = 0; $i < $m; $i++) {
+            $s += $lut.getDouble($i * $ksub + ($codes[$i] & 0xFF));
+          }
+          ${ev.value} = $s;
+        }
+      """
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }
 
 /** Banded sign-random-projection signature: for each band b,

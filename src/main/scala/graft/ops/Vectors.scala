@@ -427,7 +427,15 @@ object Vectors {
     * [[ivfIndexFrom]]. */
   def fitQuantizer(corpus: DataFrame, vec: String, nlist: Int = 16,
                    sampleFraction: Double = 1.0, seed: Long = 42L,
-                   maxSamples: Int = 100000, iters: Int = 10): Array[Array[Double]] = {
+                   maxSamples: Int = 100000, iters: Int = 10): Array[Array[Double]] =
+    lloydFit(normalizedSample(corpus, vec, sampleFraction, seed, maxSamples),
+      nlist, iters, seed)
+
+  /** Bounded seeded driver-side sample of normalized vectors — the
+    * shared fit input for the coarse quantizer and the PQ codebooks. */
+  private def normalizedSample(corpus: DataFrame, vec: String,
+                               sampleFraction: Double, seed: Long,
+                               maxSamples: Int): Array[Array[Double]] = {
     val cn = corpus
       .filter(nullif(l2norm(col(vec)), lit(0.0)).isNotNull)
       .select(normalized(col(vec)).as("__na"))
@@ -441,11 +449,11 @@ object Vectors {
       // on ordered/clustered layouts a truncated prefix biases the
       // quantizer. The caller controls randomness via sampleFraction.
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        s"fitQuantizer sample truncated at maxSamples=$maxSamples " +
+        s"quantizer sample truncated at maxSamples=$maxSamples " +
           "in partition order; pass sampleFraction < 1.0 for an unbiased " +
           "seeded sample on corpora larger than the cap.")
     }
-    lloydFit(sample, nlist, iters, seed)
+    sample
   }
 
   /** Nearest-centroid assignment as a scan-local pass against the
@@ -560,6 +568,32 @@ object Vectors {
   def shouldRefit(current: Double, baseline: Double, factor: Double = 2.0): Boolean =
     current > baseline * factor
 
+  /** Queries as (qid, __qv) with __qv normalized to unit length —
+    * degenerate (zero/null) query vectors are dropped, not scored. */
+  private def normalizedQueries(queries: DataFrame, id: String,
+                                vec: String): DataFrame =
+    queries.select(col(id), normalized(col(vec)).as("__na"))
+      .filter(col("__na").isNotNull)
+      .select(col(id).as("qid"), col("__na").cast("array<double>").as("__qv"))
+
+  /** Route each (qid, __qv) query to its `nprobe` nearest cells via the
+    * broadcast centroid relation → (qid, __qv, __cell). Uses the same
+    * map-side-truncating aggregator as the rank step (cell asc
+    * tiebreak); __qv is constant per qid so first() carries it through
+    * without a second join. */
+  private def probeCells(index: IvfIndexData, qn: DataFrame,
+                         nprobe: Int): DataFrame = {
+    val routed = qn.join(broadcast(index.centroids))
+      .withColumn("__cscore", dot(col("__qv"), col("__centroid")) - col("__cn2") / 2.0)
+    val topNprobe = graft.functions.TopKByValue.topK(nprobe)
+    routed
+      .groupBy(col("qid"))
+      .agg(topNprobe(col("__cscore"), col("__cell").cast("long")).as("__pc"),
+        first(col("__qv")).as("__qv"))
+      .select(col("qid"), col("__qv"), explode(col("__pc")).as("__t"))
+      .select(col("qid"), col("__qv"), col("__t._2").cast("integer").as("__cell"))
+  }
+
   /** Search a prebuilt IVF index: route each query to its nprobe
     * nearest cells via the broadcast centroid relation, then score only
     * the vectors in those cells — an equi-join on cell id (partitioned,
@@ -567,22 +601,8 @@ object Vectors {
     * no corpus scan beyond the probed cells. */
   def ivfSearch(index: IvfIndexData, queries: DataFrame, id: String,
                 vec: String, k: Int, nprobe: Int = 4): DataFrame = {
-    val qn = queries.select(col(id), normalized(col(vec)).as("__na"))
-      .filter(col("__na").isNotNull)
-      .select(col(id).as("qid"), col("__na").cast("array<double>").as("__qv"))
-    val routed = qn.join(broadcast(index.centroids))
-      .withColumn("__cscore", dot(col("__qv"), col("__centroid")) - col("__cn2") / 2.0)
-    // nprobe-cell routing with the same map-side-truncating aggregator
-    // as the rank step (cell asc tiebreak preserved); __qv is constant
-    // per qid so first() carries it through without a second join
-    val topNprobe = graft.functions.TopKByValue.topK(nprobe)
-    val probeCells = routed
-      .groupBy(col("qid"))
-      .agg(topNprobe(col("__cscore"), col("__cell").cast("long")).as("__pc"),
-        first(col("__qv")).as("__qv"))
-      .select(col("qid"), col("__qv"), explode(col("__pc")).as("__t"))
-      .select(col("qid"), col("__qv"), col("__t._2").cast("integer").as("__cell"))
-    val scored = probeCells.join(index.cells, Seq("__cell"))
+    val qn = normalizedQueries(queries, id, vec)
+    val scored = probeCells(index, qn, nprobe).join(index.cells, Seq("__cell"))
       .filter(col("qid") =!= col("cid"))
       .withColumn("__cos", dot(col("__qv"), col("__cv")))
     topKPerGroup(scored, "qid", "__cos", "cid", k)
@@ -597,4 +617,206 @@ object Vectors {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, id: String,
               vec: String, k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame =
     ivfSearch(ivfIndex(corpus, id, vec, nlist), queries, id, vec, k, nprobe)
+
+  // ------------------- product quantization (PQ) -------------------
+
+  /** Driver-fit PQ codebooks (Jégou et al., TPAMI 2011): the
+    * (normalized) d-dim space splits into `m` contiguous `dsub`-dim
+    * subspaces, each with its own `ksub`-centroid codebook; a vector's
+    * code is its nearest centroid index per subspace — m BYTES standing
+    * in for d floats. `flat` is the concatenated codebook matrix,
+    * indexed `((s * ksub + c) * dsub + j)`. */
+  final case class PqCodebooks(m: Int, ksub: Int, dsub: Int,
+                               flat: Array[Double]) {
+    def dim: Int = m * dsub
+  }
+
+  /** Fit PQ codebooks DRIVER-SIDE on the same bounded seeded sample the
+    * coarse quantizer uses — per subspace an independent [[lloydFit]]
+    * (seed offset by subspace so codebooks differ). When the sample is
+    * smaller than `ksub` the fitted centroid set is cycled to fill the
+    * codebook: every code stays in [0, ksub) and encoding (strict
+    * nearest-first) never selects a repeated tail entry, so tiny test
+    * corpora degrade gracefully instead of throwing. */
+  def pqFit(corpus: DataFrame, vec: String, m: Int = 8, ksub: Int = 64,
+            sampleFraction: Double = 1.0, seed: Long = 42L,
+            maxSamples: Int = 100000, iters: Int = 10): PqCodebooks = {
+    require(m >= 1, "m must be positive")
+    require(ksub >= 1 && ksub <= 256, "ksub must fit one unsigned byte: [1, 256]")
+    val sample = normalizedSample(corpus, vec, sampleFraction, seed, maxSamples)
+    require(sample.nonEmpty, "cannot fit PQ codebooks on an empty sample")
+    val dim = sample(0).length
+    require(dim % m == 0, s"vector dim $dim must divide evenly into m=$m subspaces")
+    val dsub = dim / m
+    val flat = new Array[Double](m * ksub * dsub)
+    var s = 0
+    while (s < m) {
+      val sub = sample.map(v => java.util.Arrays.copyOfRange(v, s * dsub, (s + 1) * dsub))
+      val cents = lloydFit(sub, ksub, iters, seed + s)
+      var c = 0
+      while (c < ksub) {
+        System.arraycopy(cents(c % cents.length), 0, flat, (s * ksub + c) * dsub, dsub)
+        c += 1
+      }
+      s += 1
+    }
+    PqCodebooks(m, ksub, dsub, flat)
+  }
+
+  /** Scan-local PQ encoder against the broadcast codebooks → m-byte
+    * BinaryType code. Like [[cellAssigner]] this is a JVM function,
+    * not a composed expression (a once-per-ingest pass, m*ksub dot
+    * loops), and the broadcast is created once per encoder — reuse the
+    * encoder across calls rather than rebuilding per batch. */
+  private[graft] def pqEncoder(spark: org.apache.spark.sql.SparkSession,
+                               cb: PqCodebooks): Column => Column = {
+    val bc = spark.sparkContext.broadcast(cb)
+    val enc = udf { (v: Seq[Double]) =>
+      val b = bc.value
+      val codes = new Array[Byte](b.m)
+      var s = 0
+      while (s < b.m) {
+        var best = 0
+        var bestD = Double.MaxValue
+        var c = 0
+        while (c < b.ksub) {
+          val base = (s * b.ksub + c) * b.dsub
+          var d = 0.0
+          var j = 0
+          while (j < b.dsub) {
+            val t = v(s * b.dsub + j) - b.flat(base + j); d += t * t; j += 1
+          }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        codes(s) = best.toByte
+        s += 1
+      }
+      codes
+    }
+    v => enc(v)
+  }
+
+  /** The per-row PQ projection: (cid, __code, __cv) for every
+    * non-degenerate vector — norm-gated exactly like [[cellColumns]].
+    * __cv (the normalized vector) rides along for the exact rescore;
+    * at production scale the code column is the compact one persisted
+    * hot and the rescore joins back to the base table. */
+  private[graft] def pqCodeColumns(df: DataFrame, id: String, vec: String,
+                                   cb: PqCodebooks): DataFrame = {
+    val enc = pqEncoder(df.sparkSession, cb)
+    df.filter(nullif(l2norm(col(vec)), lit(0.0)).isNotNull)
+      .select(col(id).as("cid"), normalized(col(vec)).as("__cv"))
+      .withColumn("__code", enc(col("__cv")))
+      .select(col("cid"), col("__code"), col("__cv"))
+  }
+
+  /** A prebuilt PQ index: the m-byte-per-vector code relation (plus the
+    * normalized vectors for rescoring) and the codebooks that encode /
+    * score against it. Build once per corpus like [[IvfIndexData]]. */
+  final case class PqIndexData(codes: DataFrame, cb: PqCodebooks)
+
+  def pqIndex(corpus: DataFrame, id: String, vec: String, m: Int = 8,
+              ksub: Int = 64, sampleFraction: Double = 1.0, seed: Long = 42L,
+              maxSamples: Int = 100000, iters: Int = 10): PqIndexData = {
+    val cb = pqFit(corpus, vec, m, ksub, sampleFraction, seed, maxSamples, iters)
+    PqIndexData(pqCodeColumns(corpus, id, vec, cb).localCheckpoint(true), cb)
+  }
+
+  /** Per-query ADC lookup table: lut[s*ksub + c] = dot(q_s,
+    * codebook_s[c]), flattened — computed once per QUERY (tiny), so the
+    * per-corpus-row score is m array reads ([[graft.functions.PqAdcScore]]). */
+  private def pqLutUdf(spark: org.apache.spark.sql.SparkSession,
+                       cb: PqCodebooks): Column => Column = {
+    val bc = spark.sparkContext.broadcast(cb)
+    val mk = udf { (q: Seq[Double]) =>
+      val b = bc.value
+      val lut = new Array[Double](b.m * b.ksub)
+      var s = 0
+      while (s < b.m) {
+        var c = 0
+        while (c < b.ksub) {
+          val base = (s * b.ksub + c) * b.dsub
+          var d = 0.0
+          var j = 0
+          while (j < b.dsub) { d += q(s * b.dsub + j) * b.flat(base + j); j += 1 }
+          lut(s * b.ksub + c) = d
+          c += 1
+        }
+        s += 1
+      }
+      lut
+    }
+    q => mk(q)
+  }
+
+  /** Exact-cosine rescore of ADC candidates + final top-k: candidates
+    * re-join the stored normalized vectors once per pair, so ranking
+    * among admitted candidates is exact and PQ only tunes which
+    * candidates are admitted (the same no-false-ranking contract as the
+    * LSH tiers). */
+  private def pqRescore(codes: DataFrame, qn: DataFrame, cands: DataFrame,
+                        k: Int): DataFrame = {
+    val scored = cands.select(col("qid"), col("cid"))
+      .join(broadcast(qn.select(col("qid"), col("__qv"))), Seq("qid"))
+      .join(codes.select(col("cid"), col("__cv")), Seq("cid"))
+      .withColumn("__cos", dot(col("__qv"), col("__cv")))
+    topKPerGroup(scored, "qid", "__cos", "cid", k)
+      .withColumnRenamed("cid", "vec_id")
+  }
+
+  /** Compressed-domain ANN scan: score EVERY corpus code against each
+    * query's ADC lookup table (m byte-reads + m adds per row — the
+    * corpus bytes touched are m/(4·d) of a float scan, ~1/32 at the
+    * defaults), keep the top `rescoreK` ADC candidates per query with
+    * the map-side-truncating aggregator, then exact-rescore. Linear in
+    * corpus size like [[cosineTopK]] but reading 8 bytes instead of
+    * 256+ per vector — the memory-bandwidth-optimal exhaustive tier; at
+    * 100 TB pair it with IVF routing ([[ivfPqSearch]]) so the scan
+    * touches only probed cells. */
+  def pqTopK(index: PqIndexData, queries: DataFrame, id: String,
+             vec: String, k: Int, rescoreK: Int = 0): DataFrame = {
+    val rk = if (rescoreK > 0) rescoreK else 4 * k
+    val lut = pqLutUdf(queries.sparkSession, index.cb)
+    val qn = normalizedQueries(queries, id, vec)
+      .withColumn("__lut", lut(col("__qv")))
+    val scored = index.codes
+      .join(broadcast(qn.select(col("qid"), col("__lut"))), col("cid") =!= col("qid"))
+      .withColumn("__adc", graft.functions.VectorExprs.pqAdc(
+        col("__code"), col("__lut"), index.cb.ksub))
+    val cands = topKPerGroup(scored.select(col("qid"), col("cid"), col("__adc")),
+      "qid", "__adc", "cid", rk)
+    pqRescore(index.codes, qn, cands, k)
+  }
+
+  /** IVF routing + PQ compressed-domain scoring + exact rescore — the
+    * full 100 TB composition: the coarse quantizer prunes the corpus to
+    * nprobe cells, ADC scores only those cells' m-byte codes, and the
+    * top rescoreK candidates per query are exactly rescored. Codes here
+    * quantize the vector itself (IVF-Flat routing + PQ storage); the
+    * residual-encoding refinement (quantize v − centroid(cell), faiss
+    * IVFPQ) sharpens ADC at the cost of per-cell lookup tables and is
+    * the documented next step if ADC precision ever gates recall. */
+  def ivfPqSearch(ivf: IvfIndexData, pq: PqIndexData, queries: DataFrame,
+                  id: String, vec: String, k: Int, nprobe: Int = 4,
+                  rescoreK: Int = 0): DataFrame = {
+    val rk = if (rescoreK > 0) rescoreK else 4 * k
+    val lut = pqLutUdf(queries.sparkSession, pq.cb)
+    val qn = normalizedQueries(queries, id, vec)
+      .withColumn("__lut", lut(col("__qv")))
+    // (cid, __cell, __code): at production scale the cell and code are
+    // sibling ingest-time columns of the same table; here the two
+    // build-once indexes join on id
+    val cellCodes = ivf.cells.select(col("cid"), col("__cell"))
+      .join(pq.codes.select(col("cid"), col("__code")), Seq("cid"))
+    val scored = probeCells(ivf, qn.select(col("qid"), col("__qv")), nprobe)
+      .join(broadcast(qn.select(col("qid"), col("__lut"))), Seq("qid"))
+      .join(cellCodes, Seq("__cell"))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("__adc", graft.functions.VectorExprs.pqAdc(
+        col("__code"), col("__lut"), pq.cb.ksub))
+    val cands = topKPerGroup(scored.select(col("qid"), col("cid"), col("__adc")),
+      "qid", "__adc", "cid", rk)
+    pqRescore(pq.codes, qn, cands, k)
+  }
 }

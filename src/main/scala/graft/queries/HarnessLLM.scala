@@ -86,6 +86,19 @@ object HarnessLLM {
         sampleFraction = 0.5))
   }
 
+  /** Build-once PQ index per (session, corpus dir) — same lifecycle as
+    * [[ivfIndexFor]]: the m-byte code column would be written with the
+    * table at ingest; searches pay only the compressed-domain scan. */
+  private val pqIndexCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Vectors.PqIndexData]
+
+  def pqIndexFor(s: SparkSession, dir: String): Vectors.PqIndexData = {
+    pruneStopped(pqIndexCache)
+    pqIndexCache.getOrElseUpdate((s, dir),
+      Vectors.pqIndex(annCorpus(s, dir), "vec_id", "embedding", m = 8, ksub = 64,
+        sampleFraction = 0.5))
+  }
+
   /** Featurize-once (shingles + HashingTF) per (session, corpus dir),
     * shared by every minhash-family key — `dedup_minhash` generates LSH
     * candidates from it and `dedup_ngram_jaccard` both generates
@@ -256,6 +269,35 @@ object HarnessLLM {
       val emb = t(s, dir, "embeddings")
       Vectors.ivfSearch(ivfIndexFor(s, dir), emb.filter($"vec_id" < 5),
         "vec_id", "embedding", k = 10)
+        .orderBy($"qid", $"rnk")
+    }),
+    "sim_ann_pq" -> ((s, dir) => {
+      import s.implicits._
+      // Product-quantized ANN over the same planted corpus: the
+      // compressed-domain ADC scan reads m=8 bytes per corpus vector
+      // instead of 256, the top-rescoreK ADC candidates are exactly
+      // rescored, and the planted copies pin the answer — normalized
+      // copies are bit-identical to their query, so their codes equal
+      // the query's own codes and their ADC score is the
+      // reconstruction dot ~1, far above the ~0.45 random-pair ceiling;
+      // the exact rescore then emits the closed form. ADC quality on
+      // unplanted data is spec-gated in VectorsSpec.
+      val emb = t(s, dir, "embeddings")
+      Vectors.pqTopK(pqIndexFor(s, dir), emb.filter($"vec_id" < 5),
+        "vec_id", "embedding", k = 10, rescoreK = 40)
+        .orderBy($"qid", $"rnk")
+    }),
+    "sim_ann_ivfpq" -> ((s, dir) => {
+      import s.implicits._
+      // The full 100 TB composition: IVF routing prunes to nprobe
+      // cells, PQ ADC scores only those cells' 8-byte codes, exact
+      // rescore ranks. Same closed form: the router lands each query on
+      // its copies' cell (sim_ann_ivf's argument) and the copies' codes
+      // equal the query's (sim_ann_pq's argument).
+      val emb = t(s, dir, "embeddings")
+      Vectors.ivfPqSearch(ivfIndexFor(s, dir), pqIndexFor(s, dir),
+        emb.filter($"vec_id" < 5), "vec_id", "embedding", k = 10,
+        rescoreK = 40)
         .orderBy($"qid", $"rnk")
     }),
     "stream_vector_ingest" -> ((s, dir) => {
@@ -559,6 +601,18 @@ object HarnessLLM {
         |FROM embeddings q, (SELECT unnest(generate_series(0, 9)) AS j) g
         |WHERE q.vec_id < 5 ORDER BY 1, 2""".stripMargin,
     "sim_ann_ivf" ->
+      """SELECT q.vec_id AS qid, CAST(g.j + 1 AS INT) AS rnk,
+        | 100000 + q.vec_id * 100 + g.j AS vec_id
+        |FROM embeddings q, (SELECT unnest(generate_series(0, 9)) AS j) g
+        |WHERE q.vec_id < 5 ORDER BY 1, 2""".stripMargin,
+    // PQ tiers admit the planted copies through the ADC net and rescore
+    // exactly — same closed form as the other ANN tiers
+    "sim_ann_pq" ->
+      """SELECT q.vec_id AS qid, CAST(g.j + 1 AS INT) AS rnk,
+        | 100000 + q.vec_id * 100 + g.j AS vec_id
+        |FROM embeddings q, (SELECT unnest(generate_series(0, 9)) AS j) g
+        |WHERE q.vec_id < 5 ORDER BY 1, 2""".stripMargin,
+    "sim_ann_ivfpq" ->
       """SELECT q.vec_id AS qid, CAST(g.j + 1 AS INT) AS rnk,
         | 100000 + q.vec_id * 100 + g.j AS vec_id
         |FROM embeddings q, (SELECT unnest(generate_series(0, 9)) AS j) g

@@ -123,10 +123,13 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     val emb = spark.read.parquet(sf("embeddings"))
     val q = emb.filter($"vec_id" < 5)
     val ivf = graft.ops.Vectors.ivfIndex(emb, "vec_id", "embedding", nlist = 4)
+    val pq = graft.ops.Vectors.pqIndex(emb, "vec_id", "embedding", m = 8, ksub = 16)
     for (df <- Seq(
       graft.ops.Vectors.cosineTopK(emb, q, "vec_id", "embedding", k = 10),
       graft.ops.Vectors.annTopK(emb, q, "vec_id", "embedding", k = 10),
-      graft.ops.Vectors.ivfSearch(ivf, q, "vec_id", "embedding", k = 10))) {
+      graft.ops.Vectors.ivfSearch(ivf, q, "vec_id", "embedding", k = 10),
+      graft.ops.Vectors.pqTopK(pq, q, "vec_id", "embedding", k = 10),
+      graft.ops.Vectors.ivfPqSearch(ivf, pq, q, "vec_id", "embedding", k = 10))) {
       val p = plan(df)
       assert(!p.contains("Window"), p)
       assert(p.contains("partial_topkbyvalue") || p.contains("ObjectHashAggregate"), p)
