@@ -1,0 +1,97 @@
+package graft.io
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multi-dimensional clustered file layout via Z-ordering (Morton
+  * curve) — the 100 TB answer to "queries filter on TWO columns but a
+  * sort can only cluster one".
+  *
+  * A single-column sort gives perfect file-level min/max pruning on
+  * that column and none on any other; interleaving the bits of both
+  * columns' quantized ranks into one sort key clusters the curve so
+  * that EVERY z-ordered file covers a small rectangle of the
+  * (colA, colB) space — a box predicate on either column (or both)
+  * then intersects only the files whose rectangle overlaps, and the
+  * parquet row-group min/max stats make the skip automatic at scan
+  * time. The write costs one range-shuffle, exactly like a sort.
+  *
+  * Ranks here are linear min/max scalings (one tiny agg pass; at
+  * production scale the ranges come from table statistics). Heavily
+  * skewed columns would want quantile ranks instead — same interleave,
+  * different rank source.
+  */
+object Layout {
+
+  /** Bit-interleave `n` per-column ranks, `bits` bits each, LSB-first:
+    * bit b of column c lands at z-bit (b*n + c). A JVM udf, not a
+    * composed expression — a once-per-ingest write pass (the
+    * [[graft.ops.Vectors.cellAssigner]] precedent), and n*bits
+    * shift-or expressions would bloat codegen for zero query-path
+    * benefit. */
+  private def interleaveUdf(bits: Int, n: Int) = udf { (ranks: Seq[Int]) =>
+    var z = 0L
+    var b = 0
+    while (b < bits) {
+      var c = 0
+      while (c < n) {
+        if ((ranks(c) & (1 << b)) != 0) z |= 1L << (b * n + c)
+        c += 1
+      }
+      b += 1
+    }
+    z
+  }
+
+  /** The z-value column over numeric columns, each scaled into
+    * [0, 2^bits) by its (min, max) range. Nulls rank 0 (cluster at the
+    * curve origin); values outside the stated range clamp. */
+  def zValue(cols: Seq[Column], ranges: Seq[(Double, Double)],
+             bits: Int = 16): Column = {
+    require(cols.nonEmpty && cols.size == ranges.size,
+      "one (min, max) range per z-order column")
+    require(bits >= 1 && bits * cols.size <= 63,
+      s"bits=$bits x ${cols.size} columns must fit a long z-value")
+    val maxRank = (1 << bits) - 1
+    val ranks = cols.zip(ranges).map { case (c, (lo, hi)) =>
+      val span = if (hi > lo) hi - lo else 1.0
+      coalesce(
+        least(lit(maxRank), greatest(lit(0),
+          ((c.cast("double") - lit(lo)) / lit(span) * lit(maxRank)).cast("int"))),
+        lit(0))
+    }
+    interleaveUdf(bits, cols.size)(array(ranks: _*))
+  }
+
+  /** Write `df` z-order-clustered on `zCols` into `numFiles` parquet
+    * files: one tiny agg pass for the column ranges, a range shuffle on
+    * the z-value, an in-partition sort, and the z-value is DROPPED
+    * before the write — the clustering lives in the data columns' own
+    * per-file min/max stats, which is what scan-time skipping reads.
+    * Row content is untouched (pure layout), so a read-back is
+    * multiset-identical to the input. */
+  def writeZOrdered(df: DataFrame, zCols: Seq[String], outDir: String,
+                    numFiles: Int, bits: Int = 16): Unit = {
+    val aggs = zCols.flatMap(c =>
+      Seq(min(col(c).cast("double")), max(col(c).cast("double"))))
+    val r = df.agg(aggs.head, aggs.tail: _*).head()
+    val ranges = zCols.indices.map(i => (r.getDouble(2 * i), r.getDouble(2 * i + 1)))
+    df.withColumn("__z", zValue(zCols.map(col), ranges, bits))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(outDir)
+  }
+
+  /** File-level (min, max) stats of `statCols` for every file under
+    * `dir` — the spec's window into what scan-time pruning would skip:
+    * a predicate box prunes every file whose stat box misses it. */
+  def fileStats(spark: org.apache.spark.sql.SparkSession, dir: String,
+                statCols: Seq[String]): DataFrame = {
+    val aggs = statCols.flatMap(c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    spark.read.parquet(dir)
+      .groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+}

@@ -188,6 +188,34 @@ object Dedup {
     df.filter(bucket < pctOf100)
   }
 
+  /** Weighted reproducible sampling — Efraimidis–Spirakis A-ES ("Weighted
+    * random sampling with a reservoir", IPL 2006) with the randomness
+    * derived from the id hash instead of a RNG: each row gets
+    * u = (md5-bucket + 0.5) / 2^32 ∈ (0, 1) and sort key
+    * -ln(u) / weight; the n SMALLEST keys are exactly a weighted sample
+    * without replacement with inclusion probability increasing in
+    * weight. Same [[stableHashSample]] guarantees — a pure function of
+    * (id, weight), so the subset is identical across engines, runs, and
+    * layouts — and the top-n plans as TakeOrderedAndProject (distributed
+    * heap, no global sort). Rows with weight <= 0 or null are excluded
+    * (A-ES is undefined there). */
+  def stableWeightedSample(df: DataFrame, id: Column, weight: Column,
+                           n: Int): DataFrame = {
+    require(n >= 0, "sample size must be non-negative")
+    // 8 hex chars of md5 → 32 uniform bits; +0.5 keeps u strictly inside
+    // (0, 1) and the /2^32 is a power-of-two scale, so u is EXACT in
+    // both Spark and the DuckDB oracle — the only libm call either
+    // engine makes is the single ln
+    val u = (conv(substring(md5(id.cast("string")), 1, 8), 16, 10)
+      .cast("long").cast("double") + lit(0.5)) / lit(4294967296.0)
+    val key = -log(u) / weight.cast("double")
+    df.filter(weight.isNotNull && weight.cast("double") > 0)
+      .withColumn("__es_key", key)
+      .orderBy(col("__es_key").asc, id.asc)
+      .limit(n)
+      .drop("__es_key")
+  }
+
   /** Domain mixing, reproducibly: per-stratum stable-hash sampling
     * rates (percent of 100) — "keep 50% of web, 20% of books" as a
     * pure function of the id, so the mix is identical across engines,

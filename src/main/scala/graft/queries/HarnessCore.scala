@@ -357,6 +357,21 @@ object HarnessCore {
         .select($"c_custkey", $"n_name")
         .orderBy($"c_custkey")
     }),
+    "join_bloom_prefilter" -> ((s, dir) => {
+      import s.implicits._
+      // Runtime bloom prefilter ahead of a shuffle join: the selective
+      // part subset builds a broadcast Bloom filter that drops
+      // non-matching lineitem rows AT THE SCAN, before the SMJ shuffle
+      // (merge hint models the dim-too-big-to-broadcast regime). No
+      // false negatives → must equal the plain join (the oracle).
+      val dim = t(s, dir, "part").filter($"p_size" <= 2)
+        .select($"p_partkey", $"p_size")
+      graft.ops.RuntimeFilters.bloomPrefilterJoin(
+        t(s, dir, "lineitem").select($"l_orderkey", $"l_linenumber", $"l_partkey"),
+        dim.hint("merge"), "l_partkey", "p_partkey", expectedDimKeys = 10000)
+        .select($"l_orderkey", $"l_linenumber", $"p_partkey", $"p_size")
+        .orderBy($"l_orderkey", $"l_linenumber")
+    }),
     "agg_grouping_sets" -> ((s, dir) => {
       import s.implicits._
       // the two one-key marginals in one pass — the grouping-set shape
@@ -827,6 +842,13 @@ object HarnessCore {
       """SELECT c_custkey, n_name FROM customer
         |JOIN nation ON c_nationkey = n_nationkey
         |ORDER BY 1""".stripMargin,
+    // the bloom prefilter has no false negatives, so the key must equal
+    // the PLAIN inner join at any fpp
+    "join_bloom_prefilter" ->
+      """SELECT l.l_orderkey, l.l_linenumber, p.p_partkey, p.p_size
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE p.p_size <= 2
+        |ORDER BY 1, 2""".stripMargin,
     "agg_grouping_sets" ->
       """SELECT CASE WHEN GROUPING(l_returnflag) = 1 THEN 'ALL' ELSE l_returnflag END AS l_returnflag,
         | CASE WHEN GROUPING(l_linestatus) = 1 THEN 'ALL' ELSE l_linestatus END AS l_linestatus,

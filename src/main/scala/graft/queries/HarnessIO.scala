@@ -239,6 +239,23 @@ object HarnessIO {
     // bucketed layout changes the plan, not the answer.
     "join_bucketed" -> ((s, dir) => joinBucketed(s, dir)),
 
+    // Z-order clustered layout (io/Layout.scala, SURVEY §4.2): lineitem
+    // rewritten with (l_partkey, l_suppkey) bit-interleaved into the
+    // file sort key, so file-level min/max stats prune box predicates
+    // on EITHER column — the multi-column answer where a plain sort
+    // clusters only one. Pure layout: the read-back must be multiset-
+    // identical to the original projection (the oracle); the pruning
+    // factor itself is pinned in ScaleSpec.
+    "sink_zorder" -> ((s, dir) => {
+      import s.implicits._
+      val out = s"$stage/zorder_lineitem"
+      val li = t(s, dir, "lineitem")
+        .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey")
+      graft.io.Layout.writeZOrdered(li, Seq("l_partkey", "l_suppkey"), out,
+        numFiles = 16)
+      s.read.parquet(out).orderBy($"l_orderkey", $"l_linenumber")
+    }),
+
     // Catalog existence check (ref visualization.py:64-73).
     "meta_table_exists" -> ((s, dir) => {
       t(s, dir, "region").createOrReplaceTempView("graft_region_view")
@@ -309,6 +326,10 @@ object HarnessIO {
   }
 
   val oracles: Map[String, String] = Map(
+    // a layout rewrite must not touch row content
+    "sink_zorder" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey
+        |FROM lineitem ORDER BY 1, 2""".stripMargin,
     "src_http_csv" ->
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
         |FROM customer ORDER BY 1""".stripMargin,

@@ -185,6 +185,18 @@ object HarnessLLM {
         .select($"doc_id")
         .orderBy($"doc_id")
     }),
+    "sample_weighted" -> ((s, dir) => {
+      import s.implicits._
+      // length-weighted reproducible sample (Efraimidis–Spirakis keys on
+      // stable-hash randomness): longer documents proportionally more
+      // likely kept — the "sample a training mix by token mass, same
+      // subset everywhere" primitive. DuckDB recomputes the identical
+      // keys, so the subset is oracle-checkable bit for bit.
+      Dedup.stableWeightedSample(t(s, dir, "documents"), $"doc_id",
+        length($"text"), n = 100)
+        .select($"doc_id")
+        .orderBy($"doc_id")
+    }),
     "dedup_cluster" -> ((s, dir) => {
       import s.implicits._
       // Connected-components clustering of a near-dup pair list, as an
@@ -544,6 +556,16 @@ object HarnessLLM {
       """SELECT doc_id FROM documents
         |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 100 < 20
         |ORDER BY 1""".stripMargin,
+    // identical A-ES keys: u exact in both engines (power-of-two
+    // scale), one ln() each side, deterministic (key, id) tiebreak
+    "sample_weighted" ->
+      """SELECT doc_id FROM (
+        | SELECT doc_id,
+        |  -ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) + 0.5)
+        |      / 4294967296.0) / length(text) AS k
+        | FROM documents WHERE length(text) > 0
+        | ORDER BY k, doc_id LIMIT 100) AS s
+        |ORDER BY doc_id""".stripMargin,
     "dedup_semantic_cluster" ->
       """SELECT vec_id + 100000 AS id, vec_id AS cluster FROM embeddings WHERE vec_id < 20
         |UNION ALL

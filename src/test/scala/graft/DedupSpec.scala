@@ -340,6 +340,30 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("stableWeightedSample: layout-invariant, weight-sensitive, degenerate-weight-safe") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(sf("documents"))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Dedup.stableWeightedSample(df, $"doc_id", length($"text"), 50)
+        .select($"doc_id").collect().map(_.getLong(0)).toSet
+    val got = run(docs)
+    assert(got.size == 50)
+    // pure function of (id, weight): any physical layout gives the set
+    assert(got == run(docs.repartition(7)) && got == run(docs.coalesce(1)))
+    // weight sensitivity: an item whose weight dwarfs the corpus mass
+    // has key -ln(u)/w ~ 0 and is always selected
+    val heavy = Seq((999999L, "x" * 1000000)).toDF("doc_id", "text")
+    val withHeavy = docs.select($"doc_id", $"text").unionByName(heavy)
+    assert(run(withHeavy).contains(999999L), "overwhelming weight must be kept")
+    // n >= corpus keeps everything with positive weight; weight <= 0 and
+    // null weights are excluded, never crash
+    val tiny = Seq((1L, 10), (2L, 0), (3L, -4), (4L, 7)).toDF("id", "w")
+    val kept = Dedup.stableWeightedSample(tiny, $"id", $"w", 10)
+      .select($"id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 4L))
+  }
+
   test("srpNearDupsOnSigs over a precomputed signature column equals the direct form") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

@@ -136,6 +136,29 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("bloom prefilter sits below the fact-side join exchange") {
+    import spark.implicits._
+    val fact = spark.read.parquet(sf("lineitem"))
+      .select($"l_orderkey", $"l_partkey")
+    val dim = spark.read.parquet(sf("part")).filter($"p_size" <= 2)
+      .select($"p_partkey").hint("merge")
+    val df = graft.ops.RuntimeFilters.bloomPrefilterJoin(
+      fact, dim, "l_partkey", "p_partkey", expectedDimKeys = 10000)
+    // the join shuffles (merge hint held — this is the regime where the
+    // prefilter pays), and the fact side's exchange input is already
+    // bloom-filtered: the UDF filter sits BELOW the exchange (its child
+    // lines in the plan text), so only matching rows (+ fpp) travel
+    val p = plan(df)
+    assert(p.contains("SortMergeJoin"), p)
+    val factExchangeThenBloom =
+      """Exchange hashpartitioning\(l_partkey[\s\S]{0,400}?Filter \(?UDF\(l_partkey""".r
+    assert(factExchangeThenBloom.findFirstIn(p).isDefined,
+      s"expected a UDF bloom filter below the fact-side shuffle exchange:\n$p")
+    // equality with the plain join — the no-false-negatives contract
+    val plain = fact.join(dim, $"l_partkey" === $"p_partkey")
+    assert(df.exceptAll(plain).isEmpty && plain.exceptAll(df).isEmpty)
+  }
+
   test("attributionJoin (batch) plans as an equi-join on user_id, range as post-filter") {
     import spark.implicits._
     val ev = graft.queries.HarnessCore.events(spark, "/root/testdata/sf0.001")

@@ -86,6 +86,42 @@ class ScaleSpec extends AnyFunSuite with SparkTestBase {
     assert(joined == expected)
   }
 
+  test("z-ordered layout: box predicates on EITHER column prune files; linear layout can't") {
+    import graft.io.Layout
+    import spark.implicits._
+    val li = spark.read.parquet(sf("lineitem"))
+      .select($"l_orderkey", $"l_linenumber", $"l_partkey")
+    val zdir = "/tmp/graft_stage/scalespec_zorder"
+    val ldir = "/tmp/graft_stage/scalespec_linear"
+    Layout.writeZOrdered(li, Seq("l_partkey", "l_orderkey"), zdir, numFiles = 16)
+    li.repartitionByRange(16, $"l_orderkey").sortWithinPartitions($"l_orderkey")
+      .write.mode("overwrite").parquet(ldir)
+    // a layout rewrite is content-neutral
+    val back = spark.read.parquet(zdir)
+    assert(back.exceptAll(li).isEmpty && li.exceptAll(back).isEmpty)
+    // file-level min/max boxes — what parquet scan-time skipping reads
+    def touched(dir: String, c: String, lo: Long, hi: Long): Long =
+      Layout.fileStats(spark, dir, Seq("l_partkey", "l_orderkey"))
+        .filter(col(s"min_$c") <= hi && col(s"max_$c") >= lo)
+        .count()
+    val files = spark.read.parquet(zdir).select(input_file_name()).distinct().count()
+    assert(files >= 12, s"expected ~16 z-ordered files, got $files")
+    // data: l_partkey spans 0..199, l_orderkey 0..1499 (uncorrelated).
+    // 16 files ~ 2 rank bits per dimension = 4 coarse strips per
+    // column, so a box inside one strip should touch ~4 of 16 files
+    val zPart = touched(zdir, "l_partkey", 52, 71)
+    val zOrd = touched(zdir, "l_orderkey", 400, 490)
+    val linPart = touched(ldir, "l_partkey", 52, 71)
+    val linOrd = touched(ldir, "l_orderkey", 400, 490)
+    // the linear layout clusters orderkey perfectly — and partkey not
+    // at all: every file spans nearly the full partkey range
+    assert(linPart >= 12, s"linear layout should NOT prune partkey: $linPart")
+    assert(linOrd <= 3, s"linear layout prunes its own sort column: $linOrd")
+    // the z-order clusters BOTH: each box touches a strip, not the table
+    assert(zPart <= 8, s"z-order should prune the partkey box: $zPart of $files")
+    assert(zOrd <= 8, s"z-order should prune the orderkey box: $zOrd of $files")
+  }
+
   test("TopKByValue aggregator equals the window top-k and partial-aggregates") {
     import spark.implicits._
     val orders = spark.read.parquet(sf("orders"))
