@@ -192,4 +192,56 @@ object Text {
     * scale (16-byte key instead of the full text). */
   def fingerprint(df: DataFrame, text: Column, out: String): DataFrame =
     df.withColumn(out, md5(regexp_replace(lower(text), "\\s+", " ")))
+
+  /** Bigram language-model fluency scoring — the KenLM-style corpus
+    * quality filter, self-trained: the corpus's own bigram counts are
+    * the model, and each document's score is its average Laplace-
+    * smoothed conditional log-probability
+    * `mean_i ln((c(w_i, w_{i+1}) + 1) / (c_head(w_i) + |V|))` —
+    * fluent text built from corpus-frequent transitions scores high,
+    * rare/garbled transitions drag the mean down.
+    *
+    * Shape at scale: bigram extraction is scan-local (positional
+    * transform over the token array, multiplicity preserved — NOT the
+    * distinct [[Dedup.shingles]]); the count model and the per-pair
+    * probability lookups are equi-joins keyed on the bigram itself, so
+    * partitioning improves as the corpus (and its bigram vocabulary)
+    * grows. `lm_logprob` is folded left-to-right in POSITION order
+    * (array_sort on the (pos, lp) pairs before the fold), so the float
+    * sum is reproducible across layouts and retries — a bare SUM over
+    * a shuffled join output would round differently run to run. The
+    * sibling columns (`n_bigrams`, `sum_cb`, `sum_cu`) are integer-
+    * exact evidence for the oracle. Documents with fewer than two
+    * tokens have no bigrams and are absent from the output. */
+  def lmScore(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val toks = df.select(id.as("doc_id"), wsTokens(lower(text)).as("__t"))
+    val bg = when(size(col("__t")) >= 2,
+      transform(sequence(lit(0), size(col("__t")) - 2),
+        i => struct(element_at(col("__t"), i + 1).as("w1"),
+          element_at(col("__t"), i + 2).as("w2"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+    val pairs = toks.select(col("doc_id"), posexplode(bg).as(Seq("__pos", "__bg")))
+      .select(col("doc_id"), col("__pos"),
+        col("__bg.w1").as("__w1"), col("__bg.w2").as("__w2"))
+    val cb = pairs.groupBy(col("__w1"), col("__w2")).agg(count(lit(1)).as("__cb"))
+    val cu = pairs.groupBy(col("__w1")).agg(count(lit(1)).as("__cu"))
+    // |V| is a one-row relation, broadcast — not a driver collect, so
+    // the whole op stays one lazy plan
+    val vocab = toks.select(explode(col("__t")).as("__w"))
+      .agg(countDistinct(col("__w")).as("__vocab"))
+    val scored = pairs
+      .join(cb, Seq("__w1", "__w2"))
+      .join(cu, Seq("__w1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("__lp",
+        log((col("__cb") + lit(1.0)) / (col("__cu") + col("__vocab"))))
+    scored.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_bigrams"),
+      sum(col("__cb")).as("sum_cb"),
+      sum(col("__cu")).as("sum_cu"),
+      (aggregate(
+        transform(array_sort(collect_list(struct(col("__pos"), col("__lp")))),
+          x => x("__lp")),
+        lit(0.0), (acc, v) => acc + v) / count(lit(1))).as("lm_logprob"))
+  }
 }

@@ -430,6 +430,18 @@ object HarnessLLM {
         $"doc_id", $"text", topPerDoc = 3)
         .orderBy($"doc_id", $"rnk")
     }),
+    "text_lm_score" -> ((s, dir) => {
+      import s.implicits._
+      // self-trained bigram LM fluency score (the KenLM-quality-filter
+      // analog): corpus bigram counts are the model, each doc scores
+      // its mean smoothed transition log-prob. lm_logprob is a
+      // position-ordered fold (layout-stable float sum) and rides with
+      // integer-exact evidence columns; the oracle recomputes all four.
+      Text.lmScore(t(s, dir, "documents"), $"doc_id", $"text")
+        .select($"doc_id", $"n_bigrams", $"sum_cb", $"sum_cu",
+          round($"lm_logprob", 6).as("lm_logprob_r"))
+        .orderBy($"doc_id")
+    }),
     "text_word_freq" -> ((s, dir) => {
       import s.implicits._
       Text.wordFrequencies(t(s, dir, "documents"), $"text", k = 20)
@@ -675,6 +687,31 @@ object HarnessLLM {
         | CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE)
         |   / length(text) AS punct_ratio
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // the LM: Laplace-smoothed bigram conditionals from the corpus's
+    // own counts; lm_logprob summed in POSITION order both sides
+    // (Spark: array_sort fold; DuckDB: list ORDER BY ord) so the float
+    // fold rounds identically, then ROUND(6) guards the last ulp
+    "text_lm_score" ->
+      """WITH d AS (
+        | SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS arr FROM documents),
+        |idx AS (
+        | SELECT doc_id, arr, unnest(range(1, len(arr))) AS ord FROM d),
+        |pairs AS (
+        | SELECT doc_id, CAST(ord AS INT) AS ord, arr[ord] AS w1, arr[ord + 1] AS w2 FROM idx),
+        |cb AS (SELECT w1, w2, count(*) AS cb FROM pairs GROUP BY 1, 2),
+        |cu AS (SELECT w1, count(*) AS cu FROM pairs GROUP BY 1),
+        |v AS (SELECT count(DISTINCT tok) AS vocab FROM (SELECT unnest(arr) AS tok FROM d) AS u),
+        |lp AS (
+        | SELECT p.doc_id, p.ord, cb.cb AS cbv, cu.cu AS cuv,
+        |  ln((cb.cb + 1.0) / (cu.cu + v.vocab)) AS lp
+        | FROM pairs p JOIN cb ON p.w1 = cb.w1 AND p.w2 = cb.w2
+        |              JOIN cu ON p.w1 = cu.w1
+        |              CROSS JOIN v)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        | CAST(sum(cbv) AS BIGINT) AS sum_cb,
+        | CAST(sum(cuv) AS BIGINT) AS sum_cu,
+        | round(list_sum(list(lp ORDER BY ord)) / count(*), 6) AS lm_logprob_r
+        |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_term_stats" ->
       """WITH toks AS (
         | SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term

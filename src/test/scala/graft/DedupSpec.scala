@@ -364,6 +364,35 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(kept == Set(1L, 4L))
   }
 
+  test("lmScore: fluent text outranks garbled text; fold is layout-invariant") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // corpus dominated by one fluent pattern; one doc repeats the
+    // corpus-frequent transitions, one is made of transitions seen
+    // nowhere else — the smoothed bigram LM must rank them accordingly
+    val base = (0L until 40L).map(i => (i, "the cat sat on the mat"))
+    val fluent = Seq((100L, "the cat sat on the mat the cat sat"))
+    val garbled = Seq((101L, "zq vx plk wrn zq blorp vx nnt"))
+    val docs = (base ++ fluent ++ garbled).toDF("doc_id", "text")
+    def scores(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.Text.lmScore(df, $"doc_id", $"text")
+        .select($"doc_id", $"lm_logprob").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val s = scores(docs)
+    assert(s(100L) > s(101L),
+      s"fluent ${s(100L)} must outrank garbled ${s(101L)}")
+    // every base doc shares the fluent doc's transitions — all above
+    // the garbled one too
+    assert(s.filter(_._1 < 40L).values.forall(_ > s(101L)))
+    // the position-ordered fold makes the float sum a pure function of
+    // the data, not the layout
+    assert(s == scores(docs.repartition(13)))
+    // sub-2-token docs have no bigrams: absent, not null/crash
+    val tiny = Seq((1L, "word"), (2L, ""), (3L, "two tokens")).toDF("doc_id", "text")
+    val t = scores(tiny)
+    assert(t.keySet == Set(3L))
+  }
+
   test("srpNearDupsOnSigs over a precomputed signature column equals the direct form") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
