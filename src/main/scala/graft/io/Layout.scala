@@ -83,6 +83,40 @@ object Layout {
       .write.mode("overwrite").parquet(outDir)
   }
 
+  /** Small-file compaction — the maintenance pass that keeps a
+    * long-appended table scannable (every tiny parquet file costs a
+    * task, a footer read, and an open at 100 TB; bin-packing to
+    * size-targeted files restores scan throughput). Sizes the output
+    * from the ACTUAL byte total (not a row guess), folds with
+    * `coalesce` (narrow — no shuffle, unlike repartition), writes to a
+    * sibling temp dir and swaps — the read never races its own
+    * overwrite and nothing is materialized driver-side. Plain parquet
+    * has no atomic multi-file commit, so a crash between delete and
+    * rename loses the directory (a table format with transactional
+    * commits closes that window; at this layer it is documented).
+    * Returns the output file-bin count. */
+  def compact(spark: org.apache.spark.sql.SparkSession, dir: String,
+              targetFileBytes: Long = 128L << 20): Int = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(conf)
+    val total = fs.listStatus(path)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(_.getLen).sum
+    val n = math.max(1, math.ceil(total.toDouble / targetFileBytes).toInt)
+    val tmp = new org.apache.hadoop.fs.Path(dir + ".compact.tmp")
+    spark.read.parquet(dir).coalesce(n)
+      .write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(path, true)
+    if (!fs.rename(tmp, path))
+      throw new java.io.IOException(s"compaction swap failed: $tmp -> $path")
+    // the session's FileStatusCache still lists the pre-swap files;
+    // readers through this session must see the compacted directory
+    spark.catalog.refreshByPath(dir)
+    n
+  }
+
   /** File-level (min, max) stats of `statCols` for every file under
     * `dir` — the spec's window into what scan-time pruning would skip:
     * a predicate box prunes every file whose stat box misses it. */

@@ -58,6 +58,25 @@ object Aggregates {
                                out: String, rsd: Double = 0.05): DataFrame =
     df.groupBy(keys: _*).agg(approx_count_distinct(value, rsd).as(out))
 
+  /** Persistable, RE-AGGREGATABLE distinct-count sketches (Apache
+    * DataSketches HLL via Spark's hll_sketch_agg family) — the 100 TB
+    * pattern [[approxCountDistinctByKey]] can't express: precompute one
+    * sketch per fine grain (per partition, per day, per nation) ONCE,
+    * persist the binary column, then answer ANY coarser rollup by
+    * merging sketches — no rescan of the raw data, ever. HLL register
+    * merge is lossless (register-wise max at equal lgK), so the merged
+    * estimate EQUALS the direct sketch over the union — pinned in
+    * ScaleSpec. */
+  def sketchByKey(df: DataFrame, keys: Seq[Column], value: Column,
+                  out: String, lgK: Int = 12): DataFrame =
+    df.groupBy(keys: _*).agg(hll_sketch_agg(value, lit(lgK)).as(out))
+
+  /** Merge fine-grain sketches up to coarser keys and estimate. */
+  def mergeSketches(df: DataFrame, keys: Seq[Column], sketch: Column,
+                    out: String): DataFrame =
+    df.groupBy(keys: _*)
+      .agg(hll_sketch_estimate(hll_union_agg(sketch)).as(out))
+
   /** Sentinel labels via grouping(), not coalesce: a genuine NULL key
     * value must stay distinguishable from a subtotal row (coalescing
     * both to the sentinel silently merges them). */

@@ -295,6 +295,23 @@ object HarnessCore {
         Seq($"l_returnflag"), $"l_partkey", "nd_approx")
         .orderBy($"l_returnflag")
     }),
+    "agg_sketch_merge" -> ((s, dir) => {
+      import s.implicits._
+      // the re-aggregatable form of count-distinct: one DataSketches
+      // HLL per nation (the persisted fine grain), merged up to region
+      // WITHOUT rescanning customers. No cross-engine oracle (sketch
+      // binary differs from DuckDB's); ScaleSpec pins the lossless-
+      // merge invariant (merged == direct sketch over the union) and
+      // the rsd error bound.
+      val perNation = Aggregates.sketchByKey(t(s, dir, "customer"),
+        Seq($"c_nationkey"), $"c_custkey", "sk")
+      val withRegion = perNation.join(
+        broadcast(t(s, dir, "nation").select($"n_nationkey", $"n_regionkey")),
+        $"c_nationkey" === $"n_nationkey")
+      Aggregates.mergeSketches(withRegion, Seq($"n_regionkey"), $"sk", "nd_approx")
+        .select($"n_regionkey", $"nd_approx")
+        .orderBy($"n_regionkey")
+    }),
     "agg_cube" -> ((s, dir) => {
       import s.implicits._
       Aggregates.cubeSum(t(s, dir, "lineitem"),

@@ -256,6 +256,22 @@ object HarnessIO {
       s.read.parquet(out).orderBy($"l_orderkey", $"l_linenumber")
     }),
 
+    // Small-file compaction (io/Layout.compact): stage lineitem
+    // shattered into 64 tiny files (the long-appended-table problem),
+    // bin-pack to size-targeted files with a narrow coalesce + dir
+    // swap, read back. Pure maintenance: row content identical (the
+    // oracle); the file-count collapse is pinned in ScaleSpec.
+    "sink_compact" -> ((s, dir) => {
+      import s.implicits._
+      val frag = s"$stage/compact_lineitem"
+      t(s, dir, "lineitem")
+        .select($"l_orderkey", $"l_linenumber", $"l_quantity")
+        .repartition(64)
+        .write.mode("overwrite").parquet(frag)
+      graft.io.Layout.compact(s, frag, targetFileBytes = 64L << 20)
+      s.read.parquet(frag).orderBy($"l_orderkey", $"l_linenumber")
+    }),
+
     // Catalog existence check (ref visualization.py:64-73).
     "meta_table_exists" -> ((s, dir) => {
       t(s, dir, "region").createOrReplaceTempView("graft_region_view")
@@ -329,6 +345,9 @@ object HarnessIO {
     // a layout rewrite must not touch row content
     "sink_zorder" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey
+        |FROM lineitem ORDER BY 1, 2""".stripMargin,
+    "sink_compact" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity
         |FROM lineitem ORDER BY 1, 2""".stripMargin,
     "src_http_csv" ->
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment

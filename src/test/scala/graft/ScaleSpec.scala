@@ -122,6 +122,56 @@ class ScaleSpec extends AnyFunSuite with SparkTestBase {
     assert(zOrd <= 8, s"z-order should prune the orderkey box: $zOrd of $files")
   }
 
+  test("compact bin-packs small files without touching rows, via a narrow coalesce") {
+    import graft.io.Layout
+    import spark.implicits._
+    val li = spark.read.parquet(sf("lineitem"))
+      .select($"l_orderkey", $"l_linenumber", $"l_quantity")
+    val dir = "/tmp/graft_stage/scalespec_compact"
+    li.repartition(32).write.mode("overwrite").parquet(dir)
+    def parquetFiles() = new java.io.File(dir).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(parquetFiles() == 32, "staged the small-files problem")
+    val bins = Layout.compact(spark, dir, targetFileBytes = 64L << 20)
+    assert(bins >= 1 && parquetFiles() == bins && bins <= 2,
+      s"6k rows must fold to ~1 size-targeted file, got $bins")
+    val back = spark.read.parquet(dir)
+    assert(back.exceptAll(li).isEmpty && li.exceptAll(back).isEmpty,
+      "compaction must be row-content-neutral")
+    // idempotent: compacting a compacted dir is a no-op fold (a fresh
+    // read — the swap replaces the files a prior DataFrame had listed)
+    assert(Layout.compact(spark, dir, 64L << 20) == bins)
+    assert(spark.read.parquet(dir).count() == li.count())
+  }
+
+  test("HLL sketch merge is lossless: rollup of persisted sketches == direct sketch") {
+    import graft.ops.Aggregates
+    import spark.implicits._
+    val c = spark.read.parquet(sf("customer"))
+    val n = spark.read.parquet(sf("nation")).select($"n_nationkey", $"n_regionkey")
+    // fine grain once, merge up — no rescan of customers
+    val perNation = Aggregates.sketchByKey(c, Seq($"c_nationkey"), $"c_custkey", "sk")
+      .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
+    val merged = Aggregates.mergeSketches(perNation, Seq($"n_regionkey"), $"sk", "nd")
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // the direct sketch over the union (one rescan) must agree EXACTLY:
+    // HLL register merge at equal lgK is lossless
+    val direct = Aggregates.mergeSketches(
+      Aggregates.sketchByKey(c.join(broadcast(n), $"c_nationkey" === $"n_nationkey"),
+        Seq($"n_regionkey"), $"c_custkey", "sk"),
+      Seq($"n_regionkey"), $"sk", "nd")
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(merged == direct, s"merged=$merged direct=$direct")
+    // and the estimate lands within HLL error of the exact count
+    val exact = c.join(broadcast(n), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_regionkey").agg(countDistinct($"c_custkey").as("nd"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    for ((rk, est) <- merged) {
+      val ex = exact(rk).toDouble
+      assert(math.abs(est.toDouble - ex) / ex <= 0.05, s"region $rk: est=$est exact=$ex")
+    }
+  }
+
   test("TopKByValue aggregator equals the window top-k and partial-aggregates") {
     import spark.implicits._
     val orders = spark.read.parquet(sf("orders"))
