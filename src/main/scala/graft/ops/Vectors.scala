@@ -581,9 +581,9 @@ object Vectors {
     * map-side-truncating aggregator as the rank step (cell asc
     * tiebreak); __qv is constant per qid so first() carries it through
     * without a second join. */
-  private def probeCells(index: IvfIndexData, qn: DataFrame,
+  private def probeCells(centroids: DataFrame, qn: DataFrame,
                          nprobe: Int): DataFrame = {
-    val routed = qn.join(broadcast(index.centroids))
+    val routed = qn.join(broadcast(centroids))
       .withColumn("__cscore", dot(col("__qv"), col("__centroid")) - col("__cn2") / 2.0)
     val topNprobe = graft.functions.TopKByValue.topK(nprobe)
     routed
@@ -602,7 +602,7 @@ object Vectors {
   def ivfSearch(index: IvfIndexData, queries: DataFrame, id: String,
                 vec: String, k: Int, nprobe: Int = 4): DataFrame = {
     val qn = normalizedQueries(queries, id, vec)
-    val scored = probeCells(index, qn, nprobe).join(index.cells, Seq("__cell"))
+    val scored = probeCells(index.centroids, qn, nprobe).join(index.cells, Seq("__cell"))
       .filter(col("qid") =!= col("cid"))
       .withColumn("__cos", dot(col("__qv"), col("__cv")))
     topKPerGroup(scored, "qid", "__cos", "cid", k)
@@ -640,10 +640,17 @@ object Vectors {
     * corpora degrade gracefully instead of throwing. */
   def pqFit(corpus: DataFrame, vec: String, m: Int = 8, ksub: Int = 64,
             sampleFraction: Double = 1.0, seed: Long = 42L,
-            maxSamples: Int = 100000, iters: Int = 10): PqCodebooks = {
+            maxSamples: Int = 100000, iters: Int = 10): PqCodebooks =
+    pqFitOnPoints(normalizedSample(corpus, vec, sampleFraction, seed, maxSamples),
+      m, ksub, seed, iters)
+
+  /** The driver-side codebook fit over already-collected points —
+    * shared by the vector-space fit ([[pqFit]]) and the residual fit
+    * ([[ivfPqIndex]], where the points are v − centroid(cell)). */
+  private def pqFitOnPoints(sample: Array[Array[Double]], m: Int, ksub: Int,
+                            seed: Long, iters: Int): PqCodebooks = {
     require(m >= 1, "m must be positive")
     require(ksub >= 1 && ksub <= 256, "ksub must fit one unsigned byte: [1, 256]")
-    val sample = normalizedSample(corpus, vec, sampleFraction, seed, maxSamples)
     require(sample.nonEmpty, "cannot fit PQ codebooks on an empty sample")
     val dim = sample(0).length
     require(dim % m == 0, s"vector dim $dim must divide evenly into m=$m subspaces")
@@ -793,10 +800,11 @@ object Vectors {
     * full 100 TB composition: the coarse quantizer prunes the corpus to
     * nprobe cells, ADC scores only those cells' m-byte codes, and the
     * top rescoreK candidates per query are exactly rescored. Codes here
-    * quantize the vector itself (IVF-Flat routing + PQ storage); the
-    * residual-encoding refinement (quantize v − centroid(cell), faiss
-    * IVFPQ) sharpens ADC at the cost of per-cell lookup tables and is
-    * the documented next step if ADC precision ever gates recall. */
+    * quantize the vector itself (IVF-Flat routing + PQ storage), which
+    * lets one code column serve both this and the flat [[pqTopK]] scan;
+    * [[ivfPqSearchResidual]] is the faiss-canonical refinement that
+    * quantizes v − centroid(cell) instead — measurably finer ADC on
+    * clustered corpora (VectorsSpec pins the comparison). */
   def ivfPqSearch(ivf: IvfIndexData, pq: PqIndexData, queries: DataFrame,
                   id: String, vec: String, k: Int, nprobe: Int = 4,
                   rescoreK: Int = 0): DataFrame = {
@@ -809,7 +817,7 @@ object Vectors {
     // build-once indexes join on id
     val cellCodes = ivf.cells.select(col("cid"), col("__cell"))
       .join(pq.codes.select(col("cid"), col("__code")), Seq("cid"))
-    val scored = probeCells(ivf, qn.select(col("qid"), col("__qv")), nprobe)
+    val scored = probeCells(ivf.centroids, qn.select(col("qid"), col("__qv")), nprobe)
       .join(broadcast(qn.select(col("qid"), col("__lut"))), Seq("qid"))
       .join(cellCodes, Seq("__cell"))
       .filter(col("qid") =!= col("cid"))
@@ -818,5 +826,121 @@ object Vectors {
     val cands = topKPerGroup(scored.select(col("qid"), col("cid"), col("__adc")),
       "qid", "__adc", "cid", rk)
     pqRescore(pq.codes, qn, cands, k)
+  }
+
+  // ------------- residual-encoded IVF-PQ (faiss IVFPQ) -------------
+
+  /** An IVF-PQ index with RESIDUAL encoding: `codes` carries
+    * (cid, __cell, __code, __cv) where __code product-quantizes
+    * r = v_norm − centroid(cell), not the vector itself. Residuals are
+    * what's left after the coarse quantizer explains the cluster
+    * structure, so they are smaller and more isotropic than raw
+    * vectors — the same codebook budget buys a finer quantization
+    * (Jégou et al., TPAMI 2011, §IV). */
+  final case class IvfPqIndexData(codes: DataFrame, cb: PqCodebooks,
+                                  centroids: DataFrame,
+                                  centroidArr: Array[Array[Double]])
+
+  /** Nearest centroid of a driver-side point — the sample-side twin of
+    * the distributed [[cellAssigner]]. */
+  private def nearestCentroid(p: Array[Double],
+                              cs: Array[Array[Double]]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < cs.length) {
+      val ce = cs(c)
+      var d = 0.0
+      var j = 0
+      while (j < ce.length) { val t = p(j) - ce(j); d += t * t; j += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Build the residual IVF-PQ index: coarse quantizer fit, residual
+    * codebook fit (both on the same bounded driver sample), then ONE
+    * scan-local pass computing (cell, residual code) per vector —
+    * assignment, subtraction, and encoding fused in a single udf
+    * against the broadcast centroids + codebooks. */
+  def ivfPqIndex(corpus: DataFrame, id: String, vec: String,
+                 nlist: Int = 16, m: Int = 8, ksub: Int = 64,
+                 sampleFraction: Double = 1.0, seed: Long = 42L,
+                 maxSamples: Int = 100000, iters: Int = 10): IvfPqIndexData = {
+    val sample = normalizedSample(corpus, vec, sampleFraction, seed, maxSamples)
+    val centroidArr = lloydFit(sample, nlist, iters, seed)
+    val residuals = sample.map { p =>
+      val ce = centroidArr(nearestCentroid(p, centroidArr))
+      Array.tabulate(p.length)(j => p(j) - ce(j))
+    }
+    val cb = pqFitOnPoints(residuals, m, ksub, seed, iters)
+    val spark = corpus.sparkSession
+    val bcC = spark.sparkContext.broadcast(centroidArr)
+    val bcB = spark.sparkContext.broadcast(cb)
+    val assignEncode = udf { (v: Seq[Double]) =>
+      val cs = bcC.value
+      val b = bcB.value
+      val p = v.toArray
+      val cell = nearestCentroid(p, cs)
+      val ce = cs(cell)
+      val codes = new Array[Byte](b.m)
+      var s = 0
+      while (s < b.m) {
+        var best = 0
+        var bestD = Double.MaxValue
+        var c = 0
+        while (c < b.ksub) {
+          val base = (s * b.ksub + c) * b.dsub
+          var d = 0.0
+          var j = 0
+          while (j < b.dsub) {
+            val i = s * b.dsub + j
+            val t = (p(i) - ce(i)) - b.flat(base + j); d += t * t; j += 1
+          }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        codes(s) = best.toByte
+        s += 1
+      }
+      (cell, codes)
+    }
+    val codes = corpus
+      .filter(nullif(l2norm(col(vec)), lit(0.0)).isNotNull)
+      .select(col(id).as("cid"), normalized(col(vec)).as("__cv"))
+      .withColumn("__a", assignEncode(col("__cv")))
+      .select(col("cid"), col("__a._1").as("__cell"), col("__a._2").as("__code"),
+        col("__cv"))
+      .localCheckpoint(true)
+    IvfPqIndexData(codes, cb, centroidRelation(spark, centroidArr), centroidArr)
+  }
+
+  /** Search the residual index. For the inner-product metric the ADC
+    * decomposes: dot(q, centroid + recon(r)) = dot(q, centroid) +
+    * dot(q, recon(r)) — so ONE query LUT (against the residual
+    * codebooks) serves every probed cell, plus a per-(query, cell)
+    * scalar dot(q, centroid) that rides out of the routing relation.
+    * No per-cell lookup tables, same shuffle shape as [[ivfPqSearch]]. */
+  def ivfPqSearchResidual(idx: IvfPqIndexData, queries: DataFrame,
+                          id: String, vec: String, k: Int, nprobe: Int = 4,
+                          rescoreK: Int = 0): DataFrame = {
+    val rk = if (rescoreK > 0) rescoreK else 4 * k
+    val lut = pqLutUdf(queries.sparkSession, idx.cb)
+    val qn = normalizedQueries(queries, id, vec)
+      .withColumn("__lut", lut(col("__qv")))
+    val probes = probeCells(idx.centroids, qn.select(col("qid"), col("__qv")), nprobe)
+      .join(broadcast(idx.centroids), Seq("__cell"))
+      .withColumn("__qc", dot(col("__qv"), col("__centroid")))
+      .select(col("qid"), col("__cell"), col("__qc"))
+    val scored = probes
+      .join(broadcast(qn.select(col("qid"), col("__lut"))), Seq("qid"))
+      .join(idx.codes.select(col("cid"), col("__cell"), col("__code")), Seq("__cell"))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("__adc", col("__qc") + graft.functions.VectorExprs.pqAdc(
+        col("__code"), col("__lut"), idx.cb.ksub))
+    val cands = topKPerGroup(scored.select(col("qid"), col("cid"), col("__adc")),
+      "qid", "__adc", "cid", rk)
+    pqRescore(idx.codes, qn, cands, k)
   }
 }
