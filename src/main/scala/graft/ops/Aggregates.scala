@@ -58,6 +58,24 @@ object Aggregates {
                                out: String, rsd: Double = 0.05): DataFrame =
     df.groupBy(keys: _*).agg(approx_count_distinct(value, rsd).as(out))
 
+  /** Approximate grouped quantiles (Greenwald–Khanna via Spark's
+    * percentile_approx) — the 100 TB quantile: one pass, bounded
+    * memory, mergeable partials, rank error <= n/accuracy. Exact
+    * percentiles ([[medianDiscByKey]]) need a per-group sort; at scale
+    * the sketch is the only sane default and the exact form the
+    * spot-check. Output exploded to one (group, q, value) row per
+    * requested quantile. */
+  def approxQuantilesByKey(df: DataFrame, keys: Seq[Column], value: Column,
+                           qs: Seq[Double], accuracy: Int = 10000): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0))
+    df.groupBy(keys: _*)
+      .agg(percentile_approx(value,
+        array(qs.map(lit): _*), lit(accuracy)).as("__qv"))
+      .select(keys ++ Seq(posexplode(col("__qv")).as(Seq("__i", "qvalue"))): _*)
+      .withColumn("q", element_at(array(qs.map(lit): _*), col("__i") + 1))
+      .drop("__i")
+  }
+
   /** Persistable, RE-AGGREGATABLE distinct-count sketches (Apache
     * DataSketches HLL via Spark's hll_sketch_agg family) — the 100 TB
     * pattern [[approxCountDistinctByKey]] can't express: precompute one

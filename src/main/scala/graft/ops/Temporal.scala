@@ -148,4 +148,26 @@ object Temporal {
     val exploded = explodeDays(intervals, "__day", col(start), col(end))
     exploded.join(probes, col("__day") === col(probeDate)).drop("__day")
   }
+
+  /** Cohort retention over an event log — the product-analytics
+    * staple: users grouped by their FIRST active week (the cohort),
+    * each later active week counted as that cohort's retention at
+    * `week_offset` weeks. All arithmetic is integer-exact (both weeks
+    * are Monday-truncated, so the day difference is a multiple of 7),
+    * which is what makes the op oracle-checkable.
+    *
+    * Shape at scale: the user-week activity relation is the distinct of
+    * a scan-local projection; cohorts are one user-keyed aggregation;
+    * the join back is user-keyed; the final count is cohort-keyed —
+    * every shuffle on a high-cardinality key, nothing driver-side. */
+  def retentionCohorts(events: DataFrame, user: Column, ts: Column): DataFrame = {
+    val activity = events
+      .select(user.as("__u"), date_trunc("week", ts).cast("date").as("__w"))
+      .distinct()
+    val cohorts = activity.groupBy(col("__u")).agg(min(col("__w")).as("__c"))
+    activity.join(cohorts, Seq("__u"))
+      .withColumn("week_offset", (datediff(col("__w"), col("__c")) / 7).cast("int"))
+      .groupBy(col("__c").as("cohort_week"), col("week_offset"))
+      .agg(countDistinct(col("__u")).as("n_users"))
+  }
 }

@@ -295,6 +295,26 @@ object HarnessCore {
         Seq($"l_returnflag"), $"l_partkey", "nd_approx")
         .orderBy($"l_returnflag")
     }),
+    "agg_quantile_approx" -> ((s, dir) => {
+      import s.implicits._
+      // Greenwald–Khanna sketch quantiles — one pass, mergeable,
+      // bounded memory (the 100 TB quantile). No cross-engine oracle
+      // (DuckDB's approx_quantile is a different sketch); the
+      // n/accuracy rank-error bound is pinned in ScaleSpec.
+      Aggregates.approxQuantilesByKey(t(s, dir, "lineitem"),
+        Seq($"l_returnflag"), $"l_extendedprice", Seq(0.25, 0.5, 0.75))
+        .select($"l_returnflag", $"q", $"qvalue")
+        .orderBy($"l_returnflag", $"q")
+    }),
+    "agg_retention_cohort" -> ((s, dir) => {
+      import s.implicits._
+      // product-analytics cohort retention over the event log: users
+      // bucketed by first active (Monday-truncated) week, distinct
+      // actives counted per (cohort, week offset). Integer-exact week
+      // arithmetic — fully oracle-checkable.
+      Temporal.retentionCohorts(events(s, dir), $"user_id", $"ts")
+        .orderBy($"cohort_week", $"week_offset")
+    }),
     "agg_sketch_merge" -> ((s, dir) => {
       import s.implicits._
       // the re-aggregatable form of count-distinct: one DataSketches
@@ -859,6 +879,18 @@ object HarnessCore {
       """SELECT c_custkey, n_name FROM customer
         |JOIN nation ON c_nationkey = n_nationkey
         |ORDER BY 1""".stripMargin,
+    // Monday-truncated weeks both sides; day difference is an exact
+    // multiple of 7, so the offset division is integer-exact
+    "agg_retention_cohort" ->
+      """WITH act AS (
+        | SELECT DISTINCT user_id AS u, CAST(date_trunc('week', ts) AS DATE) AS w
+        | FROM events),
+        |coh AS (SELECT u, min(w) AS c FROM act GROUP BY 1)
+        |SELECT c AS cohort_week,
+        | CAST(datediff('day', c, a.w) / 7 AS INT) AS week_offset,
+        | count(DISTINCT a.u) AS n_users
+        |FROM act a JOIN coh ON a.u = coh.u
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // the bloom prefilter has no false negatives, so the key must equal
     // the PLAIN inner join at any fpp
     "join_bloom_prefilter" ->

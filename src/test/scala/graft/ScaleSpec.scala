@@ -172,6 +172,31 @@ class ScaleSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("approx quantiles land within the GK rank-error bound of exact") {
+    import graft.ops.Aggregates
+    import spark.implicits._
+    val li = spark.read.parquet(sf("lineitem"))
+    val acc = 10000
+    val got = Aggregates.approxQuantilesByKey(li, Seq($"l_returnflag"),
+      $"l_extendedprice", Seq(0.25, 0.5, 0.75), accuracy = acc)
+      .collect().map(r => (r.getString(0), r.getDouble(2), r.getDouble(1)))
+    val groups = li.select($"l_returnflag", $"l_extendedprice").collect()
+      .map(r => r.getString(0) -> r.getDouble(1))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sorted }
+    assert(got.nonEmpty && got.length == groups.size * 3)
+    for ((flag, q, v) <- got) {
+      val vs = groups(flag)
+      val n = vs.length
+      // rank window of the returned value vs the target rank
+      val lo = vs.count(_ < v)
+      val hi = vs.count(_ <= v)
+      val target = q * n
+      val tol = n.toDouble / acc + 1
+      assert(lo - tol <= target && target <= hi + tol,
+        s"$flag q=$q v=$v rank=[$lo,$hi] target=$target n=$n")
+    }
+  }
+
   test("TopKByValue aggregator equals the window top-k and partial-aggregates") {
     import spark.implicits._
     val orders = spark.read.parquet(sf("orders"))
