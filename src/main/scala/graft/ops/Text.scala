@@ -193,6 +193,45 @@ object Text {
   def fingerprint(df: DataFrame, text: Column, out: String): DataFrame =
     df.withColumn(out, md5(regexp_replace(lower(text), "\\s+", " ")))
 
+  /** BM25 relevance of every document against a FIXED query term set —
+    * the retrieval scorer a RAG corpus pipeline ranks passages with
+    * (Robertson–Spärck Jones; the Lucene-default k1/b parametrization
+    * with the +1 idf floor).
+    *
+    * Determinism by construction: per-document term frequencies are
+    * scan-local `size(filter(tokens, = term))` (no shuffle at all);
+    * corpus statistics (N, Σdl, per-term df) are ONE aggregate
+    * broadcast back as a 1-row relation; and the score is an explicit
+    * left-associated sum in the caller's term order, so the float
+    * arithmetic is the same expression tree on any engine — the DuckDB
+    * oracle mirrors it term by term. dl/avgdl is computed as
+    * dl·N/Σdl: integer product, then a single division. */
+  def bm25(df: DataFrame, id: Column, text: Column, queryTerms: Seq[String],
+           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "BM25 needs at least one query term")
+    val base = df.select(id.as("doc_id"), wsTokens(lower(text)).as("__t"))
+      .withColumn("dl", size(col("__t")))
+    val withTf = queryTerms.zipWithIndex.foldLeft(base) { case (d, (t, i)) =>
+      d.withColumn(s"__tf_$i", size(filter(col("__t"), x => x === lit(t))))
+    }
+    val statAggs =
+      Seq(count(lit(1)).as("__n"), sum(col("dl")).as("__sdl")) ++
+        queryTerms.indices.map(i =>
+          count(when(col(s"__tf_$i") > 0, 1)).as(s"__df_$i"))
+    val stats = withTf.agg(statAggs.head, statAggs.tail: _*)
+    val scored = withTf.crossJoin(broadcast(stats))
+    val score = queryTerms.indices.map { i =>
+      val tf = col(s"__tf_$i").cast("double")
+      val dfT = col(s"__df_$i").cast("double")
+      val idf = log((col("__n") - dfT + lit(0.5)) / (dfT + lit(0.5)) + lit(1.0))
+      idf * (tf * lit(k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0 - b) +
+          lit(b) * (col("dl") * col("__n")).cast("double") / col("__sdl")))
+    }.reduceLeft(_ + _)
+    scored.select(col("doc_id"), col("dl"),
+      round(score, 6).as("bm25"))
+  }
+
   /** Bigram language-model fluency scoring — the KenLM-style corpus
     * quality filter, self-trained: the corpus's own bigram counts are
     * the model, and each document's score is its average Laplace-

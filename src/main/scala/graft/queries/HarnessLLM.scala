@@ -430,6 +430,16 @@ object HarnessLLM {
         $"doc_id", $"text", topPerDoc = 3)
         .orderBy($"doc_id", $"rnk")
     }),
+    "text_bm25" -> ((s, dir) => {
+      import s.implicits._
+      // BM25 passage ranking against a fixed query — the RAG-retrieval
+      // scorer. Scan-local tfs, one broadcast stats row, and a score
+      // expression whose float operations associate identically in the
+      // DuckDB oracle (explicit term order, single divisions).
+      Text.bm25(t(s, dir, "documents"), $"doc_id", $"text",
+        Seq("hash", "join", "scan"))
+        .orderBy($"doc_id")
+    }),
     "text_lm_score" -> ((s, dir) => {
       import s.implicits._
       // self-trained bigram LM fluency score (the KenLM-quality-filter
@@ -687,6 +697,33 @@ object HarnessLLM {
         | CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE)
         |   / length(text) AS punct_ratio
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // BM25 mirrored term by term: same literals, same left-association,
+    // single divisions — the float expression trees are identical, so
+    // the scores agree bit for bit (round-6 guards the last ulp)
+    "text_bm25" ->
+      """WITH d AS (
+        | SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS arr FROM documents),
+        |base AS (
+        | SELECT doc_id, CAST(len(arr) AS INT) AS dl,
+        |  len(list_filter(arr, x -> x = 'hash')) AS tf0,
+        |  len(list_filter(arr, x -> x = 'join')) AS tf1,
+        |  len(list_filter(arr, x -> x = 'scan')) AS tf2
+        | FROM d),
+        |stats AS (
+        | SELECT count(*) AS n, sum(dl) AS sdl,
+        |  count(*) FILTER (WHERE tf0 > 0) AS df0,
+        |  count(*) FILTER (WHERE tf1 > 0) AS df1,
+        |  count(*) FILTER (WHERE tf2 > 0) AS df2
+        | FROM base)
+        |SELECT doc_id, dl, round(
+        |   ln((n - df0 + 0.5) / (df0 + 0.5) + 1.0) * (CAST(tf0 AS DOUBLE) * 2.2)
+        |     / (CAST(tf0 AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl * n AS DOUBLE) / sdl))
+        | + ln((n - df1 + 0.5) / (df1 + 0.5) + 1.0) * (CAST(tf1 AS DOUBLE) * 2.2)
+        |     / (CAST(tf1 AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl * n AS DOUBLE) / sdl))
+        | + ln((n - df2 + 0.5) / (df2 + 0.5) + 1.0) * (CAST(tf2 AS DOUBLE) * 2.2)
+        |     / (CAST(tf2 AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl * n AS DOUBLE) / sdl))
+        | , 6) AS bm25
+        |FROM base, stats ORDER BY doc_id""".stripMargin,
     // the LM: Laplace-smoothed bigram conditionals from the corpus's
     // own counts; lm_logprob summed in POSITION order both sides
     // (Spark: array_sort fold; DuckDB: list ORDER BY ord) so the float

@@ -393,6 +393,27 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(t.keySet == Set(3L))
   }
 
+  test("bm25: query-term docs outrank term-free docs; rare terms outweigh common ones") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark spark spark filler filler filler"),   // 3x common term
+      (2L, "catalyst filler filler filler filler spark"), // 1x rare + 1x common
+      (3L, "filler filler filler filler filler filler"), // no query terms
+      // background: 'spark' everywhere (low idf), 'catalyst' only in doc 2
+      (4L, "spark filler"), (5L, "spark filler"), (6L, "spark filler"),
+      (7L, "spark filler"), (8L, "spark filler")).toDF("doc_id", "text")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.Text.bm25(df, $"doc_id", $"text", Seq("spark", "catalyst"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val s = run(docs)
+    assert(s(3L) == 0.0, "no query terms -> exactly zero")
+    assert(s(1L) > s(3L) && s(2L) > s(3L))
+    // 'catalyst' appears in 1/8 docs, 'spark' in 7/8: one rare-term hit
+    // must outweigh even a tripled common term
+    assert(s(2L) > s(1L), s"rare-term doc ${s(2L)} vs common-term doc ${s(1L)}")
+    assert(s == run(docs.repartition(5)), "scores are layout-invariant")
+  }
+
   test("srpNearDupsOnSigs over a precomputed signature column equals the direct form") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
