@@ -58,6 +58,29 @@ object Aggregates {
                                out: String, rsd: Double = 0.05): DataFrame =
     df.groupBy(keys: _*).agg(approx_count_distinct(value, rsd).as(out))
 
+  /** Equi-width histogram with FIXED caller-declared bounds — the
+    * distribution profile a quality dashboard reads. Fixed literal
+    * bounds (not data-derived min/max) keep the bucketing a pure
+    * function of each value, so the integer counts are oracle-exact;
+    * out-of-range values land in explicit underflow (-1) / overflow
+    * (nBuckets) buckets instead of silently clamping. One partial+final
+    * hash aggregate. */
+  def histogram(df: DataFrame, value: Column, lo: Double, hi: Double,
+                nBuckets: Int): DataFrame = {
+    require(nBuckets >= 1 && hi > lo, "need hi > lo and at least one bucket")
+    val width = (hi - lo) / nBuckets
+    val bucket = when(value.isNull, lit(null))
+      .when(value < lo, lit(-1))
+      .when(value >= hi, lit(nBuckets))
+      .otherwise(floor((value - lit(lo)) / lit(width)))
+      .cast("int")
+    df.select(bucket.as("bucket"))
+      .filter(col("bucket").isNotNull)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("edge_lo", lit(lo) + col("bucket") * lit(width))
+  }
+
   /** Approximate grouped quantiles (Greenwald–Khanna via Spark's
     * percentile_approx) — the 100 TB quantile: one pass, bounded
     * memory, mergeable partials, rank error <= n/accuracy. Exact

@@ -295,6 +295,14 @@ object HarnessCore {
         Seq($"l_returnflag"), $"l_partkey", "nd_approx")
         .orderBy($"l_returnflag")
     }),
+    "agg_histogram" -> ((s, dir) => {
+      import s.implicits._
+      // equi-width price histogram, fixed literal bounds → bucketing is
+      // a pure per-value function, counts integer-exact
+      Aggregates.histogram(t(s, dir, "lineitem"), $"l_extendedprice",
+        lo = 0.0, hi = 60000.0, nBuckets = 12)
+        .orderBy($"bucket")
+    }),
     "agg_quantile_approx" -> ((s, dir) => {
       import s.implicits._
       // Greenwald–Khanna sketch quantiles — one pass, mergeable,
@@ -879,6 +887,17 @@ object HarnessCore {
       """SELECT c_custkey, n_name FROM customer
         |JOIN nation ON c_nationkey = n_nationkey
         |ORDER BY 1""".stripMargin,
+    // same literal bounds/width, same floor-of-division both engines
+    "agg_histogram" ->
+      """SELECT CAST(CASE WHEN l_extendedprice < 0.0 THEN -1
+        |            WHEN l_extendedprice >= 60000.0 THEN 12
+        |            ELSE floor((l_extendedprice - 0.0) / 5000.0) END AS INT) AS bucket,
+        | count(*) AS n,
+        | 0.0 + CAST(CASE WHEN l_extendedprice < 0.0 THEN -1
+        |            WHEN l_extendedprice >= 60000.0 THEN 12
+        |            ELSE floor((l_extendedprice - 0.0) / 5000.0) END AS INT) * 5000.0 AS edge_lo
+        |FROM lineitem WHERE l_extendedprice IS NOT NULL
+        |GROUP BY 1, 3 ORDER BY 1""".stripMargin,
     // Monday-truncated weeks both sides; day difference is an exact
     // multiple of 7, so the offset division is integer-exact
     "agg_retention_cohort" ->
