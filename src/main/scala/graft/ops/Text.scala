@@ -186,6 +186,34 @@ object Text {
       .filter(col("cum_tok") <= budget)
   }
 
+  /** GPT-style training-sequence packing: documents are concatenated
+    * into a token stream and cut into fixed `seqLen` windows — a doc
+    * may straddle two sequences, exactly like real next-token-training
+    * data prep (the alternative, first-fit bin packing, is inherently
+    * sequential and wastes budget to avoid splits). Each doc gets
+    * (shard, seq_id, offset): the shard is a stable md5 bucket of the
+    * id, so the layout is a pure function of the data — reproducible
+    * across engines, runs, and physical layouts — and each shard packs
+    * independently, so the window runs `shards`-way parallel instead of
+    * on one global reducer. All integer arithmetic: oracle-exact. */
+  def packSequences(df: DataFrame, id: Column, tok: Column, seqLen: Int,
+                    shards: Int): DataFrame = {
+    require(seqLen >= 1 && shards >= 1)
+    val shard = pmod(
+      conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("long"),
+      lit(shards.toLong)).cast("int")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(id.asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    df.select(id.as("doc_id"), tok.cast("long").as("__tok"))
+      .filter(col("__tok") > 0)
+      .withColumn("shard", shard)
+      .withColumn("__prev", coalesce(sum(col("__tok")).over(w), lit(0L)))
+      .select(col("doc_id"), col("shard"),
+        expr(s"__prev div $seqLen").as("seq_id"),
+        (col("__prev") % seqLen).cast("int").as("offset"))
+  }
+
   /** Canonical-form document fingerprint: lowercase, collapse
     * whitespace, md5. Equal fingerprints = exact near-identical dup
     * (case/spacing-insensitive); the groupBy key for exact dedup at

@@ -185,6 +185,15 @@ object HarnessLLM {
         .select($"doc_id")
         .orderBy($"doc_id")
     }),
+    "pipeline_seq_pack" -> ((s, dir) => {
+      import s.implicits._
+      // GPT-style sequence packing: concatenate docs into 512-token
+      // training windows, 4-way sharded by stable hash so the packing
+      // is reproducible AND parallel (no global-reducer window).
+      Text.packSequences(t(s, dir, "documents"), $"doc_id",
+        size(split(trim($"text"), "\\s+")), seqLen = 512, shards = 4)
+        .orderBy($"doc_id")
+    }),
     "sample_weighted" -> ((s, dir) => {
       import s.implicits._
       // length-weighted reproducible sample (Efraimidis–Spirakis keys on
@@ -578,6 +587,21 @@ object HarnessLLM {
       """SELECT doc_id FROM documents
         |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 100 < 20
         |ORDER BY 1""".stripMargin,
+    // pure integer arithmetic over the same stable-hash shards and
+    // id-ordered running sums — exact both engines
+    "pipeline_seq_pack" ->
+      """WITH d AS (
+        | SELECT doc_id,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS tok,
+        |  CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 4 AS INT) AS shard
+        | FROM documents),
+        |p AS (
+        | SELECT doc_id, shard,
+        |  CAST(coalesce(sum(tok) OVER (PARTITION BY shard ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prev
+        | FROM d WHERE tok > 0)
+        |SELECT doc_id, shard, prev // 512 AS seq_id, CAST(prev % 512 AS INT) AS offset
+        |FROM p ORDER BY doc_id""".stripMargin,
     // identical A-ES keys: u exact in both engines (power-of-two
     // scale), one ln() each side, deterministic (key, id) tiebreak
     "sample_weighted" ->

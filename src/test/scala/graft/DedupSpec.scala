@@ -393,6 +393,34 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(t.keySet == Set(3L))
   }
 
+  test("packSequences: contiguous per-shard token stream, layout-invariant") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(sf("documents"))
+    val tok = size(split(trim($"text"), "\\s+"))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.Text.packSequences(df, $"doc_id", tok, seqLen = 256, shards = 4)
+        .collect().map(r => (r.getLong(0), (r.getInt(1), r.getLong(2), r.getInt(3))))
+        .toMap
+    val got = run(docs)
+    assert(got == run(docs.repartition(9)), "packing is a pure function of the data")
+    // contiguity: within a shard, each doc starts exactly where the
+    // previous one ended in the concatenated token stream
+    val toks = docs.select($"doc_id", tok.cast("long").as("t")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.groupBy(_._2._1).foreach { case (_, docsInShard) =>
+      val ordered = docsInShard.toSeq.sortBy(_._1)
+      ordered.sliding(2).foreach {
+        case Seq((idA, (_, seqA, offA)), (idB, (_, seqB, offB))) =>
+          val startA = seqA * 256 + offA
+          assert(seqB * 256 + offB == startA + toks(idA),
+            s"doc $idB must start where $idA ends")
+        case _ =>
+      }
+    }
+    assert(got.nonEmpty)
+  }
+
   test("bm25: query-term docs outrank term-free docs; rare terms outweigh common ones") {
     import spark.implicits._
     val docs = Seq(
