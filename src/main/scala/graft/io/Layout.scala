@@ -101,9 +101,14 @@ object Layout {
     val conf = spark.sparkContext.hadoopConfiguration
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(conf)
-    val total = fs.listStatus(path)
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-      .map(_.getLen).sum
+    // recursive: a partitioned layout keeps its data files under
+    // partition subdirectories
+    var total = 0L
+    val it = fs.listFiles(path, true)
+    while (it.hasNext) {
+      val s = it.next()
+      if (s.getPath.getName.endsWith(".parquet")) total += s.getLen
+    }
     val n = math.max(1, math.ceil(total.toDouble / targetFileBytes).toInt)
     val tmp = new org.apache.hadoop.fs.Path(dir + ".compact.tmp")
     spark.read.parquet(dir).coalesce(n)
