@@ -352,6 +352,32 @@ object HarnessLLM {
         emb.filter($"vec_id" < 5), "vec_id", "embedding", k = 10)
         .orderBy($"qid", $"rnk")
     }),
+    "stream_pq_ingest" -> ((s, dir) => {
+      import s.implicits._
+      // the PQ half of the ingest-time-column story: the stream
+      // maintains the m-byte __code column with FROZEN codebooks
+      // (exactly like the SRP hyperplanes), so the stream-built store
+      // answers the same compressed-domain search as the batch index —
+      // the planted closed form again. Stream==batch code equality on
+      // arbitrary data is separately pinned in StreamingSpec.
+      val emb = t(s, dir, "embeddings")
+      val boot = graft.streaming.VectorIngest.bootstrapFrom(ivfIndexFor(s, dir),
+        dim = emb.select(size($"embedding")).head().getInt(0))
+        .copy(pq = Some(pqIndexFor(s, dir).cb))
+      val store = "/tmp/graft_stage/vec_pq_store"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(store))
+      val stream = s.readStream.schema(emb.schema)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(dir)
+      graft.streaming.VectorIngest.maintainIndex(
+        annCorpusOf(stream.select($"vec_id", $"embedding")),
+        "vec_id", "embedding", boot, store)
+        .awaitTermination()
+      Vectors.pqTopK(
+        graft.streaming.VectorIngest.pqIndexFromStore(s, store, boot),
+        emb.filter($"vec_id" < 5), "vec_id", "embedding", k = 10, rescoreK = 40)
+        .orderBy($"qid", $"rnk")
+    }),
     "dedup_embedding" -> ((s, dir) => {
       import s.implicits._
       // Embedding-cosine near-dup, exact tier (oracle-checkable; the
@@ -681,6 +707,13 @@ object HarnessLLM {
         |FROM embeddings q, (SELECT unnest(generate_series(0, 9)) AS j) g
         |WHERE q.vec_id < 5 ORDER BY 1, 2""".stripMargin,
     "sim_ann_ivfpq" ->
+      """SELECT q.vec_id AS qid, CAST(g.j + 1 AS INT) AS rnk,
+        | 100000 + q.vec_id * 100 + g.j AS vec_id
+        |FROM embeddings q, (SELECT unnest(generate_series(0, 9)) AS j) g
+        |WHERE q.vec_id < 5 ORDER BY 1, 2""".stripMargin,
+    // the stream-maintained PQ store answers what the batch PQ index
+    // answers: the same planted closed form
+    "stream_pq_ingest" ->
       """SELECT q.vec_id AS qid, CAST(g.j + 1 AS INT) AS rnk,
         | 100000 + q.vec_id * 100 + g.j AS vec_id
         |FROM embeddings q, (SELECT unnest(generate_series(0, 9)) AS j) g

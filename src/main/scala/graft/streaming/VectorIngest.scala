@@ -31,12 +31,16 @@ import graft.ops.Vectors
 object VectorIngest {
 
   /** The frozen index parameters a maintenance loop needs: SRP
-    * geometry (dim/bits/bands/seed) and the fitted coarse quantizer.
-    * Freezing these at bootstrap is what makes per-batch columns
-    * bit-identical to a batch build. */
+    * geometry (dim/bits/bands/seed), the fitted coarse quantizer, and
+    * optionally the PQ codebooks (compressed-domain codes maintained
+    * with the same freeze discipline — codebooks never change
+    * mid-stream, exactly like the hyperplanes; only the IVF routing
+    * participates in drift refits). Freezing these at bootstrap is
+    * what makes per-batch columns bit-identical to a batch build. */
   final case class IndexBootstrap(dim: Int, centroids: Array[Array[Double]],
                                   bits: Int = 12, bands: Int = 8,
-                                  seed: Long = 42L)
+                                  seed: Long = 42L,
+                                  pq: Option[Vectors.PqCodebooks] = None)
 
   /** Bootstrap from a batch-built index (the ingest-time fit). */
   def bootstrapFrom(index: Vectors.IvfIndexData, dim: Int,
@@ -45,32 +49,40 @@ object VectorIngest {
     IndexBootstrap(dim, index.centroidArr, bits, bands, seed)
 
   /** The per-batch index-column projection, identical for static and
-    * streaming frames: (cid, __sig, __cell, __cv, __d2). `__sig` is
-    * the banded SRP signature array (near-dup bucketing), `__cell` the
-    * IVF routing cell, `__cv` the normalized vector the searcher
-    * scores against, `__d2` the squared assignment distance the drift
-    * monitor averages. */
+    * streaming frames: (cid, __sig, __cell, __cv, __d2[, __code]).
+    * `__sig` is the banded SRP signature array (near-dup bucketing),
+    * `__cell` the IVF routing cell, `__cv` the normalized vector the
+    * searcher scores against, `__d2` the squared assignment distance
+    * the drift monitor averages, `__code` the m-byte PQ code when the
+    * bootstrap carries codebooks. */
   def indexColumns(df: DataFrame, id: String, vec: String,
                    b: IndexBootstrap): DataFrame =
-    indexColumns(df, id, vec, b, Vectors.cellAssigner(df.sparkSession, b.centroids))
+    indexColumns(df, id, vec, b,
+      Vectors.cellAssigner(df.sparkSession, b.centroids),
+      b.pq.map(cb => Vectors.pqEncoder(df.sparkSession, cb)))
 
-  /** The assigner-supplied form: [[maintainIndex]] builds the assigner
-    * (and its centroid broadcast) ONCE at stream start and reuses it
-    * every micro-batch — re-deriving it per batch would leak one
-    * broadcast per batch on a long-lived ProcessingTime stream. */
+  /** The assigner/encoder-supplied form: [[maintainIndex]] builds both
+    * (and their broadcasts) ONCE at stream start and reuses them every
+    * micro-batch — re-deriving per batch would leak one broadcast per
+    * batch on a long-lived ProcessingTime stream. */
   private def indexColumns(df: DataFrame, id: String, vec: String,
-                           b: IndexBootstrap, assign: Column => Column): DataFrame = {
-    // ONE projection — signature, normalization, and assignment all
-    // scan-local; a join-shaped formulation would put a shuffle in
-    // every micro-batch for nothing
-    df.filter(nullif(Vectors.l2norm(col(vec)), lit(0.0)).isNotNull)
+                           b: IndexBootstrap, assign: Column => Column,
+                           encode: Option[Column => Column]): DataFrame = {
+    // ONE projection — signature, normalization, assignment, and PQ
+    // encoding all scan-local; a join-shaped formulation would put a
+    // shuffle in every micro-batch for nothing
+    val base = df.filter(nullif(Vectors.l2norm(col(vec)), lit(0.0)).isNotNull)
       .select(col(id).as("cid"),
         Vectors.srpSignatureCol(col(vec), b.dim, b.bits, b.bands, b.seed)
           .as("__sig"),
         Vectors.normalized(col(vec)).as("__na"))
       .withColumn("__a", assign(col("__na")))
-      .select(col("cid"), col("__sig"), col("__a._1").as("__cell"),
-        col("__na").as("__cv"), col("__a._2").as("__d2"))
+    val cols = Seq(col("cid"), col("__sig"), col("__a._1").as("__cell"),
+      col("__na").as("__cv"), col("__a._2").as("__d2"))
+    encode match {
+      case Some(enc) => base.select(cols :+ enc(col("__na")).as("__code"): _*)
+      case None => base.select(cols: _*)
+    }
   }
 
   /** Auto-refit policy for [[maintainIndex]]: when a batch's mean
@@ -218,9 +230,12 @@ object VectorIngest {
       case None => (refit.map(_.baseline), b.centroids)
     }
     var assign = Vectors.cellAssigner(spark, centroids)
+    // PQ codebooks are frozen like the hyperplanes: one encoder (= one
+    // codebook broadcast) for the stream's whole life
+    val encode = b.pq.map(cb => Vectors.pqEncoder(spark, cb))
     stream.writeStream
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        var cols = indexColumns(batch.toDF(), id, vec, b, assign).persist()
+        var cols = indexColumns(batch.toDF(), id, vec, b, assign, encode).persist()
         try {
           var d = distortionOf(cols)
           for (p <- refit; dd <- d; base <- baseline
@@ -241,10 +256,16 @@ object VectorIngest {
             //    new quantizer (materialize first — the write replaces
             //    the partitions the reassignment reads)
             if (storeHasData(storeDir)) {
-              val reassigned = spark.read.parquet(storeDir)
+              val stored = spark.read.parquet(storeDir)
+              // cells/distances recompute; signatures and PQ codes are
+              // frozen-parameter columns and carry through untouched
+              val keep = Seq(col("cid"), col("__sig"), col("__a._1").as("__cell"),
+                col("__cv"), col("__a._2").as("__d2")) ++
+                (if (stored.columns.contains("__code")) Seq(col("__code")) else Nil) :+
+                col("__batch")
+              val reassigned = stored
                 .withColumn("__a", newAssign(col("__cv")))
-                .select(col("cid"), col("__sig"), col("__a._1").as("__cell"),
-                  col("__cv"), col("__a._2").as("__d2"), col("__batch"))
+                .select(keep: _*)
                 .localCheckpoint(true)
               reassigned.write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
@@ -254,7 +275,7 @@ object VectorIngest {
             // 3. recompute the triggering batch under the new quantizer
             //    and reset the baseline to its post-refit distortion
             cols.unpersist()
-            cols = indexColumns(batch.toDF(), id, vec, b, newAssign).persist()
+            cols = indexColumns(batch.toDF(), id, vec, b, newAssign, encode).persist()
             d = distortionOf(cols)
             saveQuantizer(storeDir, d.getOrElse(base), newCentroids)
             centroids = newCentroids
@@ -289,5 +310,16 @@ object VectorIngest {
       .select(col("cid"), col("__cell"), col("__cv"))
     Vectors.IvfIndexData(cells,
       Vectors.centroidRelation(spark, centroids), centroids)
+  }
+
+  /** Read the stream-maintained store back as a PQ index (the shape
+    * [[Vectors.pqTopK]] searches) — requires a bootstrap that carried
+    * codebooks, so the store has the `__code` column. */
+  def pqIndexFromStore(spark: org.apache.spark.sql.SparkSession, storeDir: String,
+                       b: IndexBootstrap): Vectors.PqIndexData = {
+    val cb = b.pq.getOrElse(throw new IllegalArgumentException(
+      "pqIndexFromStore needs an IndexBootstrap with PQ codebooks"))
+    Vectors.PqIndexData(
+      spark.read.parquet(storeDir).select(col("cid"), col("__code"), col("__cv")), cb)
   }
 }

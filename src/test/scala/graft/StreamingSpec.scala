@@ -594,6 +594,51 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(res.count() == 5)
   }
 
+  test("stream-maintained PQ codes equal the batch encoding; store searches as a PQ index") {
+    import spark.implicits._
+    import graft.ops.Vectors
+    import graft.streaming.VectorIngest
+    val dim = 8
+    def cluster(center: Array[Double], n: Int, base: Long, seed: Int) = {
+      val rnd = new scala.util.Random(700 + seed)
+      (0 until n).map { i =>
+        (base + i, Array.tabulate(dim)(d =>
+          (center(d) + rnd.nextGaussian() * 0.05).toFloat))
+      }
+    }
+    def axis(i: Int) = Array.tabulate(dim)(d => if (d == i) 1.0 else 0.0)
+    val b1 = cluster(axis(0), 30, 0L, 1)
+    val b2 = cluster(axis(1), 30, 1000L, 2)
+    val fitDf = (b1 ++ b2).toDF("vec_id", "embedding")
+    val centroids = Vectors.fitQuantizer(fitDf, "embedding", nlist = 2)
+    val cb = Vectors.pqFit(fitDf, "embedding", m = 2, ksub = 16)
+    val boot = VectorIngest.IndexBootstrap(dim, centroids, pq = Some(cb))
+    val store = "/tmp/graft_test/vec_pq_spec"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(store))
+    val ms = MemoryStream[(Long, Array[Float])](spark)
+    val q = VectorIngest.maintainIndex(
+      ms.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding", boot, store,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    ms.addData(b1: _*); q.processAllAvailable()
+    ms.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    // frozen codebooks → per-batch codes bit-identical to one batch pass
+    val streamCols = spark.read.parquet(store).drop("__batch")
+    val batchCols = VectorIngest.indexColumns(fitDf, "vec_id", "embedding", boot)
+    assert(streamCols.columns.contains("__code"))
+    assert(streamCols.exceptAll(batchCols).isEmpty &&
+      batchCols.exceptAll(streamCols).isEmpty,
+      "stream-maintained PQ codes must be bit-identical to the batch encoding")
+    // the stream-built store answers PQ searches directly
+    val pqIdx = VectorIngest.pqIndexFromStore(spark, store, boot)
+    val res = Vectors.pqTopK(pqIdx,
+      Seq((0L, axis(0).map(_.toFloat))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", k = 5, rescoreK = 20)
+      .collect().map(_.getLong(2))
+    assert(res.length == 5)
+    assert(res.forall(_ < 1000L), s"axis-0 query must surface cluster-0 members: ${res.toSeq}")
+  }
+
   test("funnelSteps: strict first-touch chain on a hand-computed log") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
