@@ -83,6 +83,61 @@ object Layout {
       .write.mode("overwrite").parquet(outDir)
   }
 
+  /** Quantile-ranked interleave: each value's rank is its position
+    * among the column's quantile breaks (binary search in the udf), so
+    * rank occupancy is uniform under ANY value distribution. */
+  private def interleaveBreaksUdf(breaks: Array[Array[Double]], bits: Int) =
+    udf { (vals: Seq[Double]) =>
+      var z = 0L
+      val n = breaks.length
+      var c = 0
+      while (c < n) {
+        val bks = breaks(c)
+        val v = vals(c)
+        // rank = #breaks <= v, in [0, 2^bits)
+        var lo = 0
+        var hi = bks.length
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          if (bks(mid) <= v) lo = mid + 1 else hi = mid
+        }
+        var b = 0
+        while (b < bits) {
+          if ((lo & (1 << b)) != 0) z |= 1L << (b * n + c)
+          b += 1
+        }
+        c += 1
+      }
+      z
+    }
+
+  /** [[writeZOrdered]] with QUANTILE ranks instead of linear min/max
+    * scaling — the skew-robust form: a linear rank collapses when the
+    * value range is outlier-dominated (99% of the mass lands in one
+    * rank cell, so files span the whole dense region and nothing
+    * prunes), while quantile breaks put equal row mass in every rank
+    * regardless of the distribution. Breaks come from one
+    * approxQuantile pass (GK sketch — at production scale, table
+    * statistics). Nulls rank 0. */
+  def writeZOrderedQuantile(df: DataFrame, zCols: Seq[String], outDir: String,
+                            numFiles: Int, bits: Int = 8,
+                            relErr: Double = 0.001): Unit = {
+    require(bits >= 1 && bits * zCols.size <= 63,
+      s"bits=$bits x ${zCols.size} columns must fit a long z-value")
+    val probs = (1 until (1 << bits)).map(_.toDouble / (1 << bits)).toArray
+    val casted = zCols.foldLeft(df)((d, c) =>
+      d.withColumn(s"__zq_$c", col(c).cast("double")))
+    val breaks = zCols.map(c =>
+      casted.stat.approxQuantile(s"__zq_$c", probs, relErr)).toArray
+    val vals = array(zCols.map(c =>
+      coalesce(col(c).cast("double"), lit(Double.NegativeInfinity))): _*)
+    df.withColumn("__z", interleaveBreaksUdf(breaks, bits)(vals))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(outDir)
+  }
+
   /** Small-file compaction — the maintenance pass that keeps a
     * long-appended table scannable (every tiny parquet file costs a
     * task, a footer read, and an open at 100 TB; bin-packing to

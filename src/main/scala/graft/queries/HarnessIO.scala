@@ -256,6 +256,20 @@ object HarnessIO {
       s.read.parquet(out).orderBy($"l_orderkey", $"l_linenumber")
     }),
 
+    // The skew-robust z-order variant: ranks from quantile breaks (GK
+    // sketch pass) instead of min/max scaling, so outlier-dominated
+    // ranges still cluster the dense mass (ScaleSpec pins the pruning
+    // difference). Same content-neutrality oracle.
+    "sink_zorder_quantile" -> ((s, dir) => {
+      import s.implicits._
+      val out = s"$stage/zorderq_lineitem"
+      val li = t(s, dir, "lineitem")
+        .select($"l_orderkey", $"l_linenumber", $"l_extendedprice", $"l_quantity")
+      graft.io.Layout.writeZOrderedQuantile(li,
+        Seq("l_extendedprice", "l_quantity"), out, numFiles = 16)
+      s.read.parquet(out).orderBy($"l_orderkey", $"l_linenumber")
+    }),
+
     // Small-file compaction (io/Layout.compact): stage lineitem
     // shattered into 64 tiny files (the long-appended-table problem),
     // bin-pack to size-targeted files with a narrow coalesce + dir
@@ -348,6 +362,9 @@ object HarnessIO {
         |FROM lineitem ORDER BY 1, 2""".stripMargin,
     "sink_compact" ->
       """SELECT l_orderkey, l_linenumber, l_quantity
+        |FROM lineitem ORDER BY 1, 2""".stripMargin,
+    "sink_zorder_quantile" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice, l_quantity
         |FROM lineitem ORDER BY 1, 2""".stripMargin,
     "src_http_csv" ->
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment

@@ -122,6 +122,38 @@ class ScaleSpec extends AnyFunSuite with SparkTestBase {
     assert(zOrd <= 8, s"z-order should prune the orderkey box: $zOrd of $files")
   }
 
+  test("quantile-ranked z-order prunes an outlier-dominated column where linear ranks collapse") {
+    import graft.io.Layout
+    import spark.implicits._
+    // 90% of the mass in [0, 100), 10% outliers pushing the range to
+    // ~1e8 — a linear rank maps the whole dense region to rank 0
+    val rows = (0 until 10000).map { i =>
+      val a = if (i % 10 != 0) (i % 100).toDouble else (i + 1) * 1e4
+      (i.toLong, a, ((i * 37) % 1000).toDouble)
+    }
+    val df = rows.toDF("id", "a", "b")
+    val ldir = "/tmp/graft_stage/scalespec_zlin"
+    val qdir = "/tmp/graft_stage/scalespec_zq"
+    Layout.writeZOrdered(df, Seq("a", "b"), ldir, numFiles = 16)
+    Layout.writeZOrderedQuantile(df, Seq("a", "b"), qdir, numFiles = 16)
+    // content-neutral
+    val back = spark.read.parquet(qdir)
+    assert(back.exceptAll(df).isEmpty && df.exceptAll(back).isEmpty)
+    def touched(dir: String, lo: Double, hi: Double): Long =
+      Layout.fileStats(spark, dir, Seq("a"))
+        .filter(col("min_a") <= hi && col("max_a") >= lo).count()
+    val files = spark.read.parquet(qdir).select(input_file_name()).distinct().count()
+    assert(files >= 12, s"expected ~16 files, got $files")
+    // box inside the dense region: linear ranks put ALL dense rows in
+    // rank-0 cells, so the files holding them span [0, 100) unsorted —
+    // no pruning; quantile ranks split the dense mass across most rank
+    // values, so only the overlapping strip of files is touched
+    val linT = touched(ldir, 40, 49)
+    val qT = touched(qdir, 40, 49)
+    assert(linT >= 10, s"linear ranks should NOT prune the dense box: $linT")
+    assert(qT * 2 <= linT, s"quantile ranks must prune at least 2x better: $qT vs $linT")
+  }
+
   test("compact bin-packs small files without touching rows, via a narrow coalesce") {
     import graft.io.Layout
     import spark.implicits._
