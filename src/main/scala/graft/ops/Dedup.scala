@@ -299,15 +299,21 @@ object Dedup {
     }
 
     var edges = raw.filter(col("src") =!= col("dst")).distinct().localCheckpoint(true)
+    var edgeCount = edges.count()
     var iter = 0
-    var converged = edges.isEmpty
+    var converged = edgeCount == 0
     while (iter < maxIter && !converged) {
       val next = smallStar(largeStar(edges)).localCheckpoint(true)
       // fixed point iff the (canonicalized, distinct) edge set is
       // unchanged — at that point the graph is one star per component,
-      // rooted at the component minimum
-      converged = next.exceptAll(edges).isEmpty && edges.exceptAll(next).isEmpty
+      // rooted at the component minimum. Both sides are distinct sets,
+      // so equal cardinality + one-direction emptiness is set equality;
+      // the count gate short-circuits the anti-join on the (typical)
+      // shrinking rounds.
+      val nextCount = next.count()
+      converged = nextCount == edgeCount && next.exceptAll(edges).isEmpty
       edges = next
+      edgeCount = nextCount
       iter += 1
     }
     if (!converged && maxIter > 0) {
