@@ -256,7 +256,18 @@ private[io] class HttpCsvPartitionReader(p: HttpRangePartition, full: StructType
     case BooleanType => v.toBoolean
     case DateType => java.time.LocalDate.parse(v).toEpochDay.toInt
     case TimestampType =>
-      val inst = java.time.Instant.parse(if (v.endsWith("Z")) v else v + "Z")
+      // accept the three CSV forms in the wild: explicit offset
+      // ("...+00:00"/"...Z"), zone-less ISO instant, and the
+      // space-separated form Spark's own CSV writer emits — blindly
+      // appending "Z" broke the first and third
+      val s = v.trim
+      val inst =
+        try java.time.OffsetDateTime.parse(s).toInstant
+        catch {
+          case _: java.time.format.DateTimeParseException =>
+            java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+              .toInstant(java.time.ZoneOffset.UTC)
+        }
       inst.getEpochSecond * 1000000L + inst.getNano / 1000L
     case d: DecimalType =>
       org.apache.spark.sql.types.Decimal(new java.math.BigDecimal(v), d.precision, d.scale)

@@ -75,7 +75,12 @@ object Layout {
     val aggs = zCols.flatMap(c =>
       Seq(min(col(c).cast("double")), max(col(c).cast("double"))))
     val r = df.agg(aggs.head, aggs.tail: _*).head()
-    val ranges = zCols.indices.map(i => (r.getDouble(2 * i), r.getDouble(2 * i + 1)))
+    // an all-null column (or empty input) has no range — every value
+    // ranks 0 via the null coalesce, any non-degenerate span works
+    val ranges = zCols.indices.map { i =>
+      if (r.isNullAt(2 * i) || r.isNullAt(2 * i + 1)) (0.0, 1.0)
+      else (r.getDouble(2 * i), r.getDouble(2 * i + 1))
+    }
     df.withColumn("__z", zValue(zCols.map(col), ranges, bits))
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions("__z")
@@ -127,8 +132,10 @@ object Layout {
     val probs = (1 until (1 << bits)).map(_.toDouble / (1 << bits)).toArray
     val casted = zCols.foldLeft(df)((d, c) =>
       d.withColumn(s"__zq_$c", col(c).cast("double")))
-    val breaks = zCols.map(c =>
-      casted.stat.approxQuantile(s"__zq_$c", probs, relErr)).toArray
+    // ONE multi-column GK pass — a per-column loop would rescan the
+    // table N times for N z-columns
+    val breaks = casted.stat.approxQuantile(
+      zCols.map(c => s"__zq_$c").toArray, probs, relErr)
     val vals = array(zCols.map(c =>
       coalesce(col(c).cast("double"), lit(Double.NegativeInfinity))): _*)
     df.withColumn("__z", interleaveBreaksUdf(breaks, bits)(vals))
@@ -156,21 +163,33 @@ object Layout {
     val conf = spark.sparkContext.hadoopConfiguration
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(conf)
-    // recursive: a partitioned layout keeps its data files under
-    // partition subdirectories
+    // FLAT directories only: the rewrite carries no partitionBy, so
+    // compacting a Hive-partitioned layout here would silently flatten
+    // it (and the swap would drop sidecar dirs like _quantizer) —
+    // partitioned stores compact per partition (see
+    // [[graft.streaming.VectorIngest.compactStore]] for the
+    // __batch-partitioned form)
+    val entries = fs.listStatus(path)
+    require(!entries.exists(e => e.isDirectory && !e.getPath.getName.startsWith("_")),
+      s"compact() handles flat parquet directories; $dir has partition " +
+        "subdirectories — compact those per partition instead")
     var total = 0L
-    val it = fs.listFiles(path, true)
-    while (it.hasNext) {
-      val s = it.next()
-      if (s.getPath.getName.endsWith(".parquet")) total += s.getLen
+    entries.foreach { s =>
+      if (s.isFile && s.getPath.getName.endsWith(".parquet")) total += s.getLen
     }
     val n = math.max(1, math.ceil(total.toDouble / targetFileBytes).toInt)
     val tmp = new org.apache.hadoop.fs.Path(dir + ".compact.tmp")
     spark.read.parquet(dir).coalesce(n)
       .write.mode("overwrite").parquet(tmp.toString)
-    fs.delete(path, true)
-    if (!fs.rename(tmp, path))
-      throw new java.io.IOException(s"compaction swap failed: $tmp -> $path")
+    // swap data files only — underscore sidecars (_SUCCESS aside, e.g.
+    // a _checkpoint or _quantizer dir) survive the rewrite untouched
+    entries.filterNot(_.getPath.getName.startsWith("_"))
+      .foreach(e => fs.delete(e.getPath, true))
+    fs.listStatus(tmp).filterNot(_.getPath.getName.startsWith("_")).foreach { e =>
+      if (!fs.rename(e.getPath, new org.apache.hadoop.fs.Path(path, e.getPath.getName)))
+        throw new java.io.IOException(s"compaction swap failed: ${e.getPath} -> $path")
+    }
+    fs.delete(tmp, true)
     // the session's FileStatusCache still lists the pre-swap files;
     // readers through this session must see the compacted directory
     spark.catalog.refreshByPath(dir)

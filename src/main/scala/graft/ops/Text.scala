@@ -199,11 +199,14 @@ object Text {
   def packSequences(df: DataFrame, id: Column, tok: Column, seqLen: Int,
                     shards: Int): DataFrame = {
     require(seqLen >= 1 && shards >= 1)
+    // everything downstream references the RENAMED doc_id — referencing
+    // the caller's `id` column after the select would only resolve when
+    // it happens to be named doc_id already
     val shard = pmod(
-      conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("long"),
+      conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10).cast("long"),
       lit(shards.toLong)).cast("int")
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("shard")).orderBy(id.asc)
+      .partitionBy(col("shard")).orderBy(col("doc_id").asc)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     df.select(id.as("doc_id"), tok.cast("long").as("__tok"))
       .filter(col("__tok") > 0)

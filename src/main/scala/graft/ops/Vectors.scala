@@ -74,15 +74,20 @@ object Vectors {
     *
     * The aggregator buffer is (Double, Long), so integral ids take the
     * aggregate path (output cast back to the source type); any other
-    * id type keeps the window formulation as a correctness fallback. */
+    * id type keeps the window formulation as a correctness fallback.
+    * Null-id rows are dropped on BOTH paths (a null id is an
+    * unanswerable result row; the aggregate's non-nullable tuple
+    * encoder would otherwise crash where the old window merely ranked
+    * garbage). */
   private def topKPerGroup(scored: DataFrame, group: String, value: String,
                            idCol: String, k: Int): DataFrame = {
     import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
     val idType = scored.schema(idCol).dataType
+    val clean = scored.filter(col(value).isNotNull && col(idCol).isNotNull)
     idType match {
       case ByteType | ShortType | IntegerType | LongType =>
         val fn = graft.functions.TopKByValue.topK(k)
-        scored.filter(col(value).isNotNull)
+        clean
           .groupBy(col(group))
           .agg(fn(col(value), col(idCol).cast("long")).as("__top"))
           .select(col(group), posexplode(col("__top")).as(Seq("__i", "__t")))
@@ -90,7 +95,7 @@ object Vectors {
             col("__t._2").cast(idType).as(idCol))
       case _ =>
         val w = Window.partitionBy(col(group)).orderBy(col(value).desc, col(idCol).asc)
-        scored.filter(col(value).isNotNull)
+        clean
           .withColumn("rnk", row_number().over(w))
           .filter(col("rnk") <= k)
           .select(col(group), col("rnk"), col(idCol))

@@ -210,7 +210,11 @@ object HarnessIO {
       t(s, dir, "customer")
         .select($"c_custkey", $"c_name", $"c_nationkey", $"c_acctbal", $"c_mktsegment")
         .coalesce(1)
-        .write.mode("overwrite").option("header", "true").csv(tmp)
+        .write.mode("overwrite").option("header", "true")
+        // RFC-4180 doubled quotes: HttpLines.splitCsv understands "" —
+        // Spark's default backslash escape would corrupt quoted fields
+        .option("escape", "\"")
+        .csv(tmp)
       val part = new java.io.File(tmp).listFiles()
         .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".csv"))
         .getOrElse(sys.error(s"no CSV part file under $tmp"))

@@ -169,10 +169,17 @@ object VectorIngest {
     val fold = batchPartitionDirs(storeDir)
       .filter(_.getName.stripPrefix("__batch=").toLong < upToBatch)
     if (fold.length > 1) {
-      val folded = spark.read.option("basePath", storeDir)
+      val read = spark.read.option("basePath", storeDir)
         .parquet(fold.map(_.getPath).toIndexedSeq: _*)
-        .drop("__batch")
-        .dropDuplicates("cid")
+      // dedup keeps the NEWEST version of a cid (max __batch) — a cid
+      // re-ingested with an updated vector must survive compaction as
+      // its latest copy, not whichever row a partition scan sees first
+      val dataCols = read.columns.filter(_ != "__batch")
+      val folded = read
+        .groupBy(col("cid"))
+        .agg(max_by(struct((dataCols.filter(_ != "cid").map(col) :+ col("__batch")): _*),
+          col("__batch")).as("__r"))
+        .select(col("cid") +: dataCols.filter(_ != "cid").map(c => col(s"__r.$c")): _*)
         .withColumn("__batch", lit(CompactedBatchId))
         .coalesce(math.max(1, targetFiles))
         // materialize BEFORE the write: the fold may read the very
