@@ -295,6 +295,15 @@ object HarnessCore {
         Seq($"l_returnflag"), $"l_partkey", "nd_approx")
         .orderBy($"l_returnflag")
     }),
+    "meta_table_checksum" -> ((s, dir) => {
+      import s.implicits._
+      // replica/ingest verification: 16 order-free XOR signatures stand
+      // in for the whole customer table — comparing two copies of a
+      // 100 TB table becomes 16 rows, not a join
+      Aggregates.tableChecksum(t(s, dir, "customer"),
+        Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment"), buckets = 16)
+        .orderBy($"bucket")
+    }),
     "agg_histogram" -> ((s, dir) => {
       import s.implicits._
       // equi-width price histogram, fixed literal bounds → bucketing is
@@ -887,6 +896,17 @@ object HarnessCore {
       """SELECT c_custkey, n_name FROM customer
         |JOIN nation ON c_nationkey = n_nationkey
         |ORDER BY 1""".stripMargin,
+    // identical md5-derived 60-bit row signatures and XOR fold — XOR
+    // is order-free, so no float or ordering hazards anywhere
+    "meta_table_checksum" ->
+      """WITH h AS (
+        | SELECT CAST(('0x' || substr(md5(
+        |    concat_ws('|', CAST(c_custkey AS VARCHAR), c_name,
+        |      CAST(c_nationkey AS VARCHAR), c_mktsegment)), 1, 15)) AS BIGINT) AS h
+        | FROM customer)
+        |SELECT CAST(h % 16 AS INT) AS bucket, bit_xor(h) AS xor_sig,
+        | count(*) AS n_rows
+        |FROM h GROUP BY 1 ORDER BY 1""".stripMargin,
     // same literal bounds/width, same floor-of-division both engines
     "agg_histogram" ->
       """SELECT CAST(CASE WHEN l_extendedprice < 0.0 THEN -1

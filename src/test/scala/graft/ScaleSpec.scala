@@ -176,6 +176,25 @@ class ScaleSpec extends AnyFunSuite with SparkTestBase {
     assert(spark.read.parquet(dir).count() == li.count())
   }
 
+  test("table checksum: layout-invariant, and a single changed row flips it") {
+    import graft.ops.Aggregates
+    import spark.implicits._
+    val c = spark.read.parquet(sf("customer"))
+    val cols = Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
+    def sig(df: org.apache.spark.sql.DataFrame) =
+      Aggregates.tableChecksum(df, cols, 16).collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    val base = sig(c)
+    assert(base == sig(c.repartition(7)) && base == sig(c.orderBy($"c_name")),
+      "checksums are content-addressed, not layout-addressed")
+    // one-character change in one row must flip at least one bucket
+    val mutated = c.withColumn("c_name",
+      when($"c_custkey" === 1L, concat($"c_name", lit("x"))).otherwise($"c_name"))
+    assert(sig(mutated) != base, "a single-row change must be detected")
+    // and a dropped row changes a count even if XOR collided
+    assert(sig(c.filter($"c_custkey" =!= 1L)) != base)
+  }
+
   test("HLL sketch merge is lossless: rollup of persisted sketches == direct sketch") {
     import graft.ops.Aggregates
     import spark.implicits._
