@@ -186,6 +186,37 @@ object Text {
       .filter(col("cum_tok") <= budget)
   }
 
+  /** Overlapping context-window chunking — the RAG ingestion
+    * primitive: each document splits into `window`-token chunks every
+    * `stride` tokens (overlap = window − stride), so no passage is
+    * ever cut off from its surrounding context in every chunk. Chunk
+    * starts run while they still contribute uncovered tokens
+    * (start < n − window + stride), so a short tail extends the last
+    * chunk's coverage instead of spawning a fully-contained fragment;
+    * a sub-window document yields exactly one chunk. Entirely
+    * scan-local (sequence → explode → slice on the token array): no
+    * shuffle at any corpus size. */
+  def chunkOverlap(df: DataFrame, id: Column, text: Column, window: Int,
+                   stride: Int): DataFrame = {
+    require(window >= 1 && stride >= 1 && stride <= window,
+      "need 1 <= stride <= window")
+    val toks = wsTokens(text)
+    // starts reference the CARRIED __n — the caller's text column is
+    // projected away after the first select
+    val starts = sequence(lit(0),
+      greatest(col("__n") - window + stride - 1, lit(0)), lit(stride))
+    df.select(id.as("doc_id"), toks.as("__t"), size(toks).as("__n"))
+      .filter(col("__n") > 0)
+      .select(col("doc_id"), col("__t"), col("__n"),
+        explode(starts).as("start_tok"))
+      .select(col("doc_id"),
+        (col("start_tok") / stride).cast("int").as("chunk_id"),
+        col("start_tok").cast("int").as("start_tok"),
+        least(lit(window), col("__n") - col("start_tok")).cast("int").as("n_tok"),
+        array_join(slice(col("__t"), col("start_tok") + 1, lit(window)), " ")
+          .as("chunk_text"))
+  }
+
   /** GPT-style training-sequence packing: documents are concatenated
     * into a token stream and cut into fixed `seqLen` windows — a doc
     * may straddle two sequences, exactly like real next-token-training

@@ -185,6 +185,14 @@ object HarnessLLM {
         .select($"doc_id")
         .orderBy($"doc_id")
     }),
+    "pipeline_chunk_overlap" -> ((s, dir) => {
+      import s.implicits._
+      // RAG ingestion chunking: 64-token windows every 32 tokens
+      // (50% overlap), scan-local sequence/explode/slice — no shuffle.
+      Text.chunkOverlap(t(s, dir, "documents").filter($"doc_id" < 50),
+        $"doc_id", $"text", window = 64, stride = 32)
+        .orderBy($"doc_id", $"chunk_id")
+    }),
     "pipeline_seq_pack" -> ((s, dir) => {
       import s.implicits._
       // GPT-style sequence packing: concatenate docs into 512-token
@@ -613,6 +621,21 @@ object HarnessLLM {
       """SELECT doc_id FROM documents
         |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 100 < 20
         |ORDER BY 1""".stripMargin,
+    // same token arrays, same start grid, same clamped slices — all
+    // integer/string, no float anywhere
+    "pipeline_chunk_overlap" ->
+      """WITH d AS (
+        | SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n
+        | FROM documents WHERE doc_id < 50),
+        |s AS (
+        | SELECT doc_id, arr, n,
+        |  CAST(unnest(range(0, greatest(n - 64 + 32, 1), 32)) AS INT) AS start_tok
+        | FROM d WHERE n > 0)
+        |SELECT doc_id, CAST(start_tok // 32 AS INT) AS chunk_id, start_tok,
+        | CAST(least(64, n - start_tok) AS INT) AS n_tok,
+        | array_to_string(arr[start_tok + 1 : start_tok + 64], ' ') AS chunk_text
+        |FROM s ORDER BY doc_id, chunk_id""".stripMargin,
     // pure integer arithmetic over the same stable-hash shards and
     // id-ordered running sums — exact both engines
     "pipeline_seq_pack" ->

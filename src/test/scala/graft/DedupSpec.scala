@@ -393,6 +393,30 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(t.keySet == Set(3L))
   }
 
+  test("chunkOverlap: full coverage with overlap, no contained fragments, short docs = 1 chunk") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 toks
+      (2L, "a b c"),                                  // < window
+      (3L, (1 to 8).map(i => s"u$i").mkString(" ")))  // == window
+      .toDF("doc_id", "text")
+    val chunks = graft.ops.Text.chunkOverlap(docs, $"doc_id", $"text",
+      window = 8, stride = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4)))
+    val byDoc = chunks.groupBy(_._1)
+    // n=10, w=8, s=4: starts 0 and 4 only — start 8 would be a
+    // fully-contained fragment of [4, 10)
+    assert(byDoc(1L).map(c => (c._3, c._4)).sortBy(_._1).toSeq == Seq((0, 8), (4, 6)))
+    assert(byDoc(1L).find(_._3 == 4).get._5 == (5 to 10).map(i => s"t$i").mkString(" "))
+    // coverage: every token index lands in at least one chunk
+    val covered = byDoc(1L).flatMap(c => c._3 until (c._3 + c._4)).toSet
+    assert(covered == (0 until 10).toSet)
+    // sub-window and exactly-window docs: one chunk, the whole doc
+    assert(byDoc(2L).toSeq == Seq((2L, 0, 0, 3, "a b c")))
+    assert(byDoc(3L).map(_._4).toSeq == Seq(8))
+  }
+
   test("packSequences: contiguous per-shard token stream, layout-invariant") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
