@@ -262,4 +262,61 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
       assert(excAll == expectedAll)
     }
   }
+
+  test("histogram conserves mass: bucket counts sum to the non-null row count") {
+    import spark.implicits._
+    trials { rnd =>
+      val vals = List.fill(1 + rnd.nextInt(200))(
+        if (rnd.nextInt(10) == 0) null else java.lang.Double.valueOf(rnd.nextDouble() * 120 - 10))
+      val df = vals.toDF("v")
+      val hist = Aggregates.histogram(df, $"v", lo = 0.0, hi = 100.0, nBuckets = 10)
+        .collect().map(r => r.getInt(0) -> r.getLong(1))
+      assert(hist.map(_._2).sum == vals.count(_ != null))
+      assert(hist.forall { case (b, _) => b >= -1 && b <= 10 })
+    }
+  }
+
+  test("tableChecksum is mergeable: XOR of disjoint halves equals the whole") {
+    import spark.implicits._
+    trials { rnd =>
+      val rows = List.fill(20 + rnd.nextInt(100))(
+        (rnd.nextLong(), rnd.nextInt(5).toString))
+      val df = rows.toDF("id", "tag")
+      def sig(d: org.apache.spark.sql.DataFrame) =
+        Aggregates.tableChecksum(d, Seq("id", "tag"), 8)
+          .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val (left, right) = rows.splitAt(rows.length / 2)
+      val whole = sig(df)
+      val l = sig(left.toDF("id", "tag"))
+      val r = sig(right.toDF("id", "tag"))
+      // per bucket: XOR of the halves' signatures == whole signature,
+      // counts add — exactly the partial-aggregation contract that
+      // lets per-partition checksums roll up without a rescan
+      val merged = (l.keySet | r.keySet).map { b =>
+        val (lx, ln) = l.getOrElse(b, (0L, 0L))
+        val (rx, rn) = r.getOrElse(b, (0L, 0L))
+        b -> (lx ^ rx, ln + rn)
+      }.toMap
+      assert(merged == whole)
+    }
+  }
+
+  test("packSequences conserves tokens: per shard, last doc's end equals the shard's token sum") {
+    import spark.implicits._
+    trials { rnd =>
+      val docs = List.tabulate(5 + rnd.nextInt(50))(i =>
+        (i.toLong, 1 + rnd.nextInt(300)))
+      val df = docs.toDF("id", "n_tok")
+      val packed = graft.ops.Text.packSequences(df, $"id", $"n_tok",
+        seqLen = 128, shards = 3)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3)))
+      val toks = docs.toMap
+      packed.groupBy(_._2).foreach { case (_, inShard) =>
+        val last = inShard.maxBy(_._1)
+        val shardTotal = inShard.map(c => toks(c._1).toLong).sum
+        assert(last._3 * 128 + last._4 + toks(last._1) == shardTotal,
+          "the shard's token stream must account for every token exactly once")
+      }
+    }
+  }
 }
