@@ -258,7 +258,13 @@ case class PqAdcScore(left: Expression, right: Expression, ksub: Int)
     var s = 0.0
     var i = 0
     while (i < codes.length) {
-      s += lut.getDouble(i * ksub + (codes(i) & 0xFF))
+      val c = codes(i) & 0xFF
+      // a code byte >= ksub (corrupt/foreign code column when
+      // ksub < 256) would index another subspace's LUT region — or
+      // past the lut entirely, which UnsafeArrayData does NOT bounds
+      // check — so poison to null like the size-mismatch case
+      if (c >= ksub) return null
+      s += lut.getDouble(i * ksub + c)
       i += 1
     }
     s
@@ -269,6 +275,7 @@ case class PqAdcScore(left: Expression, right: Expression, ksub: Int)
       val m = ctx.freshName("m")
       val i = ctx.freshName("i")
       val s = ctx.freshName("s")
+      val c = ctx.freshName("c")
       s"""
         int $m = $codes.length;
         if ($lut.numElements() != $m * $ksub) {
@@ -276,9 +283,13 @@ case class PqAdcScore(left: Expression, right: Expression, ksub: Int)
         } else {
           double $s = 0.0;
           for (int $i = 0; $i < $m; $i++) {
-            $s += $lut.getDouble($i * $ksub + ($codes[$i] & 0xFF));
+            int $c = $codes[$i] & 0xFF;
+            if ($c >= $ksub) { ${ev.isNull} = true; break; }
+            $s += $lut.getDouble($i * $ksub + $c);
           }
-          ${ev.value} = $s;
+          if (!${ev.isNull}) {
+            ${ev.value} = $s;
+          }
         }
       """
     })

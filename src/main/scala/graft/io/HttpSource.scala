@@ -256,16 +256,18 @@ private[io] class HttpCsvPartitionReader(p: HttpRangePartition, full: StructType
     case BooleanType => v.toBoolean
     case DateType => java.time.LocalDate.parse(v).toEpochDay.toInt
     case TimestampType =>
-      // accept the three CSV forms in the wild: explicit offset
-      // ("...+00:00"/"...Z"), zone-less ISO instant, and the
-      // space-separated form Spark's own CSV writer emits — blindly
-      // appending "Z" broke the first and third
-      val s = v.trim
+      // accept the CSV forms in the wild: explicit offset
+      // ("...+00:00"/"...Z"), zone-less ISO instant, and either of
+      // those with a space separator (Spark's own CSV writer,
+      // Postgres dumps). Normalize ' '→'T' FIRST so a space-separated
+      // timestamp WITH an offset ("2025-01-01 00:00:00+00") hits the
+      // OffsetDateTime branch instead of escaping both parsers.
+      val s = v.trim.replace(' ', 'T')
       val inst =
         try java.time.OffsetDateTime.parse(s).toInstant
         catch {
           case _: java.time.format.DateTimeParseException =>
-            java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+            java.time.LocalDateTime.parse(s)
               .toInstant(java.time.ZoneOffset.UTC)
         }
       inst.getEpochSecond * 1000000L + inst.getNano / 1000L

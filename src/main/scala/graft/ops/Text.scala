@@ -313,7 +313,18 @@ object Text {
     * a shuffled join output would round differently run to run. The
     * sibling columns (`n_bigrams`, `sum_cb`, `sum_cu`) are integer-
     * exact evidence for the oracle. Documents with fewer than two
-    * tokens have no bigrams and are absent from the output. */
+    * tokens have no bigrams and are absent from the output.
+    *
+    * The tokenize+explode `pairs` relation feeds THREE consumers (the
+    * bigram-count model, the head-count model, and the probe side of
+    * the score join), so it is materialized ONCE with an eager
+    * localCheckpoint — the featurize-once pattern [[Dedup.minHash]]
+    * uses. Without it Catalyst inlines the common subtree and the plan
+    * re-reads + re-tokenizes the corpus for each consumer: 4 full
+    * corpus scans (3 via pairs + 1 for vocab) where 2 suffice. At
+    * 100 TB the checkpoint trades one exploded-bigram write to
+    * executor-local storage against two full decode+tokenize corpus
+    * passes. PlanSpec pins the final plan to ≤1 parquet scan. */
   def lmScore(df: DataFrame, id: Column, text: Column): DataFrame = {
     val toks = df.select(id.as("doc_id"), wsTokens(lower(text)).as("__t"))
     val bg = when(size(col("__t")) >= 2,
@@ -324,6 +335,7 @@ object Text {
     val pairs = toks.select(col("doc_id"), posexplode(bg).as(Seq("__pos", "__bg")))
       .select(col("doc_id"), col("__pos"),
         col("__bg.w1").as("__w1"), col("__bg.w2").as("__w2"))
+      .localCheckpoint(true)
     val cb = pairs.groupBy(col("__w1"), col("__w2")).agg(count(lit(1)).as("__cb"))
     val cu = pairs.groupBy(col("__w1")).agg(count(lit(1)).as("__cu"))
     // |V| is a one-row relation, broadcast — not a driver collect, so

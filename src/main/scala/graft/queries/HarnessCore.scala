@@ -897,12 +897,19 @@ object HarnessCore {
         |JOIN nation ON c_nationkey = n_nationkey
         |ORDER BY 1""".stripMargin,
     // identical md5-derived 60-bit row signatures and XOR fold — XOR
-    // is order-free, so no float or ordering hazards anywhere
+    // is order-free, so no float or ordering hazards anywhere. Each
+    // column carries the NUL-prefixed null sentinel because DuckDB's
+    // concat_ws SKIPS null arguments while Spark's renders the
+    // coalesce fallback — without it the checksum diverges on any
+    // nullable column.
     "meta_table_checksum" ->
       """WITH h AS (
         | SELECT CAST(('0x' || substr(md5(
-        |    concat_ws('|', CAST(c_custkey AS VARCHAR), c_name,
-        |      CAST(c_nationkey AS VARCHAR), c_mktsegment)), 1, 15)) AS BIGINT) AS h
+        |    concat_ws('|',
+        |      coalesce(CAST(c_custkey AS VARCHAR), chr(0)||'null'),
+        |      coalesce(c_name, chr(0)||'null'),
+        |      coalesce(CAST(c_nationkey AS VARCHAR), chr(0)||'null'),
+        |      coalesce(c_mktsegment, chr(0)||'null'))), 1, 15)) AS BIGINT) AS h
         | FROM customer)
         |SELECT CAST(h % 16 AS INT) AS bucket, bit_xor(h) AS xor_sig,
         | count(*) AS n_rows

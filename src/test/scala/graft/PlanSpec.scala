@@ -218,6 +218,18 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(p.contains("SelectedBucketsCount: 8 out of 8"), p)
   }
 
+  test("lmScore materializes pairs once — final plan holds at most 1 corpus scan") {
+    import spark.implicits._
+    // before the featurize-once checkpoint this plan re-read + re-
+    // tokenized the corpus 4x (cb, cu, score probe, vocab); now the
+    // three pairs consumers share one checkpointed RDD and only the
+    // vocab branch still scans parquet
+    val df = graft.ops.Text.lmScore(
+      spark.read.parquet(sf("documents")), $"doc_id", $"text")
+    val scans = "Scan parquet".r.findAllIn(plan(df)).length
+    assert(scans <= 1, s"expected <=1 parquet scan, got $scans:\n${plan(df)}")
+  }
+
   test("whole-stage codegen covers the scan-filter-project hot path") {
     import spark.implicits._
     val df = spark.read.parquet(sf("lineitem"))
