@@ -37,11 +37,11 @@ object Bench {
     try { graft.queries.HarnessLLM.pqIndexFor(spark, sfDir) }
     catch { case _: Throwable => () }
     val pqBuildSec = (System.nanoTime() - p0) / 1e9
-    // Shingle+HashingTF featurize is likewise an ingest-time step (the
-    // feature columns persist with the corpus) shared by the
-    // minhash-family keys — prebuild untimed, report the cost.
+    // The shingle pass is likewise an ingest-time step (the shingle
+    // column persists with the corpus) shared by the shingle-family
+    // keys — prebuild untimed, report the cost.
     val f0 = System.nanoTime()
-    try { graft.queries.HarnessLLM.docFeaturesFor(spark, sfDir) }
+    try { graft.queries.HarnessLLM.shingledDocsFor(spark, sfDir) }
     catch { case _: Throwable => () }
     val docFeatsSec = (System.nanoTime() - f0) / 1e9
     // Bucketed table layout is likewise ingest-time (the fact table

@@ -150,6 +150,118 @@ object Dedup {
     agged.withColumn("simhash", sig).select(id, col("simhash"))
   }
 
+  /** Engine-portable SimHash: a 60-bit signature from md5-derived
+    * per-token hashes instead of seeded xxhash64 — bit 0..59 of
+    * `conv(substr(md5(token),1,15),16,10)` majority-voted over the
+    * token MULTISET (60 bits = 15 hex digits: positive in a signed
+    * long in engines whose hex cast is signed-64). Same
+    * locality-sensitivity as [[simhash]] (near multisets → near
+    * signatures), but every intermediate is plain md5 + integer
+    * arithmetic, so an independent SQL engine reproduces the exact
+    * signature — the portable form a cross-engine corpus handoff
+    * verifies against. One partial+final groupBy(doc) of 60 int sums,
+    * any scale. Tokens are trim+lower whitespace splits (pinned, since
+    * the signature is content-addressed). */
+  def simhashPortable(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val tokens = df.select(id, explode(split(trim(lower(text)), "\\s+")).as("__tok"))
+      .withColumn("__h", conv(substring(md5(col("__tok")), 1, 15), 16, 10).cast("long"))
+    val bitSums = (0 until 60).map { b =>
+      sum(when(shiftright(col("__h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"__b$b")
+    }
+    val agged = tokens.groupBy(id).agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until 60).map { b =>
+      when(col(s"__b$b") >= 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    agged.withColumn("simhash", sig).select(id, col("simhash"))
+  }
+
+  /** Engine-portable MinHash + LSH banding over a pre-shingled corpus
+    * (`shCol` = the distinct shingle array [[shingles]] emits):
+    * `numHashes` md5-derived min-hashes `h_i(g) = md5("i:" ++ g)` as
+    * 60-bit ints, banded `bands` × `numHashes/bands`; candidate pairs
+    * collide on (band, concatenated-band-signature); candidates — and
+    * ONLY candidates — are rescored with exact shingle-set Jaccard and
+    * kept at `>= jaccardThreshold`. The shape is [[minhashNearDupsOnFeatures]]'s
+    * (band-bucket join, never all-pairs) but with seed-free md5 hashes,
+    * so an independent engine reproduces signatures, bands, candidate
+    * set, and rescore bit for bit — which is what upgrades this from a
+    * rows-only check to a hash-exact cross-engine oracle. The rescore
+    * division is exact-int/exact-int in double: identical everywhere. */
+  def minhashLshPortableOnShingles(sh: DataFrame, id: String, shCol: String,
+                                   numHashes: Int = 12, bands: Int = 4,
+                                   jaccardThreshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rows = numHashes / bands
+    val ex = sh.select(col(id), explode(col(shCol)).as("__g"))
+    val minAggs = (0 until numHashes).map { i =>
+      min(conv(substring(md5(concat(lit(s"$i:"), col("__g"))), 1, 15), 16, 10)
+        .cast("long")).as(s"__m$i")
+    }
+    val sig = ex.groupBy(col(id)).agg(minAggs.head, minAggs.tail: _*)
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws(",", (0 until rows).map(r => col(s"__m${b * rows + r}")
+          .cast("string")): _*).as("key"))
+    }
+    val banded = sig.select(col(id), explode(array(bandCols: _*)).as("__b"))
+      .select(col(id), col("__b.band").as("__band"), col("__b.key").as("__key"))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.__band") === col("b.__band") && col("a.__key") === col("b.__key") &&
+          col(s"a.$id") < col(s"b.$id"))
+      .select(col(s"a.$id").as("id_a"), col(s"b.$id").as("id_b"))
+      .distinct()
+    rescoreJaccard(cand, sh, id, shCol, jaccardThreshold)
+  }
+
+  /** Prefix-filtered EXACT all-pairs Jaccard join (AllPairs/PPJoin,
+    * Bayardo et al. WWW'07; Xiao et al. WWW'08) — the guaranteed-recall
+    * alternative to LSH when the threshold is high: order every doc's
+    * shingles rare-first by global document frequency, keep only the
+    * first `n - ceil(t*n) + 1` as the probe prefix (any pair with
+    * Jaccard >= t MUST share a prefix shingle — the pigeonhole bound),
+    * join prefixes, and rescore the candidates exactly. A length
+    * filter (`least(na,nb) >= t*greatest(na,nb)` is necessary for
+    * J >= t) prunes cross-size candidates before the rescore join.
+    * Shuffles: df-count agg, one doc-keyed agg for ordering, the
+    * prefix equi-join, and the two id-keyed rescore joins — every one
+    * key-partitioned, no cross join anywhere. Unlike the LSH tier this
+    * is deterministic-complete, so an independent engine's brute-force
+    * shared-shingle Jaccard is an exact oracle for it. */
+  def jaccardPairsExactOnShingles(sh: DataFrame, id: String, shCol: String,
+                                  threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0)
+    val ex = sh.select(col(id), explode(col(shCol)).as("__g"))
+    val dfreq = ex.groupBy(col("__g")).agg(count(lit(1)).as("__df"))
+    val prefixes = ex.join(dfreq, "__g")
+      .groupBy(col(id))
+      .agg(sort_array(collect_list(struct(col("__df"), col("__g")))).as("__ord"))
+      .select(col(id), size(col("__ord")).as("__n"),
+        slice(transform(col("__ord"), x => x("__g")), lit(1),
+          (size(col("__ord")) - ceil(lit(threshold) * size(col("__ord"))) + lit(1))
+            .cast("int")).as("__prefix"))
+    val probes = prefixes.select(col(id), col("__n"), explode(col("__prefix")).as("__g"))
+    val cand = probes.as("a").join(probes.as("b"),
+        col("a.__g") === col("b.__g") && col(s"a.$id") < col(s"b.$id") &&
+          least(col("a.__n"), col("b.__n")).cast("double") >=
+            lit(threshold) * greatest(col("a.__n"), col("b.__n")))
+      .select(col(s"a.$id").as("id_a"), col(s"b.$id").as("id_b"))
+      .distinct()
+    rescoreJaccard(cand, sh, id, shCol, threshold)
+  }
+
+  /** Shared exact-Jaccard rescore: join candidate (id_a, id_b) pairs
+    * back to their shingle arrays, keep `jaccard >= threshold`. */
+  private def rescoreJaccard(cand: DataFrame, sh: DataFrame, id: String,
+                             shCol: String, threshold: Double): DataFrame =
+    cand
+      .join(sh.select(col(id).as("id_a"), col(shCol).as("__sa")), "id_a")
+      .join(sh.select(col(id).as("id_b"), col(shCol).as("__sb")), "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("__sa"), col("__sb"))).cast("double") /
+          size(array_union(col("__sa"), col("__sb"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+
   /** Exact n-gram Jaccard for CANDIDATE pairs only (feed it LSH-bucket
     * collisions, never a cross join): |A∩B| / |A∪B| over distinct
     * shingle arrays. */

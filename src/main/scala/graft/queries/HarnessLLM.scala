@@ -99,21 +99,22 @@ object HarnessLLM {
         sampleFraction = 0.5))
   }
 
-  /** Featurize-once (shingles + HashingTF) per (session, corpus dir),
-    * shared by every minhash-family key — `dedup_minhash` generates LSH
-    * candidates from it and `dedup_ngram_jaccard` both generates
-    * candidates AND rescores with the very same `__sh` arrays, so the
-    * expensive shingle pass runs once, not three times. Eagerly
-    * checkpointed (the in-session analog of writing the feature columns
-    * with the corpus at ingest); `Bench` prebuilds untimed and reports
-    * the cost as its own metric. */
-  private val docFeatsCache =
+  /** Shingle-once per (session, corpus dir), shared by every
+    * shingle-family key — `dedup_minhash` min-hashes it and both it
+    * and `dedup_ngram_jaccard` rescore candidates with the very same
+    * `__sh` arrays, so the expensive shingle pass runs once, not four
+    * times. Eagerly checkpointed (the in-session analog of writing the
+    * shingle column with the corpus at ingest); `Bench` prebuilds
+    * untimed and reports the cost as its own metric. */
+  private val shingledDocsCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
-  def docFeaturesFor(s: SparkSession, dir: String): DataFrame = {
-    pruneStopped(docFeatsCache)
-    docFeatsCache.getOrElseUpdate((s, dir),
-      Dedup.minhashFeaturize(t(s, dir, "documents"), "doc_id", col("text"))
+  def shingledDocsFor(s: SparkSession, dir: String): DataFrame = {
+    pruneStopped(shingledDocsCache)
+    shingledDocsCache.getOrElseUpdate((s, dir),
+      t(s, dir, "documents")
+        .select(col("doc_id"), Dedup.shingles(col("text")).as("__sh"))
+        .filter(size(col("__sh")) > 0)
         .localCheckpoint(true))
   }
 
@@ -135,44 +136,37 @@ object HarnessLLM {
     }),
     "dedup_minhash" -> ((s, dir) => {
       import s.implicits._
-      Dedup.minhashNearDupsOnFeatures(docFeaturesFor(s, dir), "doc_id",
-        jaccardDistThreshold = 0.8)
-        .select($"id_a", $"id_b")
+      // Engine-portable MinHash+LSH (4 bands x 3 rows of md5-derived
+      // min-hashes, exact-Jaccard rescore at >= 0.5): every stage is
+      // seed-free md5 + integer arithmetic, so the DuckDB oracle
+      // reproduces signatures, band collisions, candidate set, and
+      // rescore bit for bit — hash-exact where the seeded Spark-ML
+      // MinHashLSH form (kept in Dedup + DedupSpec) was rows-only.
+      Dedup.minhashLshPortableOnShingles(shingledDocsFor(s, dir), "doc_id", "__sh",
+        numHashes = 12, bands = 4, jaccardThreshold = 0.5)
         .orderBy($"id_a", $"id_b")
     }),
     "dedup_simhash" -> ((s, dir) => {
       import s.implicits._
-      Dedup.simhash(t(s, dir, "documents"), $"doc_id", $"text")
+      // Engine-portable 60-bit SimHash (md5-derived per-token hashes,
+      // majority vote): the oracle recomputes the identical signature,
+      // so the per-doc output is hash-exact — the seeded xxhash64 form
+      // (kept in Dedup + DedupSpec) stays for single-engine speed.
+      Dedup.simhashPortable(t(s, dir, "documents"), $"doc_id", $"text")
         .orderBy($"doc_id")
     }),
     "dedup_ngram_jaccard" -> ((s, dir) => {
       import s.implicits._
-      // Exact Jaccard over LSH candidates (never all-pairs): rescore
-      // the MinHash bucket collisions with true shingle-set Jaccard.
-      // Candidates AND rescore shingles both come from the shared
-      // featurize-once pass — the `__sh` arrays the LSH features were
-      // hashed from are exactly the sets the rescore needs.
-      // The candidate net is TIED to the rescore cutoff: the rescore
-      // keeps jaccard >= 0.2, i.e. TRUE distance <= 0.8 — but the net
-      // prunes on FEATURE distance (MinHashLSH's distCol, subject to
-      // HashingTF bucket collisions), which deviates from true shingle
-      // distance by up to ~shingles/numFeatures. The 0.05 margin is
-      // deliberately generous vs the data-derived deviation (DedupSpec
-      // measures it at 2^18 features and asserts 0.8 + deviation <=
-      // net), so pairs surviving the rescore are never dropped at the
-      // net; vs the old demo-wide 0.9 net it still prunes the rescore
-      // join. DedupSpec also asserts net-tightening cannot change the
-      // survivor set.
-      val feats = docFeaturesFor(s, dir)
-      val cands = Dedup.minhashNearDupsOnFeatures(feats, "doc_id",
-        jaccardDistThreshold = 0.85)
-      val sh = feats.select($"doc_id", $"__sh".as("sh"))
-      val pairs = cands
-        .join(sh.select($"doc_id".as("id_a"), $"sh".as("sh_a")), "id_a")
-        .join(sh.select($"doc_id".as("id_b"), $"sh".as("sh_b")), "id_b")
-      Dedup.jaccardOnPairs(pairs, $"sh_a", $"sh_b")
-        .filter($"jaccard" >= 0.2)
-        .select($"id_a", $"id_b")
+      // Prefix-filtered EXACT all-pairs n-gram Jaccard (the
+      // AllPairs/PPJoin tier): rare-first prefixes guarantee every
+      // >= 0.5 pair becomes a candidate (pigeonhole — no LSH recall
+      // gap), candidates-only exact rescore keeps it key-partitioned.
+      // Deterministic-complete, so DuckDB's brute-force shared-shingle
+      // Jaccard is an exact oracle: hash-green where the LSH-candidate
+      // form (kept as Dedup.minhashNearDupsOnFeatures + DedupSpec) was
+      // rows-only. Shingles come from the shared shingle-once pass.
+      Dedup.jaccardPairsExactOnShingles(shingledDocsFor(s, dir), "doc_id", "__sh",
+        threshold = 0.5)
         .orderBy($"id_a", $"id_b")
     }),
 
@@ -590,7 +584,77 @@ object HarnessLLM {
     }),
   )
 
+  /** Shared oracle prelude: trim+lower whitespace tokens, distinct
+    * 3-gram shingles (docs with <3 tokens drop), mirroring
+    * [[Dedup.shingles]] + the shingle-once filter exactly. */
+  private val shOracle =
+    """WITH d AS (
+      | SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS arr
+      | FROM documents),
+      |sh AS (
+      | SELECT doc_id,
+      |  list_distinct([array_to_string(arr[i:i+2], ' ') FOR i IN range(1, len(arr)-1)]) AS s
+      | FROM d WHERE len(arr) >= 3),
+      |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+      |sz AS (SELECT doc_id, len(s) AS n FROM sh),
+      |pc AS (
+      | SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS inter
+      | FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+      | GROUP BY 1, 2)""".stripMargin
+
+  /** The md5-derived 60-bit SimHash, bit for bit: per-token hash =
+    * first 15 hex digits of md5 as a BIGINT, per-bit +-1 majority
+    * vote, signature reassembled bit by bit — the same integer
+    * arithmetic [[Dedup.simhashPortable]] runs. */
+  private val simhashOracle: String = {
+    val bitSums = (0 until 60).map(b =>
+      s"SUM(CASE WHEN ((h >> $b) & 1) = 1 THEN 1 ELSE -1 END) AS b$b").mkString(", ")
+    val sig = (0 until 60).map(b =>
+      s"CASE WHEN b$b >= 0 THEN (CAST(1 AS BIGINT) << $b) ELSE CAST(0 AS BIGINT) END")
+      .mkString(" + ")
+    s"""WITH t AS (
+       | SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+       | FROM documents),
+       |h AS (SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h FROM t),
+       |s AS (SELECT doc_id, $bitSums FROM h GROUP BY doc_id)
+       |SELECT doc_id, $sig AS simhash FROM s ORDER BY doc_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    // the identical md5 min-hash family, banding, candidate join, and
+    // exact rescore as minhashLshPortableOnShingles — seed-free, so
+    // bit-exact cross-engine
+    "dedup_minhash" ->
+      (shOracle + """,
+        |hx AS (
+        | SELECT doc_id, i,
+        |  min(CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || g), 1, 15)) AS BIGINT)) AS mh
+        | FROM ex, (SELECT unnest(range(12)) AS i) t GROUP BY 1, 2),
+        |band AS (
+        | SELECT doc_id, i // 3 AS band,
+        |  string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS bkey
+        | FROM hx GROUP BY 1, 2),
+        |cand AS (
+        | SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+        | FROM band a JOIN band b
+        |  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+        |SELECT c.ia AS id_a, c.ib AS id_b,
+        | round(pc.inter * 1.0 / (x.n + y.n - pc.inter), 6) AS jaccard
+        |FROM cand c JOIN pc ON c.ia = pc.ia AND c.ib = pc.ib
+        | JOIN sz x ON c.ia = x.doc_id JOIN sz y ON c.ib = y.doc_id
+        |WHERE pc.inter * 1.0 / (x.n + y.n - pc.inter) >= 0.5
+        |ORDER BY 1, 2""".stripMargin),
+    // brute-force shared-shingle exact Jaccard: a complete oracle for
+    // the prefix-filtered join BECAUSE prefix filtering is
+    // deterministic-complete at the threshold (no LSH recall gap)
+    "dedup_ngram_jaccard" ->
+      (shOracle + """
+        |SELECT ia AS id_a, ib AS id_b,
+        | round(inter * 1.0 / (x.n + y.n - inter), 6) AS jaccard
+        |FROM pc JOIN sz x ON ia = x.doc_id JOIN sz y ON ib = y.doc_id
+        |WHERE inter * 1.0 / (x.n + y.n - inter) >= 0.5
+        |ORDER BY 1, 2""".stripMargin),
+    "dedup_simhash" -> simhashOracle,
     "dedup_exact" ->
       """SELECT lang, count(*) AS n_docs, count(DISTINCT text) AS n_distinct
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,

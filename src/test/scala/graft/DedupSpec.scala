@@ -63,6 +63,68 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(scored((0L, 1L)) > 0.5 && scored((0L, 1L)) < 1.0)
   }
 
+  test("jaccardPairsExact equals brute-force all-pairs at every threshold (prefix completeness)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(sf("documents"))
+    val sh = docs.select($"doc_id", Dedup.shingles($"text").as("__sh"))
+      .filter(size($"__sh") > 0).localCheckpoint(true)
+    // brute force: shared-shingle pairs + exact jaccard, no prefix pruning
+    val ex = sh.select($"doc_id", explode($"__sh").as("g"))
+    val sz = sh.select($"doc_id", size($"__sh").as("n"))
+    val brute = ex.as("a").join(ex.as("b"),
+        $"a.g" === $"b.g" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sz.select($"doc_id".as("id_a"), $"n".as("na")), "id_a")
+      .join(sz.select($"doc_id".as("id_b"), $"n".as("nb")), "id_b")
+      .withColumn("jaccard", $"inter".cast("double") / ($"na" + $"nb" - $"inter"))
+    for (t <- Seq(0.3, 0.5, 0.8)) {
+      val expected = brute.filter($"jaccard" >= t)
+        .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val got = Dedup.jaccardPairsExactOnShingles(sh, "doc_id", "__sh", t)
+        .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expected, s"threshold $t: prefix join must be recall-complete and precise")
+    }
+  }
+
+  test("portable minhash: subset of brute-force >=0.5, superset of >=0.9; planted dups found") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(sf("documents"))
+    val sh = docs.select($"doc_id", Dedup.shingles($"text").as("__sh"))
+      .filter(size($"__sh") > 0).localCheckpoint(true)
+    val got = Dedup.minhashLshPortableOnShingles(sh, "doc_id", "__sh")
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the exact join is the ground truth the LSH tier approximates
+    val exact05 = Dedup.jaccardPairsExactOnShingles(sh, "doc_id", "__sh", 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact09 = Dedup.jaccardPairsExactOnShingles(sh, "doc_id", "__sh", 0.9)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.subsetOf(exact05), "rescore means no false positives ever")
+    assert(exact09.subsetOf(got),
+      "generator-planted ~0.99-jaccard pairs must band-collide (P_miss ~ (1-0.97)^4)")
+    assert(exact09.nonEmpty, "testdata must actually contain planted near-dups")
+    // plus the synthetic planted corpus: copy + one-word-changed near-dup
+    val synth = corpus().select($"doc_id", Dedup.shingles($"text").as("__sh"))
+      .filter(size($"__sh") > 0)
+    val sp = Dedup.minhashLshPortableOnShingles(synth, "doc_id", "__sh")
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sp.contains((0L, 2L)), "exact copy must collide in every band")
+    assert(!sp.exists(p => p._1 == 4L || p._2 == 4L), "unrelated doc must not pair")
+  }
+
+  test("portable simhash: identical text identical sig; near-dup closer than unrelated; 60-bit range") {
+    import spark.implicits._
+    val sig = Dedup.simhashPortable(corpus(), $"doc_id", $"text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    assert(sig(0L) == sig(2L), "identical text, identical simhash")
+    assert(hamming(sig(0L), sig(1L)) < hamming(sig(0L), sig(4L)),
+      "near-dup closer than unrelated")
+    assert(sig.values.forall(s => s >= 0L && s < (1L << 60)), "60-bit signatures")
+  }
+
   test("native shingles expression matches the udf and HOF formulations exactly") {
     import spark.implicits._
     val docs = spark.read.parquet(sf("documents"))
