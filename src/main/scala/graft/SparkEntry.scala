@@ -8,10 +8,13 @@ import graft.queries.{Golden, HarnessCore, HarnessIO, HarnessLLM, HarnessStream}
   *
   * `queries`: one key per implemented operator (SURVEY.md §2), each a
   * composition of graft.ops combinators over the driver testdata.
-  * `oracleSql`: per-key ANSI SQL for the driver's DuckDB compare;
-  * keys without an oracle (approx sketches, LSH, hashes DuckDB can't
-  * reproduce) get the weaker rows-only check and are covered by
-  * scalatest invariants instead.
+  * `oracleSql`: per-key ANSI SQL for the driver's DuckDB compare.
+  * Every key has one (round 8): ops whose raw values DuckDB cannot
+  * reproduce are oracled either through engine-portable md5-derived
+  * hashes (SimHash/MinHash families) or through error-bound relations
+  * (sketch estimates emit `within_bound` booleans the oracle pins to
+  * literal true, alongside exact-side columns); scalatest invariants
+  * additionally pin the approximation quality.
   */
 object SparkEntry {
 

@@ -294,6 +294,51 @@ object Text {
       round(score, 6).as("bm25"))
   }
 
+  /** BM25 against a DYNAMIC query RELATION — the retrieval form a real
+    * user runs: queries are rows `(query_id, term_pos, term)`, not
+    * compile-time literals, so adding a query is an insert, not a
+    * redeploy. Term-keyed join formulation: per-doc term frequencies
+    * reduce once per (doc, query term); query terms broadcast into the
+    * token stream BEFORE the tf aggregate (the corpus-side explode is
+    * pruned to query vocabulary, so the shuffled volume scales with
+    * matches, not corpus tokens); corpus stats (N, Σdl) are a 1-row
+    * broadcast; df comes from the pruned tf relation. The per-(query,
+    * doc) score folds its term contributions in `term_pos` order
+    * (array_sort before the fold — the [[lmScore]] float-determinism
+    * trick), so the sum is reproducible across engines and layouts.
+    * Absent terms contribute exactly 0.0 and are dropped: only docs
+    * matching >= 1 query term appear — identical semantics to [[bm25]]
+    * whose zero contributions were exact no-ops in the float sum.
+    * Expression shape (integer dl·N product, single divisions, k1/b
+    * folded to literals) matches [[bm25]] so the DuckDB oracle is
+    * bit-identical. */
+  def bm25Dynamic(df: DataFrame, id: Column, text: Column, queries: DataFrame,
+                  k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val base = df.select(id.as("doc_id"), wsTokens(lower(text)).as("__t"))
+      .withColumn("dl", size(col("__t")))
+    val stats = base.agg(count(lit(1)).as("__n"), sum(col("dl")).as("__sdl"))
+    val toks = base.select(col("doc_id"), col("dl"), explode(col("__t")).as("__w"))
+    val qTerms = queries.select(col("term")).distinct()
+    val tfq = toks.join(broadcast(qTerms), col("__w") === col("term"))
+      .groupBy(col("doc_id"), col("dl"), col("__w"))
+      .agg(count(lit(1)).as("__tf"))
+    val dfq = tfq.groupBy(col("__w")).agg(count(lit(1)).as("__df"))
+    val contrib = queries
+      .join(tfq, col("term") === col("__w"))
+      .join(dfq, "__w")
+      .crossJoin(broadcast(stats))
+      .withColumn("__c",
+        log((col("__n") - col("__df") + lit(0.5)) / (col("__df") + lit(0.5)) + lit(1.0)) *
+          (col("__tf").cast("double") * lit(k1 + 1.0)) /
+          (col("__tf").cast("double") + lit(k1) * (lit(1.0 - b) +
+            lit(b) * (col("dl") * col("__n")).cast("double") / col("__sdl"))))
+    contrib.groupBy(col("query_id"), col("doc_id"))
+      .agg(round(aggregate(
+        transform(array_sort(collect_list(struct(col("term_pos"), col("__c")))),
+          x => x("__c")),
+        lit(0.0), (acc, v) => acc + v), 6).as("bm25"))
+  }
+
   /** Bigram language-model fluency scoring — the KenLM-style corpus
     * quality filter, self-trained: the corpus's own bigram counts are
     * the model, and each document's score is its average Laplace-

@@ -289,10 +289,23 @@ object HarnessCore {
     }),
     "agg_countd_approx" -> ((s, dir) => {
       import s.implicits._
-      // HLL sketch: no cross-engine oracle (rows-only check); bounded-
-      // error invariant is asserted in scalatest instead.
-      Aggregates.approxCountDistinctByKey(t(s, dir, "lineitem"),
+      // HLL estimate judged against the in-engine exact count: the
+      // estimate itself is engine-specific (no cross-engine oracle
+      // exists for it), so the key emits the exact count plus the
+      // BOUND CHECK as a boolean the oracle pins to literal true — a
+      // drifting sketch turns the row red instead of escaping as a
+      // rows-only pass. 3x the declared rsd (0.05) as the bound.
+      // Production callers use approxCountDistinctByKey alone; the
+      // exact branch here is the verification harness, not the op.
+      val li = t(s, dir, "lineitem")
+      val approx = Aggregates.approxCountDistinctByKey(li,
         Seq($"l_returnflag"), $"l_partkey", "nd_approx")
+      val exact = Aggregates.countDistinctByKey(li,
+        Seq($"l_returnflag"), $"l_partkey", "nd_exact")
+      approx.join(exact, "l_returnflag")
+        .select($"l_returnflag", $"nd_exact",
+          (abs($"nd_approx" - $"nd_exact") <= lit(0.15) * $"nd_exact")
+            .as("within_bound"))
         .orderBy($"l_returnflag")
     }),
     "meta_table_checksum" -> ((s, dir) => {
@@ -315,12 +328,27 @@ object HarnessCore {
     "agg_quantile_approx" -> ((s, dir) => {
       import s.implicits._
       // Greenwald–Khanna sketch quantiles — one pass, mergeable,
-      // bounded memory (the 100 TB quantile). No cross-engine oracle
-      // (DuckDB's approx_quantile is a different sketch); the
-      // n/accuracy rank-error bound is pinned in ScaleSpec.
-      Aggregates.approxQuantilesByKey(t(s, dir, "lineitem"),
+      // bounded memory (the 100 TB quantile). DuckDB's approx_quantile
+      // is a different sketch, so the VALUE can't be oracled — but the
+      // GK rank guarantee can: the sketch value's occupied rank
+      // interval [cnt_lt+1, cnt_le] must intersect the target rank
+      // ±(n/accuracy + 2). The key emits that check as a boolean the
+      // oracle pins to literal true, alongside the exact group size.
+      val li = t(s, dir, "lineitem")
+      val qr = Aggregates.approxQuantilesByKey(li,
         Seq($"l_returnflag"), $"l_extendedprice", Seq(0.25, 0.5, 0.75))
-        .select($"l_returnflag", $"q", $"qvalue")
+      val ranked = qr
+        .join(li.select($"l_returnflag", $"l_extendedprice"), "l_returnflag")
+        .groupBy($"l_returnflag", $"q", $"qvalue")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when($"l_extendedprice" <= $"qvalue", 1L).otherwise(0L)).as("__le"),
+          sum(when($"l_extendedprice" < $"qvalue", 1L).otherwise(0L)).as("__lt"))
+      val tgt = ceil($"q" * $"n_rows").cast("long")
+      val slack = ($"n_rows" / lit(10000)).cast("long") + lit(2L)
+      ranked
+        .select($"l_returnflag", $"q", $"n_rows",
+          ($"__le" >= tgt - slack && $"__lt" + lit(1L) <= tgt + slack)
+            .as("within_bound"))
         .orderBy($"l_returnflag", $"q")
     }),
     "agg_retention_cohort" -> ((s, dir) => {
@@ -336,17 +364,26 @@ object HarnessCore {
       import s.implicits._
       // the re-aggregatable form of count-distinct: one DataSketches
       // HLL per nation (the persisted fine grain), merged up to region
-      // WITHOUT rescanning customers. No cross-engine oracle (sketch
-      // binary differs from DuckDB's); ScaleSpec pins the lossless-
-      // merge invariant (merged == direct sketch over the union) and
-      // the rsd error bound.
+      // WITHOUT rescanning customers. The sketch binary differs from
+      // DuckDB's, so the key emits the exact per-region count plus the
+      // merged estimate's bound check as a boolean the oracle pins to
+      // literal true (lgK=12 → rsd ~1.6%; 0.1 is a 6-sigma bound).
+      // ScaleSpec still pins the lossless-merge invariant.
+      val nationDim = broadcast(
+        t(s, dir, "nation").select($"n_nationkey", $"n_regionkey"))
       val perNation = Aggregates.sketchByKey(t(s, dir, "customer"),
         Seq($"c_nationkey"), $"c_custkey", "sk")
-      val withRegion = perNation.join(
-        broadcast(t(s, dir, "nation").select($"n_nationkey", $"n_regionkey")),
-        $"c_nationkey" === $"n_nationkey")
-      Aggregates.mergeSketches(withRegion, Seq($"n_regionkey"), $"sk", "nd_approx")
-        .select($"n_regionkey", $"nd_approx")
+      val withRegion = perNation.join(nationDim, $"c_nationkey" === $"n_nationkey")
+      val merged = Aggregates.mergeSketches(withRegion,
+        Seq($"n_regionkey"), $"sk", "nd_approx")
+      val exact = t(s, dir, "customer")
+        .join(nationDim, $"c_nationkey" === $"n_nationkey")
+        .groupBy($"n_regionkey")
+        .agg(countDistinct($"c_custkey").as("nd_exact"))
+      merged.join(exact, "n_regionkey")
+        .select($"n_regionkey", $"nd_exact",
+          (abs($"nd_approx" - $"nd_exact") <= lit(0.1) * $"nd_exact")
+            .as("within_bound"))
         .orderBy($"n_regionkey")
     }),
     "agg_cube" -> ((s, dir) => {
@@ -833,6 +870,24 @@ object HarnessCore {
         |WHERE rn = 1 ORDER BY c_nationkey""".stripMargin,
     "agg_countd_exact" ->
       "SELECT l_returnflag, count(DISTINCT l_partkey) AS nd_parts FROM lineitem GROUP BY 1 ORDER BY 1",
+    // error-bound oracles for the sketch keys: the exact side is plain
+    // SQL and within_bound is pinned to literal true — the engine
+    // computes the real |estimate - exact| <= bound check, so a
+    // drifting sketch turns the row red
+    "agg_countd_approx" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS nd_exact,
+        | TRUE AS within_bound
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "agg_quantile_approx" ->
+      """SELECT l_returnflag, CAST(q AS DOUBLE) AS q, count(*) AS n_rows,
+        | TRUE AS within_bound
+        |FROM lineitem CROSS JOIN (SELECT unnest([0.25, 0.5, 0.75]) AS q) qs
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "agg_sketch_merge" ->
+      """SELECT n_regionkey, count(DISTINCT c_custkey) AS nd_exact,
+        | TRUE AS within_bound
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "agg_cube" ->
       """SELECT CASE WHEN GROUPING(l_returnflag) = 1 THEN 'ALL' ELSE l_returnflag END AS l_returnflag,
         | CASE WHEN GROUPING(l_linestatus) = 1 THEN 'ALL' ELSE l_linestatus END AS l_linestatus,

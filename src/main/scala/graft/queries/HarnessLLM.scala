@@ -477,6 +477,21 @@ object HarnessLLM {
         Seq("hash", "join", "scan"))
         .orderBy($"doc_id")
     }),
+    "text_bm25_dynamic" -> ((s, dir) => {
+      import s.implicits._
+      // BM25 where the queries are a RELATION (three multi-term
+      // queries as (query_id, term_pos, term) rows) — the term-keyed
+      // join formulation a retrieval user needs when queries are data.
+      // Scores fold per-term partials in term_pos order on both
+      // engines, so the float sums are bit-identical.
+      val queries = Seq(
+        (1, 1, "hash"), (1, 2, "join"), (1, 3, "scan"),
+        (2, 1, "vector"), (2, 2, "stream"),
+        (3, 1, "spark"), (3, 2, "window"), (3, 3, "filter"), (3, 4, "batch"))
+        .toDF("query_id", "term_pos", "term")
+      Text.bm25Dynamic(t(s, dir, "documents"), $"doc_id", $"text", queries)
+        .orderBy($"query_id", $"doc_id")
+    }),
     "text_lm_score" -> ((s, dir) => {
       import s.implicits._
       // self-trained bigram LM fluency score (the KenLM-quality-filter
@@ -868,6 +883,34 @@ object HarnessLLM {
         |     / (CAST(tf2 AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl * n AS DOUBLE) / sdl))
         | , 6) AS bm25
         |FROM base, stats ORDER BY doc_id""".stripMargin,
+    // dynamic-relation BM25: identical expression tree per term as
+    // text_bm25, partials summed in term_pos order both sides (Spark:
+    // array_sort fold; DuckDB: list ORDER BY term_pos) — docs matching
+    // no query term are absent on both sides
+    "text_bm25_dynamic" ->
+      """WITH q(query_id, term_pos, term) AS (VALUES
+        |  (1, 1, 'hash'), (1, 2, 'join'), (1, 3, 'scan'),
+        |  (2, 1, 'vector'), (2, 2, 'stream'),
+        |  (3, 1, 'spark'), (3, 2, 'window'), (3, 3, 'filter'), (3, 4, 'batch')),
+        |d AS (
+        | SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS arr FROM documents),
+        |base AS (SELECT doc_id, CAST(len(arr) AS INT) AS dl FROM d),
+        |stats AS (SELECT count(*) AS n, sum(dl) AS sdl FROM base),
+        |tok AS (SELECT doc_id, unnest(arr) AS w FROM d),
+        |qt AS (SELECT DISTINCT term FROM q),
+        |tfq AS (
+        | SELECT doc_id, w, count(*) AS tf FROM tok JOIN qt ON w = qt.term
+        | GROUP BY 1, 2),
+        |dfq AS (SELECT w, count(*) AS df FROM tfq GROUP BY 1),
+        |contrib AS (
+        | SELECT q.query_id, q.term_pos, t.doc_id,
+        |  ln((s.n - f.df + 0.5) / (f.df + 0.5) + 1.0) * (CAST(t.tf AS DOUBLE) * 2.2)
+        |   / (CAST(t.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(b.dl * s.n AS DOUBLE) / s.sdl)) AS c
+        | FROM q JOIN tfq t ON q.term = t.w JOIN dfq f ON t.w = f.w
+        |  JOIN base b ON t.doc_id = b.doc_id CROSS JOIN stats s)
+        |SELECT query_id, doc_id,
+        | round(list_sum(list(c ORDER BY term_pos)), 6) AS bm25
+        |FROM contrib GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // the LM: Laplace-smoothed bigram conditionals from the corpus's
     // own counts; lm_logprob summed in POSITION order both sides
     // (Spark: array_sort fold; DuckDB: list ORDER BY ord) so the float
