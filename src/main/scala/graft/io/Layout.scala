@@ -158,7 +158,40 @@ object Layout {
     * commits closes that window; at this layer it is documented).
     * Returns the output file-bin count. */
   def compact(spark: org.apache.spark.sql.SparkSession, dir: String,
-              targetFileBytes: Long = 128L << 20): Int = {
+              targetFileBytes: Long = 128L << 20): Int =
+    rewriteSwapping(spark, dir, targetFileBytes) { (df, n, tmp) =>
+      df.coalesce(n).write.mode("overwrite").parquet(tmp)
+    }
+
+  /** Compaction that PRESERVES z-clustering: [[compact]]'s narrow
+    * coalesce merges arbitrary neighbor partitions — right for an
+    * unclustered append dir, but it DESTROYS an existing z-order
+    * (each merged file's min/max box becomes the union of its inputs,
+    * and scan pruning dies with the boxes). This form sizes the bins
+    * from the actual byte total exactly like [[compact]] but rewrites
+    * through [[writeZOrdered]], so the compacted files re-establish
+    * tight per-file stat boxes and pruning survives the maintenance
+    * pass. Costs one range shuffle instead of a narrow fold — the
+    * price of keeping the layout property; at 100 TB this runs per
+    * partition/bucket of the table, never as one global rewrite. */
+  def compactZOrdered(spark: org.apache.spark.sql.SparkSession, dir: String,
+                      zCols: Seq[String], targetFileBytes: Long = 128L << 20,
+                      bits: Int = 16): Int =
+    rewriteSwapping(spark, dir, targetFileBytes) { (df, n, tmp) =>
+      writeZOrdered(df, zCols, tmp, numFiles = n, bits = bits)
+    }
+
+  /** Shared maintenance-rewrite harness: size output bins from the
+    * ACTUAL byte total (not a row guess), run `write(df, bins, tmpDir)`
+    * into a sibling temp dir, then swap — the read never races its own
+    * overwrite and nothing is materialized driver-side. Plain parquet
+    * has no atomic multi-file commit, so a crash between delete and
+    * rename loses the directory (a table format with transactional
+    * commits closes that window; at this layer it is documented).
+    * Returns the output file-bin count. */
+  private def rewriteSwapping(spark: org.apache.spark.sql.SparkSession,
+                              dir: String, targetFileBytes: Long)
+                             (write: (DataFrame, Int, String) => Unit): Int = {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
     val conf = spark.sparkContext.hadoopConfiguration
     val path = new org.apache.hadoop.fs.Path(dir)
@@ -179,8 +212,7 @@ object Layout {
     }
     val n = math.max(1, math.ceil(total.toDouble / targetFileBytes).toInt)
     val tmp = new org.apache.hadoop.fs.Path(dir + ".compact.tmp")
-    spark.read.parquet(dir).coalesce(n)
-      .write.mode("overwrite").parquet(tmp.toString)
+    write(spark.read.parquet(dir), n, tmp.toString)
     // swap data files only — underscore sidecars (_SUCCESS aside, e.g.
     // a _checkpoint or _quantizer dir) survive the rewrite untouched
     entries.filterNot(_.getPath.getName.startsWith("_"))

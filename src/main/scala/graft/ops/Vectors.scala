@@ -927,6 +927,36 @@ object Vectors {
     * codebooks) serves every probed cell, plus a per-(query, cell)
     * scalar dot(q, centroid) that rides out of the routing relation.
     * No per-cell lookup tables, same shuffle shape as [[ivfPqSearch]]. */
+  /** Exhaustive compressed-domain scan over the RESIDUAL code column —
+    * [[pqTopK]]'s full-corpus tier reading the same codes the routed
+    * [[ivfPqSearchResidual]] probes, so ONE stored code column serves
+    * both search modes. The inner-product decomposition makes the full
+    * scan cheap despite residual encoding: score = dot(q, centroid of
+    * the row's cell) + residual ADC, where the per-(query, cell)
+    * centroid dots are a (queries × nlist) broadcast-sized relation
+    * computed once — per corpus row it is still m byte-reads + m adds
+    * + one scalar add. Exact rescore as everywhere in the family. */
+  def pqTopKResidual(idx: IvfPqIndexData, queries: DataFrame, id: String,
+                     vec: String, k: Int, rescoreK: Int = 0): DataFrame = {
+    val rk = if (rescoreK > 0) rescoreK else 4 * k
+    val lut = pqLutUdf(queries.sparkSession, idx.cb)
+    val qn = normalizedQueries(queries, id, vec)
+      .withColumn("__lut", lut(col("__qv")))
+    val qc = qn.select(col("qid"), col("__qv"))
+      .crossJoin(broadcast(idx.centroids))
+      .withColumn("__qc", dot(col("__qv"), col("__centroid")))
+      .select(col("qid"), col("__cell"), col("__qc"))
+    val scored = idx.codes.select(col("cid"), col("__cell"), col("__code"))
+      .join(broadcast(qc), Seq("__cell"))
+      .join(broadcast(qn.select(col("qid"), col("__lut"))), Seq("qid"))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("__adc", col("__qc") + graft.functions.VectorExprs.pqAdc(
+        col("__code"), col("__lut"), idx.cb.ksub))
+    val cands = topKPerGroup(scored.select(col("qid"), col("cid"), col("__adc")),
+      "qid", "__adc", "cid", rk)
+    pqRescore(idx.codes, qn, cands, k)
+  }
+
   def ivfPqSearchResidual(idx: IvfPqIndexData, queries: DataFrame,
                           id: String, vec: String, k: Int, nprobe: Int = 4,
                           rescoreK: Int = 0): DataFrame = {

@@ -290,6 +290,24 @@ object HarnessIO {
       s.read.parquet(frag).orderBy($"l_orderkey", $"l_linenumber")
     }),
 
+    // The composed maintenance pass: a z-ordered table fragmented into
+    // 64 append-sized files is compacted THROUGH the z-write
+    // (Layout.compactZOrdered), so bin-packing and clustering land in
+    // one rewrite — plain compact()'s narrow coalesce would merge
+    // arbitrary partitions and blow up every file's min/max box.
+    // Read-back row identity is the oracle; ScaleSpec pins that
+    // pruning still holds after the pass.
+    "sink_compact_zorder" -> ((s, dir) => {
+      import s.implicits._
+      val out = s"$stage/compactz_lineitem"
+      val li = t(s, dir, "lineitem")
+        .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey")
+      li.repartition(64).write.mode("overwrite").parquet(out)
+      graft.io.Layout.compactZOrdered(s, out, Seq("l_partkey", "l_suppkey"),
+        targetFileBytes = 256L << 10)
+      s.read.parquet(out).orderBy($"l_orderkey", $"l_linenumber")
+    }),
+
     // Catalog existence check (ref visualization.py:64-73).
     "meta_table_exists" -> ((s, dir) => {
       t(s, dir, "region").createOrReplaceTempView("graft_region_view")
@@ -366,6 +384,9 @@ object HarnessIO {
         |FROM lineitem ORDER BY 1, 2""".stripMargin,
     "sink_compact" ->
       """SELECT l_orderkey, l_linenumber, l_quantity
+        |FROM lineitem ORDER BY 1, 2""".stripMargin,
+    "sink_compact_zorder" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey
         |FROM lineitem ORDER BY 1, 2""".stripMargin,
     "sink_zorder_quantile" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice, l_quantity

@@ -176,6 +176,59 @@ class ScaleSpec extends AnyFunSuite with SparkTestBase {
     assert(spark.read.parquet(dir).count() == li.count())
   }
 
+  test("compactZOrdered bin-packs AND keeps pruning; plain compact destroys it") {
+    import graft.io.Layout
+    import spark.implicits._
+    val li = spark.read.parquet(sf("lineitem"))
+      .select($"l_orderkey", $"l_linenumber", $"l_partkey")
+    def stage(dir: String): Unit = {
+      // the post-append state: 64 tiny UNCLUSTERED files (appends land
+      // in arrival order, not z-order). Hash on l_orderkey, NOT plain
+      // repartition: round-robin picks a random start per partition,
+      // which would make the staged layout (and the strip boundaries
+      // the z-rewrite samples from it) vary run to run.
+      li.repartition(64, $"l_orderkey").write.mode("overwrite").parquet(dir)
+    }
+    def touched(dir: String, c: String, lo: Long, hi: Long): Long =
+      Layout.fileStats(spark, dir, Seq("l_partkey", "l_orderkey"))
+        .filter(col(s"min_$c") <= hi && col(s"max_$c") >= lo).count()
+    def files(dir: String) = new java.io.File(dir).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    // target ~16 bins out of the 64 fragments so rank strips survive
+    val zc = "/tmp/graft_stage/scalespec_compactz"
+    stage(zc)
+    val bytes = new java.io.File(zc).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    // ceil division so ceil(bytes/target) lands AT 16 bins (4x4 rank
+    // strips), not 17 — floor division overshoots the bin count by one
+    val target = math.max(1L, (bytes + 15) / 16)
+    val bins = Layout.compactZOrdered(spark, zc, Seq("l_partkey", "l_orderkey"),
+      targetFileBytes = target)
+    assert(files(zc) == bins && bins < 64, s"must bin-pack 64 fragments, got $bins")
+    val back = spark.read.parquet(zc)
+    assert(back.exceptAll(li).isEmpty && li.exceptAll(back).isEmpty,
+      "clustered compaction must be row-content-neutral")
+    assert(touched(zc, "l_partkey", 52, 71) <= bins / 2,
+      "partkey box must still prune after clustered compaction")
+    assert(touched(zc, "l_orderkey", 400, 490) <= bins / 2,
+      "orderkey box must still prune after clustered compaction")
+    // contrast: the same unclustered fragments through plain compact()
+    // at the same bin target stay unclustered — every bin's box spans
+    // (nearly) the whole partkey range, so the box prunes nothing.
+    // (On fragments that were ALREADY z-ordered, coalesce's contiguous
+    // partition grouping preserves locality incidentally — the
+    // clustered form's value is the GUARANTEE on arbitrary input.)
+    // (note: coalesce folds the PACKED read partitions, so the actual
+    // file count can land below the byte-derived bin target — compare
+    // against the files that exist, not the target)
+    val pc = "/tmp/graft_stage/scalespec_compactz_plain"
+    stage(pc)
+    Layout.compact(spark, pc, targetFileBytes = target)
+    val plainFiles = files(pc)
+    assert(touched(pc, "l_partkey", 52, 71) >= math.max(1, plainFiles - 1),
+      s"plain compact of unclustered appends must not cluster ($plainFiles files)")
+  }
+
   test("table checksum: layout-invariant, and a single changed row flips it") {
     import graft.ops.Aggregates
     import spark.implicits._
