@@ -58,25 +58,39 @@ object Bench {
     // A failing key must fail LOUDLY: stderr gets the key + stack trace
     // and the JSON records -1 (impossible as a duration) instead of a
     // plausible-looking elapsed time.
+    //
+    // Per-key MEDIAN of `runs` executions (round 8): a single-shot
+    // per-key time swings ~3x with host load, which poisons
+    // round-over-round comparison; the median of 3 is reproducible
+    // within ~±20%. A key that fails its first run is not retried
+    // (failures are deterministic; rerunning one 3x only burns wall
+    // clock) and records -1 as before.
+    val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
     var failed = List.empty[String]
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val sec =
-        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+      var times = List.empty[Double]
+      var dead = false
+      var i = 0
+      while (i < runs && !dead) {
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count(); times ::= (System.nanoTime() - t0) / 1e9 }
         catch {
           case e: Throwable =>
             System.err.println(s"BENCH FAILURE key=$name: $e")
             e.printStackTrace()
             failed ::= name
-            -1.0
+            dead = true
         }
+        i += 1
+      }
+      val sec = if (times.isEmpty) -1.0 else times.sorted.apply(times.size / 2)
       name -> sec
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","warmup_sec":$warmupSec,"ivf_index_build_sec":$ivfBuildSec,"pq_index_build_sec":$pqBuildSec,"doc_feats_build_sec":$docFeatsSec,"bucketed_build_sec":$bucketedSec,"failed":$failedJson}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs_per_key":$runs,"stat":"median","warmup_sec":$warmupSec,"ivf_index_build_sec":$ivfBuildSec,"pq_index_build_sec":$pqBuildSec,"doc_feats_build_sec":$docFeatsSec,"bucketed_build_sec":$bucketedSec,"failed":$failedJson}"""
     println(line)
     // The driver keeps only a 2000-char tail of stdout, which truncates
     // the per-key map and loses the total; persist the full line so

@@ -177,16 +177,28 @@ object Dedup {
 
   /** Engine-portable MinHash + LSH banding over a pre-shingled corpus
     * (`shCol` = the distinct shingle array [[shingles]] emits):
-    * `numHashes` md5-derived min-hashes `h_i(g) = md5("i:" ++ g)` as
-    * 60-bit ints, banded `bands` × `numHashes/bands`; candidate pairs
-    * collide on (band, concatenated-band-signature); candidates — and
-    * ONLY candidates — are rescored with exact shingle-set Jaccard and
-    * kept at `>= jaccardThreshold`. The shape is [[minhashNearDupsOnFeatures]]'s
+    * `numHashes` md5-derived min-hashes, banded
+    * `bands` × `numHashes/bands`; candidate pairs collide on (band,
+    * concatenated-band-signature); candidates — and ONLY candidates —
+    * are rescored with exact shingle-set Jaccard and kept at
+    * `>= jaccardThreshold`. The shape is [[minhashNearDupsOnFeatures]]'s
     * (band-bucket join, never all-pairs) but with seed-free md5 hashes,
     * so an independent engine reproduces signatures, bands, candidate
     * set, and rescore bit for bit — which is what upgrades this from a
     * rows-only check to a hash-exact cross-engine oracle. The rescore
-    * division is exact-int/exact-int in double: identical everywhere. */
+    * division is exact-int/exact-int in double: identical everywhere.
+    *
+    * The hash family slices each 128-bit digest into FOUR independent
+    * 28-bit values (hex digits 1-7, 8-14, 15-21, 22-28), so `numHashes`
+    * min-hashes cost `ceil(numHashes/4)` md5 calls per shingle instead
+    * of `numHashes` — hashing is THE dominant cost of minhash
+    * featurization at corpus scale, and digest bits are independent by
+    * construction. (Bloom-filter-style double hashing `h1 + i·h2` is
+    * tempting but WRONG here: the min over a set correlates the family
+    * — a near-dup pair whose one differing shingle carries a small h2
+    * loses every h_i at once, and a planted ~0.99 pair measurably
+    * missed all bands. Distinct digest bits restore per-hash
+    * independence.) */
   def minhashLshPortableOnShingles(sh: DataFrame, id: String, shCol: String,
                                    numHashes: Int = 12, bands: Int = 4,
                                    jaccardThreshold: Double = 0.5): DataFrame = {
@@ -194,7 +206,9 @@ object Dedup {
     val rows = numHashes / bands
     val ex = sh.select(col(id), explode(col(shCol)).as("__g"))
     val minAggs = (0 until numHashes).map { i =>
-      min(conv(substring(md5(concat(lit(s"$i:"), col("__g"))), 1, 15), 16, 10)
+      val j = i / 4 // digest index
+      val c = i % 4 // 7-hex-digit chunk within the digest
+      min(conv(substring(md5(concat(lit(s"$j:"), col("__g"))), 1 + 7 * c, 7), 16, 10)
         .cast("long")).as(s"__m$i")
     }
     val sig = ex.groupBy(col(id)).agg(minAggs.head, minAggs.tail: _*)
@@ -372,16 +386,77 @@ object Dedup {
                    maxIter: Int = 20): DataFrame =
     clusterPairsWithIters(pairs, idA, idB, maxIter)._1
 
-  /** [[clusterPairs]] exposing the round count, so the spec can assert
-    * logarithmic (not diameter-bound) convergence. */
+  /** [[clusterPairs]] exposing the star-round count, so the spec can
+    * assert logarithmic (not diameter-bound) convergence.
+    *
+    * Depth probe first (round 8): near-dup graphs are usually SHALLOW —
+    * duplicate groups are stars or short chains, so a couple of plain
+    * min-label-propagation rounds (one grouped min + two equi-joins
+    * each — about half a star round's work) finish most corpora
+    * outright. The probe runs `probeRounds` synchronous label rounds;
+    * if a round changes nothing, that IS the min-label fixed point and
+    * the labels ship with zero star rounds. Otherwise the graph is
+    * genuinely deep: edges CONTRACT through the probe labels (each
+    * endpoint replaced by its ≤probeRounds-hop minimum, self-loops
+    * dropped — a diameter-d chain shrinks toward d/(2·probeRounds+1))
+    * and the large-star/small-star loop finishes on the smaller
+    * relation, its labels composed back through the probe's. */
   private[graft] def clusterPairsWithIters(pairs: DataFrame, idA: String,
-                                           idB: String, maxIter: Int): (DataFrame, Int) = {
+                                           idB: String, maxIter: Int,
+                                           probeRounds: Int = 3): (DataFrame, Int) = {
     val raw = pairs.select(col(idA).as("src"), col(idB).as("dst"))
     // vertex universe BEFORE dropping self-loops: a (x, x) pair still
     // means x exists and labels itself
     val verts = raw.select(col("src").as("v"))
       .union(raw.select(col("dst").as("v")))
       .distinct().localCheckpoint(true)
+    val edges0 = raw.filter(col("src") =!= col("dst")).distinct().localCheckpoint(true)
+
+    // ---- depth probe: synchronous min-label propagation ----
+    val sym0 = edges0
+      .union(edges0.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint(true)
+    var labels = verts.select(col("v"), col("v").as("lbl")).localCheckpoint(true)
+    var probeConverged = false
+    var r = 0
+    while (r < probeRounds && !probeConverged) {
+      val nbrMin = sym0
+        .join(labels.select(col("v").as("dst"), col("lbl").as("__nl")), "dst")
+        .groupBy(col("src")).agg(min(col("__nl")).as("__nm"))
+      val next = labels
+        .join(nbrMin.select(col("src").as("v"), col("__nm")), Seq("v"), "left")
+        .select(col("v"),
+          least(col("lbl"), coalesce(col("__nm"), col("lbl"))).as("lbl"))
+        .localCheckpoint(true)
+      // no change in a full round == the min-label fixed point (every
+      // vertex already carries its component minimum)
+      probeConverged = next.exceptAll(labels).isEmpty
+      labels = next
+      r += 1
+    }
+    if (probeConverged) {
+      return (labels.select(col("v").as("id"), col("lbl").as("cluster")), 0)
+    }
+    // deep graph: contract through the probe labels, star-contract the
+    // rest, compose. (If the last probe round happened to COMPLETE the
+    // labels without a verification round, the contracted relation is
+    // empty and the star loop is a free no-op.)
+    val contracted = edges0
+      .join(labels.select(col("v").as("src"), col("lbl").as("__ls")), "src")
+      .join(labels.select(col("v").as("dst"), col("lbl").as("__ld")), "dst")
+      .select(col("__ls").as("src"), col("__ld").as("dst"))
+      .filter(col("src") =!= col("dst")).distinct().localCheckpoint(true)
+    val (ptr, iters) = starContract(contracted, maxIter)
+    val composed = labels
+      .join(ptr.select(col("v").as("lbl"), col("label")), Seq("lbl"), "left")
+      .select(col("v").as("id"), coalesce(col("label"), col("lbl")).as("cluster"))
+    (composed, iters)
+  }
+
+  /** The alternating large-star/small-star loop on a canonical edge
+    * relation; returns the non-root pointer relation (v, label) and
+    * the round count. */
+  private def starContract(edges0: DataFrame, maxIter: Int): (DataFrame, Int) = {
 
     // large-star: every node points its strictly LARGER neighbors at
     // min(neighborhood ∪ self) — long tails hook onto small ids fast
@@ -410,7 +485,7 @@ object Dedup {
         .distinct()
     }
 
-    var edges = raw.filter(col("src") =!= col("dst")).distinct().localCheckpoint(true)
+    var edges = edges0
     var edgeCount = edges.count()
     var iter = 0
     var converged = edgeCount == 0
@@ -441,9 +516,7 @@ object Dedup {
     // stopped early at maxIter
     val ptr = edges.groupBy(col("src")).agg(min(col("dst")).as("label"))
       .select(col("src").as("v"), col("label"))
-    val labels = verts.join(ptr, Seq("v"), "left")
-      .select(col("v").as("id"), coalesce(col("label"), col("v")).as("cluster"))
-    (labels, iter)
+    (ptr, iter)
   }
 
   /** The rows near-dup clustering would remove: every non-keeper

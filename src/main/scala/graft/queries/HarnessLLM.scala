@@ -657,14 +657,16 @@ object HarnessLLM {
   }
 
   val oracles: Map[String, String] = Map(
-    // the identical md5 min-hash family, banding, candidate join, and
-    // exact rescore as minhashLshPortableOnShingles — seed-free, so
-    // bit-exact cross-engine
+    // the identical md5 min-hash family (hash i = the (i%4)-th 7-hex
+    // chunk of md5((i//4) || ':' || g) — four independent 28-bit
+    // values per digest), banding, candidate join, and exact rescore
+    // as minhashLshPortableOnShingles — seed-free, so bit-exact
     "dedup_minhash" ->
       (shOracle + """,
         |hx AS (
         | SELECT doc_id, i,
-        |  min(CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || g), 1, 15)) AS BIGINT)) AS mh
+        |  min(CAST(('0x' || substr(md5(CAST(i // 4 AS VARCHAR) || ':' || g),
+        |                  1 + 7 * (i % 4), 7)) AS BIGINT)) AS mh
         | FROM ex, (SELECT unnest(range(12)) AS i) t GROUP BY 1, 2),
         |band AS (
         | SELECT doc_id, i // 3 AS band,
