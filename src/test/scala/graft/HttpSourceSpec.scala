@@ -162,6 +162,30 @@ class HttpSourceSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("timestamp forms: offset, zone-less, and space-separated WITH offset all parse") {
+    // the Postgres-dump form '2025-01-01 00:00:00+00' used to escape
+    // both parse branches (space broke OffsetDateTime, offset broke
+    // LocalDateTime) — the ' '->'T' normalization must come first
+    val csv = "id,ts\n" +
+      "1,2025-01-01T00:00:00+00:00\n" +
+      "2,2025-01-01T01:00:00\n" +
+      "3,2025-01-01 02:00:00\n" +
+      "4,2025-01-01 03:00:00+00\n" +
+      "5,2025-01-01T04:00:00Z\n"
+    Files.write(stageDir.resolve("ts_forms.csv"), csv.getBytes("UTF-8"))
+    val got = spark.read.format("graft_http")
+      .schema(StructType(Seq(
+        StructField("id", LongType),
+        StructField("ts", org.apache.spark.sql.types.TimestampType))))
+      .option("url", server.url("ts_forms.csv")).load()
+      .orderBy(col("id")).collect()
+    assert(got.length === 5)
+    val hours = got.map(r => r.getTimestamp(1).toInstant
+      .atZone(java.time.ZoneOffset.UTC).getHour)
+    assert(hours.toSeq === Seq(0, 1, 2, 3, 4),
+      "every form parses to its UTC wall-clock hour")
+  }
+
   test("probe: 206 Content-Range yields total; no-range server yields None") {
     val (file, _) = staged
     val total = Files.size(stageDir.resolve(file))

@@ -301,6 +301,48 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("prefix-filtered exact jaccard equals driver-side brute force on random corpora") {
+    import spark.implicits._
+    trials { rnd =>
+      // a 12-word vocabulary forces heavy shingle overlap, so every
+      // threshold regime gets exercised (dense candidate sets included)
+      val vocab = Vector.tabulate(12)(i => s"w$i")
+      val docs = (0 until (8 + rnd.nextInt(12))).map { i =>
+        (i.toLong,
+          Seq.fill(4 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }.toDF("doc_id", "text")
+      val sh = docs.select($"doc_id", Dedup.shingles($"text").as("__sh"))
+        .filter(size($"__sh") > 0)
+      val t = 0.2 + rnd.nextDouble() * 0.7
+      val got = Dedup.jaccardPairsExactOnShingles(sh, "doc_id", "__sh", t)
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val arr = sh.collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet)
+      val expected = (for {
+        (a, sa) <- arr
+        (b, sb) <- arr if a < b
+        j = sa.intersect(sb).size.toDouble / sa.union(sb).size
+        if j >= t
+      } yield (a, b)).toSet
+      assert(got == expected,
+        s"prefix filter must be recall-complete and precise at threshold $t")
+    }
+  }
+
+  test("portable simhash is a pure function of the token multiset") {
+    import spark.implicits._
+    trials { rnd =>
+      val toks = Seq.fill(5 + rnd.nextInt(40))(s"t${rnd.nextInt(20)}")
+      val docs = Seq(
+        (1L, toks.mkString(" ")),
+        (2L, rnd.shuffle(toks).mkString(" "))).toDF("doc_id", "text")
+      val sig = Dedup.simhashPortable(docs, $"doc_id", $"text")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(sig(1L) == sig(2L),
+        "token permutation must not change the signature")
+    }
+  }
+
   test("packSequences conserves tokens: per shard, last doc's end equals the shard's token sum") {
     import spark.implicits._
     trials { rnd =>

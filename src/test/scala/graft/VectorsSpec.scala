@@ -565,4 +565,22 @@ class VectorsSpec extends AnyFunSuite with SparkTestBase {
     assert(res.count() > 0)
     assert(res.filter($"vec_id" >= 9000L).isEmpty)
   }
+
+  test("PQ ADC poisons out-of-range code bytes to null (corrupt/foreign code column)") {
+    import spark.implicits._
+    val ksub = 16 // < 256, so a byte can legally exceed it
+    val lut = Array.tabulate(2 * ksub)(_.toDouble)
+    val rows = Seq(
+      (1L, Array[Byte](3, 5)),            // valid: lut(3) + lut(16+5)
+      (2L, Array[Byte](3, ksub.toByte)),  // second byte == ksub: out of range
+      (3L, Array[Byte](-1, 0)))           // -1 & 0xFF = 255: out of range
+      .toDF("id", "code")
+      .withColumn("lut", org.apache.spark.sql.functions.typedLit(lut))
+    val got = rows
+      .withColumn("adc", graft.functions.VectorExprs.pqAdc($"code", $"lut", ksub))
+      .orderBy($"id").collect()
+    assert(got(0).getDouble(3) === lut(3) + lut(16 + 5))
+    assert(got(1).isNullAt(3), "code byte == ksub must poison to null")
+    assert(got(2).isNullAt(3), "code byte 255 with ksub=16 must poison to null")
+  }
 }
