@@ -375,6 +375,30 @@ object HarnessLLM {
         emb.filter($"vec_id" < 5), "vec_id", "embedding", k = 10)
         .orderBy($"qid", $"rnk")
     }),
+    "stream_term_stats" -> ((s, dir) => {
+      import s.implicits._
+      // Streaming corpus-statistics maintenance (the text analog of
+      // stream_vector_ingest): documents arrive as a file stream; each
+      // micro-batch appends its own (term, tf, df) PARTIAL to a
+      // batch-partitioned store (both stats are sums of per-batch
+      // partials — a doc's tokens land in exactly one batch); the
+      // serving-side merge is one term-keyed aggregate, never a corpus
+      // rescan. Output = top-20 terms by (tf desc, term) — a total
+      // order, so the cutoff is deterministic; integer-exact, oracled
+      // against the one-shot batch aggregation. Multi-batch ≡ batch
+      // equality on split corpora is pinned in StreamingSpec.
+      val docs = t(s, dir, "documents")
+      val store = "/tmp/graft_stage/term_stats_store"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(store))
+      val stream = s.readStream.schema(docs.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(dir)
+      graft.streaming.TextIngest.maintainTermStats(stream, "doc_id", "text", store)
+        .awaitTermination()
+      graft.streaming.TextIngest.termStatsFromStore(s, store)
+        .orderBy($"tf".desc, $"term").limit(20)
+        .select($"term", $"tf", $"df")
+    }),
     "stream_pq_ingest" -> ((s, dir) => {
       import s.implicits._
       // the PQ half of the ingest-time-column story: the stream
@@ -836,6 +860,14 @@ object HarnessLLM {
         | 100000 + q.vec_id * 100 + g.j AS vec_id
         |FROM embeddings q, (SELECT unnest(generate_series(0, 9)) AS j) g
         |WHERE q.vec_id < 5 ORDER BY 1, 2""".stripMargin,
+    // the stream-maintained term-stats store merges to EXACTLY the
+    // one-shot batch aggregation (integer-exact tf/df sums)
+    "stream_term_stats" ->
+      """WITH toks AS (
+        | SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        | FROM documents)
+        |SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS df
+        |FROM toks GROUP BY 1 ORDER BY tf DESC, term LIMIT 20""".stripMargin,
     // the stream-maintained PQ store answers what the batch PQ index
     // answers: the same planted closed form
     "stream_pq_ingest" ->

@@ -639,6 +639,46 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(res.forall(_ < 1000L), s"axis-0 query must surface cluster-0 members: ${res.toSeq}")
   }
 
+  test("stream-maintained term stats merge to exactly the batch aggregation across batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.streaming.TextIngest
+    val docs = Seq(
+      (1L, "the quick brown fox"),
+      (2L, "the lazy dog and the quick cat"),
+      (3L, "brown dog brown fox"),
+      (4L, "  The   QUICK  fox "), // case + whitespace normalization
+      (5L, "singleton"))
+    val store = "/tmp/graft_test/term_stats_spec"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(store))
+    val batchIds = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val ms = MemoryStream[(Long, String)](spark)
+    val q = TextIngest.maintainTermStats(
+      ms.toDF().toDF("doc_id", "text"), "doc_id", "text", store,
+      trigger = Trigger.ProcessingTime(0),
+      onBatch = id => batchIds.synchronized { batchIds += id })
+    // three micro-batches splitting the corpus arbitrarily
+    ms.addData(docs(0), docs(1)); q.processAllAvailable()
+    ms.addData(docs(2)); q.processAllAvailable()
+    ms.addData(docs(3), docs(4)); q.processAllAvailable()
+    q.stop()
+    assert(batchIds.size == 3, s"expected 3 micro-batches, got $batchIds")
+    val merged = TextIngest.termStatsFromStore(spark, store)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // ground truth: one-shot batch aggregation over the same rows
+    val batch = docs.toDF("doc_id", "text")
+      .select($"doc_id", explode(split(trim(lower($"text")), "\\s+")).as("term"))
+      .groupBy($"term")
+      .agg(count(lit(1)).as("tf"), countDistinct($"doc_id").as("df"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(merged === batch,
+      "per-batch (tf, df) partials must sum to the one-shot aggregation")
+    // spot-check df additivity across batches: 'the' is in docs 1, 2, 4
+    // (batches 0 and 2), 'brown' in docs 1 and 3 (batches 0 and 1)
+    assert(merged("the") === ((4L, 3L)))
+    assert(merged("brown") === ((3L, 2L)))
+  }
+
   test("funnelSteps: strict first-touch chain on a hand-computed log") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
