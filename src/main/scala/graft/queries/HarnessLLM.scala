@@ -399,6 +399,31 @@ object HarnessLLM {
         .orderBy($"tf".desc, $"term").limit(20)
         .select($"term", $"tf", $"df")
     }),
+    "stream_bm25_serve" -> ((s, dir) => {
+      import s.implicits._
+      // The full streaming retrieval architecture: documents stream
+      // into an INVERTED INDEX (per-batch (term, doc, tf) postings +
+      // (doc, dl) lengths — a doc's postings land wholly in its own
+      // batch), and BM25 is served from the store with term-keyed
+      // joins — the corpus text is never rescanned. Every score input
+      // is an integer off the store, so the float tree is bit-identical
+      // to text_bm25_dynamic and the SAME oracle applies verbatim.
+      val docs = t(s, dir, "documents")
+      val store = "/tmp/graft_stage/inv_index_store"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(store))
+      val stream = s.readStream.schema(docs.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(dir)
+      graft.streaming.TextIngest.maintainInvertedIndex(stream, "doc_id", "text", store)
+        .awaitTermination()
+      val queries = Seq(
+        (1, 1, "hash"), (1, 2, "join"), (1, 3, "scan"),
+        (2, 1, "vector"), (2, 2, "stream"),
+        (3, 1, "spark"), (3, 2, "window"), (3, 3, "filter"), (3, 4, "batch"))
+        .toDF("query_id", "term_pos", "term")
+      graft.streaming.TextIngest.bm25FromStore(s, store, queries)
+        .orderBy($"query_id", $"doc_id")
+    }),
     "stream_pq_ingest" -> ((s, dir) => {
       import s.implicits._
       // the PQ half of the ingest-time-column story: the stream
@@ -680,6 +705,34 @@ object HarnessLLM {
        |SELECT doc_id, $sig AS simhash FROM s ORDER BY doc_id""".stripMargin
   }
 
+  /** Shared by `text_bm25_dynamic` and `stream_bm25_serve`: the served
+    * path reads the same integers off the inverted-index store, so the
+    * float tree — and therefore this oracle — is identical. */
+  private val bm25DynamicOracle: String =
+    """WITH q(query_id, term_pos, term) AS (VALUES
+      |  (1, 1, 'hash'), (1, 2, 'join'), (1, 3, 'scan'),
+      |  (2, 1, 'vector'), (2, 2, 'stream'),
+      |  (3, 1, 'spark'), (3, 2, 'window'), (3, 3, 'filter'), (3, 4, 'batch')),
+      |d AS (
+      | SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS arr FROM documents),
+      |base AS (SELECT doc_id, CAST(len(arr) AS INT) AS dl FROM d),
+      |stats AS (SELECT count(*) AS n, sum(dl) AS sdl FROM base),
+      |tok AS (SELECT doc_id, unnest(arr) AS w FROM d),
+      |qt AS (SELECT DISTINCT term FROM q),
+      |tfq AS (
+      | SELECT doc_id, w, count(*) AS tf FROM tok JOIN qt ON w = qt.term
+      | GROUP BY 1, 2),
+      |dfq AS (SELECT w, count(*) AS df FROM tfq GROUP BY 1),
+      |contrib AS (
+      | SELECT q.query_id, q.term_pos, t.doc_id,
+      |  ln((s.n - f.df + 0.5) / (f.df + 0.5) + 1.0) * (CAST(t.tf AS DOUBLE) * 2.2)
+      |   / (CAST(t.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(b.dl * s.n AS DOUBLE) / s.sdl)) AS c
+      | FROM q JOIN tfq t ON q.term = t.w JOIN dfq f ON t.w = f.w
+      |  JOIN base b ON t.doc_id = b.doc_id CROSS JOIN stats s)
+      |SELECT query_id, doc_id,
+      | round(list_sum(list(c ORDER BY term_pos)), 6) AS bm25
+      |FROM contrib GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val oracles: Map[String, String] = Map(
     // the identical md5 min-hash family (hash i = the (i%4)-th 7-hex
     // chunk of md5((i//4) || ':' || g) — four independent 28-bit
@@ -942,30 +995,11 @@ object HarnessLLM {
     // text_bm25, partials summed in term_pos order both sides (Spark:
     // array_sort fold; DuckDB: list ORDER BY term_pos) — docs matching
     // no query term are absent on both sides
-    "text_bm25_dynamic" ->
-      """WITH q(query_id, term_pos, term) AS (VALUES
-        |  (1, 1, 'hash'), (1, 2, 'join'), (1, 3, 'scan'),
-        |  (2, 1, 'vector'), (2, 2, 'stream'),
-        |  (3, 1, 'spark'), (3, 2, 'window'), (3, 3, 'filter'), (3, 4, 'batch')),
-        |d AS (
-        | SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS arr FROM documents),
-        |base AS (SELECT doc_id, CAST(len(arr) AS INT) AS dl FROM d),
-        |stats AS (SELECT count(*) AS n, sum(dl) AS sdl FROM base),
-        |tok AS (SELECT doc_id, unnest(arr) AS w FROM d),
-        |qt AS (SELECT DISTINCT term FROM q),
-        |tfq AS (
-        | SELECT doc_id, w, count(*) AS tf FROM tok JOIN qt ON w = qt.term
-        | GROUP BY 1, 2),
-        |dfq AS (SELECT w, count(*) AS df FROM tfq GROUP BY 1),
-        |contrib AS (
-        | SELECT q.query_id, q.term_pos, t.doc_id,
-        |  ln((s.n - f.df + 0.5) / (f.df + 0.5) + 1.0) * (CAST(t.tf AS DOUBLE) * 2.2)
-        |   / (CAST(t.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(b.dl * s.n AS DOUBLE) / s.sdl)) AS c
-        | FROM q JOIN tfq t ON q.term = t.w JOIN dfq f ON t.w = f.w
-        |  JOIN base b ON t.doc_id = b.doc_id CROSS JOIN stats s)
-        |SELECT query_id, doc_id,
-        | round(list_sum(list(c ORDER BY term_pos)), 6) AS bm25
-        |FROM contrib GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "text_bm25_dynamic" -> bm25DynamicOracle,
+    // BM25 served from the stream-maintained inverted index reads the
+    // same integers (tf, dl, df, N, sdl) the batch formulation
+    // derives, so the identical oracle applies verbatim
+    "stream_bm25_serve" -> bm25DynamicOracle,
     // the LM: Laplace-smoothed bigram conditionals from the corpus's
     // own counts; lm_logprob summed in POSITION order both sides
     // (Spark: array_sort fold; DuckDB: list ORDER BY ord) so the float

@@ -68,4 +68,81 @@ object TextIngest {
     spark.read.parquet(storeDir)
       .groupBy(col("term"))
       .agg(sum(col("tf")).as("tf"), sum(col("df")).as("df"))
+
+  /** Maintain a full INVERTED INDEX from a document stream — the
+    * retrieval architecture rather than just corpus totals: each
+    * micro-batch appends its `(term, doc_id, tf)` postings to
+    * `$storeDir/postings` and its `(doc_id, dl)` lengths to
+    * `$storeDir/docs`, both `__batch`-partitioned. A document's
+    * postings land wholly in its own batch (no cross-batch merge is
+    * ever needed per doc), so the stores are append-only fine grains:
+    * df(term) = posting count per term, N and Σdl = one aggregate of
+    * the doc store. Serving ([[bm25FromStore]]) is term-keyed joins
+    * against the postings — the corpus text is never rescanned. */
+  def maintainInvertedIndex(stream: DataFrame, id: String, text: String,
+                            storeDir: String,
+                            trigger: Trigger = Trigger.AvailableNow(),
+                            onBatch: Long => Unit = _ => ()): StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val toks = batch.select(col(id).as("doc_id"), tokens(text).as("term"))
+          .persist()
+        try {
+          toks.groupBy(col("doc_id"), col("term"))
+            .agg(count(lit(1)).as("tf"))
+            .withColumn("__batch", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__batch")
+            .parquet(s"$storeDir/postings")
+          toks.groupBy(col("doc_id"))
+            .agg(count(lit(1)).as("dl"))
+            .withColumn("__batch", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__batch")
+            .parquet(s"$storeDir/docs")
+          onBatch(batchId)
+        } finally { toks.unpersist(); () }
+      }
+      .trigger(trigger)
+      .option("checkpointLocation", s"$storeDir/_checkpoint")
+      .start()
+
+  /** BM25 served from the stream-maintained inverted index — the same
+    * score [[graft.ops.Text.bm25Dynamic]] computes from raw text, but
+    * every input (tf, dl, df, N, Σdl) is an integer read off the
+    * store, so the float expression tree is IDENTICAL bit for bit to
+    * the batch formulation (same literals, same association, same
+    * term_pos-ordered fold) and the batch oracle applies verbatim.
+    * Shapes: query vocabulary broadcast-pruned into the postings
+    * (term-keyed), corpus stats one broadcast row, per-(query, doc)
+    * partials folded in term_pos order. */
+  def bm25FromStore(spark: SparkSession, storeDir: String, queries: DataFrame,
+                    k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val postings = spark.read.parquet(s"$storeDir/postings")
+      .select(col("doc_id"), col("term").as("__w"), col("tf").as("__tf"))
+    val docs = spark.read.parquet(s"$storeDir/docs")
+      .select(col("doc_id"), col("dl"))
+    val stats = docs.agg(count(lit(1)).as("__n"), sum(col("dl")).as("__sdl"))
+    val qTerms = queries.select(col("term")).distinct()
+    val tfq = postings.join(broadcast(qTerms), col("__w") === col("term"))
+      .join(docs, "doc_id")
+      .select(col("doc_id"), col("dl"), col("__w"), col("__tf"))
+    val dfq = tfq.groupBy(col("__w")).agg(count(lit(1)).as("__df"))
+    val contrib = queries
+      .join(tfq, col("term") === col("__w"))
+      .join(dfq, "__w")
+      .crossJoin(broadcast(stats))
+      .withColumn("__c",
+        log((col("__n") - col("__df") + lit(0.5)) / (col("__df") + lit(0.5)) + lit(1.0)) *
+          (col("__tf").cast("double") * lit(k1 + 1.0)) /
+          (col("__tf").cast("double") + lit(k1) * (lit(1.0 - b) +
+            lit(b) * (col("dl") * col("__n")).cast("double") / col("__sdl"))))
+    contrib.groupBy(col("query_id"), col("doc_id"))
+      .agg(round(aggregate(
+        transform(array_sort(collect_list(struct(col("term_pos"), col("__c")))),
+          x => x("__c")),
+        lit(0.0), (acc, v) => acc + v), 6).as("bm25"))
+  }
 }

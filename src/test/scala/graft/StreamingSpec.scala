@@ -679,6 +679,37 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(merged("brown") === ((3L, 2L)))
   }
 
+  test("BM25 served from the stream-built inverted index equals the batch formulation") {
+    import spark.implicits._
+    import graft.streaming.TextIngest
+    val docs = Seq(
+      (1L, "spark shuffles the hash join build side"),
+      (2L, "a broadcast hash join skips the shuffle"),
+      (3L, "sort merge join for the large side"),
+      (4L, "window functions rank rows per partition"),
+      (5L, "hash partitioning spreads the rows"))
+    val store = "/tmp/graft_test/inv_index_spec"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(store))
+    val ms = MemoryStream[(Long, String)](spark)
+    val q = TextIngest.maintainInvertedIndex(
+      ms.toDF().toDF("doc_id", "text"), "doc_id", "text", store,
+      trigger = Trigger.ProcessingTime(0))
+    ms.addData(docs(0), docs(1)); q.processAllAvailable()
+    ms.addData(docs(2)); q.processAllAvailable()
+    ms.addData(docs(3), docs(4)); q.processAllAvailable()
+    q.stop()
+    val queries = Seq((1, 1, "hash"), (1, 2, "join"), (2, 1, "shuffle"))
+      .toDF("query_id", "term_pos", "term")
+    def scores(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val served = scores(TextIngest.bm25FromStore(spark, store, queries))
+    val batch = scores(graft.ops.Text.bm25Dynamic(
+      docs.toDF("doc_id", "text"), $"doc_id", $"text", queries))
+    assert(served === batch,
+      "served scores must be bit-identical to the batch formulation")
+    assert(served.nonEmpty && served.keys.exists(_._1 == 1))
+  }
+
   test("funnelSteps: strict first-touch chain on a hand-computed log") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
