@@ -34,27 +34,41 @@ object TextIngest {
   private def tokens(text: String): org.apache.spark.sql.Column =
     explode(split(trim(lower(col(text))), "\\s+"))
 
-  /** Per-batch (term, tf, df) partial of one micro-batch. */
+  /** Per-batch (term, tf, df) partial of one micro-batch. `__src`
+    * carries the producing batch id as a DATA column (alongside the
+    * `__batch` partition column): relocating rows during
+    * [[compactTermStats]] keeps their provenance, which is what makes
+    * a sum-merged store compactable IDEMPOTENTLY — duplicates from a
+    * crash between the compacted write and the stale-partition delete
+    * dedup on (term, __src) instead of double-counting into the sums. */
   private[streaming] def termPartial(batch: DataFrame, id: String,
-                                     text: String): DataFrame =
+                                     text: String, batchId: Long): DataFrame =
     batch.select(col(id).as("__doc"), tokens(text).as("term"))
       .groupBy(col("term"))
       .agg(count(lit(1)).as("tf"), countDistinct(col("__doc")).as("df"))
+      .withColumn("__src", lit(batchId))
 
   /** Maintain the partial-stats store from a document stream. Each
-    * micro-batch writes its own `__batch=<id>` partition. */
+    * micro-batch writes its own `__batch=<id>` partition.
+    * `compactEvery` > 0 bounds the store's partition count: whenever
+    * that many batch partitions accumulate, committed ones fold into
+    * the reserved compacted partition ([[compactTermStats]]). */
   def maintainTermStats(stream: DataFrame, id: String, text: String,
                         storeDir: String,
                         trigger: Trigger = Trigger.AvailableNow(),
-                        onBatch: Long => Unit = _ => ()): StreamingQuery =
+                        onBatch: Long => Unit = _ => (),
+                        compactEvery: Int = 0): StreamingQuery =
     stream.writeStream
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        termPartial(batch.toDF(), id, text)
+        termPartial(batch.toDF(), id, text, batchId)
           .withColumn("__batch", lit(batchId))
           .write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("__batch")
           .parquet(storeDir)
+        if (compactEvery > 0 &&
+            batchPartitionDirs(storeDir).length >= compactEvery)
+          compactTermStats(stream.sparkSession, storeDir, upToBatch = batchId)
         onBatch(batchId)
       }
       .trigger(trigger)
@@ -63,11 +77,59 @@ object TextIngest {
 
   /** Merge the store's partials to corpus-wide term stats: tf and df
     * are both plain sums over batches. One term-keyed aggregate —
-    * never a document rescan. */
+    * never a document rescan. The pre-aggregation distinct over
+    * (term, tf, df, __src) makes SERVING safe inside the compaction
+    * crash window too: a stale partition left beside its relocated
+    * copy dedups here instead of double-counting into the sums. */
   def termStatsFromStore(spark: SparkSession, storeDir: String): DataFrame =
     spark.read.parquet(storeDir)
+      .select(col("term"), col("tf"), col("df"), col("__src"))
+      .distinct()
       .groupBy(col("term"))
       .agg(sum(col("tf")).as("tf"), sum(col("df")).as("df"))
+
+  private val CompactedBatchId = -1L
+
+  private def batchPartitionDirs(storeDir: String): Array[java.io.File] = {
+    val fs = new java.io.File(storeDir).listFiles()
+    if (fs == null) Array.empty
+    else fs.filter(f => f.isDirectory && f.getName.startsWith("__batch="))
+  }
+
+  /** Fold committed batch partitions (id < `upToBatch`) into the
+    * reserved `__batch=-1` partition — the maintenance pass that keeps
+    * a long-lived store from accumulating one small partition per
+    * micro-batch. Rows RELOCATE rather than merge (partition count is
+    * the thing being bounded, not row count — the serving merge stays
+    * one aggregate either way), and a full-row distinct over
+    * (term, tf, df, __src) makes the fold idempotent: a crash between
+    * the compacted write and the stale-partition delete leaves
+    * duplicate provenance rows that the next fold collapses instead of
+    * double-counting. The in-flight batch keeps its own partition, so
+    * a replayed batch still overwrites exactly itself. */
+  def compactTermStats(spark: SparkSession, storeDir: String,
+                       upToBatch: Long, targetFiles: Int = 1): Unit = {
+    val fold = batchPartitionDirs(storeDir)
+      .filter(_.getName.stripPrefix("__batch=").toLong < upToBatch)
+    if (fold.length > 1) {
+      val folded = spark.read.option("basePath", storeDir)
+        .parquet(fold.map(_.getPath).toIndexedSeq: _*)
+        .select(col("term"), col("tf"), col("df"), col("__src"))
+        .distinct()
+        .withColumn("__batch", lit(CompactedBatchId))
+        .coalesce(math.max(1, targetFiles))
+        // materialize BEFORE the write: the fold may read the very
+        // __batch=-1 partition the write replaces
+        .localCheckpoint(true)
+      folded.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__batch")
+        .parquet(storeDir)
+      fold.filter(_.getName != s"__batch=$CompactedBatchId")
+        .foreach(org.apache.commons.io.FileUtils.deleteDirectory)
+      spark.catalog.refreshByPath(storeDir)
+    }
+  }
 
   /** Maintain a full INVERTED INDEX from a document stream — the
     * retrieval architecture rather than just corpus totals: each

@@ -230,6 +230,35 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(scans <= 1, s"expected <=1 parquet scan, got $scans:\n${plan(df)}")
   }
 
+  test("portable dedup pair generation plans equi-joins only — no cartesian anywhere") {
+    import spark.implicits._
+    val sh = spark.read.parquet(sf("documents"))
+      .select($"doc_id", graft.ops.Dedup.shingles($"text").as("__sh"))
+      .filter(size($"__sh") > 0)
+    for (df <- Seq(
+      graft.ops.Dedup.minhashLshPortableOnShingles(sh, "doc_id", "__sh"),
+      graft.ops.Dedup.jaccardPairsExactOnShingles(sh, "doc_id", "__sh", 0.5))) {
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct"), p)
+      // the only nested-loop join allowed anywhere in the family is a
+      // broadcast of a 1-row stats relation; candidate generation here
+      // has none at all
+      assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    }
+  }
+
+  test("dynamic BM25: query vocabulary broadcasts into the token stream, stats are 1-row broadcast") {
+    import spark.implicits._
+    val queries = Seq((1, 1, "hash"), (1, 2, "join")).toDF("query_id", "term_pos", "term")
+    val df = graft.ops.Text.bm25Dynamic(
+      spark.read.parquet(sf("documents")), $"doc_id", $"text", queries)
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"),
+      "tiny query/stats relations must broadcast, not shuffle:\n" + p)
+  }
+
   test("whole-stage codegen covers the scan-filter-project hot path") {
     import spark.implicits._
     val df = spark.read.parquet(sf("lineitem"))

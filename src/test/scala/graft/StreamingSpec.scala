@@ -679,6 +679,54 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(merged("brown") === ((3L, 2L)))
   }
 
+  test("term-stats store compaction: bounded partitions, stats preserved, crash-duplicate safe") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.streaming.TextIngest
+    val docs = Seq(
+      (1L, "alpha beta gamma"), (2L, "beta beta delta"),
+      (3L, "alpha delta"), (4L, "gamma gamma gamma beta"))
+    val store = "/tmp/graft_test/term_stats_compact_spec"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(store))
+    val ms = MemoryStream[(Long, String)](spark)
+    val q = TextIngest.maintainTermStats(
+      ms.toDF().toDF("doc_id", "text"), "doc_id", "text", store,
+      trigger = Trigger.ProcessingTime(0))
+    ms.addData(docs(0)); q.processAllAvailable()
+    ms.addData(docs(1)); q.processAllAvailable()
+    ms.addData(docs(2)); q.processAllAvailable()
+    ms.addData(docs(3)); q.processAllAvailable()
+    q.stop()
+    def stats() = TextIngest.termStatsFromStore(spark, store)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    def partitions() = new java.io.File(store).listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("__batch="))
+    val truth = docs.toDF("doc_id", "text")
+      .select($"doc_id", explode(split(trim(lower($"text")), "\\s+")).as("term"))
+      .groupBy($"term")
+      .agg(count(lit(1)).as("tf"), countDistinct($"doc_id").as("df"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(partitions() == 4 && stats() === truth)
+    // keep a stale copy of batch 0 to resurrect (the crash window:
+    // compacted write landed, stale-partition delete did not)
+    val stale = new java.io.File("/tmp/graft_test/term_stats_stale_copy")
+    org.apache.commons.io.FileUtils.deleteQuietly(stale)
+    org.apache.commons.io.FileUtils.copyDirectory(
+      new java.io.File(store, "__batch=0"), stale)
+    TextIngest.compactTermStats(spark, store, upToBatch = 3)
+    assert(partitions() == 2, "batches 0-2 fold to __batch=-1; batch 3 stays")
+    assert(stats() === truth, "compaction must not change the merged stats")
+    // crash simulation: the stale partition reappears next to its
+    // relocated rows — serving must dedup on provenance, not recount
+    org.apache.commons.io.FileUtils.copyDirectory(
+      stale, new java.io.File(store, "__batch=0"))
+    spark.catalog.refreshByPath(store)
+    assert(stats() === truth, "serving inside the crash window must not double-count")
+    // and the next compaction self-heals: dedup + stale delete
+    TextIngest.compactTermStats(spark, store, upToBatch = 3)
+    assert(partitions() == 2 && stats() === truth, "compaction is idempotent")
+  }
+
   test("BM25 served from the stream-built inverted index equals the batch formulation") {
     import spark.implicits._
     import graft.streaming.TextIngest
