@@ -144,7 +144,8 @@ object TextIngest {
   def maintainInvertedIndex(stream: DataFrame, id: String, text: String,
                             storeDir: String,
                             trigger: Trigger = Trigger.AvailableNow(),
-                            onBatch: Long => Unit = _ => ()): StreamingQuery =
+                            onBatch: Long => Unit = _ => (),
+                            compactEvery: Int = 0): StreamingQuery =
     stream.writeStream
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val toks = batch.select(col(id).as("doc_id"), tokens(text).as("term"))
@@ -164,12 +165,47 @@ object TextIngest {
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("__batch")
             .parquet(s"$storeDir/docs")
+          if (compactEvery > 0 &&
+              batchPartitionDirs(s"$storeDir/postings").length >= compactEvery)
+            compactInvertedIndex(stream.sparkSession, storeDir, upToBatch = batchId)
           onBatch(batchId)
         } finally { toks.unpersist(); () }
       }
       .trigger(trigger)
       .option("checkpointLocation", s"$storeDir/_checkpoint")
       .start()
+
+  /** Fold committed postings/docs batch partitions into `__batch=-1`
+    * — simpler than [[compactTermStats]] because the keys are globally
+    * unique (a doc lands in exactly one batch, so (doc_id, term) and
+    * doc_id rows never repeat across batches): a full-row distinct
+    * makes the fold idempotent with no provenance column needed. */
+  def compactInvertedIndex(spark: SparkSession, storeDir: String,
+                           upToBatch: Long, targetFiles: Int = 1): Unit = {
+    def foldOne(sub: String, dataCols: Seq[String]): Unit = {
+      val dir = s"$storeDir/$sub"
+      val fold = batchPartitionDirs(dir)
+        .filter(_.getName.stripPrefix("__batch=").toLong < upToBatch)
+      if (fold.length > 1) {
+        val folded = spark.read.option("basePath", dir)
+          .parquet(fold.map(_.getPath).toIndexedSeq: _*)
+          .select(dataCols.map(col): _*)
+          .distinct()
+          .withColumn("__batch", lit(CompactedBatchId))
+          .coalesce(math.max(1, targetFiles))
+          .localCheckpoint(true)
+        folded.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("__batch")
+          .parquet(dir)
+        fold.filter(_.getName != s"__batch=$CompactedBatchId")
+          .foreach(org.apache.commons.io.FileUtils.deleteDirectory)
+        spark.catalog.refreshByPath(dir)
+      }
+    }
+    foldOne("postings", Seq("doc_id", "term", "tf"))
+    foldOne("docs", Seq("doc_id", "dl"))
+  }
 
   /** BM25 served from the stream-maintained inverted index — the same
     * score [[graft.ops.Text.bm25Dynamic]] computes from raw text, but

@@ -756,6 +756,16 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(served === batch,
       "served scores must be bit-identical to the batch formulation")
     assert(served.nonEmpty && served.keys.exists(_._1 == 1))
+    // compaction folds the committed batches and serves the SAME
+    // scores (unique (doc, term) keys -> pure relocation), twice over
+    // (idempotent)
+    def partitions(sub: String) = new java.io.File(s"$store/$sub").listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("__batch="))
+    TextIngest.compactInvertedIndex(spark, store, upToBatch = 3)
+    assert(partitions("postings") == 1 && partitions("docs") == 1)
+    assert(scores(TextIngest.bm25FromStore(spark, store, queries)) === batch)
+    TextIngest.compactInvertedIndex(spark, store, upToBatch = 3)
+    assert(scores(TextIngest.bm25FromStore(spark, store, queries)) === batch)
   }
 
   test("funnelSteps: strict first-touch chain on a hand-computed log") {
