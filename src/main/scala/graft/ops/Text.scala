@@ -319,9 +319,14 @@ object Text {
     val stats = base.agg(count(lit(1)).as("__n"), sum(col("dl")).as("__sdl"))
     val toks = base.select(col("doc_id"), col("dl"), explode(col("__t")).as("__w"))
     val qTerms = queries.select(col("term")).distinct()
+    // materialize the pruned tf relation ONCE: df derivation and the
+    // score join both consume it, and without the checkpoint each
+    // consumer re-scans + re-explodes the corpus (plan audit showed
+    // the documents scan multiplied 6x through the inlined subtrees)
     val tfq = toks.join(broadcast(qTerms), col("__w") === col("term"))
       .groupBy(col("doc_id"), col("dl"), col("__w"))
       .agg(count(lit(1)).as("__tf"))
+      .localCheckpoint(true)
     val dfq = tfq.groupBy(col("__w")).agg(count(lit(1)).as("__df"))
     val contrib = queries
       .join(tfq, col("term") === col("__w"))

@@ -224,9 +224,12 @@ object TextIngest {
       .select(col("doc_id"), col("dl"))
     val stats = docs.agg(count(lit(1)).as("__n"), sum(col("dl")).as("__sdl"))
     val qTerms = queries.select(col("term")).distinct()
+    // materialize the pruned tf relation once, like [[Text.bm25Dynamic]]
+    // — df derivation and the score join both consume it
     val tfq = postings.join(broadcast(qTerms), col("__w") === col("term"))
       .join(docs, "doc_id")
       .select(col("doc_id"), col("dl"), col("__w"), col("__tf"))
+      .localCheckpoint(true)
     val dfq = tfq.groupBy(col("__w")).agg(count(lit(1)).as("__df"))
     val contrib = queries
       .join(tfq, col("term") === col("__w"))

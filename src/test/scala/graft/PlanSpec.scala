@@ -257,6 +257,11 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("SortMergeJoin"),
       "tiny query/stats relations must broadcast, not shuffle:\n" + p)
+    // tfq is materialized once; the only remaining corpus scans are
+    // the stats pass and the (checkpoint-feeding) token pass already
+    // executed — the final plan re-reads parquet at most twice
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans <= 2, s"expected <=2 parquet scans, got $scans:\n$p")
   }
 
   test("whole-stage codegen covers the scan-filter-project hot path") {
