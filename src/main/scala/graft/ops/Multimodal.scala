@@ -45,6 +45,128 @@ object Multimodal {
   def withBinaryPayload(df: DataFrame, src: String, out: String): DataFrame =
     df.withColumn(out, encode(col(src), "UTF-8"))
 
+  // ---------------------------------------------------------------
+  // REAL decode for the codec-free netpbm binary pixmap (P6): pure
+  // byte arithmetic, so no image library is needed. JPEG/PNG/audio
+  // still go through the documented stub — this carves the honest
+  // subset that CAN be real in this container out of the stub.
+  // ---------------------------------------------------------------
+
+  /** Encode a raw RGB buffer as a binary PPM (P6): ASCII header
+    * `P6\n<w> <h>\n<maxval>\n` + w*h*3 raw samples. */
+  def ppmEncode(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(rgb.length == w * h * 3, s"need ${w * h * 3} samples, got ${rgb.length}")
+    val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+    val out = new Array[Byte](header.length + rgb.length)
+    System.arraycopy(header, 0, out, 0, header.length)
+    System.arraycopy(rgb, 0, out, header.length, rgb.length)
+    out
+  }
+
+  /** Parsed P6 image: real geometry plus the raw sample buffer. */
+  final case class Ppm(width: Int, height: Int, pixels: Array[Byte])
+
+  /** REAL P6 parser (netpbm spec: whitespace-separated header tokens,
+    * `#` comments allowed inside the header, single whitespace byte
+    * after maxval, then w*h*3 raw samples). Returns None for anything
+    * that is not a complete 8-bit P6 — callers route those to the
+    * codec-backed path (here: the stub). */
+  def ppmDecode(bytes: Array[Byte]): Option[Ppm] = {
+    if (bytes.length < 2 || bytes(0) != 'P' || bytes(1) != '6') return None
+    var i = 2
+    def skipWs(): Unit = {
+      var in = true
+      while (in && i < bytes.length) {
+        val b = bytes(i)
+        if (b == ' ' || b == '\n' || b == '\r' || b == '\t') i += 1
+        else if (b == '#') { while (i < bytes.length && bytes(i) != '\n') i += 1 }
+        else in = false
+      }
+    }
+    def num(): Int = {
+      skipWs()
+      val start = i
+      var v = 0
+      while (i < bytes.length && bytes(i) >= '0' && bytes(i) <= '9') {
+        v = v * 10 + (bytes(i) - '0'); i += 1
+      }
+      if (i == start) -1 else v
+    }
+    val w = num(); val h = num(); val maxv = num()
+    if (w <= 0 || h <= 0 || maxv <= 0 || maxv > 255) return None
+    i += 1 // exactly one whitespace byte separates maxval from samples
+    val n = w.toLong * h * 3
+    if (n > Int.MaxValue || bytes.length - i < n) return None
+    Some(Ppm(w, h, java.util.Arrays.copyOfRange(bytes, i, i + n.toInt)))
+  }
+
+  /** Decoded-for-real P6 metadata: true parsed geometry and the mean
+    * raw sample value — evidence the pixel buffer was actually read,
+    * not inferred from the byte count. */
+  case class PpmMeta(doc_id: Long, width: Int, height: Int, n_bytes: Long,
+                     mean_px: Double)
+
+  /** Partition-wise REAL P6 decode (same batch shape as
+    * [[decodePartitions]]); non-P6 payloads are dropped — a production
+    * pipeline would route them to the codec decoder instead. */
+  def decodePpmPartitions(df: DataFrame)(implicit s: SparkSession): Dataset[PpmMeta] = {
+    import s.implicits._
+    df.select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          ppmDecode(bytes).map { p =>
+            var sum = 0L
+            var k = 0
+            while (k < p.pixels.length) { sum += p.pixels(k) & 0xFF; k += 1 }
+            PpmMeta(id, p.width, p.height, bytes.length.toLong,
+              sum.toDouble / p.pixels.length)
+          }
+        }
+      }
+  }
+
+  /** REAL nearest-neighbor resize of a P6 image: sample the source
+    * pixel grid at the target raster, re-encode as P6. Pure index
+    * arithmetic — the scaling kernel a real pipeline would hand to an
+    * image library, runnable without one. */
+  def ppmResize(p: Ppm, targetW: Int, targetH: Int): Array[Byte] = {
+    require(targetW > 0 && targetH > 0)
+    val out = new Array[Byte](targetW * targetH * 3)
+    var y = 0
+    while (y < targetH) {
+      val sy = (y.toLong * p.height / targetH).toInt
+      var x = 0
+      while (x < targetW) {
+        val sx = (x.toLong * p.width / targetW).toInt
+        val src = (sy * p.width + sx) * 3
+        val dst = (y * targetW + x) * 3
+        out(dst) = p.pixels(src)
+        out(dst + 1) = p.pixels(src + 1)
+        out(dst + 2) = p.pixels(src + 2)
+        x += 1
+      }
+      y += 1
+    }
+    ppmEncode(targetW, targetH, out)
+  }
+
+  /** Partition-wise REAL resize over P6 payloads: decode, NN-resample,
+    * re-encode; emits the re-encoded byte size (now a true fact about
+    * an actual output buffer, unlike the stub's implied size). */
+  def resizePpmPartitions(df: DataFrame, targetW: Int, targetH: Int)
+                         (implicit s: SparkSession): Dataset[ResizedMeta] = {
+    import s.implicits._
+    df.select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          ppmDecode(bytes).map { p =>
+            val enc = ppmResize(p, targetW, targetH)
+            ResizedMeta(id, targetW, targetH, enc.length.toLong)
+          }
+        }
+      }
+  }
+
   /** Partition-wise batch decode: one decoder instance per partition,
     * rows streamed through it — the shape that lets a real codec or
     * model amortize initialization and batch its input at 100 TB.

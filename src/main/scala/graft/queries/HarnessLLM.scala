@@ -134,6 +134,23 @@ object HarnessLLM {
         .localCheckpoint(true))
   }
 
+  /** Deterministic P6 payload per document: 16 x (4 + doc_id%5)
+    * pixels, sample bytes cycling the md5 digest of the text — so the
+    * REAL decoder's outputs (geometry, byte size, mean sample) are
+    * closed-form for the oracle while the engine genuinely parses the
+    * header and reads the buffer. */
+  private def withPpmMedia(df: DataFrame): DataFrame = {
+    val mk = udf { (docId: Long, s: String) =>
+      val w = 16
+      val h = 4 + (docId % 5).toInt
+      val digest = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      val rgb = Array.tabulate(w * h * 3)(k => digest(k % 16))
+      Multimodal.ppmEncode(w, h, rgb)
+    }
+    df.withColumn("media", mk(col("doc_id"), col("text")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- deduplication ----
     "dedup_exact" -> ((s, dir) => {
@@ -658,6 +675,31 @@ object HarnessLLM {
         .select($"doc_id", $"frame_idx", $"frame_len")
         .orderBy($"doc_id", $"frame_idx")
     }),
+    "multimodal_ppm_decode" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      // REAL image decode (no codec library needed): each doc gets a
+      // deterministic 16x(4+doc_id%5) binary PPM whose pixel bytes
+      // cycle the md5 digest of its text; the P6 parser reads true
+      // geometry and the mean raw sample off the actual buffer. The
+      // 16-byte digest cycle divides the 48h-byte buffer, so the mean
+      // is EXACTLY digest-byte-sum/16 — a dyadic rational both engines
+      // represent bit-identically (no rounding guard needed).
+      Multimodal.decodePpmPartitions(
+        withPpmMedia(t(s, dir, "documents"))).toDF()
+        .orderBy($"doc_id")
+    }),
+    "multimodal_ppm_resize" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      // REAL nearest-neighbor resample on the decoded pixel grid,
+      // re-encoded as P6 — n_bytes_out is a fact about an actual
+      // output buffer (header + 8*8*3), not an implied size. Pixel
+      // placement is spec-pinned in IngestSpec on hand-built images.
+      Multimodal.resizePpmPartitions(
+        withPpmMedia(t(s, dir, "documents")), targetW = 8, targetH = 8).toDF()
+        .orderBy($"doc_id")
+    }),
     "multimodal_features" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       import s.implicits._
@@ -1094,6 +1136,26 @@ object HarnessLLM {
     "multimodal_resize" ->
       """SELECT doc_id, CAST(128 AS INT) AS out_w, CAST(64 AS INT) AS out_h,
         | CAST(128 * 64 * 3 AS BIGINT) AS n_bytes_out
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // REAL P6 decode: geometry and byte size follow from the
+    // synthesized 16x(4+doc_id%5) image (12-byte header + 48h
+    // samples); mean_px re-derives the digest-byte mean the decoder
+    // computed off the actual pixel buffer — exact dyadic rational,
+    // no rounding guard
+    "multimodal_ppm_decode" -> {
+      val digestSum = (0 until 16)
+        .map(i => s"CAST(('0x' || substr(md5(text), ${2 * i + 1}, 2)) AS INT)")
+        .mkString(" + ")
+      s"""SELECT doc_id, CAST(16 AS INT) AS width,
+         | CAST(4 + doc_id % 5 AS INT) AS height,
+         | CAST(12 + 48 * (4 + doc_id % 5) AS BIGINT) AS n_bytes,
+         | ($digestSum) / 16.0 AS mean_px
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+    // real resize re-encodes an 8x8 P6: 11-byte header + 192 samples
+    "multimodal_ppm_resize" ->
+      """SELECT doc_id, CAST(8 AS INT) AS out_w, CAST(8 AS INT) AS out_h,
+        | CAST(203 AS BIGINT) AS n_bytes_out
         |FROM documents ORDER BY doc_id""".stripMargin,
     "multimodal_frames" ->
       """SELECT doc_id, CAST(u AS INT) AS frame_idx,

@@ -87,6 +87,44 @@ class IngestSpec extends AnyFunSuite with SparkTestBase {
     permissive.unpersist()
   }
 
+  test("PPM decode: real header parse (comments, whitespace), pixels read, junk rejected") {
+    import graft.ops.Multimodal
+    // 2x1 image: red then green pixel
+    val rgb = Array[Byte](255.toByte, 0, 0, 0, 255.toByte, 0)
+    val plain = Multimodal.ppmEncode(2, 1, rgb)
+    val p = Multimodal.ppmDecode(plain).get
+    assert(p.width == 2 && p.height == 1 && p.pixels.toSeq == rgb.toSeq)
+    // netpbm allows comments + arbitrary whitespace inside the header
+    val commented = ("P6\n# a comment\n2 1\n# another\n255\n".getBytes("US-ASCII") ++ rgb)
+    val c = Multimodal.ppmDecode(commented).get
+    assert(c.width == 2 && c.height == 1 && c.pixels.toSeq == rgb.toSeq)
+    // rejects: wrong magic, truncated pixels, 16-bit maxval
+    assert(Multimodal.ppmDecode("P5\n2 1\n255\nxx".getBytes("US-ASCII")).isEmpty)
+    assert(Multimodal.ppmDecode(plain.dropRight(1)).isEmpty)
+    assert(Multimodal.ppmDecode(("P6\n2 1\n65535\n".getBytes("US-ASCII") ++ rgb)).isEmpty)
+  }
+
+  test("PPM nearest-neighbor resize places source pixels at the exact expected raster cells") {
+    import graft.ops.Multimodal
+    // 2x2 quadrants: R G / B W, upscaled 2x -> each quadrant becomes 2x2
+    val r = Seq(255, 0, 0); val g = Seq(0, 255, 0)
+    val b = Seq(0, 0, 255); val w = Seq(255, 255, 255)
+    val src = (r ++ g ++ b ++ w).map(_.toByte).toArray
+    val resized = Multimodal.ppmResize(Multimodal.Ppm(2, 2, src), 4, 4)
+    val p = Multimodal.ppmDecode(resized).get
+    assert(p.width == 4 && p.height == 4)
+    def px(x: Int, y: Int): Seq[Int] =
+      (0 until 3).map(c => p.pixels((y * 4 + x) * 3 + c) & 0xFF)
+    assert(px(0, 0) == r && px(1, 1) == r, "top-left quadrant stays red")
+    assert(px(2, 0) == g && px(3, 1) == g, "top-right quadrant stays green")
+    assert(px(0, 2) == b && px(1, 3) == b, "bottom-left quadrant stays blue")
+    assert(px(2, 2) == w && px(3, 3) == w, "bottom-right quadrant stays white")
+    // downscale 2x2 -> 1x1 keeps the top-left source pixel (floor NN)
+    val down = Multimodal.ppmDecode(
+      Multimodal.ppmResize(Multimodal.Ppm(2, 2, src), 1, 1)).get
+    assert((0 until 3).map(c => down.pixels(c) & 0xFF) == r)
+  }
+
   test("CSV ingest -> overwrite sink -> prepData -> Q1, end to end") {
     Files.createDirectories(Paths.get(stage))
     Files.writeString(Paths.get(s"$stage/zones.csv"),
