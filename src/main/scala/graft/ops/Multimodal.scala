@@ -167,6 +167,107 @@ object Multimodal {
       }
   }
 
+  // ---------------------------------------------------------------
+  // REAL decode for canonical PCM16 WAV — like P6, pure byte
+  // arithmetic (RIFF chunk walk + little-endian samples), no codec.
+  // ---------------------------------------------------------------
+
+  private def le16(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8)
+  private def le32(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8) |
+      ((b(i + 2) & 0xFF) << 16) | ((b(i + 3) & 0xFF) << 24)
+
+  /** Parsed PCM16 WAV: format facts + the raw sample values. */
+  final case class Wav(sampleRate: Int, channels: Int, samples: Array[Short])
+
+  /** Encode mono/stereo PCM16 samples as a canonical 44-byte-header
+    * RIFF/WAVE file. */
+  def wavEncode(sampleRate: Int, channels: Int, samples: Array[Short]): Array[Byte] = {
+    require(channels >= 1 && samples.length % channels == 0)
+    val dataLen = samples.length * 2
+    val out = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(channels.toShort)
+      .putInt(sampleRate)
+      .putInt(sampleRate * channels * 2) // byte rate
+      .putShort((channels * 2).toShort)  // block align
+      .putShort(16)                      // bits per sample
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(out.putShort)
+    out.array()
+  }
+
+  /** REAL RIFF/WAVE parser: walks the chunk list (word-aligned sizes
+    * per the RIFF spec — odd chunks carry a pad byte), requires a PCM
+    * (format 1) 16-bit `fmt ` chunk before `data`, reads little-endian
+    * samples. None for anything else — a compressed or 24-bit file
+    * needs a real audio library and routes to the stub path. */
+  def wavDecode(bytes: Array[Byte]): Option[Wav] = {
+    if (bytes.length < 44) return None
+    if (!(bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
+          bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E'))
+      return None
+    var i = 12
+    var rate = -1
+    var channels = -1
+    var ok16Pcm = false
+    while (i + 8 <= bytes.length) {
+      val id = new String(bytes, i, 4, "US-ASCII")
+      val size = le32(bytes, i + 4)
+      if (size < 0 || i + 8 + size > bytes.length) return None
+      id match {
+        case "fmt " =>
+          if (size < 16) return None
+          val fmt = le16(bytes, i + 8)
+          channels = le16(bytes, i + 10)
+          rate = le32(bytes, i + 12)
+          val bits = le16(bytes, i + 22)
+          ok16Pcm = fmt == 1 && bits == 16 && channels >= 1 && rate > 0
+        case "data" =>
+          if (!ok16Pcm) return None // fmt must precede data, and be PCM16
+          if (size % 2 != 0) return None
+          val samples = new Array[Short](size / 2)
+          var k = 0
+          while (k < samples.length) {
+            samples(k) = le16(bytes, i + 8 + 2 * k).toShort
+            k += 1
+          }
+          return Some(Wav(rate, channels, samples))
+        case _ => () // skip unknown chunks (LIST, fact, ...)
+      }
+      i += 8 + size + (size % 2) // RIFF word alignment
+    }
+    None
+  }
+
+  /** Decoded-for-real WAV metadata: format facts plus the mean sample
+    * value read off the actual PCM buffer. */
+  case class WavMeta(doc_id: Long, sample_rate: Int, channels: Int,
+                     n_samples: Long, n_bytes: Long, mean_sample: Double)
+
+  /** Partition-wise REAL WAV decode (non-PCM16 payloads drop — they
+    * belong to the codec path). */
+  def decodeWavPartitions(df: DataFrame)(implicit s: SparkSession): Dataset[WavMeta] = {
+    import s.implicits._
+    df.select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          wavDecode(bytes).map { w =>
+            var sum = 0L
+            var k = 0
+            while (k < w.samples.length) { sum += w.samples(k); k += 1 }
+            WavMeta(id, w.sampleRate, w.channels, w.samples.length.toLong,
+              bytes.length.toLong, sum.toDouble / w.samples.length)
+          }
+        }
+      }
+  }
+
   /** Partition-wise batch decode: one decoder instance per partition,
     * rows streamed through it — the shape that lets a real codec or
     * model amortize initialization and batch its input at 100 TB.

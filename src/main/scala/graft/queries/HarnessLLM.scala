@@ -689,6 +689,26 @@ object HarnessLLM {
         withPpmMedia(t(s, dir, "documents"))).toDF()
         .orderBy($"doc_id")
     }),
+    "multimodal_wav_decode" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      // REAL audio decode (codec-free PCM16 WAV): each doc gets a
+      // deterministic mono 8 kHz clip of 64 + 16*(doc_id%50) samples,
+      // sample k = (k*2654435761 + doc_id) % 65536 - 32768 — a pure
+      // integer waveform both engines can derive, so the mean the
+      // decoder computes off the actual little-endian PCM buffer is
+      // closed-form (exact-int sum / exact-int count, identical
+      // correctly-rounded division both sides).
+      val mk = udf { (docId: Long) =>
+        val n = 64 + 16 * (docId % 50).toInt
+        val samples = Array.tabulate(n)(k =>
+          ((k * 2654435761L + docId) % 65536 - 32768).toShort)
+        Multimodal.wavEncode(8000, 1, samples)
+      }
+      val withMedia = t(s, dir, "documents")
+        .withColumn("media", mk($"doc_id"))
+      Multimodal.decodeWavPartitions(withMedia).toDF().orderBy($"doc_id")
+    }),
     "multimodal_ppm_resize" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       import s.implicits._
@@ -1152,6 +1172,21 @@ object HarnessLLM {
          | ($digestSum) / 16.0 AS mean_px
          |FROM documents ORDER BY doc_id""".stripMargin
     },
+    // REAL PCM16 WAV decode: format facts follow from the synthesized
+    // clip (44-byte canonical header + 2 bytes/sample); mean_sample
+    // re-derives the integer waveform's mean the decoder computed off
+    // the actual PCM buffer — exact-int sum over exact-int count
+    "multimodal_wav_decode" ->
+      """WITH ks AS (
+        | SELECT doc_id, unnest(range(64 + 16 * (doc_id % 50))) AS k FROM documents),
+        |m AS (
+        | SELECT doc_id, count(*) AS n_samples,
+        |  CAST(sum((k * 2654435761 + doc_id) % 65536 - 32768) AS DOUBLE)
+        |    / count(*) AS mean_sample
+        | FROM ks GROUP BY 1)
+        |SELECT doc_id, CAST(8000 AS INT) AS sample_rate, CAST(1 AS INT) AS channels,
+        | n_samples, CAST(44 + 2 * n_samples AS BIGINT) AS n_bytes, mean_sample
+        |FROM m ORDER BY doc_id""".stripMargin,
     // real resize re-encodes an 8x8 P6: 11-byte header + 192 samples
     "multimodal_ppm_resize" ->
       """SELECT doc_id, CAST(8 AS INT) AS out_w, CAST(8 AS INT) AS out_h,

