@@ -71,9 +71,16 @@ object Multimodal {
     * after maxval, then w*h*3 raw samples). Returns None for anything
     * that is not a complete 8-bit P6 — callers route those to the
     * codec-backed path (here: the stub). */
-  def ppmDecode(bytes: Array[Byte]): Option[Ppm] = {
-    if (bytes.length < 2 || bytes(0) != 'P' || bytes(1) != '6') return None
-    var i = 2
+  def ppmDecode(bytes: Array[Byte]): Option[Ppm] =
+    ppmParseAt(bytes, 0).map(_._1)
+
+  /** Parse one P6 image starting at `offset`; returns the image and
+    * the offset just past its sample buffer — the demultiplexer step
+    * for concatenated-frame streams ([[ppmFrames]]). */
+  private def ppmParseAt(bytes: Array[Byte], offset: Int): Option[(Ppm, Int)] = {
+    if (bytes.length - offset < 2 || bytes(offset) != 'P' || bytes(offset + 1) != '6')
+      return None
+    var i = offset + 2
     def skipWs(): Unit = {
       var in = true
       while (in && i < bytes.length) {
@@ -97,7 +104,46 @@ object Multimodal {
     i += 1 // exactly one whitespace byte separates maxval from samples
     val n = w.toLong * h * 3
     if (n > Int.MaxValue || bytes.length - i < n) return None
-    Some(Ppm(w, h, java.util.Arrays.copyOfRange(bytes, i, i + n.toInt)))
+    Some((Ppm(w, h, java.util.Arrays.copyOfRange(bytes, i, i + n.toInt)), i + n.toInt))
+  }
+
+  /** REAL frame demultiplexer for a concatenated-P6 stream (the
+    * codec-free stand-in for a video container): parse frames
+    * back-to-back until the stream ends; trailing bytes that do not
+    * start a valid frame end the walk (a real demuxer would surface
+    * the error — here partial streams just truncate). */
+  def ppmFrames(bytes: Array[Byte]): Vector[Ppm] = {
+    val out = Vector.newBuilder[Ppm]
+    var offset = 0
+    var going = true
+    while (going && offset < bytes.length) {
+      ppmParseAt(bytes, offset) match {
+        case Some((p, next)) => out += p; offset = next
+        case None => going = false
+      }
+    }
+    out.result()
+  }
+
+  /** One demuxed frame's real facts: geometry + mean sample read off
+    * that frame's own buffer. */
+  case class PpmFrame(doc_id: Long, frame_idx: Int, width: Int, height: Int,
+                      mean_px: Double)
+
+  /** Partition-wise REAL frame demux + per-frame decode — the 1→N
+    * generator shape of [[sampleFrames]] with an actual container
+    * walk instead of fixed-size byte chunks. */
+  def ppmFramesPartitions(df: DataFrame)(implicit s: SparkSession): Dataset[PpmFrame] = {
+    import s.implicits._
+    df.select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        ppmFrames(bytes).iterator.zipWithIndex.map { case (p, idx) =>
+          var sum = 0L
+          var k = 0
+          while (k < p.pixels.length) { sum += p.pixels(k) & 0xFF; k += 1 }
+          PpmFrame(id, idx, p.width, p.height, sum.toDouble / p.pixels.length)
+        }
+      }
   }
 
   /** Decoded-for-real P6 metadata: true parsed geometry and the mean

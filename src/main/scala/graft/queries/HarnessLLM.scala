@@ -689,6 +689,30 @@ object HarnessLLM {
         withPpmMedia(t(s, dir, "documents"))).toDF()
         .orderBy($"doc_id")
     }),
+    "multimodal_ppm_frames" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      // REAL frame demux (the codec-free video stand-in): each doc's
+      // payload is 2 + doc_id%3 concatenated P6 frames of growing
+      // height (16 x (2+f)), pixel bytes cycling the md5 digest of the
+      // text; the demuxer walks the container parsing each frame's own
+      // header and buffer. Per-frame mean is again the exact
+      // digest-sum/16 dyadic rational.
+      val mk = udf { (docId: Long, s2: String) =>
+        val digest = java.security.MessageDigest.getInstance("MD5")
+          .digest(s2.getBytes("UTF-8"))
+        val nFrames = 2 + (docId % 3).toInt
+        (0 until nFrames).toArray.flatMap { f =>
+          val h = 2 + f
+          Multimodal.ppmEncode(16, h,
+            Array.tabulate(16 * h * 3)(k => digest(k % 16)))
+        }
+      }
+      val withMedia = t(s, dir, "documents")
+        .withColumn("media", mk($"doc_id", $"text"))
+      Multimodal.ppmFramesPartitions(withMedia).toDF()
+        .orderBy($"doc_id", $"frame_idx")
+    }),
     "multimodal_wav_decode" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       import s.implicits._
@@ -1171,6 +1195,18 @@ object HarnessLLM {
          | CAST(12 + 48 * (4 + doc_id % 5) AS BIGINT) AS n_bytes,
          | ($digestSum) / 16.0 AS mean_px
          |FROM documents ORDER BY doc_id""".stripMargin
+    },
+    // REAL P6 frame demux: frame count / geometry follow from the
+    // synthesized container; per-frame mean is the digest-byte mean
+    // again (16-byte cycle divides every 48h-byte frame buffer)
+    "multimodal_ppm_frames" -> {
+      val digestSum = (0 until 16)
+        .map(i => s"CAST(('0x' || substr(md5(text), ${2 * i + 1}, 2)) AS INT)")
+        .mkString(" + ")
+      s"""SELECT doc_id, CAST(f AS INT) AS frame_idx, CAST(16 AS INT) AS width,
+         | CAST(2 + f AS INT) AS height, ($digestSum) / 16.0 AS mean_px
+         |FROM (SELECT doc_id, text, unnest(range(2 + doc_id % 3)) AS f FROM documents)
+         |ORDER BY doc_id, frame_idx""".stripMargin
     },
     // REAL PCM16 WAV decode: format facts follow from the synthesized
     // clip (44-byte canonical header + 2 bytes/sample); mean_sample

@@ -125,6 +125,22 @@ class IngestSpec extends AnyFunSuite with SparkTestBase {
     assert((0 until 3).map(c => down.pixels(c) & 0xFF) == r)
   }
 
+  test("PPM frame demux: back-to-back frames parse individually; trailing junk truncates") {
+    import graft.ops.Multimodal
+    val f1 = Multimodal.ppmEncode(2, 1, Array[Byte](1, 2, 3, 4, 5, 6))
+    val f2 = Multimodal.ppmEncode(1, 2, Array[Byte](7, 8, 9, 10, 11, 12))
+    val frames = Multimodal.ppmFrames(f1 ++ f2)
+    assert(frames.length == 2)
+    assert(frames(0).width == 2 && frames(0).height == 1 &&
+      frames(0).pixels.toSeq == Seq[Byte](1, 2, 3, 4, 5, 6))
+    assert(frames(1).width == 1 && frames(1).height == 2 &&
+      frames(1).pixels.toSeq == Seq[Byte](7, 8, 9, 10, 11, 12))
+    // trailing junk ends the walk after the valid prefix
+    val truncated = Multimodal.ppmFrames(f1 ++ "garbage".getBytes("US-ASCII"))
+    assert(truncated.length == 1 && truncated(0).width == 2)
+    assert(Multimodal.ppmFrames(Array.empty[Byte]).isEmpty)
+  }
+
   test("WAV decode: roundtrip, chunk-walk past extra chunks, non-PCM16 rejected") {
     import graft.ops.Multimodal
     val samples = Array[Short](0, 100, -100, 32767, -32768, 7)
