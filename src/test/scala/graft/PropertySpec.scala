@@ -329,6 +329,31 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("portable dedup ops are layout-invariant: any repartitioning, same output") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(sf("documents"))
+    def shOf(df: org.apache.spark.sql.DataFrame) =
+      df.select($"doc_id", Dedup.shingles($"text").as("__sh"))
+        .filter(size($"__sh") > 0)
+    def pairsOf(df: org.apache.spark.sql.DataFrame) =
+      Dedup.jaccardPairsExactOnShingles(shOf(df), "doc_id", "__sh", 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    def mhOf(df: org.apache.spark.sql.DataFrame) =
+      Dedup.minhashLshPortableOnShingles(shOf(df), "doc_id", "__sh")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    def sigOf(df: org.apache.spark.sql.DataFrame) =
+      Dedup.simhashPortable(df, $"doc_id", $"text")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val base = (pairsOf(docs), mhOf(docs), sigOf(docs))
+    for (n <- Seq(1, 7)) {
+      val re = docs.repartition(n, $"doc_id")
+      assert(pairsOf(re) == base._1, s"exact jaccard must not depend on layout (n=$n)")
+      assert(mhOf(re) == base._2, s"portable minhash must not depend on layout (n=$n)")
+      assert(sigOf(re) == base._3, s"portable simhash must not depend on layout (n=$n)")
+    }
+  }
+
   test("portable simhash is a pure function of the token multiset") {
     import spark.implicits._
     trials { rnd =>
