@@ -66,8 +66,30 @@ object Bench {
     // (failures are deterministic; rerunning one 3x only burns wall
     // clock) and records -1 as before.
     val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
+    // Regression guard (round 9): load the last committed per-key
+    // medians BEFORE this run overwrites the file, so any key that
+    // blows past 3x its prior time gets a loud stderr WARN and a
+    // `regressions` entry in the JSON — the r8 18 s surprise would
+    // have been caught in-session. Our own flat format, so a regex
+    // parse suffices (no JSON lib dependency).
+    val prevQueries: Map[String, Double] =
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("bench_full.json")), "UTF-8")
+        val qstart = txt.indexOf("\"queries\":{")
+        val qend = txt.indexOf("}", qstart)
+        val body = txt.substring(qstart + "\"queries\":{".length, qend)
+        val kv = """"([A-Za-z0-9_]+)":(-?[0-9.]+(?:[eE]-?[0-9]+)?)""".r
+        kv.findAllMatchIn(body).map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } catch { case _: Throwable => Map.empty }
+    // In-round iteration hook: SPARK_GRAFT_BENCH_KEYS=k1,k2 times just
+    // those keys. Unset (the driver's invocation) = the full suite.
+    val keyFilter = sys.env.get("SPARK_GRAFT_BENCH_KEYS")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     var failed = List.empty[String]
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = SparkEntry.queries
+      .filter { case (name, _) => keyFilter.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       var times = List.empty[Double]
       var dead = false
       var i = 0
@@ -83,14 +105,29 @@ object Bench {
         }
         i += 1
       }
-      val sec = if (times.isEmpty) -1.0 else times.sorted.apply(times.size / 2)
+      // a key that fails on ANY run records -1 (the "failed" contract)
+      // — a partial median of its surviving runs would contradict the
+      // `failed` array and pollute `total`
+      val sec = if (dead || times.isEmpty) -1.0 else times.sorted.apply(times.size / 2)
       name -> sec
     }
+    // >3x the last committed median AND >1s absolute — sub-second keys
+    // jitter past 3x on host noise alone and are never the story
+    val regressions = results.collect {
+      case (k, v) if v > 1.0 && prevQueries.get(k).exists(p => p > 0 && v > 3 * p) =>
+        System.err.println(f"BENCH REGRESSION key=$k: ${v}%.2fs vs prior ${prevQueries(k)}%.2fs (>${v / prevQueries(k)}%.1fx)")
+        k
+    }.toList
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs_per_key":$runs,"stat":"median","warmup_sec":$warmupSec,"ivf_index_build_sec":$ivfBuildSec,"pq_index_build_sec":$pqBuildSec,"doc_feats_build_sec":$docFeatsSec,"bucketed_build_sec":$bucketedSec,"failed":$failedJson}"""
+    val regJson = regressions.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // data-dependent scale counters the ops recorded while running
+    // (candidate-pair volumes etc.) — see graft.Metrics
+    val countersJson = Metrics.snapshot
+      .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs_per_key":$runs,"stat":"median","warmup_sec":$warmupSec,"ivf_index_build_sec":$ivfBuildSec,"pq_index_build_sec":$pqBuildSec,"doc_feats_build_sec":$docFeatsSec,"bucketed_build_sec":$bucketedSec,"failed":$failedJson,"regressions":$regJson,"counters":$countersJson}"""
     println(line)
     // The driver keeps only a 2000-char tail of stdout, which truncates
     // the per-key map and loses the total; persist the full line so

@@ -204,18 +204,33 @@ object Dedup {
                                    jaccardThreshold: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rows = numHashes / bands
+    // project each digest ONCE on the exploded relation — Catalyst does
+    // not reliably CSE a common md5 across sibling aggregate
+    // expressions, so inlining it in every min() re-hashed each shingle
+    // up to `numHashes` times (r8 plan audit: 2.2x the whole key); off
+    // a named column it is ceil(numHashes/4) md5 calls per shingle, as
+    // the family was designed to cost
+    val numDigests = (numHashes + 3) / 4
     val ex = sh.select(col(id), explode(col(shCol)).as("__g"))
+      .select(col(id) +: (0 until numDigests).map(j =>
+        md5(concat(lit(s"$j:"), col("__g"))).as(s"__d$j")): _*)
+    // min over the 7-char hex SUBSTRING, not its numeric conversion:
+    // fixed-width lowercase hex orders identically to its value, so
+    // the aggregate is unchanged while the (comparatively expensive)
+    // base conversion moves from per-shingle-per-hash (numHashes x
+    // exploded rows) to per-doc-per-hash on the 12 winners below —
+    // ~50x fewer conv() calls at this corpus's shingles/doc
     val minAggs = (0 until numHashes).map { i =>
       val j = i / 4 // digest index
       val c = i % 4 // 7-hex-digit chunk within the digest
-      min(conv(substring(md5(concat(lit(s"$j:"), col("__g"))), 1 + 7 * c, 7), 16, 10)
-        .cast("long")).as(s"__m$i")
+      min(substring(col(s"__d$j"), 1 + 7 * c, 7)).as(s"__m$i")
     }
     val sig = ex.groupBy(col(id)).agg(minAggs.head, minAggs.tail: _*)
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
-        concat_ws(",", (0 until rows).map(r => col(s"__m${b * rows + r}")
-          .cast("string")): _*).as("key"))
+        concat_ws(",", (0 until rows).map(r =>
+          conv(col(s"__m${b * rows + r}"), 16, 10).cast("long")
+            .cast("string")): _*).as("key"))
     }
     // materialize the banded signatures ONCE (both sides of the
     // self-join read them — without this Catalyst inlines the whole
@@ -235,6 +250,7 @@ object Dedup {
       .select(col(s"a.$id").as("id_a"), col(s"b.$id").as("id_b"))
       .distinct()
       .localCheckpoint(true)
+    graft.Metrics.record("minhash_band_candidates", cand.count())
     banded.unpersist(blocking = false)
     rescoreJaccard(cand, sh, id, shCol, jaccardThreshold)
   }
@@ -245,24 +261,53 @@ object Dedup {
     * shingles rare-first by global document frequency, keep only the
     * first `n - ceil(t*n) + 1` as the probe prefix (any pair with
     * Jaccard >= t MUST share a prefix shingle — the pigeonhole bound),
-    * join prefixes, and rescore the candidates exactly. A length
-    * filter (`least(na,nb) >= t*greatest(na,nb)` is necessary for
-    * J >= t) prunes cross-size candidates before the rescore join.
+    * join prefixes, and rescore the candidates exactly. Three filters
+    * run INSIDE the join condition, before any candidate materializes:
+    *
+    *  - length filter: `least(na,nb) >= t*greatest(na,nb)` is
+    *    necessary for J >= t;
+    *  - PPJoin positional filter (Xiao et al. WWW'08 §3.2): a
+    *    collision on the shingle at 0-based canonical positions
+    *    (pa, pb) can witness overlap at most
+    *    `1 + min(na-pa-1, nb-pb-1)` (this shingle plus both
+    *    suffixes); J >= t needs overlap
+    *    `alpha = ceil(t/(1+t) * (na+nb))`, so collisions whose bound
+    *    misses alpha are pruned. Exact recall is preserved: a
+    *    qualifying pair's FIRST common shingle (canonical order) lies
+    *    inside both pigeonhole prefixes (else too few shingles remain
+    *    to reach alpha, given the length filter) and every other
+    *    common shingle sits after it in both docs, so that collision
+    *    always passes the bound. This is what bounds candidate volume
+    *    when the corpus shares dense mid-frequency shingles — prefix +
+    *    length filters alone went quadratic-ish there (r8: one key at
+    *    21% of the whole bench suite).
+    *
     * Shuffles: df-count agg, one doc-keyed agg for ordering, the
-    * prefix equi-join, and the two id-keyed rescore joins — every one
-    * key-partitioned, no cross join anywhere. Unlike the LSH tier this
-    * is deterministic-complete, so an independent engine's brute-force
+    * prefix equi-join (pre-partitioned by shingle — see below), and
+    * the two id-keyed rescore joins — every one key-partitioned, no
+    * cross join anywhere. Unlike the LSH tier this is
+    * deterministic-complete, so an independent engine's brute-force
     * shared-shingle Jaccard is an exact oracle for it. */
   def jaccardPairsExactOnShingles(sh: DataFrame, id: String, shCol: String,
                                   threshold: Double): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0)
+    // Candidate generation runs in 64-BIT HASH SPACE: every shuffle,
+    // sort, aggregate, and the collision self-join below carry an
+    // xxhash64 of the shingle instead of the ~25-char string — the
+    // same candidate algebra at a fraction of the byte volume and
+    // compare cost. Correctness: equal strings always hash equal, so
+    // every true pair still collides (recall is exact up to an
+    // intra-pair 64-bit collision, ~2^-64); a cross-string collision
+    // can only ADD a candidate, and the rescore — which stays on the
+    // true string sets — rejects it. Precision is therefore exact.
     val ex = sh.select(col(id), explode(col(shCol)).as("__g"))
-    val dfreq = ex.groupBy(col("__g")).agg(count(lit(1)).as("__df"))
-    val prefixes = ex.join(dfreq, "__g")
+      .select(col(id), xxhash64(col("__g")).as("__h"))
+    val dfreq = ex.groupBy(col("__h")).agg(count(lit(1)).as("__df"))
+    val prefixes = ex.join(dfreq, "__h")
       .groupBy(col(id))
-      .agg(sort_array(collect_list(struct(col("__df"), col("__g")))).as("__ord"))
+      .agg(sort_array(collect_list(struct(col("__df"), col("__h")))).as("__ord"))
       .select(col(id), size(col("__ord")).as("__n"),
-        slice(transform(col("__ord"), x => x("__g")), lit(1),
+        slice(transform(col("__ord"), x => x("__h")), lit(1),
           (size(col("__ord")) - ceil(lit(threshold) * size(col("__ord"))) + lit(1))
             .cast("int")).as("__prefix"))
     // materialize the prefix postings ONCE (the self-join would
@@ -270,29 +315,73 @@ object Dedup {
     // sides — plan audit: 2x the heaviest stage), then reduce EAGERLY
     // to the tiny candidate pair list and release the cache. Persist,
     // not localCheckpoint: see [[minhashLshPortableOnShingles]].
-    val probes = prefixes.select(col(id), col("__n"), explode(col("__prefix")).as("__g"))
+    // Hash-partitioned by shingle BEFORE the persist: the cached
+    // relation then already satisfies the self-join's required
+    // distribution on both sides (zero extra Exchange) and — the r8
+    // reproducibility lesson — AQE has no stat-less post-shuffle
+    // decision left to flip between runs on this, the one join whose
+    // input size is corpus-sensitive.
+    // explicit partition COUNT, not just keys: a keys-only repartition
+    // is AQE-coalescible, and this relation is byte-tiny but
+    // compute-heavy downstream — AQE packed it into one partition and
+    // serialized the collision join (the other face of the r8
+    // driver-vs-builder spread)
+    val shufflePartitions = sh.sparkSession.sessionState.conf.numShufflePartitions
+    val probes = prefixes
+      .select(col(id), col("__n"), posexplode(col("__prefix")).as(Seq("__p", "__h")))
+      .repartition(shufflePartitions, col("__h"))
       .persist()
-    val cand = probes.as("a").join(probes.as("b"),
-        col("a.__g") === col("b.__g") && col(s"a.$id") < col(s"b.$id") &&
+    // required overlap for J >= t; the epsilon guards double-ceil
+    // over-rounding on exact integer multiples (t=0.5 -> (na+nb)/3)
+    val alpha = ceil(lit(threshold / (1.0 + threshold)) *
+      (col("a.__n") + col("b.__n")) - lit(1e-9))
+    // `merge` hint: the persisted probe relation sits right at the
+    // default broadcast threshold at test scale, so without the pin the
+    // planner flips BHJ/SMJ with ambient memory — the other half of the
+    // r8 run-to-run variance. Pre-partitioned inputs make the SMJ
+    // exchange-free; sorting the probe postings is negligible next to
+    // the collision fan-out.
+    val cand = probes.as("a").hint("merge").join(probes.as("b"),
+        col("a.__h") === col("b.__h") && col(s"a.$id") < col(s"b.$id") &&
           least(col("a.__n"), col("b.__n")).cast("double") >=
-            lit(threshold) * greatest(col("a.__n"), col("b.__n")))
+            lit(threshold) * greatest(col("a.__n"), col("b.__n")) &&
+          (lit(1) + least(col("a.__n") - col("a.__p") - 1,
+                          col("b.__n") - col("b.__p") - 1)) >= alpha)
       .select(col(s"a.$id").as("id_a"), col(s"b.$id").as("id_b"))
       .distinct()
       .localCheckpoint(true)
+    // candidate volume is THE scale variable of this op — surface it
+    // (count is free: the list is already eagerly materialized)
+    graft.Metrics.record("jaccard_prefix_candidates", cand.count())
     probes.unpersist(blocking = false)
     rescoreJaccard(cand, sh, id, shCol, threshold)
   }
 
   /** Shared exact-Jaccard rescore: join candidate (id_a, id_b) pairs
-    * back to their shingle arrays, keep `jaccard >= threshold`. */
+    * back to their shingle arrays, keep `jaccard >= threshold`.
+    *
+    * The candidate list arrives eagerly checkpointed and BYTE-tiny
+    * (two ids per row), so AQE's post-shuffle coalescing happily packs
+    * it into one partition — but each row then fans out to two shingle
+    * ARRAYS and a hash-set intersection, the expensive part, which ran
+    * single-threaded (r9 diagnosis of the r8 7.7x driver-vs-builder
+    * spread on the same commit: 5.3 s one-core vs 0.7 s on 32). The
+    * explicit hash repartition pins rescore parallelism to
+    * spark.sql.shuffle.partitions regardless of what AQE inferred from
+    * the pair list's byte size. Union is derived, not computed:
+    * |A∪B| = |A|+|B|−|A∩B| for the distinct shingle arrays, saving
+    * the second per-pair hash set + array allocation. */
   private def rescoreJaccard(cand: DataFrame, sh: DataFrame, id: String,
                              shCol: String, threshold: Double): DataFrame =
-    cand
+    // explicit count: a keys-only repartition is AQE-coalescible right
+    // back to the single partition this exists to avoid
+    cand.repartition(cand.sparkSession.sessionState.conf.numShufflePartitions,
+        col("id_a"), col("id_b"))
       .join(sh.select(col(id).as("id_a"), col(shCol).as("__sa")), "id_a")
       .join(sh.select(col(id).as("id_b"), col(shCol).as("__sb")), "id_b")
+      .withColumn("__i", size(array_intersect(col("__sa"), col("__sb"))).cast("double"))
       .withColumn("jaccard",
-        size(array_intersect(col("__sa"), col("__sb"))).cast("double") /
-          size(array_union(col("__sa"), col("__sb"))))
+        col("__i") / (size(col("__sa")) + size(col("__sb")) - col("__i")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
 
