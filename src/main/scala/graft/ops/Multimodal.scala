@@ -258,29 +258,34 @@ object Multimodal {
     if (!(bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
           bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E'))
       return None
-    var i = 12
+    // cursor and chunk sizes in LONG: RIFF sizes are unsigned 32-bit,
+    // and a crafted size near Int.MaxValue overflows the Int bounds
+    // check negative — the walk then indexes past the buffer and a
+    // hostile payload fails the whole task instead of dropping to None
+    var i = 12L
     var rate = -1
     var channels = -1
     var ok16Pcm = false
     while (i + 8 <= bytes.length) {
-      val id = new String(bytes, i, 4, "US-ASCII")
-      val size = le32(bytes, i + 4)
-      if (size < 0 || i + 8 + size > bytes.length) return None
+      val off = i.toInt
+      val id = new String(bytes, off, 4, "US-ASCII")
+      val size = le32(bytes, off + 4).toLong & 0xFFFFFFFFL
+      if (i + 8 + size > bytes.length) return None
       id match {
         case "fmt " =>
           if (size < 16) return None
-          val fmt = le16(bytes, i + 8)
-          channels = le16(bytes, i + 10)
-          rate = le32(bytes, i + 12)
-          val bits = le16(bytes, i + 22)
+          val fmt = le16(bytes, off + 8)
+          channels = le16(bytes, off + 10)
+          rate = le32(bytes, off + 12)
+          val bits = le16(bytes, off + 22)
           ok16Pcm = fmt == 1 && bits == 16 && channels >= 1 && rate > 0
         case "data" =>
           if (!ok16Pcm) return None // fmt must precede data, and be PCM16
           if (size % 2 != 0) return None
-          val samples = new Array[Short](size / 2)
+          val samples = new Array[Short]((size / 2).toInt)
           var k = 0
           while (k < samples.length) {
-            samples(k) = le16(bytes, i + 8 + 2 * k).toShort
+            samples(k) = le16(bytes, off + 8 + 2 * k).toShort
             k += 1
           }
           return Some(Wav(rate, channels, samples))

@@ -67,7 +67,7 @@ object TextIngest {
           .partitionBy("__batch")
           .parquet(storeDir)
         if (compactEvery > 0 &&
-            batchPartitionDirs(storeDir).length >= compactEvery)
+            batchPartitionDirs(stream.sparkSession, storeDir).length >= compactEvery)
           compactTermStats(stream.sparkSession, storeDir, upToBatch = batchId)
         onBatch(batchId)
       }
@@ -90,10 +90,26 @@ object TextIngest {
 
   private val CompactedBatchId = -1L
 
-  private def batchPartitionDirs(storeDir: String): Array[java.io.File] = {
-    val fs = new java.io.File(storeDir).listFiles()
-    if (fs == null) Array.empty
-    else fs.filter(f => f.isDirectory && f.getName.startsWith("__batch="))
+  /** List the store's `__batch=` partition directories through the
+    * Hadoop FileSystem API — the store path is a production URI
+    * (hdfs://, s3a://, file://), not necessarily a local file, and
+    * java.io.File would silently list nothing there, disabling
+    * compaction (the [[graft.io.Layout]] modules already go through
+    * this API for the same reason). */
+  private def batchPartitionDirs(spark: SparkSession,
+                                 storeDir: String): Array[org.apache.hadoop.fs.Path] = {
+    val root = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) Array.empty
+    else fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("__batch="))
+      .map(_.getPath)
+  }
+
+  private def deleteDir(spark: SparkSession, dir: org.apache.hadoop.fs.Path): Unit = {
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(dir, true)
+    ()
   }
 
   /** Fold committed batch partitions (id < `upToBatch`) into the
@@ -109,11 +125,11 @@ object TextIngest {
     * a replayed batch still overwrites exactly itself. */
   def compactTermStats(spark: SparkSession, storeDir: String,
                        upToBatch: Long, targetFiles: Int = 1): Unit = {
-    val fold = batchPartitionDirs(storeDir)
+    val fold = batchPartitionDirs(spark, storeDir)
       .filter(_.getName.stripPrefix("__batch=").toLong < upToBatch)
     if (fold.length > 1) {
       val folded = spark.read.option("basePath", storeDir)
-        .parquet(fold.map(_.getPath).toIndexedSeq: _*)
+        .parquet(fold.map(_.toString).toIndexedSeq: _*)
         .select(col("term"), col("tf"), col("df"), col("__src"))
         .distinct()
         .withColumn("__batch", lit(CompactedBatchId))
@@ -126,7 +142,7 @@ object TextIngest {
         .partitionBy("__batch")
         .parquet(storeDir)
       fold.filter(_.getName != s"__batch=$CompactedBatchId")
-        .foreach(org.apache.commons.io.FileUtils.deleteDirectory)
+        .foreach(deleteDir(spark, _))
       spark.catalog.refreshByPath(storeDir)
     }
   }
@@ -166,7 +182,7 @@ object TextIngest {
             .partitionBy("__batch")
             .parquet(s"$storeDir/docs")
           if (compactEvery > 0 &&
-              batchPartitionDirs(s"$storeDir/postings").length >= compactEvery)
+              batchPartitionDirs(stream.sparkSession, s"$storeDir/postings").length >= compactEvery)
             compactInvertedIndex(stream.sparkSession, storeDir, upToBatch = batchId)
           onBatch(batchId)
         } finally { toks.unpersist(); () }
@@ -184,11 +200,11 @@ object TextIngest {
                            upToBatch: Long, targetFiles: Int = 1): Unit = {
     def foldOne(sub: String, dataCols: Seq[String]): Unit = {
       val dir = s"$storeDir/$sub"
-      val fold = batchPartitionDirs(dir)
+      val fold = batchPartitionDirs(spark, dir)
         .filter(_.getName.stripPrefix("__batch=").toLong < upToBatch)
       if (fold.length > 1) {
         val folded = spark.read.option("basePath", dir)
-          .parquet(fold.map(_.getPath).toIndexedSeq: _*)
+          .parquet(fold.map(_.toString).toIndexedSeq: _*)
           .select(dataCols.map(col): _*)
           .distinct()
           .withColumn("__batch", lit(CompactedBatchId))
@@ -199,7 +215,7 @@ object TextIngest {
           .partitionBy("__batch")
           .parquet(dir)
         fold.filter(_.getName != s"__batch=$CompactedBatchId")
-          .foreach(org.apache.commons.io.FileUtils.deleteDirectory)
+          .foreach(deleteDir(spark, _))
         spark.catalog.refreshByPath(dir)
       }
     }
@@ -218,10 +234,18 @@ object TextIngest {
     * partials folded in term_pos order. */
   def bm25FromStore(spark: SparkSession, storeDir: String, queries: DataFrame,
                     k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    // (doc_id, term, tf) and (doc_id, dl) are globally unique by
+    // construction (a doc lands wholly in one batch), so the distinct
+    // only ever removes the duplicates a compaction crash window
+    // leaves behind (compacted rows written, stale batch partitions
+    // not yet deleted) — without it df, N and Σdl would double inside
+    // that window. Mirrors [[termStatsFromStore]]'s guard.
     val postings = spark.read.parquet(s"$storeDir/postings")
       .select(col("doc_id"), col("term").as("__w"), col("tf").as("__tf"))
+      .distinct()
     val docs = spark.read.parquet(s"$storeDir/docs")
       .select(col("doc_id"), col("dl"))
+      .distinct()
     val stats = docs.agg(count(lit(1)).as("__n"), sum(col("dl")).as("__sdl"))
     val qTerms = queries.select(col("term")).distinct()
     // materialize the pruned tf relation once, like [[Text.bm25Dynamic]]

@@ -159,6 +159,15 @@ class IngestSpec extends AnyFunSuite with SparkTestBase {
     assert(Multimodal.wavDecode(wav.dropRight(1)).isEmpty)
     val nonPcm = wav.clone; nonPcm(20) = 3 // IEEE float format tag
     assert(Multimodal.wavDecode(nonPcm).isEmpty)
+    // hostile chunk size near UInt32 max: Int arithmetic would
+    // overflow the bounds check negative and index past the buffer —
+    // must drop to None, never throw (one bad row != a failed task)
+    val hostile = wav.clone
+    hostile(40) = -1; hostile(41) = -1; hostile(42) = -1; hostile(43) = -1
+    assert(Multimodal.wavDecode(hostile).isEmpty)
+    val hostileFmt = wav.clone // oversize the fmt chunk instead
+    hostileFmt(16) = -8; hostileFmt(17) = -1; hostileFmt(18) = -1; hostileFmt(19) = 127
+    assert(Multimodal.wavDecode(hostileFmt).isEmpty)
   }
 
   test("CSV ingest -> overwrite sink -> prepData -> Q1, end to end") {

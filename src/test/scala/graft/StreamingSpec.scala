@@ -761,10 +761,34 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     // (idempotent)
     def partitions(sub: String) = new java.io.File(s"$store/$sub").listFiles()
       .count(f => f.isDirectory && f.getName.startsWith("__batch="))
+    // keep stale copies of batch 0 to resurrect (the crash window:
+    // compacted write landed, stale-partition delete did not)
+    val staleP = new java.io.File("/tmp/graft_test/inv_index_stale_postings")
+    val staleD = new java.io.File("/tmp/graft_test/inv_index_stale_docs")
+    org.apache.commons.io.FileUtils.deleteQuietly(staleP)
+    org.apache.commons.io.FileUtils.deleteQuietly(staleD)
+    org.apache.commons.io.FileUtils.copyDirectory(
+      new java.io.File(s"$store/postings", "__batch=0"), staleP)
+    org.apache.commons.io.FileUtils.copyDirectory(
+      new java.io.File(s"$store/docs", "__batch=0"), staleD)
     TextIngest.compactInvertedIndex(spark, store, upToBatch = 3)
     assert(partitions("postings") == 1 && partitions("docs") == 1)
     assert(scores(TextIngest.bm25FromStore(spark, store, queries)) === batch)
     TextIngest.compactInvertedIndex(spark, store, upToBatch = 3)
+    assert(scores(TextIngest.bm25FromStore(spark, store, queries)) === batch)
+    // crash window: stale partitions reappear beside their relocated
+    // rows — served scores must dedup, not double df/N/Σdl
+    org.apache.commons.io.FileUtils.copyDirectory(
+      staleP, new java.io.File(s"$store/postings", "__batch=0"))
+    org.apache.commons.io.FileUtils.copyDirectory(
+      staleD, new java.io.File(s"$store/docs", "__batch=0"))
+    spark.catalog.refreshByPath(s"$store/postings")
+    spark.catalog.refreshByPath(s"$store/docs")
+    assert(scores(TextIngest.bm25FromStore(spark, store, queries)) === batch,
+      "serving inside the compaction crash window must not double-count")
+    // and the next compaction self-heals the store
+    TextIngest.compactInvertedIndex(spark, store, upToBatch = 3)
+    assert(partitions("postings") == 1 && partitions("docs") == 1)
     assert(scores(TextIngest.bm25FromStore(spark, store, queries)) === batch)
   }
 
