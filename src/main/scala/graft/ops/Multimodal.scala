@@ -66,6 +66,12 @@ object Multimodal {
   /** Parsed P6 image: real geometry plus the raw sample buffer. */
   final case class Ppm(width: Int, height: Int, pixels: Array[Byte])
 
+  /** Parsed netpbm RAW image of any of the three binary formats:
+    * `samples` holds w*h*3 rgb bytes (P6), w*h gray bytes (P5), or
+    * MSB-first row-packed bits with each row padded to a byte
+    * boundary (P4, per the netpbm spec). */
+  final case class Pnm(format: String, width: Int, height: Int, samples: Array[Byte])
+
   /** REAL P6 parser (netpbm spec: whitespace-separated header tokens,
     * `#` comments allowed inside the header, single whitespace byte
     * after maxval, then w*h*3 raw samples). Returns None for anything
@@ -74,12 +80,31 @@ object Multimodal {
   def ppmDecode(bytes: Array[Byte]): Option[Ppm] =
     ppmParseAt(bytes, 0).map(_._1)
 
-  /** Parse one P6 image starting at `offset`; returns the image and
-    * the offset just past its sample buffer — the demultiplexer step
-    * for concatenated-frame streams ([[ppmFrames]]). */
-  private def ppmParseAt(bytes: Array[Byte], offset: Int): Option[(Ppm, Int)] = {
-    if (bytes.length - offset < 2 || bytes(offset) != 'P' || bytes(offset + 1) != '6')
-      return None
+  /** REAL parser for any binary netpbm image (P4 bitmap / P5 graymap /
+    * P6 pixmap) — the whole codec-free netpbm family, one header walk. */
+  def pnmDecode(bytes: Array[Byte]): Option[Pnm] =
+    pnmParseAt(bytes, 0).map(_._1)
+
+  /** Parse one P6 image starting at `offset` (P4/P5 payloads are not
+    * this API's format — None). */
+  private def ppmParseAt(bytes: Array[Byte], offset: Int): Option[(Ppm, Int)] =
+    pnmParseAt(bytes, offset).collect {
+      case (Pnm("P6", w, h, px), next) => (Ppm(w, h, px), next)
+    }
+
+  /** Parse one binary netpbm image starting at `offset`; returns the
+    * image and the offset just past its sample buffer — the
+    * demultiplexer step for concatenated-frame streams
+    * ([[pnmFrames]]). P4 has no maxval token; P5/P6 must be 8-bit
+    * (maxval <= 255). */
+  private def pnmParseAt(bytes: Array[Byte], offset: Int): Option[(Pnm, Int)] = {
+    if (bytes.length - offset < 2 || bytes(offset) != 'P') return None
+    val fmt = bytes(offset + 1) match {
+      case '4' => "P4"
+      case '5' => "P5"
+      case '6' => "P6"
+      case _   => return None
+    }
     var i = offset + 2
     def skipWs(): Unit = {
       var in = true
@@ -99,12 +124,20 @@ object Multimodal {
       }
       if (i == start) -1 else v
     }
-    val w = num(); val h = num(); val maxv = num()
-    if (w <= 0 || h <= 0 || maxv <= 0 || maxv > 255) return None
-    i += 1 // exactly one whitespace byte separates maxval from samples
-    val n = w.toLong * h * 3
-    if (n > Int.MaxValue || bytes.length - i < n) return None
-    Some((Ppm(w, h, java.util.Arrays.copyOfRange(bytes, i, i + n.toInt)), i + n.toInt))
+    val w = num(); val h = num()
+    if (w <= 0 || h <= 0) return None
+    if (fmt != "P4") {
+      val maxv = num()
+      if (maxv <= 0 || maxv > 255) return None
+    }
+    i += 1 // exactly one whitespace byte separates the header from samples
+    val n: Long = fmt match {
+      case "P6" => w.toLong * h * 3
+      case "P5" => w.toLong * h
+      case _    => ((w + 7) / 8).toLong * h // P4: packed bits, row-padded
+    }
+    if (n > Int.MaxValue || i.toLong + n > bytes.length) return None
+    Some((Pnm(fmt, w, h, java.util.Arrays.copyOfRange(bytes, i, i + n.toInt)), i + n.toInt))
   }
 
   /** REAL frame demultiplexer for a concatenated-P6 stream (the
@@ -118,6 +151,48 @@ object Multimodal {
     var going = true
     while (going && offset < bytes.length) {
       ppmParseAt(bytes, offset) match {
+        case Some((p, next)) => out += p; offset = next
+        case None => going = false
+      }
+    }
+    out.result()
+  }
+
+  /** Encode a raw grayscale buffer as a binary PGM (P5): ASCII header
+    * + w*h raw samples. */
+  def pgmEncode(w: Int, h: Int, gray: Array[Byte]): Array[Byte] = {
+    require(gray.length == w * h, s"need ${w * h} samples, got ${gray.length}")
+    val header = s"P5\n$w $h\n255\n".getBytes("US-ASCII")
+    val out = new Array[Byte](header.length + gray.length)
+    System.arraycopy(header, 0, out, 0, header.length)
+    System.arraycopy(gray, 0, out, header.length, gray.length)
+    out
+  }
+
+  /** Encode row-packed bits as a binary PBM (P4): ASCII header +
+    * ceil(w/8)*h packed bytes (MSB-first rows, already padded). */
+  def pbmEncode(w: Int, h: Int, packed: Array[Byte]): Array[Byte] = {
+    require(packed.length == ((w + 7) / 8) * h,
+      s"need ${((w + 7) / 8) * h} packed bytes, got ${packed.length}")
+    val header = s"P4\n$w $h\n".getBytes("US-ASCII")
+    val out = new Array[Byte](header.length + packed.length)
+    System.arraycopy(header, 0, out, 0, header.length)
+    System.arraycopy(packed, 0, out, header.length, packed.length)
+    out
+  }
+
+  /** REAL frame demultiplexer for a concatenated netpbm stream whose
+    * frames may MIX the binary formats (P4/P5/P6) — strictly more
+    * container-walk than [[ppmFrames]]: each frame's format is read
+    * from its own magic, its buffer length follows from its own
+    * header. Trailing bytes that do not start a valid frame end the
+    * walk. */
+  def pnmFrames(bytes: Array[Byte]): Vector[Pnm] = {
+    val out = Vector.newBuilder[Pnm]
+    var offset = 0
+    var going = true
+    while (going && offset < bytes.length) {
+      pnmParseAt(bytes, offset) match {
         case Some((p, next)) => out += p; offset = next
         case None => going = false
       }
@@ -167,6 +242,107 @@ object Multimodal {
             PpmMeta(id, p.width, p.height, bytes.length.toLong,
               sum.toDouble / p.pixels.length)
           }
+        }
+      }
+  }
+
+  /** Decoded-for-real P5 metadata: parsed geometry + the mean gray
+    * sample read off the actual buffer. */
+  case class PgmMeta(doc_id: Long, width: Int, height: Int, n_bytes: Long,
+                     mean_px: Double)
+
+  /** Partition-wise REAL P5 (grayscale) decode; non-P5 payloads drop
+    * to the codec path. */
+  def decodePgmPartitions(df: DataFrame)(implicit s: SparkSession): Dataset[PgmMeta] = {
+    import s.implicits._
+    df.select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          pnmDecode(bytes).collect { case p @ Pnm("P5", _, _, px) =>
+            var sum = 0L
+            var k = 0
+            while (k < px.length) { sum += px(k) & 0xFF; k += 1 }
+            PgmMeta(id, p.width, p.height, bytes.length.toLong,
+              sum.toDouble / px.length)
+          }
+        }
+      }
+  }
+
+  /** Decoded-for-real P4 metadata: parsed geometry + the SET-BIT count
+    * popcounted off the actual packed rows (`ones_ratio` = ones over
+    * w*h — exact-int/exact-int, so cross-engine bit-identical). */
+  case class PbmMeta(doc_id: Long, width: Int, height: Int, n_ones: Long,
+                     ones_ratio: Double)
+
+  /** Partition-wise REAL P4 (bitmap) decode; honest about row padding
+    * — pad bits beyond `w` in each packed row are masked out of the
+    * popcount, per the netpbm spec. */
+  def decodePbmPartitions(df: DataFrame)(implicit s: SparkSession): Dataset[PbmMeta] = {
+    import s.implicits._
+    df.select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          pnmDecode(bytes).collect { case p @ Pnm("P4", w, h, rows) =>
+            val rowBytes = (w + 7) / 8
+            var ones = 0L
+            var r = 0
+            while (r < h) {
+              var b = 0
+              while (b < rowBytes) {
+                var v = rows(r * rowBytes + b) & 0xFF
+                if (b == rowBytes - 1 && w % 8 != 0)
+                  v &= 0xFF << (8 - w % 8) // mask row-pad bits
+                ones += Integer.bitCount(v)
+                b += 1
+              }
+              r += 1
+            }
+            PbmMeta(id, w, h, ones, ones.toDouble / (w.toLong * h))
+          }
+        }
+      }
+  }
+
+  /** One mixed-stream frame's real facts: its own format tag,
+    * geometry, and mean sample (P5/P6: mean byte; P4: mean BIT — the
+    * ink ratio). */
+  case class PnmFrame(doc_id: Long, frame_idx: Int, format: String,
+                      width: Int, height: Int, mean_px: Double)
+
+  /** Partition-wise REAL mixed-format frame demux + per-frame decode:
+    * the [[ppmFramesPartitions]] shape over [[pnmFrames]], so one
+    * container can interleave P4/P5/P6 frames and each row reports
+    * facts read from its own frame's buffer. */
+  def pnmFramesPartitions(df: DataFrame)(implicit s: SparkSession): Dataset[PnmFrame] = {
+    import s.implicits._
+    df.select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        pnmFrames(bytes).iterator.zipWithIndex.map { case (p, idx) =>
+          val mean = p.format match {
+            case "P4" =>
+              val rowBytes = (p.width + 7) / 8
+              var ones = 0L
+              var r = 0
+              while (r < p.height) {
+                var b = 0
+                while (b < rowBytes) {
+                  var v = p.samples(r * rowBytes + b) & 0xFF
+                  if (b == rowBytes - 1 && p.width % 8 != 0)
+                    v &= 0xFF << (8 - p.width % 8)
+                  ones += Integer.bitCount(v)
+                  b += 1
+                }
+                r += 1
+              }
+              ones.toDouble / (p.width.toLong * p.height)
+            case _ =>
+              var sum = 0L
+              var k = 0
+              while (k < p.samples.length) { sum += p.samples(k) & 0xFF; k += 1 }
+              sum.toDouble / p.samples.length
+          }
+          PnmFrame(id, idx, p.format, p.width, p.height, mean)
         }
       }
   }

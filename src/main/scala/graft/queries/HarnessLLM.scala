@@ -151,6 +151,35 @@ object HarnessLLM {
     df.withColumn("media", mk(col("doc_id"), col("text")))
   }
 
+  /** Deterministic P5 payload per document: 16 x (4 + doc_id%5) gray
+    * samples cycling the md5 digest — same closed-form-mean trick as
+    * [[withPpmMedia]] (16-byte cycle divides the 16h buffer). */
+  private def withPgmMedia(df: DataFrame): DataFrame = {
+    val mk = udf { (docId: Long, s: String) =>
+      val w = 16
+      val h = 4 + (docId % 5).toInt
+      val digest = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      Multimodal.pgmEncode(w, h, Array.tabulate(w * h)(k => digest(k % 16)))
+    }
+    df.withColumn("media", mk(col("doc_id"), col("text")))
+  }
+
+  /** Deterministic P4 payload per document: 32 x 4*(1 + doc_id%3)
+    * packed bits cycling the md5 digest — 4 packed bytes/row, so the
+    * 16-byte cycle divides the 4h buffer (h multiple of 4) and the
+    * decoder's popcount is EXACTLY (h/4) x popcount(digest). */
+  private def withPbmMedia(df: DataFrame): DataFrame = {
+    val mk = udf { (docId: Long, s: String) =>
+      val w = 32
+      val h = 4 * (1 + (docId % 3).toInt)
+      val digest = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      Multimodal.pbmEncode(w, h, Array.tabulate((w / 8) * h)(k => digest(k % 16)))
+    }
+    df.withColumn("media", mk(col("doc_id"), col("text")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- deduplication ----
     "dedup_exact" -> ((s, dir) => {
@@ -713,6 +742,50 @@ object HarnessLLM {
       Multimodal.ppmFramesPartitions(withMedia).toDF()
         .orderBy($"doc_id", $"frame_idx")
     }),
+    "multimodal_pgm_decode" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      // REAL grayscale decode: the generalized netpbm parser reads a
+      // P5 header + gray buffer; mean is the exact digest-sum/16
+      // dyadic rational (16-byte cycle divides the 16h buffer).
+      Multimodal.decodePgmPartitions(
+        withPgmMedia(t(s, dir, "documents"))).toDF()
+        .orderBy($"doc_id")
+    }),
+    "multimodal_pbm_decode" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      // REAL bitmap decode: P4 packed rows, popcounted off the actual
+      // buffer — n_ones is (h/4) x popcount(digest) by construction,
+      // ones_ratio an exact-int/exact-int division.
+      Multimodal.decodePbmPartitions(
+        withPbmMedia(t(s, dir, "documents"))).toDF()
+        .orderBy($"doc_id")
+    }),
+    "multimodal_pnm_frames" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      // REAL MIXED-format demux: frames alternate P6 (even idx) and
+      // P5 (odd idx) inside one container, each parsed off its own
+      // magic + header — the shape a real multimodal shard has, where
+      // consecutive records are not all the same codec.
+      val mk = udf { (docId: Long, s2: String) =>
+        val digest = java.security.MessageDigest.getInstance("MD5")
+          .digest(s2.getBytes("UTF-8"))
+        val nFrames = 2 + (docId % 3).toInt
+        (0 until nFrames).toArray.flatMap { f =>
+          val h = 2 + f
+          if (f % 2 == 0)
+            Multimodal.ppmEncode(16, h, Array.tabulate(16 * h * 3)(k => digest(k % 16)))
+          else
+            Multimodal.pgmEncode(16, h, Array.tabulate(16 * h)(k => digest(k % 16)))
+        }
+      }
+      val withMedia = t(s, dir, "documents")
+        .withColumn("media", mk($"doc_id", $"text"))
+      Multimodal.pnmFramesPartitions(withMedia).toDF()
+        .orderBy($"doc_id", $"frame_idx")
+    }),
     "multimodal_wav_decode" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       import s.implicits._
@@ -1205,6 +1278,48 @@ object HarnessLLM {
         .mkString(" + ")
       s"""SELECT doc_id, CAST(f AS INT) AS frame_idx, CAST(16 AS INT) AS width,
          | CAST(2 + f AS INT) AS height, ($digestSum) / 16.0 AS mean_px
+         |FROM (SELECT doc_id, text, unnest(range(2 + doc_id % 3)) AS f FROM documents)
+         |ORDER BY doc_id, frame_idx""".stripMargin
+    },
+    // REAL P5 decode: geometry/byte size follow from the synthesized
+    // 16x(4+doc_id%5) graymap (12-byte header + 16h samples); mean_px
+    // is the digest-byte mean again
+    "multimodal_pgm_decode" -> {
+      val digestSum = (0 until 16)
+        .map(i => s"CAST(('0x' || substr(md5(text), ${2 * i + 1}, 2)) AS INT)")
+        .mkString(" + ")
+      s"""SELECT doc_id, CAST(16 AS INT) AS width,
+         | CAST(4 + doc_id % 5 AS INT) AS height,
+         | CAST(12 + 16 * (4 + doc_id % 5) AS BIGINT) AS n_bytes,
+         | ($digestSum) / 16.0 AS mean_px
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+    // REAL P4 decode: the synthesized 32 x 4*(1+doc_id%3) bitmap packs
+    // digest bytes, so the decoder's buffer popcount is exactly
+    // (h/4) x popcount(digest); the oracle popcounts the same digest
+    // hex-digit-wise. ones_ratio is exact-int/exact-int.
+    "multimodal_pbm_decode" ->
+      """WITH pc AS (
+        | SELECT doc_id,
+        |  CAST(4 * (1 + doc_id % 3) AS INT) AS height,
+        |  list_sum([bit_count(CAST(('0x' || substr(md5(text), i, 1)) AS INT))
+        |            FOR i IN range(1, 33)]) AS popcount
+        | FROM documents)
+        |SELECT doc_id, CAST(32 AS INT) AS width, height,
+        | CAST((height // 4) * popcount AS BIGINT) AS n_ones,
+        | CAST((height // 4) * popcount AS DOUBLE) / (32 * height) AS ones_ratio
+        |FROM pc ORDER BY doc_id""".stripMargin,
+    // REAL mixed-format demux: per-frame format from its own magic
+    // (P6 even, P5 odd by construction), geometry from its own
+    // header, mean the digest-byte mean for both sample layouts
+    "multimodal_pnm_frames" -> {
+      val digestSum = (0 until 16)
+        .map(i => s"CAST(('0x' || substr(md5(text), ${2 * i + 1}, 2)) AS INT)")
+        .mkString(" + ")
+      s"""SELECT doc_id, CAST(f AS INT) AS frame_idx,
+         | CASE WHEN f % 2 = 0 THEN 'P6' ELSE 'P5' END AS format,
+         | CAST(16 AS INT) AS width, CAST(2 + f AS INT) AS height,
+         | ($digestSum) / 16.0 AS mean_px
          |FROM (SELECT doc_id, text, unnest(range(2 + doc_id % 3)) AS f FROM documents)
          |ORDER BY doc_id, frame_idx""".stripMargin
     },
