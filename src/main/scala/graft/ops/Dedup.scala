@@ -175,33 +175,16 @@ object Dedup {
     agged.withColumn("simhash", sig).select(id, col("simhash"))
   }
 
-  /** Engine-portable MinHash + LSH banding over a pre-shingled corpus
-    * (`shCol` = the distinct shingle array [[shingles]] emits):
-    * `numHashes` md5-derived min-hashes, banded
-    * `bands` × `numHashes/bands`; candidate pairs collide on (band,
-    * concatenated-band-signature); candidates — and ONLY candidates —
-    * are rescored with exact shingle-set Jaccard and kept at
-    * `>= jaccardThreshold`. The shape is [[minhashNearDupsOnFeatures]]'s
-    * (band-bucket join, never all-pairs) but with seed-free md5 hashes,
-    * so an independent engine reproduces signatures, bands, candidate
-    * set, and rescore bit for bit — which is what upgrades this from a
-    * rows-only check to a hash-exact cross-engine oracle. The rescore
-    * division is exact-int/exact-int in double: identical everywhere.
-    *
-    * The hash family slices each 128-bit digest into FOUR independent
-    * 28-bit values (hex digits 1-7, 8-14, 15-21, 22-28), so `numHashes`
-    * min-hashes cost `ceil(numHashes/4)` md5 calls per shingle instead
-    * of `numHashes` — hashing is THE dominant cost of minhash
-    * featurization at corpus scale, and digest bits are independent by
-    * construction. (Bloom-filter-style double hashing `h1 + i·h2` is
-    * tempting but WRONG here: the min over a set correlates the family
-    * — a near-dup pair whose one differing shingle carries a small h2
-    * loses every h_i at once, and a planted ~0.99 pair measurably
-    * missed all bands. Distinct digest bits restore per-hash
-    * independence.) */
-  def minhashLshPortableOnShingles(sh: DataFrame, id: String, shCol: String,
-                                   numHashes: Int = 12, bands: Int = 4,
-                                   jaccardThreshold: Double = 0.5): DataFrame = {
+  /** The (id, __band, __key) banded portable signature relation — the
+    * scan + doc-keyed aggregate shared verbatim by the batch op below
+    * and the streaming maintenance ([[graft.streaming.DedupIngest]]):
+    * a doc's signature depends only on its own shingle set, so the
+    * per-micro-batch computation is bit-identical to the batch one —
+    * which is what lets the stream-built store serve the batch key's
+    * oracle. */
+  private[graft] def portableBandSignatures(sh: DataFrame, id: String, shCol: String,
+                                            numHashes: Int = 12,
+                                            bands: Int = 4): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rows = numHashes / bands
     // project each digest ONCE on the exploded relation — Catalyst does
@@ -232,6 +215,37 @@ object Dedup {
           conv(col(s"__m${b * rows + r}"), 16, 10).cast("long")
             .cast("string")): _*).as("key"))
     }
+    sig.select(col(id), explode(array(bandCols: _*)).as("__b"))
+      .select(col(id), col("__b.band").as("__band"), col("__b.key").as("__key"))
+  }
+
+  /** Engine-portable MinHash + LSH banding over a pre-shingled corpus
+    * (`shCol` = the distinct shingle array [[shingles]] emits):
+    * `numHashes` md5-derived min-hashes, banded
+    * `bands` × `numHashes/bands`; candidate pairs collide on (band,
+    * concatenated-band-signature); candidates — and ONLY candidates —
+    * are rescored with exact shingle-set Jaccard and kept at
+    * `>= jaccardThreshold`. The shape is [[minhashNearDupsOnFeatures]]'s
+    * (band-bucket join, never all-pairs) but with seed-free md5 hashes,
+    * so an independent engine reproduces signatures, bands, candidate
+    * set, and rescore bit for bit — which is what upgrades this from a
+    * rows-only check to a hash-exact cross-engine oracle. The rescore
+    * division is exact-int/exact-int in double: identical everywhere.
+    *
+    * The hash family slices each 128-bit digest into FOUR independent
+    * 28-bit values (hex digits 1-7, 8-14, 15-21, 22-28), so `numHashes`
+    * min-hashes cost `ceil(numHashes/4)` md5 calls per shingle instead
+    * of `numHashes` — hashing is THE dominant cost of minhash
+    * featurization at corpus scale, and digest bits are independent by
+    * construction. (Bloom-filter-style double hashing `h1 + i·h2` is
+    * tempting but WRONG here: the min over a set correlates the family
+    * — a near-dup pair whose one differing shingle carries a small h2
+    * loses every h_i at once, and a planted ~0.99 pair measurably
+    * missed all bands. Distinct digest bits restore per-hash
+    * independence.) */
+  def minhashLshPortableOnShingles(sh: DataFrame, id: String, shCol: String,
+                                   numHashes: Int = 12, bands: Int = 4,
+                                   jaccardThreshold: Double = 0.5): DataFrame = {
     // materialize the banded signatures ONCE (both sides of the
     // self-join read them — without this Catalyst inlines the whole
     // explode+groupBy signature pipeline into each side), then reduce
@@ -241,8 +255,7 @@ object Dedup {
     // relation itself, because a checkpointed LogicalRDD carries no
     // size stats and demotes every downstream broadcast join to SMJ
     // (measured 2.4x slower on the prefix-join sibling).
-    val banded = sig.select(col(id), explode(array(bandCols: _*)).as("__b"))
-      .select(col(id), col("__b.band").as("__band"), col("__b.key").as("__key"))
+    val banded = portableBandSignatures(sh, id, shCol, numHashes, bands)
       .persist()
     val cand = banded.as("a").join(banded.as("b"),
         col("a.__band") === col("b.__band") && col("a.__key") === col("b.__key") &&
@@ -371,8 +384,8 @@ object Dedup {
     * the pair list's byte size. Union is derived, not computed:
     * |A∪B| = |A|+|B|−|A∩B| for the distinct shingle arrays, saving
     * the second per-pair hash set + array allocation. */
-  private def rescoreJaccard(cand: DataFrame, sh: DataFrame, id: String,
-                             shCol: String, threshold: Double): DataFrame =
+  private[graft] def rescoreJaccard(cand: DataFrame, sh: DataFrame, id: String,
+                                    shCol: String, threshold: Double): DataFrame =
     // explicit count: a keys-only repartition is AQE-coalescible right
     // back to the single partition this exists to avoid
     cand.repartition(cand.sparkSession.sessionState.conf.numShufflePartitions,

@@ -470,6 +470,28 @@ object HarnessLLM {
       graft.streaming.TextIngest.bm25FromStore(s, store, queries)
         .orderBy($"query_id", $"doc_id")
     }),
+    "stream_minhash_ingest" -> ((s, dir) => {
+      import s.implicits._
+      // Streaming near-dup maintenance: documents stream in; each
+      // micro-batch appends its portable minhash band signatures +
+      // shingle arrays to a batch-partitioned store (per-doc,
+      // seed-free md5 — bit-identical to the batch build); near-dup
+      // pairs are served as a band-collision join over the store plus
+      // the exact rescore, never rescanning the corpus text. The
+      // served relation IS the batch dedup_minhash key, so that
+      // oracle applies verbatim. Stream==batch signature equality on
+      // split corpora is pinned in StreamingSpec.
+      val docs = t(s, dir, "documents")
+      val store = "/tmp/graft_stage/minhash_store"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(store))
+      val stream = s.readStream.schema(docs.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(dir)
+      graft.streaming.DedupIngest.maintainMinhash(stream, "doc_id", "text", store)
+        .awaitTermination()
+      graft.streaming.DedupIngest.nearDupsFromStore(s, store)
+        .orderBy($"id_a", $"id_b")
+    }),
     "stream_pq_ingest" -> ((s, dir) => {
       import s.implicits._
       // the PQ half of the ingest-time-column story: the stream
@@ -892,13 +914,15 @@ object HarnessLLM {
       | round(list_sum(list(c ORDER BY term_pos)), 6) AS bm25
       |FROM contrib GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
-  val oracles: Map[String, String] = Map(
-    // the identical md5 min-hash family (hash i = the (i%4)-th 7-hex
-    // chunk of md5((i//4) || ':' || g) — four independent 28-bit
-    // values per digest), banding, candidate join, and exact rescore
-    // as minhashLshPortableOnShingles — seed-free, so bit-exact
-    "dedup_minhash" ->
-      (shOracle + """,
+  /** Shared by `dedup_minhash` and `stream_minhash_ingest`: the served
+    * path band-joins the stream-built signature store and rescores off
+    * the stored shingle arrays — the identical md5 min-hash family
+    * (hash i = the (i%4)-th 7-hex chunk of md5((i//4) || ':' || g) —
+    * four independent 28-bit values per digest), banding, candidate
+    * join, and exact rescore as minhashLshPortableOnShingles, so one
+    * bit-exact oracle covers both. */
+  private val minhashPortableOracle: String =
+    (shOracle + """,
         |hx AS (
         | SELECT doc_id, i,
         |  min(CAST(('0x' || substr(md5(CAST(i // 4 AS VARCHAR) || ':' || g),
@@ -917,7 +941,13 @@ object HarnessLLM {
         |FROM cand c JOIN pc ON c.ia = pc.ia AND c.ib = pc.ib
         | JOIN sz x ON c.ia = x.doc_id JOIN sz y ON c.ib = y.doc_id
         |WHERE pc.inter * 1.0 / (x.n + y.n - pc.inter) >= 0.5
-        |ORDER BY 1, 2""".stripMargin),
+        |ORDER BY 1, 2""".stripMargin)
+
+  val oracles: Map[String, String] = Map(
+    "dedup_minhash" -> minhashPortableOracle,
+    // the stream-maintained store serves the SAME relation: signatures
+    // are md5-portable and per-doc, so stream==batch bit for bit
+    "stream_minhash_ingest" -> minhashPortableOracle,
     // brute-force shared-shingle exact Jaccard: a complete oracle for
     // the prefix-filtered join BECAUSE prefix filtering is
     // deterministic-complete at the threshold (no LSH recall gap)

@@ -1,0 +1,136 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.ops.Dedup
+
+/** Streaming NEAR-DUP maintenance — the dedup analog of
+  * [[TextIngest]]'s inverted index: as documents stream in, every
+  * micro-batch computes its docs' engine-portable minhash BAND
+  * SIGNATURES (the exact [[Dedup.portableBandSignatures]] pipeline the
+  * batch op runs — md5-derived, seed-free, so per-batch results are
+  * bit-identical to a one-shot batch build) and appends them to a
+  * `__batch`-partitioned signature store, alongside the docs' shingle
+  * arrays for the exact rescore. Serving near-dup pairs is then a
+  * band-collision self-join over the store plus the shared exact
+  * rescore — the corpus text is never rescanned, and the served
+  * relation is row-for-row the batch `dedup_minhash` key, so the batch
+  * key's cross-engine oracle applies VERBATIM.
+  *
+  * Scale posture: the per-batch work is one scan + one doc-keyed
+  * aggregate over the batch's own shingles (a doc's signature depends
+  * only on its own shingle set — no cross-batch state, no streaming
+  * state store), and the store append is the same partitioned write
+  * the text tiers use. Exactly-once on retry: dynamic partition
+  * overwrite, a replayed batch id overwrites its own partition.
+  */
+object DedupIngest {
+
+  /** Per-batch signature + shingle materialization for one
+    * micro-batch: docs with empty shingle sets drop (they cannot
+    * near-dup), mirroring the batch featurization. */
+  private[streaming] def shingled(batch: DataFrame, id: String,
+                                  text: String): DataFrame =
+    batch.select(col(id).as("doc_id"), Dedup.shingles(col(text)).as("__sh"))
+      .filter(size(col("__sh")) > 0)
+
+  /** Maintain the minhash store from a document stream: each
+    * micro-batch writes its signatures to `$storeDir/sigs` and its
+    * shingle arrays to `$storeDir/docs`, both `__batch`-partitioned.
+    * A document lands wholly in its own batch, so both stores hold
+    * globally unique rows — compaction needs no provenance column.
+    * `compactEvery` > 0 bounds the partition count as in the text
+    * tiers. */
+  def maintainMinhash(stream: DataFrame, id: String, text: String,
+                      storeDir: String,
+                      numHashes: Int = 12, bands: Int = 4,
+                      trigger: Trigger = Trigger.AvailableNow(),
+                      onBatch: Long => Unit = _ => (),
+                      compactEvery: Int = 0): StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val sh = shingled(batch.toDF(), id, text).persist()
+        try {
+          Dedup.portableBandSignatures(sh, "doc_id", "__sh", numHashes, bands)
+            .withColumn("__batch", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__batch")
+            .parquet(s"$storeDir/sigs")
+          sh.withColumn("__batch", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__batch")
+            .parquet(s"$storeDir/docs")
+          if (compactEvery > 0 &&
+              TextIngest.batchPartitionDirs(stream.sparkSession,
+                s"$storeDir/sigs").length >= compactEvery)
+            compactMinhash(stream.sparkSession, storeDir, upToBatch = batchId)
+          onBatch(batchId)
+        } finally { sh.unpersist(); () }
+      }
+      .trigger(trigger)
+      .option("checkpointLocation", s"$storeDir/_checkpoint")
+      .start()
+
+  /** Fold committed sigs/docs batch partitions into `__batch=-1` —
+    * the [[TextIngest.compactInvertedIndex]] discipline: keys are
+    * globally unique (one batch per doc), so a full-row distinct makes
+    * the fold idempotent across the crash window. */
+  def compactMinhash(spark: SparkSession, storeDir: String,
+                     upToBatch: Long, targetFiles: Int = 1): Unit = {
+    def foldOne(sub: String, dataCols: Seq[String]): Unit = {
+      val dir = s"$storeDir/$sub"
+      val fold = TextIngest.batchPartitionDirs(spark, dir)
+        .filter(_.getName.stripPrefix("__batch=").toLong < upToBatch)
+      if (fold.length > 1) {
+        val folded = spark.read.option("basePath", dir)
+          .parquet(fold.map(_.toString).toIndexedSeq: _*)
+          .select(dataCols.map(col): _*)
+          .distinct()
+          .withColumn("__batch", lit(TextIngest.CompactedBatchId))
+          .coalesce(math.max(1, targetFiles))
+          .localCheckpoint(true)
+        folded.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("__batch")
+          .parquet(dir)
+        fold.filter(_.getName != s"__batch=${TextIngest.CompactedBatchId}")
+          .foreach(TextIngest.deleteDir(spark, _))
+        spark.catalog.refreshByPath(dir)
+      }
+    }
+    foldOne("sigs", Seq("doc_id", "__band", "__key"))
+    foldOne("docs", Seq("doc_id", "__sh"))
+  }
+
+  /** Near-dup pairs served off the stream-maintained store: band
+    * collisions over the signature store, exact shingle-Jaccard
+    * rescore from the doc store — [[Dedup.minhashLshPortableOnShingles]]'
+    * candidate algebra with the store standing in for the featurized
+    * corpus, so the served relation (and its oracle) is the batch
+    * key's verbatim. The pre-join distinct/dropDuplicates are the
+    * compaction-crash-window guards ([[TextIngest.bm25FromStore]]):
+    * rows are unique by construction, duplicates only ever mean a
+    * stale partition beside its relocated copy. */
+  def nearDupsFromStore(spark: SparkSession, storeDir: String,
+                        jaccardThreshold: Double = 0.5): DataFrame = {
+    val banded = spark.read.parquet(s"$storeDir/sigs")
+      .select(col("doc_id"), col("__band"), col("__key"))
+      .distinct()
+      .persist()
+    val docs = spark.read.parquet(s"$storeDir/docs")
+      .select(col("doc_id"), col("__sh"))
+      .dropDuplicates("doc_id")
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.__band") === col("b.__band") && col("a.__key") === col("b.__key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+      .localCheckpoint(true)
+    banded.unpersist(blocking = false)
+    Dedup.rescoreJaccard(cand, docs, "doc_id", "__sh", jaccardThreshold)
+  }
+}

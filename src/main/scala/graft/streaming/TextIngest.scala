@@ -88,7 +88,7 @@ object TextIngest {
       .groupBy(col("term"))
       .agg(sum(col("tf")).as("tf"), sum(col("df")).as("df"))
 
-  private val CompactedBatchId = -1L
+  private[streaming] val CompactedBatchId = -1L
 
   /** List the store's `__batch=` partition directories through the
     * Hadoop FileSystem API — the store path is a production URI
@@ -96,7 +96,7 @@ object TextIngest {
     * java.io.File would silently list nothing there, disabling
     * compaction (the [[graft.io.Layout]] modules already go through
     * this API for the same reason). */
-  private def batchPartitionDirs(spark: SparkSession,
+  private[streaming] def batchPartitionDirs(spark: SparkSession,
                                  storeDir: String): Array[org.apache.hadoop.fs.Path] = {
     val root = new org.apache.hadoop.fs.Path(storeDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -106,7 +106,7 @@ object TextIngest {
       .map(_.getPath)
   }
 
-  private def deleteDir(spark: SparkSession, dir: org.apache.hadoop.fs.Path): Unit = {
+  private[streaming] def deleteDir(spark: SparkSession, dir: org.apache.hadoop.fs.Path): Unit = {
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(dir, true)
     ()

@@ -639,6 +639,78 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(res.forall(_ < 1000L), s"axis-0 query must surface cluster-0 members: ${res.toSeq}")
   }
 
+  test("stream-maintained minhash store serves exactly the batch near-dup pairs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.streaming.DedupIngest
+    // near-dup planted pairs across DIFFERENT micro-batches — the
+    // cross-batch case is the whole point of the store
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq(
+      (1L, base),
+      (2L, base + " tail"),                       // near-dup of 1
+      (3L, "completely different words entirely here about spark plans"),
+      (4L, base.replace("lazy", "sleepy")),       // near-dup of 1 and 2
+      (5L, "completely different words entirely here about spark joins"))
+    val store = "/tmp/graft_test/minhash_store_spec"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(store))
+    val ms = MemoryStream[(Long, String)](spark)
+    val q = DedupIngest.maintainMinhash(
+      ms.toDF().toDF("doc_id", "text"), "doc_id", "text", store,
+      trigger = Trigger.ProcessingTime(0))
+    ms.addData(docs(0), docs(2)); q.processAllAvailable()
+    ms.addData(docs(1), docs(4)); q.processAllAvailable()
+    ms.addData(docs(3)); q.processAllAvailable()
+    q.stop()
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val served = pairs(DedupIngest.nearDupsFromStore(spark, store))
+    // ground truth: the one-shot batch op over the same rows
+    val sh = docs.toDF("doc_id", "text")
+      .select($"doc_id", graft.ops.Dedup.shingles($"text").as("__sh"))
+      .filter(size($"__sh") > 0)
+    val batch = pairs(graft.ops.Dedup.minhashLshPortableOnShingles(
+      sh, "doc_id", "__sh"))
+    assert(served === batch,
+      "served pairs must be bit-identical to the batch op, across batch splits")
+    assert(served.contains((1L, 2L)), "cross-batch near-dup pair must surface")
+    // stream==batch signature equality (not just the final pairs)
+    val streamSigs = spark.read.parquet(s"$store/sigs")
+      .select($"doc_id", $"__band", $"__key").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val batchSigs = graft.ops.Dedup.portableBandSignatures(sh, "doc_id", "__sh")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(streamSigs === batchSigs, "per-batch signatures must equal the batch build")
+    // compaction: fold, serve same; crash window: stale partition
+    // beside its relocated copy must not duplicate pairs or shingles
+    val staleS = new java.io.File("/tmp/graft_test/minhash_stale_sigs")
+    val staleD = new java.io.File("/tmp/graft_test/minhash_stale_docs")
+    org.apache.commons.io.FileUtils.deleteQuietly(staleS)
+    org.apache.commons.io.FileUtils.deleteQuietly(staleD)
+    org.apache.commons.io.FileUtils.copyDirectory(
+      new java.io.File(s"$store/sigs", "__batch=0"), staleS)
+    org.apache.commons.io.FileUtils.copyDirectory(
+      new java.io.File(s"$store/docs", "__batch=0"), staleD)
+    DedupIngest.compactMinhash(spark, store, upToBatch = 2)
+    def partitions(sub: String) = new java.io.File(s"$store/$sub").listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("__batch="))
+    assert(partitions("sigs") == 2 && partitions("docs") == 2,
+      "batches 0-1 fold to __batch=-1; batch 2 stays")
+    assert(pairs(DedupIngest.nearDupsFromStore(spark, store)) === batch)
+    org.apache.commons.io.FileUtils.copyDirectory(
+      staleS, new java.io.File(s"$store/sigs", "__batch=0"))
+    org.apache.commons.io.FileUtils.copyDirectory(
+      staleD, new java.io.File(s"$store/docs", "__batch=0"))
+    spark.catalog.refreshByPath(s"$store/sigs")
+    spark.catalog.refreshByPath(s"$store/docs")
+    assert(pairs(DedupIngest.nearDupsFromStore(spark, store)) === batch,
+      "serving inside the compaction crash window must not change pairs")
+    DedupIngest.compactMinhash(spark, store, upToBatch = 2)
+    assert(partitions("sigs") == 2 &&
+      pairs(DedupIngest.nearDupsFromStore(spark, store)) === batch,
+      "compaction is idempotent and self-heals the stale partition")
+  }
+
   test("stream-maintained term stats merge to exactly the batch aggregation across batches") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
