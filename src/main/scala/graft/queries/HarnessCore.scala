@@ -208,6 +208,29 @@ object HarnessCore {
         Seq($"d"), "n_open")
         .orderBy($"d")
     }),
+    "join_range_bigbig" -> ((s, dir) => {
+      import s.implicits._
+      // The BIG-x-BIG range-join tier, at bench scale: every order
+      // opens a 3-day window [o_orderdate, o_orderdate+2] (150k
+      // intervals at sf0.1), probed by every lineitem ship date (600k
+      // probes) — ~108M matched pairs at sf0.1, far past broadcast on
+      // both sides. rangeJoinBucketed explodes each interval into its
+      // days (bounded fan-out = 3) and equi-joins on the day — a
+      // shuffled day-keyed join Catalyst plans and AQE can skew-split,
+      // never a nested loop. The pair volume collapses in a partial
+      // count aggregate below the final 5-row answer, so nothing
+      // 108M-sized ever shuffles.
+      val intervals = t(s, dir, "orders")
+        .withColumn("start_date", to_date($"o_orderdate"))
+        .withColumn("end_date", date_add($"start_date", 2))
+        .select($"o_orderpriority", $"start_date", $"end_date")
+      val probes = t(s, dir, "lineitem")
+        .select(to_date($"l_shipdate").as("ship_d"))
+      Aggregates.countByKey(
+        Temporal.rangeJoinBucketed(probes, intervals, "ship_d", "start_date", "end_date"),
+        Seq($"o_orderpriority"), "n_pairs")
+        .orderBy($"o_orderpriority")
+    }),
     "join_asof" -> ((s, dir) => {
       import s.implicits._
       // Event attribution: each purchase matched to the user's latest
@@ -826,6 +849,14 @@ object HarnessCore {
         |SELECT d, count(*) AS n_open
         |FROM probes, orders
         |WHERE CAST(o_orderdate AS DATE) <= d AND d <= CAST(o_orderdate AS DATE) + 30
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the big-x-big tier's oracle is the brute-force range predicate —
+    // the bucketed day-explode must be exactly equivalent
+    "join_range_bigbig" ->
+      """SELECT o_orderpriority, count(*) AS n_pairs
+        |FROM orders, lineitem
+        |WHERE CAST(o_orderdate AS DATE) <= CAST(l_shipdate AS DATE)
+        |  AND CAST(l_shipdate AS DATE) <= CAST(o_orderdate AS DATE) + 2
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "join_asof" ->
       """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
