@@ -78,6 +78,26 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("rangeJoinBucketed (big-x-big tier) is a shuffled equi-join with pinned partition counts") {
+    import spark.implicits._
+    val intervals = spark.read.parquet(sf("orders"))
+      .withColumn("d0", to_date($"o_orderdate"))
+      .withColumn("d1", date_add($"d0", 2))
+      .select($"o_orderpriority", $"d0", $"d1")
+    val probes = spark.read.parquet(sf("lineitem"))
+      .select(to_date($"l_shipdate").as("ship_d"))
+    val df = Temporal.rangeJoinBucketed(probes, intervals, "ship_d", "d0", "d1")
+    val p = plan(df)
+    // day-keyed equi-join, never a nested loop over the interval set
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // both sides arrive via REPARTITION_BY_COL with an explicit count, so
+    // AQE cannot coalesce the byte-tiny exchanges and serialize the
+    // pair-expansion stage (measured 16.8 s -> 1.9 s at sf0.1)
+    val n = spark.sessionState.conf.numShufflePartitions
+    assert(df.rdd.getNumPartitions == n, s"join ran on ${df.rdd.getNumPartitions} partitions, want $n")
+  }
+
   test("date-partitioned layout prunes partitions for a date-ranged query") {
     import spark.implicits._
     val out = "/tmp/graft_part_test"
