@@ -41,6 +41,13 @@ object Bench {
     try { graft.queries.HarnessLLM.ivfPqIndexFor(spark, sfDir) }
     catch { case _: Throwable => () }
     val pqBuildSec = (System.nanoTime() - p0) / 1e9
+    // OPQ rotation + codebook fit is ingest-time (rotation stored with
+    // the codebooks, rotated codes with the table) — prebuild untimed,
+    // report the cost.
+    val o0 = System.nanoTime()
+    try { graft.queries.HarnessLLM.opqModelsFor(spark, sfDir) }
+    catch { case _: Throwable => () }
+    val opqFitSec = (System.nanoTime() - o0) / 1e9
     // The shingle pass is likewise an ingest-time step (the shingle
     // column persists with the corpus) shared by the shingle-family
     // keys — prebuild untimed, report the cost.
@@ -127,7 +134,7 @@ object Bench {
     // (candidate-pair volumes etc.) — see graft.Metrics
     val countersJson = Metrics.snapshot
       .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs_per_key":$runs,"stat":"median","warmup_sec":$warmupSec,"ivf_index_build_sec":$ivfBuildSec,"pq_index_build_sec":$pqBuildSec,"doc_feats_build_sec":$docFeatsSec,"bucketed_build_sec":$bucketedSec,"failed":$failedJson,"regressions":$regJson,"counters":$countersJson}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs_per_key":$runs,"stat":"median","warmup_sec":$warmupSec,"ivf_index_build_sec":$ivfBuildSec,"pq_index_build_sec":$pqBuildSec,"opq_fit_sec":$opqFitSec,"doc_feats_build_sec":$docFeatsSec,"bucketed_build_sec":$bucketedSec,"failed":$failedJson,"regressions":$regJson,"counters":$countersJson}"""
     println(line)
     // The driver keeps only a 2000-char tail of stdout, which truncates
     // the per-key map and loses the total; persist the full line so

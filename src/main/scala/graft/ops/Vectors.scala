@@ -833,6 +833,277 @@ object Vectors {
     pqRescore(pq.codes, qn, cands, k)
   }
 
+  // ------------- optimized product quantization (OPQ) -------------
+
+  /** OPQ pre-transform (Ge et al., CVPR 2013, "Optimized Product
+    * Quantization", non-parametric alternating solution — the faiss
+    * `OPQMatrix` design): an orthonormal d×d rotation learned so the
+    * ROTATED space splits into subspaces PQ quantizes with less error.
+    * PQ's per-subspace independence assumption is only as good as the
+    * coordinate split; a rotation aligns the split with the data's
+    * principal structure and balances variance across subspaces.
+    * `rotation` is row-major (y_j = Σ_i x_i·R[i,j]); encode = rotate,
+    * then PQ in the rotated space. Rotation preserves inner products,
+    * so ADC scores in rotated space estimate the ORIGINAL-space dot —
+    * search quality improves with no change to the search machinery. */
+  final case class OpqModel(dim: Int, rotation: Array[Double], cb: PqCodebooks) {
+    /** max |R·Rᵀ − I| over all entries — 0 for an exactly orthonormal
+      * rotation; the SVD-factor product lands ~1e-15. */
+    def orthonormalityError: Double = {
+      val d = dim
+      var worst = 0.0
+      var i = 0
+      while (i < d) {
+        var j = 0
+        while (j < d) {
+          var s = 0.0
+          var k = 0
+          while (k < d) { s += rotation(i * d + k) * rotation(j * d + k); k += 1 }
+          val e = math.abs(s - (if (i == j) 1.0 else 0.0))
+          if (e > worst) worst = e
+          j += 1
+        }
+        i += 1
+      }
+      worst
+    }
+  }
+
+  /** y ← xᵀ·R (row-major R). With R = I this reproduces x bit-for-bit
+    * (the identity row contributes the exact value, zero rows add
+    * ±0.0), so the identity model is the EXACT plain-PQ baseline
+    * through the same code path. */
+  private def rotateInto(v: Array[Double], r: Array[Double], d: Int,
+                         out: Array[Double]): Unit = {
+    var j = 0
+    while (j < d) {
+      var s = 0.0
+      var i = 0
+      while (i < d) { s += v(i) * r(i * d + j); i += 1 }
+      out(j) = s
+      j += 1
+    }
+  }
+
+  /** Nearest-codeword reconstruction of `y` into `out`; returns the
+    * squared reconstruction error. The same strict nearest-first loop
+    * as [[pqEncoder]], kept driver/executor-shared so fit-time and
+    * scan-time errors agree exactly. */
+  private def pqReconstructInto(y: Array[Double], b: PqCodebooks,
+                                out: Array[Double]): Double = {
+    var err = 0.0
+    var s = 0
+    while (s < b.m) {
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < b.ksub) {
+        val base = (s * b.ksub + c) * b.dsub
+        var dd = 0.0
+        var j = 0
+        while (j < b.dsub) { val t = y(s * b.dsub + j) - b.flat(base + j); dd += t * t; j += 1 }
+        if (dd < bestD) { bestD = dd; best = c }
+        c += 1
+      }
+      val base = (s * b.ksub + best) * b.dsub
+      var j = 0
+      while (j < b.dsub) { out(s * b.dsub + j) = b.flat(base + j); j += 1 }
+      err += bestD
+      s += 1
+    }
+    err
+  }
+
+  /** Solve the orthogonal Procrustes problem min_R ‖X·R − Ŷ‖_F over
+    * orthonormal R: R = U·Vᵀ for SVD(Xᵀ·Ŷ) = U·Σ·Vᵀ (Schönemann 1966;
+    * the rotation-update step of Ge et al. §4.2). d×d SVD via breeze
+    * on the driver — d is an embedding dim (64 here), microseconds. */
+  private def procrustesRotation(xs: Array[Array[Double]],
+                                 recon: Array[Array[Double]], d: Int): Array[Double] = {
+    val mData = new Array[Double](d * d) // column-major for breeze
+    var p = 0
+    while (p < xs.length) {
+      val x = xs(p)
+      val yh = recon(p)
+      var i = 0
+      while (i < d) {
+        val xi = x(i)
+        var j = 0
+        while (j < d) { mData(j * d + i) += xi * yh(j); j += 1 }
+        i += 1
+      }
+      p += 1
+    }
+    val m = new breeze.linalg.DenseMatrix(d, d, mData)
+    val f = breeze.linalg.svd(m)
+    val r = f.U * f.Vt
+    val out = new Array[Double](d * d)
+    var i = 0
+    while (i < d) {
+      var j = 0
+      while (j < d) { out(i * d + j) = r(i, j); j += 1 }
+      i += 1
+    }
+    out
+  }
+
+  /** The parametric OPQ initialization (Ge et al. §5, "eigenvalue
+    * allocation"): eigendecompose the sample covariance and deal the
+    * eigenvectors onto subspaces so each subspace's eigenvalue PRODUCT
+    * is balanced (greedy min-log-sum bin packing, descending λ) —
+    * under a Gaussian model this minimizes the quantization-error
+    * bound. It is also exactly the init the alternating solution
+    * needs: starting from R = I, Procrustes updates can only align
+    * WITHIN the split it was given (reconstructions live in the data's
+    * own subspaces), so an identity start is a stationary point on
+    * variance-imbalanced data; the eigen allocation starts on the
+    * other side of that barrier. */
+  private def eigenAllocationRotation(sample: Array[Array[Double]], d: Int,
+                                      m: Int): Array[Double] = {
+    val n = sample.length
+    val mean = new Array[Double](d)
+    sample.foreach { v => var i = 0; while (i < d) { mean(i) += v(i); i += 1 } }
+    locally { var i = 0; while (i < d) { mean(i) /= n; i += 1 } }
+    val cov = new Array[Double](d * d) // column-major (symmetric, so moot)
+    sample.foreach { v =>
+      var i = 0
+      while (i < d) {
+        val ci = v(i) - mean(i)
+        var j = 0
+        while (j < d) { cov(j * d + i) += ci * (v(j) - mean(j)); j += 1 }
+        i += 1
+      }
+    }
+    locally { var i = 0; while (i < d * d) { cov(i) /= n; i += 1 } }
+    val es = breeze.linalg.eigSym(new breeze.linalg.DenseMatrix(d, d, cov))
+    // Snake-deal the eigenvectors across subspaces in descending-λ
+    // order (round r assigns forward, round r+1 backward), NOT the
+    // paper's min-product greedy: on unit-normalized vectors every
+    // eigenvalue is < 1 (Σλ ≤ E‖x‖² = 1), so each assignment SHRINKS
+    // the min-product bucket and the greedy stuffs the first dsub
+    // eigendirections into one subspace — reproducing exactly the
+    // variance imbalance the allocation exists to fix. The snake deal
+    // is sign-robust and lands within a few percent of the balanced
+    // optimum (it alternates large against small by construction).
+    val order = (0 until d).sortBy(i => -es.eigenvalues(i))
+    val dsub = d / m
+    val buckets = Array.fill(m)(new scala.collection.mutable.ArrayBuffer[Int](dsub))
+    for ((e, k) <- order.zipWithIndex) {
+      val r = k / m
+      val pos = k % m
+      val b = if (r % 2 == 0) pos else m - 1 - pos
+      buckets(b) += e
+    }
+    val rot = new Array[Double](d * d) // row-major; column j = allocated eigvec
+    var j = 0
+    for (b <- 0 until m; e <- buckets(b)) {
+      var i = 0
+      while (i < d) { rot(i * d + j) = es.eigenvectors(i, e); i += 1 }
+      j += 1
+    }
+    rot
+  }
+
+  /** Fit an OPQ rotation + codebooks on the bounded seeded sample:
+    * eigenvalue-allocation init ([[eigenAllocationRotation]]), then
+    * alternating refinement (fit codebooks in the rotated space,
+    * reconstruct, Procrustes-update the rotation). The identity
+    * rotation is ALSO evaluated with the same seed as [[pqFit]] — its
+    * codebooks ARE the plain-PQ codebooks — and the returned model is
+    * the argmin over all evaluated (rotation, codebooks) pairs by
+    * training MSE, so OPQ is NEVER WORSE than plain PQ on the fit
+    * sample by construction, not by hope. (The argmin also sidesteps
+    * the non-monotonicity of refitting k-means from a fresh seeding
+    * each round.) */
+  def opqFit(corpus: DataFrame, vec: String, m: Int = 8, ksub: Int = 64,
+             sampleFraction: Double = 1.0, seed: Long = 42L,
+             maxSamples: Int = 100000, iters: Int = 10,
+             opqIters: Int = 6): OpqModel =
+    opqFitWithBaseline(corpus, vec, m, ksub, sampleFraction, seed,
+      maxSamples, iters, opqIters)._1
+
+  /** [[opqFit]] that ALSO returns the plain-PQ baseline as an identity
+    * model — the identity evaluation happens inside the fit anyway
+    * (it anchors the never-worse guarantee), so callers comparing
+    * optimized vs plain ([[opqDistortion]] on each) get the baseline
+    * without paying a second codebook fit. */
+  def opqFitWithBaseline(corpus: DataFrame, vec: String, m: Int = 8, ksub: Int = 64,
+                         sampleFraction: Double = 1.0, seed: Long = 42L,
+                         maxSamples: Int = 100000, iters: Int = 10,
+                         opqIters: Int = 6): (OpqModel, OpqModel) = {
+    val sample = normalizedSample(corpus, vec, sampleFraction, seed, maxSamples)
+    require(sample.nonEmpty, "cannot fit OPQ on an empty sample")
+    val d = sample(0).length
+    val n = sample.length
+
+    // fit + evaluate one rotation; returns (mse, codebooks, reconstructions)
+    def eval(rot: Array[Double]): (Double, PqCodebooks, Array[Array[Double]]) = {
+      val ys = new Array[Array[Double]](n)
+      var i = 0
+      while (i < n) {
+        val o = new Array[Double](d)
+        rotateInto(sample(i), rot, d, o)
+        ys(i) = o
+        i += 1
+      }
+      val cb = pqFitOnPoints(ys, m, ksub, seed, iters)
+      val recon = new Array[Array[Double]](n)
+      var sse = 0.0
+      i = 0
+      while (i < n) {
+        val o = new Array[Double](d)
+        sse += pqReconstructInto(ys(i), cb, o)
+        recon(i) = o
+        i += 1
+      }
+      (sse / n, cb, recon)
+    }
+
+    val idRot = Array.tabulate(d * d)(ix => if (ix / d == ix % d) 1.0 else 0.0)
+    val (mseId, cbId, _) = eval(idRot)
+    var bestMse = mseId
+    var bestRot = idRot
+    var bestCb = cbId
+    var rot = eigenAllocationRotation(sample, d, m)
+    var it = 0
+    while (it < opqIters) {
+      val (mse, cb, recon) = eval(rot)
+      if (mse < bestMse) { bestMse = mse; bestRot = rot; bestCb = cb }
+      if (it < opqIters - 1) rot = procrustesRotation(sample, recon, d)
+      it += 1
+    }
+    (OpqModel(d, bestRot, bestCb), OpqModel(d, idRot, cbId))
+  }
+
+  /** The plain-PQ baseline as an [[OpqModel]]: identity rotation around
+    * existing codebooks. Lets callers compare plain vs optimized
+    * through the SAME distortion code path ([[opqDistortion]]), so at
+    * the no-gain fixpoint the two numbers agree bit-for-bit. */
+  def opqIdentity(cb: PqCodebooks): OpqModel =
+    OpqModel(cb.dim,
+      Array.tabulate(cb.dim * cb.dim)(ix => if (ix / cb.dim == ix % cb.dim) 1.0 else 0.0),
+      cb)
+
+  /** Mean squared PQ reconstruction error of the (normalized) corpus
+    * under `model` — rotate, encode, reconstruct, ‖y − ŷ‖², one
+    * scan-local pass against the broadcast model; None for an
+    * empty/degenerate corpus. The drift statistic and the fit-quality
+    * judge: [[opqFit]] vs [[opqIdentity]] on the same corpus measures
+    * exactly what the rotation bought. */
+  def opqDistortion(corpus: DataFrame, vec: String, model: OpqModel): Option[Double] = {
+    val bc = corpus.sparkSession.sparkContext.broadcast(model)
+    val errU = udf { (v: Seq[Double]) =>
+      val mdl = bc.value
+      val y = new Array[Double](mdl.dim)
+      rotateInto(v.toArray, mdl.rotation, mdl.dim, y)
+      pqReconstructInto(y, mdl.cb, new Array[Double](mdl.dim))
+    }
+    corpus.filter(nullif(l2norm(col(vec)), lit(0.0)).isNotNull)
+      .select(errU(normalized(col(vec))).as("__e"))
+      .agg(avg(col("__e")).as("__mse"))
+      .take(1).headOption.flatMap(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+  }
+
   // ------------- residual-encoded IVF-PQ (faiss IVFPQ) -------------
 
   /** An IVF-PQ index with RESIDUAL encoding: `codes` carries

@@ -115,6 +115,23 @@ object HarnessLLM {
         nlist = 16, m = 8, ksub = 64, sampleFraction = 0.5))
   }
 
+  /** Build-once OPQ fit per (session, corpus dir) — the rotation +
+    * codebooks are ingest-time artifacts like the other index builds
+    * (at production scale the rotation is stored with the codebooks
+    * and the rotated code column with the table); `Bench` prebuilds
+    * untimed and reports `opq_fit_sec`. Holds (optimized, plain
+    * baseline) so the comparison key never refits. */
+  private val opqModelsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (Vectors.OpqModel, Vectors.OpqModel)]
+
+  def opqModelsFor(s: SparkSession, dir: String): (Vectors.OpqModel, Vectors.OpqModel) = {
+    pruneStopped(opqModelsCache)
+    opqModelsCache.getOrElseUpdate((s, dir),
+      Vectors.opqFitWithBaseline(
+        t(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
+        "embedding", m = 8, ksub = 64))
+  }
+
   /** Shingle-once per (session, corpus dir), shared by every
     * shingle-family key — `dedup_minhash` min-hashes it and both it
     * and `dedup_ngram_jaccard` rescore candidates with the very same
@@ -373,6 +390,35 @@ object HarnessLLM {
       Vectors.pqTopKResidual(ivfPqIndexFor(s, dir), emb.filter($"vec_id" < 5),
         "vec_id", "embedding", k = 10, rescoreK = 40)
         .orderBy($"qid", $"rnk")
+    }),
+    "sim_pq_opq" -> ((s, dir) => {
+      import s.implicits._
+      // OPQ pre-rotation (Ge et al. CVPR'13; the faiss OPQMatrix
+      // refinement): learn an orthonormal rotation + codebooks on the
+      // bounded seeded sample, then measure full-corpus PQ distortion
+      // under the learned model vs the identity-rotation plain-PQ
+      // baseline THROUGH THE SAME code path. The estimates themselves
+      // are engine-specific (no cross-engine oracle exists for a
+      // k-means fit), so — like the sketch keys — the relation emits
+      // the exact row count plus two booleans the oracle pins to
+      // literal true: the rotation is orthonormal (max |R·Rᵀ − I| <
+      // 1e-9) and OPQ is no worse than plain PQ. The second is
+      // STRUCTURAL, not empirical: opqFit evaluates the identity
+      // rotation with pqFit's own seed (those codebooks ARE plain PQ)
+      // and returns the argmin over evaluated models, and at these SFs
+      // the fit sample is the full corpus. The genuinely-better case
+      // is pinned in VectorsSpec on anisotropic data (~3x distortion
+      // cut); improvement is data-dependent, so the bench counter
+      // records it per run instead of the oracle hashing it.
+      val emb = t(s, dir, "embeddings").select($"vec_id", $"embedding")
+      val (opq, plain) = opqModelsFor(s, dir)
+      val msePq = Vectors.opqDistortion(emb, "embedding", plain).get
+      val mseOpq = Vectors.opqDistortion(emb, "embedding", opq).get
+      graft.Metrics.record("opq_distortion_improvement_permille",
+        if (msePq > 0) math.round((1.0 - mseOpq / msePq) * 1000) else 0L)
+      val n = emb.count()
+      Seq((n, opq.orthonormalityError < 1e-9, mseOpq <= msePq + 1e-12))
+        .toDF("n_vectors", "rotation_orthonormal", "opq_no_worse")
     }),
     "sim_ann_ivfpq" -> ((s, dir) => {
       import s.implicits._
@@ -1102,6 +1148,12 @@ object HarnessLLM {
         | 100000 + q.vec_id * 100 + g.j AS vec_id
         |FROM embeddings q, (SELECT unnest(generate_series(0, 9)) AS j) g
         |WHERE q.vec_id < 5 ORDER BY 1, 2""".stripMargin,
+    // OPQ emits the exact count plus structural booleans (see the key's
+    // comment) — the error-bound-relation pattern of the sketch keys
+    "sim_pq_opq" ->
+      """SELECT count(*) AS n_vectors, TRUE AS rotation_orthonormal,
+        | TRUE AS opq_no_worse
+        |FROM embeddings""".stripMargin,
     // the stream-maintained term-stats store merges to EXACTLY the
     // one-shot batch aggregation (integer-exact tf/df sums)
     "stream_term_stats" ->
