@@ -47,6 +47,10 @@ object Bench {
     val o0 = System.nanoTime()
     try { graft.queries.HarnessLLM.opqModelsFor(spark, sfDir) }
     catch { case _: Throwable => () }
+    // the rotated code relation is the same kind of ingest-time
+    // artifact; fold its build into the OPQ fit metric
+    try { graft.queries.HarnessLLM.opqAnnIndexFor(spark, sfDir) }
+    catch { case _: Throwable => () }
     val opqFitSec = (System.nanoTime() - o0) / 1e9
     // The shingle pass is likewise an ingest-time step (the shingle
     // column persists with the corpus) shared by the shingle-family

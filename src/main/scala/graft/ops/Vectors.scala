@@ -1084,6 +1084,54 @@ object Vectors {
       Array.tabulate(cb.dim * cb.dim)(ix => if (ix / cb.dim == ix % cb.dim) 1.0 else 0.0),
       cb)
 
+  /** Scan-local normalize-then-rotate against the broadcast model —
+    * the shared front door of the OPQ index build and query side, so
+    * corpus and queries land in the SAME rotated frame. Unit norm is
+    * preserved by the rotation, and so are inner products: cosines
+    * computed in the rotated frame ARE the original-space cosines. */
+  private def opqRotator(spark: org.apache.spark.sql.SparkSession,
+                         model: OpqModel): Column => Column = {
+    val bc = spark.sparkContext.broadcast(model)
+    val u = udf { (v: Seq[Double]) =>
+      val mdl = bc.value
+      val y = new Array[Double](mdl.dim)
+      rotateInto(v.toArray, mdl.rotation, mdl.dim, y)
+      y
+    }
+    c => u(normalized(c))
+  }
+
+  /** Build a PQ code relation in the OPQ-rotated space: same shape as
+    * [[pqIndex]] (so every downstream PQ path applies unchanged), but
+    * codes quantize R·v against the codebooks that were FIT in that
+    * rotated space — the whole point of the rotation. At production
+    * scale the rotated code column is written with the table at ingest
+    * next to the model's codebooks. */
+  def opqIndex(corpus: DataFrame, id: String, vec: String,
+               model: OpqModel): PqIndexData = {
+    val rot = opqRotator(corpus.sparkSession, model)
+    val rotated = corpus
+      .filter(nullif(l2norm(col(vec)), lit(0.0)).isNotNull)
+      .select(col(id), rot(col(vec)).as("__rvec"))
+    PqIndexData(pqCodeColumns(rotated, id, "__rvec", model.cb)
+      .localCheckpoint(true), model.cb)
+  }
+
+  /** ANN top-k through the OPQ rotation: rotate the queries with the
+    * index's model and run the standard compressed-domain ADC scan +
+    * exact rescore ([[pqTopK]]) in the rotated frame. Because rotation
+    * preserves inner products, the exact rescore ranks by TRUE
+    * original-space cosine — OPQ only improves which candidates the
+    * ADC net admits (the same contract as every other ANN tier). */
+  def opqTopK(index: PqIndexData, model: OpqModel, queries: DataFrame,
+              id: String, vec: String, k: Int, rescoreK: Int = 0): DataFrame = {
+    val rot = opqRotator(queries.sparkSession, model)
+    val rq = queries
+      .filter(nullif(l2norm(col(vec)), lit(0.0)).isNotNull)
+      .select(col(id), rot(col(vec)).as(vec))
+    pqTopK(index, rq, id, vec, k, rescoreK)
+  }
+
   /** Mean squared PQ reconstruction error of the (normalized) corpus
     * under `model` — rotate, encode, reconstruct, ‖y − ŷ‖², one
     * scan-local pass against the broadcast model; None for an

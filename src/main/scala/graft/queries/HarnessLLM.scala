@@ -132,6 +132,19 @@ object HarnessLLM {
         "embedding", m = 8, ksub = 64))
   }
 
+  /** Build-once OPQ-rotated code relation over the ANN corpus (same
+    * lifecycle as [[pqIndexFor]]) — the serving-path sibling of
+    * [[opqModelsFor]]: rotated codes are an ingest-time column. */
+  private val opqIndexCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Vectors.PqIndexData]
+
+  def opqAnnIndexFor(s: SparkSession, dir: String): Vectors.PqIndexData = {
+    pruneStopped(opqIndexCache)
+    opqIndexCache.getOrElseUpdate((s, dir),
+      Vectors.opqIndex(annCorpus(s, dir), "vec_id", "embedding",
+        opqModelsFor(s, dir)._1))
+  }
+
   /** Shingle-once per (session, corpus dir), shared by every
     * shingle-family key — `dedup_minhash` min-hashes it and both it
     * and `dedup_ngram_jaccard` rescore candidates with the very same
@@ -419,6 +432,22 @@ object HarnessLLM {
       val n = emb.count()
       Seq((n, opq.orthonormalityError < 1e-9, mseOpq <= msePq + 1e-12))
         .toDF("n_vectors", "rotation_orthonormal", "opq_no_worse")
+    }),
+    "sim_ann_opq" -> ((s, dir) => {
+      import s.implicits._
+      // OPQ as a SERVING path, not just a fit metric: the corpus is
+      // encoded in the learned rotated frame ([[Vectors.opqIndex]]),
+      // queries rotate through the same model, and the standard ADC
+      // scan + exact rescore runs unchanged — rotation preserves inner
+      // products, so the rescore ranks by true original-space cosine.
+      // Planted closed form pins the answer exactly like sim_ann_pq:
+      // copies are bit-identical to their query, so their rotated
+      // codes coincide and ADC puts them far above the random-pair
+      // ceiling; the exact rescore then emits the closed form.
+      val emb = t(s, dir, "embeddings")
+      Vectors.opqTopK(opqAnnIndexFor(s, dir), opqModelsFor(s, dir)._1,
+        emb.filter($"vec_id" < 5), "vec_id", "embedding", k = 10, rescoreK = 40)
+        .orderBy($"qid", $"rnk")
     }),
     "sim_ann_ivfpq" -> ((s, dir) => {
       import s.implicits._
@@ -1144,6 +1173,14 @@ object HarnessLLM {
         |FROM embeddings q, (SELECT unnest(generate_series(0, 9)) AS j) g
         |WHERE q.vec_id < 5 ORDER BY 1, 2""".stripMargin,
     "sim_ann_ivfpq" ->
+      """SELECT q.vec_id AS qid, CAST(g.j + 1 AS INT) AS rnk,
+        | 100000 + q.vec_id * 100 + g.j AS vec_id
+        |FROM embeddings q, (SELECT unnest(generate_series(0, 9)) AS j) g
+        |WHERE q.vec_id < 5 ORDER BY 1, 2""".stripMargin,
+    // the OPQ serving path admits the planted copies through the
+    // rotated ADC net and rescores exactly — same closed form as the
+    // other ANN tiers
+    "sim_ann_opq" ->
       """SELECT q.vec_id AS qid, CAST(g.j + 1 AS INT) AS rnk,
         | 100000 + q.vec_id * 100 + g.j AS vec_id
         |FROM embeddings q, (SELECT unnest(generate_series(0, 9)) AS j) g

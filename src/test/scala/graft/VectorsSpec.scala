@@ -588,6 +588,64 @@ class VectorsSpec extends AnyFunSuite with SparkTestBase {
       s"rotation should cut distortion on anisotropic data: opq=$mseOpq pq=$msePq")
   }
 
+  test("OPQ serving path: finer ADC than plain PQ on anisotropic data, exact on planted copies") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // same variance-imbalanced regime as the fit test — the serving
+    // question is whether the rotated codes make the ADC net sharper
+    val rnd = new scala.util.Random(7300)
+    val corpus = (0 until 600).map { i =>
+      val v = Array.tabulate(8)(d =>
+        if (d < 4) rnd.nextGaussian().toFloat else (rnd.nextGaussian() * 0.01).toFloat)
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val q = corpus.filter($"vec_id" < 5)
+    val m = 2; val ksub = 8
+    val (opqM, _) = Vectors.opqFitWithBaseline(corpus, "embedding", m = m, ksub = ksub)
+    val plainIdx = Vectors.pqIndex(corpus, "vec_id", "embedding", m = m, ksub = ksub)
+    val opqIdx = Vectors.opqIndex(corpus, "vec_id", "embedding", opqM)
+    // mean |ADC − true cos| over all (query, corpus) pairs, both frames
+    // (codes and __cv of the opq index live in the rotated frame;
+    // cosines there equal original-space cosines)
+    def adcErr(idx: Vectors.PqIndexData, queriesIn: org.apache.spark.sql.DataFrame) = {
+      val bc = spark.sparkContext.broadcast(idx.cb)
+      val lutU = udf { (qv: Seq[Double]) =>
+        val b = bc.value
+        val lut = new Array[Double](b.m * b.ksub)
+        for (s <- 0 until b.m; c <- 0 until b.ksub) {
+          val base = (s * b.ksub + c) * b.dsub
+          var d = 0.0
+          for (j <- 0 until b.dsub) d += qv(s * b.dsub + j) * b.flat(base + j)
+          lut(s * b.ksub + c) = d
+        }
+        lut
+      }
+      val qn = idx.codes.join(queriesIn.select($"vec_id".as("qid")), $"cid" === $"qid")
+        .select($"qid", $"__cv".as("__qv")).withColumn("__lut", lutU($"__qv"))
+      idx.codes.crossJoin(broadcast(qn))
+        .withColumn("__adc", graft.functions.VectorExprs.pqAdc($"__code", $"__lut", ksub))
+        .withColumn("__cos", Vectors.dot($"__qv", $"__cv"))
+        .agg(avg(abs($"__adc" - $"__cos"))).head().getDouble(0)
+    }
+    val errPlain = adcErr(plainIdx, q)
+    val errOpq = adcErr(opqIdx, q)
+    assert(errOpq < errPlain,
+      s"rotated-frame ADC must be finer on anisotropic data: opq=$errOpq plain=$errPlain")
+    // planted exact copies surface first through the rotated net, and
+    // the search is deterministic
+    val copies = corpus.filter($"vec_id" < 3)
+      .select(($"vec_id" + 10000L).as("vec_id"), $"embedding")
+    val planted = corpus.unionByName(copies)
+    val idx2 = Vectors.opqIndex(planted, "vec_id", "embedding", opqM)
+    def firstHits(df: org.apache.spark.sql.DataFrame) =
+      df.filter($"rnk" === 1).collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val got = firstHits(Vectors.opqTopK(idx2, opqM, corpus.filter($"vec_id" < 3),
+      "vec_id", "embedding", k = 5, rescoreK = 20))
+    assert(got == Set((0L, 10000L), (1L, 10001L), (2L, 10002L)), got.toString)
+    assert(got == firstHits(Vectors.opqTopK(idx2, opqM, corpus.filter($"vec_id" < 3),
+      "vec_id", "embedding", k = 5, rescoreK = 20)))
+  }
+
   test("PQ survives zero and null vectors (norm-gated, no NPE)") {
     import spark.implicits._
     import org.apache.spark.sql.Row
