@@ -140,9 +140,12 @@ object Temporal {
 
   /** Range join for big-x-big: explode each interval into its days
     * (reusing [[explodeDays]]) and equi-join on the day — a shuffled
-    * hash/sort-merge join Catalyst can plan and AQE can skew-split,
-    * instead of a nested-loop. Fan-out = interval length in days, so
-    * bound intervals before calling. */
+    * hash/sort-merge join Catalyst can plan, instead of a nested-loop.
+    * Fan-out = interval length in days, so bound intervals before
+    * calling. For a corpus with HOT days use
+    * [[rangeJoinBucketedSalted]]: the pinned repartitions here are
+    * REPARTITION_BY_NUM shuffles, which AQE's OptimizeSkewedJoin does
+    * not split, so one hot day lands on one reducer. */
   def rangeJoinBucketed(probes: DataFrame, intervals: DataFrame,
                         probeDate: String, start: String, end: String): DataFrame = {
     // pin the join's partition count: both inputs are byte-small but
@@ -157,6 +160,32 @@ object Temporal {
       .repartition(n, col("__day"))
     probes.repartition(n, col(probeDate))
       .join(exploded, col("__day") === col(probeDate)).drop("__day")
+  }
+
+  /** Skew-robust form of [[rangeJoinBucketed]]: probes get a
+    * deterministic salt from `probeFineGrain` (row-identifying columns,
+    * [[graft.ops.Skew.salt]]), exploded intervals replicate across all
+    * `saltBuckets`, and the join keys on (day, salt) — a hot day's
+    * pair expansion spreads over `saltBuckets` reducers instead of
+    * serializing on one. The replication multiplies the (bounded
+    * fan-out) interval side only, never the probe side. Same pinned
+    * partition counts as the unsalted tier, for the same AQE-coalescing
+    * reason; salting is the skew answer precisely BECAUSE the pinned
+    * shuffles opt out of AQE's skew-split. */
+  def rangeJoinBucketedSalted(probes: DataFrame, intervals: DataFrame,
+                              probeDate: String, start: String, end: String,
+                              saltBuckets: Int,
+                              probeFineGrain: Seq[Column]): DataFrame = {
+    val n = probes.sparkSession.sessionState.conf.numShufflePartitions
+    val exploded = explodeDays(intervals, "__day", col(start), col(end))
+      .withColumn("__isalt", explode(sequence(lit(0), lit(saltBuckets - 1))))
+      .repartition(n, col("__day"), col("__isalt"))
+    probes
+      .withColumn("__psalt", graft.ops.Skew.salt(probeFineGrain, saltBuckets))
+      .repartition(n, col(probeDate), col("__psalt"))
+      .join(exploded,
+        col("__day") === col(probeDate) && col("__isalt") === col("__psalt"))
+      .drop("__day", "__isalt", "__psalt")
   }
 
   /** Cohort retention over an event log — the product-analytics

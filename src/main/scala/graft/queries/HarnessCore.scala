@@ -231,6 +231,29 @@ object HarnessCore {
         Seq($"o_orderpriority"), "n_pairs")
         .orderBy($"o_orderpriority")
     }),
+    "join_range_salted" -> ((s, dir) => {
+      import s.implicits._
+      // The skew-robust range-join tier: same day-explode equi-join as
+      // join_range_bigbig, but keyed on (day, salt) so a hot date's
+      // pair expansion spreads over the salt buckets — the pinned
+      // REPARTITION_BY_NUM shuffles opt out of AQE's skew split, so
+      // salting is the at-scale answer for hot days (ScaleSpec pins
+      // the biggest-partition reduction on a planted hot day). 2-day
+      // windows keep the verified pair volume distinct from the
+      // unsalted key's.
+      val intervals = t(s, dir, "orders")
+        .withColumn("start_date", to_date($"o_orderdate"))
+        .withColumn("end_date", date_add($"start_date", 1))
+        .select($"o_orderpriority", $"start_date", $"end_date")
+      val probes = t(s, dir, "lineitem")
+        .select($"l_orderkey", $"l_linenumber", to_date($"l_shipdate").as("ship_d"))
+      Aggregates.countByKey(
+        Temporal.rangeJoinBucketedSalted(probes, intervals, "ship_d",
+          "start_date", "end_date", saltBuckets = 8,
+          probeFineGrain = Seq($"l_orderkey", $"l_linenumber")),
+        Seq($"o_orderpriority"), "n_pairs")
+        .orderBy($"o_orderpriority")
+    }),
     "join_asof" -> ((s, dir) => {
       import s.implicits._
       // Event attribution: each purchase matched to the user's latest
@@ -857,6 +880,14 @@ object HarnessCore {
         |FROM orders, lineitem
         |WHERE CAST(o_orderdate AS DATE) <= CAST(l_shipdate AS DATE)
         |  AND CAST(l_shipdate AS DATE) <= CAST(o_orderdate AS DATE) + 2
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the salted tier must be EXACTLY the brute-force range predicate
+    // too — salt is plumbing, never semantics
+    "join_range_salted" ->
+      """SELECT o_orderpriority, count(*) AS n_pairs
+        |FROM orders, lineitem
+        |WHERE CAST(o_orderdate AS DATE) <= CAST(l_shipdate AS DATE)
+        |  AND CAST(l_shipdate AS DATE) <= CAST(o_orderdate AS DATE) + 1
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "join_asof" ->
       """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),

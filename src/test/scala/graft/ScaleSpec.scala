@@ -52,6 +52,40 @@ class ScaleSpec extends AnyFunSuite with SparkTestBase {
     assert(buckets.max < 1000 / 8 * 2, s"roughly uniform: ${buckets.toSeq}")
   }
 
+  test("salted range join: equals the unsalted tier and spreads a hot day over the buckets") {
+    import spark.implicits._
+    import graft.ops.Temporal
+    // hot-day corpus: 60% of probes land on ONE day — on the unsalted
+    // tier (pinned REPARTITION_BY_NUM shuffles, which AQE's
+    // OptimizeSkewedJoin does not split) that whole day's pair
+    // expansion serializes on one reducer
+    val hot = java.sql.Date.valueOf("1995-06-01")
+    val probes = ((0 until 30000).map(i => (i.toLong, hot)) ++
+      (0 until 20000).map(i =>
+        ((100000 + i).toLong, java.sql.Date.valueOf(f"1995-07-${i % 28 + 1}%02d"))))
+      .toDF("probe_id", "d")
+    val intervals = (0 until 50).map { j =>
+      val s = java.sql.Date.valueOf(f"1995-${if (j % 2 == 0) "05" else "06"}-${j % 28 + 1}%02d")
+      (j.toLong, s, new java.sql.Date(s.getTime + 14L * 86400 * 1000))
+    }.toDF("iv_id", "s", "e")
+    val buckets = 8
+    val salted = Temporal.rangeJoinBucketedSalted(
+      probes, intervals, "d", "s", "e", buckets, Seq($"probe_id"))
+    val unsalted = Temporal.rangeJoinBucketed(probes, intervals, "d", "s", "e")
+    // identical pair sets
+    def pairs(df: DataFrame) =
+      df.select($"probe_id", $"iv_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs(salted) == pairs(unsalted))
+    // and the hot day's rows genuinely spread: the biggest partition of
+    // the salted join holds a bucket-sized share, not the whole day
+    def maxPartRows(df: DataFrame): Long =
+      df.rdd.mapPartitions(it => Iterator(it.size.toLong)).collect().max
+    val mu = maxPartRows(unsalted)
+    val ms = maxPartRows(salted)
+    assert(ms * 2 <= mu,
+      s"salting should at least halve the biggest partition: unsalted=$mu salted=$ms")
+  }
+
   test("bucketed-by-join-key tables sort-merge join with zero Exchange") {
     import spark.implicits._
     val s = spark // warehouse.dir is static conf, set in SparkTestBase
