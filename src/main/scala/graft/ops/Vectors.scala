@@ -1084,13 +1084,11 @@ object Vectors {
       Array.tabulate(cb.dim * cb.dim)(ix => if (ix / cb.dim == ix % cb.dim) 1.0 else 0.0),
       cb)
 
-  /** Scan-local normalize-then-rotate against the broadcast model —
-    * the shared front door of the OPQ index build and query side, so
-    * corpus and queries land in the SAME rotated frame. Unit norm is
-    * preserved by the rotation, and so are inner products: cosines
-    * computed in the rotated frame ARE the original-space cosines. */
-  private def opqRotator(spark: org.apache.spark.sql.SparkSession,
-                         model: OpqModel): Column => Column = {
+  /** The bare rotation as a scan-local UDF over an ALREADY-normalized
+    * double array (one model broadcast per call — build once, reuse
+    * per batch, the [[pqEncoder]] discipline). */
+  private[graft] def opqRotateRaw(spark: org.apache.spark.sql.SparkSession,
+                                  model: OpqModel): Column => Column = {
     val bc = spark.sparkContext.broadcast(model)
     val u = udf { (v: Seq[Double]) =>
       val mdl = bc.value
@@ -1098,7 +1096,30 @@ object Vectors {
       rotateInto(v.toArray, mdl.rotation, mdl.dim, y)
       y
     }
-    c => u(normalized(c))
+    c => u(c)
+  }
+
+  /** Scan-local normalize-then-rotate against the broadcast model —
+    * the shared front door of the OPQ index build and query side, so
+    * corpus and queries land in the SAME rotated frame. Unit norm is
+    * preserved by the rotation, and so are inner products: cosines
+    * computed in the rotated frame ARE the original-space cosines. */
+  private def opqRotator(spark: org.apache.spark.sql.SparkSession,
+                         model: OpqModel): Column => Column = {
+    val raw = opqRotateRaw(spark, model)
+    c => raw(normalized(c))
+  }
+
+  /** OPQ code for an ALREADY-normalized vector column: rotate, then
+    * the exact [[pqCodeColumns]] encode path (its re-normalization
+    * included), so a streaming maintainer computing codes off its
+    * normalized `__cv` column lands BIT-IDENTICAL to a batch
+    * [[opqIndex]] build over the same rows. */
+  private[graft] def opqCodeColumn(spark: org.apache.spark.sql.SparkSession,
+                                   model: OpqModel): Column => Column = {
+    val raw = opqRotateRaw(spark, model)
+    val enc = pqEncoder(spark, model.cb)
+    c => enc(normalized(raw(c)))
   }
 
   /** Build a PQ code relation in the OPQ-rotated space: same shape as

@@ -593,6 +593,34 @@ object HarnessLLM {
         emb.filter($"vec_id" < 5), "vec_id", "embedding", k = 10, rescoreK = 40)
         .orderBy($"qid", $"rnk")
     }),
+    "stream_opq_ingest" -> ((s, dir) => {
+      import s.implicits._
+      // The OPQ third of the ingest-time-column story: the stream
+      // maintains the ROTATED-frame m-byte __ocode column with a
+      // frozen rotation + codebooks (exactly like the SRP hyperplanes
+      // and the plain-PQ codebooks), so the stream-built store answers
+      // the same rotated-ADC search as the batch opqIndex — the
+      // planted closed form again. Stream==batch code equality on
+      // split corpora is pinned in StreamingSpec.
+      val emb = t(s, dir, "embeddings")
+      val boot = graft.streaming.VectorIngest.bootstrapFrom(ivfIndexFor(s, dir),
+        dim = emb.select(size($"embedding")).head().getInt(0))
+        .copy(opq = Some(opqModelsFor(s, dir)._1))
+      val store = "/tmp/graft_stage/vec_opq_store"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(store))
+      val stream = s.readStream.schema(emb.schema)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(dir)
+      graft.streaming.VectorIngest.maintainIndex(
+        annCorpusOf(stream.select($"vec_id", $"embedding")),
+        "vec_id", "embedding", boot, store)
+        .awaitTermination()
+      Vectors.opqTopK(
+        graft.streaming.VectorIngest.opqIndexFromStore(s, store, boot),
+        opqModelsFor(s, dir)._1,
+        emb.filter($"vec_id" < 5), "vec_id", "embedding", k = 10, rescoreK = 40)
+        .orderBy($"qid", $"rnk")
+    }),
     "dedup_embedding" -> ((s, dir) => {
       import s.implicits._
       // Embedding-cosine near-dup, exact tier (oracle-checkable; the
@@ -1181,6 +1209,13 @@ object HarnessLLM {
     // rotated ADC net and rescores exactly — same closed form as the
     // other ANN tiers
     "sim_ann_opq" ->
+      """SELECT q.vec_id AS qid, CAST(g.j + 1 AS INT) AS rnk,
+        | 100000 + q.vec_id * 100 + g.j AS vec_id
+        |FROM embeddings q, (SELECT unnest(generate_series(0, 9)) AS j) g
+        |WHERE q.vec_id < 5 ORDER BY 1, 2""".stripMargin,
+    // the stream-maintained rotated code column serves the same
+    // planted closed form as the batch OPQ index
+    "stream_opq_ingest" ->
       """SELECT q.vec_id AS qid, CAST(g.j + 1 AS INT) AS rnk,
         | 100000 + q.vec_id * 100 + g.j AS vec_id
         |FROM embeddings q, (SELECT unnest(generate_series(0, 9)) AS j) g

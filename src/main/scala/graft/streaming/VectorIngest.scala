@@ -40,7 +40,8 @@ object VectorIngest {
   final case class IndexBootstrap(dim: Int, centroids: Array[Array[Double]],
                                   bits: Int = 12, bands: Int = 8,
                                   seed: Long = 42L,
-                                  pq: Option[Vectors.PqCodebooks] = None)
+                                  pq: Option[Vectors.PqCodebooks] = None,
+                                  opq: Option[Vectors.OpqModel] = None)
 
   /** Bootstrap from a batch-built index (the ingest-time fit). */
   def bootstrapFrom(index: Vectors.IvfIndexData, dim: Int,
@@ -59,7 +60,8 @@ object VectorIngest {
                    b: IndexBootstrap): DataFrame =
     indexColumns(df, id, vec, b,
       Vectors.cellAssigner(df.sparkSession, b.centroids),
-      b.pq.map(cb => Vectors.pqEncoder(df.sparkSession, cb)))
+      b.pq.map(cb => Vectors.pqEncoder(df.sparkSession, cb)),
+      b.opq.map(m => Vectors.opqCodeColumn(df.sparkSession, m)))
 
   /** The assigner/encoder-supplied form: [[maintainIndex]] builds both
     * (and their broadcasts) ONCE at stream start and reuses them every
@@ -67,7 +69,8 @@ object VectorIngest {
     * batch on a long-lived ProcessingTime stream. */
   private def indexColumns(df: DataFrame, id: String, vec: String,
                            b: IndexBootstrap, assign: Column => Column,
-                           encode: Option[Column => Column]): DataFrame = {
+                           encode: Option[Column => Column],
+                           oEncode: Option[Column => Column] = None): DataFrame = {
     // ONE projection — signature, normalization, assignment, and PQ
     // encoding all scan-local; a join-shaped formulation would put a
     // shuffle in every micro-batch for nothing
@@ -78,11 +81,10 @@ object VectorIngest {
         Vectors.normalized(col(vec)).as("__na"))
       .withColumn("__a", assign(col("__na")))
     val cols = Seq(col("cid"), col("__sig"), col("__a._1").as("__cell"),
-      col("__na").as("__cv"), col("__a._2").as("__d2"))
-    encode match {
-      case Some(enc) => base.select(cols :+ enc(col("__na")).as("__code"): _*)
-      case None => base.select(cols: _*)
-    }
+      col("__na").as("__cv"), col("__a._2").as("__d2")) ++
+      encode.map(enc => enc(col("__na")).as("__code")) ++
+      oEncode.map(enc => enc(col("__na")).as("__ocode"))
+    base.select(cols: _*)
   }
 
   /** Auto-refit policy for [[maintainIndex]]: when a batch's mean
@@ -240,9 +242,11 @@ object VectorIngest {
     // PQ codebooks are frozen like the hyperplanes: one encoder (= one
     // codebook broadcast) for the stream's whole life
     val encode = b.pq.map(cb => Vectors.pqEncoder(spark, cb))
+    // the OPQ rotation + codebooks are frozen the same way
+    val oEncode = b.opq.map(m => Vectors.opqCodeColumn(spark, m))
     stream.writeStream
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        var cols = indexColumns(batch.toDF(), id, vec, b, assign, encode).persist()
+        var cols = indexColumns(batch.toDF(), id, vec, b, assign, encode, oEncode).persist()
         try {
           var d = distortionOf(cols)
           for (p <- refit; dd <- d; base <- baseline
@@ -268,7 +272,8 @@ object VectorIngest {
               // frozen-parameter columns and carry through untouched
               val keep = Seq(col("cid"), col("__sig"), col("__a._1").as("__cell"),
                 col("__cv"), col("__a._2").as("__d2")) ++
-                (if (stored.columns.contains("__code")) Seq(col("__code")) else Nil) :+
+                (if (stored.columns.contains("__code")) Seq(col("__code")) else Nil) ++
+                (if (stored.columns.contains("__ocode")) Seq(col("__ocode")) else Nil) :+
                 col("__batch")
               val reassigned = stored
                 .withColumn("__a", newAssign(col("__cv")))
@@ -282,7 +287,7 @@ object VectorIngest {
             // 3. recompute the triggering batch under the new quantizer
             //    and reset the baseline to its post-refit distortion
             cols.unpersist()
-            cols = indexColumns(batch.toDF(), id, vec, b, newAssign, encode).persist()
+            cols = indexColumns(batch.toDF(), id, vec, b, newAssign, encode, oEncode).persist()
             d = distortionOf(cols)
             saveQuantizer(storeDir, d.getOrElse(base), newCentroids)
             centroids = newCentroids
@@ -328,5 +333,24 @@ object VectorIngest {
       "pqIndexFromStore needs an IndexBootstrap with PQ codebooks"))
     Vectors.PqIndexData(
       spark.read.parquet(storeDir).select(col("cid"), col("__code"), col("__cv")), cb)
+  }
+
+  /** Read the stream-maintained store back as an OPQ index (the shape
+    * [[Vectors.opqTopK]] searches): the stream-maintained `__ocode`
+    * column plus the stored normalized vectors re-expressed in the
+    * model's rotated frame — the exact expression the batch
+    * [[Vectors.opqIndex]] stores, so serving is path-independent.
+    * Rotating at read time keeps the store single-frame (one `__cv`
+    * serves the flat, PQ, and OPQ consumers); the rotation is one
+    * scan-local pass amortized over a serving session. */
+  def opqIndexFromStore(spark: org.apache.spark.sql.SparkSession, storeDir: String,
+                        b: IndexBootstrap): Vectors.PqIndexData = {
+    val m = b.opq.getOrElse(throw new IllegalArgumentException(
+      "opqIndexFromStore needs an IndexBootstrap with an OPQ model"))
+    val rot = Vectors.opqRotateRaw(spark, m)
+    Vectors.PqIndexData(
+      spark.read.parquet(storeDir)
+        .select(col("cid"), col("__ocode").as("__code"),
+          Vectors.normalized(rot(col("__cv"))).as("__cv")), m.cb)
   }
 }

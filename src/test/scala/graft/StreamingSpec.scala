@@ -639,6 +639,53 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(res.forall(_ < 1000L), s"axis-0 query must surface cluster-0 members: ${res.toSeq}")
   }
 
+  test("stream-maintained OPQ codes equal the batch opqIndex; store searches through the rotation") {
+    import spark.implicits._
+    import graft.ops.Vectors
+    import graft.streaming.VectorIngest
+    val dim = 8
+    def cluster(center: Array[Double], n: Int, base: Long, seed: Int) = {
+      val rnd = new scala.util.Random(800 + seed)
+      (0 until n).map { i =>
+        (base + i, Array.tabulate(dim)(d =>
+          (center(d) + rnd.nextGaussian() * 0.05).toFloat))
+      }
+    }
+    def axis(i: Int) = Array.tabulate(dim)(d => if (d == i) 1.0 else 0.0)
+    val b1 = cluster(axis(0), 30, 0L, 1)
+    val b2 = cluster(axis(1), 30, 1000L, 2)
+    val fitDf = (b1 ++ b2).toDF("vec_id", "embedding")
+    val centroids = Vectors.fitQuantizer(fitDf, "embedding", nlist = 2)
+    val opqM = Vectors.opqFit(fitDf, "embedding", m = 2, ksub = 16)
+    val boot = VectorIngest.IndexBootstrap(dim, centroids, opq = Some(opqM))
+    val store = "/tmp/graft_test/vec_opq_spec"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(store))
+    val ms = MemoryStream[(Long, Array[Float])](spark)
+    val q = VectorIngest.maintainIndex(
+      ms.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding", boot, store,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    ms.addData(b1: _*); q.processAllAvailable()
+    ms.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    // frozen rotation + codebooks → per-batch rotated codes
+    // bit-identical to the batch opqIndex over the same rows
+    val streamCodes = spark.read.parquet(store)
+      .select($"cid", $"__ocode").collect()
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]](1).toSeq)).toSet
+    val batchCodes = Vectors.opqIndex(fitDf, "vec_id", "embedding", opqM)
+      .codes.select($"cid", $"__code").collect()
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]](1).toSeq)).toSet
+    assert(streamCodes == batchCodes,
+      "stream-maintained OPQ codes must be bit-identical to the batch opqIndex")
+    // the stream-built store answers OPQ searches through the rotation
+    val res = Vectors.opqTopK(VectorIngest.opqIndexFromStore(spark, store, boot),
+      opqM, Seq((0L, axis(0).map(_.toFloat))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", k = 5, rescoreK = 20)
+      .collect().map(_.getLong(2))
+    assert(res.length == 5)
+    assert(res.forall(_ < 1000L), s"axis-0 query must surface cluster-0 members: ${res.toSeq}")
+  }
+
   test("stream-maintained minhash store serves exactly the batch near-dup pairs") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
