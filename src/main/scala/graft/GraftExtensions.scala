@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{DotProduct, L2Norm, Shingles}
+import graft.functions.{DotProduct, L2Norm, NfcClean, Shingles}
 
 /** Engine extension point (SURVEY.md §4.2): registers graft's native
   * expressions with the session so they are callable from SQL
@@ -34,6 +34,9 @@ object GraftExtensions {
     (new FunctionIdentifier("graft_l2norm"),
       new ExpressionInfo(classOf[L2Norm].getName, "graft_l2norm"),
       (args: Seq[Expression]) => L2Norm(args(0))),
+    (new FunctionIdentifier("graft_nfc_clean"),
+      new ExpressionInfo(classOf[NfcClean].getName, "graft_nfc_clean"),
+      (args: Seq[Expression]) => NfcClean(args(0))),
     (new FunctionIdentifier("graft_shingles"),
       new ExpressionInfo(classOf[Shingles].getName, "graft_shingles"),
       (args: Seq[Expression]) => args match {

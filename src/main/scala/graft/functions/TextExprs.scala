@@ -31,6 +31,63 @@ object TextExprs {
 
   def bigramTally(tokens: Column): Column =
     GraftColumnBridge.column(BigramTally(GraftColumnBridge.expression(tokens)))
+
+  def nfcClean(text: Column): Column =
+    GraftColumnBridge.column(NfcClean(GraftColumnBridge.expression(text)))
+}
+
+/** Unicode hygiene kernel — shared by interpreted eval and generated
+  * code, so it must stay a static, stateless function. NFC-normalize
+  * (canonical composition, `java.text.Normalizer` — the JDK's ICU
+  * implementation of UAX #15), then strip the control characters that
+  * have no business in training text: C0 except tab/newline, DEL, and
+  * C1 — the byte ranges [\x00-\x08\x0B-\x1F\x7F-\x9F]. The strip runs
+  * AFTER normalization so a control char can never block a canonical
+  * recombination. NFC is engine-portable: DuckDB's `nfc_normalize`
+  * (utf8proc) implements the same standard, so
+  * `regexp_replace(nfc_normalize(t), '[...]', '', 'g')` is an exact
+  * cross-engine oracle. */
+object NfcCleanKernel {
+  def clean(s: UTF8String): UTF8String = {
+    val nfc = java.text.Normalizer.normalize(s.toString,
+      java.text.Normalizer.Form.NFC)
+    val n = nfc.length
+    val sb = new java.lang.StringBuilder(n)
+    var i = 0
+    while (i < n) {
+      val ch = nfc.charAt(i)
+      val drop = (ch < 0x20 && ch != '\n' && ch != '\t') ||
+        (ch >= 0x7F && ch <= 0x9F)
+      if (!drop) sb.append(ch)
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+}
+
+/** Codegen'd Unicode NFC + control-strip (see [[NfcCleanKernel]]) —
+  * the first pass of any text-cleaning pipeline, kept inside
+  * whole-stage codegen like the shingle featurizer. */
+case class NfcClean(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "graft_nfc_clean"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any =
+    NfcCleanKernel.clean(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.NfcCleanKernel.clean($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** Shared by interpreted eval and generated code — the generated call

@@ -38,6 +38,17 @@ object Text {
   def languageId(df: DataFrame, text: Column, out: String): DataFrame =
     df.withColumn(out, when(stopwordHits(text) >= 2, lit("en")).otherwise(lit("unk")))
 
+  /** Unicode hygiene — the FIRST pass of a cleaning pipeline, before
+    * any tokenization or hashing sees the text: NFC canonical
+    * composition plus control-character strip (C0 except tab/newline,
+    * DEL, C1), as the native codegen expression
+    * [[graft.functions.NfcClean]]. Mixed-normalization corpora
+    * otherwise split identical words into distinct tokens (café as
+    * e+◌́ vs é), silently fragmenting dedup, term stats, and
+    * fingerprints. Scan-local; also SQL-callable as
+    * `graft_nfc_clean(text)`. */
+  def nfcClean(text: Column): Column = graft.functions.TextExprs.nfcClean(text)
+
   /** Quality scoring: length, token/punctuation/stopword counts and
     * ratios. Ratios are single IEEE divisions of exact integer counts
     * (bit-deterministic across engines — no float accumulation). */

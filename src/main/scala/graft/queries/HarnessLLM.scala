@@ -693,6 +693,27 @@ object HarnessLLM {
         .agg(count(lit(1)).as("n"))
         .orderBy($"pred_lang")
     }),
+    "text_nfc_clean" -> ((s, dir) => {
+      import s.implicits._
+      // Unicode hygiene via the native codegen expression: the corpus
+      // text is ASCII, so the key PLANTS the dirt both engines must
+      // clean identically — every 'a' becomes a + U+0301 (combining
+      // acute, which NFC must compose to U+00E1) and a BEL + C1 NEL +
+      // DEL control tail that the strip must remove. The md5 of the
+      // cleaned text catches any normalization divergence; n_chars
+      // pins the codepoint count. DuckDB's nfc_normalize (utf8proc)
+      // implements the same UAX #15 as java.text.Normalizer.
+      // "a\u0301" = a + combining acute, written as escapes so the
+      // source stays ASCII and the DECOMPOSED form is unambiguous
+      val dirty = concat(
+        regexp_replace($"text", "a", "a\u0301"),
+        lit("\u0007\u0085\u007f"))
+      t(s, dir, "documents").filter($"doc_id" < 200)
+        .select($"doc_id",
+          md5(Text.nfcClean(dirty).cast("binary")).as("chk"),
+          length(Text.nfcClean(dirty)).as("n_chars"))
+        .orderBy($"doc_id")
+    }),
     "text_quality" -> ((s, dir) => {
       import s.implicits._
       Text.qualityScore(t(s, dir, "documents"), $"text")
@@ -1266,6 +1287,20 @@ object HarnessLLM {
         |   '\b(the|a|an|and|of|to|in|is)\b')) >= 2
         |  THEN 'en' ELSE 'unk' END AS pred_lang, count(*) AS n
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    // same dirt planted with chr(): 769 = U+0301 combining acute,
+    // 7/133/127 = BEL / C1 NEL / DEL; nfc_normalize (utf8proc) then
+    // composes, the RE2 class strips — validated equal to a
+    // java.text.Normalizer reference implementation
+    "text_nfc_clean" ->
+      """WITH dirty AS (
+        | SELECT doc_id,
+        |  regexp_replace(text, 'a', 'a' || chr(769), 'g')
+        |    || chr(7) || chr(133) || chr(127) AS d
+        | FROM documents WHERE doc_id < 200)
+        |SELECT doc_id,
+        | md5(regexp_replace(nfc_normalize(d), '[\x00-\x08\x0B-\x1F\x7F-\x9F]', '', 'g')) AS chk,
+        | CAST(length(regexp_replace(nfc_normalize(d), '[\x00-\x08\x0B-\x1F\x7F-\x9F]', '', 'g')) AS INT) AS n_chars
+        |FROM dirty ORDER BY doc_id""".stripMargin,
     "text_quality" ->
       """SELECT doc_id,
         | CAST(length(text) AS INT) AS n_chars_m,

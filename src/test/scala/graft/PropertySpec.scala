@@ -213,6 +213,39 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
     assert(salted == plain)
   }
 
+  test("nfcClean: composes decomposed forms, strips controls, keeps tab/newline, null-safe") {
+    import spark.implicits._
+    import graft.ops.Text
+    // all dirt written as \uXXXX escapes so the source stays ASCII:
+    // u0301 = combining acute (e + u0301 must compose to U+00E9);
+    // u0007 BEL (C0), u0085 NEL (C1), u007f DEL - all stripped
+    val rows = Seq(
+      (1L, "cafe\u0301 du parc"),
+      (2L, "keep\tthese\nlines"),
+      (3L, "bell\u0007 nel\u0085 del\u007f end"),
+      (4L, "plain ascii"),
+      (5L, null.asInstanceOf[String]))
+      .toDF("id", "t")
+    val got = rows.select($"id", Text.nfcClean($"t").as("c"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(got(1L) == "caf\u00e9 du parc", got(1L))
+    assert(got(2L) == "keep\tthese\nlines")
+    assert(got(3L) == "bell nel del end")
+    assert(got(4L) == "plain ascii")
+    assert(got(5L) == null)
+    // idempotent: cleaning a cleaned string is identity
+    val twice = rows.filter($"t".isNotNull)
+      .select(Text.nfcClean(Text.nfcClean($"t")).as("a"), Text.nfcClean($"t").as("b"))
+      .filter($"a" =!= $"b").count()
+    assert(twice == 0)
+    // SQL-registered form agrees with the Column API
+    GraftExtensions.register(spark)
+    rows.filter($"t".isNotNull).createOrReplaceTempView("nfc_in")
+    val viaSql = spark.sql("SELECT id, graft_nfc_clean(t) AS c FROM nfc_in")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(viaSql == got.filter(_._2 != null))
+  }
+
   test("saltedJoin equals the plain equi-join") {
     import spark.implicits._
     val c = spark.read.parquet(sf("customer"))

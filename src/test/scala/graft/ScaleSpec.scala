@@ -242,9 +242,14 @@ class ScaleSpec extends AnyFunSuite with SparkTestBase {
     val back = spark.read.parquet(zc)
     assert(back.exceptAll(li).isEmpty && li.exceptAll(back).isEmpty,
       "clustered compaction must be row-content-neutral")
-    assert(touched(zc, "l_partkey", 52, 71) <= bins / 2,
+    // +1: repartitionByRange strips come from reservoir SAMPLING whose
+    // seed derives from the RDD id, so a boundary can shift by one file
+    // between runs (stable in isolation, jitters under the full suite's
+    // thousands of prior jobs) — the pruning claim is half-the-files,
+    // give or take that one sampled boundary
+    assert(touched(zc, "l_partkey", 52, 71) <= bins / 2 + 1,
       "partkey box must still prune after clustered compaction")
-    assert(touched(zc, "l_orderkey", 400, 490) <= bins / 2,
+    assert(touched(zc, "l_orderkey", 400, 490) <= bins / 2 + 1,
       "orderkey box must still prune after clustered compaction")
     // contrast: the same unclustered fragments through plain compact()
     // at the same bin target stay unclustered — every bin's box spans
