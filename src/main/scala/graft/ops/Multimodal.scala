@@ -548,6 +548,124 @@ object Multimodal {
       }
   }
 
+  /** 64-bit AVERAGE HASH (aHash — the classic perceptual image hash)
+    * of a decoded 8-bit P5/P6 image: integer luma per pixel (P6:
+    * r+g+b; P5: the sample), an 8x8 grid of block sums with
+    * floor(i*dim/8) boundaries, bit (gy*8+gx) set iff the block mean
+    * exceeds the global mean — compared by exact integer
+    * cross-multiplication (blockSum * totalPx > totalSum * blockPx),
+    * no floats anywhere, so the hash is bit-deterministic across JVMs
+    * and engines. Visually-identical images hash equal; small edits
+    * flip few bits, so near-duplicate detection is a small-radius
+    * Hamming search. None for non-P5/P6 payloads or images smaller
+    * than the 8x8 grid. */
+  def aHash64(bytes: Array[Byte]): Option[Long] =
+    pnmDecode(bytes).flatMap { img =>
+      if (img.width < 8 || img.height < 8) None
+      else img.format match {
+        case "P5" | "P6" =>
+          val w = img.width
+          val h = img.height
+          val ch = if (img.format == "P6") 3 else 1
+          val blockSum = new Array[Long](64)
+          val blockPx = new Array[Long](64)
+          var totalSum = 0L
+          var y = 0
+          while (y < h) {
+            val gy = y * 8 / h
+            var x = 0
+            while (x < w) {
+              val gx = x * 8 / w
+              var luma = 0
+              var c = 0
+              val base = (y * w + x) * ch
+              while (c < ch) { luma += img.samples(base + c) & 0xFF; c += 1 }
+              val b = gy * 8 + gx
+              blockSum(b) += luma
+              blockPx(b) += 1
+              totalSum += luma
+              x += 1
+            }
+            y += 1
+          }
+          val totalPx = w.toLong * h
+          var hash = 0L
+          var b = 0
+          while (b < 64) {
+            if (blockSum(b) * totalPx > totalSum * blockPx(b)) hash |= (1L << b)
+            b += 1
+          }
+          Some(hash)
+        case _ => None
+      }
+    }
+
+  /** Split a 64-bit hash into `bands` contiguous bit-bands (the
+    * pigeonhole index for Hamming search: two hashes within Hamming
+    * distance `bands - 1` MUST agree on at least one whole band).
+    * Band j carries its index in the high bits so distinct bands
+    * never collide in the join key. */
+  private[graft] def hammingBands(hash: Long, bands: Int): Array[Long] = {
+    val base = 64 / bands
+    val rem = 64 % bands
+    val out = new Array[Long](bands)
+    var start = 0
+    var j = 0
+    while (j < bands) {
+      val width = base + (if (j < rem) 1 else 0)
+      val mask = if (width >= 64) -1L else (1L << width) - 1
+      out(j) = (j.toLong << 58) | ((hash >>> start) & mask)
+      start += width
+      j += 1
+    }
+    out
+  }
+
+  /** Image NEAR-DUP pairs by perceptual hash: decode + [[aHash64]]
+    * scan-local (at production scale the hash is an ingest-time column
+    * persisted with the table, like the minhash band signatures), then
+    * the multi-index Hamming join — hashes split into maxHamming+1
+    * bit-bands, candidates collide on an exact band (pigeonhole: a
+    * pair within the radius must agree on a whole band — guaranteed
+    * recall, same contract as the text/embedding tiers), and the exact
+    * `bit_count(xor)` rescore keeps pairs within the radius. Shuffles:
+    * the band-keyed self-join and the two id-keyed hash joins — no
+    * all-pairs anywhere; candidate volume is logged to
+    * [[graft.Metrics]]. */
+  def imageNearDups(df: DataFrame, id: String, media: String,
+                    maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 32, "maxHamming in [0, 32)")
+    val bands = maxHamming + 1
+    val hashU = udf((b: Array[Byte]) => aHash64(b))
+    val bandsU = udf((h: Long) => hammingBands(h, bands))
+    val n = df.sparkSession.sessionState.conf.numShufflePartitions
+    // the hash relation is TINY (id + one long per image) while its
+    // upstream (decode + hash over the media bytes) is the expensive
+    // part — eager-checkpoint it once so neither the self-join's two
+    // sides nor the two rescore joins re-decode the corpus; every join
+    // below is explicitly repartition-pinned, so the checkpoint's
+    // missing stats cannot demote a plan (the minhash/jaccard
+    // lifecycle lesson)
+    val hashed = df.select(col(id).as("__id"), hashU(col(media)).as("__ah"))
+      .filter(col("__ah").isNotNull)
+      .localCheckpoint(true)
+    val banded = hashed.select(col("__id"), explode(bandsU(col("__ah"))).as("__bk"))
+      .repartition(n, col("__bk"))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.__bk") === col("b.__bk") && col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
+      .distinct()
+      .localCheckpoint(true)
+    graft.Metrics.record("image_ahash_candidates", cand.count())
+    cand
+      .repartition(n, col("id_a"), col("id_b"))
+      .join(hashed.select(col("__id").as("id_a"), col("__ah").as("__ha")), Seq("id_a"))
+      .join(hashed.select(col("__id").as("id_b"), col("__ah").as("__hb")), Seq("id_b"))
+      .withColumn("hamming", bit_count(col("__ha").bitwiseXOR(col("__hb"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
   /** Deterministic fake embedding: dim exact-binary-fraction values
     * derived from the payload size, so the full feature-extract
     * pipeline (binary in → fixed-dim vector out, partition-wise model

@@ -828,6 +828,36 @@ object HarnessLLM {
     }),
 
     // ---- multimodal plumbing ----
+    "multimodal_image_dedup" -> ((s, dir) => {
+      import s.implicits._
+      // Image near-dup by perceptual hash over the REAL P6 decoder:
+      // docs come in planted triplet groups (doc_id / 3) whose 16x16
+      // payloads are pixel-identical WITHIN a group (chained-md5 pixel
+      // stream seeded by the group number alone) and independent
+      // across groups, so within-group pairs hash equal (Hamming 0 —
+      // deterministic) while cross-group hashes sit at the ~32-bit
+      // random distance, astronomically outside the radius (P[<=3]
+      // ~ 1e-14 per pair) — the same planted-closed-form contract as
+      // the ANN tiers. The banded Hamming join + bit_count rescore is
+      // the scale path; nonzero-distance behavior is spec-pinned with
+      // a constructed exactly-one-bit pair.
+      val mk = udf { (docId: Long) =>
+        val group = docId / 3
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val px = new Array[Byte](16 * 16 * 3)
+        var chunk = 0
+        while (chunk * 16 < px.length) {
+          val d = md.digest(s"img:$group:$chunk".getBytes("UTF-8"))
+          System.arraycopy(d, 0, px, chunk * 16, math.min(16, px.length - chunk * 16))
+          chunk += 1
+        }
+        graft.ops.Multimodal.ppmEncode(16, 16, px)
+      }
+      val imgs = t(s, dir, "documents").filter($"doc_id" < 300)
+        .select($"doc_id", mk($"doc_id").as("media"))
+      Multimodal.imageNearDups(imgs, "doc_id", "media", maxHamming = 3)
+        .orderBy($"id_a", $"id_b")
+    }),
     "multimodal_binary_meta" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       import s.implicits._
@@ -1430,6 +1460,15 @@ object HarnessLLM {
         | WHERE q.vec_id < 5)
         |SELECT a.id AS id_a, b.id AS id_b
         |FROM m a JOIN m b ON a.qid = b.qid AND a.id < b.id
+        |ORDER BY 1, 2""".stripMargin,
+    // within-group payloads are pixel-identical by construction, so the
+    // pair list is pure doc_id arithmetic and every distance is 0;
+    // cross-group pairs sit ~32 bits apart and cannot enter
+    "multimodal_image_dedup" ->
+      """SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(0 AS INT) AS hamming
+        |FROM documents a JOIN documents b
+        |  ON a.doc_id // 3 = b.doc_id // 3 AND a.doc_id < b.doc_id
+        |WHERE a.doc_id < 300 AND b.doc_id < 300
         |ORDER BY 1, 2""".stripMargin,
     "multimodal_binary_meta" ->
       """SELECT doc_id,

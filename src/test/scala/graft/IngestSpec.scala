@@ -175,6 +175,47 @@ class IngestSpec extends AnyFunSuite with SparkTestBase {
     assert(Multimodal.pnmFrames(mixed.dropRight(1)).map(_.format) == Vector("P6", "P5"))
   }
 
+  test("aHash: deterministic, identical images hash equal, one decisive block flips exactly one bit") {
+    import spark.implicits._
+    import graft.ops.Multimodal
+    // extreme-valued blocks so no bit is borderline: 16x16 P5, 2x2-px
+    // blocks all at 0 or 255 in a checkerboard — flipping ONE block's
+    // pixels moves the global mean by ~2/256 of the range, far from
+    // every other block's ~half-range margin, so exactly that block's
+    // bit differs
+    def img(flipBlock: Boolean): Array[Byte] = {
+      val w = 16; val h = 16
+      val px = Array.tabulate(w * h) { k =>
+        val x = k % w; val y = k / w
+        val gx = x / 2; val gy = y / 2
+        val bright = (gx + gy) % 2 == 0
+        val b0 = if (bright) 255 else 0
+        val v = if (flipBlock && gx == 0 && gy == 0) 255 - b0 else b0
+        v.toByte
+      }
+      Multimodal.pgmEncode(w, h, px)
+    }
+    val a = Multimodal.aHash64(img(flipBlock = false)).get
+    val a2 = Multimodal.aHash64(img(flipBlock = false)).get
+    val b = Multimodal.aHash64(img(flipBlock = true)).get
+    assert(a == a2, "deterministic")
+    assert(java.lang.Long.bitCount(a ^ b) == 1, s"expected exactly 1 bit, got ${java.lang.Long.bitCount(a ^ b)}")
+    // too-small and non-image payloads hash to None, never throw
+    assert(Multimodal.aHash64(Multimodal.pgmEncode(4, 4, Array.fill(16)(1.toByte))).isEmpty)
+    assert(Multimodal.aHash64("not an image".getBytes("UTF-8")).isEmpty)
+    // the banded join pairs the 1-bit pair at radius 1 but not radius 0
+    val df = Seq((1L, img(false)), (2L, img(false)), (3L, img(true)))
+      .toDF("id", "media")
+    def pairs(maxH: Int) =
+      Multimodal.imageNearDups(df, "id", "media", maxH)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs(0) == Set((1L, 2L, 0)))
+    assert(pairs(1) == Set((1L, 2L, 0), (1L, 3L, 1), (2L, 3L, 1)))
+    // pigeonhole bands cover all 64 bits exactly once
+    val covered = Multimodal.hammingBands(-1L, 5).map(_ & ((1L << 58) - 1))
+    assert(covered.map(java.lang.Long.bitCount).sum == 64)
+  }
+
   test("WAV decode: roundtrip, chunk-walk past extra chunks, non-PCM16 rejected") {
     import graft.ops.Multimodal
     val samples = Array[Short](0, 100, -100, 32767, -32768, 7)
