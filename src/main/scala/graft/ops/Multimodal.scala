@@ -621,22 +621,72 @@ object Multimodal {
     out
   }
 
+  /** 64-bit audio fingerprint of a decoded PCM16 WAV: the sign pattern
+    * of successive ENERGY DELTAS — mixed-down samples split into 65
+    * equal windows (floor boundaries), bit i set iff window i+1's mean
+    * absolute amplitude exceeds window i's (integer-exact
+    * cross-multiplication, like [[aHash64]]). The shape of the
+    * loudness envelope, not its level — the chromaprint idea reduced
+    * to its codec-free core. None for non-WAV payloads or clips
+    * shorter than 65 frames. */
+  def audioFingerprint64(bytes: Array[Byte]): Option[Long] =
+    wavDecode(bytes).flatMap { wav =>
+      val ch = wav.channels
+      val nFrames = wav.samples.length / ch
+      if (nFrames < 65) None
+      else {
+        val sums = new Array[Long](65)
+        val cnts = new Array[Long](65)
+        var f = 0
+        while (f < nFrames) {
+          val w = f * 65 / nFrames
+          var c = 0
+          var amp = 0L
+          while (c < ch) { amp += math.abs(wav.samples(f * ch + c).toLong); c += 1 }
+          sums(w) += amp
+          cnts(w) += 1
+          f += 1
+        }
+        var hash = 0L
+        var i = 0
+        while (i < 64) {
+          if (sums(i + 1) * cnts(i) > sums(i) * cnts(i + 1)) hash |= (1L << i)
+          i += 1
+        }
+        Some(hash)
+      }
+    }
+
   /** Image NEAR-DUP pairs by perceptual hash: decode + [[aHash64]]
     * scan-local (at production scale the hash is an ingest-time column
     * persisted with the table, like the minhash band signatures), then
-    * the multi-index Hamming join — hashes split into maxHamming+1
-    * bit-bands, candidates collide on an exact band (pigeonhole: a
-    * pair within the radius must agree on a whole band — guaranteed
-    * recall, same contract as the text/embedding tiers), and the exact
-    * `bit_count(xor)` rescore keeps pairs within the radius. Shuffles:
-    * the band-keyed self-join and the two id-keyed hash joins — no
-    * all-pairs anywhere; candidate volume is logged to
-    * [[graft.Metrics]]. */
+    * the generic [[hammingNearDups]] join. */
   def imageNearDups(df: DataFrame, id: String, media: String,
-                    maxHamming: Int = 3): DataFrame = {
+                    maxHamming: Int = 3): DataFrame =
+    hammingNearDups(df, id, media, udf((b: Array[Byte]) => aHash64(b)),
+      maxHamming, "image_ahash_candidates")
+
+  /** Audio NEAR-DUP pairs by the loudness-envelope fingerprint — the
+    * same multi-index Hamming machinery over [[audioFingerprint64]]. */
+  def audioNearDups(df: DataFrame, id: String, media: String,
+                    maxHamming: Int = 3): DataFrame =
+    hammingNearDups(df, id, media, udf((b: Array[Byte]) => audioFingerprint64(b)),
+      maxHamming, "audio_fp_candidates")
+
+  /** The shared multi-index Hamming join over any 64-bit perceptual
+    * hash: hashes split into maxHamming+1 bit-bands, candidates
+    * collide on an exact band (pigeonhole: a pair within the radius
+    * must agree on a whole band — guaranteed recall, same contract as
+    * the text/embedding tiers), and the exact `bit_count(xor)` rescore
+    * keeps pairs within the radius. Shuffles: the band-keyed self-join
+    * and the two id-keyed hash joins — no all-pairs anywhere;
+    * candidate volume is logged to [[graft.Metrics]] under
+    * `candMetric`. */
+  private def hammingNearDups(df: DataFrame, id: String, media: String,
+                              hashU: org.apache.spark.sql.expressions.UserDefinedFunction,
+                              maxHamming: Int, candMetric: String): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 32, "maxHamming in [0, 32)")
     val bands = maxHamming + 1
-    val hashU = udf((b: Array[Byte]) => aHash64(b))
     val bandsU = udf((h: Long) => hammingBands(h, bands))
     val n = df.sparkSession.sessionState.conf.numShufflePartitions
     // the hash relation is TINY (id + one long per image) while its
@@ -656,7 +706,7 @@ object Multimodal {
       .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
       .distinct()
       .localCheckpoint(true)
-    graft.Metrics.record("image_ahash_candidates", cand.count())
+    graft.Metrics.record(candMetric, cand.count())
     cand
       .repartition(n, col("id_a"), col("id_b"))
       .join(hashed.select(col("__id").as("id_a"), col("__ah").as("__ha")), Seq("id_a"))

@@ -962,6 +962,38 @@ object HarnessLLM {
       Multimodal.pnmFramesPartitions(withMedia).toDF()
         .orderBy($"doc_id", $"frame_idx")
     }),
+    "multimodal_audio_dedup" -> ((s, dir) => {
+      import s.implicits._
+      // Audio near-dup by loudness-envelope fingerprint over the REAL
+      // PCM16 WAV decoder — the planted-triplet-group contract of
+      // multimodal_image_dedup, one modality over: within a group
+      // (doc_id / 3) the 260-sample clip is bit-identical (chained-md5
+      // sample stream seeded by the group number), across groups the
+      // 64 envelope-delta sign bits are independent coin flips, so
+      // only within-group pairs (Hamming 0) can enter at radius 3.
+      val mk = udf { (docId: Long) =>
+        val group = docId / 3
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val n = 260
+        val samples = new Array[Short](n)
+        var chunk = 0
+        while (chunk * 8 < n) {
+          val d = md.digest(s"wav:$group:$chunk".getBytes("UTF-8"))
+          var j = 0
+          while (j < 8 && chunk * 8 + j < n) {
+            samples(chunk * 8 + j) =
+              (((d(2 * j) & 0xFF) << 8 | (d(2 * j + 1) & 0xFF)) - 32768).toShort
+            j += 1
+          }
+          chunk += 1
+        }
+        Multimodal.wavEncode(8000, 1, samples)
+      }
+      val clips = t(s, dir, "documents").filter($"doc_id" < 300)
+        .select($"doc_id", mk($"doc_id").as("media"))
+      Multimodal.audioNearDups(clips, "doc_id", "media", maxHamming = 3)
+        .orderBy($"id_a", $"id_b")
+    }),
     "multimodal_wav_decode" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       import s.implicits._
@@ -1555,6 +1587,14 @@ object HarnessLLM {
     // clip (44-byte canonical header + 2 bytes/sample); mean_sample
     // re-derives the integer waveform's mean the decoder computed off
     // the actual PCM buffer — exact-int sum over exact-int count
+    // same closed form as the image tier: within-group clips are
+    // bit-identical, cross-group envelopes are independent sign flips
+    "multimodal_audio_dedup" ->
+      """SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(0 AS INT) AS hamming
+        |FROM documents a JOIN documents b
+        |  ON a.doc_id // 3 = b.doc_id // 3 AND a.doc_id < b.doc_id
+        |WHERE a.doc_id < 300 AND b.doc_id < 300
+        |ORDER BY 1, 2""".stripMargin,
     "multimodal_wav_decode" ->
       """WITH ks AS (
         | SELECT doc_id, unnest(range(64 + 16 * (doc_id % 50))) AS k FROM documents),

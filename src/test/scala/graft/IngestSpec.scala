@@ -216,6 +216,30 @@ class IngestSpec extends AnyFunSuite with SparkTestBase {
     assert(covered.map(java.lang.Long.bitCount).sum == 64)
   }
 
+  test("audioFingerprint64: envelope shape, level-invariant sign bits, degenerate payloads None") {
+    import graft.ops.Multimodal
+    // a clip whose loudness strictly ramps up window over window has
+    // ALL 64 delta bits set; the strictly-decaying clip has none
+    def ramp(up: Boolean): Array[Byte] = {
+      val n = 260
+      val samples = Array.tabulate(n) { f =>
+        val w = f * 65 / n
+        val amp = if (up) 100 * (w + 1) else 100 * (65 - w)
+        (if (f % 2 == 0) amp else -amp).toShort
+      }
+      Multimodal.wavEncode(8000, 1, samples)
+    }
+    val upFp = Multimodal.audioFingerprint64(ramp(up = true)).get
+    val downFp = Multimodal.audioFingerprint64(ramp(up = false)).get
+    assert(upFp == -1L, s"all-ascending envelope must set all 64 bits, got $upFp")
+    assert(downFp == 0L, s"all-descending envelope must set none, got $downFp")
+    assert(Multimodal.audioFingerprint64(ramp(up = true)).get == upFp, "deterministic")
+    // shorter than 65 frames, or not a WAV at all -> None, never throw
+    assert(Multimodal.audioFingerprint64(
+      Multimodal.wavEncode(8000, 1, Array.fill(64)(1.toShort))).isEmpty)
+    assert(Multimodal.audioFingerprint64("not audio".getBytes("UTF-8")).isEmpty)
+  }
+
   test("WAV decode: roundtrip, chunk-walk past extra chunks, non-PCM16 rejected") {
     import graft.ops.Multimodal
     val samples = Array[Short](0, 100, -100, 32767, -32768, 7)
