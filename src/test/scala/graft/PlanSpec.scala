@@ -292,4 +292,18 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     // codegen'd stages print with a "*(n)" prefix in the physical plan
     assert(plan(df).contains("*("), plan(df))
   }
+
+  test("graft_nfc_clean is a codegen expression, not a udf: the cleaning projection stays in WSCG") {
+    import spark.implicits._
+    val df = spark.read.parquet(sf("documents"))
+      .select($"doc_id", graft.ops.Text.nfcClean($"text").as("clean"))
+      .filter(length($"clean") > 0)
+    val p = plan(df)
+    // a Scala udf would print BatchEvalPython/ScalaUDF and break the
+    // codegen span; the native expression keeps the whole
+    // scan-clean-filter pipeline inside one "*(n)" stage
+    assert(p.contains("*("), p)
+    assert(!p.contains("ScalaUDF"), p)
+    assert(p.contains("graft_nfc_clean"), p)
+  }
 }
