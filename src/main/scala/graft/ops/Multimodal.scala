@@ -673,32 +673,38 @@ object Multimodal {
     hammingNearDups(df, id, media, udf((b: Array[Byte]) => audioFingerprint64(b)),
       maxHamming, "audio_fp_candidates")
 
-  /** The shared multi-index Hamming join over any 64-bit perceptual
-    * hash: hashes split into maxHamming+1 bit-bands, candidates
-    * collide on an exact band (pigeonhole: a pair within the radius
-    * must agree on a whole band — guaranteed recall, same contract as
-    * the text/embedding tiers), and the exact `bit_count(xor)` rescore
-    * keeps pairs within the radius. Shuffles: the band-keyed self-join
-    * and the two id-keyed hash joins — no all-pairs anywhere;
-    * candidate volume is logged to [[graft.Metrics]] under
-    * `candMetric`. */
+  /** The media-column wrapper of [[hammingNearDupsOnHashes]]: decode +
+    * hash scan-local, eager-checkpoint the tiny (id, hash) relation so
+    * neither the self-join's two sides nor the two rescore joins
+    * re-decode the corpus (every downstream join is explicitly
+    * repartition-pinned, so the checkpoint's missing stats cannot
+    * demote a plan — the minhash/jaccard lifecycle lesson). */
   private def hammingNearDups(df: DataFrame, id: String, media: String,
                               hashU: org.apache.spark.sql.expressions.UserDefinedFunction,
-                              maxHamming: Int, candMetric: String): DataFrame = {
+                              maxHamming: Int, candMetric: String): DataFrame =
+    hammingNearDupsOnHashes(
+      df.select(col(id).as("__id"), hashU(col(media)).as("__ah"))
+        .filter(col("__ah").isNotNull)
+        .localCheckpoint(true),
+      maxHamming, candMetric)
+
+  /** The shared multi-index Hamming join over any 64-bit perceptual
+    * hash relation `(__id, __ah)` — at production scale the hash IS a
+    * persisted ingest-time column, so this is the serving-path entry
+    * (the streaming store reader calls it directly): hashes split into
+    * maxHamming+1 bit-bands, candidates collide on an exact band
+    * (pigeonhole: a pair within the radius must agree on a whole
+    * band — guaranteed recall, same contract as the text/embedding
+    * tiers), and the exact `bit_count(xor)` rescore keeps pairs within
+    * the radius. Shuffles: the band-keyed self-join and the two
+    * id-keyed hash joins — no all-pairs anywhere; candidate volume is
+    * logged to [[graft.Metrics]] under `candMetric`. */
+  private[graft] def hammingNearDupsOnHashes(hashed: DataFrame, maxHamming: Int,
+                                             candMetric: String): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 32, "maxHamming in [0, 32)")
     val bands = maxHamming + 1
     val bandsU = udf((h: Long) => hammingBands(h, bands))
-    val n = df.sparkSession.sessionState.conf.numShufflePartitions
-    // the hash relation is TINY (id + one long per image) while its
-    // upstream (decode + hash over the media bytes) is the expensive
-    // part — eager-checkpoint it once so neither the self-join's two
-    // sides nor the two rescore joins re-decode the corpus; every join
-    // below is explicitly repartition-pinned, so the checkpoint's
-    // missing stats cannot demote a plan (the minhash/jaccard
-    // lifecycle lesson)
-    val hashed = df.select(col(id).as("__id"), hashU(col(media)).as("__ah"))
-      .filter(col("__ah").isNotNull)
-      .localCheckpoint(true)
+    val n = hashed.sparkSession.sessionState.conf.numShufflePartitions
     val banded = hashed.select(col("__id"), explode(bandsU(col("__ah"))).as("__bk"))
       .repartition(n, col("__bk"))
     val cand = banded.as("a").join(banded.as("b"),

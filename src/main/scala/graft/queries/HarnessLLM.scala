@@ -858,6 +858,42 @@ object HarnessLLM {
       Multimodal.imageNearDups(imgs, "doc_id", "media", maxHamming = 3)
         .orderBy($"id_a", $"id_b")
     }),
+    "stream_image_ingest" -> ((s, dir) => {
+      import s.implicits._
+      // Streaming perceptual-hash maintenance: the same planted
+      // triplet-group P6 corpus as multimodal_image_dedup arrives as a
+      // stream; each micro-batch decodes and hashes its own payloads
+      // into the batch-partitioned store (media bytes decoded once, at
+      // ingest), and near-dup pairs are served as the shared banded
+      // Hamming join over the stored hashes — row-for-row the batch
+      // key, so that closed-form oracle applies verbatim. Stream ==
+      // batch hash equality on split corpora is pinned in
+      // StreamingSpec.
+      val mk = udf { (docId: Long) =>
+        val group = docId / 3
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val px = new Array[Byte](16 * 16 * 3)
+        var chunk = 0
+        while (chunk * 16 < px.length) {
+          val d = md.digest(s"img:$group:$chunk".getBytes("UTF-8"))
+          System.arraycopy(d, 0, px, chunk * 16, math.min(16, px.length - chunk * 16))
+          chunk += 1
+        }
+        graft.ops.Multimodal.ppmEncode(16, 16, px)
+      }
+      val docs = t(s, dir, "documents")
+      val store = "/tmp/graft_stage/image_hash_store"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(store))
+      val stream = s.readStream.schema(docs.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(dir)
+        .filter($"doc_id" < 300)
+        .select($"doc_id", mk($"doc_id").as("media"))
+      graft.streaming.MediaIngest.maintainImageHashes(stream, "doc_id", "media", store)
+        .awaitTermination()
+      graft.streaming.MediaIngest.imageNearDupsFromStore(s, store, maxHamming = 3)
+        .orderBy($"id_a", $"id_b")
+    }),
     "multimodal_binary_meta" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       import s.implicits._
@@ -1492,6 +1528,14 @@ object HarnessLLM {
         | WHERE q.vec_id < 5)
         |SELECT a.id AS id_a, b.id AS id_b
         |FROM m a JOIN m b ON a.qid = b.qid AND a.id < b.id
+        |ORDER BY 1, 2""".stripMargin,
+    // the stream-maintained hash store serves the same closed-form
+    // pair list as the batch tier
+    "stream_image_ingest" ->
+      """SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(0 AS INT) AS hamming
+        |FROM documents a JOIN documents b
+        |  ON a.doc_id // 3 = b.doc_id // 3 AND a.doc_id < b.doc_id
+        |WHERE a.doc_id < 300 AND b.doc_id < 300
         |ORDER BY 1, 2""".stripMargin,
     // within-group payloads are pixel-identical by construction, so the
     // pair list is pure doc_id arithmetic and every distance is 0;

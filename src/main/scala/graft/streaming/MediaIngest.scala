@@ -1,0 +1,102 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.ops.Multimodal
+
+/** Streaming MEDIA near-dup maintenance — the perceptual-hash analog
+  * of [[DedupIngest]]: as media documents stream in, every micro-batch
+  * decodes its payloads and appends their 64-bit perceptual hashes
+  * ([[Multimodal.aHash64]]) to a `__batch`-partitioned store; serving
+  * near-dup pairs is then the shared multi-index Hamming join
+  * ([[Multimodal.hammingNearDupsOnHashes]]) over the store — the media
+  * bytes are decoded exactly once, at ingest, and never rescanned.
+  * The hash function is pure and seed-free, so per-batch hashes are
+  * bit-identical to a one-shot batch build and the batch key's
+  * closed-form oracle applies verbatim to the served relation.
+  *
+  * Scale posture: per-batch work is one scan-local decode+hash pass
+  * over the batch's own rows (no cross-batch state, no streaming state
+  * store); the store append is the same dynamic-partition-overwrite
+  * write the text/vector tiers use (exactly-once on retry: a replayed
+  * batch id overwrites its own partition). At 100 TB the 8-byte hash
+  * column rides with the table; the media bytes stay cold.
+  */
+object MediaIngest {
+
+  /** Maintain the image-hash store from a media stream: each
+    * micro-batch writes (doc_id, __ah) for its decodable payloads to
+    * `$storeDir/hashes`, `__batch`-partitioned. Rows are globally
+    * unique (a document lands wholly in its own batch), so compaction
+    * is a full-row distinct fold. */
+  def maintainImageHashes(stream: DataFrame, id: String, media: String,
+                          storeDir: String,
+                          trigger: Trigger = Trigger.AvailableNow(),
+                          onBatch: Long => Unit = _ => (),
+                          compactEvery: Int = 0): StreamingQuery = {
+    val hashU = udf((b: Array[Byte]) => Multimodal.aHash64(b))
+    stream.writeStream
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        batch.toDF()
+          .select(col(id).as("doc_id"), hashU(col(media)).as("__ah"))
+          .filter(col("__ah").isNotNull)
+          .withColumn("__batch", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("__batch")
+          .parquet(s"$storeDir/hashes")
+        if (compactEvery > 0 &&
+            TextIngest.batchPartitionDirs(stream.sparkSession,
+              s"$storeDir/hashes").length >= compactEvery)
+          compactImageHashes(stream.sparkSession, storeDir, upToBatch = batchId)
+        onBatch(batchId)
+        ()
+      }
+      .trigger(trigger)
+      .option("checkpointLocation", s"$storeDir/_checkpoint")
+      .start()
+  }
+
+  /** Fold committed hash partitions into `__batch=-1` — the
+    * [[TextIngest.compactInvertedIndex]] discipline: rows are globally
+    * unique, so a full-row distinct makes the fold idempotent across
+    * the crash window. */
+  def compactImageHashes(spark: SparkSession, storeDir: String,
+                         upToBatch: Long, targetFiles: Int = 1): Unit = {
+    val dir = s"$storeDir/hashes"
+    val fold = TextIngest.batchPartitionDirs(spark, dir)
+      .filter(_.getName.stripPrefix("__batch=").toLong < upToBatch)
+    if (fold.length > 1) {
+      val folded = spark.read.option("basePath", dir)
+        .parquet(fold.map(_.toString).toIndexedSeq: _*)
+        .select(col("doc_id"), col("__ah"))
+        .distinct()
+        .withColumn("__batch", lit(TextIngest.CompactedBatchId))
+        .coalesce(math.max(1, targetFiles))
+        .localCheckpoint(true)
+      folded.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__batch")
+        .parquet(dir)
+      fold.filter(_.getName != s"__batch=${TextIngest.CompactedBatchId}")
+        .foreach(TextIngest.deleteDir(spark, _))
+      spark.catalog.refreshByPath(dir)
+    }
+  }
+
+  /** Near-dup pairs served off the stream-maintained store: the shared
+    * banded Hamming join over the stored hashes. The pre-join distinct
+    * is the compaction-crash-window guard ([[TextIngest.bm25FromStore]]):
+    * rows are unique by construction, duplicates only ever mean a stale
+    * partition beside its relocated copy. */
+  def imageNearDupsFromStore(spark: SparkSession, storeDir: String,
+                             maxHamming: Int = 3): DataFrame =
+    Multimodal.hammingNearDupsOnHashes(
+      spark.read.parquet(s"$storeDir/hashes")
+        .select(col("doc_id").as("__id"), col("__ah"))
+        .distinct()
+        .localCheckpoint(true),
+      maxHamming, "stream_image_candidates")
+}

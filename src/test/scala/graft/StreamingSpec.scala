@@ -686,6 +686,55 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(res.forall(_ < 1000L), s"axis-0 query must surface cluster-0 members: ${res.toSeq}")
   }
 
+  test("stream-maintained image hashes equal the batch hashes; store serves the batch pairs") {
+    import spark.implicits._
+    import graft.ops.Multimodal
+    import graft.streaming.MediaIngest
+    // duplicate payloads split across DIFFERENT micro-batches — the
+    // cross-batch pair is the point of the store
+    def img(seed: Int): Array[Byte] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val px = new Array[Byte](16 * 16 * 3)
+      var chunk = 0
+      while (chunk * 16 < px.length) {
+        val d = md.digest(s"spec:$seed:$chunk".getBytes("UTF-8"))
+        System.arraycopy(d, 0, px, chunk * 16, math.min(16, px.length - chunk * 16))
+        chunk += 1
+      }
+      Multimodal.ppmEncode(16, 16, px)
+    }
+    val b1 = Seq((1L, img(0)), (2L, img(1)), (9L, "junk".getBytes("UTF-8")))
+    val b2 = Seq((3L, img(0)), (4L, img(2)))  // 3 duplicates 1, across batches
+    val store = "/tmp/graft_test/image_hash_spec"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(store))
+    val ms = MemoryStream[(Long, Array[Byte])](spark)
+    val q = MediaIngest.maintainImageHashes(
+      ms.toDF().toDF("doc_id", "media"), "doc_id", "media", store,
+      trigger = Trigger.ProcessingTime(0))
+    ms.addData(b1: _*); q.processAllAvailable()
+    ms.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    // per-batch hashes are bit-identical to a one-shot batch pass;
+    // the undecodable payload is norm-gated out, not stored
+    val stored = spark.read.parquet(s"$store/hashes")
+      .select($"doc_id", $"__ah").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = (b1 ++ b2).flatMap { case (id, m) =>
+      Multimodal.aHash64(m).map(id -> _) }.toMap
+    assert(stored == expected)
+    // served pairs == the batch tier over the same corpus
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val served = pairs(MediaIngest.imageNearDupsFromStore(spark, store, maxHamming = 3))
+    val batch = pairs(Multimodal.imageNearDups(
+      (b1 ++ b2).toDF("doc_id", "media"), "doc_id", "media", maxHamming = 3))
+    assert(served == batch && served == Set((1L, 3L, 0)))
+    // compaction folds the partitions and the crash window (stale
+    // batch partition beside its relocated copy) stays dedup-safe
+    MediaIngest.compactImageHashes(spark, store, upToBatch = Long.MaxValue)
+    assert(pairs(MediaIngest.imageNearDupsFromStore(spark, store, maxHamming = 3)) == served)
+  }
+
   test("stream-maintained minhash store serves exactly the batch near-dup pairs") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
