@@ -118,11 +118,15 @@ object Multimodal {
     def num(): Int = {
       skipWs()
       val start = i
-      var v = 0
+      var v = 0L
       while (i < bytes.length && bytes(i) >= '0' && bytes(i) <= '9') {
-        v = v * 10 + (bytes(i) - '0'); i += 1
+        // Long accumulate + early cap: a hostile digit bomb like
+        // "4294967297" must reject, not wrap into a small plausible
+        // dimension (the WAV chunk-walk overflow lesson)
+        if (v <= Int.MaxValue) v = v * 10 + (bytes(i) - '0')
+        i += 1
       }
-      if (i == start) -1 else v
+      if (i == start || v > Int.MaxValue) -1 else v.toInt
     }
     val w = num(); val h = num()
     if (w <= 0 || h <= 0) return None
@@ -639,7 +643,9 @@ object Multimodal {
         val cnts = new Array[Long](65)
         var f = 0
         while (f < nFrames) {
-          val w = f * 65 / nFrames
+          // Long: f * 65 wraps Int past ~33M frames (a 66 MB clip) —
+          // a negative window index would throw on a big hostile WAV
+          val w = (f.toLong * 65 / nFrames).toInt
           var c = 0
           var amp = 0L
           while (c < ch) { amp += math.abs(wav.samples(f * ch + c).toLong); c += 1 }

@@ -216,6 +216,46 @@ class IngestSpec extends AnyFunSuite with SparkTestBase {
     assert(covered.map(java.lang.Long.bitCount).sum == 64)
   }
 
+  test("binary parsers never throw on hostile payloads: fuzz mutations, truncations, digit bombs") {
+    import graft.ops.Multimodal
+    // every parser returns Option/Vector on ANY byte sequence — a
+    // hostile row must drop, not fail the task (the ADVICE wav-overflow
+    // lesson, generalized into a seeded fuzz pass over all of them)
+    val valid: Seq[Array[Byte]] = Seq(
+      Multimodal.ppmEncode(16, 16, Array.tabulate(768)(_.toByte)),
+      Multimodal.pgmEncode(16, 16, Array.tabulate(256)(_.toByte)),
+      Multimodal.pbmEncode(16, 8, Array.tabulate(16)(_.toByte)),
+      Multimodal.wavEncode(8000, 1, Array.tabulate(130)(_.toShort)))
+    def probe(b: Array[Byte]): Unit = {
+      Multimodal.pnmDecode(b)
+      Multimodal.pnmFrames(b)
+      Multimodal.aHash64(b)
+      Multimodal.wavDecode(b)
+      Multimodal.audioFingerprint64(b)
+    }
+    val rnd = new scala.util.Random(9100)
+    for (base <- valid; trial <- 1 to 200) {
+      val m = base.clone()
+      // flip 1-4 random bytes
+      for (_ <- 0 to rnd.nextInt(4)) m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+      probe(m)
+      // random truncation and random prefix-junk
+      probe(java.util.Arrays.copyOfRange(m, 0, rnd.nextInt(m.length + 1)))
+      if (trial % 20 == 0) probe(Array.fill(rnd.nextInt(64))(rnd.nextInt(256).toByte))
+    }
+    // header digit bombs: dimensions that wrap Int32 must REJECT, not
+    // parse as a small plausible geometry
+    for (bomb <- Seq("4294967297", "4294967296", "18446744073709551617",
+                     "2147483648", "99999999999999999999")) {
+      assert(Multimodal.pnmDecode(s"P5\n$bomb 16\n255\n".getBytes("US-ASCII") ++
+        Array.fill(256)(1.toByte)).isEmpty, s"width $bomb must reject")
+      assert(Multimodal.pnmDecode(s"P6\n16 $bomb\n255\n".getBytes("US-ASCII") ++
+        Array.fill(768)(1.toByte)).isEmpty, s"height $bomb must reject")
+    }
+    // and a sane payload still parses after all that
+    assert(Multimodal.pnmDecode(valid.head).isDefined)
+  }
+
   test("audioFingerprint64: envelope shape, level-invariant sign bits, degenerate payloads None") {
     import graft.ops.Multimodal
     // a clip whose loudness strictly ramps up window over window has
