@@ -694,6 +694,56 @@ object Multimodal {
         .localCheckpoint(true),
       maxHamming, candMetric)
 
+  /** [[hammingProbe]] with both sides as media columns: hash the
+    * corpus inline (one-shot form — repeated probes against the same
+    * corpus should hash it once and reuse, the index-build pattern). */
+  def imageProbe(corpus: DataFrame, probes: DataFrame, id: String,
+                 media: String, maxHamming: Int = 3): DataFrame = {
+    val hashU = udf((b: Array[Byte]) => aHash64(b))
+    hammingProbe(
+      corpus.select(col(id).as("__id"), hashU(col(media)).as("__ah"))
+        .filter(col("__ah").isNotNull)
+        .localCheckpoint(true),
+      probes, id, media, maxHamming)
+  }
+
+  /** One-sided Hamming PROBE — the incremental-ingest shape of media
+    * dedup: match a (small) batch of NEW items against the EXISTING
+    * corpus hash relation without re-pairing the corpus with itself.
+    * Probes hash scan-local, explode into the same pigeonhole bands,
+    * and join the corpus's banded relation one-way; the exact
+    * `bit_count` rescore keeps matches within the radius. The corpus
+    * side shuffles once on the band key (at production scale the
+    * banded relation is itself a persisted ingest-time layout, so a
+    * daily probe pays only the probe-side shuffle); output is
+    * (probe_id, dup_id, hamming), one row per within-radius corpus
+    * match. */
+  def hammingProbe(corpusHashes: DataFrame, probes: DataFrame, id: String,
+                   media: String, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 32, "maxHamming in [0, 32)")
+    val bands = maxHamming + 1
+    val hashU = udf((b: Array[Byte]) => aHash64(b))
+    val bandsU = udf((h: Long) => hammingBands(h, bands))
+    val n = probes.sparkSession.sessionState.conf.numShufflePartitions
+    val ph = probes.select(col(id).as("probe_id"), hashU(col(media)).as("__ph"))
+      .filter(col("__ph").isNotNull)
+      .localCheckpoint(true)
+    val corpusBands = corpusHashes
+      .select(col("__id").as("dup_id"), col("__ah"),
+        explode(bandsU(col("__ah"))).as("__bk"))
+      .repartition(n, col("__bk"))
+    val cand = ph.select(col("probe_id"), col("__ph"),
+        explode(bandsU(col("__ph"))).as("__bk"))
+      .repartition(n, col("__bk"))
+      .join(corpusBands, Seq("__bk"))
+      .select(col("probe_id"), col("dup_id"), col("__ph"), col("__ah"))
+      .distinct()
+    cand
+      .withColumn("hamming", bit_count(col("__ph").bitwiseXOR(col("__ah"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("probe_id"), col("dup_id"), col("hamming"))
+  }
+
   /** The shared multi-index Hamming join over any 64-bit perceptual
     * hash relation `(__id, __ah)` — at production scale the hash IS a
     * persisted ingest-time column, so this is the serving-path entry

@@ -894,6 +894,32 @@ object HarnessLLM {
       graft.streaming.MediaIngest.imageNearDupsFromStore(s, store, maxHamming = 3)
         .orderBy($"id_a", $"id_b")
     }),
+    "multimodal_image_probe" -> ((s, dir) => {
+      import s.implicits._
+      // The incremental-ingest dedup check: probe docs 300-309 carry
+      // group (doc_id - 300)'s exact payload, so each matches that
+      // triplet group's 3 corpus members at Hamming 0 and nothing
+      // else — the corpus is never self-paired, only the one-way
+      // banded probe join runs.
+      val mk = udf { (group: Long) =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val px = new Array[Byte](16 * 16 * 3)
+        var chunk = 0
+        while (chunk * 16 < px.length) {
+          val d = md.digest(s"img:$group:$chunk".getBytes("UTF-8"))
+          System.arraycopy(d, 0, px, chunk * 16, math.min(16, px.length - chunk * 16))
+          chunk += 1
+        }
+        graft.ops.Multimodal.ppmEncode(16, 16, px)
+      }
+      val docs = t(s, dir, "documents")
+      val corpus = docs.filter($"doc_id" < 300)
+        .select($"doc_id", mk(expr("doc_id div 3")).as("media"))
+      val probes = docs.filter($"doc_id" >= 300 && $"doc_id" < 310)
+        .select($"doc_id", mk($"doc_id" - 300).as("media"))
+      Multimodal.imageProbe(corpus, probes, "doc_id", "media", maxHamming = 3)
+        .orderBy($"probe_id", $"dup_id")
+    }),
     "multimodal_binary_meta" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       import s.implicits._
@@ -1528,6 +1554,13 @@ object HarnessLLM {
         | WHERE q.vec_id < 5)
         |SELECT a.id AS id_a, b.id AS id_b
         |FROM m a JOIN m b ON a.qid = b.qid AND a.id < b.id
+        |ORDER BY 1, 2""".stripMargin,
+    // each probe hits exactly its seeded group's 3 members
+    "multimodal_image_probe" ->
+      """SELECT p.doc_id AS probe_id,
+        | 3 * (p.doc_id - 300) + g.j AS dup_id, CAST(0 AS INT) AS hamming
+        |FROM documents p, (SELECT unnest(generate_series(0, 2)) AS j) g
+        |WHERE p.doc_id >= 300 AND p.doc_id < 310
         |ORDER BY 1, 2""".stripMargin,
     // the stream-maintained hash store serves the same closed-form
     // pair list as the batch tier

@@ -94,9 +94,21 @@ object MediaIngest {
   def imageNearDupsFromStore(spark: SparkSession, storeDir: String,
                              maxHamming: Int = 3): DataFrame =
     Multimodal.hammingNearDupsOnHashes(
-      spark.read.parquet(s"$storeDir/hashes")
-        .select(col("doc_id").as("__id"), col("__ah"))
-        .distinct()
-        .localCheckpoint(true),
-      maxHamming, "stream_image_candidates")
+      storedHashes(spark, storeDir), maxHamming, "stream_image_candidates")
+
+  /** Probe NEW media items against the stream-maintained corpus store
+    * — the incremental-ingest dedup check ("is this already in the
+    * corpus?") without re-pairing the corpus: the store's 8-byte
+    * hashes are the only corpus bytes read. */
+  def imageProbeFromStore(spark: SparkSession, storeDir: String,
+                          probes: DataFrame, id: String, media: String,
+                          maxHamming: Int = 3): DataFrame =
+    Multimodal.hammingProbe(storedHashes(spark, storeDir),
+      probes, id, media, maxHamming)
+
+  private def storedHashes(spark: SparkSession, storeDir: String): DataFrame =
+    spark.read.parquet(s"$storeDir/hashes")
+      .select(col("doc_id").as("__id"), col("__ah"))
+      .distinct()
+      .localCheckpoint(true)
 }

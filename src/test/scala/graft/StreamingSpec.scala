@@ -733,6 +733,13 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     // batch partition beside its relocated copy) stays dedup-safe
     MediaIngest.compactImageHashes(spark, store, upToBatch = Long.MaxValue)
     assert(pairs(MediaIngest.imageNearDupsFromStore(spark, store, maxHamming = 3)) == served)
+    // the one-way probe finds the stored duplicate of a NEW item
+    // without self-pairing the corpus — and misses a fresh payload
+    val probed = MediaIngest.imageProbeFromStore(spark, store,
+      Seq((100L, img(1)), (101L, img(7))).toDF("doc_id", "media"),
+      "doc_id", "media", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(probed == Set((100L, 2L, 0)), probed.toString)
   }
 
   test("stream-maintained minhash store serves exactly the batch near-dup pairs") {
