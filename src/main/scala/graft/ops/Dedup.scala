@@ -384,6 +384,33 @@ object Dedup {
     * the pair list's byte size. Union is derived, not computed:
     * |A∪B| = |A|+|B|−|A∩B| for the distinct shingle arrays, saving
     * the second per-pair hash set + array allocation. */
+  /** One-sided portable-minhash PROBE — the incremental-ingest shape
+    * of text near-dup: band signatures of the NEW docs collide one-way
+    * against the corpus's banded signatures (at production scale a
+    * persisted ingest-time relation — the
+    * [[graft.streaming.DedupIngest]] store), then the shared exact
+    * rescore admits pairs over the threshold. The corpus is never
+    * self-paired; a daily probe pays only the probe-side signature
+    * pass plus the one-way band join. Probe and corpus ids must be
+    * disjoint; output is (id_a = probe, id_b = corpus match,
+    * jaccard). */
+  def minhashProbeOnShingles(corpusSh: DataFrame, probeSh: DataFrame,
+                             id: String, shCol: String,
+                             numHashes: Int = 12, bands: Int = 4,
+                             jaccardThreshold: Double = 0.5): DataFrame = {
+    val cb = portableBandSignatures(corpusSh, id, shCol, numHashes, bands)
+      .persist()
+    val pb = portableBandSignatures(probeSh, id, shCol, numHashes, bands)
+    val cand = pb.as("p").join(cb.as("c"),
+        col("p.__band") === col("c.__band") && col("p.__key") === col("c.__key"))
+      .select(col(s"p.$id").as("id_a"), col(s"c.$id").as("id_b"))
+      .distinct()
+      .localCheckpoint(true)
+    graft.Metrics.record("minhash_probe_candidates", cand.count())
+    cb.unpersist(blocking = false)
+    rescoreJaccard(cand, probeSh.unionByName(corpusSh), id, shCol, jaccardThreshold)
+  }
+
   private[graft] def rescoreJaccard(cand: DataFrame, sh: DataFrame, id: String,
                                     shCol: String, threshold: Double): DataFrame =
     // explicit count: a keys-only repartition is AQE-coalescible right

@@ -238,6 +238,24 @@ object HarnessLLM {
         numHashes = 12, bands = 4, jaccardThreshold = 0.5)
         .orderBy($"id_a", $"id_b")
     }),
+    "dedup_minhash_probe" -> ((s, dir) => {
+      import s.implicits._
+      // The incremental-ingest near-dup check for text: probes are
+      // verbatim copies of docs 0-9 (id + 100000), so each probe's
+      // signature EQUALS its original's — it always collides with the
+      // original (jaccard 1.0) plus whatever the original band-collides
+      // with, and the md5-portable pipeline lets the oracle reproduce
+      // the whole one-way relation bit for bit. The corpus side is
+      // never self-paired.
+      val corpusSh = shingledDocsFor(s, dir)
+      val probeSh = corpusSh.filter($"doc_id" < 10)
+        .select(($"doc_id" + 100000L).as("doc_id"), $"__sh")
+      Dedup.minhashProbeOnShingles(corpusSh, probeSh, "doc_id", "__sh",
+        numHashes = 12, bands = 4, jaccardThreshold = 0.5)
+        .withColumnRenamed("id_a", "probe_id")
+        .withColumnRenamed("id_b", "dup_id")
+        .orderBy($"probe_id", $"dup_id")
+    }),
     "dedup_simhash" -> ((s, dir) => {
       import s.implicits._
       // Engine-portable 60-bit SimHash (md5-derived per-token hashes,
@@ -1205,6 +1223,36 @@ object HarnessLLM {
         | round(inter * 1.0 / (x.n + y.n - inter), 6) AS jaccard
         |FROM pc JOIN sz x ON ia = x.doc_id JOIN sz y ON ib = y.doc_id
         |WHERE inter * 1.0 / (x.n + y.n - inter) >= 0.5
+        |ORDER BY 1, 2""".stripMargin),
+    // probes are verbatim copies of docs 0-9, so probe signatures
+    // equal the originals': the probe relation is the originals' band
+    // collisions (both orders) plus the guaranteed self match at 1.0,
+    // rescored with the same exact-Jaccard arithmetic
+    "dedup_minhash_probe" ->
+      (shOracle + """,
+        |hx AS (
+        | SELECT doc_id, i,
+        |  min(CAST(('0x' || substr(md5(CAST(i // 4 AS VARCHAR) || ':' || g),
+        |                  1 + 7 * (i % 4), 7)) AS BIGINT)) AS mh
+        | FROM ex, (SELECT unnest(range(12)) AS i) t GROUP BY 1, 2),
+        |band AS (
+        | SELECT doc_id, i // 3 AS band,
+        |  string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS bkey
+        | FROM hx GROUP BY 1, 2),
+        |pcand AS (
+        | SELECT DISTINCT a.doc_id AS k, b.doc_id AS c
+        | FROM band a JOIN band b
+        |  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id <> b.doc_id
+        | WHERE a.doc_id < 10)
+        |SELECT 100000 + k AS probe_id, k AS dup_id, CAST(1.0 AS DOUBLE) AS jaccard
+        |FROM (SELECT DISTINCT doc_id AS k FROM sz WHERE doc_id < 10) s
+        |UNION ALL
+        |SELECT 100000 + pcand.k AS probe_id, pcand.c AS dup_id,
+        | round(pc.inter * 1.0 / (x.n + y.n - pc.inter), 6) AS jaccard
+        |FROM pcand
+        | JOIN pc ON pc.ia = least(pcand.k, pcand.c) AND pc.ib = greatest(pcand.k, pcand.c)
+        | JOIN sz x ON x.doc_id = pcand.k JOIN sz y ON y.doc_id = pcand.c
+        |WHERE pc.inter * 1.0 / (x.n + y.n - pc.inter) >= 0.5
         |ORDER BY 1, 2""".stripMargin),
     "dedup_simhash" -> simhashOracle,
     "dedup_exact" ->

@@ -115,6 +115,33 @@ object DedupIngest {
     * compaction-crash-window guards ([[TextIngest.bm25FromStore]]):
     * rows are unique by construction, duplicates only ever mean a
     * stale partition beside its relocated copy. */
+  /** Probe NEW documents against the stream-maintained signature
+    * store — the incremental-ingest near-dup check: the new docs'
+    * band signatures collide one-way with the stored ones (the corpus
+    * text is never rescanned, never self-paired) and the exact rescore
+    * reads shingles from the store plus the probe batch. Probe doc ids
+    * must be disjoint from stored ids. */
+  def minhashProbeFromStore(spark: SparkSession, storeDir: String,
+                            newDocs: DataFrame, id: String, text: String,
+                            numHashes: Int = 12, bands: Int = 4,
+                            jaccardThreshold: Double = 0.5): DataFrame = {
+    val probeSh = shingled(newDocs, id, text).localCheckpoint(true)
+    val storedBands = spark.read.parquet(s"$storeDir/sigs")
+      .select(col("doc_id"), col("__band"), col("__key"))
+      .distinct()
+    val pb = Dedup.portableBandSignatures(probeSh, "doc_id", "__sh", numHashes, bands)
+    val cand = pb.as("p").join(storedBands.as("c"),
+        col("p.__band") === col("c.__band") && col("p.__key") === col("c.__key"))
+      .select(col("p.doc_id").as("id_a"), col("c.doc_id").as("id_b"))
+      .distinct()
+      .localCheckpoint(true)
+    val storedDocs = spark.read.parquet(s"$storeDir/docs")
+      .select(col("doc_id"), col("__sh"))
+      .dropDuplicates("doc_id")
+    Dedup.rescoreJaccard(cand, probeSh.unionByName(storedDocs),
+      "doc_id", "__sh", jaccardThreshold)
+  }
+
   def nearDupsFromStore(spark: SparkSession, storeDir: String,
                         jaccardThreshold: Double = 0.5): DataFrame = {
     val banded = spark.read.parquet(s"$storeDir/sigs")

@@ -812,6 +812,15 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(partitions("sigs") == 2 &&
       pairs(DedupIngest.nearDupsFromStore(spark, store)) === batch,
       "compaction is idempotent and self-heals the stale partition")
+    // the one-way probe: a verbatim copy of doc 1 (new id) matches its
+    // original and doc 1's own near-dups; unrelated text matches nothing
+    val probed = DedupIngest.minhashProbeFromStore(spark, store,
+      Seq((500L, base), (501L, "nothing like anything stored in this corpus at all"))
+        .toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(probed.contains((500L, 1L)), s"verbatim copy must match its original: $probed")
+    assert(!probed.exists(_._1 == 501L), s"fresh text must match nothing: $probed")
+    assert(probed.map(_._2).forall(c => c < 100L), "matches come from the store only")
   }
 
   test("stream-maintained term stats merge to exactly the batch aggregation across batches") {
