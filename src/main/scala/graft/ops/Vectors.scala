@@ -365,6 +365,38 @@ object Vectors {
       .select(col("id_a"), col("id_b"), col("cos_sim"))
   }
 
+  /** One-sided SRP PROBE — the incremental-ingest shape of embedding
+    * near-dup (the sibling of the text/media probes): the NEW vectors'
+    * band signatures collide one-way against the corpus's (at
+    * production scale the ingest-time `__sig` column a streaming
+    * maintainer keeps, [[graft.streaming.VectorIngest]]), and every
+    * candidate is exactly rescored — the corpus is never self-paired.
+    * Colinear copies (cos = 1) collide in every band, so recall on
+    * true duplicates is 1 by construction; ids must be disjoint
+    * across the two sides. Output (probe_id, dup_id, cos_sim). */
+  def srpProbe(corpus: DataFrame, probes: DataFrame, id: String, vec: String,
+               simThreshold: Double, bits: Int = 12, bands: Int = 8,
+               seed: Long = 42L): DataFrame = {
+    require(bits >= 1 && bits <= 30, "bits must be in [1, 30]")
+    val dim = headDim(corpus, vec).getOrElse(
+      return corpus.select(col(id).as("probe_id"), col(id).as("dup_id"),
+        lit(0.0).as("cos_sim")).where(lit(false)))
+    def sigs(df: DataFrame) = df.select(col(id), col(vec),
+      srpSignatureCol(col(vec), dim, bits, bands, seed).as("__sig"))
+    val cs = sigs(corpus)
+    val ps = sigs(probes)
+    def exploded(withSig: DataFrame, out: String) = withSig
+      .select(col(id).as(out), posexplode(col("__sig")).as(Seq("__band", "__key")))
+    val cands = exploded(ps, "probe_id").join(exploded(cs, "dup_id"), Seq("__band", "__key"))
+      .dropDuplicates("probe_id", "dup_id")
+    cands
+      .join(ps.select(col(id).as("probe_id"), col(vec).as("__va")), Seq("probe_id"))
+      .join(cs.select(col(id).as("dup_id"), col(vec).as("__vb")), Seq("dup_id"))
+      .withColumn("cos_sim", cosine(col("__va"), col("__vb")))
+      .filter(col("cos_sim") >= simThreshold)
+      .select(col("probe_id"), col("dup_id"), col("cos_sim"))
+  }
+
   /** A prebuilt IVF index. `cells` carries each corpus vector's coarse-
     * quantizer cell id and normalized components — at production scale
     * this is a `__cell` column WRITTEN WITH THE TABLE at ingest, so no

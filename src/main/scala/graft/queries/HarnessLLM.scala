@@ -238,6 +238,24 @@ object HarnessLLM {
         numHashes = 12, bands = 4, jaccardThreshold = 0.5)
         .orderBy($"id_a", $"id_b")
     }),
+    "dedup_embedding_probe" -> ((s, dir) => {
+      import s.implicits._
+      // The embedding-side incremental probe: new vectors (exact
+      // copies of vec_id < 10, offset ids) collide one-way with the
+      // corpus's SRP band signatures and rescore exactly. Copies are
+      // colinear with their originals, so they collide in EVERY band
+      // (recall 1 by construction) and cosine 1.0 clears any
+      // threshold; at 0.9 nothing else in the corpus qualifies (the
+      // nearest natural pair sits ~0.45), so the one-way brute force
+      // is a complete oracle. Engine-specific cosine floats stay out
+      // of the output (ids only), like the other embedding tiers.
+      val emb = t(s, dir, "embeddings").select($"vec_id", $"embedding")
+      val probes = emb.filter($"vec_id" < 10)
+        .select(($"vec_id" + 200000L).as("vec_id"), $"embedding")
+      Vectors.srpProbe(emb, probes, "vec_id", "embedding", simThreshold = 0.9)
+        .select($"probe_id", $"dup_id")
+        .orderBy($"probe_id", $"dup_id")
+    }),
     "dedup_minhash_probe" -> ((s, dir) => {
       import s.implicits._
       // The incremental-ingest near-dup check for text: probes are
@@ -1268,6 +1286,14 @@ object HarnessLLM {
         |FROM embeddings a, embeddings b
         |WHERE a.vec_id < b.vec_id
         |  AND list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+        |ORDER BY 1, 2""".stripMargin,
+    // one-way brute force: complete because copies collide in every
+    // band (recall 1) and nothing natural reaches the 0.9 threshold
+    "dedup_embedding_probe" ->
+      """SELECT 200000 + a.vec_id AS probe_id, b.vec_id AS dup_id
+        |FROM embeddings a, embeddings b
+        |WHERE a.vec_id < 10
+        |  AND list_cosine_similarity(a.embedding, b.embedding) >= 0.9
         |ORDER BY 1, 2""".stripMargin,
     "dedup_embedding_lsh" ->
       """WITH corpus AS (

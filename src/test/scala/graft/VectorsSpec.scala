@@ -238,6 +238,30 @@ class VectorsSpec extends AnyFunSuite with SparkTestBase {
       .select($"id_a", $"id_b")), "SRP must be deterministic (fixed seed)")
   }
 
+  test("srpProbe: one-way probe finds planted duplicates, never self-pairs the corpus") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7500)
+    val corpus = (0 until 300).map(i =>
+      (i.toLong, Array.fill(16)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    // probes: scaled copies of vectors 3 and 7 (colinear -> cos 1,
+    // collide in every band) plus one fresh random vector
+    val copies = corpus.filter($"vec_id" === 3 || $"vec_id" === 7)
+      .select(($"vec_id" + 1000L).as("vec_id"),
+        org.apache.spark.sql.functions.transform($"embedding",
+          x => x * org.apache.spark.sql.functions.lit(2.0f)).as("embedding"))
+    val fresh = Seq((2000L, Array.fill(16)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val got = Vectors.srpProbe(corpus, copies.unionByName(fresh),
+      "vec_id", "embedding", simThreshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1003L, 3L), (1007L, 7L)), got.toString)
+    // deterministic
+    assert(got == Vectors.srpProbe(corpus, copies.unionByName(fresh),
+      "vec_id", "embedding", simThreshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+  }
+
   test("srpNearDups buckets genuinely: candidate pairs far below all-pairs") {
     import spark.implicits._
     val emb = spark.read.parquet(sf("embeddings"))
