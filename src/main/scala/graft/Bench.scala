@@ -143,9 +143,13 @@ object Bench {
     // The driver keeps only a 2000-char tail of stdout, which truncates
     // the per-key map and loses the total; persist the full line so
     // round-over-round totals stay recoverable from the repo itself.
-    try java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
+    // ONLY for full-suite runs: a SPARK_GRAFT_BENCH_KEYS-filtered
+    // iteration must not clobber the committed reference (and with it
+    // the regression guard's baseline) with a partial queries map.
+    val outFile = if (keyFilter.isEmpty) "bench_full.json" else "bench_filtered.json"
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (line + "\n").getBytes("UTF-8"))
-    catch { case e: Throwable => System.err.println(s"bench_full.json write failed: $e") }
+    catch { case e: Throwable => System.err.println(s"$outFile write failed: $e") }
     spark.stop()
   }
 }

@@ -384,6 +384,10 @@ object Dedup {
     * the pair list's byte size. Union is derived, not computed:
     * |A∪B| = |A|+|B|−|A∩B| for the distinct shingle arrays, saving
     * the second per-pair hash set + array allocation. */
+  private[graft] def rescoreJaccard(cand: DataFrame, sh: DataFrame, id: String,
+                                    shCol: String, threshold: Double): DataFrame =
+    rescoreJaccardTwoSided(cand, sh, sh, id, shCol, threshold)
+
   /** One-sided portable-minhash PROBE — the incremental-ingest shape
     * of text near-dup: band signatures of the NEW docs collide one-way
     * against the corpus's banded signatures (at production scale a
@@ -391,9 +395,11 @@ object Dedup {
     * [[graft.streaming.DedupIngest]] store), then the shared exact
     * rescore admits pairs over the threshold. The corpus is never
     * self-paired; a daily probe pays only the probe-side signature
-    * pass plus the one-way band join. Probe and corpus ids must be
-    * disjoint; output is (id_a = probe, id_b = corpus match,
-    * jaccard). */
+    * pass plus the one-way band join — the rescore joins id_a against
+    * the PROBE shingles only and id_b against the corpus's, never
+    * shuffling either relation for a side it cannot match. Probe and
+    * corpus ids must be disjoint; output is (id_a = probe, id_b =
+    * corpus match, jaccard). */
   def minhashProbeOnShingles(corpusSh: DataFrame, probeSh: DataFrame,
                              id: String, shCol: String,
                              numHashes: Int = 12, bands: Int = 4,
@@ -408,17 +414,22 @@ object Dedup {
       .localCheckpoint(true)
     graft.Metrics.record("minhash_probe_candidates", cand.count())
     cb.unpersist(blocking = false)
-    rescoreJaccard(cand, probeSh.unionByName(corpusSh), id, shCol, jaccardThreshold)
+    rescoreJaccardTwoSided(cand, probeSh, corpusSh, id, shCol, jaccardThreshold)
   }
 
-  private[graft] def rescoreJaccard(cand: DataFrame, sh: DataFrame, id: String,
-                                    shCol: String, threshold: Double): DataFrame =
+  /** The rescore with separate shingle relations per pair side (equal
+    * for the self-join callers via [[rescoreJaccard]]; probe callers
+    * pass probe/corpus so neither relation shuffles for the side it
+    * cannot match). */
+  private[graft] def rescoreJaccardTwoSided(cand: DataFrame, aSh: DataFrame,
+                                            bSh: DataFrame, id: String,
+                                            shCol: String, threshold: Double): DataFrame =
     // explicit count: a keys-only repartition is AQE-coalescible right
     // back to the single partition this exists to avoid
     cand.repartition(cand.sparkSession.sessionState.conf.numShufflePartitions,
         col("id_a"), col("id_b"))
-      .join(sh.select(col(id).as("id_a"), col(shCol).as("__sa")), "id_a")
-      .join(sh.select(col(id).as("id_b"), col(shCol).as("__sb")), "id_b")
+      .join(aSh.select(col(id).as("id_a"), col(shCol).as("__sa")), "id_a")
+      .join(bSh.select(col(id).as("id_b"), col(shCol).as("__sb")), "id_b")
       .withColumn("__i", size(array_intersect(col("__sa"), col("__sb"))).cast("double"))
       .withColumn("jaccard",
         col("__i") / (size(col("__sa")) + size(col("__sb")) - col("__i")))

@@ -596,7 +596,12 @@ object Multimodal {
           var hash = 0L
           var b = 0
           while (b < 64) {
-            if (blockSum(b) * totalPx > totalSum * blockPx(b)) hash |= (1L << b)
+            // BigInt: blockSum*totalPx reaches ~3e21 on a ~2e9-pixel
+            // P5 (the parser admits up to Int.MaxValue samples), past
+            // Long — a wrapped product would silently flip hash bits.
+            // 64 BigInt compares per image is noise next to the decode.
+            if (BigInt(blockSum(b)) * totalPx > BigInt(totalSum) * blockPx(b))
+              hash |= (1L << b)
             b += 1
           }
           Some(hash)
@@ -656,7 +661,10 @@ object Multimodal {
         var hash = 0L
         var i = 0
         while (i < 64) {
-          if (sums(i + 1) * cnts(i) > sums(i) * cnts(i + 1)) hash |= (1L << i)
+          // BigInt for the same reason as [[aHash64]]: window sums on
+          // a multi-GB clip push the cross-product past Long
+          if (BigInt(sums(i + 1)) * cnts(i) > BigInt(sums(i)) * cnts(i + 1))
+            hash |= (1L << i)
           i += 1
         }
         Some(hash)

@@ -216,8 +216,10 @@ object HarnessCore {
       // probes) — ~108M matched pairs at sf0.1, far past broadcast on
       // both sides. rangeJoinBucketed explodes each interval into its
       // days (bounded fan-out = 3) and equi-joins on the day — a
-      // shuffled day-keyed join Catalyst plans and AQE can skew-split,
-      // never a nested loop. The pair volume collapses in a partial
+      // shuffled day-keyed join Catalyst plans, never a nested loop.
+      // NOTE: its pinned REPARTITION_BY_NUM shuffles opt OUT of AQE's
+      // skew split — hot-day corpora belong on the salted tier
+      // (join_range_salted). The pair volume collapses in a partial
       // count aggregate below the final 5-row answer, so nothing
       // 108M-sized ever shuffles.
       val intervals = t(s, dir, "orders")

@@ -126,9 +126,15 @@ object HarnessLLM {
 
   def opqModelsFor(s: SparkSession, dir: String): (Vectors.OpqModel, Vectors.OpqModel) = {
     pruneStopped(opqModelsCache)
+    // vec_id < 100000 mirrors the fit's maxSamples cap DETERMINISTICALLY
+    // (normalizedSample's limit() is a partition-order prefix, not a
+    // defined subset), so sim_pq_opq's measured corpus IS the fit
+    // sample at any scale factor and the argmin never-worse guarantee
+    // stays structural. No-op at the bench SFs (every vec_id < 100k).
     opqModelsCache.getOrElseUpdate((s, dir),
       Vectors.opqFitWithBaseline(
-        t(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
+        t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+          .filter(col("vec_id") < 100000L),
         "embedding", m = 8, ksub = 64))
   }
 
@@ -454,12 +460,16 @@ object HarnessLLM {
       // 1e-9) and OPQ is no worse than plain PQ. The second is
       // STRUCTURAL, not empirical: opqFit evaluates the identity
       // rotation with pqFit's own seed (those codebooks ARE plain PQ)
-      // and returns the argmin over evaluated models, and at these SFs
-      // the fit sample is the full corpus. The genuinely-better case
+      // and returns the argmin over evaluated models — and the key
+      // bounds its corpus to the fit's 100k-sample cap (vec_id <
+      // 100000), so measured corpus == fit sample and the argmin
+      // inequality holds at ANY scale factor, not just the small
+      // ones. The genuinely-better case
       // is pinned in VectorsSpec on anisotropic data (~3x distortion
       // cut); improvement is data-dependent, so the bench counter
       // records it per run instead of the oracle hashing it.
       val emb = t(s, dir, "embeddings").select($"vec_id", $"embedding")
+        .filter($"vec_id" < 100000L)
       val (opq, plain) = opqModelsFor(s, dir)
       val msePq = Vectors.opqDistortion(emb, "embedding", plain).get
       val mseOpq = Vectors.opqDistortion(emb, "embedding", opq).get
@@ -1444,7 +1454,7 @@ object HarnessLLM {
     "sim_pq_opq" ->
       """SELECT count(*) AS n_vectors, TRUE AS rotation_orthonormal,
         | TRUE AS opq_no_worse
-        |FROM embeddings""".stripMargin,
+        |FROM embeddings WHERE vec_id < 100000""".stripMargin,
     // the stream-maintained term-stats store merges to EXACTLY the
     // one-shot batch aggregation (integer-exact tf/df sums)
     "stream_term_stats" ->

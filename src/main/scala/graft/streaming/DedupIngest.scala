@@ -48,7 +48,8 @@ object DedupIngest {
                       numHashes: Int = 12, bands: Int = 4,
                       trigger: Trigger = Trigger.AvailableNow(),
                       onBatch: Long => Unit = _ => (),
-                      compactEvery: Int = 0): StreamingQuery =
+                      compactEvery: Int = 0): StreamingQuery = {
+    saveSigParams(storeDir, numHashes, bands)
     stream.writeStream
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val sh = shingled(batch.toDF(), id, text).persist()
@@ -74,6 +75,45 @@ object DedupIngest {
       .trigger(trigger)
       .option("checkpointLocation", s"$storeDir/_checkpoint")
       .start()
+  }
+
+  /** Persist the signature parameters beside the store (the quantizer-
+    * sidecar discipline of [[VectorIngest]]): band keys are only
+    * comparable between relations built with the SAME (numHashes,
+    * bands), so a reader probing with different parameters would get a
+    * silent recall-0 join, not an error. Validated by every store
+    * reader; first writer wins, a changed re-declaration throws. */
+  private def sigParamsFile(storeDir: String): java.io.File =
+    new java.io.File(s"$storeDir/_sig_params/params.txt")
+
+  private def saveSigParams(storeDir: String, numHashes: Int, bands: Int): Unit =
+    loadSigParams(storeDir) match {
+      case Some((nh, b)) =>
+        require(nh == numHashes && b == bands,
+          s"store $storeDir was maintained with (numHashes=$nh, bands=$b); " +
+            s"re-declaring ($numHashes, $bands) would corrupt the band keyspace")
+      case None =>
+        val f = sigParamsFile(storeDir)
+        f.getParentFile.mkdirs()
+        java.nio.file.Files.write(f.toPath,
+          s"numHashes=$numHashes\nbands=$bands\n".getBytes("UTF-8"))
+        ()
+    }
+
+  private def loadSigParams(storeDir: String): Option[(Int, Int)] = {
+    val f = sigParamsFile(storeDir)
+    if (!f.exists()) None
+    else {
+      val lines = java.nio.file.Files.readAllLines(f.toPath)
+      Some((lines.get(0).stripPrefix("numHashes=").toInt,
+        lines.get(1).stripPrefix("bands=").toInt))
+    }
+  }
+
+  /** The store's persisted signature parameters, falling back to the
+    * given defaults for stores written before the sidecar existed. */
+  private def sigParamsOf(storeDir: String, numHashes: Int, bands: Int): (Int, Int) =
+    loadSigParams(storeDir).getOrElse((numHashes, bands))
 
   /** Fold committed sigs/docs batch partitions into `__batch=-1` —
     * the [[TextIngest.compactInvertedIndex]] discipline: keys are
@@ -125,11 +165,14 @@ object DedupIngest {
                             newDocs: DataFrame, id: String, text: String,
                             numHashes: Int = 12, bands: Int = 4,
                             jaccardThreshold: Double = 0.5): DataFrame = {
+    // probe with the parameters the STORE was built with (sidecar),
+    // not the caller's defaults — mismatched band keys join to nothing
+    val (nh, b) = sigParamsOf(storeDir, numHashes, bands)
     val probeSh = shingled(newDocs, id, text).localCheckpoint(true)
     val storedBands = spark.read.parquet(s"$storeDir/sigs")
       .select(col("doc_id"), col("__band"), col("__key"))
       .distinct()
-    val pb = Dedup.portableBandSignatures(probeSh, "doc_id", "__sh", numHashes, bands)
+    val pb = Dedup.portableBandSignatures(probeSh, "doc_id", "__sh", nh, b)
     val cand = pb.as("p").join(storedBands.as("c"),
         col("p.__band") === col("c.__band") && col("p.__key") === col("c.__key"))
       .select(col("p.doc_id").as("id_a"), col("c.doc_id").as("id_b"))
@@ -138,7 +181,9 @@ object DedupIngest {
     val storedDocs = spark.read.parquet(s"$storeDir/docs")
       .select(col("doc_id"), col("__sh"))
       .dropDuplicates("doc_id")
-    Dedup.rescoreJaccard(cand, probeSh.unionByName(storedDocs),
+    // two-sided rescore: id_a only ever matches probe shingles, id_b
+    // only stored ones — neither relation shuffles for the other side
+    Dedup.rescoreJaccardTwoSided(cand, probeSh, storedDocs,
       "doc_id", "__sh", jaccardThreshold)
   }
 

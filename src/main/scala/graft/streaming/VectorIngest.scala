@@ -139,13 +139,20 @@ object VectorIngest {
   }
 
   /** The store's `__batch=*` partition directories (data partitions
-    * only — `_checkpoint`/`_quantizer` sidecars excluded). */
-  private def batchPartitionDirs(storeDir: String): Array[java.io.File] =
-    Option(new java.io.File(storeDir).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("__batch="))
+    * only — `_checkpoint`/`_quantizer` sidecars excluded), through the
+    * Hadoop FileSystem API: the store path is a production URI
+    * (hdfs://, s3a://, file://), and java.io.File would silently list
+    * nothing there, disabling compaction — the defect fixed in
+    * [[TextIngest]] round 8, now shared from there. (The quantizer
+    * SIDECAR still uses local java.nio for its atomic rename; document
+    * a local store path when refit persistence is in play.) */
+  private def batchPartitionDirs(spark: org.apache.spark.sql.SparkSession,
+                                 storeDir: String): Array[org.apache.hadoop.fs.Path] =
+    TextIngest.batchPartitionDirs(spark, storeDir)
 
-  private def storeHasData(storeDir: String): Boolean =
-    batchPartitionDirs(storeDir).nonEmpty
+  private def storeHasData(spark: org.apache.spark.sql.SparkSession,
+                           storeDir: String): Boolean =
+    batchPartitionDirs(spark, storeDir).nonEmpty
 
   private def distortionOf(cols: DataFrame): Option[Double] =
     cols.agg(avg(col("__d2"))).take(1).headOption
@@ -168,11 +175,11 @@ object VectorIngest {
     * self-healing. */
   def compactStore(spark: org.apache.spark.sql.SparkSession, storeDir: String,
                    upToBatch: Long, targetFiles: Int = 1): Unit = {
-    val fold = batchPartitionDirs(storeDir)
+    val fold = batchPartitionDirs(spark, storeDir)
       .filter(_.getName.stripPrefix("__batch=").toLong < upToBatch)
     if (fold.length > 1) {
       val read = spark.read.option("basePath", storeDir)
-        .parquet(fold.map(_.getPath).toIndexedSeq: _*)
+        .parquet(fold.map(_.toString).toIndexedSeq: _*)
       // dedup keeps the NEWEST version of a cid (max __batch) — a cid
       // re-ingested with an updated vector must survive compaction as
       // its latest copy, not whichever row a partition scan sees first
@@ -192,7 +199,8 @@ object VectorIngest {
         .partitionBy("__batch")
         .parquet(storeDir)
       fold.filter(_.getName != s"__batch=$CompactedBatchId")
-        .foreach(org.apache.commons.io.FileUtils.deleteDirectory)
+        .foreach(TextIngest.deleteDir(spark, _))
+      spark.catalog.refreshByPath(storeDir)
     }
   }
 
@@ -256,7 +264,7 @@ object VectorIngest {
             //    normalized vector, so the fit is normalization-stable)
             val batchVecs = cols.select(col("__cv"))
             val fitInput =
-              if (storeHasData(storeDir))
+              if (storeHasData(spark, storeDir))
                 spark.read.parquet(storeDir).select(col("__cv")).unionByName(batchVecs)
               else batchVecs
             val newCentroids = Vectors.fitQuantizer(fitInput, "__cv", p.nlist,
@@ -266,7 +274,7 @@ object VectorIngest {
             // 2. reconcile: reassign every stored row's cell under the
             //    new quantizer (materialize first — the write replaces
             //    the partitions the reassignment reads)
-            if (storeHasData(storeDir)) {
+            if (storeHasData(spark, storeDir)) {
               val stored = spark.read.parquet(storeDir)
               // cells/distances recompute; signatures and PQ codes are
               // frozen-parameter columns and carry through untouched
@@ -300,7 +308,7 @@ object VectorIngest {
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("__batch")
             .parquet(storeDir)
-          if (compactEvery > 0 && batchPartitionDirs(storeDir).length >= compactEvery)
+          if (compactEvery > 0 && batchPartitionDirs(spark, storeDir).length >= compactEvery)
             compactStore(spark, storeDir, upToBatch = batchId)
           onBatch(batchId, d)
         } finally { cols.unpersist(); () }
