@@ -715,6 +715,18 @@ object Multimodal {
       probes, id, media, maxHamming)
   }
 
+  /** [[hammingProbe]] for audio: both sides fingerprinted by the
+    * loudness-envelope hash ([[audioFingerprint64]]). */
+  def audioProbe(corpus: DataFrame, probes: DataFrame, id: String,
+                 media: String, maxHamming: Int = 3): DataFrame = {
+    val hashU = udf((b: Array[Byte]) => audioFingerprint64(b))
+    hammingProbe(
+      corpus.select(col(id).as("__id"), hashU(col(media)).as("__ah"))
+        .filter(col("__ah").isNotNull)
+        .localCheckpoint(true),
+      probes, id, media, maxHamming, hashU)
+  }
+
   /** One-sided Hamming PROBE — the incremental-ingest shape of media
     * dedup: match a (small) batch of NEW items against the EXISTING
     * corpus hash relation without re-pairing the corpus with itself.
@@ -727,10 +739,19 @@ object Multimodal {
     * (probe_id, dup_id, hamming), one row per within-radius corpus
     * match. */
   def hammingProbe(corpusHashes: DataFrame, probes: DataFrame, id: String,
-                   media: String, maxHamming: Int = 3): DataFrame = {
+                   media: String, maxHamming: Int = 3): DataFrame =
+    hammingProbe(corpusHashes, probes, id, media, maxHamming,
+      udf((b: Array[Byte]) => aHash64(b)))
+
+  /** The probe with a caller-supplied hash function — it must be the
+    * SAME function the corpus hashes were computed with (the
+    * signature-parameter lesson: mismatched hash spaces join to
+    * nothing, silently). */
+  private def hammingProbe(corpusHashes: DataFrame, probes: DataFrame, id: String,
+                           media: String, maxHamming: Int,
+                           hashU: org.apache.spark.sql.expressions.UserDefinedFunction): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 32, "maxHamming in [0, 32)")
     val bands = maxHamming + 1
-    val hashU = udf((b: Array[Byte]) => aHash64(b))
     val bandsU = udf((h: Long) => hammingBands(h, bands))
     val n = probes.sparkSession.sessionState.conf.numShufflePartitions
     val ph = probes.select(col(id).as("probe_id"), hashU(col(media)).as("__ph"))

@@ -966,6 +966,37 @@ object HarnessLLM {
       Multimodal.imageProbe(corpus, probes, "doc_id", "media", maxHamming = 3)
         .orderBy($"probe_id", $"dup_id")
     }),
+    "multimodal_audio_probe" -> ((s, dir) => {
+      import s.implicits._
+      // The audio cell of the probe x modality matrix: probe clips
+      // 300-309 carry group (doc_id - 300)'s exact waveform, so each
+      // matches that triplet group's 3 corpus clips at Hamming 0 and
+      // nothing else (cross-group envelope bits are coin flips).
+      val mk = udf { (group: Long) =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val n = 260
+        val samples = new Array[Short](n)
+        var chunk = 0
+        while (chunk * 8 < n) {
+          val d = md.digest(s"wav:$group:$chunk".getBytes("UTF-8"))
+          var j = 0
+          while (j < 8 && chunk * 8 + j < n) {
+            samples(chunk * 8 + j) =
+              (((d(2 * j) & 0xFF) << 8 | (d(2 * j + 1) & 0xFF)) - 32768).toShort
+            j += 1
+          }
+          chunk += 1
+        }
+        Multimodal.wavEncode(8000, 1, samples)
+      }
+      val docs = t(s, dir, "documents")
+      val corpus = docs.filter($"doc_id" < 300)
+        .select($"doc_id", mk(expr("doc_id div 3")).as("media"))
+      val probes = docs.filter($"doc_id" >= 300 && $"doc_id" < 310)
+        .select($"doc_id", mk($"doc_id" - 300).as("media"))
+      Multimodal.audioProbe(corpus, probes, "doc_id", "media", maxHamming = 3)
+        .orderBy($"probe_id", $"dup_id")
+    }),
     "multimodal_binary_meta" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       import s.implicits._
@@ -1638,6 +1669,13 @@ object HarnessLLM {
         | WHERE q.vec_id < 5)
         |SELECT a.id AS id_a, b.id AS id_b
         |FROM m a JOIN m b ON a.qid = b.qid AND a.id < b.id
+        |ORDER BY 1, 2""".stripMargin,
+    // each audio probe hits exactly its seeded group's 3 clips
+    "multimodal_audio_probe" ->
+      """SELECT p.doc_id AS probe_id,
+        | 3 * (p.doc_id - 300) + g.j AS dup_id, CAST(0 AS INT) AS hamming
+        |FROM documents p, (SELECT unnest(generate_series(0, 2)) AS j) g
+        |WHERE p.doc_id >= 300 AND p.doc_id < 310
         |ORDER BY 1, 2""".stripMargin,
     // each probe hits exactly its seeded group's 3 members
     "multimodal_image_probe" ->

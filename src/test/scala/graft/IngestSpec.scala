@@ -278,6 +278,15 @@ class IngestSpec extends AnyFunSuite with SparkTestBase {
     assert(Multimodal.audioFingerprint64(
       Multimodal.wavEncode(8000, 1, Array.fill(64)(1.toShort))).isEmpty)
     assert(Multimodal.audioFingerprint64("not audio".getBytes("UTF-8")).isEmpty)
+    // the one-way audio probe: an exact copy matches, the opposite
+    // envelope (Hamming 64) does not
+    import spark.implicits._
+    val corpus = Seq((1L, ramp(up = true)), (2L, ramp(up = false)))
+      .toDF("id", "media")
+    val probes = Seq((10L, ramp(up = true))).toDF("id", "media")
+    val got = Multimodal.audioProbe(corpus, probes, "id", "media", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == Set((10L, 1L, 0)), got.toString)
   }
 
   test("WAV decode: roundtrip, chunk-walk past extra chunks, non-PCM16 rejected") {
