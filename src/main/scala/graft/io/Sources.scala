@@ -54,10 +54,22 @@ object Sources {
     * table partitioned by a low-cardinality date derivative (month/day
     * directory per partition) lets every date-ranged query prune
     * partitions at planning time (`PartitionFilters` in the scan, whole
-    * directories skipped) instead of reading 100 TB to filter it. */
+    * directories skipped) instead of reading 100 TB to filter it.
+    *
+    * The shuffle on the partition columns before the write is the
+    * small-file discipline: without it every upstream task holding rows
+    * for a directory emits its own file there (up to
+    * shuffle.partitions files per directory); with it each directory's
+    * rows are co-located in one task → one well-sized file, and the
+    * write cost stops depending on how the upstream plan happened to
+    * partition. At 100 TB a single hot partition would make that one
+    * task huge — there, add a spread key (`repartition(col(p), spread)`)
+    * or the layout tier's compaction pass; for harness-scale facts the
+    * 1-file-per-directory form is the reproducible, prune-friendly one. */
   def overwriteParquetPartitioned(df: DataFrame, path: String,
                                   partitionCols: Seq[String]): Unit =
-    df.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*).parquet(path)
+    df.repartition(partitionCols.map(col): _*)
+      .write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*).parquet(path)
 
   /** Full-replace JDBC sink — the literal reference semantics
     * (scraper.py:23-24 `to_sql(if_exists='replace')`). Exercised by the

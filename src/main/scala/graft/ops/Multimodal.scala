@@ -138,7 +138,11 @@ object Multimodal {
     val n: Long = fmt match {
       case "P6" => w.toLong * h * 3
       case "P5" => w.toLong * h
-      case _    => ((w + 7) / 8).toLong * h // P4: packed bits, row-padded
+      // P4: packed bits, row-padded. w + 7 in LONG space: num() admits
+      // w up to Int.MaxValue, so an Int `w + 7` wraps negative for
+      // w >= 2147483641 and a hostile header would crash the copy
+      // instead of falling through to the bounds reject below.
+      case _    => ((w.toLong + 7) / 8) * h
     }
     if (n > Int.MaxValue || i.toLong + n > bytes.length) return None
     Some((Pnm(fmt, w, h, java.util.Arrays.copyOfRange(bytes, i, i + n.toInt)), i + n.toInt))
@@ -708,7 +712,7 @@ object Multimodal {
   def imageProbe(corpus: DataFrame, probes: DataFrame, id: String,
                  media: String, maxHamming: Int = 3): DataFrame = {
     val hashU = udf((b: Array[Byte]) => aHash64(b))
-    hammingProbe(
+    imageHammingProbe(
       corpus.select(col(id).as("__id"), hashU(col(media)).as("__ah"))
         .filter(col("__ah").isNotNull)
         .localCheckpoint(true),
@@ -737,9 +741,12 @@ object Multimodal {
     * banded relation is itself a persisted ingest-time layout, so a
     * daily probe pays only the probe-side shuffle); output is
     * (probe_id, dup_id, hamming), one row per within-radius corpus
-    * match. */
-  def hammingProbe(corpusHashes: DataFrame, probes: DataFrame, id: String,
-                   media: String, maxHamming: Int = 3): DataFrame =
+    * match. Named for its hash space: probes hash with [[aHash64]],
+    * so `corpusHashes.__ah` MUST be aHash64 values — probing an
+    * audio-fingerprint store here would join to nothing, silently
+    * (use [[audioProbe]] / the explicit-hash form for other spaces). */
+  def imageHammingProbe(corpusHashes: DataFrame, probes: DataFrame, id: String,
+                        media: String, maxHamming: Int = 3): DataFrame =
     hammingProbe(corpusHashes, probes, id, media, maxHamming,
       udf((b: Array[Byte]) => aHash64(b)))
 

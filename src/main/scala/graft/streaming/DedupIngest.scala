@@ -146,15 +146,6 @@ object DedupIngest {
     foldOne("docs", Seq("doc_id", "__sh"))
   }
 
-  /** Near-dup pairs served off the stream-maintained store: band
-    * collisions over the signature store, exact shingle-Jaccard
-    * rescore from the doc store — [[Dedup.minhashLshPortableOnShingles]]'
-    * candidate algebra with the store standing in for the featurized
-    * corpus, so the served relation (and its oracle) is the batch
-    * key's verbatim. The pre-join distinct/dropDuplicates are the
-    * compaction-crash-window guards ([[TextIngest.bm25FromStore]]):
-    * rows are unique by construction, duplicates only ever mean a
-    * stale partition beside its relocated copy. */
   /** Probe NEW documents against the stream-maintained signature
     * store — the incremental-ingest near-dup check: the new docs'
     * band signatures collide one-way with the stored ones (the corpus
@@ -187,6 +178,15 @@ object DedupIngest {
       "doc_id", "__sh", jaccardThreshold)
   }
 
+  /** Near-dup pairs served off the stream-maintained store: band
+    * collisions over the signature store, exact shingle-Jaccard
+    * rescore from the doc store — [[Dedup.minhashLshPortableOnShingles]]'
+    * candidate algebra with the store standing in for the featurized
+    * corpus, so the served relation (and its oracle) is the batch
+    * key's verbatim. The pre-join distinct/dropDuplicates are the
+    * compaction-crash-window guards ([[TextIngest.bm25FromStore]]):
+    * rows are unique by construction, duplicates only ever mean a
+    * stale partition beside its relocated copy. */
   def nearDupsFromStore(spark: SparkSession, storeDir: String,
                         jaccardThreshold: Double = 0.5): DataFrame = {
     val banded = spark.read.parquet(s"$storeDir/sigs")

@@ -103,7 +103,7 @@ object MediaIngest {
   def imageProbeFromStore(spark: SparkSession, storeDir: String,
                           probes: DataFrame, id: String, media: String,
                           maxHamming: Int = 3): DataFrame =
-    Multimodal.hammingProbe(storedHashes(spark, storeDir),
+    Multimodal.imageHammingProbe(storedHashes(spark, storeDir),
       probes, id, media, maxHamming)
 
   private def storedHashes(spark: SparkSession, storeDir: String): DataFrame =

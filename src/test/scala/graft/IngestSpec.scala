@@ -252,6 +252,13 @@ class IngestSpec extends AnyFunSuite with SparkTestBase {
       assert(Multimodal.pnmDecode(s"P6\n16 $bomb\n255\n".getBytes("US-ASCII") ++
         Array.fill(768)(1.toByte)).isEmpty, s"height $bomb must reject")
     }
+    // Int-space P4 edge: widths num() ACCEPTS (<= Int.MaxValue) whose
+    // `w + 7` would wrap Int — the sample-size math must stay in Long
+    // so the bounds check rejects instead of Arrays.copyOfRange throwing
+    for (w <- Seq(2147483641, 2147483647)) {
+      assert(Multimodal.pnmDecode(s"P4\n$w 2\n".getBytes("US-ASCII") ++
+        Array.fill(64)(1.toByte)).isEmpty, s"P4 width $w must reject, not throw")
+    }
     // and a sane payload still parses after all that
     assert(Multimodal.pnmDecode(valid.head).isDefined)
   }
