@@ -397,6 +397,35 @@ object Vectors {
       .select(col("probe_id"), col("dup_id"), col("cos_sim"))
   }
 
+  /** [[srpProbe]] over a PRE-COMPUTED corpus signature column — the
+    * store-servable form of the embedding probe: the corpus side's
+    * `sig`/`vec` columns come from an ingest-time store (e.g. the
+    * `__sig`/`__cv` columns [[graft.streaming.VectorIngest]] maintains),
+    * so probing a 100 TB corpus costs one scan of the (ids, sigs,
+    * vectors) store and zero re-projection — the text/media probes'
+    * serve-off-the-store shape ([[graft.streaming.DedupIngest]]),
+    * completed for embeddings. Probes must arrive ALREADY SIGNED with
+    * the store's geometry under the SAME (id, sig, vec) column names
+    * ([[graft.streaming.VectorIngest.srpProbeFromStore]] enforces that
+    * via the persisted params sidecar); `vec` may be raw or normalized
+    * on either side (cosine is scale-invariant). One-way: the corpus is
+    * never self-paired. Output (probe_id, dup_id, cos_sim). */
+  def srpProbeOnSigs(corpusWithSig: DataFrame, probesWithSig: DataFrame,
+                     id: String, sig: String, vec: String,
+                     simThreshold: Double): DataFrame = {
+    def exploded(df: DataFrame, out: String) = df
+      .select(col(id).as(out), posexplode(col(sig)).as(Seq("__band", "__key")))
+    val cands = exploded(probesWithSig, "probe_id")
+      .join(exploded(corpusWithSig, "dup_id"), Seq("__band", "__key"))
+      .dropDuplicates("probe_id", "dup_id")
+    cands
+      .join(probesWithSig.select(col(id).as("probe_id"), col(vec).as("__va")), Seq("probe_id"))
+      .join(corpusWithSig.select(col(id).as("dup_id"), col(vec).as("__vb")), Seq("dup_id"))
+      .withColumn("cos_sim", cosine(col("__va"), col("__vb")))
+      .filter(col("cos_sim") >= simThreshold)
+      .select(col("probe_id"), col("dup_id"), col("cos_sim"))
+  }
+
   /** A prebuilt IVF index. `cells` carries each corpus vector's coarse-
     * quantizer cell id and normalized components — at production scale
     * this is a `__cell` column WRITTEN WITH THE TABLE at ingest, so no

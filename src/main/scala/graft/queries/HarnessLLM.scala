@@ -542,6 +542,39 @@ object HarnessLLM {
         emb.filter($"vec_id" < 5), "vec_id", "embedding", k = 10)
         .orderBy($"qid", $"rnk")
     }),
+    "stream_embedding_probe" -> ((s, dir) => {
+      import s.implicits._
+      // The STORE-SERVABLE embedding probe — closes the probe ×
+      // modality matrix (text and media already serve off their stream
+      // stores): the corpus streams once into the VectorIngest store;
+      // the probe then collides against the PERSISTED __sig column and
+      // rescores against the stored normalized vectors, signing the
+      // probes with the geometry from the store's _srp_params sidecar —
+      // the corpus is never re-signed. Probes are the same exact copies
+      // as dedup_embedding_probe (vec_id < 10, offset ids): copies are
+      // colinear, SRP signatures are scale-invariant, so they collide
+      // in EVERY band (recall 1 by construction) and the identical
+      // one-way brute-force oracle applies verbatim. Store-vs-fresh
+      // probe parity on arbitrary splits is pinned in StreamingSpec.
+      val embT = t(s, dir, "embeddings")
+      val emb = embT.select($"vec_id", $"embedding")
+      val boot = graft.streaming.VectorIngest.bootstrapFrom(ivfIndexFor(s, dir),
+        dim = emb.select(size($"embedding")).head().getInt(0))
+      val store = "/tmp/graft_stage/emb_probe_store"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(store))
+      val stream = s.readStream.schema(embT.schema)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(dir)
+      graft.streaming.VectorIngest.maintainIndex(
+        stream.select($"vec_id", $"embedding"), "vec_id", "embedding", boot, store)
+        .awaitTermination()
+      val probes = emb.filter($"vec_id" < 10)
+        .select(($"vec_id" + 200000L).as("vec_id"), $"embedding")
+      graft.streaming.VectorIngest.srpProbeFromStore(s, store, probes,
+        "vec_id", "embedding", boot, simThreshold = 0.9)
+        .select($"probe_id", $"dup_id")
+        .orderBy($"probe_id", $"dup_id")
+    }),
     "stream_term_stats" -> ((s, dir) => {
       import s.implicits._
       // Streaming corpus-statistics maintenance (the text analog of
@@ -1331,6 +1364,15 @@ object HarnessLLM {
     // one-way brute force: complete because copies collide in every
     // band (recall 1) and nothing natural reaches the 0.9 threshold
     "dedup_embedding_probe" ->
+      """SELECT 200000 + a.vec_id AS probe_id, b.vec_id AS dup_id
+        |FROM embeddings a, embeddings b
+        |WHERE a.vec_id < 10
+        |  AND list_cosine_similarity(a.embedding, b.embedding) >= 0.9
+        |ORDER BY 1, 2""".stripMargin,
+    // served off the stream-maintained store, but the relation is the
+    // batch probe's verbatim — same corpus rows, same geometry (the
+    // sidecar), same exact rescore — so the same oracle applies
+    "stream_embedding_probe" ->
       """SELECT 200000 + a.vec_id AS probe_id, b.vec_id AS dup_id
         |FROM embeddings a, embeddings b
         |WHERE a.vec_id < 10

@@ -138,6 +138,44 @@ object VectorIngest {
     }
   }
 
+  /** Persist the SRP signature geometry beside the store (the
+    * [[DedupIngest]] sig-params discipline, itself borrowed from the
+    * quantizer sidecar above): band keys are only comparable between
+    * relations signed with the SAME (dim, bits, bands, seed), so a
+    * probe signed with different geometry would get a silent recall-0
+    * join, not an error. First writer wins; a changed re-declaration
+    * throws. */
+  private def srpParamsFile(storeDir: String): java.io.File =
+    new java.io.File(s"$storeDir/_srp_params/params.txt")
+
+  private def saveSrpParams(storeDir: String, b: IndexBootstrap): Unit =
+    loadSrpParams(storeDir) match {
+      case Some((dim, bits, bands, seed)) =>
+        require(dim == b.dim && bits == b.bits && bands == b.bands && seed == b.seed,
+          s"store $storeDir was maintained with SRP (dim=$dim, bits=$bits, " +
+            s"bands=$bands, seed=$seed); re-declaring (${b.dim}, ${b.bits}, " +
+            s"${b.bands}, ${b.seed}) would corrupt the band keyspace")
+      case None =>
+        val f = srpParamsFile(storeDir)
+        f.getParentFile.mkdirs()
+        java.nio.file.Files.write(f.toPath,
+          s"dim=${b.dim}\nbits=${b.bits}\nbands=${b.bands}\nseed=${b.seed}\n"
+            .getBytes("UTF-8"))
+        ()
+    }
+
+  private def loadSrpParams(storeDir: String): Option[(Int, Int, Int, Long)] = {
+    val f = srpParamsFile(storeDir)
+    if (!f.exists()) None
+    else {
+      val lines = java.nio.file.Files.readAllLines(f.toPath)
+      Some((lines.get(0).stripPrefix("dim=").toInt,
+        lines.get(1).stripPrefix("bits=").toInt,
+        lines.get(2).stripPrefix("bands=").toInt,
+        lines.get(3).stripPrefix("seed=").toLong))
+    }
+  }
+
   /** The store's `__batch=*` partition directories (data partitions
     * only — `_checkpoint`/`_quantizer` sidecars excluded), through the
     * Hadoop FileSystem API: the store path is a production URI
@@ -239,6 +277,9 @@ object VectorIngest {
                     onRefit: (Long, Array[Array[Double]]) => Unit = (_, _) => (),
                     compactEvery: Int = 0): StreamingQuery = {
     val spark = stream.sparkSession
+    // pin the SRP geometry beside the store before any batch lands, so
+    // every later probe signs with the store's parameters, not its own
+    saveSrpParams(storeDir, b)
     // resume the quantizer a previous run's refit persisted; otherwise
     // start from the bootstrap. One assigner (= one centroid
     // broadcast) per quantizer generation, reused across batches.
@@ -316,6 +357,38 @@ object VectorIngest {
       .trigger(trigger)
       .option("checkpointLocation", s"$storeDir/_checkpoint")
       .start()
+  }
+
+  /** One-way embedding probe served OFF THE STORE — the last cell of
+    * the probe × modality matrix: new vectors collide against the
+    * store's persisted `__sig` band signatures and rescore against its
+    * stored normalized vectors, so the corpus is NEVER re-signed and
+    * never rescanned beyond the (cid, __sig, __cv) columns — exactly
+    * how the text and media probes serve ([[DedupIngest
+    * .minhashProbeFromStore]], [[MediaIngest]]). Probes are signed with
+    * the geometry from the store's `_srp_params` sidecar (falling back
+    * to the caller's bootstrap for stores written before the sidecar
+    * existed) — signing with anything else would be the silent
+    * recall-0 join the sidecar exists to prevent. The pre-probe
+    * dropDuplicates is the compaction-crash-window guard shared by
+    * every store reader. Probe ids must be disjoint from stored cids.
+    * Output (probe_id, dup_id, cos_sim). */
+  def srpProbeFromStore(spark: org.apache.spark.sql.SparkSession, storeDir: String,
+                        probes: DataFrame, id: String, vec: String,
+                        b: IndexBootstrap, simThreshold: Double): DataFrame = {
+    val (dim, bits, bands, seed) =
+      loadSrpParams(storeDir).getOrElse((b.dim, b.bits, b.bands, b.seed))
+    val corpus = spark.read.parquet(storeDir)
+      .select(col("cid"), col("__sig"), col("__cv"))
+      .dropDuplicates("cid")
+    // normalized like the store's __cv — same element type (double)
+    // for the rescore's dot, same cosine pairs (scale-invariance)
+    val signed = probes
+      .filter(nullif(Vectors.l2norm(col(vec)), lit(0.0)).isNotNull)
+      .select(col(id).as("cid"),
+        Vectors.srpSignatureCol(col(vec), dim, bits, bands, seed).as("__sig"),
+        Vectors.normalized(col(vec)).as("__cv"))
+    Vectors.srpProbeOnSigs(corpus, signed, "cid", "__sig", "__cv", simThreshold)
   }
 
   /** Read the stream-maintained store back as a searchable IVF index

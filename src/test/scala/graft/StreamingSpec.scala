@@ -509,6 +509,64 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       "replayed store must equal the one-shot batch build")
   }
 
+  test("embedding probe served off the store equals the fresh-signed batch probe") {
+    import spark.implicits._
+    import graft.ops.Vectors
+    import graft.streaming.VectorIngest
+    val dim = 8
+    def vecs(base: Long, n: Int, seed: Int) = {
+      val rnd = new scala.util.Random(900 + seed)
+      (0 until n).map(i => (base + i, Array.fill(dim)(rnd.nextGaussian().toFloat)))
+    }
+    val batches = (0 until 3).map(k => vecs(k * 1000L, 15, k))
+    val all = batches.flatten
+    val corpus = all.toDF("vec_id", "embedding")
+    val centroids = Vectors.fitQuantizer(
+      batches.head.toDF("vec_id", "embedding"), "embedding", nlist = 2)
+    val boot = VectorIngest.IndexBootstrap(dim, centroids)
+    val store = "/tmp/graft_test/emb_probe_store_spec"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(store))
+    val ms = MemoryStream[(Long, Array[Float])](spark)
+    val q = VectorIngest.maintainIndex(
+      ms.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding", boot, store,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    batches.foreach { b => ms.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+    // probes: a verbatim copy of a batch-0 vector, a half-scaled
+    // (colinear) copy of a batch-1 vector, and a fresh random vector
+    val probes = Seq(
+      (9001L, all.find(_._1 == 1L).get._2),
+      (9002L, all.find(_._1 == 1001L).get._2.map(x => (x * 0.5f))),
+      (9003L, Array.fill(dim)(new scala.util.Random(77).nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    def rel(df: org.apache.spark.sql.DataFrame) =
+      df.select("probe_id", "dup_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val served = rel(VectorIngest.srpProbeFromStore(spark, store, probes,
+      "vec_id", "embedding", boot, simThreshold = 0.9))
+    val fresh = rel(Vectors.srpProbe(corpus, probes, "vec_id", "embedding",
+      simThreshold = 0.9))
+    assert(served === fresh,
+      "store-served probe must equal the fresh-signed probe across batch splits")
+    assert(served.contains((9001L, 1L)), s"verbatim copy must match its original: $served")
+    assert(served.contains((9002L, 1001L)), s"colinear copy must match its original: $served")
+    // the sidecar wins over the caller's bootstrap: a probe declared
+    // with the WRONG geometry still signs with the store's persisted
+    // params instead of silently joining to nothing
+    val servedWrongBoot = rel(VectorIngest.srpProbeFromStore(spark, store, probes,
+      "vec_id", "embedding", boot.copy(bits = 4, bands = 2, seed = 7L),
+      simThreshold = 0.9))
+    assert(servedWrongBoot === fresh,
+      "persisted geometry must override a mismatched caller bootstrap")
+    // and a maintainer re-declaring different geometry on the same
+    // store throws instead of corrupting the band keyspace
+    intercept[IllegalArgumentException] {
+      VectorIngest.maintainIndex(
+        MemoryStream[(Long, Array[Float])](spark).toDF().toDF("vec_id", "embedding"),
+        "vec_id", "embedding", boot.copy(bits = 4), store)
+    }
+  }
+
   test("session windows split on gap > 30 minutes (batch and stream agree)") {
     import spark.implicits._
     val events = Seq(
