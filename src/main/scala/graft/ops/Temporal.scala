@@ -111,9 +111,14 @@ object Temporal {
     * The fill carries ONE struct of the whole matched right row (not
     * per-column fills), so a latest right row whose value is genuinely
     * NULL yields null — never a stale older value. Right-side ties at
-    * identical (key, time) resolve to the later row in union order;
-    * emit order-insensitive values (e.g. the time itself) or pre-dedup
-    * the right side if tie identity matters. */
+    * identical (key, time) resolve DETERMINISTICALLY to the greatest
+    * rightVals struct (Spark's field-wise struct ordering) — the tie
+    * value rides the existing window sort as a third key, so pinning
+    * the contract costs zero extra shuffles. The one carve-out: a
+    * rightVals struct containing an unorderable type (MapType) cannot
+    * join the sort, so there ties fall back to partition order — pass
+    * an orderable tiebreak column in rightVals if tie identity matters
+    * for a map payload. */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                leftTime: String, rightTime: String,
                rightVals: Seq[String], outPrefix: String = "asof_"): DataFrame = {
@@ -128,8 +133,19 @@ object Temporal {
       d.withColumn(c, lit(null).cast(lAug.schema(c).dataType))
     }
     val unioned = lAug.unionByName(rAug)
+    def orderable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.MapType => false
+      case s: org.apache.spark.sql.types.StructType => s.fields.forall(f => orderable(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => orderable(a.elementType)
+      case _ => true
+    }
+    // left rows carry a null __rv here, and nulls sort FIRST under asc
+    // — irrelevant anyway, since __side already orders left after right
+    // at equal times and the tie key only disambiguates within a side
+    val tieKeys =
+      if (orderable(rBase.schema("__rv").dataType)) Seq(col("__rv").asc) else Nil
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__t").asc, col("__side").asc)
+      .orderBy(col("__t").asc +: col("__side").asc +: tieKeys: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = unioned.withColumn("__rv",
       last(col("__rv"), ignoreNulls = true).over(w))

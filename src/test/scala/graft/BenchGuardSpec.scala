@@ -1,0 +1,51 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Fires the bench regression guard on planted timings — the in-repo
+  * "dry run" proving both rules trip without waiting for a real
+  * regression to happen in a driver bench. */
+class BenchGuardSpec extends AnyFunSuite {
+
+  // a committed reference shaped like the real suite: many sub-second
+  // keys, a few multi-second streaming loops, mean ~0.4 s
+  private val prev: Map[String, Double] =
+    (1 to 150).map(i => s"k$i" -> 0.3).toMap ++
+      Map("stream_a" -> 2.8, "stream_b" -> 2.1, "sink_z" -> 2.1)
+
+  private val prevMean = prev.values.sum / prev.size
+
+  test("known key >3x its committed median flags; within 3x does not") {
+    val res = prev ++ Map("sink_z" -> 9.0) // 4.3x prior
+    assert(Bench.regressionsOf(res, prev) == List("sink_z"))
+    assert(Bench.regressionsOf(prev ++ Map("sink_z" -> 5.0), prev).isEmpty,
+      "2.4x prior stays under the 3x rule")
+  }
+
+  test("sub-second keys never flag, at any ratio") {
+    val res = prev ++ Map("k1" -> 0.95) // >3x its 0.3s prior, but <1s
+    assert(Bench.regressionsOf(res, prev).isEmpty)
+  }
+
+  test("first-time key above 10x the suite mean flags on arrival") {
+    val res = prev + ("brand_new" -> 15.0) // r8-style entry, ~36x mean
+    assert(Bench.regressionsOf(res, prev) == List("brand_new"))
+  }
+
+  test("first-time key of the honest streaming-ingest class does not flag") {
+    // heaviest legitimate entries run ~5-7x the mean
+    val res = prev + ("stream_new" -> (6 * prevMean))
+    assert(Bench.regressionsOf(res, prev).isEmpty)
+  }
+
+  test("failed keys (-1) and empty references stay silent") {
+    assert(Bench.regressionsOf(prev + ("dead" -> -1.0), prev).isEmpty)
+    assert(Bench.regressionsOf(Map("any" -> 40.0), Map.empty).isEmpty,
+      "no committed reference -> no ceiling to compare against")
+  }
+
+  test("both rules fire together and report sorted") {
+    val res = prev ++ Map("sink_z" -> 9.0, "brand_new" -> 15.0)
+    assert(Bench.regressionsOf(res, prev) == List("brand_new", "sink_z"))
+  }
+}

@@ -98,6 +98,32 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(df.rdd.getNumPartitions == n, s"join ran on ${df.rdd.getNumPartitions} partitions, want $n")
   }
 
+  test("salted range join: the (day, salt) hash partitioning survives into the executed plan") {
+    import spark.implicits._
+    val intervals = spark.read.parquet(sf("orders"))
+      .withColumn("d0", to_date($"o_orderdate"))
+      .withColumn("d1", date_add($"d0", 2))
+      .select($"o_orderpriority", $"d0", $"d1")
+    val probes = spark.read.parquet(sf("lineitem"))
+      .select(to_date($"l_shipdate").as("ship_d"), $"l_orderkey", $"l_linenumber")
+    val df = Temporal.rangeJoinBucketedSalted(probes, intervals,
+      "ship_d", "d0", "d1", saltBuckets = 4,
+      probeFineGrain = Seq($"l_orderkey", $"l_linenumber"))
+    val p = plan(df)
+    // the salted tier exists BECAUSE its pinned REPARTITION_BY_NUM
+    // shuffles opt out of AQE skew-split (Temporal.scala) — so a future
+    // optimizer/AQE change that re-coalesces them into fewer partitions
+    // (serializing the hot day again) must fail here, not in a 100 TB run
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert("hashpartitioning\\([^)]*__psalt".r.findFirstIn(p).nonEmpty,
+      s"probe side must arrive hash-partitioned on (day, salt):\n$p")
+    assert("hashpartitioning\\([^)]*__isalt".r.findFirstIn(p).nonEmpty,
+      s"interval side must arrive hash-partitioned on (day, salt):\n$p")
+    val n = spark.sessionState.conf.numShufflePartitions
+    assert(df.rdd.getNumPartitions == n,
+      s"join ran on ${df.rdd.getNumPartitions} partitions, want the pinned $n")
+  }
+
   test("date-partitioned layout prunes partitions for a date-ranged query") {
     import spark.implicits._
     val out = "/tmp/graft_part_test"

@@ -184,6 +184,24 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
     assert(got == Map(1L -> Some(50L), 2L -> None))
   }
 
+  test("asofJoin: right-side ties at identical (key, time) resolve to the greatest struct, under any input order") {
+    import spark.implicits._
+    val l = Seq((1L, 1, 10L)).toDF("probe_id", "k", "t")
+    // three right rows tied at (k=1, rt=10): struct ordering is
+    // field-wise, so ("c", 0.5) beats ("b", 2.0) beats ("a", 1.0) —
+    // the winner must be "c" for EVERY input order and partitioning,
+    // where the old union-order contract let any of the three surface
+    val tied = Seq((1, 10L, "a", 1.0), (1, 10L, "c", 0.5), (1, 10L, "b", 2.0))
+    for (perm <- tied.permutations) {
+      val r = perm.toDF("k", "rt", "payload", "score").repartition(3)
+      val got = graft.ops.Temporal.asofJoin(l, r, Seq("k"), "t", "rt",
+        Seq("payload", "score"))
+        .select($"asof_payload", $"asof_score").collect()(0)
+      assert((got.getString(0), got.getDouble(1)) == ("c", 0.5),
+        s"ties must resolve to the struct-greatest right row; input order $perm")
+    }
+  }
+
   test("rollup sentinel distinguishes genuine NULL keys from subtotal rows") {
     import spark.implicits._
     val df = Seq((Some("a"), 1.0), (None, 2.0), (Some("a"), 3.0))

@@ -86,6 +86,46 @@ class ScaleSpec extends AnyFunSuite with SparkTestBase {
       s"salting should at least halve the biggest partition: unsalted=$mu salted=$ms")
   }
 
+  test("jaccard prefix-filter candidates grow sub-quadratically with corpus size") {
+    import spark.implicits._
+    // The r8 scale-killer regression guard in miniature: the exact
+    // AllPairs/PPJoin tier's cost variable is CANDIDATE volume, and the
+    // rare-first prefix + length + positional filters are what keep it
+    // near-linear on a corpus whose docs share dense boilerplate
+    // shingles (df ~ n — exactly the shape that went quadratic-ish in
+    // r8). Generate that shape at n, 2n, 4n: per-doc content shingles
+    // from a vocab scaling with n (constant df — new docs bring new
+    // content, the realistic web-corpus shape) PLUS 5 boilerplate
+    // shingles shared by EVERY doc, and a planted near-dup per 10 docs.
+    // A quadratic candidate generator shows c(4n)/c(n) ~ 16; the
+    // filtered one must stay under 8 (growth exponent < 1.5).
+    def corpus(n: Int): org.apache.spark.sql.DataFrame = {
+      val vocab = 3 * n
+      def base(i: Int): Seq[String] = {
+        val rnd = new scala.util.Random(1000L * i)
+        (Seq.fill(25)(s"s${rnd.nextInt(vocab)}").distinct ++
+          (0 until 5).map(j => s"common$j"))
+      }
+      (0 until n).map { i =>
+        val sh = if (i % 10 == 9) base(i - 1).drop(2) :+ s"mut$i" else base(i)
+        (i.toLong, sh)
+      }.toDF("doc_id", "__sh")
+    }
+    def candidatesAt(n: Int): Long = {
+      graft.ops.Dedup.jaccardPairsExactOnShingles(corpus(n), "doc_id", "__sh",
+        threshold = 0.5).count()
+      Metrics.snapshot.toMap.apply("jaccard_prefix_candidates")
+    }
+    val c1 = candidatesAt(300)
+    val c2 = candidatesAt(600)
+    val c4 = candidatesAt(1200)
+    assert(c1 >= 30, s"planted near-dups must surface as candidates: $c1")
+    assert(c2 <= 4 * c1,
+      s"2x corpus must stay under 4x candidates (got $c1 -> $c2)")
+    assert(c4 <= 8 * c1,
+      s"4x corpus must stay sub-quadratic: quadratic would be ~16x, got $c1 -> $c4")
+  }
+
   test("bucketed-by-join-key tables sort-merge join with zero Exchange") {
     import spark.implicits._
     val s = spark // warehouse.dir is static conf, set in SparkTestBase
