@@ -369,9 +369,14 @@ object VectorIngest {
     * the geometry from the store's `_srp_params` sidecar (falling back
     * to the caller's bootstrap for stores written before the sidecar
     * existed) — signing with anything else would be the silent
-    * recall-0 join the sidecar exists to prevent. The pre-probe
-    * dropDuplicates is the compaction-crash-window guard shared by
-    * every store reader. Probe ids must be disjoint from stored cids.
+    * recall-0 join the sidecar exists to prevent. The per-cid
+    * newest-version fold (max `__batch`, [[compactStore]]'s own
+    * semantics) is doing double duty: it is the compaction-crash-window
+    * guard every store reader carries, AND it makes a cid re-ingested
+    * with an updated vector probe against its LATEST version while both
+    * versions still sit in their batch partitions — an arbitrary-row
+    * dropDuplicates could silently match a stale embedding there.
+    * Probe ids must be disjoint from stored cids.
     * Output (probe_id, dup_id, cos_sim). */
   def srpProbeFromStore(spark: org.apache.spark.sql.SparkSession, storeDir: String,
                         probes: DataFrame, id: String, vec: String,
@@ -379,8 +384,9 @@ object VectorIngest {
     val (dim, bits, bands, seed) =
       loadSrpParams(storeDir).getOrElse((b.dim, b.bits, b.bands, b.seed))
     val corpus = spark.read.parquet(storeDir)
-      .select(col("cid"), col("__sig"), col("__cv"))
-      .dropDuplicates("cid")
+      .groupBy(col("cid"))
+      .agg(max_by(struct(col("__sig"), col("__cv")), col("__batch")).as("__r"))
+      .select(col("cid"), col("__r.__sig").as("__sig"), col("__r.__cv").as("__cv"))
     // normalized like the store's __cv — same element type (double)
     // for the rescore's dot, same cosine pairs (scale-invariance)
     val signed = probes

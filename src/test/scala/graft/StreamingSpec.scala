@@ -567,6 +567,40 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("embedding probe serves the newest version of a re-ingested cid, pre-compaction") {
+    import spark.implicits._
+    import graft.ops.Vectors
+    import graft.streaming.VectorIngest
+    val dim = 4
+    val vecA = Array(1f, 0f, 0f, 0f)
+    val vecB = Array(0f, 1f, 0f, 0f) // orthogonal to A: cos(A, B) = 0
+    val rnd = new scala.util.Random(42)
+    val filler = (10 until 20).map(i => (i.toLong, Array.fill(dim)(rnd.nextGaussian().toFloat)))
+    val centroids = Vectors.fitQuantizer(
+      (filler :+ (1L, vecA)).toDF("vec_id", "embedding"), "embedding", nlist = 2)
+    val boot = VectorIngest.IndexBootstrap(dim, centroids)
+    val store = "/tmp/graft_test/emb_probe_reingest_spec"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(store))
+    val ms = MemoryStream[(Long, Array[Float])](spark)
+    val q = VectorIngest.maintainIndex(
+      ms.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding", boot, store,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    ms.addData(filler :+ (1L, vecA): _*); q.processAllAvailable() // batch 0: cid 1 = A
+    ms.addData((1L, vecB)); q.processAllAvailable()               // batch 1: cid 1 = B
+    q.stop()
+    // both versions of cid 1 sit in their own __batch partitions now
+    assert(spark.read.parquet(store).filter($"cid" === 1L).count() == 2)
+    val probes = Seq((9001L, vecA), (9002L, vecB)).toDF("vec_id", "embedding")
+    val got = VectorIngest.srpProbeFromStore(spark, store, probes,
+      "vec_id", "embedding", boot, simThreshold = 0.9)
+      .select($"probe_id", $"dup_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((9002L, 1L)),
+      s"probe of the NEW vector must match the re-ingested cid: $got")
+    assert(!got.contains((9001L, 1L)),
+      s"probe of the STALE vector must not match (newest-version fold): $got")
+  }
+
   test("session windows split on gap > 30 minutes (batch and stream agree)") {
     import spark.implicits._
     val events = Seq(
