@@ -383,10 +383,7 @@ object VectorIngest {
                         b: IndexBootstrap, simThreshold: Double): DataFrame = {
     val (dim, bits, bands, seed) =
       loadSrpParams(storeDir).getOrElse((b.dim, b.bits, b.bands, b.seed))
-    val corpus = spark.read.parquet(storeDir)
-      .groupBy(col("cid"))
-      .agg(max_by(struct(col("__sig"), col("__cv")), col("__batch")).as("__r"))
-      .select(col("cid"), col("__r.__sig").as("__sig"), col("__r.__cv").as("__cv"))
+    val corpus = newestRows(spark, storeDir, Seq("__sig", "__cv"))
     // normalized like the store's __cv — same element type (double)
     // for the rescore's dot, same cosine pairs (scale-invariance)
     val signed = probes
@@ -397,29 +394,48 @@ object VectorIngest {
     Vectors.srpProbeOnSigs(corpus, signed, "cid", "__sig", "__cv", simThreshold)
   }
 
+  /** One newest row per cid — the read-side version fold EVERY store
+    * consumer applies (probe and all three index servers): among a
+    * cid's rows, the max-`__batch` one wins, which is exactly
+    * [[compactStore]]'s keep-the-newest rule applied at read time. This
+    * is simultaneously (a) the compaction-crash-window guard (a stale
+    * partition beside its relocated copy folds back to one row —
+    * `CompactedBatchId` = -1 sorts below every real batch, so the
+    * relocated copy wins) and (b) what makes a cid re-ingested with an
+    * updated vector SERVE as its latest version while both versions
+    * still sit in their batch partitions: an arbitrary-row dedup could
+    * return duplicate top-k rows or rank by a stale embedding. One
+    * cid-keyed shuffle over only the requested columns. */
+  private def newestRows(spark: org.apache.spark.sql.SparkSession,
+                         storeDir: String, cols: Seq[String]): DataFrame =
+    spark.read.parquet(storeDir)
+      .groupBy(col("cid"))
+      .agg(max_by(struct(cols.map(col): _*), col("__batch")).as("__r"))
+      .select(col("cid") +: cols.map(c => col(s"__r.$c").as(c)): _*)
+
   /** Read the stream-maintained store back as a searchable IVF index
     * (same shape [[Vectors.ivfSearch]] takes from a batch build). A
     * store whose quantizer was refit mid-stream routes with the
     * PERSISTED centroids from its `_quantizer` sidecar — the ones its
-    * cells were (re)assigned under — not the stale bootstrap. */
+    * cells were (re)assigned under — not the stale bootstrap. Serves
+    * one newest row per cid ([[newestRows]]). */
   def indexFromStore(spark: org.apache.spark.sql.SparkSession, storeDir: String,
                      b: IndexBootstrap): Vectors.IvfIndexData = {
     val centroids = loadQuantizer(storeDir).map(_._2).getOrElse(b.centroids)
-    val cells = spark.read.parquet(storeDir)
-      .select(col("cid"), col("__cell"), col("__cv"))
+    val cells = newestRows(spark, storeDir, Seq("__cell", "__cv"))
     Vectors.IvfIndexData(cells,
       Vectors.centroidRelation(spark, centroids), centroids)
   }
 
   /** Read the stream-maintained store back as a PQ index (the shape
     * [[Vectors.pqTopK]] searches) — requires a bootstrap that carried
-    * codebooks, so the store has the `__code` column. */
+    * codebooks, so the store has the `__code` column. Serves one
+    * newest row per cid ([[newestRows]]). */
   def pqIndexFromStore(spark: org.apache.spark.sql.SparkSession, storeDir: String,
                        b: IndexBootstrap): Vectors.PqIndexData = {
     val cb = b.pq.getOrElse(throw new IllegalArgumentException(
       "pqIndexFromStore needs an IndexBootstrap with PQ codebooks"))
-    Vectors.PqIndexData(
-      spark.read.parquet(storeDir).select(col("cid"), col("__code"), col("__cv")), cb)
+    Vectors.PqIndexData(newestRows(spark, storeDir, Seq("__code", "__cv")), cb)
   }
 
   /** Read the stream-maintained store back as an OPQ index (the shape
@@ -436,7 +452,7 @@ object VectorIngest {
       "opqIndexFromStore needs an IndexBootstrap with an OPQ model"))
     val rot = Vectors.opqRotateRaw(spark, m)
     Vectors.PqIndexData(
-      spark.read.parquet(storeDir)
+      newestRows(spark, storeDir, Seq("__ocode", "__cv"))
         .select(col("cid"), col("__ocode").as("__code"),
           Vectors.normalized(rot(col("__cv"))).as("__cv")), m.cb)
   }

@@ -599,6 +599,16 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       s"probe of the NEW vector must match the re-ingested cid: $got")
     assert(!got.contains((9001L, 1L)),
       s"probe of the STALE vector must not match (newest-version fold): $got")
+    // the SEARCH servers apply the same fold: one cell row per cid,
+    // and a query for the new version finds the re-ingested cid
+    val idx = VectorIngest.indexFromStore(spark, store, boot)
+    assert(idx.cells.filter($"cid" === 1L).count() == 1,
+      "index server must fold a re-ingested cid to its newest row")
+    val hit = Vectors.ivfSearch(idx,
+      Seq((5000L, vecB)).toDF("vec_id", "embedding"), "vec_id", "embedding", k = 1)
+      .select($"vec_id").collect().map(_.getLong(0)).toSeq
+    assert(hit == Seq(1L),
+      s"search for the new version must rank the re-ingested cid first: $hit")
   }
 
   test("session windows split on gap > 30 minutes (batch and stream agree)") {
