@@ -383,18 +383,7 @@ object Vectors {
         lit(0.0).as("cos_sim")).where(lit(false)))
     def sigs(df: DataFrame) = df.select(col(id), col(vec),
       srpSignatureCol(col(vec), dim, bits, bands, seed).as("__sig"))
-    val cs = sigs(corpus)
-    val ps = sigs(probes)
-    def exploded(withSig: DataFrame, out: String) = withSig
-      .select(col(id).as(out), posexplode(col("__sig")).as(Seq("__band", "__key")))
-    val cands = exploded(ps, "probe_id").join(exploded(cs, "dup_id"), Seq("__band", "__key"))
-      .dropDuplicates("probe_id", "dup_id")
-    cands
-      .join(ps.select(col(id).as("probe_id"), col(vec).as("__va")), Seq("probe_id"))
-      .join(cs.select(col(id).as("dup_id"), col(vec).as("__vb")), Seq("dup_id"))
-      .withColumn("cos_sim", cosine(col("__va"), col("__vb")))
-      .filter(col("cos_sim") >= simThreshold)
-      .select(col("probe_id"), col("dup_id"), col("cos_sim"))
+    srpProbeOnSigs(sigs(corpus), sigs(probes), id, "__sig", vec, simThreshold)
   }
 
   /** [[srpProbe]] over a PRE-COMPUTED corpus signature column — the
@@ -415,9 +404,16 @@ object Vectors {
                      simThreshold: Double): DataFrame = {
     def exploded(df: DataFrame, out: String) = df
       .select(col(id).as(out), posexplode(col(sig)).as(Seq("__band", "__key")))
+    // eagerly reduced to the tiny (probe_id, dup_id) list before the
+    // two rescore joins; the count is then free, and candidate volume —
+    // THE scale variable of a banded probe — lands in the bench
+    // counters instead of hiding inside wall clock (the jaccard/minhash
+    // counter discipline)
     val cands = exploded(probesWithSig, "probe_id")
       .join(exploded(corpusWithSig, "dup_id"), Seq("__band", "__key"))
       .dropDuplicates("probe_id", "dup_id")
+      .localCheckpoint(true)
+    graft.Metrics.record("srp_probe_candidates", cands.count())
     cands
       .join(probesWithSig.select(col(id).as("probe_id"), col(vec).as("__va")), Seq("probe_id"))
       .join(corpusWithSig.select(col(id).as("dup_id"), col(vec).as("__vb")), Seq("dup_id"))
