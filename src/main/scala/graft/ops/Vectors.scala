@@ -401,7 +401,24 @@ object Vectors {
     * never self-paired. Output (probe_id, dup_id, cos_sim). */
   def srpProbeOnSigs(corpusWithSig: DataFrame, probesWithSig: DataFrame,
                      id: String, sig: String, vec: String,
-                     simThreshold: Double): DataFrame = {
+                     simThreshold: Double): DataFrame =
+    srpProbeOnSigs(corpusWithSig.select(col(id), col(sig)),
+      corpusWithSig.select(col(id), col(vec)),
+      probesWithSig, id, sig, vec, simThreshold)
+
+  /** The split-corpus form: the band join consumes `corpusSigs`
+    * (id, sig) and the rescore consumes `corpusVecs` (id, vec) as two
+    * INDEPENDENT relations. For a lazily-signed corpus the two-frame
+    * split is what column pruning derives anyway, but when the corpus
+    * arrives through a shuffle Catalyst cannot prune through — e.g. the
+    * store reader's per-cid newest-version aggregate
+    * ([[graft.streaming.VectorIngest.srpProbeFromStore]]) — passing
+    * separately-folded narrow relations keeps the band join's shuffle
+    * at signature width instead of dragging every corpus vector through
+    * it unused. */
+  def srpProbeOnSigs(corpusSigs: DataFrame, corpusVecs: DataFrame,
+                     probesWithSig: DataFrame, id: String, sig: String,
+                     vec: String, simThreshold: Double): DataFrame = {
     def exploded(df: DataFrame, out: String) = df
       .select(col(id).as(out), posexplode(col(sig)).as(Seq("__band", "__key")))
     // eagerly reduced to the tiny (probe_id, dup_id) list before the
@@ -410,13 +427,13 @@ object Vectors {
     // counters instead of hiding inside wall clock (the jaccard/minhash
     // counter discipline)
     val cands = exploded(probesWithSig, "probe_id")
-      .join(exploded(corpusWithSig, "dup_id"), Seq("__band", "__key"))
+      .join(exploded(corpusSigs, "dup_id"), Seq("__band", "__key"))
       .dropDuplicates("probe_id", "dup_id")
       .localCheckpoint(true)
     graft.Metrics.record("srp_probe_candidates", cands.count())
     cands
       .join(probesWithSig.select(col(id).as("probe_id"), col(vec).as("__va")), Seq("probe_id"))
-      .join(corpusWithSig.select(col(id).as("dup_id"), col(vec).as("__vb")), Seq("dup_id"))
+      .join(corpusVecs.select(col(id).as("dup_id"), col(vec).as("__vb")), Seq("dup_id"))
       .withColumn("cos_sim", cosine(col("__va"), col("__vb")))
       .filter(col("cos_sim") >= simThreshold)
       .select(col("probe_id"), col("dup_id"), col("cos_sim"))

@@ -383,7 +383,13 @@ object VectorIngest {
                         b: IndexBootstrap, simThreshold: Double): DataFrame = {
     val (dim, bits, bands, seed) =
       loadSrpParams(storeDir).getOrElse((b.dim, b.bits, b.bands, b.seed))
-    val corpus = newestRows(spark, storeDir, Seq("__sig", "__cv"))
+    // two NARROW newest-version folds, one per consumer: the band join
+    // shuffles (cid, __sig) only, the rescore (cid, __cv) only —
+    // Catalyst cannot prune struct fields through the fold's aggregate,
+    // so a combined fold would drag every corpus vector through the
+    // band join's shuffle unused
+    val corpusSigs = newestRows(spark, storeDir, Seq("__sig"))
+    val corpusVecs = newestRows(spark, storeDir, Seq("__cv"))
     // normalized like the store's __cv — same element type (double)
     // for the rescore's dot, same cosine pairs (scale-invariance)
     val signed = probes
@@ -391,7 +397,8 @@ object VectorIngest {
       .select(col(id).as("cid"),
         Vectors.srpSignatureCol(col(vec), dim, bits, bands, seed).as("__sig"),
         Vectors.normalized(col(vec)).as("__cv"))
-    Vectors.srpProbeOnSigs(corpus, signed, "cid", "__sig", "__cv", simThreshold)
+    Vectors.srpProbeOnSigs(corpusSigs, corpusVecs, signed, "cid", "__sig", "__cv",
+      simThreshold)
   }
 
   /** One newest row per cid — the read-side version fold EVERY store

@@ -609,6 +609,15 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       .select($"vec_id").collect().map(_.getLong(0)).toSeq
     assert(hit == Seq(1L),
       s"search for the new version must rank the re-ingested cid first: $hit")
+    // scan-width audit: the served probe's rescore reads only the
+    // narrow (cid, __cv) fold — the signature fold lives entirely
+    // inside the eager candidate reduction, so no __sig column (and no
+    // wide combined fold) survives into the served plan
+    val servedPlan = VectorIngest.srpProbeFromStore(spark, store, probes,
+      "vec_id", "embedding", boot, simThreshold = 0.9)
+      .queryExecution.executedPlan.toString
+    assert(!servedPlan.contains("__sig"),
+      s"rescore plan must not carry the signature column:\n$servedPlan")
   }
 
   test("session windows split on gap > 30 minutes (batch and stream agree)") {
