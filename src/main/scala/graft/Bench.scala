@@ -9,13 +9,14 @@ object Bench {
     *
     *  - KNOWN key (has a committed median): >3x its prior time — the
     *    round-9 guard that caught sink_partitioned.
-    *  - FIRST-TIME key (no committed median, so the prior-ratio rule
-    *    is blind to it): >10x the committed suite MEAN. The established
-    *    surface's heaviest honest keys run ~5-7x the mean (streaming
-    *    ingest loops), so a new key of that class enters unflagged,
-    *    while an r8-style 15 s entry (~35x) fires on arrival. Keys
-    *    recording -1 (failed) are the `failed` array's story, not a
-    *    regression.
+    *  - KEY WITHOUT A USABLE MEDIAN — first-time, or recorded as
+    *    failed (-1) in the reference, so the prior-ratio rule is blind
+    *    to it either way: >10x the committed suite MEAN. The
+    *    established surface's heaviest honest keys run ~5-7x the mean
+    *    (streaming ingest loops), so a new key of that class enters
+    *    unflagged, while an r8-style 15 s entry (~35x) fires on
+    *    arrival. Keys failing in THIS run (-1) are the `failed`
+    *    array's story, not a regression.
     */
   private[graft] def regressionsOf(results: Map[String, Double],
                                    prev: Map[String, Double]): List[String] = {
@@ -23,7 +24,7 @@ object Bench {
     val prevMean = if (prevOk.isEmpty) 0.0 else prevOk.sum / prevOk.size
     results.collect {
       case (k, v) if v > 1.0 && prev.get(k).exists(p => p > 0 && v > 3 * p) => k
-      case (k, v) if v > 1.0 && !prev.contains(k) && prevMean > 0 &&
+      case (k, v) if v > 1.0 && prev.get(k).forall(_ <= 0) && prevMean > 0 &&
         v > 10 * prevMean => k
     }.toList.sorted
   }

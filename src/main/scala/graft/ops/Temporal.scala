@@ -115,10 +115,11 @@ object Temporal {
     * rightVals struct (Spark's field-wise struct ordering) — the tie
     * value rides the existing window sort as a third key, so pinning
     * the contract costs zero extra shuffles. The one carve-out: a
-    * rightVals struct containing an unorderable type (MapType) cannot
+    * rightVals struct containing a type Catalyst cannot order (maps,
+    * calendar intervals — `RowOrdering.isOrderable` decides) cannot
     * join the sort, so there ties fall back to partition order — pass
     * an orderable tiebreak column in rightVals if tie identity matters
-    * for a map payload. */
+    * for such a payload. */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                leftTime: String, rightTime: String,
                rightVals: Seq[String], outPrefix: String = "asof_"): DataFrame = {
@@ -133,17 +134,17 @@ object Temporal {
       d.withColumn(c, lit(null).cast(lAug.schema(c).dataType))
     }
     val unioned = lAug.unionByName(rAug)
-    def orderable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
-      case _: org.apache.spark.sql.types.MapType => false
-      case s: org.apache.spark.sql.types.StructType => s.fields.forall(f => orderable(f.dataType))
-      case a: org.apache.spark.sql.types.ArrayType => orderable(a.elementType)
-      case _ => true
-    }
+    // Catalyst's own orderability judgment, not a hand-rolled
+    // approximation: an under-approximation would silently lose the
+    // deterministic-tie contract, an over-approximation (e.g. calling
+    // CalendarIntervalType orderable) would crash the window's ORDER BY
+    // on a payload that joined fine before the tie key existed
+    val tieKeys =
+      if (org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(
+        rBase.schema("__rv").dataType)) Seq(col("__rv").asc) else Nil
     // left rows carry a null __rv here, and nulls sort FIRST under asc
     // — irrelevant anyway, since __side already orders left after right
     // at equal times and the tie key only disambiguates within a side
-    val tieKeys =
-      if (orderable(rBase.schema("__rv").dataType)) Seq(col("__rv").asc) else Nil
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__t").asc +: col("__side").asc +: tieKeys: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -44,6 +44,15 @@ class BenchGuardSpec extends AnyFunSuite {
       "no committed reference -> no ceiling to compare against")
   }
 
+  test("a key that FAILED in the reference gets the first-time ceiling, not a free pass") {
+    // prev recorded -1: no usable median, so the 3x-prior rule is
+    // blind — the 10x-mean ceiling must cover it like a new key
+    val ref = prev + ("was_dead" -> -1.0)
+    assert(Bench.regressionsOf(ref ++ Map("was_dead" -> 15.0), ref) == List("was_dead"))
+    assert(Bench.regressionsOf(ref ++ Map("was_dead" -> (6 * prevMean)), ref).isEmpty,
+      "an honest streaming-class time after a fixed failure stays silent")
+  }
+
   test("both rules fire together and report sorted") {
     val res = prev ++ Map("sink_z" -> 9.0, "brand_new" -> 15.0)
     assert(Bench.regressionsOf(res, prev) == List("brand_new", "sink_z"))

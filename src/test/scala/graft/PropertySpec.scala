@@ -200,6 +200,19 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
       assert((got.getString(0), got.getDouble(1)) == ("c", 0.5),
         s"ties must resolve to the struct-greatest right row; input order $perm")
     }
+    // unorderable payloads (maps, calendar intervals) must still JOIN —
+    // the tie key steps aside instead of crashing the window's ORDER BY
+    val lm = Seq((1L, 1, 10L)).toDF("probe_id", "k", "t")
+    val rMap = Seq((1, 5L)).toDF("k", "rt")
+      .withColumn("m", map(lit("a"), lit(1)))
+    val gotMap = graft.ops.Temporal.asofJoin(lm, rMap, Seq("k"), "t", "rt", Seq("m"))
+      .select($"asof_m").collect()(0).getMap[String, Int](0)
+    assert(gotMap == Map("a" -> 1))
+    val rIv = Seq((1, 5L)).toDF("k", "rt")
+      .withColumn("iv", expr("INTERVAL '1' DAY"))
+    val gotIv = graft.ops.Temporal.asofJoin(lm, rIv, Seq("k"), "t", "rt", Seq("iv"))
+      .select($"asof_iv").collect()(0)
+    assert(!gotIv.isNullAt(0), "interval payload must fill through the asof join")
   }
 
   test("rollup sentinel distinguishes genuine NULL keys from subtotal rows") {
