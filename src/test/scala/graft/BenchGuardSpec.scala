@@ -57,4 +57,30 @@ class BenchGuardSpec extends AnyFunSuite {
     val res = prev ++ Map("sink_z" -> 9.0, "brand_new" -> 15.0)
     assert(Bench.regressionsOf(res, prev) == List("brand_new", "sink_z"))
   }
+
+  test("an all-keys-uniformly-slower run (loaded host) flags nothing") {
+    // round 10: host contention inflated every key ~1.6x and the
+    // un-normalized guard flagged 19 keys; the ambient-ratio divide
+    // must absorb a uniform 2x suite slowdown entirely
+    val res = prev.map { case (k, v) => k -> v * 2.0 }
+    assert(math.abs(Bench.ambientRatio(res, prev) - 2.0) < 1e-9)
+    assert(Bench.regressionsOf(res, prev).isEmpty)
+  }
+
+  test("a real outlier still flags through ambient slowdown") {
+    // suite uniformly 1.5x slower AND one key 8x its prior: 8 > 3*1.5
+    val res = prev.map { case (k, v) => k -> v * 1.5 } + ("sink_z" -> 2.1 * 8)
+    assert(Bench.regressionsOf(res, prev) == List("sink_z"))
+    // but a key at 4x under the same load stays silent (4 < 3*1.5)
+    val res2 = prev.map { case (k, v) => k -> v * 1.5 } + ("sink_z" -> 2.1 * 4)
+    assert(Bench.regressionsOf(res2, prev).isEmpty)
+  }
+
+  test("ambient ratio clamps at 1.0 on a quieter-than-baseline run") {
+    val res = prev.map { case (k, v) => k -> v * 0.5 }
+    assert(Bench.ambientRatio(res, prev) == 1.0)
+    // a key that doubled while the suite halved still compares against
+    // the un-tightened 3x rule: 2x prior stays silent
+    assert(Bench.regressionsOf(res + ("sink_z" -> 2.1 * 2), prev).isEmpty)
+  }
 }
