@@ -316,13 +316,16 @@ object Dedup {
     val ex = sh.select(col(id), explode(col(shCol)).as("__g"))
       .select(col(id), xxhash64(col("__g")).as("__h"))
     val dfreq = ex.groupBy(col("__h")).agg(count(lit(1)).as("__df"))
-    val prefixes = ex.join(dfreq, "__h")
+    // ONE doc-keyed ordering aggregate feeds BOTH consumers below: the
+    // prefix postings for candidate generation AND the full ordered
+    // hash arrays for the pre-rescore overlap prune — persisted so the
+    // shingle explode + df join + sort run once, not per consumer.
+    val docOrd = ex.join(dfreq, "__h")
       .groupBy(col(id))
       .agg(sort_array(collect_list(struct(col("__df"), col("__h")))).as("__ord"))
       .select(col(id), size(col("__ord")).as("__n"),
-        slice(transform(col("__ord"), x => x("__h")), lit(1),
-          (size(col("__ord")) - ceil(lit(threshold) * size(col("__ord"))) + lit(1))
-            .cast("int")).as("__prefix"))
+        transform(col("__ord"), x => x("__h")).as("__ha"))
+      .persist()
     // materialize the prefix postings ONCE (the self-join would
     // otherwise recompute the df join + ordering aggregate for BOTH
     // sides — plan audit: 2x the heaviest stage), then reduce EAGERLY
@@ -340,14 +343,34 @@ object Dedup {
     // serialized the collision join (the other face of the r8
     // driver-vs-builder spread)
     val shufflePartitions = sh.sparkSession.sessionState.conf.numShufflePartitions
-    val probes = prefixes
-      .select(col(id), col("__n"), posexplode(col("__prefix")).as(Seq("__p", "__h")))
+    val probes = docOrd
+      .select(col(id), col("__n"),
+        posexplode(slice(col("__ha"), lit(1),
+          (col("__n") - ceil(lit(threshold) * col("__n")) + lit(1)).cast("int")))
+          .as(Seq("__p", "__h")))
       .repartition(shufflePartitions, col("__h"))
       .persist()
     // required overlap for J >= t; the epsilon guards double-ceil
     // over-rounding on exact integer multiples (t=0.5 -> (na+nb)/3)
     val alpha = ceil(lit(threshold / (1.0 + threshold)) *
       (col("a.__n") + col("b.__n")) - lit(1e-9))
+    // AllPairs INDEX-prefix asymmetry (Bayardo et al. WWW'07 §3.1,
+    // round 11): orient every pair so side `a` is the SHORTER doc
+    // (ties by id) — then with nb >= na the overlap bound tightens to
+    // alpha >= ceil(2t/(1+t) * na), so a collision's a-side position
+    // only matters within the first `na - ceil(2t/(1+t)*na) + 1`
+    // postings (at t=0.5 that is n/3+1 vs the probe prefix's n/2+1 —
+    // a third fewer a-side postings in the collision space).
+    // Completeness is untouched: a qualifying pair's FIRST common
+    // shingle sits at position <= n - alpha + 1 in BOTH docs
+    // (pigeonhole over the common shingles after it), which is inside
+    // a's index prefix by the alpha bound above and inside b's probe
+    // prefix because alpha >= ceil(t*nb) (length filter: na >= t*nb).
+    // The epsilon errs the ceil DOWN -> longer prefix -> recall-safe.
+    val aIdxPrefix = col("a.__p") <= col("a.__n") -
+      ceil(lit(2.0 * threshold / (1.0 + threshold)) * col("a.__n") - lit(1e-9))
+    val aFirst = (col("a.__n") < col("b.__n")) ||
+      (col("a.__n") === col("b.__n") && col(s"a.$id") < col(s"b.$id"))
     // `merge` hint: the persisted probe relation sits right at the
     // default broadcast threshold at test scale, so without the pin the
     // planner flips BHJ/SMJ with ambient memory — the other half of the
@@ -355,19 +378,51 @@ object Dedup {
     // exchange-free; sorting the probe postings is negligible next to
     // the collision fan-out.
     val cand = probes.as("a").hint("merge").join(probes.as("b"),
-        col("a.__h") === col("b.__h") && col(s"a.$id") < col(s"b.$id") &&
+        col("a.__h") === col("b.__h") && aFirst && aIdxPrefix &&
           least(col("a.__n"), col("b.__n")).cast("double") >=
             lit(threshold) * greatest(col("a.__n"), col("b.__n")) &&
           (lit(1) + least(col("a.__n") - col("a.__p") - 1,
                           col("b.__n") - col("b.__p") - 1)) >= alpha)
-      .select(col(s"a.$id").as("id_a"), col(s"b.$id").as("id_b"))
+      // orientation is by LENGTH; restore the canonical id_a < id_b
+      // contract before the distinct
+      .select(least(col(s"a.$id"), col(s"b.$id")).as("id_a"),
+        greatest(col(s"a.$id"), col(s"b.$id")).as("id_b"))
       .distinct()
       .localCheckpoint(true)
     // candidate volume is THE scale variable of this op — surface it
     // (count is free: the list is already eagerly materialized)
     graft.Metrics.record("jaccard_prefix_candidates", cand.count())
     probes.unpersist(blocking = false)
-    rescoreJaccard(cand, sh, id, shCol, threshold)
+    // Pre-rescore overlap prune (round 11) — the vectorized answer to
+    // PPJoin+ suffix filtering (Xiao et al. WWW'08 §4): the suffix
+    // filter binary-probes ordered token lists to UPPER-BOUND a
+    // candidate's overlap and discard it before verification; here the
+    // ordered 64-bit hash arrays are already materialized (docOrd), so
+    // one long-array intersect computes that bound EXACTLY — strictly
+    // stronger than any probe-depth suffix bound, at sequential-scan
+    // cost, no per-row binary search. Recall safety: equal strings
+    // hash equal, so hash-overlap >= string-overlap and hash-Jaccard
+    // >= string-Jaccard (numerator can only grow, denominator only
+    // shrink under 64-bit collisions) — a pair pruned here can never
+    // reach `threshold` on true strings. Precision stays exact because
+    // survivors still take the string-set rescore. Net effect: the
+    // wide string-array rescore joins shrink from every prefix
+    // candidate (124,839 at sf0.1) to ~the true pair set, and the long
+    // arrays this prune joins are ~3x smaller per row than the shingle
+    // strings.
+    val ha = docOrd.select(col(id), col("__ha"))
+    val rescorable = cand
+      .repartition(shufflePartitions, col("id_a"), col("id_b"))
+      .join(ha.select(col(id).as("id_a"), col("__ha").as("__hha")), "id_a")
+      .join(ha.select(col(id).as("id_b"), col("__ha").as("__hhb")), "id_b")
+      .withColumn("__ih", size(array_intersect(col("__hha"), col("__hhb"))).cast("double"))
+      .filter(col("__ih") / (size(col("__hha")) + size(col("__hhb")) - col("__ih")) >=
+        lit(threshold))
+      .select(col("id_a"), col("id_b"))
+      .localCheckpoint(true)
+    graft.Metrics.record("jaccard_rescore_pairs", rescorable.count())
+    docOrd.unpersist(blocking = false)
+    rescoreJaccard(rescorable, sh, id, shCol, threshold)
   }
 
   /** Shared exact-Jaccard rescore: join candidate (id_a, id_b) pairs
