@@ -511,26 +511,45 @@ object Vectors {
       nlist, iters, seed)
 
   /** Bounded seeded driver-side sample of normalized vectors — the
-    * shared fit input for the coarse quantizer and the PQ codebooks. */
-  private def normalizedSample(corpus: DataFrame, vec: String,
+    * shared fit input for the coarse quantizer and the PQ codebooks.
+    *
+    * With the default `sampleFraction = 1.0` the fraction is DERIVED
+    * (round 11): one cheap count of the non-zero-norm corpus, and when
+    * it exceeds `maxSamples` the fraction becomes
+    * `0.95 * maxSamples / n` — a seeded Bernoulli sample over the WHOLE
+    * corpus instead of a partition-order `limit` prefix, which on a
+    * clustered layout (time-ordered ingest, sorted parquet) would feed
+    * the quantizer only the first cluster(s). The 0.95 keeps the
+    * binomial draw (sd ~ sqrt(0.95*maxSamples), ~300 at the 100k
+    * default) far below the cap, so the `limit` guard almost never
+    * binds and the sample stays unbiased by default on the 100 TB
+    * path. An explicit `sampleFraction < 1.0` skips the count and is
+    * used verbatim, as before. */
+  private[graft] def normalizedSample(corpus: DataFrame, vec: String,
                                sampleFraction: Double, seed: Long,
                                maxSamples: Int): Array[Array[Double]] = {
     val cn = corpus
       .filter(nullif(l2norm(col(vec)), lit(0.0)).isNotNull)
       .select(normalized(col(vec)).as("__na"))
+    val frac =
+      if (sampleFraction < 1.0) sampleFraction
+      else {
+        val n = cn.count()
+        if (n <= maxSamples) 1.0 else 0.95 * maxSamples / n
+      }
     val sampled =
-      if (sampleFraction < 1.0) cn.sample(withReplacement = false, sampleFraction, seed)
+      if (frac < 1.0) cn.sample(withReplacement = false, frac, seed)
       else cn
     val sample = sampled.limit(maxSamples)
       .collect().map(_.getSeq[Double](0).toArray)
-    if (sampleFraction >= 1.0 && sample.length == maxSamples) {
-      // limit() takes a partition-order prefix, not a random sample —
-      // on ordered/clustered layouts a truncated prefix biases the
-      // quantizer. The caller controls randomness via sampleFraction.
+    if (sample.length == maxSamples) {
+      // the cap bound: reachable only when an EXPLICIT fraction leaves
+      // more than maxSamples survivors — that residue is a
+      // partition-order prefix, so say so
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"quantizer sample truncated at maxSamples=$maxSamples " +
-          "in partition order; pass sampleFraction < 1.0 for an unbiased " +
-          "seeded sample on corpora larger than the cap.")
+          "in partition order; lower sampleFraction (or rely on the " +
+          "derived default) for an unbiased seeded sample.")
     }
     sample
   }

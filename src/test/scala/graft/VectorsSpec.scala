@@ -122,6 +122,32 @@ class VectorsSpec extends AnyFunSuite with SparkTestBase {
       "ivfTopK must equal ivfIndex+ivfSearch with the same parameters")
   }
 
+  test("derived sample fraction: clustered layout larger than the cap stays unbiased") {
+    import spark.implicits._
+    // a clustered PHYSICAL layout — cluster A fills the leading rows
+    // (5/6 of the corpus), cluster B only the tail, sorted so the old
+    // partition-order limit() prefix would see cluster A exclusively
+    val corpus = (0 until 3000).map { i =>
+      val j = (i % 7) * 0.01
+      if (i < 2500) (i.toLong, Seq(10.0 + j, j)) else (i.toLong, Seq(j, 10.0 + j))
+    }.toDF("id", "v").sort("id").cache()
+    val sample = Vectors.normalizedSample(corpus, "v", 1.0, 42L, maxSamples = 500)
+    val nB = sample.count(_(1) > 0.5)
+    assert(sample.length < 500, "derived fraction must undershoot the cap, not truncate")
+    assert(nB > 20, s"tail cluster must appear in the derived sample, got $nB")
+    assert(sample.length - nB > 100, "leading cluster present too")
+    // and the quantizer fit on defaults lands one centroid per cluster
+    val cents = Vectors.fitQuantizer(corpus, "v", nlist = 2, maxSamples = 500)
+    val spread = math.sqrt(cents(0).zip(cents(1)).map { case (a, b) =>
+      val d = a - b; d * d
+    }.sum)
+    assert(spread > 0.5, s"centroids must straddle both clusters, spread=$spread")
+    // determinism: same seed, same sample
+    val again = Vectors.normalizedSample(corpus, "v", 1.0, 42L, maxSamples = 500)
+    assert(again.map(_.toSeq).toSeq == sample.map(_.toSeq).toSeq)
+    corpus.unpersist()
+  }
+
   test("cosineNearDups finds exactly the brute-force pair set") {
     import spark.implicits._
     val emb = spark.read.parquet(sf("embeddings"))
