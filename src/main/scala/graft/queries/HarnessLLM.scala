@@ -614,8 +614,16 @@ object HarnessLLM {
       val stream = s.readStream.schema(docs.schema)
         .option("pathGlobFilter", "documents.parquet")
         .parquet(dir)
+      // cost decomposition (round 11): the timed key spans ingest +
+      // serve; recording the ingest wall and batch count makes the
+      // split readable off the bench artifact (serve = key - ingest),
+      // so an r10-style blowup self-triages to a phase
+      val ing0 = System.nanoTime()
       graft.streaming.TextIngest.maintainInvertedIndex(stream, "doc_id", "text", store)
         .awaitTermination()
+      graft.Metrics.record("bm25_serve_ingest_ms", (System.nanoTime() - ing0) / 1000000L)
+      graft.Metrics.record("bm25_serve_store_batches",
+        graft.streaming.TextIngest.batchPartitionDirs(s, s"$store/postings").length.toLong)
       val queries = Seq(
         (1, 1, "hash"), (1, 2, "join"), (1, 3, "scan"),
         (2, 1, "vector"), (2, 2, "stream"),

@@ -96,7 +96,7 @@ object TextIngest {
     * java.io.File would silently list nothing there, disabling
     * compaction (the [[graft.io.Layout]] modules already go through
     * this API for the same reason). */
-  private[streaming] def batchPartitionDirs(spark: SparkSession,
+  private[graft] def batchPartitionDirs(spark: SparkSession,
                                  storeDir: String): Array[org.apache.hadoop.fs.Path] = {
     val root = new org.apache.hadoop.fs.Path(storeDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
