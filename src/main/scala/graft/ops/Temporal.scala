@@ -163,20 +163,49 @@ object Temporal {
     * [[rangeJoinBucketedSalted]]: the pinned repartitions here are
     * REPARTITION_BY_NUM shuffles, which AQE's OptimizeSkewedJoin does
     * not split, so one hot day lands on one reducer. */
+  /** Partition count for a pair-expansion join, derived from the
+    * ESTIMATED MATCHED-PAIR VOLUME — the sum over days of
+    * |probes(day)| * |intervals(day)| — rather than input bytes (which
+    * AQE would use and be wrong by the expansion factor) or a blind
+    * session constant (right at one scale, a serialization bottleneck
+    * at 100x). Costs two day-keyed counts, a days-sized join, and one
+    * driver scalar — O(scan) against the join's O(pairs). Floors at
+    * the session shuffle partitions (small inputs keep today's
+    * behavior exactly), caps at 4096 (beyond that, per-partition
+    * scheduling overhead dominates at any realistic executor count).
+    * The estimate runs in double — sizing needs magnitude, not
+    * exactness, and a 100 TB day-product can overflow a long sum. */
+  private def pairExpansionPartitions(probes: DataFrame, exploded: DataFrame,
+                                      probeDate: String,
+                                      targetPairsPerPartition: Long): Int = {
+    val pd = probes.groupBy(col(probeDate).as("__day")).agg(count(lit(1)).as("__pc"))
+    val idd = exploded.groupBy(col("__day")).agg(count(lit(1)).as("__ic"))
+    val row = pd.join(idd, "__day")
+      .agg(sum(col("__pc").cast("double") * col("__ic")).as("__pairs"))
+      .head()
+    val est = if (row.isNullAt(0)) 0.0 else row.getDouble(0)
+    val base = probes.sparkSession.sessionState.conf.numShufflePartitions
+    math.max(base, math.min(4096.0, est / targetPairsPerPartition).toInt)
+  }
+
   def rangeJoinBucketed(probes: DataFrame, intervals: DataFrame,
-                        probeDate: String, start: String, end: String): DataFrame = {
+                        probeDate: String, start: String, end: String,
+                        targetPairsPerPartition: Long = 4000000L): DataFrame = {
     // pin the join's partition count: both inputs are byte-small but
     // the matched-pair volume is the product of per-day densities, so
     // AQE — which only sees input bytes — coalesces the exchanges to a
     // couple of partitions and serializes the expensive part (measured
     // 5x on a 108M-pair bench join). Explicit hash repartitions are
     // not AQE-coalescible and carry the day-partitioning through the
-    // join.
-    val n = probes.sparkSession.sessionState.conf.numShufflePartitions
+    // join. The COUNT is sized from the estimated pair volume
+    // ([[pairExpansionPartitions]], round 11) so the pin that saves
+    // this join at one scale cannot strangle it at 100x.
     val exploded = explodeDays(intervals, "__day", col(start), col(end))
-      .repartition(n, col("__day"))
+    val n = pairExpansionPartitions(probes, exploded, probeDate,
+      targetPairsPerPartition)
     probes.repartition(n, col(probeDate))
-      .join(exploded, col("__day") === col(probeDate)).drop("__day")
+      .join(exploded.repartition(n, col("__day")),
+        col("__day") === col(probeDate)).drop("__day")
   }
 
   /** Skew-robust form of [[rangeJoinBucketed]]: probes get a
@@ -192,9 +221,15 @@ object Temporal {
   def rangeJoinBucketedSalted(probes: DataFrame, intervals: DataFrame,
                               probeDate: String, start: String, end: String,
                               saltBuckets: Int,
-                              probeFineGrain: Seq[Column]): DataFrame = {
-    val n = probes.sparkSession.sessionState.conf.numShufflePartitions
-    val exploded = explodeDays(intervals, "__day", col(start), col(end))
+                              probeFineGrain: Seq[Column],
+                              targetPairsPerPartition: Long = 4000000L): DataFrame = {
+    // volume-derived like the unsalted tier; estimated on the PRE-salt
+    // day explode (salting spreads pairs across reducers, it does not
+    // change their total)
+    val dayExploded = explodeDays(intervals, "__day", col(start), col(end))
+    val n = pairExpansionPartitions(probes, dayExploded, probeDate,
+      targetPairsPerPartition)
+    val exploded = dayExploded
       .withColumn("__isalt", explode(sequence(lit(0), lit(saltBuckets - 1))))
       .repartition(n, col("__day"), col("__isalt"))
     probes

@@ -98,6 +98,23 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(df.rdd.getNumPartitions == n, s"join ran on ${df.rdd.getNumPartitions} partitions, want $n")
   }
 
+  test("range join partition count scales with estimated pair volume, floors at the session pin") {
+    import spark.implicits._
+    // 20k probes on ONE day x 10 intervals covering it = 200k pairs;
+    // at 1000 pairs/partition the derived count must be 200, not the
+    // session's 32 — the 100 TB guard: the pin that saves this join at
+    // one scale must not serialize it at 100x
+    val probes = (1 to 20000).map(_ => java.sql.Date.valueOf("2024-03-01")).toDF("ship_d")
+    val intervals = (1 to 10).map(i =>
+      (i, java.sql.Date.valueOf("2024-03-01"), java.sql.Date.valueOf("2024-03-01")))
+      .toDF("iid", "d0", "d1")
+    val scaled = Temporal.rangeJoinBucketed(probes, intervals, "ship_d", "d0", "d1",
+      targetPairsPerPartition = 1000L)
+    assert(scaled.rdd.getNumPartitions == 200,
+      s"200k estimated pairs / 1k target should derive 200 partitions, got ${scaled.rdd.getNumPartitions}")
+    assert(scaled.count() == 200000L)
+  }
+
   test("salted range join: the (day, salt) hash partitioning survives into the executed plan") {
     import spark.implicits._
     val intervals = spark.read.parquet(sf("orders"))
