@@ -443,6 +443,85 @@ object Dedup {
                                     shCol: String, threshold: Double): DataFrame =
     rescoreJaccardTwoSided(cand, sh, sh, id, shCol, threshold)
 
+  /** One-way EXACT prefix-filtered Jaccard PROBE (round 11) — the
+    * deterministic-complete sibling of [[minhashProbeOnShingles]],
+    * sharing [[jaccardPairsExactOnShingles]]'s candidate algebra
+    * one-way: probe prefixes collide against corpus prefixes (never
+    * corpus x corpus), with the length, positional, AND
+    * shorter-side-index-prefix filters inside the join condition, then
+    * the hash-overlap gate, then the exact string rescore. Because
+    * prefix filtering is pigeonhole-complete at the threshold, a
+    * brute-force shared-shingle Jaccard between the two relations is
+    * an EXACT oracle — no LSH recall gap, which is what a
+    * contamination / exact-ingest gate needs.
+    *
+    * The canonical shingle order comes from CORPUS document frequency
+    * (at production scale a persisted ingest-time relation, refreshed
+    * with the corpus): probe shingles unseen in the corpus take df 0
+    * and sort first — they occupy prefix slots but can never collide,
+    * and prefix completeness holds under ANY shared total order, so
+    * recall is unaffected. Orientation of the index-prefix bound is
+    * decided per pair (`when(np <= nc, ...)`) since a probe may be
+    * shorter or longer than its match. Probe and corpus ids must be
+    * disjoint. Output (id_a = probe, id_b = corpus match, jaccard). */
+  def jaccardProbeOnShingles(corpusSh: DataFrame, probeSh: DataFrame,
+                             id: String, shCol: String,
+                             threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0)
+    def hashed(sh: DataFrame) = sh
+      .select(col(id), explode(col(shCol)).as("__g"))
+      .select(col(id), xxhash64(col("__g")).as("__h"))
+    val cEx = hashed(corpusSh)
+    val dfreq = cEx.groupBy(col("__h")).agg(count(lit(1)).as("__df"))
+    def ordered(ex: DataFrame) = ex
+      .join(dfreq, Seq("__h"), "left")
+      .na.fill(0L, Seq("__df"))
+      .groupBy(col(id))
+      .agg(sort_array(collect_list(struct(col("__df"), col("__h")))).as("__ord"))
+      .select(col(id), size(col("__ord")).as("__n"),
+        transform(col("__ord"), x => x("__h")).as("__ha"))
+    val cOrd = ordered(cEx).persist()
+    val pOrd = ordered(hashed(probeSh)).persist()
+    val shufflePartitions =
+      corpusSh.sparkSession.sessionState.conf.numShufflePartitions
+    def postings(ord: DataFrame) = ord
+      .select(col(id), col("__n"),
+        posexplode(slice(col("__ha"), lit(1),
+          (col("__n") - ceil(lit(threshold) * col("__n")) + lit(1)).cast("int")))
+          .as(Seq("__p", "__h")))
+      .repartition(shufflePartitions, col("__h"))
+    val alpha = ceil(lit(threshold / (1.0 + threshold)) *
+      (col("p.__n") + col("c.__n")) - lit(1e-9))
+    def idxBound(side: String) = col(s"$side.__p") <= col(s"$side.__n") -
+      ceil(lit(2.0 * threshold / (1.0 + threshold)) * col(s"$side.__n") - lit(1e-9))
+    val cand = postings(pOrd).as("p").join(postings(cOrd).as("c"),
+        col("p.__h") === col("c.__h") &&
+          least(col("p.__n"), col("c.__n")).cast("double") >=
+            lit(threshold) * greatest(col("p.__n"), col("c.__n")) &&
+          (lit(1) + least(col("p.__n") - col("p.__p") - 1,
+                          col("c.__n") - col("c.__p") - 1)) >= alpha &&
+          when(col("p.__n") <= col("c.__n"), idxBound("p")).otherwise(idxBound("c")))
+      .select(col(s"p.$id").as("id_a"), col(s"c.$id").as("id_b"))
+      .distinct()
+      .localCheckpoint(true)
+    graft.Metrics.record("jaccard_probe_prefix_candidates", cand.count())
+    // hash-overlap gate before the wide string rescore, exactly as in
+    // the self-join form (hash-Jaccard >= string-Jaccard: recall-safe)
+    val rescorable = cand
+      .repartition(shufflePartitions, col("id_a"), col("id_b"))
+      .join(pOrd.select(col(id).as("id_a"), col("__ha").as("__hha")), "id_a")
+      .join(cOrd.select(col(id).as("id_b"), col("__ha").as("__hhb")), "id_b")
+      .withColumn("__ih", size(array_intersect(col("__hha"), col("__hhb"))).cast("double"))
+      .filter(col("__ih") / (size(col("__hha")) + size(col("__hhb")) - col("__ih")) >=
+        lit(threshold))
+      .select(col("id_a"), col("id_b"))
+      .localCheckpoint(true)
+    graft.Metrics.record("jaccard_probe_rescore_pairs", rescorable.count())
+    cOrd.unpersist(blocking = false)
+    pOrd.unpersist(blocking = false)
+    rescoreJaccardTwoSided(rescorable, probeSh, corpusSh, id, shCol, threshold)
+  }
+
   /** One-sided portable-minhash PROBE — the incremental-ingest shape
     * of text near-dup: band signatures of the NEW docs collide one-way
     * against the corpus's banded signatures (at production scale a

@@ -280,6 +280,25 @@ object HarnessLLM {
         .withColumnRenamed("id_b", "dup_id")
         .orderBy($"probe_id", $"dup_id")
     }),
+    "dedup_jaccard_probe" -> ((s, dir) => {
+      import s.implicits._
+      // The EXACT probe tier beside dedup_minhash_probe: one-way
+      // prefix-filtered Jaccard (probe prefixes vs corpus prefixes,
+      // pigeonhole-complete at the threshold), hash-overlap gate, then
+      // exact rescore. Deterministic-complete, so the brute-force
+      // one-way shared-shingle Jaccard is an exact oracle — the gate
+      // an ingest/contamination check needs (a minhash probe can miss;
+      // this one cannot). Probes are verbatim copies of docs 0-9
+      // (ids + 100000), so each must rediscover its original at 1.0.
+      val corpusSh = shingledDocsFor(s, dir)
+      val probeSh = corpusSh.filter($"doc_id" < 10)
+        .select(($"doc_id" + 100000L).as("doc_id"), $"__sh")
+      Dedup.jaccardProbeOnShingles(corpusSh, probeSh, "doc_id", "__sh",
+        threshold = 0.5)
+        .withColumnRenamed("id_a", "probe_id")
+        .withColumnRenamed("id_b", "dup_id")
+        .orderBy($"probe_id", $"dup_id")
+    }),
     "dedup_simhash" -> ((s, dir) => {
       import s.implicits._
       // Engine-portable 60-bit SimHash (md5-derived per-token hashes,
@@ -1322,6 +1341,21 @@ object HarnessLLM {
         |SELECT ia AS id_a, ib AS id_b,
         | round(inter * 1.0 / (x.n + y.n - inter), 6) AS jaccard
         |FROM pc JOIN sz x ON ia = x.doc_id JOIN sz y ON ib = y.doc_id
+        |WHERE inter * 1.0 / (x.n + y.n - inter) >= 0.5
+        |ORDER BY 1, 2""".stripMargin),
+    // one-way brute force between the probe copies (docs 0-9, ids
+    // shifted +100000) and the whole corpus: complete for the
+    // prefix-filtered probe for the same reason as dedup_ngram_jaccard
+    "dedup_jaccard_probe" ->
+      (shOracle + """,
+        |ppc AS (
+        | SELECT a.doc_id + 100000 AS ia, b.doc_id AS ib, count(*) AS inter
+        | FROM ex a JOIN ex b ON a.g = b.g
+        | WHERE a.doc_id < 10
+        | GROUP BY 1, 2)
+        |SELECT ia AS probe_id, ib AS dup_id,
+        | round(inter * 1.0 / (x.n + y.n - inter), 6) AS jaccard
+        |FROM ppc JOIN sz x ON ia - 100000 = x.doc_id JOIN sz y ON ib = y.doc_id
         |WHERE inter * 1.0 / (x.n + y.n - inter) >= 0.5
         |ORDER BY 1, 2""".stripMargin),
     // probes are verbatim copies of docs 0-9, so probe signatures

@@ -88,6 +88,41 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("jaccardProbe equals brute-force one-way at every threshold; corpus never self-pairs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(sf("documents"))
+    val sh = docs.select($"doc_id", Dedup.shingles($"text").as("__sh"))
+      .filter(size($"__sh" ) > 0).localCheckpoint(true)
+    // probes: verbatim copies of docs 0-9 (disjoint ids) — each must
+    // find at least its own original at jaccard 1.0
+    val probes = sh.filter($"doc_id" < 10)
+      .select(($"doc_id" + 100000L).as("doc_id"), $"__sh")
+    val pEx = probes.select($"doc_id", explode($"__sh").as("g"))
+    val cEx = sh.select($"doc_id", explode($"__sh").as("g"))
+    val pSz = probes.select($"doc_id".as("id_a"), size($"__sh").as("na"))
+    val cSz = sh.select($"doc_id".as("id_b"), size($"__sh").as("nb"))
+    val brute = pEx.as("a").join(cEx.as("b"), $"a.g" === $"b.g")
+      .groupBy($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(pSz, "id_a").join(cSz, "id_b")
+      .withColumn("jaccard", $"inter".cast("double") / ($"na" + $"nb" - $"inter"))
+    for (t <- Seq(0.3, 0.5, 0.8)) {
+      val expected = brute.filter($"jaccard" >= t)
+        .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val got = Dedup.jaccardProbeOnShingles(sh, probes, "doc_id", "__sh", t)
+        .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expected, s"threshold $t: probe must be recall-complete and precise")
+      assert(got.forall(_._1 >= 100000L), "only probe ids on the left, corpus never self-pairs")
+      assert((0 until 10).forall(i => got.contains((i + 100000L, i.toLong))),
+        "every verbatim probe must rediscover its original")
+    }
+    // a probe with shingles entirely UNSEEN in the corpus (df 0, sorts
+    // first in the canonical order) must return nothing, not crash
+    val alien = Seq((200000L, Seq("zz qq xx", "qq xx yy"))).toDF("doc_id", "__sh")
+    assert(Dedup.jaccardProbeOnShingles(sh, alien, "doc_id", "__sh", 0.5).count() == 0)
+  }
+
   test("portable minhash: subset of brute-force >=0.5, superset of >=0.9; planted dups found") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
