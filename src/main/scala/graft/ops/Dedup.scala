@@ -468,22 +468,54 @@ object Dedup {
                              id: String, shCol: String,
                              threshold: Double): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0)
-    def hashed(sh: DataFrame) = sh
-      .select(col(id), explode(col(shCol)).as("__g"))
-      .select(col(id), xxhash64(col("__g")).as("__h"))
-    val cEx = hashed(corpusSh)
+    val cEx = hashedShingles(corpusSh, id, shCol)
     val dfreq = cEx.groupBy(col("__h")).agg(count(lit(1)).as("__df"))
-    def ordered(ex: DataFrame) = ex
-      .join(dfreq, Seq("__h"), "left")
-      .na.fill(0L, Seq("__df"))
-      .groupBy(col(id))
-      .agg(sort_array(collect_list(struct(col("__df"), col("__h")))).as("__ord"))
-      .select(col(id), size(col("__ord")).as("__n"),
-        transform(col("__ord"), x => x("__h")).as("__ha"))
-    val cOrd = ordered(cEx).persist()
-    val pOrd = ordered(hashed(probeSh)).persist()
+    val cOrd = orderedByDf(cEx, dfreq, id).persist()
+    val pOrd = orderedByDf(hashedShingles(probeSh, id, shCol), dfreq, id).persist()
+    val rescorable = probePairsOnOrdered(pOrd, cOrd, id, threshold)
+    cOrd.unpersist(blocking = false)
+    pOrd.unpersist(blocking = false)
+    rescoreJaccardTwoSided(rescorable, probeSh, corpusSh, id, shCol, threshold)
+  }
+
+  /** (id, 64-bit shingle hash) exploded relation — the candidate
+    * algebra's working representation (see
+    * [[jaccardPairsExactOnShingles]] for why hashes, not strings). */
+  private[graft] def hashedShingles(sh: DataFrame, id: String,
+                                    shCol: String): DataFrame =
+    sh.select(col(id), explode(col(shCol)).as("__g"))
+      .select(col(id), xxhash64(col("__g")).as("__h"))
+
+  /** Each doc's shingle hashes as ONE array in (df, hash) canonical
+    * order, plus its size: (id, __n, __ha). `dfreq` is the ordering
+    * authority — tokens absent from it take df 0 and sort first, which
+    * preserves prefix completeness under any shared total order (the
+    * pigeonhole argument counts common tokens after the first one; it
+    * never cares where non-common tokens sit). */
+  private[graft] def orderedByDf(ex: DataFrame, dfreq: DataFrame,
+                                 id: String): DataFrame = ex
+    .join(dfreq, Seq("__h"), "left")
+    .na.fill(0L, Seq("__df"))
+    .groupBy(col(id))
+    .agg(sort_array(collect_list(struct(col("__df"), col("__h")))).as("__ord"))
+    .select(col(id), size(col("__ord")).as("__n"),
+      transform(col("__ord"), x => x("__h")).as("__ha"))
+
+  /** One-way candidate generation + hash-overlap gate over two
+    * [[orderedByDf]] relations (probe, corpus) that MUST share one
+    * ordering authority. Prefix postings are derived scan-locally from
+    * the stored arrays (a slice + posexplode projection — no
+    * corpus-wide aggregate), so a persisted (id, __n, __ha) relation
+    * (the [[graft.streaming.DedupIngest]] store) serves probes at any
+    * threshold without re-deriving anything. Returns the gated
+    * (id_a = probe, id_b = corpus) pairs ready for the exact string
+    * rescore; records both scale counters. */
+  private[graft] def probePairsOnOrdered(pOrd: DataFrame, cOrd: DataFrame,
+                                         id: String,
+                                         threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0)
     val shufflePartitions =
-      corpusSh.sparkSession.sessionState.conf.numShufflePartitions
+      pOrd.sparkSession.sessionState.conf.numShufflePartitions
     def postings(ord: DataFrame) = ord
       .select(col(id), col("__n"),
         posexplode(slice(col("__ha"), lit(1),
@@ -517,9 +549,7 @@ object Dedup {
       .select(col("id_a"), col("id_b"))
       .localCheckpoint(true)
     graft.Metrics.record("jaccard_probe_rescore_pairs", rescorable.count())
-    cOrd.unpersist(blocking = false)
-    pOrd.unpersist(blocking = false)
-    rescoreJaccardTwoSided(rescorable, probeSh, corpusSh, id, shCol, threshold)
+    rescorable
   }
 
   /** One-sided portable-minhash PROBE — the incremental-ingest shape

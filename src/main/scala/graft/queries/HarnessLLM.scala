@@ -673,6 +673,37 @@ object HarnessLLM {
       graft.streaming.DedupIngest.nearDupsFromStore(s, store)
         .orderBy($"id_a", $"id_b")
     }),
+    "stream_jaccard_probe" -> ((s, dir) => {
+      import s.implicits._
+      // The exact-probe x streaming cell: documents stream into a
+      // store holding each doc's shingles PLUS its canonically ordered
+      // hash array (__n, __ha), ordered against a df authority FROZEN
+      // at bootstrap (the hyperplane discipline — freezing costs
+      // candidates, never recall, since prefix completeness holds
+      // under any shared total order). Probes (verbatim copies of
+      // docs 0-9, ids + 100000) then run the full prefix + positional
+      // + index-prefix + hash-gate + exact-rescore pipeline against
+      // the store's scan-local projection — no corpus-wide aggregate
+      // at serve time, corpus text never rescanned. The served
+      // relation IS dedup_jaccard_probe's, so that oracle applies
+      // verbatim; stream==batch across frozen-vs-full df authorities
+      // is pinned in StreamingSpec.
+      val docs = t(s, dir, "documents")
+      val store = "/tmp/graft_stage/jaccard_store"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(store))
+      val stream = s.readStream.schema(docs.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(dir)
+      graft.streaming.DedupIngest.maintainJaccardStore(stream, "doc_id", "text", store)
+        .awaitTermination()
+      val probes = docs.filter($"doc_id" < 10)
+        .select(($"doc_id" + 100000L).as("doc_id"), $"text")
+      graft.streaming.DedupIngest.jaccardProbeFromStore(s, store, probes,
+        "doc_id", "text", jaccardThreshold = 0.5)
+        .withColumnRenamed("id_a", "probe_id")
+        .withColumnRenamed("id_b", "dup_id")
+        .orderBy($"probe_id", $"dup_id")
+    }),
     "stream_pq_ingest" -> ((s, dir) => {
       import s.implicits._
       // the PQ half of the ingest-time-column story: the stream
@@ -1306,6 +1337,24 @@ object HarnessLLM {
     * four independent 28-bit values per digest), banding, candidate
     * join, and exact rescore as minhashLshPortableOnShingles, so one
     * bit-exact oracle covers both. */
+  /** Shared by `dedup_jaccard_probe` (batch) and `stream_jaccard_probe`
+    * (store-served): one-way brute force between the probe copies
+    * (docs 0-9, ids shifted +100000) and the whole corpus — complete
+    * for the prefix-filtered probe for the same reason as
+    * dedup_ngram_jaccard's oracle. */
+  private val jaccardProbeOracle: String =
+    shOracle + """,
+      |ppc AS (
+      | SELECT a.doc_id + 100000 AS ia, b.doc_id AS ib, count(*) AS inter
+      | FROM ex a JOIN ex b ON a.g = b.g
+      | WHERE a.doc_id < 10
+      | GROUP BY 1, 2)
+      |SELECT ia AS probe_id, ib AS dup_id,
+      | round(inter * 1.0 / (x.n + y.n - inter), 6) AS jaccard
+      |FROM ppc JOIN sz x ON ia - 100000 = x.doc_id JOIN sz y ON ib = y.doc_id
+      |WHERE inter * 1.0 / (x.n + y.n - inter) >= 0.5
+      |ORDER BY 1, 2""".stripMargin
+
   private val minhashPortableOracle: String =
     (shOracle + """,
         |hx AS (
@@ -1346,18 +1395,11 @@ object HarnessLLM {
     // one-way brute force between the probe copies (docs 0-9, ids
     // shifted +100000) and the whole corpus: complete for the
     // prefix-filtered probe for the same reason as dedup_ngram_jaccard
-    "dedup_jaccard_probe" ->
-      (shOracle + """,
-        |ppc AS (
-        | SELECT a.doc_id + 100000 AS ia, b.doc_id AS ib, count(*) AS inter
-        | FROM ex a JOIN ex b ON a.g = b.g
-        | WHERE a.doc_id < 10
-        | GROUP BY 1, 2)
-        |SELECT ia AS probe_id, ib AS dup_id,
-        | round(inter * 1.0 / (x.n + y.n - inter), 6) AS jaccard
-        |FROM ppc JOIN sz x ON ia - 100000 = x.doc_id JOIN sz y ON ib = y.doc_id
-        |WHERE inter * 1.0 / (x.n + y.n - inter) >= 0.5
-        |ORDER BY 1, 2""".stripMargin),
+    "dedup_jaccard_probe" -> jaccardProbeOracle,
+    // the stream-maintained store serves the SAME exact one-way
+    // relation (completeness is order-independent, so the frozen
+    // bootstrap df authority changes nothing): batch oracle verbatim
+    "stream_jaccard_probe" -> jaccardProbeOracle,
     // probes are verbatim copies of docs 0-9, so probe signatures
     // equal the originals': the probe relation is the originals' band
     // collisions (both orders) plus the guaranteed self match at 1.0,

@@ -178,6 +178,126 @@ object DedupIngest {
       "doc_id", "__sh", jaccardThreshold)
   }
 
+  /** Maintain the EXACT-probe store from a document stream (round 11)
+    * — the deterministic-complete sibling of [[maintainMinhash]]: each
+    * micro-batch writes its docs' shingle arrays PLUS their canonically
+    * ordered 64-bit hash arrays (`__n`, `__ha` — everything
+    * [[Dedup.probePairsOnOrdered]] needs) to `$storeDir/docs`. The
+    * ordering authority is a DOCUMENT-FREQUENCY relation FROZEN at
+    * bootstrap from the first batch and persisted to
+    * `$storeDir/dford` — the [[VectorIngest]] frozen-hyperplane
+    * discipline: later batches order their shingles against it
+    * batch-locally (one keyed join, no cross-batch aggregate, no
+    * state store). Freezing is CORRECTNESS-FREE: prefix completeness
+    * holds under any shared total order, so df drift only ever costs
+    * candidate volume, never recall — refreshing dford (and rewriting
+    * `__ha`) at a compaction boundary is a cost optimization, exactly
+    * like the quantizer refit. Serving probes needs no threshold
+    * pinned at ingest: the store holds FULL ordered arrays and the
+    * serve derives its prefix slices scan-locally, so one store
+    * answers probes at any threshold. */
+  def maintainJaccardStore(stream: DataFrame, id: String, text: String,
+                           storeDir: String,
+                           trigger: Trigger = Trigger.AvailableNow(),
+                           onBatch: Long => Unit = _ => (),
+                           compactEvery: Int = 0): StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val spark = stream.sparkSession
+        val sh = shingled(batch.toDF(), id, text).persist()
+        try {
+          val ex = Dedup.hashedShingles(sh, "doc_id", "__sh")
+          val dfordDir = s"$storeDir/dford"
+          // bootstrap: freeze the ordering authority from the first
+          // batch (first writer wins — the _SUCCESS marker is the
+          // atomic commit, a replayed batch 0 overwrites identically)
+          if (!new org.apache.hadoop.fs.Path(dfordDir).getFileSystem(
+              spark.sparkContext.hadoopConfiguration).exists(
+              new org.apache.hadoop.fs.Path(s"$dfordDir/_SUCCESS")))
+            ex.groupBy(col("__h")).agg(count(lit(1)).as("__df"))
+              .write.mode("overwrite").parquet(dfordDir)
+          val dford = spark.read.parquet(dfordDir)
+          Dedup.orderedByDf(ex, dford, "doc_id")
+            .join(sh, "doc_id")
+            .select(col("doc_id"), col("__sh"), col("__n"), col("__ha"))
+            .withColumn("__batch", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__batch")
+            .parquet(s"$storeDir/docs")
+          if (compactEvery > 0 &&
+              TextIngest.batchPartitionDirs(spark,
+                s"$storeDir/docs").length >= compactEvery)
+            compactJaccardStore(spark, storeDir, upToBatch = batchId)
+          onBatch(batchId)
+        } finally { sh.unpersist(); () }
+      }
+      .trigger(trigger)
+      .option("checkpointLocation", s"$storeDir/_checkpoint")
+      .start()
+
+  /** Fold committed docs batch partitions into `__batch=-1` — rows are
+    * globally unique (one batch per doc), full-row distinct makes the
+    * fold idempotent across the crash window. dford is bootstrap-frozen
+    * and untouched. */
+  def compactJaccardStore(spark: SparkSession, storeDir: String,
+                          upToBatch: Long, targetFiles: Int = 1): Unit = {
+    val dir = s"$storeDir/docs"
+    val fold = TextIngest.batchPartitionDirs(spark, dir)
+      .filter(_.getName.stripPrefix("__batch=").toLong < upToBatch)
+    if (fold.length > 1) {
+      val folded = spark.read.option("basePath", dir)
+        .parquet(fold.map(_.toString).toIndexedSeq: _*)
+        .select(col("doc_id"), col("__sh"), col("__n"), col("__ha"))
+        .distinct()
+        .withColumn("__batch", lit(TextIngest.CompactedBatchId))
+        .coalesce(math.max(1, targetFiles))
+        .localCheckpoint(true)
+      folded.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__batch")
+        .parquet(dir)
+      fold.filter(_.getName != s"__batch=${TextIngest.CompactedBatchId}")
+        .foreach(TextIngest.deleteDir(spark, _))
+      spark.catalog.refreshByPath(dir)
+    }
+  }
+
+  /** Exact one-way Jaccard probe served OFF THE STORE: the probe batch
+    * orders its shingles against the store's frozen dford (the shared
+    * total order both sides must sign with — the `_srp_params`
+    * discipline, except here a mismatched order costs candidates, not
+    * recall), derives prefix postings scan-locally, and runs the full
+    * filtered candidate join + hash gate + exact string rescore
+    * against the store's persisted arrays. The corpus text is never
+    * rescanned and no corpus-wide aggregate runs at serve time — the
+    * store read is a scan-local projection of (doc_id, __sh, __n,
+    * __ha). Guaranteed recall at the threshold (prefix completeness),
+    * unlike [[minhashProbeFromStore]]. Probe ids must be disjoint from
+    * stored ids. Output (id_a = probe, id_b = stored match, jaccard). */
+  def jaccardProbeFromStore(spark: SparkSession, storeDir: String,
+                            newDocs: DataFrame, id: String, text: String,
+                            jaccardThreshold: Double = 0.5): DataFrame = {
+    val probeSh = shingled(newDocs, id, text).localCheckpoint(true)
+    val dford = spark.read.parquet(s"$storeDir/dford")
+    val pOrd = Dedup.orderedByDf(
+      Dedup.hashedShingles(probeSh, "doc_id", "__sh"), dford, "doc_id")
+      .persist()
+    val stored = spark.read.parquet(s"$storeDir/docs")
+      .select(col("doc_id"), col("__sh"), col("__n"), col("__ha"))
+      .dropDuplicates("doc_id")
+      .persist()
+    val rescorable = Dedup.probePairsOnOrdered(
+      pOrd, stored.select(col("doc_id"), col("__n"), col("__ha")),
+      "doc_id", jaccardThreshold)
+    val out = Dedup.rescoreJaccardTwoSided(rescorable, probeSh,
+      stored.select(col("doc_id"), col("__sh")), "doc_id", "__sh",
+      jaccardThreshold)
+    pOrd.unpersist(blocking = false)
+    stored.unpersist(blocking = false)
+    out
+  }
+
   /** Near-dup pairs served off the stream-maintained store: band
     * collisions over the signature store, exact shingle-Jaccard
     * rescore from the doc store — [[Dedup.minhashLshPortableOnShingles]]'

@@ -934,6 +934,70 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(probed.map(_._2).forall(c => c < 100L), "matches come from the store only")
   }
 
+  test("stream-maintained jaccard store serves the exact probe: stream == batch == brute force") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.streaming.DedupIngest
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq(
+      (1L, base),
+      (2L, base + " tail"),
+      (3L, "completely different words entirely here about spark plans"),
+      (4L, base.replace("lazy", "sleepy")),
+      (5L, "completely different words entirely here about spark joins"))
+    val store = "/tmp/graft_test/jaccard_store_spec"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(store))
+    val ms = MemoryStream[(Long, String)](spark)
+    val q = DedupIngest.maintainJaccardStore(
+      ms.toDF().toDF("doc_id", "text"), "doc_id", "text", store,
+      trigger = Trigger.ProcessingTime(0))
+    // split so the df-order bootstrap (batch 0) does NOT see docs 2/4:
+    // their later shingles order under the frozen authority with df 0
+    // fallbacks — the result must still be exact
+    ms.addData(docs(0), docs(2)); q.processAllAvailable()
+    ms.addData(docs(1), docs(4)); q.processAllAvailable()
+    ms.addData(docs(3)); q.processAllAvailable()
+    q.stop()
+    val probeRows = Seq((500L, base), (501L, base.replace("lazy", "hungry")),
+      (502L, "nothing like anything stored in this corpus at all"))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val served = pairs(DedupIngest.jaccardProbeFromStore(spark, store,
+      probeRows.toDF("doc_id", "text"), "doc_id", "text", jaccardThreshold = 0.5))
+    // ground truth 1: the batch probe op over the same corpus (its df
+    // authority is the FULL corpus, the store's is batch 0 — results
+    // must agree anyway, because completeness is order-independent)
+    def shOf(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+      .select($"doc_id", graft.ops.Dedup.shingles($"text").as("__sh"))
+      .filter(size($"__sh") > 0)
+    val batch = pairs(graft.ops.Dedup.jaccardProbeOnShingles(
+      shOf(docs), shOf(probeRows), "doc_id", "__sh", 0.5))
+    assert(served === batch,
+      "store-served probe must equal the batch op despite different frozen df authorities")
+    assert(served.contains((500L, 1L)) && served((500L, 1L)) == 1.0,
+      s"verbatim copy must match its original at 1.0: $served")
+    assert(served.keys.exists(_ == (500L -> 2L)), "cross-batch near-dup must surface")
+    assert(!served.keys.exists(_._1 == 502L), "unseen text matches nothing")
+    // compaction folds partitions, serve unchanged; crash window (stale
+    // partition beside its relocated copy) self-heals via dropDuplicates
+    val stale = new java.io.File("/tmp/graft_test/jaccard_stale_docs")
+    org.apache.commons.io.FileUtils.deleteQuietly(stale)
+    org.apache.commons.io.FileUtils.copyDirectory(
+      new java.io.File(s"$store/docs", "__batch=0"), stale)
+    DedupIngest.compactJaccardStore(spark, store, upToBatch = 2)
+    val parts = new java.io.File(s"$store/docs").listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("__batch="))
+    assert(parts == 2, "batches 0-1 fold to __batch=-1; batch 2 stays")
+    assert(pairs(DedupIngest.jaccardProbeFromStore(spark, store,
+      probeRows.toDF("doc_id", "text"), "doc_id", "text")) === batch)
+    org.apache.commons.io.FileUtils.copyDirectory(
+      stale, new java.io.File(s"$store/docs", "__batch=0"))
+    spark.catalog.refreshByPath(s"$store/docs")
+    assert(pairs(DedupIngest.jaccardProbeFromStore(spark, store,
+      probeRows.toDF("doc_id", "text"), "doc_id", "text")) === batch,
+      "serving inside the compaction crash window must not change pairs")
+  }
+
   test("stream-maintained term stats merge to exactly the batch aggregation across batches") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
