@@ -300,7 +300,10 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       .filter(size($"__sh") > 0)
     for (df <- Seq(
       graft.ops.Dedup.minhashLshPortableOnShingles(sh, "doc_id", "__sh"),
-      graft.ops.Dedup.jaccardPairsExactOnShingles(sh, "doc_id", "__sh", 0.5))) {
+      graft.ops.Dedup.jaccardPairsExactOnShingles(sh, "doc_id", "__sh", 0.5),
+      graft.ops.Dedup.jaccardProbeOnShingles(sh,
+        sh.filter($"doc_id" < 10).select(($"doc_id" + 100000L).as("doc_id"), $"__sh"),
+        "doc_id", "__sh", 0.5))) {
       val p = plan(df)
       assert(!p.contains("CartesianProduct"), p)
       // the only nested-loop join allowed anywhere in the family is a

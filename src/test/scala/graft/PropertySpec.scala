@@ -393,6 +393,36 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("one-way jaccard probe equals driver-side brute force on random corpora and orders") {
+    import spark.implicits._
+    trials { rnd =>
+      val vocab = Vector.tabulate(12)(i => s"w$i")
+      def mk(n: Int, idBase: Long) = (0 until n).map { i =>
+        (idBase + i,
+          Seq.fill(4 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val corpus = mk(6 + rnd.nextInt(10), 0L).toDF("doc_id", "text")
+      val probes = mk(2 + rnd.nextInt(5), 1000L).toDF("doc_id", "text")
+      def shOf(df: org.apache.spark.sql.DataFrame) =
+        df.select($"doc_id", Dedup.shingles($"text").as("__sh"))
+          .filter(size($"__sh") > 0)
+      val t = 0.2 + rnd.nextDouble() * 0.7
+      val got = Dedup.jaccardProbeOnShingles(shOf(corpus), shOf(probes), "doc_id", "__sh", t)
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      def setsOf(df: org.apache.spark.sql.DataFrame) =
+        shOf(df).collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet)
+      val expected = (for {
+        (p, sp) <- setsOf(probes)
+        (c, sc) <- setsOf(corpus)
+        j = sp.intersect(sc).size.toDouble / sp.union(sc).size
+        if j >= t
+      } yield (p, c)).toSet
+      assert(got == expected,
+        s"one-way prefix probe must be recall-complete and precise at threshold $t")
+    }
+  }
+
   test("portable dedup ops are layout-invariant: any repartitioning, same output") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
