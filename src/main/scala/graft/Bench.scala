@@ -157,10 +157,19 @@ object Bench {
     // those keys. Unset (the driver's invocation) = the full suite.
     val keyFilter = sys.env.get("SPARK_GRAFT_BENCH_KEYS")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // Between-key GC drain (round 11, SPARK_GRAFT_BENCH_GC=0 disables):
+    // 166+ keys accumulate persists/localCheckpoints/broadcasts whose
+    // async ContextCleaner reclamation lags the suite — late keys read
+    // ~2x their isolated time from the drag (stream_opq_ingest: 5.9 s
+    // in-suite vs 2.8 s isolated, same host). An explicit GC between
+    // keys forces the cleaner's reference queue to drain, making
+    // per-key timings independent of suite position.
+    val gcBetween = !sys.env.get("SPARK_GRAFT_BENCH_GC").contains("0")
     var failed = List.empty[String]
     val results = SparkEntry.queries
       .filter { case (name, _) => keyFilter.forall(_.contains(name)) }
       .map { case (name, fn) =>
+      if (gcBetween) System.gc()
       var times = List.empty[Double]
       var dead = false
       var i = 0

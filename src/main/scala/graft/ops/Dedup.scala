@@ -341,13 +341,23 @@ object Dedup {
     // is AQE-coalescible, and this relation is byte-tiny but
     // compute-heavy downstream — AQE packed it into one partition and
     // serialized the collision join (the other face of the r8
-    // driver-vs-builder spread)
-    val shufflePartitions = sh.sparkSession.sessionState.conf.numShufflePartitions
-    val probes = docOrd
+    // driver-vs-builder spread). The count itself is VOLUME-DERIVED
+    // (round 11, the rangeJoinBucketed discipline): the collision
+    // join's cost is Σ_h count(h)² over the prefix postings — input
+    // bytes are irrelevant — so the pin that rescues this join from
+    // AQE at one scale must grow with the collision estimate at 100x.
+    // The estimate is one aggregate over the postings projection of
+    // the ALREADY-PERSISTED docOrd, then floors at the session count
+    // (small corpora keep today's behavior exactly) and caps at 4096.
+    val postingsOf = (ord: DataFrame) => ord
       .select(col(id), col("__n"),
         posexplode(slice(col("__ha"), lit(1),
           (col("__n") - ceil(lit(threshold) * col("__n")) + lit(1)).cast("int")))
           .as(Seq("__p", "__h")))
+    val shufflePartitions = collisionPartitions(postingsOf(docOrd),
+      sh.sparkSession.sessionState.conf.numShufflePartitions,
+      targetCollisionsPerPartition = 2000000L)
+    val probes = postingsOf(docOrd)
       .repartition(shufflePartitions, col("__h"))
       .persist()
     // required overlap for J >= t; the epsilon guards double-ceil
@@ -478,6 +488,24 @@ object Dedup {
     rescoreJaccardTwoSided(rescorable, probeSh, corpusSh, id, shCol, threshold)
   }
 
+  /** Partition count for a prefix-collision self-join, derived from
+    * the estimated COLLISION VOLUME Σ_h count(h)² of its postings —
+    * the shape-not-bytes sizing of
+    * [[graft.ops.Temporal.rangeJoinBucketed]]: a blind session pin is
+    * right at one scale and a serialization bottleneck at 100x, while
+    * AQE (bytes-driven) is wrong in the other direction. One aggregate
+    * over the postings (callers pass a projection of an
+    * already-persisted relation), double accumulation (magnitude, not
+    * exactness), floor at the session count, cap 4096. */
+  private[graft] def collisionPartitions(postings: DataFrame, base: Int,
+                                         targetCollisionsPerPartition: Long): Int = {
+    val row = postings.groupBy(col("__h")).agg(count(lit(1)).as("__c"))
+      .agg(sum(col("__c").cast("double") * col("__c")).as("__v"))
+      .head()
+    val est = if (row.isNullAt(0)) 0.0 else row.getDouble(0)
+    math.max(base, math.min(4096.0, est / targetCollisionsPerPartition).toInt)
+  }
+
   /** (id, 64-bit shingle hash) exploded relation — the candidate
     * algebra's working representation (see
     * [[jaccardPairsExactOnShingles]] for why hashes, not strings). */
@@ -514,13 +542,25 @@ object Dedup {
                                          id: String,
                                          threshold: Double): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0)
-    val shufflePartitions =
-      pOrd.sparkSession.sessionState.conf.numShufflePartitions
-    def postings(ord: DataFrame) = ord
+    def rawPostings(ord: DataFrame) = ord
       .select(col(id), col("__n"),
         posexplode(slice(col("__ha"), lit(1),
           (col("__n") - ceil(lit(threshold) * col("__n")) + lit(1)).cast("int")))
           .as(Seq("__p", "__h")))
+    // one-way collision estimate Σ_h pc(h)·cc(h) (callers persist both
+    // ordered relations, so these aggregates read cache) — the same
+    // volume-derived sizing as the self-join, pair-product form
+    val shufflePartitions = {
+      def counts(ord: DataFrame, as: String) = rawPostings(ord)
+        .groupBy(col("__h")).agg(count(lit(1)).as(as))
+      val row = counts(pOrd, "__pc").join(counts(cOrd, "__cc"), "__h")
+        .agg(sum(col("__pc").cast("double") * col("__cc")).as("__v"))
+        .head()
+      val est = if (row.isNullAt(0)) 0.0 else row.getDouble(0)
+      val base = pOrd.sparkSession.sessionState.conf.numShufflePartitions
+      math.max(base, math.min(4096.0, est / 2000000L).toInt)
+    }
+    def postings(ord: DataFrame) = rawPostings(ord)
       .repartition(shufflePartitions, col("__h"))
     val alpha = ceil(lit(threshold / (1.0 + threshold)) *
       (col("p.__n") + col("c.__n")) - lit(1e-9))

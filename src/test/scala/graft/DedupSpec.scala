@@ -88,6 +88,22 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("collision-join partition count scales with estimated collision volume, floors at base") {
+    import spark.implicits._
+    // one hot shingle shared by 2000 docs -> 4M estimated collisions;
+    // at 10k per partition the derived count is 400, not the session's
+    val hot = (1 to 2000).map(i => (i.toLong, 5, 0, 42L)).toDF("doc_id", "__n", "__p", "__h")
+    assert(Dedup.collisionPartitions(hot, base = 32,
+      targetCollisionsPerPartition = 10000L) == 400)
+    // a tiny corpus keeps the session base exactly
+    val cold = (1 to 10).map(i => (i.toLong, 5, 0, i.toLong)).toDF("doc_id", "__n", "__p", "__h")
+    assert(Dedup.collisionPartitions(cold, base = 32,
+      targetCollisionsPerPartition = 10000L) == 32)
+    // empty postings (all-empty shingle corpus) must not throw
+    assert(Dedup.collisionPartitions(hot.filter($"__n" < 0), base = 32,
+      targetCollisionsPerPartition = 10000L) == 32)
+  }
+
   test("jaccardProbe equals brute-force one-way at every threshold; corpus never self-pairs") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
