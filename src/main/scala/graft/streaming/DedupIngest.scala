@@ -263,6 +263,46 @@ object DedupIngest {
     }
   }
 
+  /** Refresh the store's frozen df-order authority from the FULL
+    * current corpus and rewrite every stored row's `__n`/`__ha` under
+    * it — the [[VectorIngest.RefitPolicy]] analog for the exact-probe
+    * store. Pure COST maintenance, never correctness: results are
+    * order-independent, but a drifted corpus (bootstrap batch
+    * unrepresentative — its tokens frozen "rare", later-common tokens
+    * at df 0 sorting FIRST into every prefix) inflates candidate
+    * volume until the authority reflects reality. STOP-THE-WORLD: the
+    * store must have no active maintenance stream and no concurrent
+    * probes — a probe signed with the new authority against
+    * partially-rewritten rows loses the shared-total-order premise
+    * prefix completeness stands on (unlike the other stores' crash
+    * windows, which only ever cost duplicates, this one would cost
+    * recall — hence a maintenance op, not a serving-path fold). A
+    * maintenance stream restarted afterwards picks the refreshed
+    * authority up automatically (dford is re-read every batch), and a
+    * replayed batch re-signs under it consistently. */
+  def refreshOrderAuthority(spark: SparkSession, storeDir: String): Unit = {
+    val dir = s"$storeDir/docs"
+    val docs = spark.read.parquet(dir)
+      .select(col("doc_id"), col("__sh"), col("__batch"))
+      .dropDuplicates("doc_id")
+      .localCheckpoint(true)
+    val ex = Dedup.hashedShingles(docs, "doc_id", "__sh")
+    ex.groupBy(col("__h")).agg(count(lit(1)).as("__df"))
+      .write.mode("overwrite").parquet(s"$storeDir/dford")
+    val dford = spark.read.parquet(s"$storeDir/dford")
+    // rewrite every partition (dynamic overwrite preserves the batch
+    // provenance layout the compaction/replay contracts key on)
+    Dedup.orderedByDf(ex, dford, "doc_id")
+      .join(docs, "doc_id")
+      .select(col("doc_id"), col("__sh"), col("__n"), col("__ha"), col("__batch"))
+      .localCheckpoint(true)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("__batch")
+      .parquet(dir)
+    spark.catalog.refreshByPath(dir)
+  }
+
   /** Exact one-way Jaccard probe served OFF THE STORE: the probe batch
     * orders its shingles against the store's frozen dford (the shared
     * total order both sides must sign with — the `_srp_params`

@@ -998,6 +998,49 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       "serving inside the compaction crash window must not change pairs")
   }
 
+  test("jaccard store order refresh: drifted bootstrap costs candidates, refresh recovers, results unchanged") {
+    import spark.implicits._
+    import graft.streaming.DedupIngest
+    // bootstrap batch is UNREPRESENTATIVE: its vocabulary never recurs,
+    // so the real corpus's shingles all freeze at df 0 and order by raw
+    // hash — the corpus-wide COMMON header shingles below then land in
+    // prefixes as often as the rare tails do, maximal spurious collisions
+    val bootstrapDocs = (0L to 1L).map(i =>
+      (i, s"alpha$i beta$i gamma$i delta$i epsilon$i zeta$i eta$i theta$i"))
+    // main corpus: every doc = one common 6-word header (its shingles
+    // shared by ALL docs, df=30 in reality) + a unique 6-word tail
+    // (df=1); only the probe's verbatim original is a true match
+    val header = "the common header always present here"
+    val mainDocs = (100L until 130L).map { i =>
+      (i, s"$header tail${i}a tail${i}b tail${i}c tail${i}d tail${i}e tail${i}f")
+    }
+    val store = "/tmp/graft_test/jaccard_refresh_spec"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(store))
+    val ms = MemoryStream[(Long, String)](spark)
+    val q = DedupIngest.maintainJaccardStore(
+      ms.toDF().toDF("doc_id", "text"), "doc_id", "text", store,
+      trigger = Trigger.ProcessingTime(0))
+    ms.addData(bootstrapDocs: _*); q.processAllAvailable()
+    ms.addData(mainDocs: _*); q.processAllAvailable()
+    q.stop()
+    val probes = Seq((9000L, mainDocs.head._2)).toDF("doc_id", "text")
+    def serveAndCount(): (Map[(Long, Long), Double], Long) = {
+      val served = DedupIngest.jaccardProbeFromStore(spark, store, probes,
+        "doc_id", "text", jaccardThreshold = 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      (served, graft.Metrics.snapshot.toMap.apply("jaccard_probe_prefix_candidates"))
+    }
+    val (beforeServed, beforeCand) = serveAndCount()
+    DedupIngest.refreshOrderAuthority(spark, store)
+    val (afterServed, afterCand) = serveAndCount()
+    assert(afterServed === beforeServed,
+      "order refresh is cost-only: the served relation must not change")
+    assert(beforeServed.contains((9000L, 100L)),
+      s"probe must find its verbatim original: $beforeServed")
+    assert(afterCand < beforeCand,
+      s"refreshed df order must prune prefix candidates: $beforeCand -> $afterCand")
+  }
+
   test("stream-maintained term stats merge to exactly the batch aggregation across batches") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
