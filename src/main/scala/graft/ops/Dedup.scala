@@ -560,13 +560,23 @@ object Dedup {
       val base = pOrd.sparkSession.sessionState.conf.numShufflePartitions
       math.max(base, math.min(4096.0, est / 2000000L).toInt)
     }
-    def postings(ord: DataFrame) = rawPostings(ord)
-      .repartition(shufflePartitions, col("__h"))
+    // the probe's prefix VOCABULARY broadcast-prunes the corpus
+    // postings BELOW their exchange (the [[graft.streaming.TextIngest
+    // .bm25FromStore]] query-vocabulary discipline): at 100 TB the
+    // corpus postings are the big side and a probe batch touches a
+    // vanishing fraction of the shingle space — without the semi-join
+    // every corpus posting shuffles to serve a handful of probes.
+    // Cost-only: a dropped posting shares no shingle with any probe
+    // prefix and could never produce a candidate.
+    val pVocab = rawPostings(pOrd).select(col("__h")).distinct()
+    val cPruned = rawPostings(cOrd)
+      .join(broadcast(pVocab), Seq("__h"), "left_semi")
+    def keyed(post: DataFrame) = post.repartition(shufflePartitions, col("__h"))
     val alpha = ceil(lit(threshold / (1.0 + threshold)) *
       (col("p.__n") + col("c.__n")) - lit(1e-9))
     def idxBound(side: String) = col(s"$side.__p") <= col(s"$side.__n") -
       ceil(lit(2.0 * threshold / (1.0 + threshold)) * col(s"$side.__n") - lit(1e-9))
-    val cand = postings(pOrd).as("p").join(postings(cOrd).as("c"),
+    val cand = keyed(rawPostings(pOrd)).as("p").join(keyed(cPruned).as("c"),
         col("p.__h") === col("c.__h") &&
           least(col("p.__n"), col("c.__n")).cast("double") >=
             lit(threshold) * greatest(col("p.__n"), col("c.__n")) &&
@@ -611,13 +621,21 @@ object Dedup {
     val cb = portableBandSignatures(corpusSh, id, shCol, numHashes, bands)
       .persist()
     val pb = portableBandSignatures(probeSh, id, shCol, numHashes, bands)
-    val cand = pb.as("p").join(cb.as("c"),
+      .persist()
+    // the probe's band keys broadcast-prune the corpus signatures
+    // below their exchange (cost-only — a corpus signature matching no
+    // probe band key can never collide), so a small probe batch never
+    // shuffles the whole corpus's band relation
+    val pKeys = pb.select(col("__band"), col("__key")).distinct()
+    val cand = pb.as("p").join(
+        cb.join(broadcast(pKeys), Seq("__band", "__key"), "left_semi").as("c"),
         col("p.__band") === col("c.__band") && col("p.__key") === col("c.__key"))
       .select(col(s"p.$id").as("id_a"), col(s"c.$id").as("id_b"))
       .distinct()
       .localCheckpoint(true)
     graft.Metrics.record("minhash_probe_candidates", cand.count())
     cb.unpersist(blocking = false)
+    pb.unpersist(blocking = false)
     rescoreJaccardTwoSided(cand, probeSh, corpusSh, id, shCol, jaccardThreshold)
   }
 

@@ -764,9 +764,16 @@ object Multimodal {
     val ph = probes.select(col(id).as("probe_id"), hashU(col(media)).as("__ph"))
       .filter(col("__ph").isNotNull)
       .localCheckpoint(true)
+    // the probe batch's band keys broadcast-prune the corpus band
+    // relation below its exchange (cost-only: a corpus hash agreeing
+    // with no probe on any band can never be within the radius) — the
+    // corpus side is the persisted ingest-time hash column at scale
+    // and must not shuffle in full for a handful of probes
+    val pKeys = ph.select(explode(bandsU(col("__ph"))).as("__bk")).distinct()
     val corpusBands = corpusHashes
       .select(col("__id").as("dup_id"), col("__ah"),
         explode(bandsU(col("__ah"))).as("__bk"))
+      .join(broadcast(pKeys), Seq("__bk"), "left_semi")
       .repartition(n, col("__bk"))
     val cand = ph.select(col("probe_id"), col("__ph"),
         explode(bandsU(col("__ph"))).as("__bk"))

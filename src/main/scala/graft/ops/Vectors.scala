@@ -426,8 +426,18 @@ object Vectors {
     // THE scale variable of a banded probe — lands in the bench
     // counters instead of hiding inside wall clock (the jaccard/minhash
     // counter discipline)
-    val cands = exploded(probesWithSig, "probe_id")
-      .join(exploded(corpusSigs, "dup_id"), Seq("__band", "__key"))
+    val pBands = exploded(probesWithSig, "probe_id").localCheckpoint(true)
+    // probe band keys broadcast-prune the corpus band relation below
+    // its exchange (cost-only: a corpus signature matching no probe
+    // band key can never collide) — a probe batch touches a vanishing
+    // fraction of the keyspace, so the store-sized side never shuffles
+    // in full. Applied AFTER the caller's newest-version fold, which
+    // must see every version of a cid to pick the newest.
+    val pKeys = pBands.select(col("__band"), col("__key")).distinct()
+    val cands = pBands
+      .join(exploded(corpusSigs, "dup_id")
+        .join(broadcast(pKeys), Seq("__band", "__key"), "left_semi"),
+        Seq("__band", "__key"))
       .dropDuplicates("probe_id", "dup_id")
       .localCheckpoint(true)
     graft.Metrics.record("srp_probe_candidates", cands.count())

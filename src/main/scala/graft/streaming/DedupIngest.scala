@@ -160,10 +160,17 @@ object DedupIngest {
     // not the caller's defaults — mismatched band keys join to nothing
     val (nh, b) = sigParamsOf(storeDir, numHashes, bands)
     val probeSh = shingled(newDocs, id, text).localCheckpoint(true)
+    val pb = Dedup.portableBandSignatures(probeSh, "doc_id", "__sh", nh, b)
+      .localCheckpoint(true)
+    // probe band keys broadcast-prune the stored signatures below
+    // their exchange — at 100 TB the signature store is the big side
+    // and a probe batch touches a vanishing fraction of the band
+    // keyspace (cost-only, as in [[Dedup.minhashProbeOnShingles]])
+    val pKeys = pb.select(col("__band"), col("__key")).distinct()
     val storedBands = spark.read.parquet(s"$storeDir/sigs")
       .select(col("doc_id"), col("__band"), col("__key"))
+      .join(broadcast(pKeys), Seq("__band", "__key"), "left_semi")
       .distinct()
-    val pb = Dedup.portableBandSignatures(probeSh, "doc_id", "__sh", nh, b)
     val cand = pb.as("p").join(storedBands.as("c"),
         col("p.__band") === col("c.__band") && col("p.__key") === col("c.__key"))
       .select(col("p.doc_id").as("id_a"), col("c.doc_id").as("id_b"))
