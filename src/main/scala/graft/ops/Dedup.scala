@@ -538,6 +538,44 @@ object Dedup {
     * threshold without re-deriving anything. Returns the gated
     * (id_a = probe, id_b = corpus) pairs ready for the exact string
     * rescore; records both scale counters. */
+  /** The LAZY candidate-generation join of the one-way probe —
+    * factored out of [[probePairsOnOrdered]] (which eagerly
+    * checkpoints it) so PlanSpec can pin its physical shape: the
+    * probe's prefix VOCABULARY broadcast-prunes the corpus postings
+    * BELOW their exchange (the [[graft.streaming.TextIngest
+    * .bm25FromStore]] query-vocabulary discipline): at 100 TB the
+    * corpus postings are the big side and a probe batch touches a
+    * vanishing fraction of the shingle space — without the semi-join
+    * every corpus posting shuffles to serve a handful of probes.
+    * Cost-only: a dropped posting shares no shingle with any probe
+    * prefix and could never produce a candidate. */
+  private[graft] def probeCandidatesLazy(pOrd: DataFrame, cOrd: DataFrame,
+                                         id: String, threshold: Double,
+                                         shufflePartitions: Int): DataFrame = {
+    def rawPostings(ord: DataFrame) = ord
+      .select(col(id), col("__n"),
+        posexplode(slice(col("__ha"), lit(1),
+          (col("__n") - ceil(lit(threshold) * col("__n")) + lit(1)).cast("int")))
+          .as(Seq("__p", "__h")))
+    val pVocab = rawPostings(pOrd).select(col("__h")).distinct()
+    val cPruned = rawPostings(cOrd)
+      .join(broadcast(pVocab), Seq("__h"), "left_semi")
+    def keyed(post: DataFrame) = post.repartition(shufflePartitions, col("__h"))
+    val alpha = ceil(lit(threshold / (1.0 + threshold)) *
+      (col("p.__n") + col("c.__n")) - lit(1e-9))
+    def idxBound(side: String) = col(s"$side.__p") <= col(s"$side.__n") -
+      ceil(lit(2.0 * threshold / (1.0 + threshold)) * col(s"$side.__n") - lit(1e-9))
+    keyed(rawPostings(pOrd)).as("p").join(keyed(cPruned).as("c"),
+        col("p.__h") === col("c.__h") &&
+          least(col("p.__n"), col("c.__n")).cast("double") >=
+            lit(threshold) * greatest(col("p.__n"), col("c.__n")) &&
+          (lit(1) + least(col("p.__n") - col("p.__p") - 1,
+                          col("c.__n") - col("c.__p") - 1)) >= alpha &&
+          when(col("p.__n") <= col("c.__n"), idxBound("p")).otherwise(idxBound("c")))
+      .select(col(s"p.$id").as("id_a"), col(s"c.$id").as("id_b"))
+      .distinct()
+  }
+
   private[graft] def probePairsOnOrdered(pOrd: DataFrame, cOrd: DataFrame,
                                          id: String,
                                          threshold: Double): DataFrame = {
@@ -560,31 +598,7 @@ object Dedup {
       val base = pOrd.sparkSession.sessionState.conf.numShufflePartitions
       math.max(base, math.min(4096.0, est / 2000000L).toInt)
     }
-    // the probe's prefix VOCABULARY broadcast-prunes the corpus
-    // postings BELOW their exchange (the [[graft.streaming.TextIngest
-    // .bm25FromStore]] query-vocabulary discipline): at 100 TB the
-    // corpus postings are the big side and a probe batch touches a
-    // vanishing fraction of the shingle space — without the semi-join
-    // every corpus posting shuffles to serve a handful of probes.
-    // Cost-only: a dropped posting shares no shingle with any probe
-    // prefix and could never produce a candidate.
-    val pVocab = rawPostings(pOrd).select(col("__h")).distinct()
-    val cPruned = rawPostings(cOrd)
-      .join(broadcast(pVocab), Seq("__h"), "left_semi")
-    def keyed(post: DataFrame) = post.repartition(shufflePartitions, col("__h"))
-    val alpha = ceil(lit(threshold / (1.0 + threshold)) *
-      (col("p.__n") + col("c.__n")) - lit(1e-9))
-    def idxBound(side: String) = col(s"$side.__p") <= col(s"$side.__n") -
-      ceil(lit(2.0 * threshold / (1.0 + threshold)) * col(s"$side.__n") - lit(1e-9))
-    val cand = keyed(rawPostings(pOrd)).as("p").join(keyed(cPruned).as("c"),
-        col("p.__h") === col("c.__h") &&
-          least(col("p.__n"), col("c.__n")).cast("double") >=
-            lit(threshold) * greatest(col("p.__n"), col("c.__n")) &&
-          (lit(1) + least(col("p.__n") - col("p.__p") - 1,
-                          col("c.__n") - col("c.__p") - 1)) >= alpha &&
-          when(col("p.__n") <= col("c.__n"), idxBound("p")).otherwise(idxBound("c")))
-      .select(col(s"p.$id").as("id_a"), col(s"c.$id").as("id_b"))
-      .distinct()
+    val cand = probeCandidatesLazy(pOrd, cOrd, id, threshold, shufflePartitions)
       .localCheckpoint(true)
     graft.Metrics.record("jaccard_probe_prefix_candidates", cand.count())
     // hash-overlap gate before the wide string rescore, exactly as in
@@ -622,21 +636,31 @@ object Dedup {
       .persist()
     val pb = portableBandSignatures(probeSh, id, shCol, numHashes, bands)
       .persist()
-    // the probe's band keys broadcast-prune the corpus signatures
-    // below their exchange (cost-only — a corpus signature matching no
-    // probe band key can never collide), so a small probe batch never
-    // shuffles the whole corpus's band relation
-    val pKeys = pb.select(col("__band"), col("__key")).distinct()
-    val cand = pb.as("p").join(
-        cb.join(broadcast(pKeys), Seq("__band", "__key"), "left_semi").as("c"),
-        col("p.__band") === col("c.__band") && col("p.__key") === col("c.__key"))
-      .select(col(s"p.$id").as("id_a"), col(s"c.$id").as("id_b"))
-      .distinct()
+    val cand = bandProbeCandidatesLazy(pb, cb, id)
       .localCheckpoint(true)
     graft.Metrics.record("minhash_probe_candidates", cand.count())
     cb.unpersist(blocking = false)
     pb.unpersist(blocking = false)
     rescoreJaccardTwoSided(cand, probeSh, corpusSh, id, shCol, jaccardThreshold)
+  }
+
+  /** The LAZY band-collision join of the one-way minhash probe (shared
+    * by [[minhashProbeOnShingles]] and the store-served
+    * [[graft.streaming.DedupIngest.minhashProbeFromStore]]; factored
+    * out so PlanSpec can pin its shape): the probe's band keys
+    * broadcast-prune the corpus/store signatures below their exchange
+    * — cost-only, a signature matching no probe band key can never
+    * collide — so a small probe batch never shuffles the store-sized
+    * band relation. Both inputs are (id, __band, __key) relations
+    * signed with the SAME parameters. */
+  private[graft] def bandProbeCandidatesLazy(pb: DataFrame, cb: DataFrame,
+                                             id: String): DataFrame = {
+    val pKeys = pb.select(col("__band"), col("__key")).distinct()
+    pb.as("p").join(
+        cb.join(broadcast(pKeys), Seq("__band", "__key"), "left_semi").as("c"),
+        col("p.__band") === col("c.__band") && col("p.__key") === col("c.__key"))
+      .select(col(s"p.$id").as("id_a"), col(s"c.$id").as("id_b"))
+      .distinct()
   }
 
   /** The rescore with separate shingle relations per pair side (equal

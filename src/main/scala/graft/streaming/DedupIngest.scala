@@ -162,19 +162,15 @@ object DedupIngest {
     val probeSh = shingled(newDocs, id, text).localCheckpoint(true)
     val pb = Dedup.portableBandSignatures(probeSh, "doc_id", "__sh", nh, b)
       .localCheckpoint(true)
-    // probe band keys broadcast-prune the stored signatures below
-    // their exchange — at 100 TB the signature store is the big side
-    // and a probe batch touches a vanishing fraction of the band
-    // keyspace (cost-only, as in [[Dedup.minhashProbeOnShingles]])
-    val pKeys = pb.select(col("__band"), col("__key")).distinct()
+    // the shared lazy band join ([[Dedup.bandProbeCandidatesLazy]])
+    // broadcast-prunes the signature store below its exchange — at
+    // 100 TB the store is the big side and a probe batch touches a
+    // vanishing fraction of the band keyspace. The pre-join distinct
+    // is the compaction-crash-window guard, as everywhere.
     val storedBands = spark.read.parquet(s"$storeDir/sigs")
       .select(col("doc_id"), col("__band"), col("__key"))
-      .join(broadcast(pKeys), Seq("__band", "__key"), "left_semi")
       .distinct()
-    val cand = pb.as("p").join(storedBands.as("c"),
-        col("p.__band") === col("c.__band") && col("p.__key") === col("c.__key"))
-      .select(col("p.doc_id").as("id_a"), col("c.doc_id").as("id_b"))
-      .distinct()
+    val cand = Dedup.bandProbeCandidatesLazy(pb, storedBands, "doc_id")
       .localCheckpoint(true)
     val storedDocs = spark.read.parquet(s"$storeDir/docs")
       .select(col("doc_id"), col("__sh"))

@@ -313,6 +313,38 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("probe joins broadcast-prune the corpus side below its exchange (LeftSemi)") {
+    import spark.implicits._
+    val sh = spark.read.parquet(sf("documents"))
+      .select($"doc_id", graft.ops.Dedup.shingles($"text").as("__sh"))
+      .filter(size($"__sh") > 0)
+    val probes = sh.filter($"doc_id" < 10)
+      .select(($"doc_id" + 100000L).as("doc_id"), $"__sh")
+    // the 100 TB contract: the store-sized postings/band relation must
+    // reach its exchange already filtered to the probe's key set — a
+    // future change that drops the semi-join would silently reinstate
+    // a full-corpus shuffle per probe batch. The probe ops checkpoint
+    // their candidate stage eagerly, so the pin targets the LAZY
+    // candidate joins those ops consume.
+    val dfreq = graft.ops.Dedup.hashedShingles(sh, "doc_id", "__sh")
+      .groupBy($"__h").agg(count(lit(1)).as("__df"))
+    val cOrd = graft.ops.Dedup.orderedByDf(
+      graft.ops.Dedup.hashedShingles(sh, "doc_id", "__sh"), dfreq, "doc_id")
+    val pOrd = graft.ops.Dedup.orderedByDf(
+      graft.ops.Dedup.hashedShingles(probes, "doc_id", "__sh"), dfreq, "doc_id")
+    val jacCand = graft.ops.Dedup.probeCandidatesLazy(pOrd, cOrd, "doc_id", 0.5, 32)
+    val mhCand = graft.ops.Dedup.bandProbeCandidatesLazy(
+      graft.ops.Dedup.portableBandSignatures(probes, "doc_id", "__sh"),
+      graft.ops.Dedup.portableBandSignatures(sh, "doc_id", "__sh"), "doc_id")
+    for (df <- Seq(jacCand, mhCand)) {
+      val p = plan(df)
+      assert(p.contains("LeftSemi"),
+        s"corpus side must be semi-pruned by the probe key set:\n$p")
+      assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+        s"the probe key set must arrive broadcast, not shuffled:\n$p")
+    }
+  }
+
   test("dynamic BM25: query vocabulary broadcasts into the token stream, stats are 1-row broadcast") {
     import spark.implicits._
     val queries = Seq((1, 1, "hash"), (1, 2, "join")).toDF("query_id", "term_pos", "term")
