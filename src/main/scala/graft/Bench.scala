@@ -15,7 +15,15 @@ object Bench {
     val ratios = results.collect {
       case (k, v) if v > 0 && prev.get(k).exists(_ > 0) => v / prev(k)
     }.toSeq.sorted
-    if (ratios.isEmpty) 1.0 else math.max(1.0, ratios(ratios.size / 2))
+    // the median is only an AMBIENT signal when it aggregates many
+    // keys; on a SPARK_GRAFT_BENCH_KEYS-filtered run of a few keys the
+    // regressed key's own ratio IS the median and the guard would
+    // normalize itself away (amb=5 -> threshold 15x prior). Below 30
+    // usable ratios, fall back to raw 1.0 — filtered triage runs get
+    // the plain 3x rule. Known residual, documented: a real
+    // regression hitting >= half the FULL suite is absorbed into the
+    // ambient and needs the absolute total (also in the JSON) to spot.
+    if (ratios.size < 30) 1.0 else math.max(1.0, ratios(ratios.size / 2))
   }
 
   /** The regression-guard decision, factored out so a spec can fire it

@@ -349,15 +349,11 @@ object Dedup {
     // The estimate is one aggregate over the postings projection of
     // the ALREADY-PERSISTED docOrd, then floors at the session count
     // (small corpora keep today's behavior exactly) and caps at 4096.
-    val postingsOf = (ord: DataFrame) => ord
-      .select(col(id), col("__n"),
-        posexplode(slice(col("__ha"), lit(1),
-          (col("__n") - ceil(lit(threshold) * col("__n")) + lit(1)).cast("int")))
-          .as(Seq("__p", "__h")))
-    val shufflePartitions = collisionPartitions(postingsOf(docOrd),
+    val shufflePartitions = collisionPartitions(
+      prefixPostings(docOrd, id, threshold),
       sh.sparkSession.sessionState.conf.numShufflePartitions,
-      targetCollisionsPerPartition = 2000000L)
-    val probes = postingsOf(docOrd)
+      CollisionTargetPerPartition)
+    val probes = prefixPostings(docOrd, id, threshold)
       .repartition(shufflePartitions, col("__h"))
       .persist()
     // required overlap for J >= t; the epsilon guards double-ceil
@@ -420,17 +416,8 @@ object Dedup {
     // candidate (124,839 at sf0.1) to ~the true pair set, and the long
     // arrays this prune joins are ~3x smaller per row than the shingle
     // strings.
-    val ha = docOrd.select(col(id), col("__ha"))
-    val rescorable = cand
-      .repartition(shufflePartitions, col("id_a"), col("id_b"))
-      .join(ha.select(col(id).as("id_a"), col("__ha").as("__hha")), "id_a")
-      .join(ha.select(col(id).as("id_b"), col("__ha").as("__hhb")), "id_b")
-      .withColumn("__ih", size(array_intersect(col("__hha"), col("__hhb"))).cast("double"))
-      .filter(col("__ih") / (size(col("__hha")) + size(col("__hhb")) - col("__ih")) >=
-        lit(threshold))
-      .select(col("id_a"), col("id_b"))
-      .localCheckpoint(true)
-    graft.Metrics.record("jaccard_rescore_pairs", rescorable.count())
+    val rescorable = hashOverlapGate(cand, docOrd, docOrd, id, threshold,
+      shufflePartitions, "jaccard_rescore_pairs")
     docOrd.unpersist(blocking = false)
     rescoreJaccard(rescorable, sh, id, shCol, threshold)
   }
@@ -503,7 +490,50 @@ object Dedup {
       .agg(sum(col("__c").cast("double") * col("__c")).as("__v"))
       .head()
     val est = if (row.isNullAt(0)) 0.0 else row.getDouble(0)
-    math.max(base, math.min(4096.0, est / targetCollisionsPerPartition).toInt)
+    clampPartitions(est, base, targetCollisionsPerPartition)
+  }
+
+  /** Shared clamp of every volume-derived partition count in this
+    * family: floor at the session base, cap at 4096. */
+  private def clampPartitions(est: Double, base: Int, target: Long): Int =
+    math.max(base, math.min(4096.0, est / target).toInt)
+
+  /** The collision-volume target both jaccard tiers size against. */
+  private[graft] val CollisionTargetPerPartition = 2000000L
+
+  /** Prefix postings of an [[orderedByDf]] relation — one row per
+    * (doc, 0-based prefix position, shingle hash) over the pigeonhole
+    * probing prefix `n - ceil(t*n) + 1`. THE single projection the
+    * whole AllPairs family derives candidates and sizing estimates
+    * from; a prefix-length or epsilon change here changes every tier
+    * together, which is the point. */
+  private[graft] def prefixPostings(ord: DataFrame, id: String,
+                                    threshold: Double): DataFrame = ord
+    .select(col(id), col("__n"),
+      posexplode(slice(col("__ha"), lit(1),
+        (col("__n") - ceil(lit(threshold) * col("__n")) + lit(1)).cast("int")))
+        .as(Seq("__p", "__h")))
+
+  /** Hash-overlap gate shared by the self-join and probe tiers (see
+    * the PPJoin+ discussion at the self-join call site): joins the
+    * candidate pairs to both sides' ordered hash arrays, keeps pairs
+    * whose EXACT hash-Jaccard — an upper bound on string-Jaccard —
+    * reaches the threshold, eagerly materializes, and records the
+    * surviving volume under `counter`. */
+  private def hashOverlapGate(cand: DataFrame, aOrd: DataFrame, bOrd: DataFrame,
+                              id: String, threshold: Double, parts: Int,
+                              counter: String): DataFrame = {
+    val gated = cand
+      .repartition(parts, col("id_a"), col("id_b"))
+      .join(aOrd.select(col(id).as("id_a"), col("__ha").as("__hha")), "id_a")
+      .join(bOrd.select(col(id).as("id_b"), col("__ha").as("__hhb")), "id_b")
+      .withColumn("__ih", size(array_intersect(col("__hha"), col("__hhb"))).cast("double"))
+      .filter(col("__ih") / (size(col("__hha")) + size(col("__hhb")) - col("__ih")) >=
+        lit(threshold))
+      .select(col("id_a"), col("id_b"))
+      .localCheckpoint(true)
+    graft.Metrics.record(counter, gated.count())
+    gated
   }
 
   /** (id, 64-bit shingle hash) exploded relation — the candidate
@@ -552,20 +582,15 @@ object Dedup {
   private[graft] def probeCandidatesLazy(pOrd: DataFrame, cOrd: DataFrame,
                                          id: String, threshold: Double,
                                          shufflePartitions: Int): DataFrame = {
-    def rawPostings(ord: DataFrame) = ord
-      .select(col(id), col("__n"),
-        posexplode(slice(col("__ha"), lit(1),
-          (col("__n") - ceil(lit(threshold) * col("__n")) + lit(1)).cast("int")))
-          .as(Seq("__p", "__h")))
-    val pVocab = rawPostings(pOrd).select(col("__h")).distinct()
-    val cPruned = rawPostings(cOrd)
+    val pVocab = prefixPostings(pOrd, id, threshold).select(col("__h")).distinct()
+    val cPruned = prefixPostings(cOrd, id, threshold)
       .join(broadcast(pVocab), Seq("__h"), "left_semi")
     def keyed(post: DataFrame) = post.repartition(shufflePartitions, col("__h"))
     val alpha = ceil(lit(threshold / (1.0 + threshold)) *
       (col("p.__n") + col("c.__n")) - lit(1e-9))
     def idxBound(side: String) = col(s"$side.__p") <= col(s"$side.__n") -
       ceil(lit(2.0 * threshold / (1.0 + threshold)) * col(s"$side.__n") - lit(1e-9))
-    keyed(rawPostings(pOrd)).as("p").join(keyed(cPruned).as("c"),
+    keyed(prefixPostings(pOrd, id, threshold)).as("p").join(keyed(cPruned).as("c"),
         col("p.__h") === col("c.__h") &&
           least(col("p.__n"), col("c.__n")).cast("double") >=
             lit(threshold) * greatest(col("p.__n"), col("c.__n")) &&
@@ -580,40 +605,26 @@ object Dedup {
                                          id: String,
                                          threshold: Double): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0)
-    def rawPostings(ord: DataFrame) = ord
-      .select(col(id), col("__n"),
-        posexplode(slice(col("__ha"), lit(1),
-          (col("__n") - ceil(lit(threshold) * col("__n")) + lit(1)).cast("int")))
-          .as(Seq("__p", "__h")))
     // one-way collision estimate Σ_h pc(h)·cc(h) (callers persist both
     // ordered relations, so these aggregates read cache) — the same
     // volume-derived sizing as the self-join, pair-product form
     val shufflePartitions = {
-      def counts(ord: DataFrame, as: String) = rawPostings(ord)
+      def counts(ord: DataFrame, as: String) = prefixPostings(ord, id, threshold)
         .groupBy(col("__h")).agg(count(lit(1)).as(as))
       val row = counts(pOrd, "__pc").join(counts(cOrd, "__cc"), "__h")
         .agg(sum(col("__pc").cast("double") * col("__cc")).as("__v"))
         .head()
       val est = if (row.isNullAt(0)) 0.0 else row.getDouble(0)
-      val base = pOrd.sparkSession.sessionState.conf.numShufflePartitions
-      math.max(base, math.min(4096.0, est / 2000000L).toInt)
+      clampPartitions(est, pOrd.sparkSession.sessionState.conf.numShufflePartitions,
+        CollisionTargetPerPartition)
     }
     val cand = probeCandidatesLazy(pOrd, cOrd, id, threshold, shufflePartitions)
       .localCheckpoint(true)
     graft.Metrics.record("jaccard_probe_prefix_candidates", cand.count())
     // hash-overlap gate before the wide string rescore, exactly as in
     // the self-join form (hash-Jaccard >= string-Jaccard: recall-safe)
-    val rescorable = cand
-      .repartition(shufflePartitions, col("id_a"), col("id_b"))
-      .join(pOrd.select(col(id).as("id_a"), col("__ha").as("__hha")), "id_a")
-      .join(cOrd.select(col(id).as("id_b"), col("__ha").as("__hhb")), "id_b")
-      .withColumn("__ih", size(array_intersect(col("__hha"), col("__hhb"))).cast("double"))
-      .filter(col("__ih") / (size(col("__hha")) + size(col("__hhb")) - col("__ih")) >=
-        lit(threshold))
-      .select(col("id_a"), col("id_b"))
-      .localCheckpoint(true)
-    graft.Metrics.record("jaccard_probe_rescore_pairs", rescorable.count())
-    rescorable
+    hashOverlapGate(cand, pOrd, cOrd, id, threshold, shufflePartitions,
+      "jaccard_probe_rescore_pairs")
   }
 
   /** One-sided portable-minhash PROBE — the incremental-ingest shape

@@ -178,13 +178,17 @@ object Temporal {
   private def pairExpansionPartitions(probes: DataFrame, exploded: DataFrame,
                                       probeDate: String,
                                       targetPairsPerPartition: Long): Int = {
+    val base = probes.sparkSession.sessionState.conf.numShufflePartitions
+    // the estimate is an EAGER action at plan-construction time (two
+    // aggregates + a driver scalar) — impossible on a streaming
+    // relation, where the session pin is the only available answer
+    if (probes.isStreaming || exploded.isStreaming) return base
     val pd = probes.groupBy(col(probeDate).as("__day")).agg(count(lit(1)).as("__pc"))
     val idd = exploded.groupBy(col("__day")).agg(count(lit(1)).as("__ic"))
     val row = pd.join(idd, "__day")
       .agg(sum(col("__pc").cast("double") * col("__ic")).as("__pairs"))
       .head()
     val est = if (row.isNullAt(0)) 0.0 else row.getDouble(0)
-    val base = probes.sparkSession.sessionState.conf.numShufflePartitions
     math.max(base, math.min(4096.0, est / targetPairsPerPartition).toInt)
   }
 

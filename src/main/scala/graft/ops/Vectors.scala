@@ -525,16 +525,17 @@ object Vectors {
     *
     * With the default `sampleFraction = 1.0` the fraction is DERIVED
     * (round 11): one cheap count of the non-zero-norm corpus, and when
-    * it exceeds `maxSamples` the fraction becomes
-    * `0.95 * maxSamples / n` — a seeded Bernoulli sample over the WHOLE
-    * corpus instead of a partition-order `limit` prefix, which on a
-    * clustered layout (time-ordered ingest, sorted parquet) would feed
-    * the quantizer only the first cluster(s). The 0.95 keeps the
-    * binomial draw (sd ~ sqrt(0.95*maxSamples), ~300 at the 100k
-    * default) far below the cap, so the `limit` guard almost never
-    * binds and the sample stays unbiased by default on the 100 TB
-    * path. An explicit `sampleFraction < 1.0` skips the count and is
-    * used verbatim, as before. */
+    * it exceeds `maxSamples` the fraction targets a mean of
+    * `maxSamples - 5*sqrt(maxSamples)` — a seeded Bernoulli sample
+    * over the WHOLE corpus instead of a partition-order `limit`
+    * prefix, which on a clustered layout (time-ordered ingest, sorted
+    * parquet) would feed the quantizer only the first cluster(s). The
+    * margin scales with the binomial sd (~sqrt(mean)), so the `limit`
+    * guard stays a >5-sigma event at ANY cap — a fixed 0.95 factor
+    * left small caps (maxSamples=100: mean 95, sd ~10) truncating with
+    * ~30% probability, quietly reinstating the prefix bias this path
+    * exists to remove. An explicit `sampleFraction < 1.0` skips the
+    * count and is used verbatim, as before. */
   private[graft] def normalizedSample(corpus: DataFrame, vec: String,
                                sampleFraction: Double, seed: Long,
                                maxSamples: Int): Array[Array[Double]] = {
@@ -545,7 +546,8 @@ object Vectors {
       if (sampleFraction < 1.0) sampleFraction
       else {
         val n = cn.count()
-        if (n <= maxSamples) 1.0 else 0.95 * maxSamples / n
+        val target = math.max(1.0, maxSamples - 5.0 * math.sqrt(maxSamples.toDouble))
+        if (n <= maxSamples) 1.0 else target / n
       }
     val sampled =
       if (frac < 1.0) cn.sample(withReplacement = false, frac, seed)
@@ -553,9 +555,9 @@ object Vectors {
     val sample = sampled.limit(maxSamples)
       .collect().map(_.getSeq[Double](0).toArray)
     if (sample.length == maxSamples) {
-      // the cap bound: reachable only when an EXPLICIT fraction leaves
-      // more than maxSamples survivors — that residue is a
-      // partition-order prefix, so say so
+      // the cap bound: an explicit fraction leaving > maxSamples
+      // survivors, or (derived path) a >5-sigma binomial draw — either
+      // way the residue is a partition-order prefix, so say so
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"quantizer sample truncated at maxSamples=$maxSamples " +
           "in partition order; lower sampleFraction (or rely on the " +

@@ -213,16 +213,23 @@ object DedupIngest {
           val dfordDir = s"$storeDir/dford"
           // bootstrap: freeze the ordering authority from the first
           // batch (first writer wins — the _SUCCESS marker is the
-          // atomic commit, a replayed batch 0 overwrites identically)
+          // atomic commit, a replayed batch 0 overwrites identically).
+          // __gen tags the order GENERATION (0 at bootstrap, bumped by
+          // [[refreshOrderAuthority]]); every docs row carries the
+          // generation it was ordered under, so a serve can PROVE the
+          // shared-total-order premise instead of assuming it.
           if (!new org.apache.hadoop.fs.Path(dfordDir).getFileSystem(
               spark.sparkContext.hadoopConfiguration).exists(
               new org.apache.hadoop.fs.Path(s"$dfordDir/_SUCCESS")))
             ex.groupBy(col("__h")).agg(count(lit(1)).as("__df"))
+              .withColumn("__gen", lit(0L))
               .write.mode("overwrite").parquet(dfordDir)
           val dford = spark.read.parquet(dfordDir)
-          Dedup.orderedByDf(ex, dford, "doc_id")
+          val gen = orderGen(dford)
+          Dedup.orderedByDf(ex, dford.drop("__gen"), "doc_id")
             .join(sh, "doc_id")
             .select(col("doc_id"), col("__sh"), col("__n"), col("__ha"))
+            .withColumn("__ogen", lit(gen))
             .withColumn("__batch", lit(batchId))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
@@ -251,7 +258,7 @@ object DedupIngest {
     if (fold.length > 1) {
       val folded = spark.read.option("basePath", dir)
         .parquet(fold.map(_.toString).toIndexedSeq: _*)
-        .select(col("doc_id"), col("__sh"), col("__n"), col("__ha"))
+        .select(col("doc_id"), col("__sh"), col("__n"), col("__ha"), col("__ogen"))
         .distinct()
         .withColumn("__batch", lit(TextIngest.CompactedBatchId))
         .coalesce(math.max(1, targetFiles))
@@ -266,6 +273,15 @@ object DedupIngest {
     }
   }
 
+  /** The order GENERATION a dford relation declares (0 when the
+    * column is absent or the relation is empty). */
+  private def orderGen(dford: DataFrame): Long =
+    if (!dford.columns.contains("__gen")) 0L
+    else {
+      val r = dford.agg(max(col("__gen"))).head()
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+
   /** Refresh the store's frozen df-order authority from the FULL
     * current corpus and rewrite every stored row's `__n`/`__ha` under
     * it — the [[VectorIngest.RefitPolicy]] analog for the exact-probe
@@ -279,31 +295,50 @@ object DedupIngest {
     * partially-rewritten rows loses the shared-total-order premise
     * prefix completeness stands on (unlike the other stores' crash
     * windows, which only ever cost duplicates, this one would cost
-    * recall — hence a maintenance op, not a serving-path fold). A
-    * maintenance stream restarted afterwards picks the refreshed
-    * authority up automatically (dford is re-read every batch), and a
-    * replayed batch re-signs under it consistently. */
+    * recall). The crash DISCIPLINE that makes this safe to rerun:
+    * both relations are fully materialized from pre-mutation state
+    * (eager checkpoints), each lands via write-temp + delete + rename
+    * (never a partial in-place overwrite — the full-store rewrite also
+    * absorbs any stale compaction partitions, which dynamic overwrite
+    * would have left in place with OLD-order rows), the docs swap
+    * completes before the dford swap, and the generation stamp
+    * (`__gen` in dford, `__ogen` on every docs row) bumps together —
+    * so any crash leaves either a consistent store or a
+    * generation MISMATCH that [[jaccardProbeFromStore]] refuses
+    * loudly, repaired by simply rerunning this op. Silent recall loss
+    * is not a reachable state. A maintenance stream restarted
+    * afterwards picks the refreshed authority up automatically (dford
+    * is re-read every batch). */
   def refreshOrderAuthority(spark: SparkSession, storeDir: String): Unit = {
     val dir = s"$storeDir/docs"
+    val fs = new org.apache.hadoop.fs.Path(storeDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def swapInto(target: String, write: String => Unit): Unit = {
+      val tmp = s"${target}__rewrite"
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      write(tmp)
+      fs.delete(new org.apache.hadoop.fs.Path(target), true)
+      require(fs.rename(new org.apache.hadoop.fs.Path(tmp),
+        new org.apache.hadoop.fs.Path(target)), s"rename $tmp -> $target failed")
+    }
+    val newGen = orderGen(spark.read.parquet(s"$storeDir/dford")) + 1L
     val docs = spark.read.parquet(dir)
       .select(col("doc_id"), col("__sh"), col("__batch"))
       .dropDuplicates("doc_id")
       .localCheckpoint(true)
     val ex = Dedup.hashedShingles(docs, "doc_id", "__sh")
-    ex.groupBy(col("__h")).agg(count(lit(1)).as("__df"))
-      .write.mode("overwrite").parquet(s"$storeDir/dford")
-    val dford = spark.read.parquet(s"$storeDir/dford")
-    // rewrite every partition (dynamic overwrite preserves the batch
-    // provenance layout the compaction/replay contracts key on)
-    Dedup.orderedByDf(ex, dford, "doc_id")
-      .join(docs, "doc_id")
-      .select(col("doc_id"), col("__sh"), col("__n"), col("__ha"), col("__batch"))
+    val newDford = ex.groupBy(col("__h")).agg(count(lit(1)).as("__df"))
+      .withColumn("__gen", lit(newGen))
       .localCheckpoint(true)
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("__batch")
-      .parquet(dir)
+    val rewritten = Dedup.orderedByDf(ex, newDford.drop("__gen"), "doc_id")
+      .join(docs, "doc_id")
+      .select(col("doc_id"), col("__sh"), col("__n"), col("__ha"),
+        lit(newGen).as("__ogen"), col("__batch"))
+      .localCheckpoint(true)
+    swapInto(dir, tmp => rewritten.write.partitionBy("__batch").parquet(tmp))
+    swapInto(s"$storeDir/dford", tmp => newDford.write.parquet(tmp))
     spark.catalog.refreshByPath(dir)
+    spark.catalog.refreshByPath(s"$storeDir/dford")
   }
 
   /** Exact one-way Jaccard probe served OFF THE STORE: the probe batch
@@ -323,10 +358,25 @@ object DedupIngest {
                             jaccardThreshold: Double = 0.5): DataFrame = {
     val probeSh = shingled(newDocs, id, text).localCheckpoint(true)
     val dford = spark.read.parquet(s"$storeDir/dford")
+    // PROVE the shared-total-order premise before joining anything: a
+    // crashed refreshOrderAuthority (or a re-bootstrapped dford beside
+    // older rows) leaves generations disagreeing, and probing across
+    // orders would silently lose recall — the one failure mode this
+    // store must never take silently. One narrow aggregate; rerunning
+    // refreshOrderAuthority repairs any mismatch.
+    val gen = orderGen(dford)
+    val storedRaw = spark.read.parquet(s"$storeDir/docs")
+    val genBounds = storedRaw.agg(
+      min(col("__ogen")).as("mn"), max(col("__ogen")).as("mx")).head()
+    if (!genBounds.isNullAt(0))
+      require(genBounds.getLong(0) == gen && genBounds.getLong(1) == gen,
+        s"store $storeDir order-generation mismatch: dford declares $gen but " +
+          s"docs carry [${genBounds.getLong(0)}, ${genBounds.getLong(1)}] — " +
+          "a refreshOrderAuthority was interrupted; rerun it to repair")
     val pOrd = Dedup.orderedByDf(
-      Dedup.hashedShingles(probeSh, "doc_id", "__sh"), dford, "doc_id")
+      Dedup.hashedShingles(probeSh, "doc_id", "__sh"), dford.drop("__gen"), "doc_id")
       .persist()
-    val stored = spark.read.parquet(s"$storeDir/docs")
+    val stored = storedRaw
       .select(col("doc_id"), col("__sh"), col("__n"), col("__ha"))
       .dropDuplicates("doc_id")
       .persist()

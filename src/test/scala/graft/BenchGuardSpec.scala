@@ -76,6 +76,17 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(Bench.regressionsOf(res2, prev).isEmpty)
   }
 
+  test("a filtered single-key run cannot normalize its own regression away") {
+    // triage workflow: re-run ONE flagged key in isolation after a
+    // real 5x regression — with only its own ratio as the median, an
+    // unguarded ambient would become 5.0 and the 3x rule would never
+    // fire; below the 30-ratio minimum the ambient must stay 1.0
+    val ref = Map("sink_z" -> 2.1)
+    val res = Map("sink_z" -> 10.5) // 5x
+    assert(Bench.ambientRatio(res, ref) == 1.0)
+    assert(Bench.regressionsOf(res, ref) == List("sink_z"))
+  }
+
   test("ambient ratio clamps at 1.0 on a quieter-than-baseline run") {
     val res = prev.map { case (k, v) => k -> v * 0.5 }
     assert(Bench.ambientRatio(res, prev) == 1.0)

@@ -1039,6 +1039,23 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       s"probe must find its verbatim original: $beforeServed")
     assert(afterCand < beforeCand,
       s"refreshed df order must prune prefix candidates: $beforeCand -> $afterCand")
+    // crash window: a refresh that died after the dford swap but
+    // before/mid the docs rewrite leaves generations disagreeing —
+    // serving must REFUSE loudly (silent recall loss is the one
+    // unreachable state), and rerunning the refresh must repair
+    import org.apache.spark.sql.functions.lit
+    val dfordNow = spark.read.parquet(s"$store/dford").localCheckpoint(true)
+    dfordNow.withColumn("__gen", lit(99L))
+      .write.mode("overwrite").parquet(s"$store/dford")
+    spark.catalog.refreshByPath(s"$store/dford")
+    val ex = intercept[IllegalArgumentException] {
+      DedupIngest.jaccardProbeFromStore(spark, store,
+        probes, "doc_id", "text").collect()
+    }
+    assert(ex.getMessage.contains("order-generation mismatch"), ex.getMessage)
+    DedupIngest.refreshOrderAuthority(spark, store)
+    assert(serveAndCount()._1 === beforeServed,
+      "rerunning the refresh must repair the interrupted state")
   }
 
   test("stream-maintained term stats merge to exactly the batch aggregation across batches") {
