@@ -419,26 +419,15 @@ object Vectors {
   def srpProbeOnSigs(corpusSigs: DataFrame, corpusVecs: DataFrame,
                      probesWithSig: DataFrame, id: String, sig: String,
                      vec: String, simThreshold: Double): DataFrame = {
-    def exploded(df: DataFrame, out: String) = df
-      .select(col(id).as(out), posexplode(col(sig)).as(Seq("__band", "__key")))
     // eagerly reduced to the tiny (probe_id, dup_id) list before the
     // two rescore joins; the count is then free, and candidate volume —
     // THE scale variable of a banded probe — lands in the bench
     // counters instead of hiding inside wall clock (the jaccard/minhash
     // counter discipline)
-    val pBands = exploded(probesWithSig, "probe_id").localCheckpoint(true)
-    // probe band keys broadcast-prune the corpus band relation below
-    // its exchange (cost-only: a corpus signature matching no probe
-    // band key can never collide) — a probe batch touches a vanishing
-    // fraction of the keyspace, so the store-sized side never shuffles
-    // in full. Applied AFTER the caller's newest-version fold, which
-    // must see every version of a cid to pick the newest.
-    val pKeys = pBands.select(col("__band"), col("__key")).distinct()
-    val cands = pBands
-      .join(exploded(corpusSigs, "dup_id")
-        .join(broadcast(pKeys), Seq("__band", "__key"), "left_semi"),
-        Seq("__band", "__key"))
-      .dropDuplicates("probe_id", "dup_id")
+    val pBands = probesWithSig
+      .select(col(id).as("probe_id"), posexplode(col(sig)).as(Seq("__band", "__key")))
+      .localCheckpoint(true)
+    val cands = srpProbeCandidatesLazy(pBands, corpusSigs, id, sig)
       .localCheckpoint(true)
     graft.Metrics.record("srp_probe_candidates", cands.count())
     cands
@@ -447,6 +436,28 @@ object Vectors {
       .withColumn("cos_sim", cosine(col("__va"), col("__vb")))
       .filter(col("cos_sim") >= simThreshold)
       .select(col("probe_id"), col("dup_id"), col("cos_sim"))
+  }
+
+  /** The LAZY band-collision join of the SRP probe (factored out of
+    * [[srpProbeOnSigs]], which eagerly checkpoints it, so PlanSpec can
+    * pin its shape): probe band keys broadcast-prune the corpus band
+    * relation below its exchange (cost-only: a corpus signature
+    * matching no probe band key can never collide) — a probe batch
+    * touches a vanishing fraction of the keyspace, so the store-sized
+    * side never shuffles in full. Applied AFTER the caller's
+    * newest-version fold, which must see every version of a cid to
+    * pick the newest. `pBands` is the probe side already exploded to
+    * (probe_id, __band, __key). */
+  private[graft] def srpProbeCandidatesLazy(pBands: DataFrame,
+                                            corpusSigs: DataFrame, id: String,
+                                            sig: String): DataFrame = {
+    val cBands = corpusSigs
+      .select(col(id).as("dup_id"), posexplode(col(sig)).as(Seq("__band", "__key")))
+    val pKeys = pBands.select(col("__band"), col("__key")).distinct()
+    pBands
+      .join(cBands.join(broadcast(pKeys), Seq("__band", "__key"), "left_semi"),
+        Seq("__band", "__key"))
+      .dropDuplicates("probe_id", "dup_id")
   }
 
   /** A prebuilt IVF index. `cells` carries each corpus vector's coarse-

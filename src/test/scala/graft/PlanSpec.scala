@@ -336,7 +336,14 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     val mhCand = graft.ops.Dedup.bandProbeCandidatesLazy(
       graft.ops.Dedup.portableBandSignatures(probes, "doc_id", "__sh"),
       graft.ops.Dedup.portableBandSignatures(sh, "doc_id", "__sh"), "doc_id")
-    for (df <- Seq(jacCand, mhCand)) {
+    // the SRP embedding probe's band join, same contract
+    val corpusSigs = Seq((1L, Seq(3, 7)), (2L, Seq(4, 9)))
+      .toDF("cid", "__sig")
+    val pBands = Seq((9L, Seq(3, 7))).toDF("cid", "__sig")
+      .select($"cid".as("probe_id"), posexplode($"__sig").as(Seq("__band", "__key")))
+    val srpCand = graft.ops.Vectors.srpProbeCandidatesLazy(
+      pBands, corpusSigs, "cid", "__sig")
+    for (df <- Seq(jacCand, mhCand, srpCand)) {
       val p = plan(df)
       assert(p.contains("LeftSemi"),
         s"corpus side must be semi-pruned by the probe key set:\n$p")
