@@ -559,15 +559,20 @@ object Dedup {
     .select(col(id), size(col("__ord")).as("__n"),
       transform(col("__ord"), x => x("__h")).as("__ha"))
 
-  /** One-way candidate generation + hash-overlap gate over two
-    * [[orderedByDf]] relations (probe, corpus) that MUST share one
-    * ordering authority. Prefix postings are derived scan-locally from
-    * the stored arrays (a slice + posexplode projection — no
-    * corpus-wide aggregate), so a persisted (id, __n, __ha) relation
-    * (the [[graft.streaming.DedupIngest]] store) serves probes at any
-    * threshold without re-deriving anything. Returns the gated
-    * (id_a = probe, id_b = corpus) pairs ready for the exact string
-    * rescore; records both scale counters. */
+  /** Broadcast a probe-side key relation only when it is provably
+    * small (one narrow count over caller-materialized parents — the
+    * sizing-estimate discipline of this family); past the row bound
+    * the relation returns un-hinted and the planner plans a shuffled
+    * semi-join instead. An unconditional broadcast hint would FAIL a
+    * huge-probe job outright at Spark's broadcast limits (~8 GB /
+    * driver memory) where the shuffle it replaced had worked — the
+    * prune is an optimization and must never cost feasibility. 10M
+    * 64-bit keys ~ 80 MB broadcast, comfortably inside a production
+    * executor. */
+  private[graft] def maybeBroadcast(keys: DataFrame,
+                                    maxRows: Long = 10000000L): DataFrame =
+    if (keys.count() <= maxRows) broadcast(keys) else keys
+
   /** The LAZY candidate-generation join of the one-way probe —
     * factored out of [[probePairsOnOrdered]] (which eagerly
     * checkpoints it) so PlanSpec can pin its physical shape: the
@@ -584,7 +589,7 @@ object Dedup {
                                          shufflePartitions: Int): DataFrame = {
     val pVocab = prefixPostings(pOrd, id, threshold).select(col("__h")).distinct()
     val cPruned = prefixPostings(cOrd, id, threshold)
-      .join(broadcast(pVocab), Seq("__h"), "left_semi")
+      .join(maybeBroadcast(pVocab), Seq("__h"), "left_semi")
     def keyed(post: DataFrame) = post.repartition(shufflePartitions, col("__h"))
     val alpha = ceil(lit(threshold / (1.0 + threshold)) *
       (col("p.__n") + col("c.__n")) - lit(1e-9))
@@ -601,6 +606,15 @@ object Dedup {
       .distinct()
   }
 
+  /** One-way candidate generation + hash-overlap gate over two
+    * [[orderedByDf]] relations (probe, corpus) that MUST share one
+    * ordering authority. Prefix postings are derived scan-locally from
+    * the stored arrays (a slice + posexplode projection — no
+    * corpus-wide aggregate), so a persisted (id, __n, __ha) relation
+    * (the [[graft.streaming.DedupIngest]] store) serves probes at any
+    * threshold without re-deriving anything. Returns the gated
+    * (id_a = probe, id_b = corpus) pairs ready for the exact string
+    * rescore; records both scale counters. */
   private[graft] def probePairsOnOrdered(pOrd: DataFrame, cOrd: DataFrame,
                                          id: String,
                                          threshold: Double): DataFrame = {
@@ -668,7 +682,7 @@ object Dedup {
                                              id: String): DataFrame = {
     val pKeys = pb.select(col("__band"), col("__key")).distinct()
     pb.as("p").join(
-        cb.join(broadcast(pKeys), Seq("__band", "__key"), "left_semi").as("c"),
+        cb.join(maybeBroadcast(pKeys), Seq("__band", "__key"), "left_semi").as("c"),
         col("p.__band") === col("c.__band") && col("p.__key") === col("c.__key"))
       .select(col(s"p.$id").as("id_a"), col(s"c.$id").as("id_b"))
       .distinct()

@@ -773,7 +773,7 @@ object Multimodal {
     val corpusBands = corpusHashes
       .select(col("__id").as("dup_id"), col("__ah"),
         explode(bandsU(col("__ah"))).as("__bk"))
-      .join(broadcast(pKeys), Seq("__bk"), "left_semi")
+      .join(graft.ops.Dedup.maybeBroadcast(pKeys), Seq("__bk"), "left_semi")
       .repartition(n, col("__bk"))
     val cand = ph.select(col("probe_id"), col("__ph"),
         explode(bandsU(col("__ph"))).as("__bk"))

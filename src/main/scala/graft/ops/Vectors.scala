@@ -455,7 +455,7 @@ object Vectors {
       .select(col(id).as("dup_id"), posexplode(col(sig)).as(Seq("__band", "__key")))
     val pKeys = pBands.select(col("__band"), col("__key")).distinct()
     pBands
-      .join(cBands.join(broadcast(pKeys), Seq("__band", "__key"), "left_semi"),
+      .join(cBands.join(Dedup.maybeBroadcast(pKeys), Seq("__band", "__key"), "left_semi"),
         Seq("__band", "__key"))
       .dropDuplicates("probe_id", "dup_id")
   }
@@ -557,7 +557,14 @@ object Vectors {
       if (sampleFraction < 1.0) sampleFraction
       else {
         val n = cn.count()
-        val target = math.max(1.0, maxSamples - 5.0 * math.sqrt(maxSamples.toDouble))
+        // floor at half the cap: for small caps the 5-sigma margin
+        // would otherwise eat the whole sample (maxSamples=25 ->
+        // target 0 -> a ~Poisson(1) draw that is EMPTY 37% of the
+        // time and crashes the fit); half the cap keeps the empty
+        // probability negligible at every cap while the sd-scaled
+        // margin governs all realistic ones
+        val target = math.max(maxSamples / 2.0,
+          maxSamples - 5.0 * math.sqrt(maxSamples.toDouble))
         if (n <= maxSamples) 1.0 else target / n
       }
     val sampled =

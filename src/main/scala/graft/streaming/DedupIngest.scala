@@ -207,6 +207,7 @@ object DedupIngest {
     stream.writeStream
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val spark = stream.sparkSession
+        requireNoPendingSwap(spark, storeDir)
         val sh = shingled(batch.toDF(), id, text).persist()
         try {
           val ex = Dedup.hashedShingles(sh, "doc_id", "__sh")
@@ -252,12 +253,18 @@ object DedupIngest {
     * and untouched. */
   def compactJaccardStore(spark: SparkSession, storeDir: String,
                           upToBatch: Long, targetFiles: Int = 1): Unit = {
+    requireNoPendingSwap(spark, storeDir)
     val dir = s"$storeDir/docs"
     val fold = TextIngest.batchPartitionDirs(spark, dir)
       .filter(_.getName.stripPrefix("__batch=").toLong < upToBatch)
     if (fold.length > 1) {
-      val folded = spark.read.option("basePath", dir)
+      val loaded = spark.read.option("basePath", dir)
         .parquet(fold.map(_.toString).toIndexedSeq: _*)
+      // __ogen guard for stores written before the generation stamp
+      // existed (treated as generation 0, matching orderGen's fallback)
+      val withGen = if (loaded.columns.contains("__ogen")) loaded
+        else loaded.withColumn("__ogen", lit(0L))
+      val folded = withGen
         .select(col("doc_id"), col("__sh"), col("__n"), col("__ha"), col("__ogen"))
         .distinct()
         .withColumn("__batch", lit(TextIngest.CompactedBatchId))
@@ -282,6 +289,63 @@ object DedupIngest {
       if (r.isNullAt(0)) 0L else r.getLong(0)
     }
 
+  private def storeFs(spark: SparkSession,
+                      storeDir: String): org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(storeDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def swapMarker(storeDir: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(s"$storeDir/_swap_pending")
+
+  /** Refuse to touch a store whose refresh swap is mid-flight — every
+    * writer AND reader of the jaccard store calls this first, so an
+    * interrupted [[refreshOrderAuthority]] can only ever surface as
+    * this loud error (repaired by rerunning the refresh, which
+    * completes the swap), never as a maintenance batch quietly
+    * recreating a truncated docs dir that would PASS the generation
+    * check while missing the corpus. */
+  private def requireNoPendingSwap(spark: SparkSession, storeDir: String): Unit =
+    require(!storeFs(spark, storeDir).exists(swapMarker(storeDir)),
+      s"store $storeDir has an interrupted order refresh (_swap_pending); " +
+        "rerun refreshOrderAuthority to complete it before using the store")
+
+  /** Complete (or clean up) an interrupted refresh swap, idempotently.
+    * The marker is only ever created AFTER both `__rewrite` dirs are
+    * fully written, so recovery can always roll FORWARD to the new
+    * generation; the pre-swap copy survives as `__old` until its dir's
+    * swap finishes, so no crash point leaves the store without a full
+    * copy of the corpus. */
+  private def recoverPendingSwap(spark: SparkSession, storeDir: String): Unit = {
+    val fs = storeFs(spark, storeDir)
+    val marker = swapMarker(storeDir)
+    if (!fs.exists(marker)) return
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    for (sub <- Seq("docs", "dford")) {
+      val target = p(s"$storeDir/$sub")
+      val tmp = p(s"$storeDir/${sub}__rewrite")
+      val old = p(s"$storeDir/${sub}__old")
+      if (fs.exists(tmp) && fs.exists(target) && !fs.exists(old)) {
+        // this dir's swap never started: run it
+        require(fs.rename(target, old), s"rename $target aside failed")
+        require(fs.rename(tmp, target), s"rename $tmp in failed")
+        fs.delete(old, true)
+      } else if (!fs.exists(target) && fs.exists(tmp)) {
+        // died between the aside-rename and the in-rename: roll forward
+        require(fs.rename(tmp, target), s"rename $tmp in failed")
+        fs.delete(old, true)
+      } else if (!fs.exists(target) && fs.exists(old)) {
+        // rewrite vanished (external cleanup): roll back to the copy
+        require(fs.rename(old, target), s"rollback $old failed")
+      } else if (fs.exists(target) && fs.exists(old)) {
+        // swap completed; the aside copy is leftover
+        fs.delete(old, true)
+        fs.delete(tmp, true)
+      }
+    }
+    fs.delete(marker, true)
+    ()
+  }
+
   /** Refresh the store's frozen df-order authority from the FULL
     * current corpus and rewrite every stored row's `__n`/`__ha` under
     * it — the [[VectorIngest.RefitPolicy]] analog for the exact-probe
@@ -302,25 +366,25 @@ object DedupIngest {
     * absorbs any stale compaction partitions, which dynamic overwrite
     * would have left in place with OLD-order rows), the docs swap
     * completes before the dford swap, and the generation stamp
-    * (`__gen` in dford, `__ogen` on every docs row) bumps together —
-    * so any crash leaves either a consistent store or a
-    * generation MISMATCH that [[jaccardProbeFromStore]] refuses
-    * loudly, repaired by simply rerunning this op. Silent recall loss
-    * is not a reachable state. A maintenance stream restarted
-    * afterwards picks the refreshed authority up automatically (dford
-    * is re-read every batch). */
+    * (`__gen` in dford, `__ogen` on every docs row) bumps together.
+    * The swap itself is the marker protocol: both `__rewrite` dirs are
+    * FULLY written before `_swap_pending` is created, each dir then
+    * swaps via rename-aside + rename-in (a full copy of the corpus
+    * exists on disk at every instant — never a delete-then-rename
+    * hole), and the marker is removed last. Every store reader and
+    * writer refuses while the marker exists
+    * ([[requireNoPendingSwap]]), and rerunning this op first
+    * completes the interrupted swap ([[recoverPendingSwap]]) — so any
+    * crash leaves either a consistent store or a loud,
+    * rerun-to-repair refusal. Silent recall loss is not a reachable
+    * state. A maintenance stream restarted afterwards picks the
+    * refreshed authority up automatically (dford is re-read every
+    * batch). */
   def refreshOrderAuthority(spark: SparkSession, storeDir: String): Unit = {
+    recoverPendingSwap(spark, storeDir)
     val dir = s"$storeDir/docs"
-    val fs = new org.apache.hadoop.fs.Path(storeDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def swapInto(target: String, write: String => Unit): Unit = {
-      val tmp = s"${target}__rewrite"
-      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
-      write(tmp)
-      fs.delete(new org.apache.hadoop.fs.Path(target), true)
-      require(fs.rename(new org.apache.hadoop.fs.Path(tmp),
-        new org.apache.hadoop.fs.Path(target)), s"rename $tmp -> $target failed")
-    }
+    val fs = storeFs(spark, storeDir)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
     val newGen = orderGen(spark.read.parquet(s"$storeDir/dford")) + 1L
     val docs = spark.read.parquet(dir)
       .select(col("doc_id"), col("__sh"), col("__batch"))
@@ -335,8 +399,24 @@ object DedupIngest {
       .select(col("doc_id"), col("__sh"), col("__n"), col("__ha"),
         lit(newGen).as("__ogen"), col("__batch"))
       .localCheckpoint(true)
-    swapInto(dir, tmp => rewritten.write.partitionBy("__batch").parquet(tmp))
-    swapInto(s"$storeDir/dford", tmp => newDford.write.parquet(tmp))
+    // 1. both rewrites land completely before any mutation is visible
+    fs.delete(p(s"${dir}__rewrite"), true)
+    rewritten.write.partitionBy("__batch").parquet(s"${dir}__rewrite")
+    fs.delete(p(s"$storeDir/dford__rewrite"), true)
+    newDford.write.parquet(s"$storeDir/dford__rewrite")
+    // 2. commit point: marker present => every rewrite is complete,
+    //    recovery always rolls forward
+    fs.create(swapMarker(storeDir), true).close()
+    // 3. swap each dir: aside, in, drop aside
+    for (sub <- Seq("docs", "dford")) {
+      val target = p(s"$storeDir/$sub")
+      require(fs.rename(target, p(s"$storeDir/${sub}__old")),
+        s"rename $target aside failed")
+      require(fs.rename(p(s"$storeDir/${sub}__rewrite"), target),
+        s"rename ${sub}__rewrite in failed")
+      fs.delete(p(s"$storeDir/${sub}__old"), true)
+    }
+    fs.delete(swapMarker(storeDir), true)
     spark.catalog.refreshByPath(dir)
     spark.catalog.refreshByPath(s"$storeDir/dford")
   }
@@ -356,23 +436,33 @@ object DedupIngest {
   def jaccardProbeFromStore(spark: SparkSession, storeDir: String,
                             newDocs: DataFrame, id: String, text: String,
                             jaccardThreshold: Double = 0.5): DataFrame = {
+    requireNoPendingSwap(spark, storeDir)
     val probeSh = shingled(newDocs, id, text).localCheckpoint(true)
     val dford = spark.read.parquet(s"$storeDir/dford")
     // PROVE the shared-total-order premise before joining anything: a
-    // crashed refreshOrderAuthority (or a re-bootstrapped dford beside
-    // older rows) leaves generations disagreeing, and probing across
-    // orders would silently lose recall — the one failure mode this
-    // store must never take silently. One narrow aggregate; rerunning
-    // refreshOrderAuthority repairs any mismatch.
+    // store mutated outside the marker protocol (a re-bootstrapped
+    // dford beside older rows, external surgery) leaves generations
+    // disagreeing, and probing across orders would silently lose
+    // recall — the one failure mode this store must never take
+    // silently. Cost note: this reads ONE column whose value is
+    // constant per file (dictionary/RLE — kilobytes per file), so the
+    // check is O(#files) footer-and-page IO, not O(corpus bytes); the
+    // rest of the serve stays the scan-local projection promised
+    // below. Skipped for pre-generation stores (no __ogen column =
+    // written before refreshes existed = generation 0 throughout).
     val gen = orderGen(dford)
     val storedRaw = spark.read.parquet(s"$storeDir/docs")
-    val genBounds = storedRaw.agg(
-      min(col("__ogen")).as("mn"), max(col("__ogen")).as("mx")).head()
-    if (!genBounds.isNullAt(0))
-      require(genBounds.getLong(0) == gen && genBounds.getLong(1) == gen,
-        s"store $storeDir order-generation mismatch: dford declares $gen but " +
-          s"docs carry [${genBounds.getLong(0)}, ${genBounds.getLong(1)}] — " +
-          "a refreshOrderAuthority was interrupted; rerun it to repair")
+    if (storedRaw.columns.contains("__ogen")) {
+      val genBounds = storedRaw.agg(
+        min(col("__ogen")).as("mn"), max(col("__ogen")).as("mx")).head()
+      if (!genBounds.isNullAt(0))
+        require(genBounds.getLong(0) == gen && genBounds.getLong(1) == gen,
+          s"store $storeDir order-generation mismatch: dford declares $gen but " +
+            s"docs carry [${genBounds.getLong(0)}, ${genBounds.getLong(1)}] — " +
+            "a refreshOrderAuthority was interrupted; rerun it to repair")
+    } else require(gen == 0L,
+      s"store $storeDir has a generation-$gen dford but pre-generation docs; " +
+        "rerun refreshOrderAuthority to rewrite them consistently")
     val pOrd = Dedup.orderedByDf(
       Dedup.hashedShingles(probeSh, "doc_id", "__sh"), dford.drop("__gen"), "doc_id")
       .persist()
