@@ -39,12 +39,16 @@ object Bench {
     *    nothing; only keys that outrun the suite's own slowdown fire.
     *  - KEY WITHOUT A USABLE MEDIAN — first-time, or recorded as
     *    failed (-1) in the reference, so the prior-ratio rule is blind
-    *    to it either way: >10x the committed suite MEAN. The
-    *    established surface's heaviest honest keys run ~5-7x the mean
-    *    (streaming ingest loops), so a new key of that class enters
-    *    unflagged, while an r8-style 15 s entry (~35x) fires on
-    *    arrival. Keys failing in THIS run (-1) are the `failed`
-    *    array's story, not a regression.
+    *    to it either way: >10x the committed suite MEAN, likewise
+    *    AFTER dividing out the ambient ratio (round 12 — the committed
+    *    mean is a quiet-host number, so a loaded host inflates v but
+    *    never the ceiling, reopening exactly the round-10
+    *    false-positive mode on every new key). The established
+    *    surface's heaviest honest keys run ~5-7x the mean (streaming
+    *    ingest loops), so a new key of that class enters unflagged,
+    *    while an r8-style 15 s entry (~35x) fires on arrival. Keys
+    *    failing in THIS run (-1) are the `failed` array's story, not a
+    *    regression.
     */
   private[graft] def regressionsOf(results: Map[String, Double],
                                    prev: Map[String, Double]): List[String] = {
@@ -54,7 +58,7 @@ object Bench {
     results.collect {
       case (k, v) if v > 1.0 && prev.get(k).exists(p => p > 0 && v > 3 * amb * p) => k
       case (k, v) if v > 1.0 && prev.get(k).forall(_ <= 0) && prevMean > 0 &&
-        v > 10 * prevMean => k
+        v > 10 * amb * prevMean => k
     }.toList.sorted
   }
 
@@ -174,6 +178,13 @@ object Bench {
     // per-key timings independent of suite position.
     val gcBetween = !sys.env.get("SPARK_GRAFT_BENCH_GC").contains("0")
     var failed = List.empty[String]
+    // Per-key 1-minute load average sampled as each key FINISHES
+    // (round 12, VERDICT r11 #6): the suite-level start/end markers
+    // prove a run was contended but cannot say WHICH keys overlapped
+    // the spike, so adjudicating a single flagged key (r11: flt_like)
+    // still needed a manual rerun. Key-level markers let the reader
+    // correlate a key's slowdown with the load curve directly.
+    var keyLoad = Map.empty[String, Double]
     val results = SparkEntry.queries
       .filter { case (name, _) => keyFilter.forall(_.contains(name)) }
       .map { case (name, fn) =>
@@ -193,6 +204,7 @@ object Bench {
         }
         i += 1
       }
+      keyLoad += name -> loadAvg1m()
       // a key that fails on ANY run records -1 (the "failed" contract)
       // — a partial median of its surviving runs would contradict the
       // `failed` array and pollute `total`
@@ -226,7 +238,9 @@ object Bench {
     // (candidate-pair volumes etc.) — see graft.Metrics
     val countersJson = Metrics.snapshot
       .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs_per_key":$runs,"stat":"median","warmup_sec":$warmupSec,"load_avg_start":$loadStart,"load_avg_end":$loadEnd,"ambient_ratio":$ambient,"ivf_index_build_sec":$ivfBuildSec,"pq_index_build_sec":$pqBuildSec,"opq_fit_sec":$opqFitSec,"doc_feats_build_sec":$docFeatsSec,"bucketed_build_sec":$bucketedSec,"failed":$failedJson,"regressions":$regJson,"regressions_detail":$regDetail,"counters":$countersJson}"""
+    val keyLoadJson = results.map { case (k, _) =>
+      f""""$k":${keyLoad.getOrElse(k, -1.0)}%.2f""" }.mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs_per_key":$runs,"stat":"median","warmup_sec":$warmupSec,"load_avg_start":$loadStart,"load_avg_end":$loadEnd,"load_avg_keys":$keyLoadJson,"ambient_ratio":$ambient,"ivf_index_build_sec":$ivfBuildSec,"pq_index_build_sec":$pqBuildSec,"opq_fit_sec":$opqFitSec,"doc_feats_build_sec":$docFeatsSec,"bucketed_build_sec":$bucketedSec,"failed":$failedJson,"regressions":$regJson,"regressions_detail":$regDetail,"counters":$countersJson}"""
     println(line)
     // The driver keeps only a 2000-char tail of stdout, which truncates
     // the per-key map and loses the total; persist the full line so

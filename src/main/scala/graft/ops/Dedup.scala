@@ -519,7 +519,17 @@ object Dedup {
     * candidate pairs to both sides' ordered hash arrays, keeps pairs
     * whose EXACT hash-Jaccard — an upper bound on string-Jaccard —
     * reaches the threshold, eagerly materializes, and records the
-    * surviving volume under `counter`. */
+    * surviving volume under `counter`.
+    *
+    * Both intersection AND union are SET-semantic (`array_intersect` /
+    * `array_union`), which makes the recall invariant unconditional:
+    * common shingles keep their (equal) hashes so the hash-set
+    * intersection can only grow under collisions, and the hash-set
+    * union can only shrink — so hash-Jaccard >= string-Jaccard for ANY
+    * hash function, collisions included. The previous arithmetic union
+    * (size(a)+size(b)-inter) was MULTISET-sized: two distinct shingles
+    * of one doc colliding under xxhash64 (p ~ 2^-64 per pair) would
+    * have undershot the bound and could drop a true pair. */
   private def hashOverlapGate(cand: DataFrame, aOrd: DataFrame, bOrd: DataFrame,
                               id: String, threshold: Double, parts: Int,
                               counter: String): DataFrame = {
@@ -528,7 +538,7 @@ object Dedup {
       .join(aOrd.select(col(id).as("id_a"), col("__ha").as("__hha")), "id_a")
       .join(bOrd.select(col(id).as("id_b"), col("__ha").as("__hhb")), "id_b")
       .withColumn("__ih", size(array_intersect(col("__hha"), col("__hhb"))).cast("double"))
-      .filter(col("__ih") / (size(col("__hha")) + size(col("__hhb")) - col("__ih")) >=
+      .filter(col("__ih") / size(array_union(col("__hha"), col("__hhb"))) >=
         lit(threshold))
       .select(col("id_a"), col("id_b"))
       .localCheckpoint(true)

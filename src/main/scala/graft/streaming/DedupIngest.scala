@@ -221,13 +221,22 @@ object DedupIngest {
           // shared-total-order premise instead of assuming it.
           if (!new org.apache.hadoop.fs.Path(dfordDir).getFileSystem(
               spark.sparkContext.hadoopConfiguration).exists(
-              new org.apache.hadoop.fs.Path(s"$dfordDir/_SUCCESS")))
+              new org.apache.hadoop.fs.Path(s"$dfordDir/_SUCCESS"))) {
             ex.groupBy(col("__h")).agg(count(lit(1)).as("__df"))
               .withColumn("__gen", lit(0L))
               .write.mode("overwrite").parquet(dfordDir)
+            // order-meta sidecar at bootstrap: generation 0 + the
+            // vocabulary size the broadcast gate sizes against (one
+            // count, once per store lifetime)
+            writeOrderMeta(spark, storeDir, 0L,
+              spark.read.parquet(dfordDir).count())
+          }
           val dford = spark.read.parquet(dfordDir)
           val gen = orderGen(dford)
-          Dedup.orderedByDf(ex, dford.drop("__gen"), "doc_id")
+          // the order join is per-batch: against a small vocabulary
+          // (sidecar-proven) the authority broadcasts and the batch
+          // skips the vocabulary shuffle entirely
+          Dedup.orderedByDf(ex, dfreqFor(spark, storeDir, dford), "doc_id")
             .join(sh, "doc_id")
             .select(col("doc_id"), col("__sh"), col("__n"), col("__ha"))
             .withColumn("__ogen", lit(gen))
@@ -297,29 +306,142 @@ object DedupIngest {
   private def swapMarker(storeDir: String): org.apache.hadoop.fs.Path =
     new org.apache.hadoop.fs.Path(s"$storeDir/_swap_pending")
 
-  /** Refuse to touch a store whose refresh swap is mid-flight — every
-    * writer AND reader of the jaccard store calls this first, so an
-    * interrupted [[refreshOrderAuthority]] can only ever surface as
-    * this loud error (repaired by rerunning the refresh, which
-    * completes the swap), never as a maintenance batch quietly
-    * recreating a truncated docs dir that would PASS the generation
-    * check while missing the corpus. */
-  private def requireNoPendingSwap(spark: SparkSession, storeDir: String): Unit =
-    require(!storeFs(spark, storeDir).exists(swapMarker(storeDir)),
+  /** Whole-refresh exclusion marker (round 12): taken BEFORE
+    * [[refreshOrderAuthority]] snapshots the docs dir, removed after
+    * the swap (and the order-meta sidecar) complete. `_swap_pending`
+    * alone only covered the SWAP window — a maintenance batch
+    * committing between the docs snapshot and the swap passed
+    * [[requireNoPendingSwap]], was recorded committed in the stream
+    * checkpoint, and was then deleted with the whole pre-refresh docs
+    * dir: silent recall loss through a crack the docstring claimed
+    * closed. The lock makes every store writer and reader refuse for
+    * the refresh's WHOLE duration, and [[refreshOrderAuthority]]
+    * additionally re-lists the batch partitions before its commit
+    * point, so even a batch already past its marker check when the
+    * lock appeared aborts the refresh loudly instead of being eaten. */
+  private def refreshLockMarker(storeDir: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(s"$storeDir/_refresh_lock")
+
+  /** Refuse to touch a store whose order refresh is running or died
+    * mid-flight — every writer AND reader of the jaccard store calls
+    * this first, so an interrupted [[refreshOrderAuthority]] can only
+    * ever surface as this loud error (repaired by rerunning the
+    * refresh, which completes or aborts the interrupted one), never as
+    * a maintenance batch quietly recreating a truncated docs dir that
+    * would PASS the generation check while missing the corpus. */
+  private def requireNoPendingSwap(spark: SparkSession, storeDir: String): Unit = {
+    val fs = storeFs(spark, storeDir)
+    require(!fs.exists(swapMarker(storeDir)),
       s"store $storeDir has an interrupted order refresh (_swap_pending); " +
         "rerun refreshOrderAuthority to complete it before using the store")
+    require(!fs.exists(refreshLockMarker(storeDir)),
+      s"store $storeDir has an order refresh in progress or interrupted " +
+        "(_refresh_lock); wait for it or rerun refreshOrderAuthority to " +
+        "complete/abort it before using the store")
+  }
 
-  /** Complete (or clean up) an interrupted refresh swap, idempotently.
-    * The marker is only ever created AFTER both `__rewrite` dirs are
-    * fully written, so recovery can always roll FORWARD to the new
-    * generation; the pre-swap copy survives as `__old` until its dir's
-    * swap finishes, so no crash point leaves the store without a full
-    * copy of the corpus. */
+  /** Order-meta SIDECAR (round 12): the store's current order
+    * generation plus the authority's vocabulary size, maintained by
+    * the same marker protocol that maintains dford itself (bootstrap
+    * writes it, [[refreshOrderAuthority]] rewrites it inside the
+    * refresh lock, after the swap). Two serve-path costs it removes:
+    * the per-serve min/max proof over every docs row's `__ogen`
+    * (O(#files) footer IO, redundant at many-serves-per-refresh
+    * cadence), and a per-batch/per-serve `count()` that a broadcast
+    * gate on the dford join would otherwise need. Stores written
+    * before the sidecar existed fall back to the scan proof and the
+    * un-hinted shuffle join — the sidecar is a protocol-maintained
+    * fast path, never a weakening of the check for stores of unknown
+    * provenance. */
+  private[graft] case class OrderMeta(gen: Long, vocab: Long)
+
+  private def orderMetaPath(storeDir: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(s"$storeDir/_order_meta/meta.txt")
+
+  private[graft] def writeOrderMeta(spark: SparkSession, storeDir: String,
+                             gen: Long, vocab: Long): Unit = {
+    val out = storeFs(spark, storeDir).create(orderMetaPath(storeDir), true)
+    try out.write(s"gen=$gen\nvocab=$vocab\n".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private[graft] def readOrderMeta(spark: SparkSession,
+                                       storeDir: String): Option[OrderMeta] = {
+    val fs = storeFs(spark, storeDir)
+    val p = orderMetaPath(storeDir)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val txt = try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val chunk = new Array[Byte](4096)
+        var n = in.read(chunk)
+        while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+        new String(buf.toByteArray, "UTF-8")
+      } finally in.close()
+      val lines = txt.split("\n")
+      Some(OrderMeta(lines(0).stripPrefix("gen=").trim.toLong,
+        lines(1).stripPrefix("vocab=").trim.toLong))
+    }
+  }
+
+  /** Broadcast bound for the dford (ordering-authority) join — the
+    * [[graft.ops.Dedup.maybeBroadcast]] discipline sized for dford's
+    * two-column rows: 10M (hash, df) pairs ~ 160 MB, inside a
+    * production executor. Below it, every maintenance batch's and
+    * probe's order join skips the corpus-vocabulary shuffle. */
+  private[graft] val DfordBroadcastMaxRows = 10000000L
+
+  /** The store's ordering authority relation, broadcast-hinted when
+    * the sidecar proves its vocabulary small — sized from persisted
+    * metadata, never a per-call `count()`. Without a sidecar (pre-
+    * round-12 store) the join stays a shuffle: the status quo, no
+    * feasibility risk. */
+  private[graft] def dfreqFor(spark: SparkSession, storeDir: String,
+                       dford: DataFrame): DataFrame = {
+    val dfreq = dford.drop("__gen")
+    if (readOrderMeta(spark, storeDir)
+          .exists(m => m.vocab >= 0 && m.vocab <= DfordBroadcastMaxRows))
+      broadcast(dfreq)
+    else dfreq
+  }
+
+  /** Complete (or clean up) an interrupted refresh, idempotently.
+    * Two distinct interrupted states, told apart by which markers
+    * survive:
+    *
+    *  - `_swap_pending` present: the swap marker is only ever created
+    *    AFTER both `__rewrite` dirs are fully written, so recovery
+    *    always rolls FORWARD to the new generation; the pre-swap copy
+    *    survives as `__old` until its dir's swap finishes, so no crash
+    *    point leaves the store without a full copy of the corpus. The
+    *    order-meta sidecar is rewritten from the rolled-forward dford
+    *    (the crash may have hit between swap and sidecar write).
+    *  - `_refresh_lock` alone: the refresh died BEFORE its commit
+    *    point — the store proper was never mutated, so recovery
+    *    ABORTS: drop any partial `__rewrite` dirs and the lock. The
+    *    store stays on its old, consistent generation.
+    */
   private def recoverPendingSwap(spark: SparkSession, storeDir: String): Unit = {
     val fs = storeFs(spark, storeDir)
     val marker = swapMarker(storeDir)
-    if (!fs.exists(marker)) return
     def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    if (!fs.exists(marker)) {
+      if (fs.exists(refreshLockMarker(storeDir))) {
+        // lock-only death: either pre-commit (store untouched) or
+        // post-swap-pre-sidecar (store fully swapped, sidecar stale).
+        // Both leave docs and dford mutually consistent, so aborting
+        // the rewrite dirs and re-deriving the sidecar FROM dford is
+        // correct in both.
+        for (sub <- Seq("docs", "dford")) fs.delete(p(s"$storeDir/${sub}__rewrite"), true)
+        if (fs.exists(p(s"$storeDir/dford/_SUCCESS"))) {
+          val dford = spark.read.parquet(s"$storeDir/dford")
+          writeOrderMeta(spark, storeDir, orderGen(dford), dford.count())
+        }
+        fs.delete(refreshLockMarker(storeDir), true)
+      }
+      return
+    }
     for (sub <- Seq("docs", "dford")) {
       val target = p(s"$storeDir/$sub")
       val tmp = p(s"$storeDir/${sub}__rewrite")
@@ -342,7 +464,12 @@ object DedupIngest {
         fs.delete(tmp, true)
       }
     }
+    // re-derive the sidecar from the rolled-forward authority: the
+    // crash may have landed between the swap and the sidecar write
+    val dford = spark.read.parquet(s"$storeDir/dford")
+    writeOrderMeta(spark, storeDir, orderGen(dford), dford.count())
     fs.delete(marker, true)
+    fs.delete(refreshLockMarker(storeDir), true)
     ()
   }
 
@@ -367,29 +494,53 @@ object DedupIngest {
     * would have left in place with OLD-order rows), the docs swap
     * completes before the dford swap, and the generation stamp
     * (`__gen` in dford, `__ogen` on every docs row) bumps together.
-    * The swap itself is the marker protocol: both `__rewrite` dirs are
-    * FULLY written before `_swap_pending` is created, each dir then
-    * swaps via rename-aside + rename-in (a full copy of the corpus
-    * exists on disk at every instant — never a delete-then-rename
-    * hole), and the marker is removed last. Every store reader and
-    * writer refuses while the marker exists
-    * ([[requireNoPendingSwap]]), and rerunning this op first
-    * completes the interrupted swap ([[recoverPendingSwap]]) — so any
-    * crash leaves either a consistent store or a loud,
-    * rerun-to-repair refusal. Silent recall loss is not a reachable
-    * state. A maintenance stream restarted afterwards picks the
-    * refreshed authority up automatically (dford is re-read every
-    * batch). */
-  def refreshOrderAuthority(spark: SparkSession, storeDir: String): Unit = {
+    * The swap itself is the marker protocol: the `_refresh_lock` is
+    * taken BEFORE the docs snapshot (round 12 — so every maintenance
+    * batch, probe, and compaction refuses for the refresh's WHOLE
+    * duration, not just the swap window; previously a batch committing
+    * between snapshot and swap passed the check and was then silently
+    * deleted with the replaced docs dir), both `__rewrite` dirs are
+    * FULLY written before `_swap_pending` is created, the docs
+    * batch-partition listing is re-checked against the pre-snapshot
+    * listing immediately before that commit point (a batch already
+    * mid-execution when the lock appeared — past its own marker check
+    * — aborts the refresh loudly instead of being eaten), each dir
+    * then swaps via rename-aside + rename-in (a full copy of the
+    * corpus exists on disk at every instant — never a
+    * delete-then-rename hole), the order-meta sidecar rewrites, and
+    * the markers drop last. Every store reader and writer refuses
+    * while either marker exists ([[requireNoPendingSwap]]), and
+    * rerunning this op first completes or aborts the interrupted
+    * refresh ([[recoverPendingSwap]]) — so any crash leaves either a
+    * consistent store or a loud, rerun-to-repair refusal. Silent
+    * recall loss is not a reachable state. A maintenance stream
+    * restarted afterwards picks the refreshed authority up
+    * automatically (dford is re-read every batch). */
+  def refreshOrderAuthority(spark: SparkSession, storeDir: String): Unit =
+    refreshOrderAuthority(spark, storeDir, () => ())
+
+  /** Test seam: `afterSnapshot` runs between the docs snapshot and the
+    * commit-point listing re-check, where a concurrent maintenance
+    * batch would land — the spec injects one there to prove the
+    * drift-abort fires. */
+  private[graft] def refreshOrderAuthority(spark: SparkSession, storeDir: String,
+                                           afterSnapshot: () => Unit): Unit = {
     recoverPendingSwap(spark, storeDir)
     val dir = s"$storeDir/docs"
     val fs = storeFs(spark, storeDir)
     def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    def batchListing(): Set[String] =
+      TextIngest.batchPartitionDirs(spark, dir).map(_.getName).toSet
+    // whole-refresh exclusion: from here until the markers drop, every
+    // store writer and reader refuses (requireNoPendingSwap)
+    fs.create(refreshLockMarker(storeDir), true).close()
+    val preSnapshot = batchListing()
     val newGen = orderGen(spark.read.parquet(s"$storeDir/dford")) + 1L
     val docs = spark.read.parquet(dir)
       .select(col("doc_id"), col("__sh"), col("__batch"))
       .dropDuplicates("doc_id")
       .localCheckpoint(true)
+    afterSnapshot()
     val ex = Dedup.hashedShingles(docs, "doc_id", "__sh")
     val newDford = ex.groupBy(col("__h")).agg(count(lit(1)).as("__df"))
       .withColumn("__gen", lit(newGen))
@@ -404,10 +555,27 @@ object DedupIngest {
     rewritten.write.partitionBy("__batch").parquet(s"${dir}__rewrite")
     fs.delete(p(s"$storeDir/dford__rewrite"), true)
     newDford.write.parquet(s"$storeDir/dford__rewrite")
-    // 2. commit point: marker present => every rewrite is complete,
+    // 2. concurrency proof at the commit point: a maintenance batch
+    //    already executing when the lock appeared (its own marker
+    //    check passed earlier) may have committed a partition the
+    //    snapshot never saw — swapping would delete rows the stream
+    //    checkpoint records as durable. Abort instead: the store
+    //    proper is untouched (the slipped batch ordered itself under
+    //    the CURRENT authority, so the old state stays fully
+    //    consistent); only the rewrite dirs and the lock drop.
+    val postRewrite = batchListing()
+    if (postRewrite != preSnapshot) {
+      for (sub <- Seq("docs", "dford")) fs.delete(p(s"$storeDir/${sub}__rewrite"), true)
+      fs.delete(refreshLockMarker(storeDir), true)
+      throw new IllegalStateException(
+        s"refreshOrderAuthority($storeDir) aborted: maintenance batches " +
+          s"committed during the refresh (${(postRewrite -- preSnapshot).mkString(", ")}); " +
+          "stop the maintenance stream, then rerun the refresh")
+    }
+    // 3. commit point: marker present => every rewrite is complete,
     //    recovery always rolls forward
     fs.create(swapMarker(storeDir), true).close()
-    // 3. swap each dir: aside, in, drop aside
+    // 4. swap each dir: aside, in, drop aside
     for (sub <- Seq("docs", "dford")) {
       val target = p(s"$storeDir/$sub")
       require(fs.rename(target, p(s"$storeDir/${sub}__old")),
@@ -417,6 +585,12 @@ object DedupIngest {
       fs.delete(p(s"$storeDir/${sub}__old"), true)
     }
     fs.delete(swapMarker(storeDir), true)
+    // 5. sidecar + lock drop: still inside the lock, so a crash after
+    //    the swap but before this write leaves a loud refusal (lock
+    //    present), and the rerun's recovery re-derives the sidecar
+    //    from the swapped-in dford before aborting the lock.
+    writeOrderMeta(spark, storeDir, newGen, newDford.count())
+    fs.delete(refreshLockMarker(storeDir), true)
     spark.catalog.refreshByPath(dir)
     spark.catalog.refreshByPath(s"$storeDir/dford")
   }
@@ -444,27 +618,38 @@ object DedupIngest {
     // dford beside older rows, external surgery) leaves generations
     // disagreeing, and probing across orders would silently lose
     // recall — the one failure mode this store must never take
-    // silently. Cost note: this reads ONE column whose value is
-    // constant per file (dictionary/RLE — kilobytes per file), so the
-    // check is O(#files) footer-and-page IO, not O(corpus bytes); the
-    // rest of the serve stays the scan-local projection promised
-    // below. Skipped for pre-generation stores (no __ogen column =
-    // written before refreshes existed = generation 0 throughout).
+    // silently. Fast path (round 12): the order-meta SIDECAR, written
+    // by bootstrap and rewritten by every refresh INSIDE the refresh
+    // lock, declares the generation all docs rows were ordered under —
+    // comparing it to dford's is one metadata read, no per-serve
+    // aggregate over the store. Stores without the sidecar (written
+    // before it existed) keep the scan proof: a min/max over `__ogen`,
+    // one column constant per file (dictionary/RLE — kilobytes per
+    // file), O(#files) footer-and-page IO, not O(corpus bytes).
     val gen = orderGen(dford)
     val storedRaw = spark.read.parquet(s"$storeDir/docs")
-    if (storedRaw.columns.contains("__ogen")) {
-      val genBounds = storedRaw.agg(
-        min(col("__ogen")).as("mn"), max(col("__ogen")).as("mx")).head()
-      if (!genBounds.isNullAt(0))
-        require(genBounds.getLong(0) == gen && genBounds.getLong(1) == gen,
+    readOrderMeta(spark, storeDir) match {
+      case Some(meta) =>
+        require(meta.gen == gen,
           s"store $storeDir order-generation mismatch: dford declares $gen but " +
-            s"docs carry [${genBounds.getLong(0)}, ${genBounds.getLong(1)}] — " +
-            "a refreshOrderAuthority was interrupted; rerun it to repair")
-    } else require(gen == 0L,
-      s"store $storeDir has a generation-$gen dford but pre-generation docs; " +
-        "rerun refreshOrderAuthority to rewrite them consistently")
+            s"the order-meta sidecar declares ${meta.gen} — a " +
+            "refreshOrderAuthority was interrupted or the store was mutated " +
+            "outside the marker protocol; rerun refreshOrderAuthority to repair")
+      case None if storedRaw.columns.contains("__ogen") =>
+        val genBounds = storedRaw.agg(
+          min(col("__ogen")).as("mn"), max(col("__ogen")).as("mx")).head()
+        if (!genBounds.isNullAt(0))
+          require(genBounds.getLong(0) == gen && genBounds.getLong(1) == gen,
+            s"store $storeDir order-generation mismatch: dford declares $gen but " +
+              s"docs carry [${genBounds.getLong(0)}, ${genBounds.getLong(1)}] — " +
+              "a refreshOrderAuthority was interrupted; rerun it to repair")
+      case None => require(gen == 0L,
+        s"store $storeDir has a generation-$gen dford but pre-generation docs; " +
+          "rerun refreshOrderAuthority to rewrite them consistently")
+    }
     val pOrd = Dedup.orderedByDf(
-      Dedup.hashedShingles(probeSh, "doc_id", "__sh"), dford.drop("__gen"), "doc_id")
+      Dedup.hashedShingles(probeSh, "doc_id", "__sh"),
+      dfreqFor(spark, storeDir, dford), "doc_id")
       .persist()
     val stored = storedRaw
       .select(col("doc_id"), col("__sh"), col("__n"), col("__ha"))

@@ -67,6 +67,22 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(Bench.regressionsOf(res, prev).isEmpty)
   }
 
+  test("first-time ceiling is ambient-normalized too (round 12)") {
+    // the round-10 false-positive mode applied to NEW keys as well:
+    // the committed suite mean is a quiet-host number, so on a host
+    // running everything 2x slow an honest first-time streaming-class
+    // key (~6x mean true cost -> 12x mean observed) would have fired
+    // the un-normalized 10x ceiling. Divided by the ambient it's 6x
+    // again and stays silent...
+    val loaded = prev.map { case (k, v) => k -> v * 2.0 }
+    assert(Bench.regressionsOf(
+      loaded + ("stream_new" -> (12 * prevMean)), prev).isEmpty)
+    // ...while a genuine r8-style entry (36x mean true cost) still
+    // fires through the same 2x ambient (72x observed > 10*2)
+    assert(Bench.regressionsOf(
+      loaded + ("brand_new" -> (72 * prevMean)), prev) == List("brand_new"))
+  }
+
   test("a real outlier still flags through ambient slowdown") {
     // suite uniformly 1.5x slower AND one key 8x its prior: 8 > 3*1.5
     val res = prev.map { case (k, v) => k -> v * 1.5 } + ("sink_z" -> 2.1 * 8)

@@ -352,6 +352,42 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("jaccard store order join broadcasts a sidecar-proven small authority") {
+    import spark.implicits._
+    import graft.streaming.DedupIngest
+    val store = "/tmp/graft_test/plan_dford_gate"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(store))
+    val sh = spark.read.parquet(sf("documents"))
+      .select($"doc_id", graft.ops.Dedup.shingles($"text").as("__sh"))
+      .filter(size($"__sh") > 0)
+    val ex = graft.ops.Dedup.hashedShingles(sh, "doc_id", "__sh")
+    ex.groupBy($"__h").agg(count(lit(1)).as("__df")).withColumn("__gen", lit(0L))
+      .write.mode("overwrite").parquet(s"$store/dford")
+    val dford = spark.read.parquet(s"$store/dford")
+    // sidecar proves the vocabulary small: the per-batch/per-serve
+    // order join must broadcast the authority, skipping the
+    // vocabulary shuffle every micro-batch otherwise pays
+    DedupIngest.writeOrderMeta(spark, store, 0L, 1000L)
+    val small = graft.ops.Dedup.orderedByDf(
+      ex, DedupIngest.dfreqFor(spark, store, dford), "doc_id")
+    assert(plan(small).contains("BroadcastHashJoin"),
+      s"sidecar-small dford must broadcast into the order join:\n${plan(small)}")
+    // vocabulary above the bound: the GATE must not hint (the planner
+    // may still broadcast from size stats at test scale, so the pin
+    // targets the analyzed plan's hint, which is the gate's decision)
+    DedupIngest.writeOrderMeta(spark, store, 0L,
+      DedupIngest.DfordBroadcastMaxRows + 1)
+    assert(!DedupIngest.dfreqFor(spark, store, dford)
+      .queryExecution.analyzed.toString.contains("ResolvedHint"),
+      "a vocabulary past the broadcast bound must stay un-hinted")
+    // no sidecar (pre-round-12 store): status quo, un-hinted
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(s"$store/_order_meta"))
+    assert(!DedupIngest.dfreqFor(spark, store, dford)
+      .queryExecution.analyzed.toString.contains("ResolvedHint"),
+      "a store without the sidecar must keep the shuffle join")
+  }
+
   test("dynamic BM25: query vocabulary broadcasts into the token stream, stats are 1-row broadcast") {
     import spark.implicits._
     val queries = Seq((1, 1, "hash"), (1, 2, "join")).toDF("query_id", "term_pos", "term")

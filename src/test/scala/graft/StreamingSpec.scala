@@ -1058,6 +1058,79 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       "rerunning the refresh must repair the interrupted state")
   }
 
+  test("jaccard store refresh lock: whole-duration exclusion, drift-abort, stale-sidecar refusal") {
+    import spark.implicits._
+    import graft.streaming.DedupIngest
+    val docs = (0L until 20L).map(i =>
+      (i, s"alpha$i beta$i gamma$i delta$i epsilon$i zeta$i eta$i theta$i"))
+    val store = "/tmp/graft_test/jaccard_lock_spec"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(store))
+    val ms = MemoryStream[(Long, String)](spark)
+    val q = DedupIngest.maintainJaccardStore(
+      ms.toDF().toDF("doc_id", "text"), "doc_id", "text", store,
+      trigger = Trigger.ProcessingTime(0))
+    ms.addData(docs.take(10): _*); q.processAllAvailable()
+    ms.addData(docs.slice(10, 15): _*); q.processAllAvailable()
+    val probes = Seq((9000L, docs.head._2)).toDF("doc_id", "text")
+    def serve() = DedupIngest.jaccardProbeFromStore(spark, store, probes,
+      "doc_id", "text", jaccardThreshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(serve() == Set((9000L, 0L)), "sanity: probe finds its original")
+    // ---- 1. the lock excludes EVERY store user for the whole refresh
+    // duration (the round-11 advisory: _swap_pending alone only
+    // covered the swap window; a batch committing after the docs
+    // snapshot was silently deleted with the replaced docs dir)
+    val lock = new java.io.File(s"$store/_refresh_lock")
+    assert(lock.createNewFile(), "plant the refresh lock")
+    val e1 = intercept[IllegalArgumentException] { serve() }
+    assert(e1.getMessage.contains("_refresh_lock"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      DedupIngest.compactJaccardStore(spark, store, upToBatch = 99) }
+    assert(e2.getMessage.contains("_refresh_lock"), e2.getMessage)
+    // a maintenance batch mid-lock dies loudly: the stream checkpoint
+    // never records it, so nothing is lost — it replays after repair
+    ms.addData(docs.slice(15, 20): _*)
+    val e3 = intercept[Exception] { q.processAllAvailable() }
+    assert(e3.getMessage.contains("_refresh_lock"), e3.getMessage)
+    try q.stop() catch { case _: Throwable => () }
+    // ---- 2. rerunning the refresh repairs: lock-only = pre-commit
+    // death, recovery aborts it and the refresh completes normally
+    DedupIngest.refreshOrderAuthority(spark, store)
+    assert(!lock.exists, "refresh completion must release the lock")
+    assert(serve() == Set((9000L, 0L)),
+      "store serves after lock recovery; the dead batch 2 was never committed")
+    // ---- 3. a batch that slipped PAST the lock check (already
+    // executing when the lock appeared) is caught by the commit-point
+    // listing re-check: the refresh aborts loudly, store untouched
+    val slipped = new java.io.File(s"$store/docs/__batch=77")
+    val src = new java.io.File(s"$store/docs/__batch=0")
+    val e4 = intercept[IllegalStateException] {
+      DedupIngest.refreshOrderAuthority(spark, store, () => {
+        org.apache.commons.io.FileUtils.copyDirectory(src, slipped); () })
+    }
+    assert(e4.getMessage.contains("aborted") &&
+      e4.getMessage.contains("__batch=77"), e4.getMessage)
+    assert(!lock.exists, "drift-abort must release the lock")
+    assert(!new java.io.File(s"$store/docs__rewrite").exists,
+      "drift-abort must drop the rewrite dirs")
+    spark.catalog.refreshByPath(s"$store/docs")
+    assert(serve() == Set((9000L, 0L)),
+      "aborted refresh leaves the store fully consistent (slipped batch " +
+        "ordered under the current authority; duplicates self-heal)")
+    // with the stream stopped the rerun goes through and absorbs the
+    // slipped partition into the rewrite
+    DedupIngest.refreshOrderAuthority(spark, store)
+    assert(serve() == Set((9000L, 0L)))
+    // ---- 4. stale sidecar (planted, per the r11 verdict): the serve
+    // must refuse on the generation mismatch without scanning docs
+    DedupIngest.writeOrderMeta(spark, store, 98L, 5L)
+    val e5 = intercept[IllegalArgumentException] { serve() }
+    assert(e5.getMessage.contains("order-generation mismatch"), e5.getMessage)
+    // rerunning the refresh rewrites docs AND sidecar consistently
+    DedupIngest.refreshOrderAuthority(spark, store)
+    assert(serve() == Set((9000L, 0L)), "refresh repairs a corrupted sidecar")
+  }
+
   test("stream-maintained term stats merge to exactly the batch aggregation across batches") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
