@@ -112,6 +112,39 @@ object HarnessIO {
       s.read.orc(out).orderBy($"l_orderkey", $"l_linenumber")
     }),
 
+    // Avro round-trip through the in-engine source/sink (round 12 —
+    // /opt/spark/jars has the core avro lib but not spark-avro, so
+    // graft.io.AvroSource/Avro.write close the interchange-format gap
+    // natively): executor-side distributed write, full-schema read
+    // back. Timestamps convert to dates only for the oracle compare
+    // (the to_date discipline every date-carrying key uses); the avro
+    // file itself round-trips the timestamp-micros value exactly.
+    "sink_avro" -> ((s, dir) => {
+      import s.implicits._
+      val out = s"$stage/orders_avro"
+      graft.io.Avro.write(t(s, dir, "orders"), out)
+      s.read.format("graft_avro").load(out)
+        .select($"o_orderkey", $"o_custkey", $"o_orderstatus", $"o_totalprice",
+          to_date($"o_orderdate").as("order_date"), $"o_orderpriority")
+        .orderBy($"o_orderkey")
+    }),
+
+    // Avro SCAN path under stress: sync-marker byte-range splits (the
+    // splittability a 100 TB avro lake depends on — no per-file task
+    // skew) + projection pushdown (4 of 5 written columns reach the
+    // avro READER schema; the dropped column is skipped, not decoded).
+    "src_avro" -> ((s, dir) => {
+      import s.implicits._
+      val out = s"$stage/lineitem_avro"
+      graft.io.Avro.write(t(s, dir, "lineitem")
+        .select($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_returnflag",
+          $"l_shipdate"), out)
+      s.read.format("graft_avro").option("splitBytes", 256 * 1024).load(out)
+        .select($"l_orderkey", $"l_linenumber", $"l_quantity",
+          to_date($"l_shipdate").as("ship_date"))
+        .orderBy($"l_orderkey", $"l_linenumber")
+    }),
+
     // JDBC round-trip against embedded Derby (ref scraper.py:20-24
     // writes Postgres, visualization.py:14-21 reads it back): stale
     // write, full replace, then a PARTITIONED read (4 range-split
@@ -431,6 +464,14 @@ object HarnessIO {
         |FROM orders ORDER BY 1""".stripMargin,
     "sink_orc" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+        |FROM lineitem ORDER BY 1, 2""".stripMargin,
+    "sink_avro" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |       CAST(o_orderdate AS DATE) AS order_date, o_orderpriority
+        |FROM orders ORDER BY 1""".stripMargin,
+    "src_avro" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+        |       CAST(l_shipdate AS DATE) AS ship_date
         |FROM lineitem ORDER BY 1, 2""".stripMargin,
     "src_jdbc_table" ->
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
