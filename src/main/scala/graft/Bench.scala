@@ -62,6 +62,26 @@ object Bench {
     }.toList.sorted
   }
 
+  /** Parse the committed reference's per-key medians, gated on its sf
+    * matching this run's (factored out for BenchGuardSpec): on a
+    * mismatch returns no priors (every cross-sf ratio is meaningless)
+    * and `false` — the caller then redirects its own output away from
+    * the reference file. A reference without an `sf` field (or none at
+    * all) matches anything, preserving first-run behavior. */
+  private[graft] def parseReference(txt: String,
+                                    sfDir: String): (Map[String, Double], Boolean) = {
+    val prevSf = """"sf":"([^"]+)"""".r.findFirstMatchIn(txt).map(_.group(1))
+    if (!prevSf.forall(_ == sfDir)) (Map.empty[String, Double], false)
+    else {
+      val qstart = txt.indexOf("\"queries\":{")
+      val qend = txt.indexOf("}", qstart)
+      val body = txt.substring(qstart + "\"queries\":{".length, qend)
+      val kv = """"([A-Za-z0-9_]+)":(-?[0-9.]+(?:[eE]-?[0-9]+)?)""".r
+      (kv.findAllMatchIn(body).map(m => m.group(1) -> m.group(2).toDouble).toMap,
+        true)
+    }
+  }
+
   /** 1-minute load average, the host-contention marker round 10's
     * forensics had to reconstruct from warmup-time proxies. Linux-only
     * read of /proc/loadavg; -1 where unavailable.
@@ -155,16 +175,16 @@ object Bench {
     // `regressions` entry in the JSON — the r8 18 s surprise would
     // have been caught in-session. Our own flat format, so a regex
     // parse suffices (no JSON lib dependency).
-    val prevQueries: Map[String, Double] =
-      try {
-        val txt = new String(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get("bench_full.json")), "UTF-8")
-        val qstart = txt.indexOf("\"queries\":{")
-        val qend = txt.indexOf("}", qstart)
-        val body = txt.substring(qstart + "\"queries\":{".length, qend)
-        val kv = """"([A-Za-z0-9_]+)":(-?[0-9.]+(?:[eE]-?[0-9]+)?)""".r
-        kv.findAllMatchIn(body).map(m => m.group(1) -> m.group(2).toDouble).toMap
-      } catch { case _: Throwable => Map.empty }
+    // Cross-SF guard (round 12): the committed reference records which
+    // sf dir produced it — a full-suite run at a DIFFERENT sf must
+    // neither compare against it (a sf0.01 run reads ~10x fast and
+    // every ratio is meaningless) nor overwrite it (the next sf0.1 run
+    // would then flag the entire suite against sf0.01 priors — exactly
+    // what a verify-skill smoke at sf0.01 would have silently done).
+    val (prevQueries: Map[String, Double], sfMatchesRef: Boolean) =
+      try parseReference(new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("bench_full.json")), "UTF-8"), sfDir)
+      catch { case _: Throwable => (Map.empty[String, Double], true) }
     // In-round iteration hook: SPARK_GRAFT_BENCH_KEYS=k1,k2 times just
     // those keys. Unset (the driver's invocation) = the full suite.
     val keyFilter = sys.env.get("SPARK_GRAFT_BENCH_KEYS")
@@ -245,10 +265,13 @@ object Bench {
     // The driver keeps only a 2000-char tail of stdout, which truncates
     // the per-key map and loses the total; persist the full line so
     // round-over-round totals stay recoverable from the repo itself.
-    // ONLY for full-suite runs: a SPARK_GRAFT_BENCH_KEYS-filtered
-    // iteration must not clobber the committed reference (and with it
-    // the regression guard's baseline) with a partial queries map.
-    val outFile = if (keyFilter.isEmpty) "bench_full.json" else "bench_filtered.json"
+    // ONLY for full-suite runs AT THE REFERENCE'S SF: a
+    // SPARK_GRAFT_BENCH_KEYS-filtered iteration or an off-sf smoke
+    // must not clobber the committed reference (and with it the
+    // regression guard's baseline) with a partial or wrong-scale
+    // queries map.
+    val outFile = if (keyFilter.isEmpty && sfMatchesRef) "bench_full.json"
+      else "bench_filtered.json"
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (line + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"$outFile write failed: $e") }

@@ -383,6 +383,10 @@ object Dedup {
     // r8 run-to-run variance. Pre-partitioned inputs make the SMJ
     // exchange-free; sorting the probe postings is negligible next to
     // the collision fan-out.
+    // candidate-phase timer (round 12): includes the postings persist
+    // materialization — the first action on this plan — so the split
+    // reported is (postings + collision join) vs gate vs rescore
+    val c0 = System.nanoTime()
     val cand = probes.as("a").hint("merge").join(probes.as("b"),
         col("a.__h") === col("b.__h") && aFirst && aIdxPrefix &&
           least(col("a.__n"), col("b.__n")).cast("double") >=
@@ -398,6 +402,8 @@ object Dedup {
     // candidate volume is THE scale variable of this op — surface it
     // (count is free: the list is already eagerly materialized)
     graft.Metrics.record("jaccard_prefix_candidates", cand.count())
+    graft.Metrics.record("jaccard_prefix_candidates_ms",
+      (System.nanoTime() - c0) / 1000000L)
     probes.unpersist(blocking = false)
     // Pre-rescore overlap prune (round 11) — the vectorized answer to
     // PPJoin+ suffix filtering (Xiao et al. WWW'08 §4): the suffix
@@ -533,6 +539,11 @@ object Dedup {
   private def hashOverlapGate(cand: DataFrame, aOrd: DataFrame, bOrd: DataFrame,
                               id: String, threshold: Double, parts: Int,
                               counter: String): DataFrame = {
+    // phase timer beside the volume counter (round 12, VERDICT r11 #4):
+    // whether this gate's cost is the array shuffle or the intersect
+    // compute decides whether a fused counting expression is worth
+    // writing — so the bench artifact carries the answer per run
+    val g0 = System.nanoTime()
     val gated = cand
       .repartition(parts, col("id_a"), col("id_b"))
       .join(aOrd.select(col(id).as("id_a"), col("__ha").as("__hha")), "id_a")
@@ -543,6 +554,7 @@ object Dedup {
       .select(col("id_a"), col("id_b"))
       .localCheckpoint(true)
     graft.Metrics.record(counter, gated.count())
+    graft.Metrics.record(counter + "_ms", (System.nanoTime() - g0) / 1000000L)
     gated
   }
 
@@ -642,9 +654,12 @@ object Dedup {
       clampPartitions(est, pOrd.sparkSession.sessionState.conf.numShufflePartitions,
         CollisionTargetPerPartition)
     }
+    val c0 = System.nanoTime()
     val cand = probeCandidatesLazy(pOrd, cOrd, id, threshold, shufflePartitions)
       .localCheckpoint(true)
     graft.Metrics.record("jaccard_probe_prefix_candidates", cand.count())
+    graft.Metrics.record("jaccard_probe_prefix_candidates_ms",
+      (System.nanoTime() - c0) / 1000000L)
     // hash-overlap gate before the wide string rescore, exactly as in
     // the self-join form (hash-Jaccard >= string-Jaccard: recall-safe)
     hashOverlapGate(cand, pOrd, cOrd, id, threshold, shufflePartitions,

@@ -428,11 +428,20 @@ object DedupIngest {
     def p(s: String) = new org.apache.hadoop.fs.Path(s)
     if (!fs.exists(marker)) {
       if (fs.exists(refreshLockMarker(storeDir))) {
-        // lock-only death: either pre-commit (store untouched) or
+        // lock-only death: pre-commit (store untouched), mid-abort
+        // with docs renamed aside (the round-12 aside-first listing
+        // found a slipped batch and died before the rename back), or
         // post-swap-pre-sidecar (store fully swapped, sidecar stale).
-        // Both leave docs and dford mutually consistent, so aborting
-        // the rewrite dirs and re-deriving the sidecar FROM dford is
-        // correct in both.
+        // Roll any aside dir back first — without the swap marker no
+        // rewrite was ever committed, so the aside copy IS the store —
+        // then abort the rewrite dirs and re-derive the sidecar FROM
+        // dford, correct in every lock-only state.
+        for (sub <- Seq("docs", "dford")) {
+          val target = p(s"$storeDir/$sub")
+          val old = p(s"$storeDir/${sub}__old")
+          if (!fs.exists(target) && fs.exists(old))
+            require(fs.rename(old, target), s"rollback $old failed")
+        }
         for (sub <- Seq("docs", "dford")) fs.delete(p(s"$storeDir/${sub}__rewrite"), true)
         if (fs.exists(p(s"$storeDir/dford/_SUCCESS"))) {
           val dford = spark.read.parquet(s"$storeDir/dford")
@@ -459,9 +468,22 @@ object DedupIngest {
         // rewrite vanished (external cleanup): roll back to the copy
         require(fs.rename(old, target), s"rollback $old failed")
       } else if (fs.exists(target) && fs.exists(old)) {
-        // swap completed; the aside copy is leftover
-        fs.delete(old, true)
-        fs.delete(tmp, true)
+        if (!fs.exists(p(s"$storeDir/$sub/_SUCCESS")) &&
+            fs.exists(p(s"$storeDir/${sub}__rewrite/_SUCCESS"))) {
+          // ghost target: a dying pre-lock committer can recreate an
+          // empty output dir after the aside rename. A real store dir
+          // (original or swapped-in) always carries its parquet
+          // _SUCCESS, so _SUCCESS-less target + complete rewrite means
+          // the in-rename never ran — without this guard the branch
+          // below would delete BOTH real copies and leave the ghost.
+          fs.delete(target, true)
+          require(fs.rename(tmp, target), s"rename $tmp in failed")
+          fs.delete(old, true)
+        } else {
+          // swap completed; the aside copy is leftover
+          fs.delete(old, true)
+          fs.delete(tmp, true)
+        }
       }
     }
     // re-derive the sidecar from the rolled-forward authority: the
@@ -502,13 +524,17 @@ object DedupIngest {
     * deleted with the replaced docs dir), both `__rewrite` dirs are
     * FULLY written before `_swap_pending` is created, the docs
     * batch-partition listing is re-checked against the pre-snapshot
-    * listing immediately before that commit point (a batch already
-    * mid-execution when the lock appeared — past its own marker check
-    * — aborts the refresh loudly instead of being eaten), each dir
-    * then swaps via rename-aside + rename-in (a full copy of the
-    * corpus exists on disk at every instant — never a
-    * delete-then-rename hole), the order-meta sidecar rewrites, and
-    * the markers drop last. Every store reader and writer refuses
+    * listing before any mutation (a batch already mid-execution when
+    * the lock appeared — past its own marker check — aborts the
+    * refresh loudly instead of being eaten), docs then renames ASIDE
+    * and the now-immutable aside copy is re-listed once more before
+    * the commit point (round 12 — the listing-then-rename order left
+    * an instants-wide window where a stalled batch could still commit
+    * unseen; aside-first makes the last check race-free, and a
+    * mismatch rolls docs back untouched), each dir then completes its
+    * swap via rename-in (a full copy of the corpus exists on disk at
+    * every instant — never a delete-then-rename hole), the order-meta
+    * sidecar rewrites, and the markers drop last. Every store reader and writer refuses
     * while either marker exists ([[requireNoPendingSwap]]), and
     * rerunning this op first completes or aborts the interrupted
     * refresh ([[recoverPendingSwap]]) — so any crash leaves either a
@@ -519,12 +545,15 @@ object DedupIngest {
   def refreshOrderAuthority(spark: SparkSession, storeDir: String): Unit =
     refreshOrderAuthority(spark, storeDir, () => ())
 
-  /** Test seam: `afterSnapshot` runs between the docs snapshot and the
-    * commit-point listing re-check, where a concurrent maintenance
-    * batch would land — the spec injects one there to prove the
-    * drift-abort fires. */
+  /** Test seams: `afterSnapshot` runs between the docs snapshot and
+    * the commit-point listing re-check; `afterRecheck` runs between
+    * that re-check and the docs aside-rename — the two windows where a
+    * concurrent maintenance batch can land. The spec injects commits
+    * at each to prove both the pre-mutation drift-abort and the
+    * post-aside rollback fire. */
   private[graft] def refreshOrderAuthority(spark: SparkSession, storeDir: String,
-                                           afterSnapshot: () => Unit): Unit = {
+                                           afterSnapshot: () => Unit,
+                                           afterRecheck: () => Unit = () => ()): Unit = {
     recoverPendingSwap(spark, storeDir)
     val dir = s"$storeDir/docs"
     val fs = storeFs(spark, storeDir)
@@ -572,17 +601,50 @@ object DedupIngest {
           s"committed during the refresh (${(postRewrite -- preSnapshot).mkString(", ")}); " +
           "stop the maintenance stream, then rerun the refresh")
     }
-    // 3. commit point: marker present => every rewrite is complete,
-    //    recovery always rolls forward
+    afterRecheck()
+    // 3. docs aside FIRST, then the last-word listing (round 12): the
+    //    step-2 re-check aborts the common slipped-batch case before
+    //    any mutation, but a batch already past its own marker check
+    //    could still commit in the instants between that listing and
+    //    the swap — the one window the lock protocol left. Renaming
+    //    docs aside before the commit point makes the remaining check
+    //    RACE-FREE: the aside copy has no writers (new writers refuse
+    //    on the lock; a pre-lock in-flight committer's staging path
+    //    vanished with the rename, so its commit fails loudly in the
+    //    stream — never silently into a dir about to be deleted). If
+    //    the immutable listing shows a batch slipped past step 2, roll
+    //    docs back and abort: nothing lost, nothing swapped.
+    val docsTarget = p(dir)
+    val docsOld = p(s"${dir}__old")
+    require(fs.rename(docsTarget, docsOld), s"rename $docsTarget aside failed")
+    val asideListing = TextIngest.batchPartitionDirs(spark, s"${dir}__old")
+      .map(_.getName).toSet
+    if (asideListing != preSnapshot) {
+      require(fs.rename(docsOld, docsTarget), s"rollback $docsOld failed")
+      for (sub <- Seq("docs", "dford")) fs.delete(p(s"$storeDir/${sub}__rewrite"), true)
+      fs.delete(refreshLockMarker(storeDir), true)
+      throw new IllegalStateException(
+        s"refreshOrderAuthority($storeDir) aborted at the swap: maintenance " +
+          "batches committed after the commit-point listing " +
+          s"(${(asideListing -- preSnapshot).mkString(", ")}); the store was " +
+          "rolled back untouched — stop the maintenance stream, then rerun " +
+          "the refresh")
+    }
+    // 4. commit point: marker present => every rewrite is complete AND
+    //    the aside listing matched, so recovery always rolls forward.
+    //    docs completes first; dford (no concurrent writers — frozen
+    //    after bootstrap) swaps aside/in/drop under the same marker.
     fs.create(swapMarker(storeDir), true).close()
-    // 4. swap each dir: aside, in, drop aside
-    for (sub <- Seq("docs", "dford")) {
-      val target = p(s"$storeDir/$sub")
-      require(fs.rename(target, p(s"$storeDir/${sub}__old")),
+    require(fs.rename(p(s"${dir}__rewrite"), docsTarget),
+      "rename docs__rewrite in failed")
+    fs.delete(docsOld, true)
+    locally {
+      val target = p(s"$storeDir/dford")
+      require(fs.rename(target, p(s"$storeDir/dford__old")),
         s"rename $target aside failed")
-      require(fs.rename(p(s"$storeDir/${sub}__rewrite"), target),
-        s"rename ${sub}__rewrite in failed")
-      fs.delete(p(s"$storeDir/${sub}__old"), true)
+      require(fs.rename(p(s"$storeDir/dford__rewrite"), target),
+        "rename dford__rewrite in failed")
+      fs.delete(p(s"$storeDir/dford__old"), true)
     }
     fs.delete(swapMarker(storeDir), true)
     // 5. sidecar + lock drop: still inside the lock, so a crash after

@@ -103,6 +103,23 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(Bench.regressionsOf(res, ref) == List("sink_z"))
   }
 
+  test("a cross-sf reference yields no priors and redirects the output file") {
+    // the verify-skill smoke runs the FULL suite at sf0.01: without
+    // the sf gate it would (a) flag nothing meaningful yet (b)
+    // overwrite the sf0.1 reference, making the next driver run flag
+    // the whole suite against ~10x-too-small priors
+    val ref = """{"metric":"total","value":82.9,"queries":{"q1_agg":0.5,"sink_z":2.1},"sf":"/root/testdata/sf0.1"}"""
+    val (offPrev, offMatch) = Bench.parseReference(ref, "/root/testdata/sf0.01")
+    assert(offPrev.isEmpty && !offMatch)
+    val (onPrev, onMatch) = Bench.parseReference(ref, "/root/testdata/sf0.1")
+    assert(onPrev == Map("q1_agg" -> 0.5, "sink_z" -> 2.1) && onMatch)
+    // a reference without an sf field (pre-round-4 format) matches any
+    // run — first-run behavior unchanged
+    val legacy = """{"metric":"total","queries":{"q1_agg":0.5}}"""
+    val (legPrev, legMatch) = Bench.parseReference(legacy, "/root/testdata/sf0.1")
+    assert(legPrev == Map("q1_agg" -> 0.5) && legMatch)
+  }
+
   test("ambient ratio clamps at 1.0 on a quieter-than-baseline run") {
     val res = prev.map { case (k, v) => k -> v * 0.5 }
     assert(Bench.ambientRatio(res, prev) == 1.0)

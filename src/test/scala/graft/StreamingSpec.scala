@@ -1121,6 +1121,39 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     // slipped partition into the rewrite
     DedupIngest.refreshOrderAuthority(spark, store)
     assert(serve() == Set((9000L, 0L)))
+    // ---- 3b. a batch that slips AFTER the commit-point listing
+    // (round 12: the instants-wide window the listing-then-rename
+    // order left) is caught by the race-free re-listing of the
+    // immutable aside copy: docs rolls back, the refresh aborts
+    // loudly, nothing is lost
+    val slipped2 = new java.io.File(s"$store/docs/__batch=78")
+    val e4b = intercept[IllegalStateException] {
+      DedupIngest.refreshOrderAuthority(spark, store, () => (),
+        afterRecheck = () => {
+          org.apache.commons.io.FileUtils.copyDirectory(src, slipped2); () })
+    }
+    assert(e4b.getMessage.contains("aborted at the swap") &&
+      e4b.getMessage.contains("__batch=78"), e4b.getMessage)
+    assert(!lock.exists, "swap-abort must release the lock")
+    assert(slipped2.exists,
+      "the slipped batch survives the rollback — durable, never eaten")
+    spark.catalog.refreshByPath(s"$store/docs")
+    assert(serve() == Set((9000L, 0L)),
+      "rolled-back store is fully consistent")
+    DedupIngest.refreshOrderAuthority(spark, store)
+    assert(serve() == Set((9000L, 0L)))
+    // ---- 3c. mid-abort crash: lock present, docs renamed aside, no
+    // swap marker — the rerun's recovery rolls the aside copy back
+    // (without the marker no rewrite was ever committed, so the aside
+    // copy IS the store) and the refresh then completes normally
+    assert(lock.createNewFile(), "plant the refresh lock")
+    assert(new java.io.File(s"$store/docs")
+      .renameTo(new java.io.File(s"$store/docs__old")), "plant the aside state")
+    DedupIngest.refreshOrderAuthority(spark, store)
+    assert(new java.io.File(s"$store/docs").exists &&
+      !new java.io.File(s"$store/docs__old").exists,
+      "recovery must roll the aside copy back before refreshing")
+    assert(serve() == Set((9000L, 0L)), "store serves after mid-abort recovery")
     // ---- 4. stale sidecar (planted, per the r11 verdict): the serve
     // must refuse on the generation mismatch without scanning docs
     DedupIngest.writeOrderMeta(spark, store, 98L, 5L)
