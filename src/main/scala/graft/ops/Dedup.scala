@@ -322,7 +322,7 @@ object Dedup {
     // shingle explode + df join + sort run once, not per consumer.
     val docOrd = ex.join(dfreq, "__h")
       .groupBy(col(id))
-      .agg(sort_array(collect_list(struct(col("__df"), col("__h")))).as("__ord"))
+      .agg(sort_array(collect_set(struct(col("__df"), col("__h")))).as("__ord"))
       .select(col(id), size(col("__ord")).as("__n"),
         transform(col("__ord"), x => x("__h")).as("__ha"))
       .persist()
@@ -527,15 +527,20 @@ object Dedup {
     * reaches the threshold, eagerly materializes, and records the
     * surviving volume under `counter`.
     *
-    * Both intersection AND union are SET-semantic (`array_intersect` /
-    * `array_union`), which makes the recall invariant unconditional:
-    * common shingles keep their (equal) hashes so the hash-set
-    * intersection can only grow under collisions, and the hash-set
-    * union can only shrink — so hash-Jaccard >= string-Jaccard for ANY
-    * hash function, collisions included. The previous arithmetic union
-    * (size(a)+size(b)-inter) was MULTISET-sized: two distinct shingles
-    * of one doc colliding under xxhash64 (p ~ 2^-64 per pair) would
-    * have undershot the bound and could drop a true pair. */
+    * The recall invariant (hash-Jaccard >= string-Jaccard for ANY
+    * hash function, collisions included: common shingles keep their
+    * equal hashes so the hash-set intersection can only grow, and the
+    * hash-set union can only shrink) holds UNCONDITIONALLY because
+    * both sizes are set-exact: the intersect is `array_intersect`
+    * (set-semantic), and the arithmetic union size(a)+size(b)-inter
+    * is the set union because the `__ha` arrays are DUPLICATE-FREE BY
+    * CONSTRUCTION — [[orderedByDf]] and the self-join's docOrd build
+    * them with `collect_set` over (df, hash) structs, so even two
+    * distinct shingles of one doc colliding under xxhash64
+    * (p ~ 2^-64 per pair, the round-11 advisory's scenario) collapse
+    * to one element at BUILD time, once per doc, instead of paying a
+    * set-semantic `array_union` allocation per candidate pair here
+    * (124,839 pairs at sf0.1 vs ~60k docs). */
   private def hashOverlapGate(cand: DataFrame, aOrd: DataFrame, bOrd: DataFrame,
                               id: String, threshold: Double, parts: Int,
                               counter: String): DataFrame = {
@@ -549,7 +554,7 @@ object Dedup {
       .join(aOrd.select(col(id).as("id_a"), col("__ha").as("__hha")), "id_a")
       .join(bOrd.select(col(id).as("id_b"), col("__ha").as("__hhb")), "id_b")
       .withColumn("__ih", size(array_intersect(col("__hha"), col("__hhb"))).cast("double"))
-      .filter(col("__ih") / size(array_union(col("__hha"), col("__hhb"))) >=
+      .filter(col("__ih") / (size(col("__hha")) + size(col("__hhb")) - col("__ih")) >=
         lit(threshold))
       .select(col("id_a"), col("id_b"))
       .localCheckpoint(true)
@@ -567,7 +572,13 @@ object Dedup {
       .select(col(id), xxhash64(col("__g")).as("__h"))
 
   /** Each doc's shingle hashes as ONE array in (df, hash) canonical
-    * order, plus its size: (id, __n, __ha). `dfreq` is the ordering
+    * order, plus its size: (id, __n, __ha). `collect_set`, not
+    * `collect_list`: shingles are distinct strings per doc, so the
+    * only possible duplicate is two distinct shingles colliding under
+    * xxhash64 (p ~ 2^-64) — deduping that at build time, once per
+    * doc, is what lets [[hashOverlapGate]] use the allocation-free
+    * arithmetic union per candidate pair and still be set-exact.
+    * `dfreq` is the ordering
     * authority — tokens absent from it take df 0 and sort first, which
     * preserves prefix completeness under any shared total order (the
     * pigeonhole argument counts common tokens after the first one; it
@@ -577,7 +588,7 @@ object Dedup {
     .join(dfreq, Seq("__h"), "left")
     .na.fill(0L, Seq("__df"))
     .groupBy(col(id))
-    .agg(sort_array(collect_list(struct(col("__df"), col("__h")))).as("__ord"))
+    .agg(sort_array(collect_set(struct(col("__df"), col("__h")))).as("__ord"))
     .select(col(id), size(col("__ord")).as("__n"),
       transform(col("__ord"), x => x("__h")).as("__ha"))
 
