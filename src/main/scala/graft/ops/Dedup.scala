@@ -619,10 +619,26 @@ object Dedup {
     * prefix and could never produce a candidate. */
   private[graft] def probeCandidatesLazy(pOrd: DataFrame, cOrd: DataFrame,
                                          id: String, threshold: Double,
-                                         shufflePartitions: Int): DataFrame = {
+                                         shufflePartitions: Int): DataFrame =
+    probeCandidatesOn(pOrd, prunedCorpusPostings(pOrd, cOrd, id, threshold),
+      id, threshold, shufflePartitions)
+
+  /** Probe-vocabulary-pruned corpus prefix postings — THE corpus-side
+    * relation of the one-way probe, factored so the eager caller
+    * ([[probePairsOnOrdered]]) can persist ONE corpus-postings pass
+    * that feeds both the collision estimate and the candidate join. */
+  private[graft] def prunedCorpusPostings(pOrd: DataFrame, cOrd: DataFrame,
+                                          id: String, threshold: Double): DataFrame = {
     val pVocab = prefixPostings(pOrd, id, threshold).select(col("__h")).distinct()
-    val cPruned = prefixPostings(cOrd, id, threshold)
+    prefixPostings(cOrd, id, threshold)
       .join(maybeBroadcast(pVocab), Seq("__h"), "left_semi")
+  }
+
+  /** The candidate join body over an already-pruned corpus postings
+    * relation (see [[probeCandidatesLazy]] for the plan contract). */
+  private[graft] def probeCandidatesOn(pOrd: DataFrame, cPruned: DataFrame,
+                                       id: String, threshold: Double,
+                                       shufflePartitions: Int): DataFrame = {
     def keyed(post: DataFrame) = post.repartition(shufflePartitions, col("__h"))
     val alpha = ceil(lit(threshold / (1.0 + threshold)) *
       (col("p.__n") + col("c.__n")) - lit(1e-9))
@@ -652,25 +668,36 @@ object Dedup {
                                          id: String,
                                          threshold: Double): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0)
-    // one-way collision estimate Σ_h pc(h)·cc(h) (callers persist both
-    // ordered relations, so these aggregates read cache) — the same
-    // volume-derived sizing as the self-join, pair-product form
+    val c0 = System.nanoTime()
+    // ONE persisted corpus-postings pass (round 12): the collision
+    // estimate previously re-derived the FULL corpus postings and ran
+    // a corpus-wide aggregate over them — a second complete pass per
+    // serve, over hashes its own inner join then discarded. Pruning
+    // first keeps the estimate Σ_h pc(h)·cc(h) IDENTICAL (hashes
+    // outside the probe vocabulary contribute zero to the product)
+    // while its action materializes the cache the candidate join
+    // reuses.
+    val cPruned = prunedCorpusPostings(pOrd, cOrd, id, threshold).persist()
+    // volume-derived sizing as in the self-join, pair-product form
+    // (callers persist both ordered relations, so the probe-side
+    // aggregate reads cache)
     val shufflePartitions = {
-      def counts(ord: DataFrame, as: String) = prefixPostings(ord, id, threshold)
+      def counts(post: DataFrame, as: String) = post
         .groupBy(col("__h")).agg(count(lit(1)).as(as))
-      val row = counts(pOrd, "__pc").join(counts(cOrd, "__cc"), "__h")
+      val row = counts(prefixPostings(pOrd, id, threshold), "__pc")
+        .join(counts(cPruned, "__cc"), "__h")
         .agg(sum(col("__pc").cast("double") * col("__cc")).as("__v"))
         .head()
       val est = if (row.isNullAt(0)) 0.0 else row.getDouble(0)
       clampPartitions(est, pOrd.sparkSession.sessionState.conf.numShufflePartitions,
         CollisionTargetPerPartition)
     }
-    val c0 = System.nanoTime()
-    val cand = probeCandidatesLazy(pOrd, cOrd, id, threshold, shufflePartitions)
+    val cand = probeCandidatesOn(pOrd, cPruned, id, threshold, shufflePartitions)
       .localCheckpoint(true)
     graft.Metrics.record("jaccard_probe_prefix_candidates", cand.count())
     graft.Metrics.record("jaccard_probe_prefix_candidates_ms",
       (System.nanoTime() - c0) / 1000000L)
+    cPruned.unpersist(blocking = false)
     // hash-overlap gate before the wide string rescore, exactly as in
     // the self-join form (hash-Jaccard >= string-Jaccard: recall-safe)
     hashOverlapGate(cand, pOrd, cOrd, id, threshold, shufflePartitions,
