@@ -104,6 +104,42 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       targetCollisionsPerPartition = 10000L) == 32)
   }
 
+  test("probe collision estimate over pruned corpus postings equals the full-corpus estimate") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // the round-12 single-pass serve computes Σ_h pc(h)·cc(h) on the
+    // probe-vocabulary-PRUNED corpus postings; identical by the inner
+    // product's support (hashes with pc=0 contribute zero), pinned
+    // here on relations where the corpus vocabulary is a strict
+    // superset of the probe's
+    val corpus = (0L until 40L).map(i =>
+      (i, s"alpha beta gamma shared$i tail${i}a tail${i}b tail${i}c"))
+      .toDF("doc_id", "text")
+      .select($"doc_id", graft.ops.Dedup.shingles($"text").as("__sh"))
+    val probe = (100L until 104L).map(i =>
+      (i, s"alpha beta gamma shared${i - 100} probe${i}x probe${i}y"))
+      .toDF("doc_id", "text")
+      .select($"doc_id", graft.ops.Dedup.shingles($"text").as("__sh"))
+    val cEx = graft.ops.Dedup.hashedShingles(corpus, "doc_id", "__sh")
+    val dfreq = cEx.groupBy($"__h").agg(count(lit(1)).as("__df"))
+    val cOrd = graft.ops.Dedup.orderedByDf(cEx, dfreq, "doc_id")
+    val pOrd = graft.ops.Dedup.orderedByDf(
+      graft.ops.Dedup.hashedShingles(probe, "doc_id", "__sh"), dfreq, "doc_id")
+    def est(cPost: org.apache.spark.sql.DataFrame): Double = {
+      val pc = graft.ops.Dedup.prefixPostings(pOrd, "doc_id", 0.5)
+        .groupBy($"__h").agg(count(lit(1)).as("__pc"))
+      val cc = cPost.groupBy($"__h").agg(count(lit(1)).as("__cc"))
+      val r = pc.join(cc, "__h")
+        .agg(sum($"__pc".cast("double") * $"__cc")).head()
+      if (r.isNullAt(0)) 0.0 else r.getDouble(0)
+    }
+    val full = est(graft.ops.Dedup.prefixPostings(cOrd, "doc_id", 0.5))
+    val pruned = est(graft.ops.Dedup.prunedCorpusPostings(pOrd, cOrd, "doc_id", 0.5))
+    assert(full > 0.0, "planted corpus must produce prefix collisions")
+    assert(pruned == full,
+      s"pruned-postings estimate must equal the full estimate: $pruned vs $full")
+  }
+
   test("jaccardProbe equals brute-force one-way at every threshold; corpus never self-pairs") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
