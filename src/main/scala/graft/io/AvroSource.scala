@@ -363,8 +363,18 @@ object Avro {
       if (idx == 0 || it.hasNext) {
         val avroSchema = new ASchema.Parser().parse(avroJson)
         val outPath = new Path(path, f"part-$idx%05d.avro")
+        // task-attempt-private temp + rename-to-commit: a retried or
+        // speculative attempt must never interleave bytes with another
+        // attempt writing the SAME final path (the per-task analog of
+        // the parquet committer's staging). The temp name fails the
+        // `.avro` listing filter, so a crashed attempt's leftover is
+        // invisible to readers; on rename loss the other attempt's
+        // committed (identical-content) file satisfies the partition.
+        val attempt = Option(org.apache.spark.TaskContext.get())
+          .map(_.taskAttemptId()).getOrElse(0L)
+        val tmpPath = new Path(path, f".part-$idx%05d-$attempt.avro.tmp")
         val pfs = outPath.getFileSystem(new Configuration())
-        val out = pfs.create(outPath, true)
+        val out = pfs.create(tmpPath, true)
         val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](avroSchema))
         w.setCodec(codecName match {
           case "null" => CodecFactory.nullCodec()
@@ -381,6 +391,12 @@ object Avro {
           }
           w.append(rec)
         } finally w.close()
+        pfs.delete(outPath, false)
+        if (!pfs.rename(tmpPath, outPath)) {
+          pfs.delete(tmpPath, false)
+          require(pfs.exists(outPath),
+            s"graft_avro: commit rename failed and no attempt landed $outPath")
+        }
       }
       Iterator.single(0)
     }.count()
