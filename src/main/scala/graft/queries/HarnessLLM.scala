@@ -694,8 +694,14 @@ object HarnessLLM {
       val stream = s.readStream.schema(docs.schema)
         .option("pathGlobFilter", "documents.parquet")
         .parquet(dir)
+      // phase attribution for the bench's most expensive key: how much
+      // is micro-batch store build vs the probe serve (the
+      // bm25_serve_ingest_ms discipline)
+      val ing0 = System.nanoTime()
       graft.streaming.DedupIngest.maintainJaccardStore(stream, "doc_id", "text", store)
         .awaitTermination()
+      graft.Metrics.record("jaccard_serve_ingest_ms",
+        (System.nanoTime() - ing0) / 1000000L)
       val probes = docs.filter($"doc_id" < 10)
         .select(($"doc_id" + 100000L).as("doc_id"), $"text")
       graft.streaming.DedupIngest.jaccardProbeFromStore(s, store, probes,

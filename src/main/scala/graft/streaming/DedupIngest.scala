@@ -174,11 +174,14 @@ object DedupIngest {
       .localCheckpoint(true)
     val storedDocs = spark.read.parquet(s"$storeDir/docs")
       .select(col("doc_id"), col("__sh"))
-      .dropDuplicates("doc_id")
     // two-sided rescore: id_a only ever matches probe shingles, id_b
-    // only stored ones — neither relation shuffles for the other side
+    // only stored ones — neither relation shuffles for the other side.
+    // The doc store streams scan-local (no corpus-wide dropDuplicates
+    // shuffle): crash-window duplicates are full-row-identical
+    // relocation copies, collapsed on the match-sized output instead.
     Dedup.rescoreJaccardTwoSided(cand, probeSh, storedDocs,
       "doc_id", "__sh", jaccardThreshold)
+      .dropDuplicates("id_a", "id_b")
   }
 
   /** Maintain the EXACT-probe store from a document stream (round 11)
@@ -713,18 +716,26 @@ object DedupIngest {
       Dedup.hashedShingles(probeSh, "doc_id", "__sh"),
       dfreqFor(spark, storeDir, dford), "doc_id")
       .persist()
-    val stored = storedRaw
-      .select(col("doc_id"), col("__sh"), col("__n"), col("__ha"))
-      .dropDuplicates("doc_id")
-      .persist()
+    // The store is consumed through PRUNED SCAN-LOCAL projections only
+    // (round 12): the candidate algebra reads (doc_id, __n, __ha), the
+    // gate and rescore stream (doc_id, __ha)/(doc_id, __sh) through
+    // broadcast joins against the tiny candidate set. The previous
+    // corpus-wide dropDuplicates("doc_id") + persist paid a full wide
+    // shuffle and a whole-store cache build per serve — at 100 TB the
+    // one operation a store-serving probe must never do. The
+    // compaction-crash-window guard it implemented (a stale partition
+    // beside its relocated, full-row-IDENTICAL copy) moves to the
+    // output: duplicate store rows only ever produce duplicate
+    // (id_a, id_b) result rows, collapsed below on a relation the size
+    // of the match set.
     val rescorable = Dedup.probePairsOnOrdered(
-      pOrd, stored.select(col("doc_id"), col("__n"), col("__ha")),
+      pOrd, storedRaw.select(col("doc_id"), col("__n"), col("__ha")),
       "doc_id", jaccardThreshold)
     val out = Dedup.rescoreJaccardTwoSided(rescorable, probeSh,
-      stored.select(col("doc_id"), col("__sh")), "doc_id", "__sh",
+      storedRaw.select(col("doc_id"), col("__sh")), "doc_id", "__sh",
       jaccardThreshold)
+      .dropDuplicates("id_a", "id_b")
     pOrd.unpersist(blocking = false)
-    stored.unpersist(blocking = false)
     out
   }
 
@@ -733,19 +744,25 @@ object DedupIngest {
     * rescore from the doc store — [[Dedup.minhashLshPortableOnShingles]]'
     * candidate algebra with the store standing in for the featurized
     * corpus, so the served relation (and its oracle) is the batch
-    * key's verbatim. The pre-join distinct/dropDuplicates are the
-    * compaction-crash-window guards ([[TextIngest.bm25FromStore]]):
-    * rows are unique by construction, duplicates only ever mean a
-    * stale partition beside its relocated copy. */
+    * key's verbatim. Compaction-crash-window guards (rows are unique
+    * by construction; duplicates only ever mean a stale partition
+    * beside its relocated, full-row-identical copy): the NARROW sig
+    * relation keeps its pre-join distinct (Catalyst pushes the band
+    * semi-prune below that aggregate, so it runs post-prune), while
+    * the WIDE doc-shingle relation streams scan-local and the guard
+    * runs on the match-sized output pairs instead. */
   def nearDupsFromStore(spark: SparkSession, storeDir: String,
                         jaccardThreshold: Double = 0.5): DataFrame = {
     val banded = spark.read.parquet(s"$storeDir/sigs")
       .select(col("doc_id"), col("__band"), col("__key"))
       .distinct()
       .persist()
+    // the doc store streams scan-local into the rescore (no
+    // corpus-wide dropDuplicates shuffle); crash-window duplicates are
+    // full-row-identical relocation copies, collapsed on the
+    // match-sized output
     val docs = spark.read.parquet(s"$storeDir/docs")
       .select(col("doc_id"), col("__sh"))
-      .dropDuplicates("doc_id")
     val cand = banded.as("a").join(banded.as("b"),
         col("a.__band") === col("b.__band") && col("a.__key") === col("b.__key") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -754,5 +771,6 @@ object DedupIngest {
       .localCheckpoint(true)
     banded.unpersist(blocking = false)
     Dedup.rescoreJaccard(cand, docs, "doc_id", "__sh", jaccardThreshold)
+      .dropDuplicates("id_a", "id_b")
   }
 }

@@ -917,7 +917,13 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       staleD, new java.io.File(s"$store/docs", "__batch=0"))
     spark.catalog.refreshByPath(s"$store/sigs")
     spark.catalog.refreshByPath(s"$store/docs")
-    assert(pairs(DedupIngest.nearDupsFromStore(spark, store)) === batch,
+    val inWindow = DedupIngest.nearDupsFromStore(spark, store).collect()
+    // row-level: duplicate result rows would vanish in the toMap
+    // compare below, and they are exactly what the output-side
+    // crash-window guard exists to prevent
+    assert(inWindow.length == inWindow.map(r => (r.getLong(0), r.getLong(1))).toSet.size,
+      s"crash-window serve must emit no duplicate rows: ${inWindow.length} rows")
+    assert(inWindow.map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap === batch,
       "serving inside the compaction crash window must not change pairs")
     DedupIngest.compactMinhash(spark, store, upToBatch = 2)
     assert(partitions("sigs") == 2 &&
@@ -993,8 +999,15 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     org.apache.commons.io.FileUtils.copyDirectory(
       stale, new java.io.File(s"$store/docs", "__batch=0"))
     spark.catalog.refreshByPath(s"$store/docs")
-    assert(pairs(DedupIngest.jaccardProbeFromStore(spark, store,
-      probeRows.toDF("doc_id", "text"), "doc_id", "text")) === batch,
+    val inWindow = DedupIngest.jaccardProbeFromStore(spark, store,
+      probeRows.toDF("doc_id", "text"), "doc_id", "text").collect()
+    // row-level, not set-level: the round-12 scan-local serve collapses
+    // crash-window duplicates on the OUTPUT, so duplicate result ROWS
+    // (which a toMap comparison would silently absorb) are the
+    // regression this pins against
+    assert(inWindow.length == inWindow.map(r => (r.getLong(0), r.getLong(1))).toSet.size,
+      s"crash-window serve must emit no duplicate rows: ${inWindow.length} rows")
+    assert(inWindow.map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap === batch,
       "serving inside the compaction crash window must not change pairs")
   }
 
