@@ -87,14 +87,17 @@ object MediaIngest {
   }
 
   /** Near-dup pairs served off the stream-maintained store: the shared
-    * banded Hamming join over the stored hashes. The pre-join distinct
-    * is the compaction-crash-window guard ([[TextIngest.bm25FromStore]]):
-    * rows are unique by construction, duplicates only ever mean a stale
-    * partition beside its relocated copy. */
+    * banded Hamming join over the stored hashes. Compaction-crash-window
+    * guard (duplicates only ever mean a stale partition beside its
+    * relocated, full-row-identical copy): the store streams scan-local
+    * — no per-serve distinct + materialization of the hash relation —
+    * and duplicate rows, which can only produce duplicate result rows,
+    * collapse on the match-sized output. */
   def imageNearDupsFromStore(spark: SparkSession, storeDir: String,
                              maxHamming: Int = 3): DataFrame =
     Multimodal.hammingNearDupsOnHashes(
       storedHashes(spark, storeDir), maxHamming, "stream_image_candidates")
+      .dropDuplicates("id_a", "id_b")
 
   /** Probe NEW media items against the stream-maintained corpus store
     * — the incremental-ingest dedup check ("is this already in the
@@ -106,9 +109,12 @@ object MediaIngest {
     Multimodal.imageHammingProbe(storedHashes(spark, storeDir),
       probes, id, media, maxHamming)
 
+  /** Scan-local pruned read of the hash store — NO per-serve distinct
+    * or checkpoint: crash-window duplicates are full-row identical, so
+    * the probe's candidate distinct (which carries both hashes)
+    * collapses them in-flight and the near-dup serve dedupes its
+    * output pairs. */
   private def storedHashes(spark: SparkSession, storeDir: String): DataFrame =
     spark.read.parquet(s"$storeDir/hashes")
       .select(col("doc_id").as("__id"), col("__ah"))
-      .distinct()
-      .localCheckpoint(true)
 }

@@ -235,26 +235,36 @@ object TextIngest {
   def bm25FromStore(spark: SparkSession, storeDir: String, queries: DataFrame,
                     k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     // (doc_id, term, tf) and (doc_id, dl) are globally unique by
-    // construction (a doc lands wholly in one batch), so the distinct
-    // only ever removes the duplicates a compaction crash window
+    // construction (a doc lands wholly in one batch); the distincts
+    // only ever remove the duplicates a compaction crash window
     // leaves behind (compacted rows written, stale batch partitions
-    // not yet deleted) — without it df, N and Σdl would double inside
-    // that window. Mirrors [[termStatsFromStore]]'s guard.
+    // not yet deleted) — without them df, N and Σdl would double
+    // inside that window. Mirrors [[termStatsFromStore]]'s guard.
+    // Round 12: the postings guard runs AFTER the query-term prune —
+    // distinct-then-prune ≡ prune-then-distinct for a term-subset
+    // filter, and the previous order aggregated the ENTIRE inverted
+    // index (the big side of the store) to serve a handful of query
+    // terms. The docs guard stays corpus-wide: N and Σdl are
+    // corpus statistics by definition, and the relation is two narrow
+    // columns with map-side partial aggregation.
     val postings = spark.read.parquet(s"$storeDir/postings")
       .select(col("doc_id"), col("term").as("__w"), col("tf").as("__tf"))
-      .distinct()
     val docs = spark.read.parquet(s"$storeDir/docs")
       .select(col("doc_id"), col("dl"))
       .distinct()
     val stats = docs.agg(count(lit(1)).as("__n"), sum(col("dl")).as("__sdl"))
     val qTerms = queries.select(col("term")).distinct()
-    // materialize the pruned tf relation once, like [[Text.bm25Dynamic]]
-    // — df derivation and the score join both consume it
-    val tfq = postings.join(broadcast(qTerms), col("__w") === col("term"))
-      .join(docs, "doc_id")
-      .select(col("doc_id"), col("dl"), col("__w"), col("__tf"))
+    // materialize the pruned, deduped tf relation once, like
+    // [[Text.bm25Dynamic]] — df derivation and the score join both
+    // consume it, and checkpointing BEFORE the docs join lets the
+    // planner see a match-sized relation to broadcast into it
+    val tf0 = postings.join(broadcast(qTerms), col("__w") === col("term"))
+      .select(col("doc_id"), col("__w"), col("__tf"))
+      .distinct()
       .localCheckpoint(true)
-    val dfq = tfq.groupBy(col("__w")).agg(count(lit(1)).as("__df"))
+    val dfq = tf0.groupBy(col("__w")).agg(count(lit(1)).as("__df"))
+    val tfq = tf0.join(docs, "doc_id")
+      .select(col("doc_id"), col("dl"), col("__w"), col("__tf"))
     val contrib = queries
       .join(tfq, col("term") === col("__w"))
       .join(dfq, "__w")
