@@ -92,6 +92,39 @@ object Bench {
       .split("\\s+")(0).toDouble
     catch { case _: Throwable => -1.0 }
 
+  /** Cumulative hypervisor-steal jiffies from /proc/stat's aggregate
+    * cpu line (field 8, USER_HZ ticks summed over all CPUs) — the
+    * contention marker load average CANNOT see (round 12): a noisy
+    * VM neighbor steals cycles while the guest's own run queue, and
+    * so its load_avg, stays quiet; the round-12 forensics saw heavy
+    * keys swing 2-4x between full-suite runs at load_avg ~1 while
+    * the aggregate steal counter ticked up. -1 where unavailable
+    * (non-Linux / locked-down /proc). */
+  private[graft] def stealJiffies(): Long =
+    try {
+      val line = java.nio.file.Files.lines(
+        java.nio.file.Paths.get("/proc/stat")).findFirst().orElse("")
+      parseStealJiffies(line)
+    } catch { case _: Throwable => -1L }
+
+  /** Field 8 of the aggregate `cpu` line (user nice system idle iowait
+    * irq softirq STEAL ...), factored for BenchGuardSpec. */
+  private[graft] def parseStealJiffies(cpuLine: String): Long = {
+    val f = cpuLine.trim.split("\\s+")
+    if (f.length > 8 && f(0) == "cpu") f(8).toLong else -1L
+  }
+
+  /** Steal share of one wall-clock window: stolen jiffies over the
+    * window's total CPU capacity (elapsed x USER_HZ(100) x nCpus).
+    * 0.05 means the hypervisor took 5% of every cycle this key could
+    * have used — at 32 threads that is more than enough to double a
+    * shuffle-heavy key whose critical path loses whole time slices.
+    * -1 when either sample was unavailable. */
+  private[graft] def stealFrac(dJiffies: Long, elapsedSec: Double,
+                               nCpus: Int): Double =
+    if (dJiffies < 0 || elapsedSec <= 0) -1.0
+    else dJiffies / (elapsedSec * 100.0 * nCpus)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // container is 32-way (local[32], 128 GiB) — shuffle.partitions
@@ -205,6 +238,16 @@ object Bench {
     // still needed a manual rerun. Key-level markers let the reader
     // correlate a key's slowdown with the load curve directly.
     var keyLoad = Map.empty[String, Double]
+    // Per-key hypervisor-steal fraction over the key's own wall-clock
+    // window (round 12): load_avg is blind to a noisy VM neighbor —
+    // the guest's run queue stays short while the hypervisor takes
+    // cycles — so a key flagged at load_avg ~1 was previously
+    // unadjudicable without an isolated rerun. steal_frac_keys says
+    // directly whether the host was being robbed DURING that key.
+    var keySteal = Map.empty[String, Double]
+    val nCpus = cpus.toInt
+    val stealStart = stealJiffies()
+    val suiteStartNanos = System.nanoTime()
     val results = SparkEntry.queries
       .filter { case (name, _) => keyFilter.forall(_.contains(name)) }
       .map { case (name, fn) =>
@@ -212,6 +255,8 @@ object Bench {
       var times = List.empty[Double]
       var dead = false
       var i = 0
+      val k0 = System.nanoTime()
+      val s0 = stealJiffies()
       while (i < runs && !dead) {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); times ::= (System.nanoTime() - t0) / 1e9 }
@@ -225,6 +270,9 @@ object Bench {
         i += 1
       }
       keyLoad += name -> loadAvg1m()
+      keySteal += name -> stealFrac(
+        if (s0 < 0) -1L else stealJiffies() - s0,
+        (System.nanoTime() - k0) / 1e9, nCpus)
       // a key that fails on ANY run records -1 (the "failed" contract)
       // — a partial median of its surviving runs would contradict the
       // `failed` array and pollute `total`
@@ -260,7 +308,12 @@ object Bench {
       .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val keyLoadJson = results.map { case (k, _) =>
       f""""$k":${keyLoad.getOrElse(k, -1.0)}%.2f""" }.mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs_per_key":$runs,"stat":"median","warmup_sec":$warmupSec,"load_avg_start":$loadStart,"load_avg_end":$loadEnd,"load_avg_keys":$keyLoadJson,"ambient_ratio":$ambient,"ivf_index_build_sec":$ivfBuildSec,"pq_index_build_sec":$pqBuildSec,"opq_fit_sec":$opqFitSec,"doc_feats_build_sec":$docFeatsSec,"bucketed_build_sec":$bucketedSec,"failed":$failedJson,"regressions":$regJson,"regressions_detail":$regDetail,"counters":$countersJson}"""
+    val keyStealJson = results.map { case (k, _) =>
+      f""""$k":${keySteal.getOrElse(k, -1.0)}%.4f""" }.mkString("{", ",", "}")
+    val stealSuite = stealFrac(
+      if (stealStart < 0) -1L else stealJiffies() - stealStart,
+      (System.nanoTime() - suiteStartNanos) / 1e9, nCpus)
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs_per_key":$runs,"stat":"median","warmup_sec":$warmupSec,"load_avg_start":$loadStart,"load_avg_end":$loadEnd,"load_avg_keys":$keyLoadJson,"steal_frac_suite":${f"$stealSuite%.4f"},"steal_frac_keys":$keyStealJson,"ambient_ratio":$ambient,"ivf_index_build_sec":$ivfBuildSec,"pq_index_build_sec":$pqBuildSec,"opq_fit_sec":$opqFitSec,"doc_feats_build_sec":$docFeatsSec,"bucketed_build_sec":$bucketedSec,"failed":$failedJson,"regressions":$regJson,"regressions_detail":$regDetail,"counters":$countersJson}"""
     println(line)
     // The driver keeps only a 2000-char tail of stdout, which truncates
     // the per-key map and loses the total; persist the full line so

@@ -668,8 +668,15 @@ object HarnessLLM {
       val stream = s.readStream.schema(docs.schema)
         .option("pathGlobFilter", "documents.parquet")
         .parquet(dir)
+      // phase attribution (the bm25/jaccard `_ingest_ms` discipline):
+      // this key's cost is micro-batch store build + the band-join
+      // serve — the split lands in bench_full.json so a slow run can
+      // be read as ingest vs serve without a rerun
+      val ing0 = System.nanoTime()
       graft.streaming.DedupIngest.maintainMinhash(stream, "doc_id", "text", store)
         .awaitTermination()
+      graft.Metrics.record("minhash_serve_ingest_ms",
+        (System.nanoTime() - ing0) / 1000000L)
       graft.streaming.DedupIngest.nearDupsFromStore(s, store)
         .orderBy($"id_a", $"id_b")
     }),

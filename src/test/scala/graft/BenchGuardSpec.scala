@@ -127,4 +127,21 @@ class BenchGuardSpec extends AnyFunSuite {
     // the un-tightened 3x rule: 2x prior stays silent
     assert(Bench.regressionsOf(res + ("sink_z" -> 2.1 * 2), prev).isEmpty)
   }
+
+  test("steal markers: /proc/stat parse and per-window fraction") {
+    // the aggregate cpu line: user nice system idle iowait irq softirq STEAL
+    assert(Bench.parseStealJiffies(
+      "cpu  509706 0 229421 7825627 15925 0 3705 21997 0 0") == 21997L)
+    // short line / per-core line / garbage -> -1 (marker, not a crash)
+    assert(Bench.parseStealJiffies("cpu 1 2 3") == -1L)
+    assert(Bench.parseStealJiffies("cpu0 1 2 3 4 5 6 7 8 9") == -1L)
+    assert(Bench.parseStealJiffies("") == -1L)
+    // 3200 stolen jiffies over 10 s x 100 Hz x 32 cpus = 10% of the
+    // window's whole CPU capacity — exactly the noisy-neighbor shape
+    // that doubles a shuffle-heavy key while load_avg reads ~1
+    assert(math.abs(Bench.stealFrac(3200L, 10.0, 32) - 0.1) < 1e-9)
+    // unavailable sample or empty window -> -1, never a bogus ratio
+    assert(Bench.stealFrac(-1L, 10.0, 32) == -1.0)
+    assert(Bench.stealFrac(100L, 0.0, 32) == -1.0)
+  }
 }
