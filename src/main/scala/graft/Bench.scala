@@ -294,7 +294,9 @@ object Bench {
     val regDetail = regressions.map { k =>
       val p = prevQueries.get(k).filter(_ > 0).getOrElse(-1.0)
       val r = if (p > 0) resultMap(k) / p else -1.0
-      f"""\"$k\":{\"prior\":$p%.3f,\"cur\":${resultMap(k)}%.3f,\"ratio\":$r%.2f}"""
+      // the key's own steal fraction sits beside the flag: a reader
+      // adjudicating sees "3.3x prior, 12% stolen" in one place
+      f"""\"$k\":{\"prior\":$p%.3f,\"cur\":${resultMap(k)}%.3f,\"ratio\":$r%.2f,\"steal_frac\":${keySteal.getOrElse(k, -1.0)}%.4f}"""
     }.mkString("{", ",", "}")
     val loadEnd = loadAvg1m()
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
