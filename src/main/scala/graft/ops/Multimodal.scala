@@ -8,13 +8,22 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing (north-star ExtOp): media as opaque
   * `binary` columns + typed metadata, decoded partition-wise.
   *
-  * The container has no image/audio codecs, so the DECODE step is a
-  * clearly-marked deterministic stub ([[decodeStub]]); everything
-  * around it — binary column handling, the typed metadata schema, the
-  * partition-wise batch-decode shape (`mapPartitions`, the Scala
-  * analog of a Pandas `mapInPandas` batch UDF: amortize per-batch
-  * setup like codec/model init across a whole partition), and the
-  * resulting relational surface — is real and tested.
+  * Three decode tiers, two of them REAL:
+  *  - codec-free container formats parsed by hand (netpbm P4/P5/P6,
+  *    PCM16 WAV) — pure byte arithmetic, see [[pnmDecode]] /
+  *    [[wavDecode]];
+  *  - REAL compressed-format codecs shipped inside the JDK itself
+  *    (discovered present round 12): PNG (DEFLATE) and JPEG (DCT) via
+  *    `javax.imageio`, G.711 mu-law companded audio via the
+  *    `javax.sound.sampled` codec chain — see [[imageIoDecode]] /
+  *    [[ulawWavDecode]];
+  *  - formats with no in-JDK codec (MP3/Vorbis/H.264...) go through
+  *    the clearly-marked deterministic stub ([[decodeStub]]); the
+  *    plumbing around it — binary column handling, the typed metadata
+  *    schema, the partition-wise batch-decode shape (`mapPartitions`,
+  *    the Scala analog of a Pandas `mapInPandas` batch UDF: amortize
+  *    per-batch setup like codec/model init across a whole partition)
+  *    — is real and tested.
   */
 object Multimodal {
 
@@ -26,10 +35,13 @@ object Multimodal {
     MessageDigest.getInstance("MD5").digest(bytes)
       .map("%02x".format(_)).mkString
 
-  /** STUB decode: a real implementation would parse the container
-    * format (JPEG/WAV/...) here. The fake derives deterministic
+  /** STUB decode for formats with no in-JDK codec (MP3 / Vorbis /
+    * H.264...): a real implementation would hand the payload to an
+    * external codec library here. The fake derives deterministic
     * "dimensions" from the payload size so the full pipeline is
-    * exercisable and oracle-checkable. */
+    * exercisable and oracle-checkable. PNG/JPEG/GIF/BMP/TIFF and
+    * G.711 mu-law do NOT need this stub — they decode for real via
+    * [[imageIoDecode]] / [[ulawWavDecode]]. */
   def decodeStub(docId: Long, payload: Array[Byte]): MediaMeta =
     MediaMeta(
       doc_id = docId,
@@ -819,6 +831,311 @@ object Multimodal {
       .withColumn("hamming", bit_count(col("__ha").bitwiseXOR(col("__hb"))))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  // ---------------------------------------------------------------
+  // REAL codec decode via the JDK's OWN codecs — no external library.
+  // javax.imageio ships PNG (DEFLATE), JPEG (DCT), GIF, BMP, TIFF
+  // readers/writers, and javax.sound.sampled ships a G.711 mu-law <->
+  // PCM codec chain; both run headless. This tier closes the
+  // previously environment-blocked "compressed format" gap: only
+  // formats with no in-JDK codec (MP3/Vorbis/H.264) remain on the
+  // stub. PNG is byte-lossless (exact-mean oracles hold); JPEG is
+  // lossy (geometry exact, sample facts hold within a measured
+  // bound); the JDK's mu-law table matches the G.711 closed form
+  // bit-for-bit on all 256 codes (pinned in IngestSpec), so mu-law
+  // decode is exactly oracle-able.
+  // ---------------------------------------------------------------
+
+  // ImageIO's default read path spools through a temp-FILE cache; 32
+  // executor threads doing per-row decodes must stay in-memory
+  private lazy val imageIoNoCache: Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
+  /** Encode a raw BGR sample buffer (w*h*3 bytes, the TYPE_3BYTE_BGR
+    * raster layout) through a REAL ImageIO codec — `"png"` (DEFLATE,
+    * lossless) or `"jpg"` (JPEG DCT, lossy). */
+  def imageIoEncode(fmt: String, w: Int, h: Int, bgr: Array[Byte]): Array[Byte] = {
+    require(bgr.length == w * h * 3, s"need ${w * h * 3} samples, got ${bgr.length}")
+    imageIoNoCache
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val data = img.getRaster.getDataBuffer
+      .asInstanceOf[java.awt.image.DataBufferByte].getData
+    System.arraycopy(bgr, 0, data, 0, bgr.length)
+    val out = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(img, fmt, out), s"no ImageIO writer for $fmt")
+    out.toByteArray
+  }
+
+  /** Decoded-through-a-real-codec image: the sniffed container format
+    * (lower-case, e.g. "png"/"jpeg"), true geometry, and the exact
+    * integer sum/count of every raster sample (all bands) — the facts
+    * a mean is derived from without any float accumulation. */
+  final case class CodecImage(format: String, width: Int, height: Int,
+                              sampleSum: Long, nSamples: Long)
+
+  /** REAL image decode via ImageIO: sniff the format off the byte
+    * stream's own magic (the reader registry's `canDecodeInput`
+    * probe), decode through the matching codec (PNG inflate, JPEG
+    * IDCT, ...), then walk the decoded raster. None for payloads no
+    * in-JDK codec claims (e.g. netpbm — those route to [[pnmDecode]])
+    * or that fail to decode. */
+  def imageIoDecode(bytes: Array[Byte]): Option[CodecImage] = {
+    imageIoNoCache
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return None
+        val reader = readers.next()
+        try {
+          reader.setInput(iis)
+          val fmt = reader.getFormatName.toLowerCase
+          val img = reader.read(0)
+          val ras = img.getRaster
+          val (w, h, bands) = (img.getWidth, img.getHeight, ras.getNumBands)
+          var sum = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              var b = 0
+              while (b < bands) { sum += ras.getSample(x, y, b); b += 1 }
+              x += 1
+            }
+            y += 1
+          }
+          Some(CodecImage(fmt, w, h, sum, w.toLong * h * bands))
+        } finally reader.dispose()
+      } finally iis.close()
+    } catch { case _: java.io.IOException | _: RuntimeException => None }
+  }
+
+  /** Decoded-through-a-real-codec image metadata: sniffed format,
+    * true geometry, and the mean raster sample — evidence the
+    * compressed buffer was actually inflated/IDCT'd and read. */
+  case class CodecImageMeta(doc_id: Long, format: String, width: Int,
+                            height: Int, mean_px: Double)
+
+  /** Partition-wise REAL compressed-image decode (the
+    * [[decodePpmPartitions]] shape over the in-JDK codecs); payloads
+    * no codec claims are dropped — a production pipeline would route
+    * them to the external-codec path (the stub's tier). */
+  def decodeImagePartitions(df: DataFrame)(implicit s: SparkSession): Dataset[CodecImageMeta] = {
+    import s.implicits._
+    df.select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        imageIoNoCache // per-partition codec init
+        it.flatMap { case (id, bytes) =>
+          imageIoDecode(bytes).map { c =>
+            CodecImageMeta(id, c.format, c.width, c.height,
+              c.sampleSum.toDouble / c.nSamples)
+          }
+        }
+      }
+  }
+
+  /** Encode grayscale frames (each w*h bytes) as a REAL animated GIF:
+    * 256-gray palette, LZW compression, one GraphicControlExtension
+    * per frame — a genuinely compressed multi-frame container (the
+    * codec analog of the concatenated-netpbm stream). Lossless for
+    * 8-bit gray, so exact-mean oracles hold. */
+  def gifEncode(w: Int, h: Int, frames: Seq[Array[Byte]]): Array[Byte] = {
+    require(frames.nonEmpty && frames.forall(_.length == w * h),
+      s"every frame must be ${w * h} gray samples")
+    imageIoNoCache
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      frames.foreach { gray =>
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val data = img.getRaster.getDataBuffer
+          .asInstanceOf[java.awt.image.DataBufferByte].getData
+        System.arraycopy(gray, 0, data, 0, gray.length)
+        // per-frame GraphicControlExtension (disposal "none") so the
+        // decoder returns each frame's own raster, not a composite
+        val meta = writer.getDefaultImageMetadata(
+          javax.imageio.ImageTypeSpecifier.createFromRenderedImage(img),
+          writer.getDefaultWriteParam)
+        val fmt = meta.getNativeMetadataFormatName
+        val root = meta.getAsTree(fmt)
+          .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+        val gce = new javax.imageio.metadata.IIOMetadataNode("GraphicControlExtension")
+        gce.setAttribute("disposalMethod", "none")
+        gce.setAttribute("userInputFlag", "FALSE")
+        gce.setAttribute("transparentColorFlag", "FALSE")
+        gce.setAttribute("delayTime", "10")
+        gce.setAttribute("transparentColorIndex", "0")
+        root.appendChild(gce)
+        meta.setFromTree(fmt, root)
+        writer.writeToSequence(
+          new javax.imageio.IIOImage(img, null, meta), writer.getDefaultWriteParam)
+      }
+      writer.endWriteSequence()
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    bos.toByteArray
+  }
+
+  /** One REAL-decoded GIF frame: geometry + the exact integer luma
+    * sum (gray value per pixel, read through the palette — the
+    * decoded image is indexed, so raw raster samples would be palette
+    * INDICES; `getRGB` resolves them to colors). */
+  final case class GifFrame(width: Int, height: Int, lumaSum: Long, nPx: Long)
+
+  /** REAL animated-GIF demux + decode via the JDK's GIF codec: count
+    * frames off the container, LZW-decode each, walk its pixels.
+    * Empty for payloads the GIF reader doesn't claim or that fail to
+    * decode. */
+  def gifFrames(bytes: Array[Byte]): Vector[GifFrame] = {
+    imageIoNoCache
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return Vector.empty
+        val reader = readers.next()
+        try {
+          reader.setInput(iis)
+          if (reader.getFormatName.toLowerCase != "gif") return Vector.empty
+          val n = reader.getNumImages(true)
+          (0 until n).iterator.map { f =>
+            val img = reader.read(f)
+            val (w, h) = (img.getWidth, img.getHeight)
+            var sum = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                // gray image: r == g == b; take the red channel
+                sum += (img.getRGB(x, y) >> 16) & 0xFF
+                x += 1
+              }
+              y += 1
+            }
+            GifFrame(w, h, sum, w.toLong * h)
+          }.toVector
+        } finally reader.dispose()
+      } finally iis.close()
+    } catch { case _: java.io.IOException | _: RuntimeException => Vector.empty }
+  }
+
+  /** One GIF frame's relational row (the [[PnmFrame]] shape, codec
+    * tier). */
+  case class GifFrameMeta(doc_id: Long, frame_idx: Int, format: String,
+                          width: Int, height: Int, mean_px: Double)
+
+  /** Partition-wise REAL animated-GIF frame demux + decode — the
+    * compressed-container analog of [[pnmFramesPartitions]]. */
+  def gifFramesPartitions(df: DataFrame)(implicit s: SparkSession): Dataset[GifFrameMeta] = {
+    import s.implicits._
+    df.select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        gifFrames(bytes).iterator.zipWithIndex.map { case (f, idx) =>
+          GifFrameMeta(id, idx, "gif", f.width, f.height,
+            f.lumaSum.toDouble / f.nPx)
+        }
+      }
+  }
+
+  /** Encode raw G.711 mu-law bytes in a canonical 44-byte-header
+    * RIFF/WAVE container (format code 7, 8 bits/sample). */
+  def ulawWavEncode(sampleRate: Int, channels: Int, ulaw: Array[Byte]): Array[Byte] = {
+    require(channels >= 1 && ulaw.length % channels == 0)
+    val out = java.nio.ByteBuffer.allocate(44 + ulaw.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + ulaw.length)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(7) // WAVE_FORMAT_MULAW
+      .putShort(channels.toShort)
+      .putInt(sampleRate)
+      .putInt(sampleRate * channels) // byte rate: 1 byte/sample
+      .putShort(channels.toShort)    // block align
+      .putShort(8)                   // bits per sample
+      .put("data".getBytes("US-ASCII")).putInt(ulaw.length)
+    out.put(ulaw)
+    out.array()
+  }
+
+  /** REAL companded-audio decode: AudioSystem parses the WAV
+    * container, and the JDK's G.711 codec chain expands mu-law to
+    * linear PCM16 (little-endian target format pinned explicitly —
+    * the conversion provider honors it). None for payloads that are
+    * not mu-law audio (PCM16 WAV routes to [[wavDecode]]; compressed
+    * formats with no in-JDK codec route to the stub). */
+  def ulawWavDecode(bytes: Array[Byte]): Option[Wav] = {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    try {
+      val in = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+      try {
+        val f = in.getFormat
+        if (f.getEncoding != AudioFormat.Encoding.ULAW) None
+        else {
+          val dst = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+            f.getSampleRate, 16, f.getChannels, 2 * f.getChannels,
+            f.getSampleRate, false)
+          val pcm = AudioSystem.getAudioInputStream(dst, in)
+          val raw =
+            try pcm.readAllBytes()
+            finally pcm.close()
+          val samples = new Array[Short](raw.length / 2)
+          var k = 0
+          while (k < samples.length) {
+            samples(k) = le16(raw, 2 * k).toShort
+            k += 1
+          }
+          Some(Wav(f.getSampleRate.toInt, f.getChannels, samples))
+        }
+      } finally in.close()
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      case _: IllegalArgumentException => None // no conversion provider
+      case _: java.io.IOException => None
+    }
+  }
+
+  /** The G.711 mu-law expansion closed form (the spec's segment
+    * table as arithmetic) — the oracle-side contract [[ulawWavDecode]]
+    * is pinned against: the JDK codec's output equals this for every
+    * code 0..255 (IngestSpec sweeps all of them). */
+  def ulawToLinear(u: Int): Int = {
+    val v = (~u) & 0xFF
+    val mag = ((((v & 0xF) << 3) + 0x84) << ((v >> 4) & 7)) - 0x84
+    if ((v & 0x80) != 0) -mag else mag
+  }
+
+  /** Decoded-for-real mu-law metadata: format facts plus the mean
+    * EXPANDED (linear PCM) sample off the codec chain's actual
+    * output buffer. */
+  case class UlawMeta(doc_id: Long, sample_rate: Int, channels: Int,
+                      n_samples: Long, n_bytes: Long, mean_sample: Double)
+
+  /** Partition-wise REAL mu-law decode (non-mu-law payloads drop to
+    * their own tiers). */
+  def decodeUlawPartitions(df: DataFrame)(implicit s: SparkSession): Dataset[UlawMeta] = {
+    import s.implicits._
+    df.select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          ulawWavDecode(bytes).map { w =>
+            var sum = 0L
+            var k = 0
+            while (k < w.samples.length) { sum += w.samples(k); k += 1 }
+            UlawMeta(id, w.sampleRate, w.channels, w.samples.length.toLong,
+              bytes.length.toLong, sum.toDouble / w.samples.length)
+          }
+        }
+      }
   }
 
   /** Deterministic fake embedding: dim exact-binary-fraction values

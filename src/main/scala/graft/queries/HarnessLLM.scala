@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ops.{Dedup, Multimodal, Text, Vectors}
@@ -215,6 +215,32 @@ object HarnessLLM {
     }
     df.withColumn("media", mk(col("doc_id"), col("text")))
   }
+
+  /** Deterministic compressed-image payload per document: the
+    * [[withPpmMedia]] 16 x (4 + doc_id%5) digest-cycled BGR raster,
+    * encoded through a REAL in-JDK ImageIO codec ("png" = DEFLATE,
+    * "jpg" = JPEG DCT). PNG is lossless, so the decoded mean stays
+    * the exact digest-sum/16 dyadic rational; JPEG geometry is exact
+    * and the mean holds within a measured bound. */
+  private def withCodecImageMedia(df: DataFrame, fmt: String): DataFrame = {
+    val mk = udf { (docId: Long, s: String) =>
+      val w = 16
+      val h = 4 + (docId % 5).toInt
+      val digest = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      Multimodal.imageIoEncode(fmt, w, h,
+        Array.tabulate(w * h * 3)(k => digest(k % 16)))
+    }
+    df.withColumn("media", mk(col("doc_id"), col("text")))
+  }
+
+  /** The exact digest-byte mean as a Spark Column over `text` —
+    * the same closed form the DuckDB oracles spell, for keys that
+    * need it ENGINE-side (the JPEG bound check). */
+  private def digestMeanCol: Column =
+    (0 until 16)
+      .map(i => conv(substring(md5(col("text")), 2 * i + 1, 2), 16, 10).cast("int"))
+      .reduce(_ + _) / 16.0
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- deduplication ----
@@ -1277,6 +1303,81 @@ object HarnessLLM {
           element_at($"feature", 1).as("f1"), element_at($"feature", 8).as("f8"))
         .orderBy($"doc_id")
     }),
+    "multimodal_png_decode" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      // REAL COMPRESSED-image decode through the JDK's own PNG codec
+      // (DEFLATE): the digest-cycled raster is deflate-encoded, the
+      // decoder sniffs the format off the magic, inflates, and walks
+      // the decoded raster. PNG is byte-lossless, so the mean is the
+      // same exact digest-sum/16 dyadic rational as the netpbm tier —
+      // a hash-exact oracle over a genuinely compressed payload.
+      Multimodal.decodeImagePartitions(
+        withCodecImageMedia(t(s, dir, "documents"), "png")).toDF()
+        .orderBy($"doc_id")
+    }),
+    "multimodal_jpeg_decode" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      // REAL LOSSY decode through the JDK's JPEG codec (IDCT +
+      // chroma upsampling): geometry and sniffed format are exact;
+      // the decoded mean is checked within a measured bound (worst
+      // observed over 2000 digest-noise images at these sizes: 2.67;
+      // bound 8.0 = 3x margin) — the sketch keys' error-bound-
+      // relation pattern, because bit-exactness is not a property
+      // JPEG has.
+      Multimodal.decodeImagePartitions(
+        withCodecImageMedia(t(s, dir, "documents"), "jpg")).toDF()
+        .join(t(s, dir, "documents").select($"doc_id", digestMeanCol.as("__exact")),
+          Seq("doc_id"))
+        .select($"doc_id", $"format", $"width", $"height",
+          (abs($"mean_px" - $"__exact") <= 8.0).as("within_bound"))
+        .orderBy($"doc_id")
+    }),
+    "multimodal_gif_frames" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      // REAL compressed multi-frame container: an animated GIF (LZW +
+      // 256-gray palette, one GraphicControlExtension per frame)
+      // demuxed and decoded through the JDK's GIF codec. Frame f's
+      // 16x6 gray raster cycles md5(text || ':' || f), so each
+      // frame's decoded mean is ITS OWN digest-sum/16 exact dyadic
+      // rational (GIF is lossless for 8-bit gray) — frames are
+      // distinguishable and hash-exact.
+      val mk = udf { (docId: Long, s2: String) =>
+        val nFrames = 2 + (docId % 3).toInt
+        val frames = (0 until nFrames).map { f =>
+          val digest = java.security.MessageDigest.getInstance("MD5")
+            .digest(s"$s2:$f".getBytes("UTF-8"))
+          Array.tabulate(16 * 6)(k => digest(k % 16))
+        }
+        Multimodal.gifEncode(16, 6, frames)
+      }
+      val withMedia = t(s, dir, "documents")
+        .withColumn("media", mk($"doc_id", $"text"))
+      Multimodal.gifFramesPartitions(withMedia).toDF()
+        .orderBy($"doc_id", $"frame_idx")
+    }),
+    "multimodal_ulaw_decode" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      // REAL COMPANDED-audio decode: a format-7 (mu-law) RIFF/WAVE
+      // container parsed by AudioSystem and expanded to linear PCM16
+      // by the JDK's G.711 codec chain. The JDK's expansion table
+      // equals the G.711 closed form bit-for-bit on all 256 codes
+      // (IngestSpec sweeps them), so the decoded mean is EXACTLY
+      // oracle-able: the oracle re-derives the segment arithmetic in
+      // SQL. Clip k's code stream is (k*37 + doc_id) % 256 over
+      // 64 + 8*(doc_id%50) samples.
+      val mk = udf { (docId: Long) =>
+        val n = 64 + 8 * (docId % 50).toInt
+        Multimodal.ulawWavEncode(8000, 1,
+          Array.tabulate(n)(k => ((k * 37 + docId) % 256).toByte))
+      }
+      val withMedia = t(s, dir, "documents")
+        .withColumn("media", mk($"doc_id"))
+      Multimodal.decodeUlawPartitions(withMedia).toDF().orderBy($"doc_id")
+    }),
   )
 
   /** Shared oracle prelude: trim+lower whitespace tokens, distinct
@@ -1962,5 +2063,58 @@ object HarnessLLM {
         | CAST(strlen(text) * 1 % 1024 AS DOUBLE) / 1024.0 AS f1,
         | CAST(strlen(text) * 8 % 1024 AS DOUBLE) / 1024.0 AS f8
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // REAL PNG decode (the JDK's DEFLATE codec): format sniffed off
+    // the magic, geometry off the decoded image, and — PNG being
+    // byte-lossless — the decoded-raster mean is the exact
+    // digest-sum/16 dyadic rational again
+    "multimodal_png_decode" -> {
+      val digestSum = (0 until 16)
+        .map(i => s"CAST(('0x' || substr(md5(text), ${2 * i + 1}, 2)) AS INT)")
+        .mkString(" + ")
+      s"""SELECT doc_id, 'png' AS format, CAST(16 AS INT) AS width,
+         | CAST(4 + doc_id % 5 AS INT) AS height,
+         | ($digestSum) / 16.0 AS mean_px
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+    // REAL JPEG decode (lossy): format + geometry exact; the decoded
+    // mean enters as an error-bound relation (within_bound pinned
+    // literal TRUE), the sketch keys' pattern — bit-exactness is not
+    // a property JPEG has
+    "multimodal_jpeg_decode" ->
+      """SELECT doc_id, 'jpeg' AS format, CAST(16 AS INT) AS width,
+        | CAST(4 + doc_id % 5 AS INT) AS height, TRUE AS within_bound
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // REAL animated-GIF demux/decode (LZW, lossless on 8-bit gray):
+    // frame count off the container, geometry off each frame, and
+    // each frame's mean the digest-sum/16 of ITS OWN per-frame digest
+    "multimodal_gif_frames" -> {
+      val digestSum = (0 until 16)
+        .map(i => s"CAST(('0x' || substr(md5(text || ':' || CAST(f AS VARCHAR)), ${2 * i + 1}, 2)) AS INT)")
+        .mkString(" + ")
+      s"""SELECT doc_id, CAST(f AS INT) AS frame_idx, 'gif' AS format,
+         | CAST(16 AS INT) AS width, CAST(6 AS INT) AS height,
+         | ($digestSum) / 16.0 AS mean_px
+         |FROM (SELECT doc_id, text, unnest(range(2 + doc_id % 3)) AS f FROM documents)
+         |ORDER BY doc_id, frame_idx""".stripMargin
+    },
+    // REAL G.711 mu-law decode: the oracle re-derives the spec's
+    // segment expansion in SQL (v = bit-complement of the code;
+    // magnitude = ((mant*8 + 132) << exp) - 132, sign from bit 7) —
+    // exact because the JDK codec's table equals this closed form on
+    // all 256 codes (IngestSpec sweeps them)
+    "multimodal_ulaw_decode" ->
+      """WITH ks AS (
+        | SELECT doc_id, unnest(range(64 + 8 * (doc_id % 50))) AS k FROM documents),
+        |dec AS (
+        | SELECT doc_id, 255 - ((k * 37 + doc_id) % 256) AS v FROM ks),
+        |lin AS (
+        | SELECT doc_id,
+        |  (CASE WHEN v >= 128 THEN -1 ELSE 1 END) *
+        |   (((v % 16) * 8 + 132) * CAST(power(2, (v // 16) % 8) AS BIGINT) - 132) AS s
+        | FROM dec)
+        |SELECT doc_id, CAST(8000 AS INT) AS sample_rate, CAST(1 AS INT) AS channels,
+        | count(*) AS n_samples, CAST(44 + count(*) AS BIGINT) AS n_bytes,
+        | CAST(sum(s) AS DOUBLE) / count(*) AS mean_sample
+        |FROM lin GROUP BY doc_id ORDER BY doc_id""".stripMargin,
   )
 }

@@ -325,6 +325,84 @@ class IngestSpec extends AnyFunSuite with SparkTestBase {
     assert(Multimodal.wavDecode(hostileFmt).isEmpty)
   }
 
+  test("ImageIO codec decode: PNG byte-lossless, JPEG bounded-lossy, junk and netpbm rejected") {
+    import graft.ops.Multimodal
+    // deterministic noise raster (the harness's digest-cycle shape)
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest("codec test".getBytes("UTF-8"))
+    val w = 16; val h = 7
+    val bgr = Array.tabulate(w * h * 3)(k => digest(k % 16))
+    val exactMean = bgr.map(_ & 0xFF).map(_.toLong).sum.toDouble / bgr.length
+    // PNG (DEFLATE, lossless): format sniffed, geometry true, the
+    // decoded-raster mean EXACTLY the source mean
+    val png = Multimodal.imageIoDecode(Multimodal.imageIoEncode("png", w, h, bgr)).get
+    assert(png.format == "png" && png.width == w && png.height == h, png.toString)
+    assert(png.nSamples == w.toLong * h * 3)
+    assert(png.sampleSum.toDouble / png.nSamples == exactMean, "PNG must round-trip byte-exact")
+    // JPEG (DCT, lossy): format + geometry exact, mean within the
+    // measured bound (worst over 2000 noise images: 2.67; bound 8)
+    val jpg = Multimodal.imageIoDecode(Multimodal.imageIoEncode("jpg", w, h, bgr)).get
+    assert(jpg.format == "jpeg" && jpg.width == w && jpg.height == h, jpg.toString)
+    assert(math.abs(jpg.sampleSum.toDouble / jpg.nSamples - exactMean) <= 8.0)
+    // decode is deterministic within this JVM (same codec, same table)
+    val jpg2 = Multimodal.imageIoDecode(Multimodal.imageIoEncode("jpg", w, h, bgr)).get
+    assert(jpg2.sampleSum == jpg.sampleSum, "same codec must decode identically")
+    // payloads no in-JDK codec claims -> None, never throw: junk,
+    // truncated PNG, and netpbm (that tier routes to pnmDecode)
+    assert(Multimodal.imageIoDecode("not an image".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.imageIoDecode(
+      Multimodal.imageIoEncode("png", w, h, bgr).take(20)).isEmpty)
+    assert(Multimodal.imageIoDecode(
+      Multimodal.ppmEncode(2, 1, Array[Byte](1, 2, 3, 4, 5, 6))).isEmpty)
+  }
+
+  test("GIF frames: real LZW multi-frame container round-trips gray rasters losslessly") {
+    import graft.ops.Multimodal
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest("gif test".getBytes("UTF-8"))
+    // three distinct frames (per-frame byte rotation + one mutation)
+    val f0 = Array.tabulate(16 * 6)(k => digest(k % 16))
+    val f1 = Array.tabulate(16 * 6)(k => digest((k + 5) % 16))
+    val f2 = f0.clone; f2(17) = (f2(17) ^ 0x55).toByte
+    val gif = Multimodal.gifEncode(16, 6, Seq(f0, f1, f2))
+    val frames = Multimodal.gifFrames(gif)
+    assert(frames.length == 3, s"expected 3 frames, got ${frames.length}")
+    val wantSums = Seq(f0, f1, f2).map(_.map(_ & 0xFF).map(_.toLong).sum)
+    frames.zip(wantSums).zipWithIndex.foreach { case ((fr, want), i) =>
+      assert(fr.width == 16 && fr.height == 6, s"frame $i geometry")
+      assert(fr.lumaSum == want, s"frame $i must decode byte-exact (LZW+gray palette is lossless)")
+    }
+    // junk / truncated / non-GIF image payloads -> empty, never throw
+    assert(Multimodal.gifFrames("not a gif".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.gifFrames(gif.take(40)).isEmpty ||
+      Multimodal.gifFrames(gif.take(40)).forall(_.nPx > 0)) // partial may yield 0 parsed frames
+    assert(Multimodal.gifFrames(
+      Multimodal.imageIoEncode("png", 2, 2, Array.fill(12)(3.toByte))).isEmpty)
+  }
+
+  test("mu-law decode: JDK codec chain == G.711 closed form on all 256 codes; non-ulaw rejected") {
+    import graft.ops.Multimodal
+    // the load-bearing contract behind the exact oracle: sweep every
+    // code through the REAL AudioSystem conversion and compare to the
+    // spec's segment arithmetic
+    val allCodes = Array.tabulate(256)(_.toByte)
+    val d = Multimodal.ulawWavDecode(Multimodal.ulawWavEncode(8000, 1, allCodes)).get
+    assert(d.sampleRate == 8000 && d.channels == 1 && d.samples.length == 256)
+    val mismatches = (0 until 256).filter(i => d.samples(i) != Multimodal.ulawToLinear(i))
+    assert(mismatches.isEmpty, s"JDK table diverges from G.711 at codes $mismatches")
+    // stereo container facts survive the codec chain
+    val st = Multimodal.ulawWavDecode(
+      Multimodal.ulawWavEncode(44100, 2, Array[Byte](0, 1, 2, 3))).get
+    assert(st.sampleRate == 44100 && st.channels == 2 && st.samples.length == 4)
+    // PCM16 WAV is NOT this tier's format (it routes to wavDecode);
+    // junk payloads drop to None, never throw
+    assert(Multimodal.ulawWavDecode(
+      Multimodal.wavEncode(8000, 1, Array[Short](1, 2, 3))).isEmpty)
+    assert(Multimodal.ulawWavDecode("not audio at all".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.ulawWavDecode(
+      Multimodal.ulawWavEncode(8000, 1, allCodes).take(30)).isEmpty)
+  }
+
   test("CSV ingest -> overwrite sink -> prepData -> Q1, end to end") {
     Files.createDirectories(Paths.get(stage))
     Files.writeString(Paths.get(s"$stage/zones.csv"),
