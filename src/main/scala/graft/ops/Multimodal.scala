@@ -577,53 +577,81 @@ object Multimodal {
     * no floats anywhere, so the hash is bit-deterministic across JVMs
     * and engines. Visually-identical images hash equal; small edits
     * flip few bits, so near-duplicate detection is a small-radius
-    * Hamming search. None for non-P5/P6 payloads or images smaller
-    * than the 8x8 grid. */
+    * Hamming search. Routes by payload: netpbm P5/P6 through the
+    * codec-free parser, codec formats (PNG/JPEG/GIF/BMP/TIFF)
+    * through the in-JDK ImageIO decoders (round 12). None for P4
+    * bitmaps, unclaimed payloads, or images smaller than the 8x8
+    * grid. */
   def aHash64(bytes: Array[Byte]): Option[Long] =
-    pnmDecode(bytes).flatMap { img =>
-      if (img.width < 8 || img.height < 8) None
-      else img.format match {
-        case "P5" | "P6" =>
-          val w = img.width
-          val h = img.height
-          val ch = if (img.format == "P6") 3 else 1
-          val blockSum = new Array[Long](64)
-          val blockPx = new Array[Long](64)
-          var totalSum = 0L
-          var y = 0
-          while (y < h) {
-            val gy = y * 8 / h
-            var x = 0
-            while (x < w) {
-              val gx = x * 8 / w
+    pnmDecode(bytes) match {
+      case Some(img) =>
+        img.format match {
+          case "P5" | "P6" =>
+            val ch = if (img.format == "P6") 3 else 1
+            aHashFromLuma(img.width, img.height, (x, y) => {
               var luma = 0
               var c = 0
-              val base = (y * w + x) * ch
+              val base = (y * img.width + x) * ch
               while (c < ch) { luma += img.samples(base + c) & 0xFF; c += 1 }
-              val b = gy * 8 + gx
-              blockSum(b) += luma
-              blockPx(b) += 1
-              totalSum += luma
-              x += 1
-            }
-            y += 1
-          }
-          val totalPx = w.toLong * h
-          var hash = 0L
-          var b = 0
-          while (b < 64) {
-            // BigInt: blockSum*totalPx reaches ~3e21 on a ~2e9-pixel
-            // P5 (the parser admits up to Int.MaxValue samples), past
-            // Long — a wrapped product would silently flip hash bits.
-            // 64 BigInt compares per image is noise next to the decode.
-            if (BigInt(blockSum(b)) * totalPx > BigInt(totalSum) * blockPx(b))
-              hash |= (1L << b)
-            b += 1
-          }
-          Some(hash)
-        case _ => None
-      }
+              luma
+            })
+          case _ => None // P4 bitmap: no gray scale to block-average
+        }
+      case None =>
+        // codec formats (PNG/JPEG/GIF/BMP/TIFF) hash through the
+        // in-JDK decoders; luma = r+g+b via getRGB, which resolves
+        // palette indices to colors (a raw raster walk on an indexed
+        // GIF would hash palette INDEX patterns). The block compare
+        // is scale-invariant, so 3x-gray and 1x-gray lumas hash a
+        // given image identically.
+        imageIoRead(bytes).flatMap { img =>
+          aHashFromLuma(img.getWidth, img.getHeight, (x, y) => {
+            val rgb = img.getRGB(x, y)
+            ((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)
+          })
+        }
     }
+
+  /** The shared aHash block fold over any integer luma grid: 8x8
+    * blocks with floor boundaries, bit set iff the block mean exceeds
+    * the global mean by exact integer cross-multiplication — no
+    * floats, so bit-deterministic across JVMs and engines. */
+  private def aHashFromLuma(w: Int, h: Int, lumaAt: (Int, Int) => Int): Option[Long] = {
+    if (w < 8 || h < 8) None
+    else {
+      val blockSum = new Array[Long](64)
+      val blockPx = new Array[Long](64)
+      var totalSum = 0L
+      var y = 0
+      while (y < h) {
+        val gy = y * 8 / h
+        var x = 0
+        while (x < w) {
+          val gx = x * 8 / w
+          val luma = lumaAt(x, y)
+          val b = gy * 8 + gx
+          blockSum(b) += luma
+          blockPx(b) += 1
+          totalSum += luma
+          x += 1
+        }
+        y += 1
+      }
+      val totalPx = w.toLong * h
+      var hash = 0L
+      var b = 0
+      while (b < 64) {
+        // BigInt: blockSum*totalPx reaches ~1e22 on a ~2e9-pixel
+        // image (the parsers admit up to Int.MaxValue samples), past
+        // Long — a wrapped product would silently flip hash bits.
+        // 64 BigInt compares per image is noise next to the decode.
+        if (BigInt(blockSum(b)) * totalPx > BigInt(totalSum) * blockPx(b))
+          hash |= (1L << b)
+        b += 1
+      }
+      Some(hash)
+    }
+  }
 
   /** Split a 64-bit hash into `bands` contiguous bit-bands (the
     * pigeonhole index for Hamming search: two hashes within Hamming
@@ -908,6 +936,26 @@ object Multimodal {
             y += 1
           }
           Some(CodecImage(fmt, w, h, sum, w.toLong * h * bands))
+        } finally reader.dispose()
+      } finally iis.close()
+    } catch { case _: java.io.IOException | _: RuntimeException => None }
+  }
+
+  /** First-image read through whatever in-JDK codec claims the byte
+    * stream; None when no reader claims it or the decode fails — the
+    * [[aHash64]] routing hook for codec-format payloads. */
+  private def imageIoRead(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] = {
+    imageIoNoCache
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return None
+        val reader = readers.next()
+        try {
+          reader.setInput(iis)
+          Some(reader.read(0))
         } finally reader.dispose()
       } finally iis.close()
     } catch { case _: java.io.IOException | _: RuntimeException => None }

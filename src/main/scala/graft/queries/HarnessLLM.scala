@@ -1034,6 +1034,33 @@ object HarnessLLM {
       Multimodal.imageNearDups(imgs, "doc_id", "media", maxHamming = 3)
         .orderBy($"id_a", $"id_b")
     }),
+    "multimodal_codec_image_dedup" -> ((s, dir) => {
+      import s.implicits._
+      // The image_dedup contract over REAL COMPRESSED payloads:
+      // the same planted triplet groups, but each image arrives as a
+      // PNG — aHash64 routes it through the in-JDK DEFLATE decoder
+      // (round 12) instead of the netpbm parser. PNG is lossless, so
+      // within-group payloads stay bit-identical after encode
+      // (Hamming 0 deterministic) and the closed-form pair list
+      // carries over verbatim; a JPEG corpus would rely on decode
+      // determinism instead (spec-pinned, not oracled).
+      val mk = udf { (docId: Long) =>
+        val group = docId / 3
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val px = new Array[Byte](16 * 16 * 3)
+        var chunk = 0
+        while (chunk * 16 < px.length) {
+          val d = md.digest(s"img:$group:$chunk".getBytes("UTF-8"))
+          System.arraycopy(d, 0, px, chunk * 16, math.min(16, px.length - chunk * 16))
+          chunk += 1
+        }
+        graft.ops.Multimodal.imageIoEncode("png", 16, 16, px)
+      }
+      val imgs = t(s, dir, "documents").filter($"doc_id" < 300)
+        .select($"doc_id", mk($"doc_id").as("media"))
+      Multimodal.imageNearDups(imgs, "doc_id", "media", maxHamming = 3)
+        .orderBy($"id_a", $"id_b")
+    }),
     "stream_image_ingest" -> ((s, dir) => {
       import s.implicits._
       // Streaming perceptual-hash maintenance: the same planted
@@ -1936,6 +1963,15 @@ object HarnessLLM {
     // pair list is pure doc_id arithmetic and every distance is 0;
     // cross-group pairs sit ~32 bits apart and cannot enter
     "multimodal_image_dedup" ->
+      """SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(0 AS INT) AS hamming
+        |FROM documents a JOIN documents b
+        |  ON a.doc_id // 3 = b.doc_id // 3 AND a.doc_id < b.doc_id
+        |WHERE a.doc_id < 300 AND b.doc_id < 300
+        |ORDER BY 1, 2""".stripMargin,
+    // same planted contract through the PNG (DEFLATE) decode path:
+    // lossless encode keeps within-group payloads bit-identical, so
+    // the pair list and distances are unchanged
+    "multimodal_codec_image_dedup" ->
       """SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(0 AS INT) AS hamming
         |FROM documents a JOIN documents b
         |  ON a.doc_id // 3 = b.doc_id // 3 AND a.doc_id < b.doc_id

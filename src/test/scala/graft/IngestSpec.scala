@@ -356,6 +356,40 @@ class IngestSpec extends AnyFunSuite with SparkTestBase {
       Multimodal.ppmEncode(2, 1, Array[Byte](1, 2, 3, 4, 5, 6))).isEmpty)
   }
 
+  test("aHash64 codec routing: PNG hashes identical to P6 of the same pixels; gray scale-invariance; JPEG deterministic") {
+    import graft.ops.Multimodal
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val px = new Array[Byte](16 * 16 * 3)
+    var chunk = 0
+    while (chunk * 16 < px.length) {
+      val d = md.digest(s"ahash:$chunk".getBytes("UTF-8"))
+      System.arraycopy(d, 0, px, chunk * 16, math.min(16, px.length - chunk * 16))
+      chunk += 1
+    }
+    // PNG is lossless and the luma fold is the same r+g+b either
+    // route, so the codec path must hash EXACTLY like the P6 path
+    val p6Hash = Multimodal.aHash64(Multimodal.ppmEncode(16, 16, px)).get
+    val pngHash = Multimodal.aHash64(Multimodal.imageIoEncode("png", 16, 16, px)).get
+    assert(pngHash == p6Hash, "PNG route must hash identically to P6 of the same pixels")
+    // gray: P5 luma is 1x the sample, a replicated-channel PNG reads
+    // 3x — the integer cross-multiplication compare is scale-invariant
+    val gray = Array.tabulate(16 * 16)(k => px(k))
+    val p5Hash = Multimodal.aHash64(Multimodal.pgmEncode(16, 16, gray)).get
+    val grayBgr = gray.flatMap(g => Array(g, g, g))
+    val pngGrayHash = Multimodal.aHash64(Multimodal.imageIoEncode("png", 16, 16, grayBgr)).get
+    assert(pngGrayHash == p5Hash, "3x-gray luma must hash like 1x-gray (scale invariance)")
+    // JPEG: lossy, so only determinism + visual proximity are claims
+    val j1 = Multimodal.aHash64(Multimodal.imageIoEncode("jpg", 16, 16, px)).get
+    val j2 = Multimodal.aHash64(Multimodal.imageIoEncode("jpg", 16, 16, px)).get
+    assert(j1 == j2, "same codec, same payload, same hash")
+    assert(java.lang.Long.bitCount(j1 ^ p6Hash) <= 16,
+      s"JPEG of the same image should stay visually near its source hash, got ${java.lang.Long.bitCount(j1 ^ p6Hash)}")
+    // P4 keeps returning None (no gray scale), junk keeps returning None
+    assert(Multimodal.aHash64(
+      Multimodal.pbmEncode(16, 16, Array.fill(2 * 16)(0x0F.toByte))).isEmpty)
+    assert(Multimodal.aHash64("definitely not an image".getBytes("UTF-8")).isEmpty)
+  }
+
   test("GIF frames: real LZW multi-frame container round-trips gray rasters losslessly") {
     import graft.ops.Multimodal
     val digest = java.security.MessageDigest.getInstance("MD5")
