@@ -218,6 +218,24 @@ object Bench {
       try parseReference(new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get("bench_full.json")), "UTF-8"), sfDir)
       catch { case _: Throwable => (Map.empty[String, Double], true) }
+    // Reference provenance (round 12): a second full run without an
+    // intervening commit reads its priors from the FIRST run's
+    // working-tree output, not the committed baseline — an empty
+    // regressions list against rebased priors proves nothing (this
+    // exact sequence hid a 4x contention spike in-round). Record
+    // whether the reference file was git-clean at prior-load time;
+    // the adjudicating reader (and the commit discipline) key off it.
+    val referenceDirty: Option[Boolean] =
+      try {
+        val p = new ProcessBuilder("git", "status", "--porcelain", "--", "bench_full.json")
+          .redirectErrorStream(true).start()
+        val out = new String(p.getInputStream.readAllBytes(), "UTF-8").trim
+        if (p.waitFor() == 0) Some(out.nonEmpty) else None
+      } catch { case _: Throwable => None }
+    if (referenceDirty.contains(true))
+      System.err.println("[bench] WARN: bench_full.json has uncommitted changes — " +
+        "priors are NOT the committed baseline; restore it (git checkout -- " +
+        "bench_full.json) before trusting the regression list")
     // In-round iteration hook: SPARK_GRAFT_BENCH_KEYS=k1,k2 times just
     // those keys. Unset (the driver's invocation) = the full suite.
     val keyFilter = sys.env.get("SPARK_GRAFT_BENCH_KEYS")
@@ -315,7 +333,7 @@ object Bench {
     val stealSuite = stealFrac(
       if (stealStart < 0) -1L else stealJiffies() - stealStart,
       (System.nanoTime() - suiteStartNanos) / 1e9, nCpus)
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs_per_key":$runs,"stat":"median","warmup_sec":$warmupSec,"load_avg_start":$loadStart,"load_avg_end":$loadEnd,"load_avg_keys":$keyLoadJson,"steal_frac_suite":${f"$stealSuite%.4f"},"steal_frac_keys":$keyStealJson,"ambient_ratio":$ambient,"ivf_index_build_sec":$ivfBuildSec,"pq_index_build_sec":$pqBuildSec,"opq_fit_sec":$opqFitSec,"doc_feats_build_sec":$docFeatsSec,"bucketed_build_sec":$bucketedSec,"failed":$failedJson,"regressions":$regJson,"regressions_detail":$regDetail,"counters":$countersJson}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs_per_key":$runs,"stat":"median","warmup_sec":$warmupSec,"load_avg_start":$loadStart,"load_avg_end":$loadEnd,"load_avg_keys":$keyLoadJson,"steal_frac_suite":${f"$stealSuite%.4f"},"steal_frac_keys":$keyStealJson,"ambient_ratio":$ambient,"reference_dirty":${referenceDirty.map(_.toString).getOrElse("null")},"ivf_index_build_sec":$ivfBuildSec,"pq_index_build_sec":$pqBuildSec,"opq_fit_sec":$opqFitSec,"doc_feats_build_sec":$docFeatsSec,"bucketed_build_sec":$bucketedSec,"failed":$failedJson,"regressions":$regJson,"regressions_detail":$regDetail,"counters":$countersJson}"""
     println(line)
     // The driver keeps only a 2000-char tail of stdout, which truncates
     // the per-key map and loses the total; persist the full line so
