@@ -266,7 +266,13 @@ object Bench {
     val nCpus = cpus.toInt
     val stealStart = stealJiffies()
     val suiteStartNanos = System.nanoTime()
-    val results = SparkEntry.queries
+    // SORTED key order (round 12): SparkEntry.queries is a hash map,
+    // so iteration order used to be bucket order — adding ONE key
+    // reshuffled every key's suite position, and position-dependent
+    // residue (JIT warmth, cleaner backlog the GC drain doesn't fully
+    // cover) then moved between rounds, polluting exactly the
+    // round-over-round per-key comparison the bench exists for.
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => keyFilter.forall(_.contains(name)) }
       .map { case (name, fn) =>
       if (gcBetween) System.gc()
@@ -319,7 +325,7 @@ object Bench {
     val loadEnd = loadAvg1m()
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val regJson = regressions.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     // data-dependent scale counters the ops recorded while running
