@@ -680,10 +680,14 @@ object Multimodal {
     * absolute amplitude exceeds window i's (integer-exact
     * cross-multiplication, like [[aHash64]]). The shape of the
     * loudness envelope, not its level — the chromaprint idea reduced
-    * to its codec-free core. None for non-WAV payloads or clips
-    * shorter than 65 frames. */
+    * to its codec-free core. Routes by payload (round 12): PCM16 WAV
+    * through the codec-free chunk walk, mu-law WAV through the JDK's
+    * G.711 expansion ([[ulawWavDecode]]) — identical companded clips
+    * fingerprint identically, so compressed audio joins the same
+    * dedup/probe space. None for payloads neither tier claims or
+    * clips shorter than 65 frames. */
   def audioFingerprint64(bytes: Array[Byte]): Option[Long] =
-    wavDecode(bytes).flatMap { wav =>
+    wavDecode(bytes).orElse(ulawWavDecode(bytes)).flatMap { wav =>
       val ch = wav.channels
       val nFrames = wav.samples.length / ch
       if (nFrames < 65) None

@@ -435,6 +435,16 @@ class IngestSpec extends AnyFunSuite with SparkTestBase {
     assert(Multimodal.ulawWavDecode("not audio at all".getBytes("UTF-8")).isEmpty)
     assert(Multimodal.ulawWavDecode(
       Multimodal.ulawWavEncode(8000, 1, allCodes).take(30)).isEmpty)
+    // the fingerprint routes compressed clips through this tier:
+    // identical mu-law payloads fingerprint identically (the dedup
+    // contract), and a monotone-ramp envelope survives the expansion
+    // (G.711 is monotonic, so ascending window energies stay ordered)
+    val rampUlaw = Multimodal.ulawWavEncode(8000, 1,
+      Array.tabulate(260)(k => (0x7F - (k * 127 / 260)).toByte)) // codes descending = magnitudes ascending
+    val fp1 = Multimodal.audioFingerprint64(rampUlaw)
+    val fp2 = Multimodal.audioFingerprint64(rampUlaw)
+    assert(fp1.isDefined && fp1 == fp2, "mu-law clips must fingerprint, deterministically")
+    assert(fp1.get == -1L, s"ascending mu-law envelope must set all 64 bits, got ${fp1.get}")
   }
 
   test("CSV ingest -> overwrite sink -> prepData -> Q1, end to end") {

@@ -480,4 +480,52 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
       }
     }
   }
+
+  test("PNG codec round-trip is byte-lossless on random rasters (sum + hash level)") {
+    import graft.ops.Multimodal
+    trials { rnd =>
+      val w = 8 + rnd.nextInt(24)
+      val h = 8 + rnd.nextInt(24)
+      val bgr = Array.fill(w * h * 3)(rnd.nextInt(256).toByte)
+      val decoded = Multimodal.imageIoDecode(Multimodal.imageIoEncode("png", w, h, bgr)).get
+      assert(decoded.format == "png" && decoded.width == w && decoded.height == h)
+      assert(decoded.sampleSum == bgr.map(_ & 0xFF).map(_.toLong).sum,
+        "DEFLATE inflate must reproduce every sample byte")
+      // and the perceptual hash agrees with the codec-free P6 route
+      assert(Multimodal.aHash64(Multimodal.imageIoEncode("png", w, h, bgr)) ==
+        Multimodal.aHash64(Multimodal.ppmEncode(w, h, bgr)))
+    }
+  }
+
+  test("GIF multi-frame round-trip is lossless per frame on random gray stacks") {
+    import graft.ops.Multimodal
+    trials { rnd =>
+      val w = 8 + rnd.nextInt(16)
+      val h = 8 + rnd.nextInt(16)
+      val frames = List.fill(1 + rnd.nextInt(4))(Array.fill(w * h)(rnd.nextInt(256).toByte))
+      val decoded = Multimodal.gifFrames(Multimodal.gifEncode(w, h, frames))
+      assert(decoded.length == frames.length, "demux must find every frame")
+      decoded.zip(frames).foreach { case (d, src) =>
+        assert(d.width == w && d.height == h)
+        assert(d.lumaSum == src.map(_ & 0xFF).map(_.toLong).sum,
+          "LZW + 256-gray palette must reproduce every sample")
+      }
+    }
+  }
+
+  test("mu-law decode equals the G.711 closed form on random code streams") {
+    import graft.ops.Multimodal
+    trials { rnd =>
+      val channels = 1 + rnd.nextInt(2)
+      val n = channels * (1 + rnd.nextInt(400))
+      val codes = Array.fill(n)(rnd.nextInt(256).toByte)
+      val wav = Multimodal.ulawWavDecode(
+        Multimodal.ulawWavEncode(8000, channels, codes)).get
+      assert(wav.channels == channels && wav.samples.length == n)
+      codes.zip(wav.samples).foreach { case (c, s) =>
+        assert(s == Multimodal.ulawToLinear(c & 0xFF),
+          "the JDK codec chain must match the spec's segment arithmetic")
+      }
+    }
+  }
 }
