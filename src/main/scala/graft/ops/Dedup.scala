@@ -349,10 +349,20 @@ object Dedup {
     // The estimate is one aggregate over the postings projection of
     // the ALREADY-PERSISTED docOrd, then floors at the session count
     // (small corpora keep today's behavior exactly) and caps at 4096.
+    // ordering-build timer (round 12): the collision estimate below is
+    // the FIRST action on this plan, so it materializes the persisted
+    // docOrd (shingle explode + df join + per-doc sort aggregate) —
+    // previously the key's dominant cost sat in no phase counter and
+    // slow-host adjudications had ~2.5s of unattributed wall to argue
+    // about. Split reported: docord+estimate / candidates / gate /
+    // rescore.
+    val d0 = System.nanoTime()
     val shufflePartitions = collisionPartitions(
       prefixPostings(docOrd, id, threshold),
       sh.sparkSession.sessionState.conf.numShufflePartitions,
       CollisionTargetPerPartition)
+    graft.Metrics.record("jaccard_docord_build_ms",
+      (System.nanoTime() - d0) / 1000000L)
     val probes = prefixPostings(docOrd, id, threshold)
       .repartition(shufflePartitions, col("__h"))
       .persist()
