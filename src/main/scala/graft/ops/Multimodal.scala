@@ -989,6 +989,59 @@ object Multimodal {
       }
   }
 
+  /** Codec-tier resize result: target geometry, the mean sample of
+    * the RESAMPLED raster, and proof the re-encoded payload decodes
+    * back to exactly that raster (PNG being lossless). */
+  case class CodecResizedMeta(doc_id: Long, out_w: Int, out_h: Int,
+                              mean_px: Double, roundtrip_ok: Boolean)
+
+  /** Partition-wise REAL codec resize chain: decode through whatever
+    * in-JDK codec claims the payload, resample with the SAME exact
+    * floor-index nearest-neighbor kernel as [[ppmResize]] (pixel
+    * (x,y) samples source (x*sw/tw, y*sh/th) — pure integer index
+    * arithmetic, so the resampled raster is closed-form for the
+    * oracle), re-encode as PNG, and decode the re-encode to prove the
+    * full chain lossless. Payloads no codec claims are dropped. */
+  def resizeImagePartitions(df: DataFrame, targetW: Int, targetH: Int)
+                           (implicit s: SparkSession): Dataset[CodecResizedMeta] = {
+    require(targetW > 0 && targetH > 0)
+    import s.implicits._
+    df.select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        imageIoNoCache
+        it.flatMap { case (id, bytes) =>
+          imageIoRead(bytes).map { img =>
+            val (sw, sh) = (img.getWidth, img.getHeight)
+            val out = new Array[Byte](targetW * targetH * 3)
+            var sum = 0L
+            var y = 0
+            while (y < targetH) {
+              val sy = (y.toLong * sh / targetH).toInt
+              var x = 0
+              while (x < targetW) {
+                val sx = (x.toLong * sw / targetW).toInt
+                val rgb = img.getRGB(sx, sy)
+                val (r, g, b) = ((rgb >> 16) & 0xFF, (rgb >> 8) & 0xFF, rgb & 0xFF)
+                val dst = (y * targetW + x) * 3
+                // TYPE_3BYTE_BGR raster layout for the re-encode
+                out(dst) = b.toByte
+                out(dst + 1) = g.toByte
+                out(dst + 2) = r.toByte
+                sum += r + g + b
+                x += 1
+              }
+              y += 1
+            }
+            val reDecoded = imageIoDecode(imageIoEncode("png", targetW, targetH, out))
+            CodecResizedMeta(id, targetW, targetH,
+              sum.toDouble / (targetW.toLong * targetH * 3),
+              reDecoded.exists(c => c.sampleSum == sum &&
+                c.width == targetW && c.height == targetH))
+          }
+        }
+      }
+  }
+
   /** Encode grayscale frames (each w*h bytes) as a REAL animated GIF:
     * 256-gray palette, LZW compression, one GraphicControlExtension
     * per frame — a genuinely compressed multi-frame container (the

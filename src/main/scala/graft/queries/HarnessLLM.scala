@@ -1393,6 +1393,20 @@ object HarnessLLM {
           (abs($"mean_px" - $"__exact") <= 8.0).as("within_bound"))
         .orderBy($"doc_id")
     }),
+    "multimodal_codec_resize" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      // REAL codec resize chain: the PNG corpus decodes through
+      // DEFLATE, resamples with the exact floor-index NN kernel
+      // (pixel (x,y) <- source (2x, y*h/8) here), re-encodes as PNG,
+      // and the re-encode is decoded again to prove the chain
+      // lossless (roundtrip_ok pinned TRUE). The resampled mean is
+      // closed-form: the oracle walks the same 8x8x3 index arithmetic
+      // over the digest cycle in SQL.
+      Multimodal.resizeImagePartitions(
+        withCodecImageMedia(t(s, dir, "documents"), "png"), 8, 8).toDF()
+        .orderBy($"doc_id")
+    }),
     "multimodal_gif_frames" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       import s.implicits._
@@ -2143,6 +2157,22 @@ object HarnessLLM {
       """SELECT doc_id, 'jpeg' AS format, CAST(16 AS INT) AS width,
         | CAST(4 + doc_id % 5 AS INT) AS height, TRUE AS within_bound
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // REAL codec resize chain: the resampled raster is closed-form
+    // (floor-index NN over the digest cycle: target (x,y,c) reads
+    // digest[(((y*h//8)*16 + 2x)*3 + c) % 16]), so the mean is exact;
+    // roundtrip_ok (re-encode decodes back bit-identical) pins TRUE
+    "multimodal_codec_resize" ->
+      """WITH yy AS (
+        | SELECT doc_id, text, 4 + doc_id % 5 AS h, unnest(range(8)) AS y FROM documents),
+        |xx AS (SELECT doc_id, text, h, y, unnest(range(8)) AS x FROM yy),
+        |cc AS (SELECT doc_id, text, ((y * h // 8) * 16 + 2 * x) * 3 AS base,
+        |       unnest(range(3)) AS c FROM xx),
+        |b AS (SELECT doc_id,
+        |      CAST(('0x' || substr(md5(text), 1 + 2 * ((base + c) % 16), 2)) AS INT) AS v
+        |      FROM cc)
+        |SELECT doc_id, CAST(8 AS INT) AS out_w, CAST(8 AS INT) AS out_h,
+        | CAST(sum(v) AS DOUBLE) / 192.0 AS mean_px, TRUE AS roundtrip_ok
+        |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // REAL animated-GIF demux/decode (LZW, lossless on 8-bit gray):
     // frame count off the container, geometry off each frame, and
     // each frame's mean the digest-sum/16 of ITS OWN per-frame digest

@@ -414,6 +414,28 @@ class IngestSpec extends AnyFunSuite with SparkTestBase {
       Multimodal.imageIoEncode("png", 2, 2, Array.fill(12)(3.toByte))).isEmpty)
   }
 
+  test("codec resize chain: exact NN placement through decode -> resample -> re-encode") {
+    import graft.ops.Multimodal
+    import spark.implicits._
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    // 2x2 quadrants R G / B W as PNG, upscaled 2x: each quadrant
+    // becomes 2x2 (the ppmResize placement contract, codec tier)
+    val bgr = Array[Byte](
+      0, 0, 255.toByte,   0, 255.toByte, 0,
+      255.toByte, 0, 0,   255.toByte, 255.toByte, 255.toByte)
+    val png = Multimodal.imageIoEncode("png", 2, 2, bgr)
+    val df = Seq((1L, png)).toDF("doc_id", "media")
+    val r = Multimodal.resizeImagePartitions(df, 4, 4).collect().head
+    assert(r.out_w == 4 && r.out_h == 4 && r.roundtrip_ok,
+      "re-encode must decode back bit-identical")
+    // mean: 4 copies each of R(255), G(255), B(255), W(765) over 48 samples
+    assert(r.mean_px == (4 * 255 + 4 * 255 + 4 * 255 + 4 * 765) / 48.0)
+    // non-image payloads drop
+    assert(Multimodal.resizeImagePartitions(
+      Seq((2L, "junk".getBytes("UTF-8"))).toDF("doc_id", "media"), 4, 4)
+      .collect().isEmpty)
+  }
+
   test("mu-law decode: JDK codec chain == G.711 closed form on all 256 codes; non-ulaw rejected") {
     import graft.ops.Multimodal
     // the load-bearing contract behind the exact oracle: sweep every
