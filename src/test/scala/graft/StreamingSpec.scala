@@ -814,8 +814,19 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       }
       Multimodal.ppmEncode(16, 16, px)
     }
+    // the same pixels as img(seed) but PNG-encoded: the codec-routed
+    // aHash (round 12) hashes it identical to its P6 twin, so a
+    // CROSS-FORMAT duplicate must pair through the store like any other
+    def pngImg(seed: Int): Array[Byte] = {
+      val px = Multimodal.ppmDecode(img(seed)).get.pixels // RGB samples
+      val bgr = new Array[Byte](px.length) // imageIoEncode takes BGR
+      for (i <- 0 until px.length / 3) {
+        bgr(3 * i) = px(3 * i + 2); bgr(3 * i + 1) = px(3 * i + 1); bgr(3 * i + 2) = px(3 * i)
+      }
+      Multimodal.imageIoEncode("png", 16, 16, bgr)
+    }
     val b1 = Seq((1L, img(0)), (2L, img(1)), (9L, "junk".getBytes("UTF-8")))
-    val b2 = Seq((3L, img(0)), (4L, img(2)))  // 3 duplicates 1, across batches
+    val b2 = Seq((3L, img(0)), (4L, img(2)), (5L, pngImg(1)))  // 3 dups 1, 5 dups 2 cross-format, across batches
     val store = "/tmp/graft_test/image_hash_spec"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(store))
     val ms = MemoryStream[(Long, Array[Byte])](spark)
@@ -839,7 +850,8 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     val served = pairs(MediaIngest.imageNearDupsFromStore(spark, store, maxHamming = 3))
     val batch = pairs(Multimodal.imageNearDups(
       (b1 ++ b2).toDF("doc_id", "media"), "doc_id", "media", maxHamming = 3))
-    assert(served == batch && served == Set((1L, 3L, 0)))
+    assert(served == batch && served == Set((1L, 3L, 0), (2L, 5L, 0)),
+      s"cross-batch P6 pair AND cross-format P6/PNG pair must serve: $served")
     // compaction folds the partitions and the crash window (stale
     // batch partition beside its relocated copy) stays dedup-safe
     MediaIngest.compactImageHashes(spark, store, upToBatch = Long.MaxValue)
@@ -850,7 +862,8 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       Seq((100L, img(1)), (101L, img(7))).toDF("doc_id", "media"),
       "doc_id", "media", maxHamming = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
-    assert(probed == Set((100L, 2L, 0)), probed.toString)
+    // ...including the cross-format twin: one probe, both containers
+    assert(probed == Set((100L, 2L, 0), (100L, 5L, 0)), probed.toString)
   }
 
   test("stream-maintained minhash store serves exactly the batch near-dup pairs") {
