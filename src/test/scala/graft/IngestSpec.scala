@@ -347,6 +347,13 @@ class IngestSpec extends AnyFunSuite with SparkTestBase {
     // decode is deterministic within this JVM (same codec, same table)
     val jpg2 = Multimodal.imageIoDecode(Multimodal.imageIoEncode("jpg", w, h, bgr)).get
     assert(jpg2.sampleSum == jpg.sampleSum, "same codec must decode identically")
+    // the router's breadth is whatever the JDK registry claims: BMP
+    // and TIFF (both lossless here) decode through the same path with
+    // their own sniffed format names and exact sums
+    val bmp = Multimodal.imageIoDecode(Multimodal.imageIoEncode("bmp", w, h, bgr)).get
+    assert(bmp.format == "bmp" && bmp.sampleSum == png.sampleSum, bmp.toString)
+    val tif = Multimodal.imageIoDecode(Multimodal.imageIoEncode("tif", w, h, bgr)).get
+    assert(tif.format.startsWith("tif") && tif.sampleSum == png.sampleSum, tif.toString)
     // payloads no in-JDK codec claims -> None, never throw: junk,
     // truncated PNG, and netpbm (that tier routes to pnmDecode)
     assert(Multimodal.imageIoDecode("not an image".getBytes("UTF-8")).isEmpty)
