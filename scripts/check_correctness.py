@@ -65,6 +65,15 @@ def main(sf_dir, out_dir):
     for name, why in bad:
         print(f"  FAIL {name}: {why}")
     print(f"\n{len(ok)}/{len(ok) + len(bad)} oracle keys match")
+    # a SPARK_GRAFT_VERIFY_KEYS run leaves a `_filtered` marker: its
+    # oracle_sql.json covers only the filtered keys, so "N/N match"
+    # here is NOT the full gate — say so instead of letting a partial
+    # rewrite of a full-dump dir read as complete coverage
+    import os
+    marker = os.path.join(out_dir, "_filtered")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            print(f"  NOTE: FILTERED run ({f.read().strip()}) — not the full gate")
     return 1 if bad else 0
 
 

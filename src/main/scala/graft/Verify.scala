@@ -24,9 +24,19 @@ object Verify {
     // comma-separated key filter for targeted local triage (the
     // SPARK_GRAFT_BENCH_KEYS pattern); unset = the full driver gate.
     // The oracle dump filters to the same keys so the local compare
-    // script doesn't flag the unrun ones as missing.
+    // script doesn't flag the unrun ones as missing. A `_filtered`
+    // marker lands beside it (and a full run REMOVES it): a filtered
+    // rewrite of a dir holding a previous full dump must not read as
+    // "all keys pass" with coverage silently shrunk — the compare
+    // script prints the marker (the bench_filtered.json discipline,
+    // Verify side).
     val keyFilter = sys.env.get("SPARK_GRAFT_VERIFY_KEYS")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val marker = Paths.get(s"$outDir/_filtered")
+    keyFilter match {
+      case Some(ks) => Files.writeString(marker, ks.toSeq.sorted.mkString(","))
+      case None => Files.deleteIfExists(marker)
+    }
     def selected(name: String) = keyFilter.forall(_.contains(name))
     SparkEntry.queries.foreach { case (name, fn) =>
       if (selected(name)) {

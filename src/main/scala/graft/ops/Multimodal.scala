@@ -605,8 +605,15 @@ object Multimodal {
         // is scale-invariant, so 3x-gray and 1x-gray lumas hash a
         // given image identically.
         imageIoRead(bytes).flatMap { img =>
-          aHashFromLuma(img.getWidth, img.getHeight, (x, y) => {
-            val rgb = img.getRGB(x, y)
+          // row-cached bulk getRGB: aHashFromLuma walks strictly
+          // row-major, so one bulk conversion per row replaces a
+          // per-pixel getRGB (the hot loop of every streamed hash)
+          val w = img.getWidth
+          val rowBuf = new Array[Int](w)
+          var cachedY = -1
+          aHashFromLuma(w, img.getHeight, (x, y) => {
+            if (y != cachedY) { img.getRGB(0, y, w, 1, rowBuf, 0, w); cachedY = y }
+            val rgb = rowBuf(x)
             ((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)
           })
         }
@@ -884,6 +891,47 @@ object Multimodal {
   private lazy val imageIoNoCache: Unit =
     javax.imageio.ImageIO.setUseCache(false)
 
+  /** Hostile-dimensions budget for the ImageIO tier: a ~100-byte
+    * payload can DECLARE a multi-gigapixel image in its header, and
+    * `reader.read` would allocate the raster before seeing any pixel
+    * data — an uncatchable OutOfMemoryError, violating the tier's
+    * hostile-payload-drops-to-None contract (the pnmDecode lesson,
+    * codec side). Dimensions are read header-only and gated BEFORE
+    * the decode allocates. 64M px ~= 256 MB at 4 bytes/px. */
+  private val MaxDecodePixels = 1L << 26
+
+  /** Shared reader lifecycle for the ImageIO tier (sniff off the byte
+    * stream's magic via the registry probe, dispose/close on every
+    * path, hostile payloads drop to None — one copy of the subtle
+    * part, serving [[imageIoDecode]]/[[imageIoRead]]/[[gifFrames]]). */
+  private def withImageReader[T](bytes: Array[Byte])
+                                (f: javax.imageio.ImageReader => Option[T]): Option[T] = {
+    imageIoNoCache
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return None
+        val reader = readers.next()
+        try {
+          reader.setInput(iis)
+          f(reader)
+        } finally reader.dispose()
+      } finally iis.close()
+    } catch { case _: java.io.IOException | _: RuntimeException => None }
+  }
+
+  /** Header-only dimension check, then decode image `idx` — the
+    * [[MaxDecodePixels]] gate applied before the raster exists. */
+  private def guardedRead(reader: javax.imageio.ImageReader,
+                          idx: Int): Option[java.awt.image.BufferedImage] = {
+    val w = reader.getWidth(idx)
+    val h = reader.getHeight(idx)
+    if (w <= 0 || h <= 0 || w.toLong * h > MaxDecodePixels) None
+    else Some(reader.read(idx))
+  }
+
   /** Encode a raw BGR sample buffer (w*h*3 bytes, the TYPE_3BYTE_BGR
     * raster layout) through a REAL ImageIO codec — `"png"` (DEFLATE,
     * lossless) or `"jpg"` (JPEG DCT, lossy). */
@@ -913,57 +961,36 @@ object Multimodal {
     * IDCT, ...), then walk the decoded raster. None for payloads no
     * in-JDK codec claims (e.g. netpbm — those route to [[pnmDecode]])
     * or that fail to decode. */
-  def imageIoDecode(bytes: Array[Byte]): Option[CodecImage] = {
-    imageIoNoCache
-    try {
-      val iis = javax.imageio.ImageIO.createImageInputStream(
-        new java.io.ByteArrayInputStream(bytes))
-      try {
-        val readers = javax.imageio.ImageIO.getImageReaders(iis)
-        if (!readers.hasNext) return None
-        val reader = readers.next()
-        try {
-          reader.setInput(iis)
-          val fmt = reader.getFormatName.toLowerCase
-          val img = reader.read(0)
-          val ras = img.getRaster
-          val (w, h, bands) = (img.getWidth, img.getHeight, ras.getNumBands)
-          var sum = 0L
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              var b = 0
-              while (b < bands) { sum += ras.getSample(x, y, b); b += 1 }
-              x += 1
-            }
-            y += 1
-          }
-          Some(CodecImage(fmt, w, h, sum, w.toLong * h * bands))
-        } finally reader.dispose()
-      } finally iis.close()
-    } catch { case _: java.io.IOException | _: RuntimeException => None }
-  }
+  def imageIoDecode(bytes: Array[Byte]): Option[CodecImage] =
+    withImageReader(bytes) { reader =>
+      // Locale.ROOT: a Turkish default locale lower-cases "GIF"/"TIFF"
+      // with dotless i and every format compare goes quietly blind
+      val fmt = reader.getFormatName.toLowerCase(java.util.Locale.ROOT)
+      guardedRead(reader, 0).map { img =>
+        val ras = img.getRaster
+        val (w, h, bands) = (img.getWidth, img.getHeight, ras.getNumBands)
+        // bulk row reads: one getPixels call per row (same integer
+        // sample values as per-pixel getSample, one bounds/conversion
+        // pass per row instead of per sample — this loop is the
+        // bench-timed inner cost of the decode keys)
+        val row = new Array[Int](w * bands)
+        var sum = 0L
+        var y = 0
+        while (y < h) {
+          ras.getPixels(0, y, w, 1, row)
+          var i = 0
+          while (i < row.length) { sum += row(i); i += 1 }
+          y += 1
+        }
+        CodecImage(fmt, w, h, sum, w.toLong * h * bands)
+      }
+    }
 
   /** First-image read through whatever in-JDK codec claims the byte
     * stream; None when no reader claims it or the decode fails — the
     * [[aHash64]] routing hook for codec-format payloads. */
-  private def imageIoRead(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] = {
-    imageIoNoCache
-    try {
-      val iis = javax.imageio.ImageIO.createImageInputStream(
-        new java.io.ByteArrayInputStream(bytes))
-      try {
-        val readers = javax.imageio.ImageIO.getImageReaders(iis)
-        if (!readers.hasNext) return None
-        val reader = readers.next()
-        try {
-          reader.setInput(iis)
-          Some(reader.read(0))
-        } finally reader.dispose()
-      } finally iis.close()
-    } catch { case _: java.io.IOException | _: RuntimeException => None }
-  }
+  private def imageIoRead(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    withImageReader(bytes)(guardedRead(_, 0))
 
   /** Decoded-through-a-real-codec image metadata: sniffed format,
     * true geometry, and the mean raster sample — evidence the
@@ -1100,39 +1127,38 @@ object Multimodal {
     * frames off the container, LZW-decode each, walk its pixels.
     * Empty for payloads the GIF reader doesn't claim or that fail to
     * decode. */
-  def gifFrames(bytes: Array[Byte]): Vector[GifFrame] = {
-    imageIoNoCache
-    try {
-      val iis = javax.imageio.ImageIO.createImageInputStream(
-        new java.io.ByteArrayInputStream(bytes))
-      try {
-        val readers = javax.imageio.ImageIO.getImageReaders(iis)
-        if (!readers.hasNext) return Vector.empty
-        val reader = readers.next()
-        try {
-          reader.setInput(iis)
-          if (reader.getFormatName.toLowerCase != "gif") return Vector.empty
-          val n = reader.getNumImages(true)
-          (0 until n).iterator.map { f =>
-            val img = reader.read(f)
-            val (w, h) = (img.getWidth, img.getHeight)
-            var sum = 0L
-            var y = 0
-            while (y < h) {
-              var x = 0
-              while (x < w) {
-                // gray image: r == g == b; take the red channel
-                sum += (img.getRGB(x, y) >> 16) & 0xFF
-                x += 1
-              }
-              y += 1
-            }
-            GifFrame(w, h, sum, w.toLong * h)
-          }.toVector
-        } finally reader.dispose()
-      } finally iis.close()
-    } catch { case _: java.io.IOException | _: RuntimeException => Vector.empty }
-  }
+  def gifFrames(bytes: Array[Byte]): Vector[GifFrame] =
+    withImageReader(bytes) { reader =>
+      if (reader.getFormatName.toLowerCase(java.util.Locale.ROOT) != "gif") None
+      else {
+        val n = reader.getNumImages(true)
+        // dimension-gate EVERY frame before decoding any: a hostile
+        // frame header mid-container makes the whole payload hostile
+        // (skipping it would silently shift frame indices)
+        val hostile = (0 until n).exists { f =>
+          val w = reader.getWidth(f)
+          val h = reader.getHeight(f)
+          w <= 0 || h <= 0 || w.toLong * h > MaxDecodePixels
+        }
+        if (hostile) None
+        else Some((0 until n).iterator.map { f =>
+          val img = reader.read(f)
+          val (w, h) = (img.getWidth, img.getHeight)
+          // bulk row reads through the palette (getRGB resolves
+          // indices to colors); gray image: r == g == b, take red
+          val row = new Array[Int](w)
+          var sum = 0L
+          var y = 0
+          while (y < h) {
+            img.getRGB(0, y, w, 1, row, 0, w)
+            var x = 0
+            while (x < w) { sum += (row(x) >> 16) & 0xFF; x += 1 }
+            y += 1
+          }
+          GifFrame(w, h, sum, w.toLong * h)
+        }.toVector)
+      }
+    }.getOrElse(Vector.empty)
 
   /** One GIF frame's relational row (the [[PnmFrame]] shape, codec
     * tier). */

@@ -274,6 +274,23 @@ object HarnessLLM {
     })
   }
 
+  /** The planted-triplet raster: group g's 16x16x3 chained-md5 pixel
+    * stream — THE shared pixel contract of every image dedup / probe /
+    * store key and their closed-form pair-list oracles. One copy: the
+    * P6 and codec corpora must stay pixel-identical per group, or the
+    * shared oracles silently diverge. */
+  private def tripletRaster(group: Long): Array[Byte] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val px = new Array[Byte](16 * 16 * 3)
+    var chunk = 0
+    while (chunk * 16 < px.length) {
+      val d = md.digest(s"img:$group:$chunk".getBytes("UTF-8"))
+      System.arraycopy(d, 0, px, chunk * 16, math.min(16, px.length - chunk * 16))
+      chunk += 1
+    }
+    px
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- deduplication ----
     "dedup_exact" -> ((s, dir) => {
@@ -1050,16 +1067,7 @@ object HarnessLLM {
       // the scale path; nonzero-distance behavior is spec-pinned with
       // a constructed exactly-one-bit pair.
       val mk = udf { (docId: Long) =>
-        val group = docId / 3
-        val md = java.security.MessageDigest.getInstance("MD5")
-        val px = new Array[Byte](16 * 16 * 3)
-        var chunk = 0
-        while (chunk * 16 < px.length) {
-          val d = md.digest(s"img:$group:$chunk".getBytes("UTF-8"))
-          System.arraycopy(d, 0, px, chunk * 16, math.min(16, px.length - chunk * 16))
-          chunk += 1
-        }
-        graft.ops.Multimodal.ppmEncode(16, 16, px)
+        graft.ops.Multimodal.ppmEncode(16, 16, tripletRaster(docId / 3))
       }
       val imgs = t(s, dir, "documents").filter($"doc_id" < 300)
         .select($"doc_id", mk($"doc_id").as("media"))
@@ -1077,16 +1085,7 @@ object HarnessLLM {
       // carries over verbatim; a JPEG corpus would rely on decode
       // determinism instead (spec-pinned, not oracled).
       val mk = udf { (docId: Long) =>
-        val group = docId / 3
-        val md = java.security.MessageDigest.getInstance("MD5")
-        val px = new Array[Byte](16 * 16 * 3)
-        var chunk = 0
-        while (chunk * 16 < px.length) {
-          val d = md.digest(s"img:$group:$chunk".getBytes("UTF-8"))
-          System.arraycopy(d, 0, px, chunk * 16, math.min(16, px.length - chunk * 16))
-          chunk += 1
-        }
-        graft.ops.Multimodal.imageIoEncode("png", 16, 16, px)
+        graft.ops.Multimodal.imageIoEncode("png", 16, 16, tripletRaster(docId / 3))
       }
       val imgs = t(s, dir, "documents").filter($"doc_id" < 300)
         .select($"doc_id", mk($"doc_id").as("media"))
@@ -1105,16 +1104,7 @@ object HarnessLLM {
       // batch hash equality on split corpora is pinned in
       // StreamingSpec.
       val mk = udf { (docId: Long) =>
-        val group = docId / 3
-        val md = java.security.MessageDigest.getInstance("MD5")
-        val px = new Array[Byte](16 * 16 * 3)
-        var chunk = 0
-        while (chunk * 16 < px.length) {
-          val d = md.digest(s"img:$group:$chunk".getBytes("UTF-8"))
-          System.arraycopy(d, 0, px, chunk * 16, math.min(16, px.length - chunk * 16))
-          chunk += 1
-        }
-        graft.ops.Multimodal.ppmEncode(16, 16, px)
+        graft.ops.Multimodal.ppmEncode(16, 16, tripletRaster(docId / 3))
       }
       val docs = t(s, dir, "documents")
       val store = "/tmp/graft_stage/image_hash_store"
@@ -1137,15 +1127,7 @@ object HarnessLLM {
       // else — the corpus is never self-paired, only the one-way
       // banded probe join runs.
       val mk = udf { (group: Long) =>
-        val md = java.security.MessageDigest.getInstance("MD5")
-        val px = new Array[Byte](16 * 16 * 3)
-        var chunk = 0
-        while (chunk * 16 < px.length) {
-          val d = md.digest(s"img:$group:$chunk".getBytes("UTF-8"))
-          System.arraycopy(d, 0, px, chunk * 16, math.min(16, px.length - chunk * 16))
-          chunk += 1
-        }
-        graft.ops.Multimodal.ppmEncode(16, 16, px)
+        graft.ops.Multimodal.ppmEncode(16, 16, tripletRaster(group))
       }
       val docs = t(s, dir, "documents")
       val corpus = docs.filter($"doc_id" < 300)

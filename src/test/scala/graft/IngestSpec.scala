@@ -397,6 +397,29 @@ class IngestSpec extends AnyFunSuite with SparkTestBase {
     assert(Multimodal.aHash64("definitely not an image".getBytes("UTF-8")).isEmpty)
   }
 
+  test("hostile-dimensions image payloads drop to None before the raster allocates") {
+    import graft.ops.Multimodal
+    // a VALID PNG signature + IHDR (correct CRC) declaring
+    // 40000x40000 = 1.6 Gpx: without the header-only dimension gate,
+    // reader.read would allocate a ~4.8 GB raster off a 33-byte
+    // payload (this test would OOM); with it, the payload drops to
+    // None like every other hostile input
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte))
+    val ihdr = java.nio.ByteBuffer.allocate(17)
+    ihdr.put("IHDR".getBytes("US-ASCII"))
+    ihdr.putInt(40000).putInt(40000)
+    ihdr.put(8.toByte).put(2.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+    val crc = new java.util.zip.CRC32()
+    crc.update(ihdr.array())
+    bos.write(java.nio.ByteBuffer.allocate(4).putInt(13).array())
+    bos.write(ihdr.array())
+    bos.write(java.nio.ByteBuffer.allocate(4).putInt(crc.getValue.toInt).array())
+    val hostile = bos.toByteArray
+    assert(Multimodal.imageIoDecode(hostile).isEmpty)
+    assert(Multimodal.aHash64(hostile).isEmpty)
+  }
+
   test("GIF frames: real LZW multi-frame container round-trips gray rasters losslessly") {
     import graft.ops.Multimodal
     val digest = java.security.MessageDigest.getInstance("MD5")
