@@ -33,10 +33,13 @@ object Verify {
     val keyFilter = sys.env.get("SPARK_GRAFT_VERIFY_KEYS")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val marker = Paths.get(s"$outDir/_filtered")
-    keyFilter match {
-      case Some(ks) => Files.writeString(marker, ks.toSeq.sorted.mkString(","))
-      case None => Files.deleteIfExists(marker)
-    }
+    // the FULL-run marker delete is deferred until after the full
+    // oracle_sql.json write lands (bottom of main): deleting up front
+    // left a crash window where a marker-less dir still held the
+    // previous FILTERED run's oracle_sql.json, and the compare script
+    // printed an unqualified "N/N match" over shrunken coverage — the
+    // exact misread the marker exists to prevent.
+    keyFilter.foreach(ks => Files.writeString(marker, ks.toSeq.sorted.mkString(",")))
     def selected(name: String) = keyFilter.forall(_.contains(name))
     SparkEntry.queries.foreach { case (name, fn) =>
       if (selected(name)) {
@@ -62,6 +65,9 @@ object Verify {
     val json = SparkEntry.oracleSql.filter(kv => selected(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // full run: only now is the dump coverage-complete — clear the
+    // stale filtered marker AFTER the full oracle write succeeded
+    if (keyFilter.isEmpty) Files.deleteIfExists(marker)
     spark.stop()
   }
 }

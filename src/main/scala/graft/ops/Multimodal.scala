@@ -897,15 +897,68 @@ object Multimodal {
     * data — an uncatchable OutOfMemoryError, violating the tier's
     * hostile-payload-drops-to-None contract (the pnmDecode lesson,
     * codec side). Dimensions are read header-only and gated BEFORE
-    * the decode allocates. 64M px ~= 256 MB at 4 bytes/px. */
+    * the decode allocates. 64M px ~= 256 MB at 4 bytes/px — but the
+    * pixel count alone under-gates wide formats the JDK admits (a
+    * 16-bit RGBA TIFF is 8 B/px, so 64M px would demand ~512 MB per
+    * decode, several-fold worse across 32 concurrent executor
+    * threads), so a BYTE budget derived from the reader's own
+    * declared sample model backs the pixel cap. */
   private val MaxDecodePixels = 1L << 26
 
-  /** Shared reader lifecycle for the ImageIO tier (sniff off the byte
-    * stream's magic via the registry probe, dispose/close on every
-    * path, hostile payloads drop to None — one copy of the subtle
-    * part, serving [[imageIoDecode]]/[[imageIoRead]]/[[gifFrames]]). */
+  /** Raster BYTE budget per decode (256 MB): pixel-count x the
+    * reader-declared bytes-per-pixel must stay under it, so an 8 B/px
+    * format gets half the pixel allowance of a 4 B/px one. */
+  private val MaxDecodeBytes = 1L << 28
+
+  /** Bytes-per-pixel the decode will actually allocate, from the
+    * reader's raw image type (falling back to its first supported
+    * type). 4 when the reader declares nothing readable — the
+    * historical 4 B/px assumption, kept conservative rather than
+    * letting an undeclared type bypass the byte budget. */
+  private def declaredBytesPerPixel(reader: javax.imageio.ImageReader,
+                                    idx: Int): Long =
+    try {
+      val spec = Option(reader.getRawImageType(idx)).orElse {
+        val its = reader.getImageTypes(idx)
+        if (its.hasNext) Some(its.next()) else None
+      }
+      spec.map { t =>
+        val sm = t.getSampleModel
+        val bitsPerSample =
+          java.awt.image.DataBuffer.getDataTypeSize(sm.getDataType)
+        math.max(1L, sm.getNumBands.toLong * ((bitsPerSample + 7) / 8))
+      }.getOrElse(4L)
+    } catch { case _: java.io.IOException | _: RuntimeException => 4L }
+
+  /** Cheap magic-byte sniff for the formats this tier serves (the
+    * in-JDK codecs: PNG / JPEG / GIF / BMP / TIFF) — the registry
+    * probe (ImageInputStream construction + reader iteration) runs
+    * per payload in the hot streaming hash loops, so junk and
+    * cross-media rows reject on a 4-byte compare instead. The five
+    * signatures ARE the tier's documented contract (header comment
+    * above), so the prefilter narrows nothing the tier claims. */
+  private[graft] def hasImageMagic(bytes: Array[Byte]): Boolean =
+    bytes.length >= 4 && {
+      val b0 = bytes(0) & 0xFF
+      val b1 = bytes(1) & 0xFF
+      (b0 == 0x89 && b1 == 'P') ||                               // PNG
+      (b0 == 0xFF && b1 == 0xD8) ||                              // JPEG SOI
+      (b0 == 'G' && b1 == 'I' && bytes(2) == 'F') ||             // GIF
+      (b0 == 'B' && b1 == 'M') ||                                // BMP
+      (b0 == 'I' && b1 == 'I' &&
+        (bytes(2) & 0xFF) == 0x2A && bytes(3) == 0) ||           // TIFF LE
+      (b0 == 'M' && b1 == 'M' &&
+        bytes(2) == 0 && (bytes(3) & 0xFF) == 0x2A)              // TIFF BE
+    }
+
+  /** Shared reader lifecycle for the ImageIO tier (magic-byte
+    * prefilter, then sniff via the registry probe, dispose/close on
+    * every path, hostile payloads drop to None — one copy of the
+    * subtle part, serving [[imageIoDecode]]/[[imageIoRead]]/
+    * [[gifFrames]]). */
   private def withImageReader[T](bytes: Array[Byte])
                                 (f: javax.imageio.ImageReader => Option[T]): Option[T] = {
+    if (!hasImageMagic(bytes)) return None
     imageIoNoCache
     try {
       val iis = javax.imageio.ImageIO.createImageInputStream(
@@ -928,13 +981,20 @@ object Multimodal {
                           idx: Int): Option[java.awt.image.BufferedImage] = {
     val w = reader.getWidth(idx)
     val h = reader.getHeight(idx)
-    if (w <= 0 || h <= 0 || w.toLong * h > MaxDecodePixels) None
+    if (w <= 0 || h <= 0 || w.toLong * h > MaxDecodePixels ||
+        w.toLong * h * declaredBytesPerPixel(reader, idx) > MaxDecodeBytes) None
     else Some(reader.read(idx))
   }
 
   /** Encode a raw BGR sample buffer (w*h*3 bytes, the TYPE_3BYTE_BGR
     * raster layout) through a REAL ImageIO codec — `"png"` (DEFLATE,
-    * lossless) or `"jpg"` (JPEG DCT, lossy). */
+    * lossless) or `"jpg"` (JPEG DCT, lossy). JPEG compression quality
+    * is pinned EXPLICITLY at 0.75 rather than inherited from the
+    * writer default: the lossy-decode oracles' error bound was
+    * measured against this quality, and an implicit default could
+    * drift under a JDK upgrade and flip the bound gate without any
+    * code change (0.75 IS the current default, so pinning changes no
+    * bytes today — it freezes the measured contract). */
   def imageIoEncode(fmt: String, w: Int, h: Int, bgr: Array[Byte]): Array[Byte] = {
     require(bgr.length == w * h * 3, s"need ${w * h * 3} samples, got ${bgr.length}")
     imageIoNoCache
@@ -943,8 +1003,22 @@ object Multimodal {
     val data = img.getRaster.getDataBuffer
       .asInstanceOf[java.awt.image.DataBufferByte].getData
     System.arraycopy(bgr, 0, data, 0, bgr.length)
+    val writers = javax.imageio.ImageIO.getImageWritersByFormatName(fmt)
+    require(writers.hasNext, s"no ImageIO writer for $fmt")
+    val writer = writers.next()
     val out = new java.io.ByteArrayOutputStream()
-    require(javax.imageio.ImageIO.write(img, fmt, out), s"no ImageIO writer for $fmt")
+    try {
+      val param = writer.getDefaultWriteParam
+      if (fmt.toLowerCase(java.util.Locale.ROOT).startsWith("jp")) {
+        param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+        param.setCompressionQuality(0.75f)
+      }
+      val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+      try {
+        writer.setOutput(ios)
+        writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+      } finally ios.close()
+    } finally writer.dispose()
     out.toByteArray
   }
 
@@ -1206,6 +1280,15 @@ object Multimodal {
     * formats with no in-JDK codec route to the stub). */
   def ulawWavDecode(bytes: Array[Byte]): Option[Wav] = {
     import javax.sound.sampled.{AudioFormat, AudioSystem}
+    // the tier's contract is the RIFF/WAVE container (format code 7,
+    // [[ulawWavEncode]]'s canonical output) — prefilter on the
+    // container magic so junk/cross-media payloads in the hot
+    // streaming fingerprint loops reject on a byte compare instead of
+    // paying the AudioSystem provider probe per row
+    if (bytes.length < 12 ||
+        bytes(0) != 'R' || bytes(1) != 'I' || bytes(2) != 'F' || bytes(3) != 'F' ||
+        bytes(8) != 'W' || bytes(9) != 'A' || bytes(10) != 'V' || bytes(11) != 'E')
+      return None
     try {
       val in = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
       try {

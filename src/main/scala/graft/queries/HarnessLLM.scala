@@ -1366,7 +1366,11 @@ object HarnessLLM {
       // observed over 2000 digest-noise images at these sizes: 2.67;
       // bound 8.0 = 3x margin) — the sketch keys' error-bound-
       // relation pattern, because bit-exactness is not a property
-      // JPEG has.
+      // JPEG has. The bound was measured on OpenJDK 17.0.20 with the
+      // encode quality now pinned EXPLICITLY at 0.75 in
+      // Multimodal.imageIoEncode (r13) — the encoder side can no
+      // longer drift under a JDK default change; residual exposure is
+      // a decoder (IDCT) change only, which the 3x margin absorbs.
       Multimodal.decodeImagePartitions(
         withCodecImageMedia(t(s, dir, "documents"), "jpg")).toDF()
         .join(t(s, dir, "documents").select($"doc_id", digestMeanCol.as("__exact")),

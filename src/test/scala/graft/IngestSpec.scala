@@ -436,10 +436,24 @@ class IngestSpec extends AnyFunSuite with SparkTestBase {
       assert(fr.width == 16 && fr.height == 6, s"frame $i geometry")
       assert(fr.lumaSum == want, s"frame $i must decode byte-exact (LZW+gray palette is lossless)")
     }
-    // junk / truncated / non-GIF image payloads -> empty, never throw
+    // junk / non-GIF image payloads -> empty, never throw
     assert(Multimodal.gifFrames("not a gif".getBytes("UTF-8")).isEmpty)
-    assert(Multimodal.gifFrames(gif.take(40)).isEmpty ||
-      Multimodal.gifFrames(gif.take(40)).forall(_.nPx > 0)) // partial may yield 0 parsed frames
+    // 40 bytes ends inside the global color table — no frame data
+    // exists in the prefix, so NOTHING may parse (the old disjunction
+    // `isEmpty || forall(_.nPx > 0)` was vacuously true for any
+    // decode and pinned no truncation behavior at all)
+    assert(Multimodal.gifFrames(gif.take(40)).isEmpty,
+      "a prefix ending inside the color table holds no frame data")
+    // truncation mid-frame-data: at most the encoded frame count may
+    // survive, and every surviving frame must be byte-exact against
+    // ITS OWN encoded raster (prefix-exact, never a shifted index or
+    // a partially-filled raster passed off as decoded)
+    val partial = Multimodal.gifFrames(gif.dropRight(10))
+    assert(partial.length <= 3, "truncation cannot invent frames")
+    partial.zip(wantSums).zipWithIndex.foreach { case ((fr, want), i) =>
+      assert(fr.width == 16 && fr.height == 6 && fr.lumaSum == want,
+        s"surviving frame $i must be byte-exact")
+    }
     assert(Multimodal.gifFrames(
       Multimodal.imageIoEncode("png", 2, 2, Array.fill(12)(3.toByte))).isEmpty)
   }
