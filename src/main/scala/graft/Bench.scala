@@ -62,6 +62,30 @@ object Bench {
     }.toList.sorted
   }
 
+  /** Self-triaging detail for each flagged key: prior, current, raw
+    * ratio, the key's own hypervisor-steal fraction, AND (round 13)
+    * the key's own 1-minute load average beside the suite's median —
+    * three rounds running, the driver-host guard flag adjudicated to
+    * host contention, and the proof (`load_avg_keys`) was in the JSON
+    * but nothing cited it at the flag site. A flag now arrives
+    * pre-annotated ("3.0x prior, steal 0, load 4.0 vs suite median
+    * 2.9" reads as host-attributed in one glance) while STAYING
+    * visible — the annotation informs the adjudication, it never
+    * auto-waives the flag (the steal policy, SURVEY §9). */
+  private[graft] def regressionsDetailJson(regressions: List[String],
+                                           results: Map[String, Double],
+                                           prev: Map[String, Double],
+                                           keySteal: Map[String, Double],
+                                           keyLoad: Map[String, Double]): String = {
+    val loads = keyLoad.values.filter(_ >= 0).toSeq.sorted
+    val suiteMedianLoad = if (loads.isEmpty) -1.0 else loads(loads.size / 2)
+    regressions.map { k =>
+      val p = prev.get(k).filter(_ > 0).getOrElse(-1.0)
+      val r = if (p > 0) results(k) / p else -1.0
+      f"""\"$k\":{\"prior\":$p%.3f,\"cur\":${results(k)}%.3f,\"ratio\":$r%.2f,\"steal_frac\":${keySteal.getOrElse(k, -1.0)}%.4f,\"load_avg\":${keyLoad.getOrElse(k, -1.0)}%.2f,\"load_avg_suite_median\":$suiteMedianLoad%.2f}"""
+    }.mkString("{", ",", "}")
+  }
+
   /** Parse the committed reference's per-key medians, gated on its sf
     * matching this run's (factored out for BenchGuardSpec): on a
     * mismatch returns no priors (every cross-sf ratio is meaningless)
@@ -281,17 +305,25 @@ object Bench {
       var i = 0
       val k0 = System.nanoTime()
       val s0 = stealJiffies()
-      while (i < runs && !dead) {
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); times ::= (System.nanoTime() - t0) / 1e9 }
-        catch {
-          case e: Throwable =>
-            System.err.println(s"BENCH FAILURE key=$name: $e")
-            e.printStackTrace()
-            failed ::= name
-            dead = true
+      // caller-namespaced counters (round 13): every Metrics.record
+      // fired while THIS key runs lands as `<key>.<counter>`, so two
+      // keys sharing a code path no longer overwrite each other's
+      // phase numbers (the r12 adjudication of dedup_jaccard_probe
+      // needed a manual isolated rerun precisely because
+      // stream_jaccard_probe had overwritten its counters)
+      Metrics.withScope(name) {
+        while (i < runs && !dead) {
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count(); times ::= (System.nanoTime() - t0) / 1e9 }
+          catch {
+            case e: Throwable =>
+              System.err.println(s"BENCH FAILURE key=$name: $e")
+              e.printStackTrace()
+              failed ::= name
+              dead = true
+          }
+          i += 1
         }
-        i += 1
       }
       keyLoad += name -> loadAvg1m()
       keySteal += name -> stealFrac(
@@ -312,16 +344,8 @@ object Bench {
         .getOrElse("first-time key above the 10x-suite-mean ceiling")
       System.err.println(f"BENCH REGRESSION key=$k: ${resultMap(k)}%.2fs $why")
     }
-    // Self-triaging detail: each flagged key's prior, current, and raw
-    // ratio next to the suite ambient ratio, so a reader can separate
-    // "host was loaded" from "this key regressed" without forensics.
-    val regDetail = regressions.map { k =>
-      val p = prevQueries.get(k).filter(_ > 0).getOrElse(-1.0)
-      val r = if (p > 0) resultMap(k) / p else -1.0
-      // the key's own steal fraction sits beside the flag: a reader
-      // adjudicating sees "3.3x prior, 12% stolen" in one place
-      f"""\"$k\":{\"prior\":$p%.3f,\"cur\":${resultMap(k)}%.3f,\"ratio\":$r%.2f,\"steal_frac\":${keySteal.getOrElse(k, -1.0)}%.4f}"""
-    }.mkString("{", ",", "}")
+    val regDetail = regressionsDetailJson(regressions, resultMap, prevQueries,
+      keySteal, keyLoad)
     val loadEnd = loadAvg1m()
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -183,13 +183,25 @@ object Temporal {
     // aggregates + a driver scalar) — impossible on a streaming
     // relation, where the session pin is the only available answer
     if (probes.isStreaming || exploded.isStreaming) return base
+    // phase counters (round 13, the jaccard_docord_build_ms pattern):
+    // this estimate action is the key's hidden first phase — two
+    // day-keyed counts + a days-sized join that also pays the interval
+    // day-explode once — and a committed-median drift on a range-join
+    // key needs to say WHICH phase moved (estimate vs the
+    // pair-expansion join the main count times) before anyone reruns.
+    // Caller-scoped by the bench, so bigbig/salted don't collide.
+    val t0 = System.nanoTime()
     val pd = probes.groupBy(col(probeDate).as("__day")).agg(count(lit(1)).as("__pc"))
     val idd = exploded.groupBy(col("__day")).agg(count(lit(1)).as("__ic"))
     val row = pd.join(idd, "__day")
       .agg(sum(col("__pc").cast("double") * col("__ic")).as("__pairs"))
       .head()
     val est = if (row.isNullAt(0)) 0.0 else row.getDouble(0)
-    math.max(base, math.min(4096.0, est / targetPairsPerPartition).toInt)
+    val n = math.max(base, math.min(4096.0, est / targetPairsPerPartition).toInt)
+    graft.Metrics.record("range_estimate_ms", (System.nanoTime() - t0) / 1000000L)
+    graft.Metrics.record("range_est_pairs", est.toLong)
+    graft.Metrics.record("range_partitions", n.toLong)
+    n
   }
 
   def rangeJoinBucketed(probes: DataFrame, intervals: DataFrame,

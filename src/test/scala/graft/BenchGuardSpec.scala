@@ -128,6 +128,50 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(Bench.regressionsOf(res + ("sink_z" -> 2.1 * 2), prev).isEmpty)
   }
 
+  test("regressions_detail annotates the flag with its own load vs the suite median (round 13)") {
+    // three rounds of driver-host guard flags adjudicated to host
+    // contention with the proof sitting unread in load_avg_keys — the
+    // flag site itself must now carry the key's load AND the suite
+    // median so the next flag arrives pre-annotated (and stays
+    // visible: annotation informs, never auto-waives)
+    val res = Map("sink_z" -> 9.0)
+    val prior = Map("sink_z" -> 2.1)
+    val steal = Map("sink_z" -> 0.0)
+    val load = Map("sink_z" -> 4.03, "k1" -> 2.95, "k2" -> 2.80, "k3" -> 3.00)
+    val json = Bench.regressionsDetailJson(List("sink_z"), res, prior, steal, load)
+    assert(json.contains("\"load_avg\":4.03"), json)
+    // sorted(size/2) — the ambientRatio convention (upper median)
+    assert(json.contains("\"load_avg_suite_median\":3.00"), json)
+    assert(json.contains("\"steal_frac\":0.0000"), json)
+    assert(json.contains("\"ratio\":4.29"), json)
+    // unavailable markers surface as -1, never as a plausible number
+    val none = Bench.regressionsDetailJson(List("sink_z"), res, prior,
+      Map.empty, Map.empty)
+    assert(none.contains("\"load_avg\":-1.00") &&
+      none.contains("\"load_avg_suite_median\":-1.00"), none)
+  }
+
+  test("Metrics.withScope namespaces counters by caller; unscoped records keep raw names") {
+    // the r12 ambiguity: two keys sharing a code path overwrote each
+    // other's phase counters (last writer wins) — scoped records must
+    // coexist under their caller's name
+    Metrics.clear()
+    Metrics.withScope("dedup_jaccard_probe") {
+      Metrics.record("jaccard_probe_prefix_candidates_ms", 100L)
+    }
+    Metrics.withScope("stream_jaccard_probe") {
+      Metrics.record("jaccard_probe_prefix_candidates_ms", 3000L)
+    }
+    Metrics.record("ivf_build_ms", 7L) // pre-build, outside any key scope
+    val m = Metrics.snapshot.toMap
+    assert(m("dedup_jaccard_probe.jaccard_probe_prefix_candidates_ms") == 100L)
+    assert(m("stream_jaccard_probe.jaccard_probe_prefix_candidates_ms") == 3000L)
+    assert(m("ivf_build_ms") == 7L)
+    assert(!m.contains("jaccard_probe_prefix_candidates_ms"),
+      "a scoped record must not also write the raw name")
+    Metrics.clear()
+  }
+
   test("steal markers: /proc/stat parse and per-window fraction") {
     // the aggregate cpu line: user nice system idle iowait irq softirq STEAL
     assert(Bench.parseStealJiffies(
