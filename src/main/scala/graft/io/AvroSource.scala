@@ -13,8 +13,8 @@ import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, SpecializedGetters}
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
@@ -49,9 +49,18 @@ import org.apache.spark.unsafe.types.UTF8String
   * Type surface (both directions): boolean, int, long, float, double,
   * string, bytes/fixed (binary), date (int/`date`), timestamp
   * (long/`timestamp-micros`; `timestamp-millis` upcast on read), enum
-  * (read as string), arrays of all of these, and nullability via
-  * 2-branch `[null, T]` unions. Nested records/maps are out of scope
-  * and fail loudly at schema conversion, never silently as null.
+  * (read as string), nullability via 2-branch `[null, T]` unions, and
+  * — round 13 — NESTED RECORDS (struct) and MAPS (string keys, the
+  * only key type Avro has), arbitrarily composed with arrays and each
+  * other. Column pruning recurses INTO nested records: Spark's nested
+  * schema pruning hands the scan a struct containing only the touched
+  * subfields, and [[AvroConversions.pruneAvroSchema]] mirrors that
+  * subtree into the reader schema, so untouched sibling subfields of
+  * a wide nested record are skipped at the decoder like dropped
+  * top-level columns. Remaining out of scope (loud failure at schema
+  * conversion, never silent null): non-null multi-branch unions and
+  * non-string map keys — neither exists in Avro data written by this
+  * sink, and both lack a faithful Spark analog.
   */
 class AvroSource extends TableProvider with DataSourceRegister {
 
@@ -235,24 +244,41 @@ private[io] object AvroConversions {
     case ASchema.Type.ARRAY =>
       val (et, en) = toSparkType(s.getElementType)
       (ArrayType(et, en), false)
+    case ASchema.Type.RECORD =>
+      (StructType(s.getFields.asScala.map { f =>
+        val (dt, nullable) = toSparkType(f.schema())
+        StructField(f.name(), dt, nullable)
+      }.toArray), false)
+    case ASchema.Type.MAP =>
+      // Avro map keys are always strings by spec
+      val (vt, vn) = toSparkType(s.getValueType)
+      (MapType(StringType, vt, vn), false)
     case other => throw new IllegalArgumentException(
-      s"graft_avro: unsupported Avro type $other (nested records/maps are out of scope)")
+      s"graft_avro: unsupported Avro type $other")
   }
 
   /** Spark schema -> Avro schema (the writer's). Field order preserved;
-    * nullable fields become [null, T] unions with null default. */
-  def toAvroSchema(schema: StructType, recordName: String = "graft_row"): ASchema = {
-    val fields = schema.fields.map { f =>
-      val base = toAvroType(f.dataType)
+    * nullable fields become [null, T] unions with null default. Nested
+    * structs become NAMED records — Avro requires every record type to
+    * carry a distinct full name, so nested record names derive from
+    * their field path (`graft_row_pricing_inner`), which is unique by
+    * construction since struct field names are unique per level. */
+  def toAvroSchema(schema: StructType, recordName: String = "graft_row"): ASchema =
+    structToRecord(schema, recordName)
+
+  private def structToRecord(st: StructType, name: String): ASchema = {
+    val fields = st.fields.map { f =>
+      val base = toAvroType(f.dataType, name + "_" + f.name)
       val s = if (f.nullable) ASchema.createUnion(ASchema.create(ASchema.Type.NULL), base)
               else base
       new ASchema.Field(f.name, s,
         null, if (f.nullable) ASchema.Field.NULL_DEFAULT_VALUE else null)
     }
-    ASchema.createRecord(recordName, null, "graft", false, fields.toList.asJava)
+    ASchema.createRecord(name, null, "graft", false, fields.toList.asJava)
   }
 
-  private def toAvroType(dt: DataType): ASchema = dt match {
+  /** `path` names any record type created under this node. */
+  private def toAvroType(dt: DataType, path: String): ASchema = dt match {
     case BooleanType => ASchema.create(ASchema.Type.BOOLEAN)
     case IntegerType => ASchema.create(ASchema.Type.INT)
     case LongType => ASchema.create(ASchema.Type.LONG)
@@ -266,10 +292,19 @@ private[io] object AvroConversions {
     case TimestampNTZType =>
       LogicalTypes.localTimestampMicros().addToSchema(ASchema.create(ASchema.Type.LONG))
     case ArrayType(et, containsNull) =>
-      val elem = toAvroType(et)
+      val elem = toAvroType(et, path + "_item")
       ASchema.createArray(
         if (containsNull) ASchema.createUnion(ASchema.create(ASchema.Type.NULL), elem)
         else elem)
+    case st: StructType => structToRecord(st, path)
+    case MapType(StringType, vt, valueContainsNull) =>
+      val v = toAvroType(vt, path + "_value")
+      ASchema.createMap(
+        if (valueContainsNull)
+          ASchema.createUnion(ASchema.create(ASchema.Type.NULL), v)
+        else v)
+    case MapType(kt, _, _) => throw new IllegalArgumentException(
+      s"graft_avro: avro map keys are strings; got key type $kt")
     case other => throw new IllegalArgumentException(
       s"graft_avro: unsupported Spark type $other")
   }
@@ -278,17 +313,42 @@ private[io] object AvroConversions {
     * with only the required fields, each keeping its writer-side
     * schema (so unions/logical types resolve exactly), in the pruned
     * order. Avro resolution matches fields by NAME, so order is free
-    * and dropped writer fields are skipped, not decoded. */
+    * and dropped writer fields are skipped, not decoded. Pruning
+    * recurses INTO nested records (round 13): Spark's nested schema
+    * pruning hands the scan a struct holding only the touched
+    * subfields, and the reader-schema subtree mirrors it — untouched
+    * siblings inside a nested record are skipped by resolution like
+    * dropped top-level columns (record names/namespaces are
+    * preserved, which is what resolution matches records by). */
   def pruneAvroSchema(writer: ASchema, required: StructType): ASchema = {
     val byName = writer.getFields.asScala.map(f => f.name() -> f).toMap
     val fields = required.fields.map { f =>
       val wf = byName.getOrElse(f.name, throw new IllegalArgumentException(
         s"graft_avro: projected column ${f.name} absent from writer schema $writer"))
-      new ASchema.Field(wf.name(), wf.schema(), null, wf.defaultVal())
+      new ASchema.Field(wf.name(), pruneTypeSchema(wf.schema(), f.dataType),
+        null, wf.defaultVal())
     }
     ASchema.createRecord(writer.getName, null, writer.getNamespace, false,
       fields.toList.asJava)
   }
+
+  /** Mirror the required Spark type's shape into one writer-side type
+    * schema: records prune to the required subfields (recursively),
+    * arrays/maps prune their element/value subtree, unions keep their
+    * [null, T] wrapper around the pruned branch, and every other type
+    * passes through unchanged. */
+  private def pruneTypeSchema(writer: ASchema, dt: DataType): ASchema =
+    (writer.getType, dt) match {
+      case (ASchema.Type.UNION, _) =>
+        ASchema.createUnion(ASchema.create(ASchema.Type.NULL),
+          pruneTypeSchema(nonNullBranch(writer), dt))
+      case (ASchema.Type.RECORD, st: StructType) => pruneAvroSchema(writer, st)
+      case (ASchema.Type.ARRAY, at: ArrayType) =>
+        ASchema.createArray(pruneTypeSchema(writer.getElementType, at.elementType))
+      case (ASchema.Type.MAP, mt: MapType) =>
+        ASchema.createMap(pruneTypeSchema(writer.getValueType, mt.valueType))
+      case _ => writer
+    }
 
   /** The non-null branch of a (possibly [null, T]-union) field
     * schema. */
@@ -335,6 +395,41 @@ private[io] object AvroConversions {
         }
         new GenericArrayData(out)
       }
+    case st: StructType =>
+      // reader-schema positions: the pruned reader record's field
+      // order IS the required struct's order ([[pruneAvroSchema]]),
+      // so get(j) by index is exact
+      val rec = nonNullBranch(avro)
+      val convs = st.fields.zip(rec.getFields.asScala).map {
+        case (f, af) => readConverter(f.dataType, af.schema())
+      }.toArray
+      v => {
+        val r = v.asInstanceOf[GenericRecord]
+        val out = new GenericInternalRow(convs.length)
+        var j = 0
+        while (j < convs.length) {
+          val x = r.get(j)
+          out.update(j, if (x == null) null else convs(j)(x))
+          j += 1
+        }
+        out
+      }
+    case MapType(StringType, vt, _) =>
+      val valConv = readConverter(vt, nonNullBranch(avro).getValueType)
+      v => {
+        val m = v.asInstanceOf[java.util.Map[AnyRef, AnyRef]]
+        val keys = new Array[Any](m.size())
+        val vals = new Array[Any](m.size())
+        var j = 0
+        val it = m.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          keys(j) = UTF8String.fromString(e.getKey.toString)
+          vals(j) = if (e.getValue == null) null else valConv(e.getValue)
+          j += 1
+        }
+        new ArrayBasedMapData(new GenericArrayData(keys), new GenericArrayData(vals))
+      }
     case other => throw new IllegalArgumentException(
       s"graft_avro: unsupported read type $other")
   }
@@ -352,8 +447,6 @@ object Avro {
   def write(df: DataFrame, path: String, codec: String = "deflate"): Unit = {
     val schema = df.schema
     val avroJson = AvroConversions.toAvroSchema(schema).toString
-    val writeConv: Array[(InternalRow, Int) => AnyRef] =
-      schema.fields.map(f => writeConverter(f.dataType))
     val spark = df.sparkSession
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(new Path(path), true)
@@ -362,6 +455,14 @@ object Avro {
     df.queryExecution.toRdd.mapPartitionsWithIndex { (idx, it) =>
       if (idx == 0 || it.hasNext) {
         val avroSchema = new ASchema.Parser().parse(avroJson)
+        // converters built HERE, per partition, against the parsed
+        // schema instance — nested records need their exact Avro
+        // schema node to construct GenericData.Record, and building
+        // executor-side avoids shipping Schema objects in the closure
+        val writeConv: Array[(SpecializedGetters, Int) => AnyRef] =
+          schema.fields.zip(avroSchema.getFields.asScala).map {
+            case (f, af) => writeConverter(f.dataType, af.schema())
+          }.toArray
         val outPath = new Path(path, f"part-$idx%05d.avro")
         // task-attempt-private temp + rename-to-commit: a retried or
         // speculative attempt must never interleave bytes with another
@@ -405,43 +506,70 @@ object Avro {
   }
 
   /** Catalyst value at position i -> Avro runtime value, for one
-    * NON-NULL field (nulls handled by the caller). */
-  private def writeConverter(dt: DataType): (InternalRow, Int) => AnyRef = dt match {
-    case BooleanType => (r, i) => java.lang.Boolean.valueOf(r.getBoolean(i))
-    case IntegerType | DateType => (r, i) => java.lang.Integer.valueOf(r.getInt(i))
-    case LongType | TimestampType | TimestampNTZType =>
-      (r, i) => java.lang.Long.valueOf(r.getLong(i))
-    case FloatType => (r, i) => java.lang.Float.valueOf(r.getFloat(i))
-    case DoubleType => (r, i) => java.lang.Double.valueOf(r.getDouble(i))
-    case StringType => (r, i) => r.getUTF8String(i).toString
-    case BinaryType => (r, i) => java.nio.ByteBuffer.wrap(r.getBinary(i))
-    case ArrayType(et, _) =>
-      val elemGet = arrayElemGetter(et)
-      (r, i) => {
-        val ad = r.getArray(i)
-        val out = new util.ArrayList[AnyRef](ad.numElements())
-        var j = 0
-        while (j < ad.numElements()) {
-          out.add(if (ad.isNullAt(j)) null else elemGet(ad, j))
-          j += 1
+    * NON-NULL slot (nulls handled by the caller). Unified on
+    * [[SpecializedGetters]], which InternalRow, ArrayData, and a
+    * MapData's key/value arrays all implement — one recursive
+    * converter tree serves rows, array elements, and map values.
+    * `avro` is this slot's schema node (possibly a [null, T] union),
+    * needed so nested records construct against their exact schema. */
+  private def writeConverter(dt: DataType,
+                             avro: ASchema): (SpecializedGetters, Int) => AnyRef = {
+    val a = if (avro.getType == ASchema.Type.UNION)
+      avro.getTypes.asScala.find(_.getType != ASchema.Type.NULL).get
+    else avro
+    dt match {
+      case BooleanType => (r, i) => java.lang.Boolean.valueOf(r.getBoolean(i))
+      case IntegerType | DateType => (r, i) => java.lang.Integer.valueOf(r.getInt(i))
+      case LongType | TimestampType | TimestampNTZType =>
+        (r, i) => java.lang.Long.valueOf(r.getLong(i))
+      case FloatType => (r, i) => java.lang.Float.valueOf(r.getFloat(i))
+      case DoubleType => (r, i) => java.lang.Double.valueOf(r.getDouble(i))
+      case StringType => (r, i) => r.getUTF8String(i).toString
+      case BinaryType => (r, i) => java.nio.ByteBuffer.wrap(r.getBinary(i))
+      case ArrayType(et, _) =>
+        val elemConv = writeConverter(et, a.getElementType)
+        (r, i) => {
+          val ad = r.getArray(i)
+          val out = new util.ArrayList[AnyRef](ad.numElements())
+          var j = 0
+          while (j < ad.numElements()) {
+            out.add(if (ad.isNullAt(j)) null else elemConv(ad, j))
+            j += 1
+          }
+          out
         }
-        out
-      }
-    case other => throw new IllegalArgumentException(
-      s"graft_avro: unsupported Spark type $other")
-  }
-
-  private def arrayElemGetter(et: DataType): (ArrayData, Int) => AnyRef = et match {
-    case BooleanType => (a, j) => java.lang.Boolean.valueOf(a.getBoolean(j))
-    case IntegerType | DateType => (a, j) => java.lang.Integer.valueOf(a.getInt(j))
-    case LongType | TimestampType | TimestampNTZType =>
-      (a, j) => java.lang.Long.valueOf(a.getLong(j))
-    case FloatType => (a, j) => java.lang.Float.valueOf(a.getFloat(j))
-    case DoubleType => (a, j) => java.lang.Double.valueOf(a.getDouble(j))
-    case StringType => (a, j) => a.getUTF8String(j).toString
-    case BinaryType => (a, j) => java.nio.ByteBuffer.wrap(a.getBinary(j))
-    case other => throw new IllegalArgumentException(
-      s"graft_avro: unsupported array element type $other")
+      case st: StructType =>
+        val convs = st.fields.zip(a.getFields.asScala).map {
+          case (f, af) => writeConverter(f.dataType, af.schema())
+        }.toArray
+        (r, i) => {
+          val row = r.getStruct(i, convs.length)
+          val rec = new GenericData.Record(a)
+          var j = 0
+          while (j < convs.length) {
+            rec.put(j, if (row.isNullAt(j)) null else convs(j)(row, j))
+            j += 1
+          }
+          rec
+        }
+      case MapType(StringType, vt, _) =>
+        val valConv = writeConverter(vt, a.getValueType)
+        (r, i) => {
+          val m = r.getMap(i)
+          val ks = m.keyArray()
+          val vs = m.valueArray()
+          val out = new util.HashMap[String, AnyRef](m.numElements() * 2)
+          var j = 0
+          while (j < m.numElements()) {
+            out.put(ks.getUTF8String(j).toString,
+              if (vs.isNullAt(j)) null else valConv(vs, j))
+            j += 1
+          }
+          out
+        }
+      case other => throw new IllegalArgumentException(
+        s"graft_avro: unsupported Spark type $other")
+    }
   }
 
   /** (path, length) of every data file under the given paths: a

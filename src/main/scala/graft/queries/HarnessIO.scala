@@ -131,17 +131,29 @@ object HarnessIO {
 
     // Avro SCAN path under stress: sync-marker byte-range splits (the
     // splittability a 100 TB avro lake depends on — no per-file task
-    // skew) + projection pushdown (4 of 5 written columns reach the
-    // avro READER schema; the dropped column is skipped, not decoded).
+    // skew) + projection pushdown, including NESTED pruning (round
+    // 13): the written file carries a nested pricing record (3
+    // subfields, one itself a record) and a string-keyed map — the
+    // shapes real Avro lakes are full of — and the read touches ONE
+    // nested subfield plus one map key, so the reader schema keeps
+    // pricing=struct<price> only (disc/inner skipped at the decoder,
+    // AvroSpec pins the shape) while the flat output stays
+    // hash-oracled against the parquet original.
     "src_avro" -> ((s, dir) => {
       import s.implicits._
       val out = s"$stage/lineitem_avro"
       graft.io.Avro.write(t(s, dir, "lineitem")
         .select($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_returnflag",
-          $"l_shipdate"), out)
+          $"l_shipdate",
+          struct($"l_extendedprice".as("price"), $"l_discount".as("disc"),
+            struct($"l_tax".as("tax")).as("inner")).as("pricing"),
+          map(lit("rf"), $"l_returnflag", lit("ls"), $"l_linestatus").as("tags")),
+        out)
       s.read.format("graft_avro").option("splitBytes", 256 * 1024).load(out)
         .select($"l_orderkey", $"l_linenumber", $"l_quantity",
-          to_date($"l_shipdate").as("ship_date"))
+          to_date($"l_shipdate").as("ship_date"),
+          $"pricing.price".as("price"),
+          element_at($"tags", "ls").as("tag_ls"))
         .orderBy($"l_orderkey", $"l_linenumber")
     }),
 
@@ -471,7 +483,8 @@ object HarnessIO {
         |FROM orders ORDER BY 1""".stripMargin,
     "src_avro" ->
       """SELECT l_orderkey, l_linenumber, l_quantity,
-        |       CAST(l_shipdate AS DATE) AS ship_date
+        |       CAST(l_shipdate AS DATE) AS ship_date,
+        |       l_extendedprice AS price, l_linestatus AS tag_ls
         |FROM lineitem ORDER BY 1, 2""".stripMargin,
     "src_jdbc_table" ->
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment

@@ -79,6 +79,54 @@ class AvroSpec extends AnyFunSuite with SparkTestBase {
       s"pruned projection must reach the avro reader schema:\n$p")
   }
 
+  test("nested records, maps, and arrays-of-structs round-trip, nulls at every level") {
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("pricing", StructType(Seq(
+        StructField("price", DoubleType),
+        StructField("disc", DoubleType),
+        StructField("inner", StructType(Seq(
+          StructField("tax", DoubleType))))))),
+      StructField("tags", MapType(StringType, LongType, valueContainsNull = true)),
+      StructField("legs", ArrayType(StructType(Seq(
+        StructField("src", StringType),
+        StructField("n", IntegerType))), containsNull = true))))
+    val rows = Seq(
+      Row(1L, Row(9.5, 0.1, Row(0.07)), Map("a" -> 1L, "b" -> null),
+        Seq(Row("x", 1), null, Row(null, 3))),
+      Row(2L, null, null, null),
+      Row(3L, Row(null, 2.0, null), Map.empty[String, Long], Seq.empty[Row]))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toIndexedSeq, 2), schema)
+    val out = "/tmp/graft_test/avro_nested"
+    Avro.write(df, out)
+    val back = spark.read.format("graft_avro").load(out)
+    assert(back.schema === schema)
+    // map iteration order is engine-private: canonicalize via sorted
+    // entry rendering before comparing
+    def canon(d: org.apache.spark.sql.DataFrame) = collectSet(
+      d.withColumn("tags", expr(
+        "array_sort(transform(map_entries(tags), e -> concat(e.key, '=', coalesce(cast(e.value as string), 'null'))))")))
+    assert(canon(back) === canon(df))
+  }
+
+  test("nested pruning reaches INSIDE the record at the avro reader schema") {
+    import spark.implicits._
+    val out = "/tmp/graft_test/avro_nested" // written above
+    val pruned = spark.read.format("graft_avro").load(out)
+      .select($"id", $"pricing.price")
+    val p = pruned.queryExecution.executedPlan.toString
+    // Spark's nested schema pruning hands the scan a struct holding
+    // ONLY the touched subfield; the scan description proves disc and
+    // inner never reach the reader schema (so Avro resolution skips
+    // them at the decoder)
+    assert(p.contains("pricing:struct<price:double>"),
+      s"reader schema must hold only the touched subfield:\n$p")
+    assert(!p.contains("disc"), s"untouched sibling must be pruned:\n$p")
+    assert(pruned.collect().map(_.toString).toSet ===
+      Set("[1,9.5]", "[2,null]", "[3,null]"))
+  }
+
   test("embeddings round-trip: array<float> column is bit-exact") {
     import spark.implicits._
     val df = spark.read.parquet(sf("embeddings"))
