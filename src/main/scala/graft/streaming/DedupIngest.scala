@@ -54,27 +54,37 @@ object DedupIngest {
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val sh = shingled(batch.toDF(), id, text).persist()
         try {
-          Dedup.portableBandSignatures(sh, "doc_id", "__sh", numHashes, bands)
-            .withColumn("__batch", lit(batchId))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("__batch")
-            .parquet(s"$storeDir/sigs")
-          sh.withColumn("__batch", lit(batchId))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("__batch")
-            .parquet(s"$storeDir/docs")
-          if (compactEvery > 0 &&
-              TextIngest.batchPartitionDirs(stream.sparkSession,
-                s"$storeDir/sigs").length >= compactEvery)
-            compactMinhash(stream.sparkSession, storeDir, upToBatch = batchId)
+          minhashBatch(stream.sparkSession, sh, storeDir, numHashes, bands,
+            batchId, compactEvery)
           onBatch(batchId)
         } finally { sh.unpersist(); () }
       }
       .trigger(trigger)
       .option("checkpointLocation", s"$storeDir/_checkpoint")
       .start()
+  }
+
+  /** One micro-batch of minhash-store maintenance over an
+    * already-shingled (and persisted) batch relation — factored so the
+    * joint maintainer ([[maintainDedupStores]]) can feed both stores
+    * from ONE shingle pass. */
+  private def minhashBatch(spark: SparkSession, sh: DataFrame, storeDir: String,
+                           numHashes: Int, bands: Int, batchId: Long,
+                           compactEvery: Int): Unit = {
+    Dedup.portableBandSignatures(sh, "doc_id", "__sh", numHashes, bands)
+      .withColumn("__batch", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("__batch")
+      .parquet(s"$storeDir/sigs")
+    sh.withColumn("__batch", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("__batch")
+      .parquet(s"$storeDir/docs")
+    if (compactEvery > 0 &&
+        TextIngest.batchPartitionDirs(spark, s"$storeDir/sigs").length >= compactEvery)
+      compactMinhash(spark, storeDir, upToBatch = batchId)
   }
 
   /** Persist the signature parameters beside the store (the quantizer-
@@ -213,51 +223,104 @@ object DedupIngest {
         requireNoPendingSwap(spark, storeDir)
         val sh = shingled(batch.toDF(), id, text).persist()
         try {
-          val ex = Dedup.hashedShingles(sh, "doc_id", "__sh")
-          val dfordDir = s"$storeDir/dford"
-          // bootstrap: freeze the ordering authority from the first
-          // batch (first writer wins — the _SUCCESS marker is the
-          // atomic commit, a replayed batch 0 overwrites identically).
-          // __gen tags the order GENERATION (0 at bootstrap, bumped by
-          // [[refreshOrderAuthority]]); every docs row carries the
-          // generation it was ordered under, so a serve can PROVE the
-          // shared-total-order premise instead of assuming it.
-          if (!new org.apache.hadoop.fs.Path(dfordDir).getFileSystem(
-              spark.sparkContext.hadoopConfiguration).exists(
-              new org.apache.hadoop.fs.Path(s"$dfordDir/_SUCCESS"))) {
-            ex.groupBy(col("__h")).agg(count(lit(1)).as("__df"))
-              .withColumn("__gen", lit(0L))
-              .write.mode("overwrite").parquet(dfordDir)
-            // order-meta sidecar at bootstrap: generation 0 + the
-            // vocabulary size the broadcast gate sizes against (one
-            // count, once per store lifetime)
-            writeOrderMeta(spark, storeDir, 0L,
-              spark.read.parquet(dfordDir).count())
-          }
-          val dford = spark.read.parquet(dfordDir)
-          val gen = orderGen(dford)
-          // the order join is per-batch: against a small vocabulary
-          // (sidecar-proven) the authority broadcasts and the batch
-          // skips the vocabulary shuffle entirely
-          Dedup.orderedByDf(ex, dfreqFor(spark, storeDir, dford), "doc_id")
-            .join(sh, "doc_id")
-            .select(col("doc_id"), col("__sh"), col("__n"), col("__ha"))
-            .withColumn("__ogen", lit(gen))
-            .withColumn("__batch", lit(batchId))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("__batch")
-            .parquet(s"$storeDir/docs")
-          if (compactEvery > 0 &&
-              TextIngest.batchPartitionDirs(spark,
-                s"$storeDir/docs").length >= compactEvery)
-            compactJaccardStore(spark, storeDir, upToBatch = batchId)
+          jaccardBatch(spark, sh, storeDir, batchId, compactEvery)
           onBatch(batchId)
         } finally { sh.unpersist(); () }
       }
       .trigger(trigger)
       .option("checkpointLocation", s"$storeDir/_checkpoint")
       .start()
+
+  /** One micro-batch of jaccard-store maintenance over an
+    * already-shingled (and persisted) batch relation — factored so the
+    * joint maintainer ([[maintainDedupStores]]) can feed both stores
+    * from ONE shingle pass. */
+  private def jaccardBatch(spark: SparkSession, sh: DataFrame, storeDir: String,
+                           batchId: Long, compactEvery: Int): Unit = {
+    val ex = Dedup.hashedShingles(sh, "doc_id", "__sh")
+    val dfordDir = s"$storeDir/dford"
+    // bootstrap: freeze the ordering authority from the first
+    // batch (first writer wins — the _SUCCESS marker is the
+    // atomic commit, a replayed batch 0 overwrites identically).
+    // __gen tags the order GENERATION (0 at bootstrap, bumped by
+    // [[refreshOrderAuthority]]); every docs row carries the
+    // generation it was ordered under, so a serve can PROVE the
+    // shared-total-order premise instead of assuming it.
+    if (!new org.apache.hadoop.fs.Path(dfordDir).getFileSystem(
+        spark.sparkContext.hadoopConfiguration).exists(
+        new org.apache.hadoop.fs.Path(s"$dfordDir/_SUCCESS"))) {
+      ex.groupBy(col("__h")).agg(count(lit(1)).as("__df"))
+        .withColumn("__gen", lit(0L))
+        .write.mode("overwrite").parquet(dfordDir)
+      // order-meta sidecar at bootstrap: generation 0 + the
+      // vocabulary size the broadcast gate sizes against (one
+      // count, once per store lifetime)
+      writeOrderMeta(spark, storeDir, 0L,
+        spark.read.parquet(dfordDir).count())
+    }
+    val dford = spark.read.parquet(dfordDir)
+    val gen = orderGen(dford)
+    // the order join is per-batch: against a small vocabulary
+    // (sidecar-proven) the authority broadcasts and the batch
+    // skips the vocabulary shuffle entirely
+    Dedup.orderedByDf(ex, dfreqFor(spark, storeDir, dford), "doc_id")
+      .join(sh, "doc_id")
+      .select(col("doc_id"), col("__sh"), col("__n"), col("__ha"))
+      .withColumn("__ogen", lit(gen))
+      .withColumn("__batch", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("__batch")
+      .parquet(s"$storeDir/docs")
+    if (compactEvery > 0 &&
+        TextIngest.batchPartitionDirs(spark, s"$storeDir/docs").length >= compactEvery)
+      compactJaccardStore(spark, storeDir, upToBatch = batchId)
+  }
+
+  /** JOINT maintenance of a minhash store and a jaccard store from ONE
+    * document stream — the production-ingest shape (round 13, VERDICT
+    * r12 #5): a corpus feeding both stores previously paid the shingle
+    * explode (the dominant featurize cost: text scan + n-gram
+    * generation per doc) once PER STORE. Here each micro-batch
+    * materializes one persisted `(doc_id, __sh)` relation and feeds
+    * both maintainers' batch bodies from it — the md5 band digests and
+    * the xxhash ordering pass stay separate (they are different
+    * features with different portability contracts), but the shared
+    * explode is paid once. Both stores come out BIT-IDENTICAL to their
+    * solo builds (StreamingSpec pins sigs/docs row-for-row and the
+    * served relations), because the batch bodies are the literal solo
+    * code paths over the same shingle relation.
+    *
+    * One streaming query, one checkpoint (under the minhash store):
+    * the store PAIR belongs to this maintainer. Exactly-once on retry
+    * holds per store exactly as solo — dynamic partition overwrite by
+    * batch id. The joint ingest wall lands in the `dedup_joint_ingest_ms`
+    * counter (caller-scoped under the bench). */
+  def maintainDedupStores(stream: DataFrame, id: String, text: String,
+                          minhashDir: String, jaccardDir: String,
+                          numHashes: Int = 12, bands: Int = 4,
+                          trigger: Trigger = Trigger.AvailableNow(),
+                          onBatch: Long => Unit = _ => (),
+                          compactEvery: Int = 0): StreamingQuery = {
+    saveSigParams(minhashDir, numHashes, bands)
+    val t0 = System.nanoTime()
+    stream.writeStream
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val spark = stream.sparkSession
+        requireNoPendingSwap(spark, jaccardDir)
+        val sh = shingled(batch.toDF(), id, text).persist()
+        try {
+          minhashBatch(spark, sh, minhashDir, numHashes, bands, batchId, compactEvery)
+          jaccardBatch(spark, sh, jaccardDir, batchId, compactEvery)
+          graft.Metrics.record("dedup_joint_ingest_ms",
+            (System.nanoTime() - t0) / 1000000L)
+          onBatch(batchId)
+        } finally { sh.unpersist(); () }
+      }
+      .trigger(trigger)
+      .option("checkpointLocation", s"$minhashDir/_checkpoint")
+      .start()
+  }
 
   /** Fold committed docs batch partitions into `__batch=-1` — rows are
     * globally unique (one batch per doc), full-row distinct makes the

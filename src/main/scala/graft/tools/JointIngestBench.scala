@@ -1,0 +1,62 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** One-shot measurement for the joint dedup-store maintainer (round
+  * 13, VERDICT r12 #5): ingest the documents table into (a) a solo
+  * minhash store, (b) a solo jaccard store, (c) both via
+  * [[graft.streaming.DedupIngest.maintainDedupStores]], and print the
+  * three walls — the number SURVEY §9 cites for the shared-featurize
+  * saving. Not part of the bench suite: the suite's two stream keys
+  * stay solo so their per-key attribution is untouched. */
+object JointIngestBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    def freshDir(n: String): String = {
+      val d = s"/tmp/graft_stage/joint_bench/$n"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d))
+      d
+    }
+    def stream() = spark.readStream.schema(docs.schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(sfDir)
+    def timed(label: String)(f: => Unit): Double = {
+      val t0 = System.nanoTime()
+      f
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"[joint-bench] $label%-14s $s%.2f s")
+      s
+    }
+    // order alternated runs so JIT warmth doesn't systematically favor
+    // the joint run: warmup (untimed), then solo, solo, joint
+    timed("warmup") {
+      graft.streaming.DedupIngest.maintainMinhash(
+        stream(), "doc_id", "text", freshDir("warm")).awaitTermination()
+    }
+    val soloM = timed("solo minhash") {
+      graft.streaming.DedupIngest.maintainMinhash(
+        stream(), "doc_id", "text", freshDir("mh_solo")).awaitTermination()
+    }
+    val soloJ = timed("solo jaccard") {
+      graft.streaming.DedupIngest.maintainJaccardStore(
+        stream(), "doc_id", "text", freshDir("jc_solo")).awaitTermination()
+    }
+    val joint = timed("joint") {
+      graft.streaming.DedupIngest.maintainDedupStores(
+        stream(), "doc_id", "text", freshDir("mh_joint"), freshDir("jc_joint"))
+        .awaitTermination()
+    }
+    println(f"[joint-bench] solo sum ${soloM + soloJ}%.2f s vs joint $joint%.2f s " +
+      f"= ${(1 - joint / (soloM + soloJ)) * 100}%.0f%% saved")
+    spark.stop()
+  }
+}

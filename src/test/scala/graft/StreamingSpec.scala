@@ -1024,6 +1024,76 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       "serving inside the compaction crash window must not change pairs")
   }
 
+  test("joint dedup maintenance: both stores bit-identical to solo builds, one shingle pass") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.streaming.DedupIngest
+    // the production-ingest shape (round 13): one stream feeds BOTH
+    // stores; the stores must be row-for-row the solo builds' (the
+    // batch bodies are the literal solo code paths over one shared
+    // persisted shingle relation), so every solo serve contract —
+    // including the batch-op oracles — transfers verbatim
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq(
+      (1L, base),
+      (2L, base + " tail"),
+      (3L, "completely different words entirely here about spark plans"),
+      (4L, base.replace("lazy", "sleepy")),
+      (5L, "completely different words entirely here about spark joins"))
+    val roots = Seq("minhash_solo", "jaccard_solo", "minhash_joint", "jaccard_joint")
+      .map(n => n -> s"/tmp/graft_test/joint_$n").toMap
+    roots.values.foreach(d =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))
+    def feed(start: org.apache.spark.sql.streaming.StreamingQuery,
+             ms: MemoryStream[(Long, String)]): Unit = {
+      ms.addData(docs(0), docs(2)); start.processAllAvailable()
+      ms.addData(docs(1), docs(4)); start.processAllAvailable()
+      ms.addData(docs(3)); start.processAllAvailable()
+      start.stop()
+    }
+    val msA = MemoryStream[(Long, String)](spark)
+    feed(DedupIngest.maintainMinhash(msA.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", roots("minhash_solo"), trigger = Trigger.ProcessingTime(0)), msA)
+    val msB = MemoryStream[(Long, String)](spark)
+    feed(DedupIngest.maintainJaccardStore(msB.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", roots("jaccard_solo"), trigger = Trigger.ProcessingTime(0)), msB)
+    val msJ = MemoryStream[(Long, String)](spark)
+    feed(DedupIngest.maintainDedupStores(msJ.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", roots("minhash_joint"), roots("jaccard_joint"),
+      trigger = Trigger.ProcessingTime(0)), msJ)
+    // store-level bit identity, every data column incl. the batch stamp
+    def rows(dir: String, canonArrays: Boolean = false) = {
+      val df = spark.read.parquet(dir)
+      val c = if (canonArrays)
+        df.withColumn("__sh", concat_ws("|", col("__sh"))) else df
+      c.collect().map(_.toString).toSet
+    }
+    assert(rows(s"${roots("minhash_joint")}/sigs") ===
+      rows(s"${roots("minhash_solo")}/sigs"), "sigs must be bit-identical")
+    assert(rows(s"${roots("minhash_joint")}/docs", canonArrays = true) ===
+      rows(s"${roots("minhash_solo")}/docs", canonArrays = true),
+      "minhash docs must be bit-identical")
+    def jdocs(root: String) = spark.read.parquet(s"$root/docs")
+      .select(col("doc_id"), concat_ws("|", col("__sh")).as("sh"),
+        concat_ws("|", col("__ha")).as("ha"), col("__n"), col("__ogen"), col("__batch"))
+      .collect().map(_.toString).toSet
+    assert(jdocs(roots("jaccard_joint")) === jdocs(roots("jaccard_solo")),
+      "jaccard docs (incl. ordered hash arrays) must be bit-identical")
+    assert(rows(s"${roots("jaccard_joint")}/dford") ===
+      rows(s"${roots("jaccard_solo")}/dford"),
+      "the frozen df authority must be bit-identical")
+    // serve-level identity on both tiers
+    def nd(root: String) = DedupIngest.nearDupsFromStore(spark, root)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(nd(roots("minhash_joint")) === nd(roots("minhash_solo")))
+    val probes = Seq((500L, base)).toDF("doc_id", "text")
+    def jp(root: String) = DedupIngest.jaccardProbeFromStore(spark, root, probes,
+      "doc_id", "text", jaccardThreshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(jp(roots("jaccard_joint")) === jp(roots("jaccard_solo")))
+    assert(jp(roots("jaccard_joint")).contains((500L, 1L)))
+  }
+
   test("jaccard store order refresh: drifted bootstrap costs candidates, refresh recovers, results unchanged") {
     import spark.implicits._
     import graft.streaming.DedupIngest
