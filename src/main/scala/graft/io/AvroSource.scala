@@ -260,15 +260,25 @@ private[io] object AvroConversions {
   /** Spark schema -> Avro schema (the writer's). Field order preserved;
     * nullable fields become [null, T] unions with null default. Nested
     * structs become NAMED records — Avro requires every record type to
-    * carry a distinct full name, so nested record names derive from
-    * their field path (`graft_row_pricing_inner`), which is unique by
-    * construction since struct field names are unique per level. */
+    * carry a distinct full name, so nested records are numbered in
+    * traversal order (`graft_rec_1`, `graft_rec_2`, ...): unique
+    * unconditionally and deterministic for a given schema. (A field-
+    * PATH-derived name is NOT unique once field names themselves
+    * contain underscores — `a.b_c` and `a_b.c` would join to the same
+    * name, and Avro serializes the second occurrence of a duplicate
+    * full name as a REFERENCE to the first, silently giving one record
+    * the other's shape.) Readers never depend on these names:
+    * `toSparkSchema` ignores them, and resolution matches the reader
+    * schema built by [[pruneAvroSchema]], which preserves writer
+    * names. */
   def toAvroSchema(schema: StructType, recordName: String = "graft_row"): ASchema =
-    structToRecord(schema, recordName)
+    structToRecord(schema, recordName,
+      new java.util.concurrent.atomic.AtomicInteger(0))
 
-  private def structToRecord(st: StructType, name: String): ASchema = {
+  private def structToRecord(st: StructType, name: String,
+                             counter: java.util.concurrent.atomic.AtomicInteger): ASchema = {
     val fields = st.fields.map { f =>
-      val base = toAvroType(f.dataType, name + "_" + f.name)
+      val base = toAvroType(f.dataType, counter)
       val s = if (f.nullable) ASchema.createUnion(ASchema.create(ASchema.Type.NULL), base)
               else base
       new ASchema.Field(f.name, s,
@@ -277,8 +287,9 @@ private[io] object AvroConversions {
     ASchema.createRecord(name, null, "graft", false, fields.toList.asJava)
   }
 
-  /** `path` names any record type created under this node. */
-  private def toAvroType(dt: DataType, path: String): ASchema = dt match {
+  /** `counter` numbers any record type created under this node. */
+  private def toAvroType(dt: DataType,
+                         counter: java.util.concurrent.atomic.AtomicInteger): ASchema = dt match {
     case BooleanType => ASchema.create(ASchema.Type.BOOLEAN)
     case IntegerType => ASchema.create(ASchema.Type.INT)
     case LongType => ASchema.create(ASchema.Type.LONG)
@@ -292,13 +303,14 @@ private[io] object AvroConversions {
     case TimestampNTZType =>
       LogicalTypes.localTimestampMicros().addToSchema(ASchema.create(ASchema.Type.LONG))
     case ArrayType(et, containsNull) =>
-      val elem = toAvroType(et, path + "_item")
+      val elem = toAvroType(et, counter)
       ASchema.createArray(
         if (containsNull) ASchema.createUnion(ASchema.create(ASchema.Type.NULL), elem)
         else elem)
-    case st: StructType => structToRecord(st, path)
+    case st: StructType =>
+      structToRecord(st, s"graft_rec_${counter.incrementAndGet()}", counter)
     case MapType(StringType, vt, valueContainsNull) =>
-      val v = toAvroType(vt, path + "_value")
+      val v = toAvroType(vt, counter)
       ASchema.createMap(
         if (valueContainsNull)
           ASchema.createUnion(ASchema.create(ASchema.Type.NULL), v)
@@ -340,8 +352,15 @@ private[io] object AvroConversions {
   private def pruneTypeSchema(writer: ASchema, dt: DataType): ASchema =
     (writer.getType, dt) match {
       case (ASchema.Type.UNION, _) =>
-        ASchema.createUnion(ASchema.create(ASchema.Type.NULL),
-          pruneTypeSchema(nonNullBranch(writer), dt))
+        // preserve the writer's BRANCH ORDER: a foreign file's
+        // [T, null] union may carry a non-null default, and Avro
+        // validates a field default against the FIRST branch —
+        // rewrapping as [null, T] would throw at reader-schema
+        // construction for a file that read fine unpruned
+        ASchema.createUnion(writer.getTypes.asScala.map {
+          case b if b.getType == ASchema.Type.NULL => b
+          case b => pruneTypeSchema(b, dt)
+        }.toList.asJava)
       case (ASchema.Type.RECORD, st: StructType) => pruneAvroSchema(writer, st)
       case (ASchema.Type.ARRAY, at: ArrayType) =>
         ASchema.createArray(pruneTypeSchema(writer.getElementType, at.elementType))

@@ -1029,12 +1029,14 @@ object Multimodal {
   final case class CodecImage(format: String, width: Int, height: Int,
                               sampleSum: Long, nSamples: Long)
 
-  /** REAL image decode via ImageIO: sniff the format off the byte
-    * stream's own magic (the reader registry's `canDecodeInput`
-    * probe), decode through the matching codec (PNG inflate, JPEG
-    * IDCT, ...), then walk the decoded raster. None for payloads no
-    * in-JDK codec claims (e.g. netpbm — those route to [[pnmDecode]])
-    * or that fail to decode. */
+  /** REAL image decode via ImageIO: prefilter on the tier's five
+    * container magics ([[hasImageMagic]]), sniff via the reader
+    * registry's `canDecodeInput` probe, decode through the matching
+    * codec (PNG inflate, JPEG IDCT, ...), then walk the decoded
+    * raster. None for payloads outside the tier's PNG/JPEG/GIF/BMP/
+    * TIFF contract (netpbm routes to [[pnmDecode]]; magic-less
+    * formats a JDK plugin might claim, e.g. WBMP, are deliberately
+    * outside the contract) or that fail to decode. */
   def imageIoDecode(bytes: Array[Byte]): Option[CodecImage] =
     withImageReader(bytes) { reader =>
       // Locale.ROOT: a Turkish default locale lower-cases "GIF"/"TIFF"
@@ -1060,8 +1062,9 @@ object Multimodal {
       }
     }
 
-  /** First-image read through whatever in-JDK codec claims the byte
-    * stream; None when no reader claims it or the decode fails — the
+  /** First-image read through the in-JDK codec claiming the byte
+    * stream (within the tier's five-format magic contract); None when
+    * the prefilter/registry rejects it or the decode fails — the
     * [[aHash64]] routing hook for codec-format payloads. */
   private def imageIoRead(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
     withImageReader(bytes)(guardedRead(_, 0))

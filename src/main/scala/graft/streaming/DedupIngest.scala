@@ -303,17 +303,22 @@ object DedupIngest {
                           onBatch: Long => Unit = _ => (),
                           compactEvery: Int = 0): StreamingQuery = {
     saveSigParams(minhashDir, numHashes, bands)
-    val t0 = System.nanoTime()
+    // counter accumulates per-batch WORK time only (captured inside
+    // foreachBatch) — a suite-start t0 would fold query setup, trigger
+    // waits, and inter-batch idle into the "ingest wall" and make the
+    // number trigger-dependent
+    val workMs = new java.util.concurrent.atomic.AtomicLong(0L)
     stream.writeStream
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val spark = stream.sparkSession
+        val b0 = System.nanoTime()
         requireNoPendingSwap(spark, jaccardDir)
         val sh = shingled(batch.toDF(), id, text).persist()
         try {
           minhashBatch(spark, sh, minhashDir, numHashes, bands, batchId, compactEvery)
           jaccardBatch(spark, sh, jaccardDir, batchId, compactEvery)
           graft.Metrics.record("dedup_joint_ingest_ms",
-            (System.nanoTime() - t0) / 1000000L)
+            workMs.addAndGet((System.nanoTime() - b0) / 1000000L))
           onBatch(batchId)
         } finally { sh.unpersist(); () }
       }

@@ -112,7 +112,19 @@ class AvroSpec extends AnyFunSuite with SparkTestBase {
 
   test("nested pruning reaches INSIDE the record at the avro reader schema") {
     import spark.implicits._
-    val out = "/tmp/graft_test/avro_nested" // written above
+    // self-contained write (no dependence on another test's output dir)
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("pricing", StructType(Seq(
+        StructField("price", DoubleType),
+        StructField("disc", DoubleType),
+        StructField("inner", StructType(Seq(
+          StructField("tax", DoubleType)))))))))
+    val rows = Seq(Row(1L, Row(9.5, 0.1, Row(0.07))), Row(2L, null),
+      Row(3L, Row(null, 2.0, null)))
+    val out = "/tmp/graft_test/avro_nested_prune"
+    Avro.write(spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toIndexedSeq, 2), schema), out)
     val pruned = spark.read.format("graft_avro").load(out)
       .select($"id", $"pricing.price")
     val p = pruned.queryExecution.executedPlan.toString

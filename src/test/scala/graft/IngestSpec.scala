@@ -447,7 +447,11 @@ class IngestSpec extends AnyFunSuite with SparkTestBase {
     // truncation mid-frame-data: at most the encoded frame count may
     // survive, and every surviving frame must be byte-exact against
     // ITS OWN encoded raster (prefix-exact, never a shifted index or
-    // a partially-filled raster passed off as decoded)
+    // a partially-filled raster passed off as decoded). This is a
+    // deliberate CANARY on the JDK reader's truncation behavior: a
+    // future JDK that returns a partially-filled raster instead of
+    // throwing would fail here — the right response then is an
+    // explicit guard in gifFrames, not a loosened assertion.
     val partial = Multimodal.gifFrames(gif.dropRight(10))
     assert(partial.length <= 3, "truncation cannot invent frames")
     partial.zip(wantSums).zipWithIndex.foreach { case ((fr, want), i) =>

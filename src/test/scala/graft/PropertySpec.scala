@@ -528,4 +528,80 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
       }
     }
   }
+
+  test("avro round-trips random nested schemas and rows (struct/map/array at random depth)") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // the round-13 nested conversion has the corner-richest surface in
+    // the io tier (array-of-map, map-of-struct, nullable nesting at
+    // every level) — fuzz it: random bounded-depth schemas + rows,
+    // write through Avro.write, read through graft_avro, compare under
+    // a canonical rendering (map iteration order is engine-private)
+    def randType(rnd: Random, depth: Int): DataType = {
+      val leaf = rnd.nextInt(6) match {
+        case 0 => IntegerType
+        case 1 => LongType
+        case 2 => DoubleType
+        case 3 => StringType
+        case 4 => BooleanType
+        case _ => BinaryType
+      }
+      if (depth <= 0) leaf
+      else rnd.nextInt(6) match {
+        case 0 => ArrayType(randType(rnd, depth - 1), rnd.nextBoolean())
+        case 1 => MapType(StringType, randType(rnd, depth - 1), rnd.nextBoolean())
+        case 2 => StructType((1 to 1 + rnd.nextInt(3)).map(i =>
+          StructField(s"f$i", randType(rnd, depth - 1), rnd.nextBoolean())).toArray)
+        case _ => leaf
+      }
+    }
+    def randValue(rnd: Random, dt: DataType, nullable: Boolean): Any =
+      if (nullable && rnd.nextInt(4) == 0) null
+      else dt match {
+        case IntegerType => rnd.nextInt()
+        case LongType => rnd.nextLong()
+        case DoubleType => rnd.nextDouble()
+        case StringType => rnd.alphanumeric.take(rnd.nextInt(8)).mkString
+        case BooleanType => rnd.nextBoolean()
+        case BinaryType => Array.fill(rnd.nextInt(6))(rnd.nextInt(256).toByte)
+        case ArrayType(et, cn) => Seq.fill(rnd.nextInt(4))(randValue(rnd, et, cn))
+        case MapType(_, vt, vn) =>
+          (1 to rnd.nextInt(4)).map(i =>
+            s"k${rnd.nextInt(10)}_$i" -> randValue(rnd, vt, vn)).toMap
+        case st: StructType =>
+          Row.fromSeq(st.fields.toSeq.map(f => randValue(rnd, f.dataType, f.nullable)))
+        case other => fail(s"unplanned type $other")
+      }
+    // canonical rendering: recursively sort map entries, hex binaries
+    def canon(v: Any, dt: DataType): String = (v, dt) match {
+      case (null, _) => "null"
+      case (b: Array[Byte], BinaryType) => b.map("%02x".format(_)).mkString
+      case (s: scala.collection.Seq[_], ArrayType(et, _)) =>
+        s.map(canon(_, et)).mkString("[", ",", "]")
+      case (m: scala.collection.Map[_, _], MapType(_, vt, _)) =>
+        m.map { case (k, x) => s"$k->${canon(x, vt)}" }.toSeq.sorted
+          .mkString("{", ",", "}")
+      case (r: Row, st: StructType) =>
+        st.fields.zipWithIndex.map { case (f, i) => canon(r.get(i), f.dataType) }
+          .mkString("(", ",", ")")
+      case (x, _) => x.toString
+    }
+    trials { rnd =>
+      val schema = StructType(StructField("id", LongType, nullable = false) +:
+        (1 to 1 + rnd.nextInt(3)).map(i =>
+          StructField(s"c$i", randType(rnd, 2), rnd.nextBoolean())).toArray)
+      val rows = (1 to 1 + rnd.nextInt(7)).map(i =>
+        Row.fromSeq(i.toLong +: schema.fields.drop(1).toSeq
+          .map(f => randValue(rnd, f.dataType, f.nullable))))
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 2), schema)
+      val out = "/tmp/graft_test/avro_fuzz"
+      graft.io.Avro.write(df, out)
+      val back = spark.read.format("graft_avro").load(out)
+      assert(back.schema === schema, s"schema drift for $schema")
+      def canonRows(d: org.apache.spark.sql.DataFrame) =
+        d.collect().map(r => canon(r, schema)).sorted.toSeq
+      assert(canonRows(back) === canonRows(df), s"row drift for $schema")
+    }
+  }
 }

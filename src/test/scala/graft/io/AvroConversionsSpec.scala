@@ -1,0 +1,62 @@
+package graft.io
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.avro.{Schema => ASchema, SchemaBuilder}
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Schema-level pins for [[AvroConversions]] — no Spark session, pure
+  * conversion logic. Both tests pin round-13 review findings. */
+class AvroConversionsSpec extends AnyFunSuite {
+
+  test("nested record names stay unique when field names contain underscores") {
+    // a.b_c and a_b.c path-join to the same string; path-derived
+    // record names made the second a REFERENCE to the first and one
+    // record silently took the other's shape
+    val schema = StructType(Seq(
+      StructField("a", StructType(Seq(
+        StructField("b_c", StructType(Seq(
+          StructField("x", IntegerType, nullable = false))), nullable = false))),
+        nullable = false),
+      StructField("a_b", StructType(Seq(
+        StructField("c", StructType(Seq(
+          StructField("y", StringType, nullable = false))), nullable = false))),
+        nullable = false)))
+    val avro = AvroConversions.toAvroSchema(schema)
+    // serialize + reparse (exactly what the executor-side writer does):
+    // a duplicate full name would come back with the FIRST record's
+    // shape in both positions
+    val reparsed = new ASchema.Parser().parse(avro.toString)
+    val leaf1 = reparsed.getField("a").schema().getField("b_c").schema()
+    val leaf2 = reparsed.getField("a_b").schema().getField("c").schema()
+    assert(leaf1.getFields.asScala.map(_.name()).toList == List("x"))
+    assert(leaf2.getFields.asScala.map(_.name()).toList == List("y"),
+      s"duplicate record names collapse distinct shapes: $reparsed")
+    // and the round-trip back to Spark reproduces the schema exactly
+    assert(AvroConversions.toSparkSchema(reparsed) === schema)
+  }
+
+  test("pruning preserves a foreign [T, null] union's branch order and non-null default") {
+    // files written by other tools use [int, null] with a non-null
+    // default; Avro validates a field default against the FIRST union
+    // branch, so rewrapping as [null, int] threw at reader-schema
+    // construction for a file that read fine unpruned
+    val writer = SchemaBuilder.record("ext_row").namespace("ext").fields()
+      .name("k").`type`().longType().noDefault()
+      .name("v").`type`(ASchema.createUnion(
+        ASchema.create(ASchema.Type.INT), ASchema.create(ASchema.Type.NULL)))
+      .withDefault(0)
+      .endRecord()
+    val required = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("v", IntegerType, nullable = true)))
+    val pruned = AvroConversions.pruneAvroSchema(writer, required)
+    val v = pruned.getField("v")
+    assert(v.schema().getTypes.asScala.map(_.getType).toList ==
+      List(ASchema.Type.INT, ASchema.Type.NULL),
+      "writer branch order must survive pruning")
+    assert(v.defaultVal() == Integer.valueOf(0),
+      "the non-null default must survive (and validate against branch 0)")
+  }
+}
