@@ -182,22 +182,26 @@ private[io] class AvroPartitionReader(p: AvroSplitPartition, required: StructTyp
     * decoding; a mid-block cut fails loudly (only a cut EXACTLY at a
     * block boundary is indistinguishable from a shorter file — that
     * residue belongs to the storage checksum layer /
-    * meta_table_checksum). Cost: one 16-byte ranged read per FILE,
+    * meta_table_checksum). Cost: two 16-byte ranged reads per FILE,
     * executor-side. The expected marker is read from the END OF THE
     * HEADER (position `reader.previousSync()` after `sync(0)` is the
     * first post-header byte, so the marker is the 16 bytes before
-    * it) — no header re-parse. */
+    * it) — no header re-parse. The validated tail is at the
+    * PLAN-TIME length `p.end`, not the live file length: the scan
+    * reads the planning snapshot [0, p.end), the 16 bytes before
+    * p.end are immutable under a concurrent append (avro appends
+    * only add blocks after the last sync), and a live getFileStatus
+    * would spuriously fail an intact scan whose file is mid-append. */
   private def verifyTailSync(fs: org.apache.hadoop.fs.FileSystem): Unit = {
-    val st = fs.getFileStatus(new Path(p.path))
     val headerEnd = reader.previousSync() // call after reader.sync(0)
-    require(st.getLen >= headerEnd && headerEnd >= 16,
+    require(p.end >= headerEnd && headerEnd >= 16,
       s"graft_avro: ${p.path} shorter than its own header — truncated")
     val in2 = fs.open(new Path(p.path))
     try {
       val marker = new Array[Byte](16)
       val tail = new Array[Byte](16)
       in2.readFully(headerEnd - 16, marker)
-      in2.readFully(st.getLen - 16, tail)
+      in2.readFully(p.end - 16, tail)
       require(java.util.Arrays.equals(marker, tail),
         s"graft_avro: ${p.path} does not end on its sync marker — the " +
           "container is truncated or corrupt (a valid avro file ends " +
@@ -404,7 +408,14 @@ private[io] object AvroConversions {
         // [T, null] union may carry a non-null default, and Avro
         // validates a field default against the FIRST branch —
         // rewrapping as [null, T] would throw at reader-schema
-        // construction for a file that read fine unpruned
+        // construction for a file that read fine unpruned. The
+        // [null, T] contract stays LOUD here too: an externally
+        // supplied .schema() bypasses inferSchema's check, and
+        // copying extra non-null branches through would let a
+        // 3-branch union's mismatched datums decode silently into
+        // the wrong Spark type.
+        require(writer.getTypes.asScala.count(_.getType != ASchema.Type.NULL) == 1,
+          s"graft_avro: only [null, T] unions are supported, got $writer")
         ASchema.createUnion(writer.getTypes.asScala.map {
           case b if b.getType == ASchema.Type.NULL => b
           case b => pruneTypeSchema(b, dt)

@@ -59,4 +59,22 @@ class AvroConversionsSpec extends AnyFunSuite {
     assert(v.defaultVal() == Integer.valueOf(0),
       "the non-null default must survive (and validate against branch 0)")
   }
+
+  test("pruning a multi-branch union stays loud (an external .schema() bypasses inferSchema)") {
+    // supportsExternalMetadata lets a user-supplied schema skip
+    // inferSchema's [null, T] require — the pruner must re-enforce it
+    // rather than copy extra branches through, where a mismatched
+    // datum would decode silently into the wrong Spark type
+    val writer = SchemaBuilder.record("m").fields()
+      .name("u").`type`(ASchema.createUnion(
+        ASchema.create(ASchema.Type.NULL),
+        ASchema.create(ASchema.Type.INT),
+        ASchema.create(ASchema.Type.STRING))).withDefault(null)
+      .endRecord()
+    val required = StructType(Seq(StructField("u", IntegerType, nullable = true)))
+    val e = intercept[IllegalArgumentException] {
+      AvroConversions.pruneAvroSchema(writer, required)
+    }
+    assert(e.getMessage.contains("union"), e.getMessage)
+  }
 }

@@ -134,12 +134,18 @@ class AvroInteropSpec extends AnyFunSuite with SparkTestBase {
         s"cut=$cut must trip the tail-sync guard: $e")
     }
     // ...and under byte-range splitting too (only the tail split owns
-    // the check; truncation must still fail the scan)
+    // the check; truncation must still fail the scan, and it must be
+    // THIS guard that trips — a generic SparkException would also
+    // pass if a regression un-marked the tail split and something
+    // else failed)
     java.nio.file.Files.write(f.toPath, full.take(full.length / 2))
-    intercept[org.apache.spark.SparkException] {
+    val se = intercept[org.apache.spark.SparkException] {
       spark.read.format("graft_avro").option("splitBytes", 4 * 1024)
         .load(out).count()
     }
+    assert(se.getMessage.contains("sync marker") ||
+      String.valueOf(se.getCause).contains("sync marker"),
+      s"the tail split must run the guard under splitting: $se")
   }
 
   test("unsupported shapes fail loudly at schema conversion") {
