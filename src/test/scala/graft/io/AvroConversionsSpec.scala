@@ -77,4 +77,29 @@ class AvroConversionsSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("union"), e.getMessage)
   }
+
+  test("split planning marks exactly one tail split per file, covering to the file end") {
+    // the truncation guard hangs off isTail — a planner regression
+    // that dropped or duplicated the mark would either skip the guard
+    // (silent loss returns) or run it spuriously mid-file
+    val tmp = new java.io.File("/tmp/graft_test/avro_plan_pin")
+    org.apache.commons.io.FileUtils.deleteQuietly(tmp)
+    tmp.mkdirs()
+    for ((name, len) <- Seq("a.avro" -> 10000, "b.avro" -> 4096, "c.avro" -> 100))
+      java.nio.file.Files.write(new java.io.File(tmp, name).toPath,
+        new Array[Byte](len))
+    val scan = AvroScan(
+      StructType(Seq(StructField("x", IntegerType))),
+      StructType(Seq(StructField("x", IntegerType))),
+      AvroSourceOptions(Seq(tmp.toString), splitBytes = 4096))
+    val parts = scan.planInputPartitions().map(_.asInstanceOf[AvroSplitPartition])
+    assert(parts.length == 3 + 1 + 1, parts.mkString(","))  // ceil(10000/4096)=3
+    for (path <- parts.map(_.path).distinct) {
+      val mine = parts.filter(_.path == path)
+      val tails = mine.filter(_.isTail)
+      assert(tails.length == 1, s"$path must have exactly one tail split")
+      assert(tails.head.end == mine.map(_.end).max,
+        s"$path tail split must own the file end")
+    }
+  }
 }
