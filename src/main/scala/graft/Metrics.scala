@@ -23,18 +23,37 @@ object Metrics {
 
   /** Caller scope for namespacing — a DynamicVariable so the per-key
     * attribution survives any same-thread nesting and parallel test
-    * suites cannot cross-pollute each other's scopes. */
+    * suites cannot cross-pollute each other's scopes. Inheritance is
+    * DELIBERATE: streaming keys record their ingest counters on the
+    * per-query micro-batch execution thread, which Spark creates
+    * inside the key's scope — a non-inheriting ThreadLocal would strip
+    * exactly those counters' namespaces. */
   private val scope = new scala.util.DynamicVariable[Option[String]](None)
+
+  /** Scopes currently open somewhere in the process. DynamicVariable
+    * is InheritableThreadLocal-backed, so a long-lived thread CREATED
+    * during a key's scope (a lazily initialized driver pool) inherits
+    * that scope forever — a record fired from it during a LATER key
+    * would silently land under the stale key (round-13 advice). The
+    * guard: an inherited scope only namespaces while it is still
+    * open; records from outlived inheritance fall back to raw names,
+    * which the bench reports un-attributed rather than mis-attributed. */
+  private val open = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   /** Run `f` with every [[record]] inside it namespaced as
     * `caller.<name>`. */
-  def withScope[T](caller: String)(f: => T): T =
-    scope.withValue(Some(caller))(f)
+  def withScope[T](caller: String)(f: => T): T = {
+    open.add(caller)
+    try scope.withValue(Some(caller))(f)
+    finally { open.remove(caller); () }
+  }
 
   /** Record (overwrite) a named scale counter, qualified by the active
-    * caller scope if one is open. */
+    * caller scope if one is open — and still open process-wide (see
+    * [[open]]: stale inherited scopes degrade to raw names). */
   def record(name: String, value: Long): Unit =
-    counters.put(scope.value.map(_ + "." + name).getOrElse(name), value)
+    counters.put(scope.value.filter(open.contains)
+      .map(_ + "." + name).getOrElse(name), value)
 
   /** Snapshot of all recorded counters, sorted by name. */
   def snapshot: Seq[(String, Long)] = counters.toSeq.sortBy(_._1)

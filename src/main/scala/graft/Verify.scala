@@ -39,7 +39,16 @@ object Verify {
     // previous FILTERED run's oracle_sql.json, and the compare script
     // printed an unqualified "N/N match" over shrunken coverage — the
     // exact misread the marker exists to prevent.
-    keyFilter.foreach(ks => Files.writeString(marker, ks.toSeq.sorted.mkString(",")))
+    // The filtered path mirrors the discipline (round-13 advice): the
+    // PREVIOUS run's oracle is deleted before the new marker lands, so
+    // a crash before this run's oracle write leaves marker-without-
+    // oracle — a loud compare failure — never a fresh marker beside a
+    // stale oracle it doesn't describe.
+    keyFilter.foreach { ks =>
+      Files.deleteIfExists(Paths.get(s"$outDir/oracle_sql.json"))
+      Files.writeString(marker, ks.toSeq.sorted.mkString(","))
+      ()
+    }
     def selected(name: String) = keyFilter.forall(_.contains(name))
     SparkEntry.queries.foreach { case (name, fn) =>
       if (selected(name)) {

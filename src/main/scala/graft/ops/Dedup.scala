@@ -393,10 +393,17 @@ object Dedup {
     // r8 run-to-run variance. Pre-partitioned inputs make the SMJ
     // exchange-free; sorting the probe postings is negligible next to
     // the collision fan-out.
-    // candidate-phase timer (round 12): includes the postings persist
-    // materialization — the first action on this plan — so the split
-    // reported is (postings + collision join) vs gate vs rescore
-    val c0 = System.nanoTime()
+    // FUSED candidates + gate (round 14, VERDICT r13 #1, same fusion
+    // as the probe path): the collision join stays LAZY into the
+    // gate's single eager checkpoint — postings materialization,
+    // collision join, distinct, and the overlap gate are ONE scheduled
+    // job where the r12 shape ran four (cand checkpoint, cand count,
+    // gate checkpoint, gate count). The candidate volume — THE scale
+    // variable of this op — is an observed metric collected during
+    // that job, value identical to the count() it replaces. Phase
+    // remap: jaccard_prefix_candidates_ms retired; the fused job's
+    // wall lands in jaccard_rescore_pairs_ms (SURVEY §9).
+    val obsCand = org.apache.spark.sql.Observation()
     val cand = probes.as("a").hint("merge").join(probes.as("b"),
         col("a.__h") === col("b.__h") && aFirst && aIdxPrefix &&
           least(col("a.__n"), col("b.__n")).cast("double") >=
@@ -408,13 +415,7 @@ object Dedup {
       .select(least(col(s"a.$id"), col(s"b.$id")).as("id_a"),
         greatest(col(s"a.$id"), col(s"b.$id")).as("id_b"))
       .distinct()
-      .localCheckpoint(true)
-    // candidate volume is THE scale variable of this op — surface it
-    // (count is free: the list is already eagerly materialized)
-    graft.Metrics.record("jaccard_prefix_candidates", cand.count())
-    graft.Metrics.record("jaccard_prefix_candidates_ms",
-      (System.nanoTime() - c0) / 1000000L)
-    probes.unpersist(blocking = false)
+      .observe(obsCand, count(lit(1)).as("__cand"))
     // Pre-rescore overlap prune (round 11) — the vectorized answer to
     // PPJoin+ suffix filtering (Xiao et al. WWW'08 §4): the suffix
     // filter binary-probes ordered token lists to UPPER-BOUND a
@@ -434,6 +435,10 @@ object Dedup {
     // strings.
     val rescorable = hashOverlapGate(cand, docOrd, docOrd, id, threshold,
       shufflePartitions, "jaccard_rescore_pairs")
+    graft.Metrics.record("jaccard_prefix_candidates",
+      observedCount(obsCand, "__cand"))
+    // the gate's eager checkpoint was the last consumer of both caches
+    probes.unpersist(blocking = false)
     docOrd.unpersist(blocking = false)
     rescoreJaccard(rescorable, sh, id, shCol, threshold)
   }
@@ -557,8 +562,21 @@ object Dedup {
     // phase timer beside the volume counter (round 12, VERDICT r11 #4):
     // whether this gate's cost is the array shuffle or the intersect
     // compute decides whether a fused counting expression is worth
-    // writing — so the bench artifact carries the answer per run
+    // writing — so the bench artifact carries the answer per run.
+    //
+    // SINGLE-ACTION gate (round 14, VERDICT r13 #1): callers now pass
+    // the candidate join LAZY (no separate eager checkpoint + count),
+    // and the gate's own volume counter comes from an observed metric
+    // collected DURING the one eager checkpoint below instead of a
+    // follow-up count() job. Candidates + gate = one scheduled job
+    // where the r13 shape ran four — the probe key's wall at bench
+    // scale was almost pure job-scheduling overhead, which amplified
+    // host contention ~4x more than any other key (three consecutive
+    // driver guard flags with bit-identical volume counters). The
+    // counter VALUE is unchanged: the observation counts the same
+    // post-filter rows the count() did.
     val g0 = System.nanoTime()
+    val obsGate = org.apache.spark.sql.Observation()
     val gated = cand
       .repartition(parts, col("id_a"), col("id_b"))
       .join(aOrd.select(col(id).as("id_a"), col("__ha").as("__hha")), "id_a")
@@ -567,11 +585,24 @@ object Dedup {
       .filter(col("__ih") / (size(col("__hha")) + size(col("__hhb")) - col("__ih")) >=
         lit(threshold))
       .select(col("id_a"), col("id_b"))
+      .observe(obsGate, count(lit(1)).as("__gated"))
       .localCheckpoint(true)
-    graft.Metrics.record(counter, gated.count())
+    graft.Metrics.record(counter, observedCount(obsGate, "__gated"))
     graft.Metrics.record(counter + "_ms", (System.nanoTime() - g0) / 1000000L)
     gated
   }
+
+  /** Blocking read of an observed row-count metric (round 14 — the
+    * fused-gate counters ride [[org.apache.spark.sql.Observation]]).
+    * Missing key defaults to 0: when AQE proves the observed subtree
+    * empty (an alien probe sharing no shingles), Catalyst's
+    * empty-relation propagation prunes the CollectMetrics node and the
+    * observation completes WITHOUT the metric — and pruning happens
+    * only under provable emptiness, so 0 is the exact count, not a
+    * guess. */
+  private def observedCount(obs: org.apache.spark.sql.Observation,
+                            name: String): Long =
+    obs.get.get(name).map(_.asInstanceOf[Long]).getOrElse(0L)
 
   /** (id, 64-bit shingle hash) exploded relation — the candidate
     * algebra's working representation (see
@@ -679,39 +710,69 @@ object Dedup {
                                          threshold: Double): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0)
     val c0 = System.nanoTime()
-    // ONE persisted corpus-postings pass (round 12): the collision
-    // estimate previously re-derived the FULL corpus postings and ran
-    // a corpus-wide aggregate over them — a second complete pass per
-    // serve, over hashes its own inner join then discarded. Pruning
-    // first keeps the estimate Σ_h pc(h)·cc(h) IDENTICAL (hashes
-    // outside the probe vocabulary contribute zero to the product)
-    // while its action materializes the cache the candidate join
-    // reuses.
-    val cPruned = prunedCorpusPostings(pOrd, cOrd, id, threshold).persist()
-    // volume-derived sizing as in the self-join, pair-product form
-    // (callers persist both ordered relations, so the probe-side
-    // aggregate reads cache)
+    // THREE scheduled jobs end-to-end (round 14, VERDICT r13 #1 — the
+    // r13 shape ran six, and the key's wall at bench scale was almost
+    // pure job-scheduling overhead, the anatomy behind three
+    // consecutive driver guard flags over bit-identical volumes):
+    //
+    //  job 1 — ONE probe-side postings-count relation whose ROW COUNT
+    //    is the probe prefix vocabulary size (distinct __h), so the
+    //    broadcast-feasibility gate that used to be its own
+    //    pVocab.count() job reads off the same tiny aggregate the
+    //    estimate needs anyway. Probe-side only: scans nothing
+    //    corpus-sized.
+    val pCounts = prefixPostings(pOrd, id, threshold)
+      .groupBy(col("__h")).agg(count(lit(1)).as("__pc"))
+      .persist()
+    val vocabRows = pCounts.count()
+    // the maybeBroadcast discipline with the count already in hand:
+    // past the row bound the prune degrades to a shuffled semi-join
+    // rather than failing a huge-probe job at Spark's broadcast limits
+    def hinted(df: DataFrame) =
+      if (vocabRows <= 10000000L) broadcast(df) else df
+    // probe-vocabulary-pruned corpus postings, persisted — the ONE
+    // corpus-postings pass (round 12), feeding estimate + candidates.
+    // Pruning keeps the estimate Σ_h pc(h)·cc(h) IDENTICAL (hashes
+    // outside the probe vocabulary contribute zero to the product).
+    val cPruned = prefixPostings(cOrd, id, threshold)
+      .join(hinted(pCounts.select(col("__h"))), Seq("__h"), "left_semi")
+      .persist()
+    //  job 2 — the collision estimate, whose action materializes the
+    //    cPruned cache; its probe side is the CACHED pCounts
+    //    (vocab-sized, broadcast under the same gate) instead of a
+    //    re-derived postings aggregate.
     val shufflePartitions = {
-      def counts(post: DataFrame, as: String) = post
-        .groupBy(col("__h")).agg(count(lit(1)).as(as))
-      val row = counts(prefixPostings(pOrd, id, threshold), "__pc")
-        .join(counts(cPruned, "__cc"), "__h")
+      val row = cPruned.groupBy(col("__h")).agg(count(lit(1)).as("__cc"))
+        .join(hinted(pCounts), "__h")
         .agg(sum(col("__pc").cast("double") * col("__cc")).as("__v"))
         .head()
       val est = if (row.isNullAt(0)) 0.0 else row.getDouble(0)
       clampPartitions(est, pOrd.sparkSession.sessionState.conf.numShufflePartitions,
         CollisionTargetPerPartition)
     }
-    val cand = probeCandidatesOn(pOrd, cPruned, id, threshold, shufflePartitions)
-      .localCheckpoint(true)
-    graft.Metrics.record("jaccard_probe_prefix_candidates", cand.count())
+    pCounts.unpersist(blocking = false)
+    // sizing-phase timer: jobs 1+2. The candidate join's wall, which
+    // this counter covered through r13, moved into the FUSED gate job
+    // below and lands in jaccard_probe_rescore_pairs_ms (SURVEY §9
+    // documents the r14 phase remap); the VOLUME counters' values are
+    // unchanged.
     graft.Metrics.record("jaccard_probe_prefix_candidates_ms",
       (System.nanoTime() - c0) / 1000000L)
-    cPruned.unpersist(blocking = false)
+    //  job 3 — candidates + hash-overlap gate FUSED into the gate's
+    //    single eager checkpoint; the candidate volume is an observed
+    //    metric collected during that job (same post-distinct rows the
+    //    r13 count() reported), not a separate checkpoint + count.
+    val obsCand = org.apache.spark.sql.Observation()
+    val cand = probeCandidatesOn(pOrd, cPruned, id, threshold, shufflePartitions)
+      .observe(obsCand, count(lit(1)).as("__cand"))
     // hash-overlap gate before the wide string rescore, exactly as in
     // the self-join form (hash-Jaccard >= string-Jaccard: recall-safe)
-    hashOverlapGate(cand, pOrd, cOrd, id, threshold, shufflePartitions,
+    val gated = hashOverlapGate(cand, pOrd, cOrd, id, threshold, shufflePartitions,
       "jaccard_probe_rescore_pairs")
+    graft.Metrics.record("jaccard_probe_prefix_candidates",
+      observedCount(obsCand, "__cand"))
+    cPruned.unpersist(blocking = false)
+    gated
   }
 
   /** One-sided portable-minhash PROBE — the incremental-ingest shape
@@ -734,9 +795,15 @@ object Dedup {
       .persist()
     val pb = portableBandSignatures(probeSh, id, shCol, numHashes, bands)
       .persist()
+    // the candidate volume rides the eager checkpoint as an observed
+    // metric (round 14) — same value the count() reported, one fewer
+    // scheduled job per probe
+    val obsCand = org.apache.spark.sql.Observation()
     val cand = bandProbeCandidatesLazy(pb, cb, id)
+      .observe(obsCand, count(lit(1)).as("__cand"))
       .localCheckpoint(true)
-    graft.Metrics.record("minhash_probe_candidates", cand.count())
+    graft.Metrics.record("minhash_probe_candidates",
+      observedCount(obsCand, "__cand"))
     cb.unpersist(blocking = false)
     pb.unpersist(blocking = false)
     rescoreJaccardTwoSided(cand, probeSh, corpusSh, id, shCol, jaccardThreshold)

@@ -936,7 +936,13 @@ object Multimodal {
     * per payload in the hot streaming hash loops, so junk and
     * cross-media rows reject on a 4-byte compare instead. The five
     * signatures ARE the tier's documented contract (header comment
-    * above), so the prefilter narrows nothing the tier claims. */
+    * above), so the prefilter narrows nothing the tier claims. That
+    * contract is FIRM (round-13 advice adjudication): magic-less
+    * formats the raw registry could decode — WBMP is the in-JDK case,
+    * its header indistinguishable from junk at sniff depth — return
+    * None by design, and IngestSpec pins exactly that, so the
+    * narrowing is deliberate, tested behavior, not an accident of the
+    * signature list. */
   private[graft] def hasImageMagic(bytes: Array[Byte]): Boolean =
     bytes.length >= 4 && {
       val b0 = bytes(0) & 0xFF

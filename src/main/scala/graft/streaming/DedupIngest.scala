@@ -306,8 +306,11 @@ object DedupIngest {
     // counter accumulates per-batch WORK time only (captured inside
     // foreachBatch) — a suite-start t0 would fold query setup, trigger
     // waits, and inter-batch idle into the "ingest wall" and make the
-    // number trigger-dependent
-    val workMs = new java.util.concurrent.atomic.AtomicLong(0L)
+    // number trigger-dependent. Keyed by batchId (round-13 advice): a
+    // checkpoint-recovery REPLAY of a batch overwrites its slot instead
+    // of double-counting, so the reported wall tracks the data actually
+    // maintained (store writes are idempotent; now the counter is too).
+    val batchMs = new java.util.concurrent.ConcurrentHashMap[Long, Long]()
     stream.writeStream
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val spark = stream.sparkSession
@@ -317,8 +320,10 @@ object DedupIngest {
         try {
           minhashBatch(spark, sh, minhashDir, numHashes, bands, batchId, compactEvery)
           jaccardBatch(spark, sh, jaccardDir, batchId, compactEvery)
-          graft.Metrics.record("dedup_joint_ingest_ms",
-            workMs.addAndGet((System.nanoTime() - b0) / 1000000L))
+          batchMs.put(batchId, (System.nanoTime() - b0) / 1000000L)
+          var total = 0L
+          batchMs.values.forEach(v => total += v)
+          graft.Metrics.record("dedup_joint_ingest_ms", total)
           onBatch(batchId)
         } finally { sh.unpersist(); () }
       }

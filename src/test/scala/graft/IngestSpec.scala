@@ -361,6 +361,20 @@ class IngestSpec extends AnyFunSuite with SparkTestBase {
       Multimodal.imageIoEncode("png", w, h, bgr).take(20)).isEmpty)
     assert(Multimodal.imageIoDecode(
       Multimodal.ppmEncode(2, 1, Array[Byte](1, 2, 3, 4, 5, 6))).isEmpty)
+    // the five-signature contract is FIRM (round-13 advice): WBMP is a
+    // format the JDK registry CAN decode but the tier's documented
+    // contract excludes (magic-less — its header starts 0x00 0x00,
+    // indistinguishable from junk at sniff depth), so the prefilter
+    // rejects it by design; this pin makes the narrowing deliberate
+    // and visible rather than an accident of the magic list
+    val wbmpImg = new java.awt.image.BufferedImage(
+      4, 3, java.awt.image.BufferedImage.TYPE_BYTE_BINARY)
+    val wbmpOut = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(wbmpImg, "wbmp", wbmpOut),
+      "JDK registry must still offer a WBMP writer for this pin to be meaningful")
+    assert(!Multimodal.hasImageMagic(wbmpOut.toByteArray))
+    assert(Multimodal.imageIoDecode(wbmpOut.toByteArray).isEmpty,
+      "the ImageIO tier serves exactly its five documented signatures")
   }
 
   test("aHash64 codec routing: PNG hashes identical to P6 of the same pixels; gray scale-invariance; JPEG deterministic") {
