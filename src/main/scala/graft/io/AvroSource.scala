@@ -57,10 +57,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * subfields, and [[AvroConversions.pruneAvroSchema]] mirrors that
   * subtree into the reader schema, so untouched sibling subfields of
   * a wide nested record are skipped at the decoder like dropped
-  * top-level columns. Remaining out of scope (loud failure at schema
-  * conversion, never silent null): non-null multi-branch unions and
-  * non-string map keys — neither exists in Avro data written by this
-  * sink, and both lack a faithful Spark analog.
+  * top-level columns. Multi-branch non-null unions (round 14) read
+  * under spark-avro's documented mapping — `{int,long}` widens to
+  * long, `{float,double}` to double, anything else to a
+  * `struct<member0, member1, ...>` with exactly one member non-null
+  * per value (branch resolved per datum); the reader schema keeps all
+  * branches, so pruning stops at the union. Remaining out of scope
+  * (loud failure at schema conversion, never silent null): non-string
+  * map keys — absent from Avro data written by this sink and without
+  * a faithful Spark analog.
   */
 class AvroSource extends TableProvider with DataSourceRegister {
 
@@ -273,11 +278,33 @@ private[io] object AvroConversions {
 
   private def toSparkType(s: ASchema): (DataType, Boolean) = s.getType match {
     case ASchema.Type.UNION =>
-      val branches = s.getTypes.asScala
-      require(branches.size == 2 && branches.exists(_.getType == ASchema.Type.NULL),
-        s"graft_avro: only [null, T] unions are supported, got $s")
-      val (dt, _) = toSparkType(branches.find(_.getType != ASchema.Type.NULL).get)
-      (dt, true)
+      // spark-avro's documented union mapping (round 14 — multi-branch
+      // non-null unions are legal Avro real foreign lakes contain):
+      // a null branch anywhere makes the value nullable; one non-null
+      // branch reads as that branch's type; {int,long} and
+      // {float,double} promote to the wider numeric (the values are
+      // one logical domain); anything else reads as a STRUCT with one
+      // nullable field per non-null branch, named member0..memberN-1
+      // in branch order — exactly one member is non-null per value.
+      val branches = s.getTypes.asScala.toSeq
+      val nonNull = branches.filter(_.getType != ASchema.Type.NULL)
+      require(nonNull.nonEmpty,
+        s"graft_avro: union with no non-null branch is unreadable, got $s")
+      val nullable = nonNull.size != branches.size
+      nonNull.map(_.getType) match {
+        case Seq(_) =>
+          val (dt, _) = toSparkType(nonNull.head)
+          (dt, nullable)
+        case Seq(ASchema.Type.INT, ASchema.Type.LONG) |
+             Seq(ASchema.Type.LONG, ASchema.Type.INT) => (LongType, nullable)
+        case Seq(ASchema.Type.FLOAT, ASchema.Type.DOUBLE) |
+             Seq(ASchema.Type.DOUBLE, ASchema.Type.FLOAT) => (DoubleType, nullable)
+        case _ =>
+          (StructType(nonNull.zipWithIndex.map { case (b, i) =>
+            val (dt, _) = toSparkType(b)
+            StructField(s"member$i", dt, nullable = true)
+          }.toArray), nullable)
+      }
     case ASchema.Type.BOOLEAN => (BooleanType, false)
     case ASchema.Type.INT =>
       if (s.getLogicalType.isInstanceOf[LogicalTypes.Date]) (DateType, false)
@@ -403,23 +430,29 @@ private[io] object AvroConversions {
     * passes through unchanged. */
   private def pruneTypeSchema(writer: ASchema, dt: DataType): ASchema =
     (writer.getType, dt) match {
-      case (ASchema.Type.UNION, _) =>
+      case (ASchema.Type.UNION, _)
+          if writer.getTypes.asScala.count(_.getType != ASchema.Type.NULL) == 1 =>
         // preserve the writer's BRANCH ORDER: a foreign file's
         // [T, null] union may carry a non-null default, and Avro
         // validates a field default against the FIRST branch —
         // rewrapping as [null, T] would throw at reader-schema
-        // construction for a file that read fine unpruned. The
-        // [null, T] contract stays LOUD here too: an externally
-        // supplied .schema() bypasses inferSchema's check, and
-        // copying extra non-null branches through would let a
-        // 3-branch union's mismatched datums decode silently into
-        // the wrong Spark type.
-        require(writer.getTypes.asScala.count(_.getType != ASchema.Type.NULL) == 1,
-          s"graft_avro: only [null, T] unions are supported, got $writer")
+        // construction for a file that read fine unpruned.
         ASchema.createUnion(writer.getTypes.asScala.map {
           case b if b.getType == ASchema.Type.NULL => b
           case b => pruneTypeSchema(b, dt)
         }.toList.asJava)
+      case (ASchema.Type.UNION, _) =>
+        // multi-branch non-null union (round 14): the reader schema
+        // keeps EVERY branch intact — resolution must be able to
+        // decode whichever branch each datum took, so dropping a
+        // branch the projection doesn't touch would fail the read,
+        // not prune it. Member-level projection happens in the
+        // converter ([[readConverter]]'s union dispatch): datums of
+        // un-projected members decode and drop, which is the same
+        // cost contract Avro resolution gives dropped record FIELDS
+        // of other branches. Pruning stops here; subtrees inside
+        // branches pass through unpruned.
+        writer
       case (ASchema.Type.RECORD, st: StructType) => pruneAvroSchema(writer, st)
       case (ASchema.Type.ARRAY, at: ArrayType) =>
         ASchema.createArray(pruneTypeSchema(writer.getElementType, at.elementType))
@@ -438,8 +471,78 @@ private[io] object AvroConversions {
   /** Avro runtime value -> Catalyst value for one NON-NULL field of
     * `dt` (nulls are handled by the caller). Resolved once per reader,
     * not per row; `avro` is the field's (reader-side) schema, needed
-    * to tell timestamp-millis from timestamp-micros writers. */
-  def readConverter(dt: DataType, avro: ASchema): AnyRef => Any = dt match {
+    * to tell timestamp-millis from timestamp-micros writers.
+    * Multi-branch non-null unions dispatch to
+    * [[multiUnionConverter]]; everything below assumes at most one
+    * non-null branch. */
+  def readConverter(dt: DataType, avro: ASchema): AnyRef => Any =
+    if (avro.getType == ASchema.Type.UNION &&
+        avro.getTypes.asScala.count(_.getType != ASchema.Type.NULL) > 1)
+      multiUnionConverter(dt, avro)
+    else singleBranchConverter(dt, avro)
+
+  /** The union shapes [[toSparkType]] maps multi-branch non-null
+    * unions to, decoded per value by RESOLVING which branch the datum
+    * took (Avro's own GenericData.resolveUnion — unambiguous by spec:
+    * a union cannot hold two branches of the same unnamed type):
+    * numeric promotions widen int->long / float->double; the
+    * member-struct form fills exactly the member matching the datum's
+    * branch and nulls the rest. Projection-pruned members (absent from
+    * `st`) simply have no slot — a datum of that branch yields an
+    * all-null struct row, mirroring how resolution skips dropped
+    * record fields. */
+  private def multiUnionConverter(dt: DataType, union: ASchema): AnyRef => Any = {
+    val all = union.getTypes.asScala.toIndexedSeq
+    // ordinal among NON-NULL branches for each union branch index
+    val ordOf: Array[Int] = {
+      var o = -1
+      all.map { b =>
+        if (b.getType != ASchema.Type.NULL) { o += 1; o } else -1
+      }.toArray
+    }
+    val nonNull = all.filter(_.getType != ASchema.Type.NULL)
+    dt match {
+      case LongType => {
+        case i: java.lang.Integer => i.longValue()
+        case l: java.lang.Long => l.longValue()
+        case other => throw new IllegalStateException(
+          s"graft_avro: unexpected value $other for an int/long union")
+      }
+      case DoubleType => {
+        case f: java.lang.Float => f.doubleValue()
+        case d: java.lang.Double => d.doubleValue()
+        case other => throw new IllegalStateException(
+          s"graft_avro: unexpected value $other for a float/double union")
+      }
+      case st: StructType =>
+        val members: Array[(Int, AnyRef => Any)] = st.fields.map { f =>
+          require(f.name.startsWith("member") &&
+            f.name.stripPrefix("member").forall(_.isDigit),
+            s"graft_avro: union member field ${f.name} must be named memberN " +
+              s"(the [[toSparkType]] union contract), got schema $st for $union")
+          val ord = f.name.stripPrefix("member").toInt
+          require(ord < nonNull.size,
+            s"graft_avro: ${f.name} exceeds the ${nonNull.size} non-null " +
+              s"branches of $union")
+          (ord, readConverter(f.dataType, nonNull(ord)))
+        }
+        val gd = org.apache.avro.generic.GenericData.get()
+        v => {
+          val ord = ordOf(gd.resolveUnion(union, v))
+          val out = new GenericInternalRow(members.length)
+          var k = 0
+          while (k < members.length) {
+            out.update(k, if (members(k)._1 == ord) members(k)._2(v) else null)
+            k += 1
+          }
+          out
+        }
+      case other => throw new IllegalArgumentException(
+        s"graft_avro: multi-branch union $union cannot decode as $other")
+    }
+  }
+
+  private def singleBranchConverter(dt: DataType, avro: ASchema): AnyRef => Any = dt match {
     case StringType => v => UTF8String.fromString(v.toString)
     case BinaryType => {
       case bb: java.nio.ByteBuffer =>

@@ -60,22 +60,40 @@ class AvroConversionsSpec extends AnyFunSuite {
       "the non-null default must survive (and validate against branch 0)")
   }
 
-  test("pruning a multi-branch union stays loud (an external .schema() bypasses inferSchema)") {
-    // supportsExternalMetadata lets a user-supplied schema skip
-    // inferSchema's [null, T] require — the pruner must re-enforce it
-    // rather than copy extra branches through, where a mismatched
-    // datum would decode silently into the wrong Spark type
+  test("multi-branch unions map to member-structs / numeric promotions; pruning keeps every branch") {
+    // round 14: [null, int, string] reads as a nullable
+    // struct<member0 int, member1 string> (spark-avro's documented
+    // convention); {int,long} and {float,double} widen. The reader
+    // schema keeps ALL branches even when the projection drops a
+    // member — resolution must still decode datums of that branch.
     val writer = SchemaBuilder.record("m").fields()
       .name("u").`type`(ASchema.createUnion(
         ASchema.create(ASchema.Type.NULL),
         ASchema.create(ASchema.Type.INT),
         ASchema.create(ASchema.Type.STRING))).withDefault(null)
+      .name("n").`type`(ASchema.createUnion(
+        ASchema.create(ASchema.Type.INT),
+        ASchema.create(ASchema.Type.LONG))).noDefault()
+      .name("d").`type`(ASchema.createUnion(
+        ASchema.create(ASchema.Type.FLOAT),
+        ASchema.create(ASchema.Type.DOUBLE),
+        ASchema.create(ASchema.Type.NULL))).noDefault()
       .endRecord()
-    val required = StructType(Seq(StructField("u", IntegerType, nullable = true)))
-    val e = intercept[IllegalArgumentException] {
-      AvroConversions.pruneAvroSchema(writer, required)
-    }
-    assert(e.getMessage.contains("union"), e.getMessage)
+    val spark = AvroConversions.toSparkSchema(writer)
+    assert(spark === StructType(Seq(
+      StructField("u", StructType(Seq(
+        StructField("member0", IntegerType, nullable = true),
+        StructField("member1", StringType, nullable = true))), nullable = true),
+      StructField("n", LongType, nullable = false),
+      StructField("d", DoubleType, nullable = true))), spark.treeString)
+    // prune u to member1 only: the union subtree survives UNPRUNED
+    val required = StructType(Seq(
+      StructField("u", StructType(Seq(
+        StructField("member1", StringType, nullable = true))), nullable = true)))
+    val pruned = AvroConversions.pruneAvroSchema(writer, required)
+    assert(pruned.getField("u").schema().getTypes.asScala.map(_.getType).toList ==
+      List(ASchema.Type.NULL, ASchema.Type.INT, ASchema.Type.STRING),
+      "multi-branch unions must keep every branch through pruning")
   }
 
   test("split planning marks exactly one tail split per file, covering to the file end") {

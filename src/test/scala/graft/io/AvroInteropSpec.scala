@@ -14,8 +14,9 @@ import graft.SparkTestBase
 /** FOREIGN-file interop for the graft_avro reader: files written
   * directly through the Avro API with shapes [[Avro.write]] never
   * produces — [T, null] unions (null-second), non-null defaults,
-  * enum/fixed fields, timestamp-millis, nested maps — plus the loud
-  * failure contracts (truncated container, unsupported union). A real
+  * enum/fixed fields, timestamp-millis, nested maps, multi-branch
+  * unions — plus the loud failure contracts (truncated container). A
+  * real
   * Avro lake is written by other tools; the reader's contract is the
   * FORMAT, not our writer's conventions. */
 class AvroInteropSpec extends AnyFunSuite with SparkTestBase {
@@ -148,21 +149,61 @@ class AvroInteropSpec extends AnyFunSuite with SparkTestBase {
       s"the tail split must run the guard under splitting: $se")
   }
 
-  test("unsupported shapes fail loudly at schema conversion") {
-    // 3-branch union: no faithful Spark analog — must throw, not null
-    val multi = SchemaBuilder.record("m").fields()
+  test("foreign file: multi-branch unions read as member-structs; numeric unions widen") {
+    // round 14 — legal Avro real lakes contain: [null, int, string]
+    // reads as nullable struct<member0 int, member1 string> (exactly
+    // one member non-null per value, branch resolved per datum),
+    // {int,long} widens to long, {float,double,null} to nullable
+    // double. Record branches resolve by full name.
+    val recA = SchemaBuilder.record("variant_a").namespace("ext").fields()
+      .name("x").`type`().intType().noDefault().endRecord()
+    val multi = SchemaBuilder.record("m").namespace("ext").fields()
+      .name("k").`type`().longType().noDefault()
       .name("u").`type`(ASchema.createUnion(
         ASchema.create(ASchema.Type.NULL),
         ASchema.create(ASchema.Type.INT),
         ASchema.create(ASchema.Type.STRING))).withDefault(null)
+      .name("n").`type`(ASchema.createUnion(
+        ASchema.create(ASchema.Type.INT),
+        ASchema.create(ASchema.Type.LONG))).noDefault()
+      .name("d").`type`(ASchema.createUnion(
+        ASchema.create(ASchema.Type.FLOAT),
+        ASchema.create(ASchema.Type.DOUBLE),
+        ASchema.create(ASchema.Type.NULL))).noDefault()
+      .name("rv").`type`(ASchema.createUnion(
+        recA, ASchema.create(ASchema.Type.STRING))).noDefault()
       .endRecord()
     val out = "/tmp/graft_test/avro_multiunion"
     writeForeign(out, multi) { s =>
-      Seq({ val r = new GenericData.Record(s); r.put("u", 1); r })
+      val aS = s.getField("rv").schema().getTypes.get(0)
+      Seq(
+        { val r = new GenericData.Record(s)
+          r.put("k", 1L); r.put("u", 42); r.put("n", 7)
+          r.put("d", 1.5f)
+          val a = new GenericData.Record(aS); a.put("x", 10); r.put("rv", a); r },
+        { val r = new GenericData.Record(s)
+          r.put("k", 2L); r.put("u", "hi"); r.put("n", 1L << 40)
+          r.put("d", null); r.put("rv", "plain"); r },
+        { val r = new GenericData.Record(s)
+          r.put("k", 3L); r.put("u", null); r.put("n", 3)
+          r.put("d", 2.5d)
+          val a = new GenericData.Record(aS); a.put("x", -1); r.put("rv", a); r })
     }
-    val e = intercept[Exception] {
-      spark.read.format("graft_avro").load(out).schema
-    }
-    assert(e.getMessage.contains("union"), e.getMessage)
+    val df = spark.read.format("graft_avro").load(out)
+    import org.apache.spark.sql.functions._
+    // float 1.5f widens exactly; (1<<40) exceeds int range, proving
+    // the long branch flowed through the promotion
+    val got = df.select(col("k"), col("u.member0"), col("u.member1"),
+        col("n"), col("d"), col("rv.member0.x"), col("rv.member1"))
+      .collect().map(_.toString).toSet
+    assert(got === Set(
+      s"[1,42,null,7,1.5,10,null]",
+      s"[2,null,hi,${1L << 40},null,null,plain]",
+      s"[3,null,null,3,2.5,-1,null]"), got.toString)
+    // nested pruning THROUGH the member-struct: projecting one member
+    // still decodes datums of the other branch (as null)
+    assert(df.select(col("u.member1").as("m1")).collect()
+      .map(r => if (r.isNullAt(0)) "-" else r.getString(0)).sorted.toSeq ===
+      Seq("-", "-", "hi"))
   }
 }
