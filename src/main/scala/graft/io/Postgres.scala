@@ -1,0 +1,740 @@
+package graft.io
+
+import java.io.{BufferedInputStream, BufferedOutputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+import java.net.{InetSocketAddress, Socket}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.time.{LocalDate, LocalDateTime, ZoneOffset}
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.DateTimeUtils
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Live PostgreSQL source + sink over a hand-rolled frontend/backend
+  * v3 WIRE-PROTOCOL client — no JDBC driver jar required.
+  *
+  * The reference's actual IO is Postgres: the scraper full-replaces
+  * tables (tasks/scraper/src/scraper.py:23-24,
+  * `to_sql(if_exists='replace', index=False)`) and the visualization
+  * reads them back whole-table
+  * (tasks/visualization/src/visualization.py:14-21). The container
+  * ships PostgreSQL server binaries but no `org.postgresql` driver
+  * jar and has zero egress, so `format("jdbc")` cannot speak the wire
+  * — this module implements the documented protocol (PostgreSQL
+  * "Frontend/Backend Protocol", postgresql.org/docs/current/protocol
+  * .html) directly: startup + trust auth, the simple query cycle
+  * (Query / RowDescription / DataRow / CommandComplete /
+  * ReadyForQuery), and COPY FROM STDIN for bulk load.
+  *
+  * Scale shape mirrors the parquet discipline, not pandas':
+  *  - the READ is a DataSourceV2 (`format("graft_pg")`) that plans one
+  *    range partition per connection on a numeric partition column —
+  *    N executors each stream their own `WHERE lo <= c AND c < hi`
+  *    slice; edge partitions are open-ended so rows outside the
+  *    bounds (or with NULL keys) are never lost. Column pruning
+  *    becomes the SELECT list and supported filters are appended to
+  *    the WHERE clause server-side; every filter is ALSO returned as
+  *    residual (the [[HttpCsvScanBuilder]] discipline), so pushdown
+  *    is a row-volume optimization that can never change the answer.
+  *  - the WRITE is drop-and-recreate (the reference's `replace`), then
+  *    one COPY FROM STDIN per input partition, executor-side — COPY is
+  *    Postgres' bulk path (one message stream per partition, no
+  *    per-row INSERT round-trips).
+  *
+  * Type surface (both directions): boolean, int, bigint, real, double
+  * precision, text/varchar, date, timestamp — the session is pinned
+  * to UTC + ISO DateStyle at startup, so timestamp text round-trips
+  * Catalyst's UTC micros exactly. Anything else fails loudly at
+  * schema conversion.
+  */
+object PgWire {
+
+  /** One result column: name + type OID from RowDescription. */
+  final case class PgCol(name: String, oid: Int)
+
+  // pg_type OIDs (stable, documented in the protocol/catalog docs)
+  val OidBool = 16
+  val OidInt8 = 20
+  val OidInt2 = 21
+  val OidInt4 = 23
+  val OidText = 25
+  val OidFloat4 = 700
+  val OidFloat8 = 701
+  val OidVarchar = 1043
+  val OidBpchar = 1042
+  val OidDate = 1082
+  val OidTimestamp = 1114
+
+  def oidToSpark(oid: Int): DataType = oid match {
+    case OidBool => BooleanType
+    case OidInt2 | OidInt4 => IntegerType
+    case OidInt8 => LongType
+    case OidFloat4 => FloatType
+    case OidFloat8 => DoubleType
+    case OidText | OidVarchar | OidBpchar => StringType
+    case OidDate => DateType
+    case OidTimestamp => TimestampType
+    case other => throw new IllegalArgumentException(
+      s"graft_pg: unsupported Postgres type OID $other")
+  }
+
+  def sparkToPgType(dt: DataType): String = dt match {
+    case BooleanType => "boolean"
+    case IntegerType => "integer"
+    case LongType => "bigint"
+    case FloatType => "real"
+    case DoubleType => "double precision"
+    case StringType => "text"
+    case DateType => "date"
+    case TimestampType => "timestamp"
+    case other => throw new IllegalArgumentException(
+      s"graft_pg: unsupported Spark type $other")
+  }
+
+  /** `"`-quoted identifier (embedded quotes doubled). */
+  def quoteIdent(name: String): String = "\"" + name.replace("\"", "\"\"") + "\""
+
+  /** `'`-quoted literal for pushed-filter SQL. */
+  def quoteLit(v: Any): String = v match {
+    case null => "NULL"
+    case s: String => "'" + s.replace("'", "''") + "'"
+    case s: UTF8String => quoteLit(s.toString)
+    case d: java.sql.Date => "'" + d.toString + "'"
+    case d: java.time.LocalDate => "'" + d.toString + "'"
+    case t: java.sql.Timestamp => "'" + t.toString + "'"
+    case b: Boolean => if (b) "true" else "false"
+    case n => n.toString
+  }
+
+  /** Text-format value -> Catalyst, per Spark type (UTC + ISO
+    * DateStyle pinned at session start). */
+  def textToCatalyst(dt: DataType): Array[Byte] => Any = dt match {
+    case StringType => bytes => UTF8String.fromBytes(bytes)
+    case IntegerType => bytes => new String(bytes, UTF_8).toInt
+    case LongType => bytes => new String(bytes, UTF_8).toLong
+    case FloatType => bytes => new String(bytes, UTF_8).toFloat
+    case DoubleType => bytes => new String(bytes, UTF_8).toDouble
+    case BooleanType => bytes => bytes.length == 1 && bytes(0) == 't'
+    case DateType => bytes =>
+      LocalDate.parse(new String(bytes, UTF_8)).toEpochDay.toInt
+    case TimestampType => bytes => parseTimestampMicros(new String(bytes, UTF_8))
+    case other => throw new IllegalArgumentException(
+      s"graft_pg: unsupported read type $other")
+  }
+
+  /** "yyyy-MM-dd HH:mm:ss[.ffffff]" (ISO, UTC session) -> epoch
+    * micros. Manual parse: the fraction is 0-6 digits and
+    * LocalDateTime.parse wants a 'T'. */
+  def parseTimestampMicros(s: String): Long = {
+    val dot = s.indexOf('.')
+    val (base, frac) =
+      if (dot < 0) (s, 0L)
+      else (s.substring(0, dot),
+        (s.substring(dot + 1) + "000000").take(6).toLong)
+    val ldt = LocalDateTime.parse(base.replace(' ', 'T'))
+    Math.addExact(Math.multiplyExact(ldt.toEpochSecond(ZoneOffset.UTC), 1000000L),
+      frac)
+  }
+
+  /** Epoch micros -> the ISO text Postgres parses back exactly. */
+  def formatTimestampMicros(micros: Long): String = {
+    val secs = Math.floorDiv(micros, 1000000L)
+    val frac = Math.floorMod(micros, 1000000L)
+    val ldt = LocalDateTime.ofEpochSecond(secs, frac.toInt * 1000, ZoneOffset.UTC)
+    val base = ldt.toLocalDate.toString + " " + ldt.toLocalTime.toString
+    // LocalTime.toString drops seconds when zero — COPY accepts both,
+    // but keep the fraction explicit when present for exactness
+    if (frac == 0 || base.contains('.')) base
+    else if (base.count(_ == ':') == 1) base + f":00.$frac%06d"
+    else base + f".$frac%06d"
+  }
+
+  /** COPY text-format cell for one Catalyst value (escaping per the
+    * COPY TEXT rules: backslash, tab, newline, CR; NULL = \N). */
+  def copyCell(dt: DataType, row: org.apache.spark.sql.catalyst.expressions.SpecializedGetters,
+               i: Int): String =
+    if (row.isNullAt(i)) "\\N"
+    else dt match {
+      case StringType => escapeCopy(row.getUTF8String(i).toString)
+      case IntegerType => row.getInt(i).toString
+      case LongType => row.getLong(i).toString
+      case FloatType => row.getFloat(i).toString
+      case DoubleType => row.getDouble(i).toString
+      case BooleanType => if (row.getBoolean(i)) "t" else "f"
+      case DateType => LocalDate.ofEpochDay(row.getInt(i).toLong).toString
+      case TimestampType => formatTimestampMicros(row.getLong(i))
+      case other => throw new IllegalArgumentException(
+        s"graft_pg: unsupported write type $other")
+    }
+
+  def escapeCopy(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length + 8)
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '\\' => sb.append("\\\\")
+        case '\t' => sb.append("\\t")
+        case '\n' => sb.append("\\n")
+        case '\r' => sb.append("\\r")
+        case c => sb.append(c)
+      }
+      i += 1
+    }
+    sb.toString
+  }
+}
+
+/** Minimal PostgreSQL v3 frontend: startup (trust auth only — the
+  * embedded/staging deployment this container supports; password auth
+  * would add SCRAM, deliberately out of scope), simple query, COPY IN.
+  * One in-flight statement at a time; not thread-safe (one client per
+  * partition reader / writer task). */
+final class PgWireClient(host: String, port: Int, user: String,
+                         database: String) extends AutoCloseable {
+  import PgWire._
+
+  private val socket = new Socket()
+  socket.connect(new InetSocketAddress(host, port), 10000)
+  socket.setTcpNoDelay(true)
+  private val in = new DataInputStream(
+    new BufferedInputStream(socket.getInputStream, 1 << 16))
+  private val out = new DataOutputStream(
+    new BufferedOutputStream(socket.getOutputStream, 1 << 16))
+
+  // ---- startup -------------------------------------------------------
+  {
+    val body = new ByteArrayOutputStream()
+    val w = new DataOutputStream(body)
+    w.writeInt(196608) // protocol 3.0
+    // session pinned UTC + ISO so date/timestamp text is engine-exact
+    Seq("user" -> user, "database" -> database, "client_encoding" -> "UTF8",
+        "TimeZone" -> "UTC", "DateStyle" -> "ISO").foreach { case (k, v) =>
+      w.write(k.getBytes(UTF_8)); w.write(0)
+      w.write(v.getBytes(UTF_8)); w.write(0)
+    }
+    w.write(0)
+    out.writeInt(body.size() + 4)
+    body.writeTo(out)
+    out.flush()
+    var ready = false
+    while (!ready) readMessage() match {
+      case ('R', b) =>
+        val code = ((b(0) & 0xFF) << 24) | ((b(1) & 0xFF) << 16) |
+          ((b(2) & 0xFF) << 8) | (b(3) & 0xFF)
+        require(code == 0,
+          s"graft_pg: server requested authentication (code $code); only " +
+            "trust auth is supported")
+      case ('S', _) | ('K', _) | ('N', _) => () // ParameterStatus/KeyData/Notice
+      case ('Z', _) => ready = true
+      case ('E', b) => throw pgError(b)
+      case (t, _) => throw new IllegalStateException(
+        s"graft_pg: unexpected message '$t' during startup")
+    }
+  }
+
+  private def readMessage(): (Char, Array[Byte]) = {
+    val t = in.readByte().toChar
+    val len = in.readInt()
+    val body = new Array[Byte](len - 4)
+    in.readFully(body)
+    (t, body)
+  }
+
+  private def pgError(body: Array[Byte]): RuntimeException = {
+    // fields: (tag byte, cstring)* terminated by a zero byte
+    var i = 0
+    var msg = "unknown error"
+    var sev = "ERROR"
+    while (i < body.length && body(i) != 0) {
+      val tag = body(i).toChar
+      val end = body.indexOf(0.toByte, i + 1)
+      val v = new String(body, i + 1, end - i - 1, UTF_8)
+      if (tag == 'M') msg = v
+      if (tag == 'S') sev = v
+      i = end + 1
+    }
+    new RuntimeException(s"graft_pg: $sev from server: $msg")
+  }
+
+  private def sendQuery(sql: String): Unit = {
+    val bytes = sql.getBytes(UTF_8)
+    out.writeByte('Q')
+    out.writeInt(4 + bytes.length + 1)
+    out.write(bytes)
+    out.writeByte(0)
+    out.flush()
+  }
+
+  /** Execute a statement, discarding any rows; throws on server error
+    * (after draining to ReadyForQuery so the connection stays usable
+    * for the caller's error handling). */
+  def exec(sql: String): Unit = {
+    sendQuery(sql)
+    var err: RuntimeException = null
+    var done = false
+    while (!done) readMessage() match {
+      case ('Z', _) => done = true
+      case ('E', b) => err = pgError(b)
+      case _ => ()
+    }
+    if (err != null) throw err
+  }
+
+  /** Streaming result of one SELECT: `cols` after construction,
+    * `nextRow()` yields per-column text bytes (null element = SQL
+    * NULL; null array = end of rows, connection drained to ready). */
+  final class PgResult private[PgWireClient] (val cols: Array[PgCol]) {
+    private var done = false
+    def nextRow(): Array[Array[Byte]] = {
+      if (done) return null
+      while (true) readMessage() match {
+        case ('D', b) =>
+          val in2 = new DataInputStream(new java.io.ByteArrayInputStream(b))
+          val n = in2.readShort().toInt
+          val row = new Array[Array[Byte]](n)
+          var i = 0
+          while (i < n) {
+            val len = in2.readInt()
+            if (len >= 0) {
+              val v = new Array[Byte](len); in2.readFully(v); row(i) = v
+            }
+            i += 1
+          }
+          return row
+        case ('C', _) | ('I', _) => () // CommandComplete / EmptyQuery
+        case ('Z', _) => done = true; return null
+        case ('E', b) => val e = pgError(b); drainToReady(); throw e
+        case ('N', _) | ('S', _) => ()
+        case (t, _) => throw new IllegalStateException(
+          s"graft_pg: unexpected message '$t' in query result")
+      }
+      null
+    }
+  }
+
+  private def drainToReady(): Unit = {
+    var done = false
+    while (!done) readMessage() match {
+      case ('Z', _) => done = true
+      case _ => ()
+    }
+  }
+
+  /** Run one SELECT; blocks until RowDescription arrives. */
+  def query(sql: String): PgResult = {
+    sendQuery(sql)
+    while (true) readMessage() match {
+      case ('T', b) =>
+        val in2 = new DataInputStream(new java.io.ByteArrayInputStream(b))
+        val n = in2.readShort().toInt
+        val cols = new Array[PgCol](n)
+        var i = 0
+        while (i < n) {
+          // cstring name, then Int32 tableOID, Int16 attnum,
+          // Int32 typeOID, Int16 typlen, Int32 typmod, Int16 format
+          val name = new ByteArrayOutputStream()
+          var c = in2.readByte()
+          while (c != 0) { name.write(c); c = in2.readByte() }
+          in2.readInt(); in2.readShort()
+          val oid = in2.readInt()
+          in2.readShort(); in2.readInt(); in2.readShort()
+          cols(i) = PgCol(new String(name.toByteArray, UTF_8), oid)
+          i += 1
+        }
+        return new PgResult(cols)
+      case ('E', b) => val e = pgError(b); drainToReady(); throw e
+      case ('N', _) | ('S', _) => ()
+      case ('Z', _) => throw new IllegalStateException(
+        s"graft_pg: statement returned no result set: $sql")
+      case _ => ()
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** COPY ... FROM STDIN (text format): streams `lines` (tab-separated
+    * COPY-escaped cells, NO trailing newline per element) in ~64 KB
+    * CopyData messages. */
+  def copyIn(sql: String, lines: Iterator[String]): Unit = {
+    sendQuery(sql)
+    var inCopy = false
+    while (!inCopy) readMessage() match {
+      case ('G', _) => inCopy = true
+      case ('E', b) => val e = pgError(b); drainToReady(); throw e
+      case ('N', _) | ('S', _) => ()
+      case (t, _) => throw new IllegalStateException(
+        s"graft_pg: unexpected message '$t' awaiting CopyInResponse")
+    }
+    val buf = new ByteArrayOutputStream(1 << 16)
+    def flushBuf(): Unit = if (buf.size() > 0) {
+      out.writeByte('d')
+      out.writeInt(4 + buf.size())
+      buf.writeTo(out)
+      buf.reset()
+    }
+    lines.foreach { line =>
+      buf.write(line.getBytes(UTF_8))
+      buf.write('\n')
+      if (buf.size() >= (1 << 16)) flushBuf()
+    }
+    flushBuf()
+    out.writeByte('c') // CopyDone
+    out.writeInt(4)
+    out.flush()
+    var err: RuntimeException = null
+    var done = false
+    while (!done) readMessage() match {
+      case ('Z', _) => done = true
+      case ('E', b) => err = pgError(b)
+      case _ => ()
+    }
+    if (err != null) throw err
+  }
+
+  override def close(): Unit = {
+    try {
+      out.writeByte('X') // Terminate
+      out.writeInt(4)
+      out.flush()
+    } catch { case _: java.io.IOException => () }
+    socket.close()
+  }
+}
+
+/** Engine-facing Postgres operators (the literal scraper.py /
+  * visualization.py dataflows) + the local-server lifecycle used where
+  * no external Postgres is provisioned. */
+object Postgres {
+  import PgWire._
+
+  final case class PgConn(host: String, port: Int, database: String, user: String)
+
+  /** Drop-and-recreate + parallel COPY — the exact semantics of the
+    * reference's `to_sql(name, engine, if_exists='replace',
+    * index=False)` (scraper.py:23-24): the old table (if any) is
+    * dropped, a fresh one is created from the DataFrame's schema with
+    * NO surrogate index column, and rows bulk-load via one COPY FROM
+    * STDIN per input partition, each on its own executor-side
+    * connection. DDL runs on the driver; only the COPY streams scale
+    * with data. */
+  def overwriteTable(df: DataFrame, conn: PgConn, table: String): Unit = {
+    val schema = df.schema
+    val cols = schema.fields
+      .map(f => s"${quoteIdent(f.name)} ${sparkToPgType(f.dataType)}")
+      .mkString(", ")
+    val c = new PgWireClient(conn.host, conn.port, conn.user, conn.database)
+    try {
+      c.exec(s"DROP TABLE IF EXISTS ${quoteIdent(table)}")
+      c.exec(s"CREATE TABLE ${quoteIdent(table)} ($cols)")
+    } finally c.close()
+    val colList = schema.fields.map(f => quoteIdent(f.name)).mkString(", ")
+    val copySql = s"COPY ${quoteIdent(table)} ($colList) FROM STDIN"
+    val types = schema.fields.map(_.dataType)
+    val (h, p, db, u) = (conn.host, conn.port, conn.database, conn.user)
+    df.queryExecution.toRdd.foreachPartition { it =>
+      if (it.hasNext) {
+        val pc = new PgWireClient(h, p, u, db)
+        try pc.copyIn(copySql, it.map { row =>
+          val sb = new java.lang.StringBuilder(64)
+          var i = 0
+          while (i < types.length) {
+            if (i > 0) sb.append('\t')
+            sb.append(PgWire.copyCell(types(i), row, i))
+            i += 1
+          }
+          sb.toString
+        }) finally pc.close()
+      }
+    }
+  }
+
+  /** Whole-table / partitioned read through the `graft_pg` source
+    * (visualization.py:14-21's `pd.read_sql`, re-expressed as a
+    * partition-parallel scan). */
+  def readTable(s: SparkSession, conn: PgConn, table: String,
+                partitionColumn: Option[(String, Long, Long, Int)] = None): DataFrame = {
+    val base = s.read.format("graft_pg")
+      .option("host", conn.host).option("port", conn.port.toString)
+      .option("database", conn.database).option("user", conn.user)
+      .option("dbtable", table)
+    partitionColumn.fold(base) { case (col, lo, hi, n) =>
+      base.option("partitionColumn", col).option("lowerBound", lo.toString)
+        .option("upperBound", hi.toString).option("numPartitions", n.toString)
+    }.load()
+  }
+
+  // ---- local server lifecycle ---------------------------------------
+
+  /** Default port for the engine-managed local server (off the 5432
+    * well-known port so a system Postgres never collides). */
+  val DefaultLocalPort = 54330
+
+  @volatile private var started = Set.empty[Int]
+
+  /** Ensure a LOCAL PostgreSQL server is running on `port` with trust
+    * auth and a superuser `graft`, data under `dataRoot` — the
+    * engine-managed stand-in for a provisioned instance (the
+    * reference runs Postgres via docker-compose; this container has
+    * the server binaries but no orchestrator). Idempotent; a JVM
+    * shutdown hook stops what this call started. Postgres refuses to
+    * run as root, so under a root JVM every server command is wrapped
+    * in `setpriv --reuid=nobody` with the data root chowned to match
+    * — staging-fixture plumbing, not engine dataflow. */
+  def ensureLocalServer(dataRoot: String, port: Int = DefaultLocalPort): PgConn = synchronized {
+    val conn = PgConn("127.0.0.1", port, "postgres", "graft")
+    if (started.contains(port)) return conn
+    // probe-first: another engine process (a spec JVM, an earlier
+    // harness run whose hook hasn't fired) may already serve this port
+    // with trust auth — reuse it instead of failing the bind. Tables
+    // are namespaced graft_* and overwritten per run, so sharing a
+    // server is safe for sequential runs.
+    try {
+      val c = new PgWireClient(conn.host, conn.port, conn.user, conn.database)
+      try c.exec("SELECT 1") finally c.close()
+      started += port
+      return conn
+    } catch { case _: Exception => () }
+    val root = java.nio.file.Paths.get(dataRoot)
+    java.nio.file.Files.createDirectories(root)
+    val isRoot = System.getProperty("user.name") == "root"
+    val prefix =
+      if (isRoot) {
+        java.nio.file.Files.setOwner(root,
+          root.getFileSystem.getUserPrincipalLookupService
+            .lookupPrincipalByName("nobody"))
+        Seq("setpriv", "--reuid=nobody", "--regid=nogroup", "--clear-groups")
+      } else Seq.empty
+    def run(cmd: String*): Int = {
+      val pb = new ProcessBuilder((prefix ++ cmd).asJava)
+      pb.redirectErrorStream(true)
+      pb.redirectOutput(new java.io.File(s"$dataRoot/cmd.log"))
+      pb.start().waitFor()
+    }
+    val data = s"$dataRoot/data"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$data/PG_VERSION"))) {
+      require(run("initdb", "-D", data, "-A", "trust", "-U", "graft") == 0,
+        s"graft_pg: initdb failed — see $dataRoot/cmd.log")
+    }
+    if (run("pg_ctl", "-D", data, "status") != 0) {
+      require(run("pg_ctl", "-D", data, "-l", s"$dataRoot/server.log", "-w",
+        "-o", s"-p $port -k $dataRoot -c listen_addresses=127.0.0.1",
+        "start") == 0,
+        s"graft_pg: server start failed — see $dataRoot/server.log")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        val pb = new ProcessBuilder(
+          (prefix ++ Seq("pg_ctl", "-D", data, "-m", "fast", "stop")).asJava)
+        pb.start().waitFor()
+        ()
+      }))
+    }
+    started += port
+    conn
+  }
+}
+
+/** `format("graft_pg")` — DataSourceV2 over the wire client. Options:
+  * host, port, database, user, dbtable, and optionally
+  * partitionColumn/lowerBound/upperBound/numPartitions for a
+  * range-partitioned parallel read. */
+class PgSource extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft_pg"
+
+  override def supportsExternalMetadata(): Boolean = true
+
+  /** Schema from the server's own RowDescription of a zero-row SELECT
+    * — one metadata round-trip, no data scanned, types from pg_type
+    * OIDs (the catalog-true answer, not inference). */
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val opts = PgSourceOptions(options)
+    val c = new PgWireClient(opts.host, opts.port, opts.user, opts.database)
+    try {
+      val res = c.query(
+        s"SELECT * FROM ${PgWire.quoteIdent(opts.table)} WHERE false")
+      while (res.nextRow() != null) () // drain (zero rows)
+      StructType(res.cols.map(col =>
+        StructField(col.name, PgWire.oidToSpark(col.oid), nullable = true)))
+    } finally c.close()
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    PgTable(schema, PgSourceOptions(new CaseInsensitiveStringMap(properties)))
+}
+
+private[io] case class PgSourceOptions(host: String, port: Int, database: String,
+                                       user: String, table: String,
+                                       partition: Option[(String, Long, Long, Int)])
+
+private[io] object PgSourceOptions {
+  def apply(options: CaseInsensitiveStringMap): PgSourceOptions = {
+    def req(k: String) = Option(options.get(k)).getOrElse(
+      throw new IllegalArgumentException(s"graft_pg requires the '$k' option"))
+    val part = Option(options.get("partitioncolumn")).map { c =>
+      (c, req("lowerbound").toLong, req("upperbound").toLong,
+        math.max(1, req("numpartitions").toInt))
+    }
+    PgSourceOptions(
+      host = Option(options.get("host")).getOrElse("127.0.0.1"),
+      port = Option(options.get("port")).map(_.toInt)
+        .getOrElse(Postgres.DefaultLocalPort),
+      database = Option(options.get("database")).getOrElse("postgres"),
+      user = Option(options.get("user")).getOrElse("graft"),
+      table = req("dbtable"),
+      partition = part)
+  }
+}
+
+private[io] case class PgTable(tableSchema: StructType, opts: PgSourceOptions)
+    extends Table with SupportsRead {
+  override def name(): String = s"graft_pg(${opts.table})"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(caseInsensitiveStringMap: CaseInsensitiveStringMap): ScanBuilder =
+    new PgScanBuilder(tableSchema, opts)
+}
+
+private[io] class PgScanBuilder(full: StructType, opts: PgSourceOptions)
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
+  private var required: StructType = full
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+
+  /** Push what compiles to SQL, but return EVERY filter as residual
+    * (the [[HttpCsvScanBuilder]] discipline): Spark re-applies them
+    * post-scan, so server-side filtering only shrinks the wire volume
+    * and can never change the answer. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(f => PgFilterSql.compile(f).isDefined)
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = PgScan(required, opts, pushed)
+}
+
+/** Supported-filter -> SQL text (conservative surface: comparisons,
+  * IN, IS [NOT] NULL, AND/OR/NOT over those). */
+private[io] object PgFilterSql {
+  import PgWire.{quoteIdent, quoteLit}
+
+  def compile(f: Filter): Option[String] = f match {
+    case EqualTo(a, v) => Some(s"${quoteIdent(a)} = ${quoteLit(v)}")
+    case GreaterThan(a, v) => Some(s"${quoteIdent(a)} > ${quoteLit(v)}")
+    case GreaterThanOrEqual(a, v) => Some(s"${quoteIdent(a)} >= ${quoteLit(v)}")
+    case LessThan(a, v) => Some(s"${quoteIdent(a)} < ${quoteLit(v)}")
+    case LessThanOrEqual(a, v) => Some(s"${quoteIdent(a)} <= ${quoteLit(v)}")
+    case In(a, vs) if vs.nonEmpty =>
+      Some(s"${quoteIdent(a)} IN (${vs.map(quoteLit).mkString(", ")})")
+    case IsNull(a) => Some(s"${quoteIdent(a)} IS NULL")
+    case IsNotNull(a) => Some(s"${quoteIdent(a)} IS NOT NULL")
+    case And(l, r) => for (ls <- compile(l); rs <- compile(r))
+      yield s"($ls AND $rs)"
+    case Or(l, r) => for (ls <- compile(l); rs <- compile(r))
+      yield s"($ls OR $rs)"
+    case Not(c) => compile(c).map(cs => s"(NOT $cs)")
+    case _ => None
+  }
+}
+
+/** One connection's slice: the full WHERE clause (range predicate +
+  * pushed filters) is computed at planning. */
+private[io] case class PgRangePartition(whereSql: String) extends InputPartition
+
+private[io] case class PgScan(required: StructType, opts: PgSourceOptions,
+                              filters: Array[Filter])
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft_pg table=${opts.table} partitions=${opts.partition.map(_._4).getOrElse(1)} " +
+      s"PushedFilters=[${filters.mkString(", ")}] ReadSchema=${required.simpleString}"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val pushedSql = filters.flatMap(PgFilterSql.compile)
+    val ranges: Seq[Option[String]] = opts.partition match {
+      case None => Seq(None)
+      case Some((col, lo, hi, n)) =>
+        val c = PgWire.quoteIdent(col)
+        val stride = math.max(1L, (hi - lo) / n)
+        (0 until n).map { i =>
+          val lb = lo + i * stride
+          val ub = lo + (i + 1) * stride
+          // edge partitions open-ended (+ NULL keys into the first) so
+          // rows outside [lo, hi) are never lost — the Spark JDBC
+          // source's lossless-partitioning contract
+          if (n == 1) None
+          else if (i == 0) Some(s"($c < $ub OR $c IS NULL)")
+          else if (i == n - 1) Some(s"$c >= $lb")
+          else Some(s"($c >= $lb AND $c < $ub)")
+        }
+    }
+    ranges.map { r =>
+      val preds = r.toSeq ++ pushedSql
+      PgRangePartition(
+        if (preds.isEmpty) "" else preds.mkString(" WHERE ", " AND ", ""))
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    PgReaderFactory(required, opts)
+}
+
+private[io] case class PgReaderFactory(required: StructType, opts: PgSourceOptions)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new PgPartitionReader(partition.asInstanceOf[PgRangePartition], required, opts)
+}
+
+/** Executor-side reader: one wire connection streaming one slice.
+  * Projection happens server-side (the SELECT list is the pruned
+  * schema), so the wire carries only the touched columns. */
+private[io] class PgPartitionReader(p: PgRangePartition, required: StructType,
+                                    opts: PgSourceOptions)
+    extends PartitionReader[InternalRow] {
+
+  private val convs: Array[Array[Byte] => Any] =
+    required.fields.map(f => PgWire.textToCatalyst(f.dataType))
+  private var client: PgWireClient = _
+  private var result: PgWireClient#PgResult = _
+  private var row: Array[Array[Byte]] = _
+
+  private def open(): Unit = {
+    client = new PgWireClient(opts.host, opts.port, opts.user, opts.database)
+    val cols =
+      if (required.isEmpty) "1" // COUNT(*)-style scans read no columns
+      else required.fields.map(f => PgWire.quoteIdent(f.name)).mkString(", ")
+    result = client.query(
+      s"SELECT $cols FROM ${PgWire.quoteIdent(opts.table)}${p.whereSql}")
+  }
+
+  override def next(): Boolean = {
+    if (client == null) open()
+    row = result.nextRow()
+    row != null
+  }
+
+  override def get(): InternalRow = {
+    val out = new GenericInternalRow(required.length)
+    var i = 0
+    while (i < required.length) {
+      out.update(i, if (row(i) == null) null else convs(i)(row(i)))
+      i += 1
+    }
+    out
+  }
+
+  override def close(): Unit = if (client != null) client.close()
+}

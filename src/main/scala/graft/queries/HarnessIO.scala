@@ -175,6 +175,39 @@ object HarnessIO {
         .orderBy($"c_custkey")
     }),
 
+    // LIVE Postgres round-trip over the in-engine v3 wire client
+    // (round 14 — the container ships the server binaries but no JDBC
+    // driver jar, so graft.io.PgWireClient speaks the documented
+    // frontend/backend protocol directly): the reference's ACTUAL
+    // database (scraper.py:23-24 writes via to_sql 'replace',
+    // visualization.py:14-21 reads back). Stale write + replace prove
+    // drop-and-recreate semantics; the read streams through 4
+    // range-split wire connections (the src_jdbc_table shape, now
+    // against a real postgres server the engine manages under /tmp).
+    "src_pg_table" -> ((s, dir) => {
+      import s.implicits._
+      val conn = graft.io.Postgres.ensureLocalServer(s"$stage/pgserver")
+      val cust = t(s, dir, "customer")
+        .select($"c_custkey", $"c_name", $"c_nationkey", $"c_acctbal", $"c_mktsegment")
+      graft.io.Postgres.overwriteTable(cust.limit(1), conn, "graft_customer")
+      graft.io.Postgres.overwriteTable(cust, conn, "graft_customer")
+      graft.io.Postgres.readTable(s, conn, "graft_customer",
+        partitionColumn = Some(("c_custkey", 1L, 200000L, 4)))
+        .orderBy($"c_custkey")
+    }),
+
+    // The literal sink_jdbc_replace dataflow against live Postgres:
+    // write a stale aggregate, full-replace it (COPY FROM STDIN per
+    // partition — the bulk path, not per-row INSERTs), read back.
+    "sink_pg_replace" -> ((s, dir) => {
+      import s.implicits._
+      val conn = graft.io.Postgres.ensureLocalServer(s"$stage/pgserver")
+      val real = Aggregates.countByKey(t(s, dir, "orders"), Seq($"o_orderpriority"), "n")
+      graft.io.Postgres.overwriteTable(real.limit(1), conn, "graft_agg") // stale
+      graft.io.Postgres.overwriteTable(real, conn, "graft_agg")          // replace
+      graft.io.Postgres.readTable(s, conn, "graft_agg").orderBy($"o_orderpriority")
+    }),
+
     // Partitioned parquet layout: write date-partitioned, read back a
     // single partition — the layout that turns a date-ranged query on
     // a 100 TB table into a directory prune (PlanSpec asserts the
@@ -489,6 +522,11 @@ object HarnessIO {
     "src_jdbc_table" ->
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
         |FROM customer ORDER BY 1""".stripMargin,
+    "src_pg_table" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |FROM customer ORDER BY 1""".stripMargin,
+    "sink_pg_replace" ->
+      "SELECT o_orderpriority, count(*) AS n FROM orders GROUP BY 1 ORDER BY 1",
     "meta_table_exists" ->
       "SELECT true AS exists_registered, false AS exists_missing",
   )

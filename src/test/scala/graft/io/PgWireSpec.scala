@@ -1,0 +1,154 @@
+package graft.io
+
+import java.sql.{Date, Timestamp}
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+/** The live-Postgres path over the hand-rolled v3 wire client: a REAL
+  * `postgres` server (the container ships the binaries; the engine
+  * manages initdb/start under /tmp) — not a protocol mock — so these
+  * pins cover the actual byte-level contract: startup + trust auth,
+  * COPY FROM STDIN escaping, text-format decode per OID, range
+  * partitioning losslessness, pushdown, and server-error surfacing. */
+class PgWireSpec extends AnyFunSuite with SparkTestBase {
+
+  private lazy val conn =
+    Postgres.ensureLocalServer("/tmp/graft_test/pgserver")
+
+  test("overwriteTable + read back round-trips every supported type, nulls, and COPY metacharacters") {
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("i", IntegerType, nullable = true),
+      StructField("f", FloatType, nullable = true),
+      StructField("d", DoubleType, nullable = true),
+      StructField("b", BooleanType, nullable = true),
+      StructField("s", StringType, nullable = true),
+      StructField("dt", DateType, nullable = true),
+      StructField("ts", TimestampType, nullable = true)))
+    val rows = Seq(
+      Row(1L, 42, 1.5f, 2.25, true, "plain", Date.valueOf("2026-08-14"),
+        Timestamp.valueOf("2026-08-14 12:34:56.123456")),
+      // COPY text metacharacters: tab, newline, CR, backslash, quote
+      Row(2L, -7, -0.5f, -3.5, false, "tab\there\nnewline\rcr\\slash'q",
+        Date.valueOf("1969-12-31"), Timestamp.valueOf("1970-01-01 00:00:00.0")),
+      // NULL in every nullable slot
+      Row(3L, null, null, null, null, null, null, null),
+      // fraction-less timestamp + empty string (distinct from NULL)
+      Row(4L, 0, 0f, 0d, true, "", Date.valueOf("2000-02-29"),
+        Timestamp.valueOf("2000-02-29 23:00:00")))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema)
+    Postgres.overwriteTable(df, conn, "graft_types")
+    val back = Postgres.readTable(spark, conn, "graft_types")
+    assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ===
+      schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    val got = back.collect().map(r => r.toSeq.toList).toSet
+    val want = df.collect().map(r => r.toSeq.toList).toSet
+    assert(got === want, s"got $got")
+  }
+
+  test("replace semantics: a second overwrite fully drops the first table (scraper.py to_sql 'replace')") {
+    import spark.implicits._
+    val stale = Seq((1L, "stale"), (2L, "rows"), (3L, "extra")).toDF("k", "v")
+    Postgres.overwriteTable(stale, conn, "graft_replace")
+    val real = Seq((10L, "real")).toDF("k", "v")
+    Postgres.overwriteTable(real, conn, "graft_replace")
+    val back = Postgres.readTable(spark, conn, "graft_replace").collect()
+    assert(back.map(_.toString).toSeq === Seq("[10,real]"),
+      "overwrite must REPLACE (drop-and-recreate), not append")
+  }
+
+  test("range-partitioned read is lossless: edge partitions open-ended, NULL keys kept, slices disjoint") {
+    import spark.implicits._
+    // keys far outside the declared bounds on both sides, plus a NULL
+    val df = ((-50L to -48L) ++ (1L to 100L) ++ (900L to 902L))
+      .map(k => (Option(k), s"v$k")).toDF("k", "v")
+      .union(Seq((Option.empty[Long], "vnull")).toDF("k", "v"))
+    Postgres.overwriteTable(df, conn, "graft_part")
+    val back = Postgres.readTable(spark, conn, "graft_part",
+      partitionColumn = Some(("k", 1L, 100L, 4)))
+    assert(back.rdd.getNumPartitions === 4)
+    assert(back.count() === 107L, "every row exactly once across slices")
+    assert(back.filter($"k".isNull).count() === 1L)
+    // per-partition counts prove the split is real, not one connection
+    val sizes = back.rdd.mapPartitions(it => Iterator.single(it.size)).collect()
+    assert(sizes.count(_ > 0) === 4, s"all 4 slices must carry rows: ${sizes.toSeq}")
+  }
+
+  test("column pruning reaches the SELECT list and pushed filters the WHERE clause (plan-visible)") {
+    import spark.implicits._
+    val df = (1L to 200L).map(k => (k, s"name$k", k * 2.5)).toDF("k", "name", "x")
+    Postgres.overwriteTable(df, conn, "graft_prune")
+    val q = Postgres.readTable(spark, conn, "graft_prune")
+      .filter($"k" > 150L && $"name" =!= "name151")
+      .select($"k")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("GreaterThan(k,150)") &&
+      plan.contains("Not(EqualTo(name,name151))"),
+      s"both filters must reach the scan as PushedFilters:\n$plan")
+    assert(plan.contains("ReadSchema=struct<k:bigint"),
+      s"projection must prune to the touched column:\n$plan")
+    assert(q.collect().map(_.getLong(0)).sorted.toSeq === (152L to 200L))
+  }
+
+  test("schema inference reads pg catalog types from RowDescription, no data scan") {
+    val c = new PgWireClient(conn.host, conn.port, conn.user, conn.database)
+    try {
+      c.exec("DROP TABLE IF EXISTS graft_infer")
+      c.exec("CREATE TABLE graft_infer (a integer, b bigint, c text, " +
+        "d double precision, e boolean, f date, g timestamp, h real, " +
+        "i varchar(10), j smallint)")
+    } finally c.close()
+    val got = spark.read.format("graft_pg")
+      .option("port", conn.port.toString).option("dbtable", "graft_infer")
+      .load().schema.fields.map(f => (f.name, f.dataType)).toSeq
+    assert(got === Seq(("a", IntegerType), ("b", LongType), ("c", StringType),
+      ("d", DoubleType), ("e", BooleanType), ("f", DateType),
+      ("g", TimestampType), ("h", FloatType), ("i", StringType),
+      ("j", IntegerType)))
+  }
+
+  test("server errors surface loudly with the server's message; the connection stays usable") {
+    val c = new PgWireClient(conn.host, conn.port, conn.user, conn.database)
+    try {
+      val e = intercept[RuntimeException] { c.exec("SELECT * FROM no_such_table_xyz") }
+      assert(e.getMessage.contains("no_such_table_xyz"), e.getMessage)
+      // connection drained to ReadyForQuery: next statement works
+      c.exec("SELECT 1")
+      val e2 = intercept[RuntimeException] {
+        val r = c.query("SELECT broken syntax here from")
+        r.nextRow()
+      }
+      assert(e2.getMessage.contains("graft_pg"), e2.getMessage)
+      c.exec("SELECT 2")
+    } finally c.close()
+  }
+
+  test("unsupported pg types fail loudly at schema conversion, never silent") {
+    val c = new PgWireClient(conn.host, conn.port, conn.user, conn.database)
+    try {
+      c.exec("DROP TABLE IF EXISTS graft_numeric")
+      c.exec("CREATE TABLE graft_numeric (a numeric(10,2))")
+    } finally c.close()
+    val e = intercept[Exception] {
+      spark.read.format("graft_pg")
+        .option("port", conn.port.toString).option("dbtable", "graft_numeric")
+        .load().schema
+    }
+    assert(e.getMessage.contains("OID"), e.getMessage)
+  }
+
+  test("timestamp text round-trip is micros-exact across fraction shapes") {
+    for (micros <- Seq(0L, 1L, 999999L, 1000000L, 1755172496123456L,
+        -1L, -999999L, 86400000000L)) {
+      val txt = PgWire.formatTimestampMicros(micros)
+      assert(PgWire.parseTimestampMicros(txt) === micros,
+        s"$micros -> '$txt' must parse back exactly")
+    }
+  }
+}
