@@ -425,36 +425,118 @@ object Postgres {
     * NO surrogate index column, and rows bulk-load via one COPY FROM
     * STDIN per input partition, each on its own executor-side
     * connection. DDL runs on the driver; only the COPY streams scale
-    * with data. */
+    * with data.
+    *
+    * EXACTLY-ONCE under retries/speculation (the property the parquet
+    * sink gets from its commit protocol — a direct-to-target COPY
+    * would duplicate a partition whose task succeeded but failed to
+    * REPORT success, the standard cluster failure a 1000-executor job
+    * hits routinely): each non-empty partition COPYs into its own
+    * STAGING table inside one transaction that first takes a
+    * per-stage ADVISORY lock and then drop-and-recreates the stage —
+    * a retried attempt REPLACES its predecessor's rows instead of
+    * appending, and concurrent speculative attempts serialize on the
+    * advisory lock (a bare DROP IF EXISTS cannot see a rival's
+    * UNCOMMITTED create, so without the lock the loser's CREATE
+    * would error 'already exists' instead of superseding), the last
+    * committer leaving exactly one complete copy. The target is then
+    * replaced by a SINGLE driver-side transaction — drop old target,
+    * create, insert every catalog-discovered stage, drop the stages
+    * — so readers see the OLD table until the commit instant and the
+    * complete new one after it, and a failed job leaves the old data
+    * untouched (Postgres DDL is transactional). Stage names live
+    * under the reserved prefix `graft_stage_<digest16(table)>_` —
+    * bounded well inside Postgres' 63-byte identifier limit for any
+    * table name (a raw `<table>__stage_<i>` would silently TRUNCATE
+    * at 63 bytes and collapse distinct stages into one), and
+    * collision-proof against user tables short of a deliberate
+    * name under that prefix. Orphan stages from a crashed prior run
+    * (any partition count) are swept from the catalog before
+    * staging. Cost: one extra server-side pass over the rows
+    * (stage -> target), the same price file committers pay for
+    * rename-based commits. Connection footprint is one per
+    * CONCURRENT non-empty task — size executor task slots (or
+    * coalesce the frame) against the server's max_connections. */
   def overwriteTable(df: DataFrame, conn: PgConn, table: String): Unit = {
     val schema = df.schema
-    val cols = schema.fields
+    val colsDdl = schema.fields
       .map(f => s"${quoteIdent(f.name)} ${sparkToPgType(f.dataType)}")
       .mkString(", ")
-    val c = new PgWireClient(conn.host, conn.port, conn.user, conn.database)
-    try {
-      c.exec(s"DROP TABLE IF EXISTS ${quoteIdent(table)}")
-      c.exec(s"CREATE TABLE ${quoteIdent(table)} ($cols)")
-    } finally c.close()
     val colList = schema.fields.map(f => quoteIdent(f.name)).mkString(", ")
-    val copySql = s"COPY ${quoteIdent(table)} ($colList) FROM STDIN"
+    val rdd = df.queryExecution.toRdd
+    val stagePrefix = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(table.getBytes(UTF_8))
+      "graft_stage_" + md.take(8).map(b => f"$b%02x").mkString + "_"
+    }
+    // every stage of THIS target, as committed in the catalog (hex
+    // digest -> no wildcard chars to escape beyond the underscores)
+    val stageCatalogSql =
+      "SELECT tablename FROM pg_tables WHERE tablename LIKE '" +
+        stagePrefix.replace("_", "\\_") + "%' ESCAPE '\\'"
+    def listStages(c: PgWireClient): Seq[String] = {
+      val r = c.query(stageCatalogSql)
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var row = r.nextRow()
+      while (row != null) {
+        out += new String(row(0), UTF_8)
+        row = r.nextRow()
+      }
+      out.toSeq
+    }
+    val c = new PgWireClient(conn.host, conn.port, conn.user, conn.database)
+    // sweep orphaned stages from any previous crashed run, whatever
+    // its partition count was
+    try listStages(c).foreach(s => c.exec(s"DROP TABLE ${quoteIdent(s)}"))
+    finally c.close()
     val types = schema.fields.map(_.dataType)
     val (h, p, db, u) = (conn.host, conn.port, conn.database, conn.user)
-    df.queryExecution.toRdd.foreachPartition { it =>
-      if (it.hasNext) {
+    rdd.foreachPartition { it =>
+      if (it.hasNext) { // empty partitions stage nothing
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val stName = s"$stagePrefix$pid"
+        val st = quoteIdent(stName)
         val pc = new PgWireClient(h, p, u, db)
-        try pc.copyIn(copySql, it.map { row =>
-          val sb = new java.lang.StringBuilder(64)
-          var i = 0
-          while (i < types.length) {
-            if (i > 0) sb.append('\t')
-            sb.append(PgWire.copyCell(types(i), row, i))
-            i += 1
-          }
-          sb.toString
-        }) finally pc.close()
+        try {
+          // one transaction: abort anywhere (incl. mid-COPY stream
+          // failure) rolls the whole stage back; commit is the
+          // attempt's atomic success marker; the advisory xact lock
+          // serializes rival attempts of the same partition
+          pc.exec("BEGIN")
+          pc.exec(s"SELECT pg_advisory_xact_lock(hashtext('$stName'))")
+          pc.exec(s"DROP TABLE IF EXISTS $st")
+          pc.exec(s"CREATE TABLE $st ($colsDdl)")
+          pc.copyIn(s"COPY $st ($colList) FROM STDIN", it.map { row =>
+            val sb = new java.lang.StringBuilder(64)
+            var i = 0
+            while (i < types.length) {
+              if (i > 0) sb.append('\t')
+              sb.append(PgWire.copyCell(types(i), row, i))
+              i += 1
+            }
+            sb.toString
+          })
+          pc.exec("COMMIT")
+        } finally pc.close()
       }
     }
+    // atomic publish: ONE transaction replaces the target and
+    // consumes every committed stage — readers see old-then-new,
+    // never a subset, and failure before COMMIT leaves the old
+    // target intact
+    val c2 = new PgWireClient(conn.host, conn.port, conn.user, conn.database)
+    try {
+      val stages = listStages(c2).sorted
+      c2.exec("BEGIN")
+      c2.exec(s"DROP TABLE IF EXISTS ${quoteIdent(table)}")
+      c2.exec(s"CREATE TABLE ${quoteIdent(table)} ($colsDdl)")
+      stages.foreach { s =>
+        c2.exec(s"INSERT INTO ${quoteIdent(table)} ($colList) " +
+          s"SELECT $colList FROM ${quoteIdent(s)}")
+        c2.exec(s"DROP TABLE ${quoteIdent(s)}")
+      }
+      c2.exec("COMMIT")
+    } finally c2.close()
   }
 
   /** Whole-table / partitioned read through the `graft_pg` source

@@ -63,6 +63,60 @@ class PgWireSpec extends AnyFunSuite with SparkTestBase {
       "overwrite must REPLACE (drop-and-recreate), not append")
   }
 
+  test("staged commit publishes atomically: empty partitions stage fine, no stage tables survive") {
+    import spark.implicits._
+    // 3 rows over 8 partitions -> at least 5 EMPTY partitions must
+    // stage and publish without error
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        Seq(Row(1L, "a"), Row(2L, "b"), Row(3L, "c")), 8),
+      StructType(Seq(StructField("k", LongType), StructField("v", StringType))))
+    Postgres.overwriteTable(df, conn, "graft_staged")
+    assert(Postgres.readTable(spark, conn, "graft_staged").count() === 3L)
+    // the publish transaction must have dropped every stage table
+    val c = new PgWireClient(conn.host, conn.port, conn.user, conn.database)
+    try {
+      val r = c.query("SELECT tablename FROM pg_tables " +
+        "WHERE tablename LIKE 'graft\\_stage\\_%' ESCAPE '\\'")
+      assert(r.nextRow() == null, "no staging tables may outlive the publish")
+    } finally c.close()
+  }
+
+  test("table names near Postgres' 63-byte identifier limit stage without silent truncation collapse") {
+    import spark.implicits._
+    // a raw "<table>__stage_<i>" scheme would truncate at 63 bytes and
+    // collapse every partition's stage into ONE table (last committer
+    // wins, all other partitions silently lost); the digest-bounded
+    // stage prefix keeps names short regardless of the target's length
+    val longName = "graft_" + ("x" * 54) // 60 chars, stages would all truncate
+    val df = (1L to 64L).map(k => (k, s"v$k")).toDF("k", "v").repartition(8)
+    Postgres.overwriteTable(df, conn, longName)
+    val back = Postgres.readTable(spark, conn, longName)
+    assert(back.count() === 64L, "every partition's rows must survive")
+    assert(back.select("k").collect().map(_.getLong(0)).sorted.toSeq === (1L to 64L))
+  }
+
+  test("a failed write job leaves the previous table fully intact (publish is transactional)") {
+    import spark.implicits._
+    val v1 = Seq((1L, "keep"), (2L, "me")).toDF("k", "v")
+    Postgres.overwriteTable(v1, conn, "graft_atomic")
+    val bomb = udf((k: Long) => {
+      if (k == 3L) throw new RuntimeException("boom mid-job")
+      "x"
+    })
+    val v2 = Seq(3L, 4L).toDF("k").withColumn("v", bomb($"k"))
+    intercept[Exception] { Postgres.overwriteTable(v2, conn, "graft_atomic") }
+    // the old table is untouched: target DDL runs inside the publish
+    // transaction, which a failed staging job never reaches
+    assert(Postgres.readTable(spark, conn, "graft_atomic").collect()
+      .map(_.toString).sorted.toSeq === Seq("[1,keep]", "[2,me]"))
+    // and a subsequent successful overwrite sweeps any orphaned stages
+    val v3 = Seq((9L, "new")).toDF("k", "v")
+    Postgres.overwriteTable(v3, conn, "graft_atomic")
+    assert(Postgres.readTable(spark, conn, "graft_atomic").collect()
+      .map(_.toString).toSeq === Seq("[9,new]"))
+  }
+
   test("range-partitioned read is lossless: edge partitions open-ended, NULL keys kept, slices disjoint") {
     import spark.implicits._
     // keys far outside the declared bounds on both sides, plus a NULL
