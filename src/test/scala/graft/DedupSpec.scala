@@ -647,4 +647,73 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
   private def countDistinctCol =
     org.apache.spark.sql.functions.countDistinct(
       org.apache.spark.sql.functions.col("l_partkey")).as("nd")
+
+  /** Dataset actions fired by `body` on datasets of session `s2`, in
+    * order (QueryExecutionListener; delivery is async, so poll until
+    * the list is stable). `s2` must be a `newSession()` so other
+    * suites' actions on the shared session cannot pollute the list. */
+  private def actionsOf(s2: org.apache.spark.sql.SparkSession)(body: => Unit): Seq[String] = {
+    val actions = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    val l = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             durationNs: Long): Unit = { actions.add(funcName); () }
+      override def onFailure(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             exception: Exception): Unit = ()
+    }
+    s2.listenerManager.register(l)
+    try {
+      body
+      // async listener bus: wait for the action list to go quiet
+      var last = -1
+      var stableMs = 0
+      val deadline = System.nanoTime() + 10000000000L
+      while (stableMs < 500 && System.nanoTime() < deadline) {
+        Thread.sleep(100)
+        if (actions.size == last) stableMs += 100 else { last = actions.size; stableMs = 0 }
+      }
+      scala.jdk.CollectionConverters.ListHasAsScala(actions).asScala.toSeq
+    } finally s2.listenerManager.unregister(l)
+  }
+
+  test("probe and self-join schedule their PINNED driver-action counts (the round-14 de-flag contract)") {
+    // the r13 flag-magnet anatomy was per-action scheduling overhead:
+    // the probe ran SIX actions through its gate, the self-join four.
+    // This pins the fused shape — a regression that reintroduces a
+    // separate candidate checkpoint/count or a vocab-gate count job
+    // fails here, not three driver rounds later.
+    import org.apache.spark.sql.functions._
+    val s2 = spark.newSession()
+    import s2.implicits._
+    val docs = s2.read.parquet(sf("documents"))
+    val sh = docs.select($"doc_id", Dedup.shingles($"text").as("__sh"))
+      .filter(size($"__sh") > 0).localCheckpoint(true)
+    val probes = sh.limit(5)
+      .select(($"doc_id" + 500000L).as("doc_id"), $"__sh").localCheckpoint(true)
+    // one-way probe: pCounts count + collision-estimate head + the
+    // fused candidates+gate checkpoint = 3 (r13: 6)
+    val probeActions = actionsOf(s2) {
+      Dedup.jaccardProbeOnShingles(sh, probes, "doc_id", "__sh", 0.5)
+      ()
+    }
+    assert(probeActions.size == 3,
+      s"probe gate must stay 3 driver actions, saw ${probeActions.size}: $probeActions")
+    // self-join: collision-estimate head + the fused candidates+gate
+    // checkpoint = 2 (r12 shape: 4)
+    val selfActions = actionsOf(s2) {
+      Dedup.jaccardPairsExactOnShingles(sh, "doc_id", "__sh", 0.5)
+      ()
+    }
+    assert(selfActions.size == 2,
+      s"self-join gate must stay 2 driver actions, saw ${selfActions.size}: $selfActions")
+    // minhash probe: band-vocab broadcast-gate count + the observed
+    // candidate checkpoint = 2 (r13: 3)
+    val mhActions = actionsOf(s2) {
+      Dedup.minhashProbeOnShingles(sh, probes, "doc_id", "__sh")
+      ()
+    }
+    assert(mhActions.size == 2,
+      s"minhash probe must stay 2 driver actions, saw ${mhActions.size}: $mhActions")
+  }
 }
