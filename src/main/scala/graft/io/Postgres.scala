@@ -32,8 +32,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * jar and has zero egress, so `format("jdbc")` cannot speak the wire
   * — this module implements the documented protocol (PostgreSQL
   * "Frontend/Backend Protocol", postgresql.org/docs/current/protocol
-  * .html) directly: startup + trust auth, the simple query cycle
-  * (Query / RowDescription / DataRow / CommandComplete /
+  * .html) directly: startup with trust, cleartext, md5, or
+  * SCRAM-SHA-256 auth (what a password-protected deployment like the
+  * reference's compose Postgres actually challenges with), the simple
+  * query cycle (Query / RowDescription / DataRow / CommandComplete /
   * ReadyForQuery), and COPY FROM STDIN for bulk load.
   *
   * Scale shape mirrors the parquet discipline, not pandas':
@@ -194,13 +196,17 @@ object PgWire {
   }
 }
 
-/** Minimal PostgreSQL v3 frontend: startup (trust auth only — the
-  * embedded/staging deployment this container supports; password auth
-  * would add SCRAM, deliberately out of scope), simple query, COPY IN.
-  * One in-flight statement at a time; not thread-safe (one client per
+/** Minimal PostgreSQL v3 frontend: startup with trust, cleartext, md5,
+  * or SCRAM-SHA-256 auth (RFC 5802/7677 over the protocol's SASL
+  * messages — the default verifier since PG 10, what a
+  * docker-compose'd reference deployment actually challenges with;
+  * channel binding declined, SaslPrep identity for the ASCII
+  * passwords this surface targets), simple query, COPY IN. One
+  * in-flight statement at a time; not thread-safe (one client per
   * partition reader / writer task). */
 final class PgWireClient(host: String, port: Int, user: String,
-                         database: String) extends AutoCloseable {
+                         database: String,
+                         password: Option[String] = None) extends AutoCloseable {
   import PgWire._
 
   private val socket = new Socket()
@@ -210,6 +216,18 @@ final class PgWireClient(host: String, port: Int, user: String,
     new BufferedInputStream(socket.getInputStream, 1 << 16))
   private val out = new DataOutputStream(
     new BufferedOutputStream(socket.getOutputStream, 1 << 16))
+
+  private def sendTyped(t: Char, payload: Array[Byte]): Unit = {
+    out.writeByte(t)
+    out.writeInt(4 + payload.length)
+    out.write(payload)
+    out.flush()
+  }
+
+  private def requirePassword(mech: String): String = password.getOrElse(
+    throw new IllegalArgumentException(
+      s"graft_pg: server requires $mech authentication but no password " +
+        "was supplied (pass option 'password')"))
 
   // ---- startup -------------------------------------------------------
   {
@@ -226,14 +244,50 @@ final class PgWireClient(host: String, port: Int, user: String,
     out.writeInt(body.size() + 4)
     body.writeTo(out)
     out.flush()
+    var scram: ScramState = null
     var ready = false
     while (!ready) readMessage() match {
       case ('R', b) =>
         val code = ((b(0) & 0xFF) << 24) | ((b(1) & 0xFF) << 16) |
           ((b(2) & 0xFF) << 8) | (b(3) & 0xFF)
-        require(code == 0,
-          s"graft_pg: server requested authentication (code $code); only " +
-            "trust auth is supported")
+        code match {
+          case 0 => () // AuthenticationOk
+          case 3 => // CleartextPassword
+            val p = requirePassword("cleartext-password")
+            sendTyped('p', p.getBytes(UTF_8) :+ 0.toByte)
+          case 5 => // MD5Password: md5(md5(password + user) + 4-byte salt)
+            val p = requirePassword("md5")
+            val salt = java.util.Arrays.copyOfRange(b, 4, 8)
+            def md5hex(bytes: Array[Byte]): String =
+              java.security.MessageDigest.getInstance("MD5").digest(bytes)
+                .map(x => f"$x%02x").mkString
+            val inner = md5hex((p + user).getBytes(UTF_8))
+            val outer = md5hex(inner.getBytes(UTF_8) ++ salt)
+            sendTyped('p', s"md5$outer".getBytes(UTF_8) :+ 0.toByte)
+          case 10 => // AuthenticationSASL: cstring mechanism list
+            val mechs = new String(b, 4, b.length - 4, UTF_8)
+              .split('\u0000').filter(_.nonEmpty).toSeq
+            require(mechs.contains("SCRAM-SHA-256"),
+              s"graft_pg: no shared SASL mechanism (server offers $mechs; " +
+                "client speaks SCRAM-SHA-256 — channel-binding variants " +
+                "require TLS, which this client does not open)")
+            scram = new ScramState(requirePassword("SCRAM-SHA-256"))
+            val first = scram.clientFirst
+            val msg = new ByteArrayOutputStream()
+            msg.write("SCRAM-SHA-256".getBytes(UTF_8)); msg.write(0)
+            val fb = first.getBytes(UTF_8)
+            msg.write((fb.length >>> 24) & 0xFF); msg.write((fb.length >>> 16) & 0xFF)
+            msg.write((fb.length >>> 8) & 0xFF); msg.write(fb.length & 0xFF)
+            msg.write(fb)
+            sendTyped('p', msg.toByteArray)
+          case 11 => // AuthenticationSASLContinue: server-first-message
+            sendTyped('p', scram
+              .clientFinal(new String(b, 4, b.length - 4, UTF_8)).getBytes(UTF_8))
+          case 12 => // AuthenticationSASLFinal: v=<ServerSignature>
+            scram.verifyServerFinal(new String(b, 4, b.length - 4, UTF_8))
+          case other => throw new IllegalArgumentException(
+            s"graft_pg: unsupported authentication request code $other")
+        }
       case ('S', _) | ('K', _) | ('N', _) => () // ParameterStatus/KeyData/Notice
       case ('Z', _) => ready = true
       case ('E', b) => throw pgError(b)
@@ -410,13 +464,84 @@ final class PgWireClient(host: String, port: Int, user: String,
   }
 }
 
+/** Client side of one SCRAM-SHA-256 exchange (RFC 5802 mechanics with
+  * RFC 7677's hash, as PostgreSQL speaks it): nonce from SecureRandom,
+  * Hi() = PBKDF2-HMAC-SHA256 (the JDK's), proof = ClientKey XOR
+  * HMAC(SHA256(ClientKey), AuthMessage), and the server's signature is
+  * VERIFIED — a wire impostor that knows the username but not the
+  * verifier fails the handshake loudly. gs2 header `n,,`: channel
+  * binding declined (no TLS layer to bind to). */
+private[io] final class ScramState(password: String) {
+  import java.util.Base64
+
+  private def hmac(key: Array[Byte], msg: Array[Byte]): Array[Byte] = {
+    val m = javax.crypto.Mac.getInstance("HmacSHA256")
+    m.init(new javax.crypto.spec.SecretKeySpec(key, "HmacSHA256"))
+    m.doFinal(msg)
+  }
+  private def sha256(b: Array[Byte]): Array[Byte] =
+    java.security.MessageDigest.getInstance("SHA-256").digest(b)
+
+  private val clientNonce: String = {
+    val raw = new Array[Byte](18)
+    new java.security.SecureRandom().nextBytes(raw)
+    Base64.getEncoder.encodeToString(raw)
+  }
+  // PG ignores the SCRAM username field (the startup user governs)
+  private val clientFirstBare = s"n=,r=$clientNonce"
+  private var authMessage: String = _
+  private var saltedPassword: Array[Byte] = _
+
+  def clientFirst: String = s"n,,$clientFirstBare"
+
+  /** Consume server-first (`r=...,s=...,i=...`), return client-final. */
+  def clientFinal(serverFirst: String): String = {
+    val attrs = serverFirst.split(',').map { kv =>
+      kv.splitAt(kv.indexOf('=')) match { case (k, v) => k -> v.tail }
+    }.toMap
+    val nonce = attrs("r")
+    require(nonce.startsWith(clientNonce),
+      "graft_pg: SCRAM server nonce does not extend the client nonce")
+    val salt = Base64.getDecoder.decode(attrs("s"))
+    val iters = attrs("i").toInt
+    val skf = javax.crypto.SecretKeyFactory.getInstance("PBKDF2WithHmacSHA256")
+    saltedPassword = skf.generateSecret(new javax.crypto.spec.PBEKeySpec(
+      password.toCharArray, salt, iters, 256)).getEncoded
+    val clientKey = hmac(saltedPassword, "Client Key".getBytes(UTF_8))
+    val withoutProof = s"c=biws,r=$nonce" // biws = b64("n,,")
+    authMessage = s"$clientFirstBare,$serverFirst,$withoutProof"
+    val clientSig = hmac(sha256(clientKey), authMessage.getBytes(UTF_8))
+    val proof = clientKey.zip(clientSig).map { case (a, b) => (a ^ b).toByte }
+    s"$withoutProof,p=${Base64.getEncoder.encodeToString(proof)}"
+  }
+
+  /** Verify the server proves knowledge of the verifier (`v=...`). */
+  def verifyServerFinal(serverFinal: String): Unit = {
+    val v = serverFinal.split(',').find(_.startsWith("v="))
+      .getOrElse(throw new IllegalStateException(
+        s"graft_pg: SCRAM final message carries no server signature: $serverFinal"))
+      .drop(2)
+    val serverKey = hmac(saltedPassword, "Server Key".getBytes(UTF_8))
+    val expect = Base64.getEncoder.encodeToString(
+      hmac(serverKey, authMessage.getBytes(UTF_8)))
+    require(java.security.MessageDigest.isEqual(
+      expect.getBytes(UTF_8), v.getBytes(UTF_8)),
+      "graft_pg: SCRAM server signature mismatch — the server does not " +
+        "hold this user's verifier (possible impostor); refusing the session")
+  }
+}
+
 /** Engine-facing Postgres operators (the literal scraper.py /
   * visualization.py dataflows) + the local-server lifecycle used where
   * no external Postgres is provisioned. */
 object Postgres {
   import PgWire._
 
-  final case class PgConn(host: String, port: Int, database: String, user: String)
+  final case class PgConn(host: String, port: Int, database: String, user: String,
+                          password: String = "")
+
+  private def pw(conn: PgConn): Option[String] =
+    Option(conn.password).filter(_.nonEmpty)
 
   /** Drop-and-recreate + parallel COPY — the exact semantics of the
     * reference's `to_sql(name, engine, if_exists='replace',
@@ -484,19 +609,19 @@ object Postgres {
       }
       out.toSeq
     }
-    val c = new PgWireClient(conn.host, conn.port, conn.user, conn.database)
+    val c = new PgWireClient(conn.host, conn.port, conn.user, conn.database, pw(conn))
     // sweep orphaned stages from any previous crashed run, whatever
     // its partition count was
     try listStages(c).foreach(s => c.exec(s"DROP TABLE ${quoteIdent(s)}"))
     finally c.close()
     val types = schema.fields.map(_.dataType)
-    val (h, p, db, u) = (conn.host, conn.port, conn.database, conn.user)
+    val (h, p, db, u, pwd) = (conn.host, conn.port, conn.database, conn.user, pw(conn))
     rdd.foreachPartition { it =>
       if (it.hasNext) { // empty partitions stage nothing
         val pid = org.apache.spark.TaskContext.getPartitionId()
         val stName = s"$stagePrefix$pid"
         val st = quoteIdent(stName)
-        val pc = new PgWireClient(h, p, u, db)
+        val pc = new PgWireClient(h, p, u, db, pwd)
         try {
           // one transaction: abort anywhere (incl. mid-COPY stream
           // failure) rolls the whole stage back; commit is the
@@ -524,7 +649,7 @@ object Postgres {
     // consumes every committed stage — readers see old-then-new,
     // never a subset, and failure before COMMIT leaves the old
     // target intact
-    val c2 = new PgWireClient(conn.host, conn.port, conn.user, conn.database)
+    val c2 = new PgWireClient(conn.host, conn.port, conn.user, conn.database, pw(conn))
     try {
       val stages = listStages(c2).sorted
       c2.exec("BEGIN")
@@ -544,10 +669,11 @@ object Postgres {
     * partition-parallel scan). */
   def readTable(s: SparkSession, conn: PgConn, table: String,
                 partitionColumn: Option[(String, Long, Long, Int)] = None): DataFrame = {
-    val base = s.read.format("graft_pg")
+    val base0 = s.read.format("graft_pg")
       .option("host", conn.host).option("port", conn.port.toString)
       .option("database", conn.database).option("user", conn.user)
       .option("dbtable", table)
+    val base = pw(conn).fold(base0)(p => base0.option("password", p))
     partitionColumn.fold(base) { case (col, lo, hi, n) =>
       base.option("partitionColumn", col).option("lowerBound", lo.toString)
         .option("upperBound", hi.toString).option("numPartitions", n.toString)
@@ -580,7 +706,7 @@ object Postgres {
     // are namespaced graft_* and overwritten per run, so sharing a
     // server is safe for sequential runs.
     try {
-      val c = new PgWireClient(conn.host, conn.port, conn.user, conn.database)
+      val c = new PgWireClient(conn.host, conn.port, conn.user, conn.database, pw(conn))
       try c.exec("SELECT 1") finally c.close()
       started += port
       return conn
@@ -638,7 +764,7 @@ class PgSource extends TableProvider with DataSourceRegister {
     * OIDs (the catalog-true answer, not inference). */
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val opts = PgSourceOptions(options)
-    val c = new PgWireClient(opts.host, opts.port, opts.user, opts.database)
+    val c = new PgWireClient(opts.host, opts.port, opts.user, opts.database, opts.password)
     try {
       val res = c.query(
         s"SELECT * FROM ${PgWire.quoteIdent(opts.table)} WHERE false")
@@ -654,7 +780,8 @@ class PgSource extends TableProvider with DataSourceRegister {
 }
 
 private[io] case class PgSourceOptions(host: String, port: Int, database: String,
-                                       user: String, table: String,
+                                       user: String, password: Option[String],
+                                       table: String,
                                        partition: Option[(String, Long, Long, Int)])
 
 private[io] object PgSourceOptions {
@@ -671,6 +798,7 @@ private[io] object PgSourceOptions {
         .getOrElse(Postgres.DefaultLocalPort),
       database = Option(options.get("database")).getOrElse("postgres"),
       user = Option(options.get("user")).getOrElse("graft"),
+      password = Option(options.get("password")).filter(_.nonEmpty),
       table = req("dbtable"),
       partition = part)
   }
@@ -794,7 +922,7 @@ private[io] class PgPartitionReader(p: PgRangePartition, required: StructType,
   private var row: Array[Array[Byte]] = _
 
   private def open(): Unit = {
-    client = new PgWireClient(opts.host, opts.port, opts.user, opts.database)
+    client = new PgWireClient(opts.host, opts.port, opts.user, opts.database, opts.password)
     val cols =
       if (required.isEmpty) "1" // COUNT(*)-style scans read no columns
       else required.fields.map(f => PgWire.quoteIdent(f.name)).mkString(", ")

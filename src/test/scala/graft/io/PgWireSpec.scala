@@ -197,6 +197,56 @@ class PgWireSpec extends AnyFunSuite with SparkTestBase {
     assert(e.getMessage.contains("OID"), e.getMessage)
   }
 
+  test("password auth: SCRAM-SHA-256, md5, and cleartext challenges all authenticate; wrong secrets refused") {
+    // real-server auth matrix: three roles with distinct verifiers +
+    // pg_hba rules forcing each challenge type (first match wins, so
+    // the rules are PREPENDED above initdb's trust lines), exercising
+    // the full RFC 5802/7677 exchange incl. the server-signature
+    // verification, the md5 double-hash, and the cleartext path
+    val admin = new PgWireClient(conn.host, conn.port, conn.user, conn.database)
+    val dataDir = try {
+      admin.exec("DROP ROLE IF EXISTS graft_scram")
+      admin.exec("CREATE ROLE graft_scram LOGIN PASSWORD 'sekret1'") // PG15 default: scram-sha-256 verifier
+      admin.exec("DROP ROLE IF EXISTS graft_md5")
+      admin.exec("SET password_encryption = 'md5'")
+      admin.exec("CREATE ROLE graft_md5 LOGIN PASSWORD 'sekret2'")
+      admin.exec("RESET password_encryption")
+      admin.exec("DROP ROLE IF EXISTS graft_pw")
+      admin.exec("CREATE ROLE graft_pw LOGIN PASSWORD 'sekret3'")
+      val r = admin.query("SHOW data_directory")
+      new String(r.nextRow()(0), "UTF-8")
+    } finally admin.close()
+    val hba = java.nio.file.Paths.get(dataDir, "pg_hba.conf")
+    val orig = java.nio.file.Files.readString(hba)
+    val rules =
+      "host all graft_scram 127.0.0.1/32 scram-sha-256\n" +
+      "host all graft_md5 127.0.0.1/32 md5\n" +
+      "host all graft_pw 127.0.0.1/32 password\n"
+    if (!orig.startsWith(rules))
+      java.nio.file.Files.writeString(hba, rules + orig)
+    val admin2 = new PgWireClient(conn.host, conn.port, conn.user, conn.database)
+    try admin2.exec("SELECT pg_reload_conf()") finally admin2.close()
+    Thread.sleep(300) // reload is async
+    def login(user: String, pass: Option[String]): Unit = {
+      val c = new PgWireClient(conn.host, conn.port, user, conn.database, pass)
+      try c.exec("SELECT 1") finally c.close()
+    }
+    login("graft_scram", Some("sekret1"))
+    login("graft_md5", Some("sekret2"))
+    login("graft_pw", Some("sekret3"))
+    // wrong password: the server refuses after the proof/hash check
+    for ((u, p) <- Seq(("graft_scram", "wrong"), ("graft_md5", "wrong"))) {
+      val e = intercept[RuntimeException] { login(u, Some(p)) }
+      assert(e.getMessage.toLowerCase.contains("password") ||
+        e.getMessage.contains("authentication"), e.getMessage)
+    }
+    // missing password: refused CLIENT-side with the option hint
+    val e2 = intercept[IllegalArgumentException] { login("graft_scram", None) }
+    assert(e2.getMessage.contains("password"), e2.getMessage)
+    // the trust path (every other key/test) must be untouched
+    login(conn.user, None)
+  }
+
   test("timestamp text round-trip is micros-exact across fraction shapes") {
     for (micros <- Seq(0L, 1L, 999999L, 1000000L, 1755172496123456L,
         -1L, -999999L, 86400000000L)) {
