@@ -30,29 +30,35 @@ object Metrics {
     * exactly those counters' namespaces. */
   private val scope = new scala.util.DynamicVariable[Option[String]](None)
 
-  /** Scopes currently open somewhere in the process. DynamicVariable
-    * is InheritableThreadLocal-backed, so a long-lived thread CREATED
+  /** Open-count per scope name (a REFCOUNT, not a set: two parallel
+    * suites — or one nested — holding the same name must not lose
+    * namespacing when the first exits). DynamicVariable is
+    * InheritableThreadLocal-backed, so a long-lived thread CREATED
     * during a key's scope (a lazily initialized driver pool) inherits
     * that scope forever — a record fired from it during a LATER key
     * would silently land under the stale key (round-13 advice). The
-    * guard: an inherited scope only namespaces while it is still
-    * open; records from outlived inheritance fall back to raw names,
-    * which the bench reports un-attributed rather than mis-attributed. */
-  private val open = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    * guard: an inherited scope only namespaces while at least one
+    * holder of that name is still open; records from outlived
+    * inheritance fall back to raw names, which the bench reports
+    * un-attributed rather than mis-attributed. */
+  private val open = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
 
   /** Run `f` with every [[record]] inside it namespaced as
     * `caller.<name>`. */
   def withScope[T](caller: String)(f: => T): T = {
-    open.add(caller)
+    open.merge(caller, 1, (a, b) => a + b)
     try scope.withValue(Some(caller))(f)
-    finally { open.remove(caller); () }
+    finally {
+      open.compute(caller, (_, n) => if (n == null || n <= 1) null else n - 1)
+      ()
+    }
   }
 
   /** Record (overwrite) a named scale counter, qualified by the active
     * caller scope if one is open — and still open process-wide (see
     * [[open]]: stale inherited scopes degrade to raw names). */
   def record(name: String, value: Long): Unit =
-    counters.put(scope.value.filter(open.contains)
+    counters.put(scope.value.filter(open.containsKey)
       .map(_ + "." + name).getOrElse(name), value)
 
   /** Snapshot of all recorded counters, sorted by name. */

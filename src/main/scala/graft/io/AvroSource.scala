@@ -577,20 +577,28 @@ private[io] object AvroConversions {
         new GenericArrayData(out)
       }
     case st: StructType =>
-      // reader-schema positions: the pruned reader record's field
-      // order IS the required struct's order ([[pruneAvroSchema]]),
-      // so get(j) by index is exact
+      // field positions resolved BY NAME, never positionally: on a
+      // pruned reader record the order matches `st` anyway
+      // ([[pruneAvroSchema]]), but BELOW a multi-branch union the
+      // record is the UNPRUNED writer branch (pruning stops at the
+      // union — see [[pruneTypeSchema]]) while `st` is Spark's pruned
+      // subset, and a positional zip there silently pairs converters
+      // with the wrong fields (round-14 review finding: selecting
+      // `u.member0.y` of a {x,y} branch read x's values as y).
       val rec = nonNullBranch(avro)
-      val convs = st.fields.zip(rec.getFields.asScala).map {
-        case (f, af) => readConverter(f.dataType, af.schema())
-      }.toArray
+      val slots: Array[(Int, AnyRef => Any)] = st.fields.map { f =>
+        val af = rec.getField(f.name)
+        require(af != null,
+          s"graft_avro: required field ${f.name} absent from record schema $rec")
+        (af.pos(), readConverter(f.dataType, af.schema()))
+      }
       v => {
         val r = v.asInstanceOf[GenericRecord]
-        val out = new GenericInternalRow(convs.length)
+        val out = new GenericInternalRow(slots.length)
         var j = 0
-        while (j < convs.length) {
-          val x = r.get(j)
-          out.update(j, if (x == null) null else convs(j)(x))
+        while (j < slots.length) {
+          val x = r.get(slots(j)._1)
+          out.update(j, if (x == null) null else slots(j)._2(x))
           j += 1
         }
         out

@@ -106,16 +106,32 @@ object PgWire {
   /** `"`-quoted identifier (embedded quotes doubled). */
   def quoteIdent(name: String): String = "\"" + name.replace("\"", "\"\"") + "\""
 
-  /** `'`-quoted literal for pushed-filter SQL. */
-  def quoteLit(v: Any): String = v match {
-    case null => "NULL"
-    case s: String => "'" + s.replace("'", "''") + "'"
-    case s: UTF8String => quoteLit(s.toString)
-    case d: java.sql.Date => "'" + d.toString + "'"
-    case d: java.time.LocalDate => "'" + d.toString + "'"
-    case t: java.sql.Timestamp => "'" + t.toString + "'"
-    case b: Boolean => if (b) "true" else "false"
-    case n => n.toString
+  /** `'`-quoted literal for pushed-filter SQL — CONSERVATIVE: None
+    * for any value this layer cannot render into guaranteed-valid SQL
+    * (NaN/Infinity doubles print as bare words Postgres parses as
+    * identifiers; unanticipated types are unknowable), and because
+    * every pushed filter is ALSO residual, a None merely skips the
+    * server-side prune for that predicate — loss-free by
+    * construction. */
+  def litOf(v: Any): Option[String] = v match {
+    case null => Some("NULL")
+    case s: String => Some("'" + s.replace("'", "''") + "'")
+    case s: UTF8String => litOf(s.toString)
+    case b: Boolean => Some(if (b) "true" else "false")
+    case n @ (_: Byte | _: Short | _: Int | _: Long) => Some(n.toString)
+    case d: java.math.BigDecimal => Some(d.toPlainString)
+    case d: scala.math.BigDecimal => Some(d.underlying.toPlainString)
+    case f: java.lang.Float if java.lang.Float.isFinite(f) => Some(f.toString)
+    case d: java.lang.Double if java.lang.Double.isFinite(d) => Some(d.toString)
+    case d: java.sql.Date => Some("'" + d.toString + "'")
+    case d: java.time.LocalDate => Some("'" + d.toString + "'")
+    case t: java.sql.Timestamp => Some("'" + t.toString + "'")
+    case t: java.time.Instant => Some("'" + formatTimestampMicros(
+      Math.addExact(Math.multiplyExact(t.getEpochSecond, 1000000L),
+        t.getNano / 1000L)) + "'")
+    case t: java.time.LocalDateTime =>
+      Some("'" + t.toString.replace('T', ' ') + "'")
+    case _ => None
   }
 
   /** Text-format value -> Catalyst, per Spark type (UTC + ISO
@@ -206,12 +222,19 @@ object PgWire {
   * partition reader / writer task). */
 final class PgWireClient(host: String, port: Int, user: String,
                          database: String,
-                         password: Option[String] = None) extends AutoCloseable {
+                         password: Option[String] = None,
+                         socketTimeoutMs: Int = 600000) extends AutoCloseable {
   import PgWire._
 
   private val socket = new Socket()
   socket.connect(new InetSocketAddress(host, port), 10000)
   socket.setTcpNoDelay(true)
+  // read timeout: a stalled/hung server must surface as a loud
+  // SocketTimeoutException in the task, not an indefinite hang Spark
+  // cannot see past. Default 10 min — generous for the longest
+  // single statement this engine issues (a publish INSERT over a
+  // bulk-staged partition); raise per-client for bigger monoliths.
+  socket.setSoTimeout(socketTimeoutMs)
   private val in = new DataInputStream(
     new BufferedInputStream(socket.getInputStream, 1 << 16))
   private val out = new DataOutputStream(
@@ -230,7 +253,10 @@ final class PgWireClient(host: String, port: Int, user: String,
         "was supplied (pass option 'password')"))
 
   // ---- startup -------------------------------------------------------
-  {
+  // the handshake runs in the constructor: any failure (wrong
+  // password, unsupported auth, server error) must close the socket
+  // it just opened — close() is unreachable on a throwing initializer
+  try {
     val body = new ByteArrayOutputStream()
     val w = new DataOutputStream(body)
     w.writeInt(196608) // protocol 3.0
@@ -294,6 +320,10 @@ final class PgWireClient(host: String, port: Int, user: String,
       case (t, _) => throw new IllegalStateException(
         s"graft_pg: unexpected message '$t' during startup")
     }
+  } catch {
+    case e: Throwable =>
+      try socket.close() catch { case _: java.io.IOException => () }
+      throw e
   }
 
   private def readMessage(): (Char, Array[Byte]) = {
@@ -589,18 +619,28 @@ object Postgres {
       .mkString(", ")
     val colList = schema.fields.map(f => quoteIdent(f.name)).mkString(", ")
     val rdd = df.queryExecution.toRdd
-    val stagePrefix = {
+    val tableStagePrefix = {
       val md = java.security.MessageDigest.getInstance("MD5")
         .digest(table.getBytes(UTF_8))
       "graft_stage_" + md.take(8).map(b => f"$b%02x").mkString + "_"
     }
-    // every stage of THIS target, as committed in the catalog (hex
-    // digest -> no wildcard chars to escape beyond the underscores)
-    val stageCatalogSql =
+    // a per-INVOCATION nonce scopes this run's stages (the file
+    // committers' job-unique-attempt-ID discipline): a ZOMBIE task
+    // from a PREVIOUS overwrite of the same table — hung in a socket
+    // read through that run's publish — that later wakes and commits
+    // its stale stage does so under ITS OWN nonce, which this run's
+    // publish pattern never matches; the stale orphan is swept by the
+    // NEXT run's table-wide sweep instead of being ingested as data.
+    val runStagePrefix = tableStagePrefix +
+      java.lang.Long.toHexString(
+        new java.security.SecureRandom().nextLong() & 0xffffffffL) + "_"
+    // catalog pattern for stages (hex digest/nonce -> the only LIKE
+    // metachars are the underscores, escaped)
+    def stageCatalogSql(prefix: String) =
       "SELECT tablename FROM pg_tables WHERE tablename LIKE '" +
-        stagePrefix.replace("_", "\\_") + "%' ESCAPE '\\'"
-    def listStages(c: PgWireClient): Seq[String] = {
-      val r = c.query(stageCatalogSql)
+        prefix.replace("_", "\\_") + "%' ESCAPE '\\'"
+    def listStages(c: PgWireClient, prefix: String): Seq[String] = {
+      val r = c.query(stageCatalogSql(prefix))
       val out = scala.collection.mutable.ArrayBuffer.empty[String]
       var row = r.nextRow()
       while (row != null) {
@@ -610,16 +650,17 @@ object Postgres {
       out.toSeq
     }
     val c = new PgWireClient(conn.host, conn.port, conn.user, conn.database, pw(conn))
-    // sweep orphaned stages from any previous crashed run, whatever
-    // its partition count was
-    try listStages(c).foreach(s => c.exec(s"DROP TABLE ${quoteIdent(s)}"))
+    // sweep orphaned stages of this TABLE from any previous crashed or
+    // zombie-outlived run, whatever its partition count or nonce
+    try listStages(c, tableStagePrefix)
+      .foreach(s => c.exec(s"DROP TABLE ${quoteIdent(s)}"))
     finally c.close()
     val types = schema.fields.map(_.dataType)
     val (h, p, db, u, pwd) = (conn.host, conn.port, conn.database, conn.user, pw(conn))
     rdd.foreachPartition { it =>
       if (it.hasNext) { // empty partitions stage nothing
         val pid = org.apache.spark.TaskContext.getPartitionId()
-        val stName = s"$stagePrefix$pid"
+        val stName = s"$runStagePrefix$pid"
         val st = quoteIdent(stName)
         val pc = new PgWireClient(h, p, u, db, pwd)
         try {
@@ -651,7 +692,9 @@ object Postgres {
     // target intact
     val c2 = new PgWireClient(conn.host, conn.port, conn.user, conn.database, pw(conn))
     try {
-      val stages = listStages(c2).sorted
+      // THIS run's stages only (the nonce excludes zombie commits
+      // from prior runs)
+      val stages = listStages(c2, runStagePrefix).sorted
       c2.exec("BEGIN")
       c2.exec(s"DROP TABLE IF EXISTS ${quoteIdent(table)}")
       c2.exec(s"CREATE TABLE ${quoteIdent(table)} ($colsDdl)")
@@ -838,16 +881,19 @@ private[io] class PgScanBuilder(full: StructType, opts: PgSourceOptions)
 /** Supported-filter -> SQL text (conservative surface: comparisons,
   * IN, IS [NOT] NULL, AND/OR/NOT over those). */
 private[io] object PgFilterSql {
-  import PgWire.{quoteIdent, quoteLit}
+  import PgWire.{quoteIdent, litOf}
 
   def compile(f: Filter): Option[String] = f match {
-    case EqualTo(a, v) => Some(s"${quoteIdent(a)} = ${quoteLit(v)}")
-    case GreaterThan(a, v) => Some(s"${quoteIdent(a)} > ${quoteLit(v)}")
-    case GreaterThanOrEqual(a, v) => Some(s"${quoteIdent(a)} >= ${quoteLit(v)}")
-    case LessThan(a, v) => Some(s"${quoteIdent(a)} < ${quoteLit(v)}")
-    case LessThanOrEqual(a, v) => Some(s"${quoteIdent(a)} <= ${quoteLit(v)}")
+    case EqualTo(a, v) => litOf(v).map(l => s"${quoteIdent(a)} = $l")
+    case GreaterThan(a, v) => litOf(v).map(l => s"${quoteIdent(a)} > $l")
+    case GreaterThanOrEqual(a, v) => litOf(v).map(l => s"${quoteIdent(a)} >= $l")
+    case LessThan(a, v) => litOf(v).map(l => s"${quoteIdent(a)} < $l")
+    case LessThanOrEqual(a, v) => litOf(v).map(l => s"${quoteIdent(a)} <= $l")
     case In(a, vs) if vs.nonEmpty =>
-      Some(s"${quoteIdent(a)} IN (${vs.map(quoteLit).mkString(", ")})")
+      val ls = vs.map(litOf)
+      if (ls.forall(_.isDefined))
+        Some(s"${quoteIdent(a)} IN (${ls.map(_.get).mkString(", ")})")
+      else None
     case IsNull(a) => Some(s"${quoteIdent(a)} IS NULL")
     case IsNotNull(a) => Some(s"${quoteIdent(a)} IS NOT NULL")
     case And(l, r) => for (ls <- compile(l); rs <- compile(r))

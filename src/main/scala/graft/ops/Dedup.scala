@@ -522,6 +522,13 @@ object Dedup {
   /** The collision-volume target both jaccard tiers size against. */
   private[graft] val CollisionTargetPerPartition = 2000000L
 
+  /** THE broadcast-feasibility row bound of this family's probe-side
+    * key prunes (one definition — [[maybeBroadcast]]'s default, the
+    * probe vocabulary gate, and DedupIngest's dford sidecar gate all
+    * read it): 10M 64-bit keys ~ 80 MB, comfortably inside a
+    * production executor, far under Spark's ~8 GB broadcast limit. */
+  private[graft] val BroadcastKeysMaxRows = 10000000L
+
   /** Prefix postings of an [[orderedByDf]] relation — one row per
     * (doc, 0-based prefix position, shingle hash) over the pigeonhole
     * probing prefix `n - ceil(t*n) + 1`. THE single projection the
@@ -644,7 +651,7 @@ object Dedup {
     * 64-bit keys ~ 80 MB broadcast, comfortably inside a production
     * executor. */
   private[graft] def maybeBroadcast(keys: DataFrame,
-                                    maxRows: Long = 10000000L): DataFrame =
+                                    maxRows: Long = BroadcastKeysMaxRows): DataFrame =
     if (keys.count() <= maxRows) broadcast(keys) else keys
 
   /** The LAZY candidate-generation join of the one-way probe —
@@ -729,7 +736,7 @@ object Dedup {
     // past the row bound the prune degrades to a shuffled semi-join
     // rather than failing a huge-probe job at Spark's broadcast limits
     def hinted(df: DataFrame) =
-      if (vocabRows <= 10000000L) broadcast(df) else df
+      if (vocabRows <= BroadcastKeysMaxRows) broadcast(df) else df
     // probe-vocabulary-pruned corpus postings, persisted — the ONE
     // corpus-postings pass (round 12), feeding estimate + candidates.
     // Pruning keeps the estimate Σ_h pc(h)·cc(h) IDENTICAL (hashes

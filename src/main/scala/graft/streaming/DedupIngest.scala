@@ -306,11 +306,16 @@ object DedupIngest {
     // counter accumulates per-batch WORK time only (captured inside
     // foreachBatch) — a suite-start t0 would fold query setup, trigger
     // waits, and inter-batch idle into the "ingest wall" and make the
-    // number trigger-dependent. Keyed by batchId (round-13 advice): a
-    // checkpoint-recovery REPLAY of a batch overwrites its slot instead
-    // of double-counting, so the reported wall tracks the data actually
-    // maintained (store writes are idempotent; now the counter is too).
-    val batchMs = new java.util.concurrent.ConcurrentHashMap[Long, Long]()
+    // number trigger-dependent. Replay-safe AND bounded (round-13
+    // advice + round-14 review): a checkpoint-recovery replay re-runs
+    // only the batch that was in flight, so remembering just the LAST
+    // batch's slot suffices — a replay of it subtracts the stale
+    // reading instead of double-counting, and state stays O(1) for a
+    // query that runs for months (a per-batchId map grew without
+    // bound). foreachBatch is single-threaded per query: plain vars.
+    var totalMs = 0L
+    var lastBatchId = -1L
+    var lastBatchMs = 0L
     stream.writeStream
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val spark = stream.sparkSession
@@ -320,10 +325,10 @@ object DedupIngest {
         try {
           minhashBatch(spark, sh, minhashDir, numHashes, bands, batchId, compactEvery)
           jaccardBatch(spark, sh, jaccardDir, batchId, compactEvery)
-          batchMs.put(batchId, (System.nanoTime() - b0) / 1000000L)
-          var total = 0L
-          batchMs.values.forEach(v => total += v)
-          graft.Metrics.record("dedup_joint_ingest_ms", total)
+          val ms = (System.nanoTime() - b0) / 1000000L
+          if (batchId == lastBatchId) { totalMs += ms - lastBatchMs; lastBatchMs = ms }
+          else { totalMs += ms; lastBatchId = batchId; lastBatchMs = ms }
+          graft.Metrics.record("dedup_joint_ingest_ms", totalMs)
           onBatch(batchId)
         } finally { sh.unpersist(); () }
       }
@@ -466,7 +471,7 @@ object DedupIngest {
     * two-column rows: 10M (hash, df) pairs ~ 160 MB, inside a
     * production executor. Below it, every maintenance batch's and
     * probe's order join skips the corpus-vocabulary shuffle. */
-  private[graft] val DfordBroadcastMaxRows = 10000000L
+  private[graft] val DfordBroadcastMaxRows = graft.ops.Dedup.BroadcastKeysMaxRows
 
   /** The store's ordering authority relation, broadcast-hinted when
     * the sidecar proves its vocabulary small — sized from persisted

@@ -156,7 +156,8 @@ class AvroInteropSpec extends AnyFunSuite with SparkTestBase {
     // {int,long} widens to long, {float,double,null} to nullable
     // double. Record branches resolve by full name.
     val recA = SchemaBuilder.record("variant_a").namespace("ext").fields()
-      .name("x").`type`().intType().noDefault().endRecord()
+      .name("x").`type`().intType().noDefault()
+      .name("y").`type`().stringType().noDefault().endRecord()
     val multi = SchemaBuilder.record("m").namespace("ext").fields()
       .name("k").`type`().longType().noDefault()
       .name("u").`type`(ASchema.createUnion(
@@ -180,14 +181,14 @@ class AvroInteropSpec extends AnyFunSuite with SparkTestBase {
         { val r = new GenericData.Record(s)
           r.put("k", 1L); r.put("u", 42); r.put("n", 7)
           r.put("d", 1.5f)
-          val a = new GenericData.Record(aS); a.put("x", 10); r.put("rv", a); r },
+          val a = new GenericData.Record(aS); a.put("x", 10); a.put("y", "ten"); r.put("rv", a); r },
         { val r = new GenericData.Record(s)
           r.put("k", 2L); r.put("u", "hi"); r.put("n", 1L << 40)
           r.put("d", null); r.put("rv", "plain"); r },
         { val r = new GenericData.Record(s)
           r.put("k", 3L); r.put("u", null); r.put("n", 3)
           r.put("d", 2.5d)
-          val a = new GenericData.Record(aS); a.put("x", -1); r.put("rv", a); r })
+          val a = new GenericData.Record(aS); a.put("x", -1); a.put("y", "neg"); r.put("rv", a); r })
     }
     val df = spark.read.format("graft_avro").load(out)
     import org.apache.spark.sql.functions._
@@ -205,5 +206,13 @@ class AvroInteropSpec extends AnyFunSuite with SparkTestBase {
     assert(df.select(col("u.member1").as("m1")).collect()
       .map(r => if (r.isNullAt(0)) "-" else r.getString(0)).sorted.toSeq ===
       Seq("-", "-", "hi"))
+    // field-subset pruning INSIDE a multi-branch record member: the
+    // reader decodes the UNPRUNED branch (pruning stops at the union),
+    // so the struct converter must resolve fields BY NAME — a
+    // positional zip paired the pruned {y} against the full {x, y} and
+    // silently returned x's values as y (round-14 review pin)
+    assert(df.select(col("rv.member0.y").as("yy")).collect()
+      .map(r => if (r.isNullAt(0)) "-" else r.getString(0)).sorted.toSeq ===
+      Seq("-", "neg", "ten"))
   }
 }

@@ -150,6 +150,28 @@ class PgWireSpec extends AnyFunSuite with SparkTestBase {
     assert(q.collect().map(_.getLong(0)).sorted.toSeq === (152L to 200L))
   }
 
+  test("unrenderable filter literals are not pushed (stay residual) and queries still succeed") {
+    import org.apache.spark.sql.sources.{EqualTo, GreaterThan, In}
+    // NaN/Infinity print as bare words Postgres would parse as
+    // identifiers — litOf must refuse them so the predicate stays
+    // residual-only (loss-free: every pushed filter is re-applied)
+    assert(PgFilterSql.compile(EqualTo("d", Double.NaN)).isEmpty)
+    assert(PgFilterSql.compile(GreaterThan("d", Double.PositiveInfinity)).isEmpty)
+    assert(PgFilterSql.compile(In("d", Array[Any](1.0, Double.NaN))).isEmpty)
+    assert(PgFilterSql.compile(EqualTo("d", new Object)).isEmpty)
+    // renderable shapes still compile
+    assert(PgFilterSql.compile(EqualTo("d", 1.5)).contains("\"d\" = 1.5"))
+    assert(PgFilterSql.compile(EqualTo("s", "o'x")).contains("\"s\" = 'o''x'"))
+    // end-to-end: a NaN comparison on a live table errors nowhere and
+    // returns the residual-filtered answer
+    import spark.implicits._
+    val df = Seq((1L, 1.5), (2L, Double.NaN)).toDF("k", "x")
+    Postgres.overwriteTable(df, conn, "graft_nan")
+    val got = Postgres.readTable(spark, conn, "graft_nan")
+      .filter($"x".isNaN).select($"k").collect().map(_.getLong(0)).toSeq
+    assert(got === Seq(2L))
+  }
+
   test("schema inference reads pg catalog types from RowDescription, no data scan") {
     val c = new PgWireClient(conn.host, conn.port, conn.user, conn.database)
     try {
