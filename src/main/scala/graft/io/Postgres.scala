@@ -53,16 +53,21 @@ import org.apache.spark.unsafe.types.UTF8String
   *    Postgres' bulk path (one message stream per partition, no
   *    per-row INSERT round-trips).
   *
-  * Type surface (both directions): boolean, int, bigint, real, double
-  * precision, text/varchar, date, timestamp — the session is pinned
-  * to UTC + ISO DateStyle at startup, so timestamp text round-trips
-  * Catalyst's UTC micros exactly. Anything else fails loudly at
-  * schema conversion.
+  * Type surface (both directions): boolean, smallint (writes
+  * byte/short), int, bigint, real, double precision, numeric(p,s)
+  * <-> decimal (typmod-derived; unconstrained numeric reads as the
+  * Spark-JDBC-convention decimal(38,18)), text/varchar, bytea <->
+  * binary (hex text form), date, timestamp — plus timestamptz on
+  * READ (the session is pinned UTC + ISO DateStyle at startup, so
+  * the zone suffix is provably +00 and the instant is Catalyst's UTC
+  * micros exactly). Anything else fails loudly at schema conversion.
   */
 object PgWire {
 
-  /** One result column: name + type OID from RowDescription. */
-  final case class PgCol(name: String, oid: Int)
+  /** One result column: name + type OID + type modifier from
+    * RowDescription (`typmod` carries numeric(p,s)'s precision/scale;
+    * -1 = unconstrained). */
+  final case class PgCol(name: String, oid: Int, typmod: Int = -1)
 
   // pg_type OIDs (stable, documented in the protocol/catalog docs)
   val OidBool = 16
@@ -76,8 +81,11 @@ object PgWire {
   val OidBpchar = 1042
   val OidDate = 1082
   val OidTimestamp = 1114
+  val OidTimestampTz = 1184
+  val OidNumeric = 1700
+  val OidBytea = 17
 
-  def oidToSpark(oid: Int): DataType = oid match {
+  def oidToSpark(oid: Int, typmod: Int = -1): DataType = oid match {
     case OidBool => BooleanType
     case OidInt2 | OidInt4 => IntegerType
     case OidInt8 => LongType
@@ -85,20 +93,39 @@ object PgWire {
     case OidFloat8 => DoubleType
     case OidText | OidVarchar | OidBpchar => StringType
     case OidDate => DateType
-    case OidTimestamp => TimestampType
+    // with the session pinned UTC, timestamptz text is the UTC
+    // instant + a zone suffix the parser strips — both map to
+    // Catalyst's UTC-micros TimestampType
+    case OidTimestamp | OidTimestampTz => TimestampType
+    case OidBytea => BinaryType
+    case OidNumeric =>
+      // typmod packs (precision << 16 | scale) + 4; -1 means
+      // unconstrained, which Spark's JDBC convention reads as the
+      // system-default decimal(38,18)
+      if (typmod == -1) DecimalType(38, 18)
+      else {
+        val p = ((typmod - 4) >> 16) & 0xFFFF
+        val sc = (typmod - 4) & 0xFFFF
+        require(p >= 1 && p <= DecimalType.MAX_PRECISION && sc <= p,
+          s"graft_pg: numeric($p,$sc) exceeds Spark's decimal range")
+        DecimalType(p, sc)
+      }
     case other => throw new IllegalArgumentException(
       s"graft_pg: unsupported Postgres type OID $other")
   }
 
   def sparkToPgType(dt: DataType): String = dt match {
     case BooleanType => "boolean"
+    case ByteType | ShortType => "smallint"
     case IntegerType => "integer"
     case LongType => "bigint"
     case FloatType => "real"
     case DoubleType => "double precision"
     case StringType => "text"
+    case BinaryType => "bytea"
     case DateType => "date"
     case TimestampType => "timestamp"
+    case d: DecimalType => s"numeric(${d.precision},${d.scale})"
     case other => throw new IllegalArgumentException(
       s"graft_pg: unsupported Spark type $other")
   }
@@ -146,6 +173,23 @@ object PgWire {
     case DateType => bytes =>
       LocalDate.parse(new String(bytes, UTF_8)).toEpochDay.toInt
     case TimestampType => bytes => parseTimestampMicros(new String(bytes, UTF_8))
+    case d: DecimalType => bytes =>
+      org.apache.spark.sql.types.Decimal(
+        new java.math.BigDecimal(new String(bytes, UTF_8)), d.precision, d.scale)
+    case BinaryType => bytes => {
+      // bytea text output is hex: \x<2 hex digits per byte>
+      val s = new String(bytes, UTF_8)
+      require(s.startsWith("\\x"),
+        s"graft_pg: unexpected bytea text encoding: ${s.take(8)}")
+      val out = new Array[Byte]((s.length - 2) / 2)
+      var i = 0
+      while (i < out.length) {
+        out(i) = ((Character.digit(s.charAt(2 + 2 * i), 16) << 4) |
+          Character.digit(s.charAt(3 + 2 * i), 16)).toByte
+        i += 1
+      }
+      out
+    }
     case other => throw new IllegalArgumentException(
       s"graft_pg: unsupported read type $other")
   }
@@ -153,7 +197,22 @@ object PgWire {
   /** "yyyy-MM-dd HH:mm:ss[.ffffff]" (ISO, UTC session) -> epoch
     * micros. Manual parse: the fraction is 0-6 digits and
     * LocalDateTime.parse wants a 'T'. */
-  def parseTimestampMicros(s: String): Long = {
+  def parseTimestampMicros(raw: String): Long = {
+    // timestamptz text carries a zone suffix after the time part
+    // ("...12:34:56.5+00" under the UTC session); the instant is
+    // already UTC, so the suffix strips. Zone sign can only appear
+    // past index 10 (the date's own dashes sit at 4 and 7).
+    val zs = {
+      val plus = raw.indexOf('+', 11)
+      val minus = raw.indexOf('-', 11)
+      if (plus >= 0) plus else minus
+    }
+    val s = if (zs >= 0) {
+      require(raw.substring(zs) == "+00" || raw.substring(zs) == "+00:00",
+        s"graft_pg: non-UTC timestamptz text '$raw' — the session pins " +
+          "TimeZone=UTC, so any other offset means the pin was lost")
+      raw.substring(0, zs)
+    } else raw
     val dot = s.indexOf('.')
     val (base, frac) =
       if (dot < 0) (s, 0L)
@@ -184,6 +243,8 @@ object PgWire {
     if (row.isNullAt(i)) "\\N"
     else dt match {
       case StringType => escapeCopy(row.getUTF8String(i).toString)
+      case ByteType => row.getByte(i).toString
+      case ShortType => row.getShort(i).toString
       case IntegerType => row.getInt(i).toString
       case LongType => row.getLong(i).toString
       case FloatType => row.getFloat(i).toString
@@ -191,6 +252,20 @@ object PgWire {
       case BooleanType => if (row.getBoolean(i)) "t" else "f"
       case DateType => LocalDate.ofEpochDay(row.getInt(i).toLong).toString
       case TimestampType => formatTimestampMicros(row.getLong(i))
+      case d: DecimalType =>
+        row.getDecimal(i, d.precision, d.scale).toJavaBigDecimal.toPlainString
+      case BinaryType =>
+        // bytea hex input; the leading backslash is COPY-escaped
+        val b = row.getBinary(i)
+        val sb = new java.lang.StringBuilder(3 + 2 * b.length)
+        sb.append("\\\\x")
+        var j = 0
+        while (j < b.length) {
+          sb.append(Character.forDigit((b(j) >> 4) & 0xF, 16))
+          sb.append(Character.forDigit(b(j) & 0xF, 16))
+          j += 1
+        }
+        sb.toString
       case other => throw new IllegalArgumentException(
         s"graft_pg: unsupported write type $other")
     }
@@ -431,8 +506,10 @@ final class PgWireClient(host: String, port: Int, user: String,
           while (c != 0) { name.write(c); c = in2.readByte() }
           in2.readInt(); in2.readShort()
           val oid = in2.readInt()
-          in2.readShort(); in2.readInt(); in2.readShort()
-          cols(i) = PgCol(new String(name.toByteArray, UTF_8), oid)
+          in2.readShort()
+          val typmod = in2.readInt()
+          in2.readShort()
+          cols(i) = PgCol(new String(name.toByteArray, UTF_8), oid, typmod)
           i += 1
         }
         return new PgResult(cols)
@@ -813,7 +890,7 @@ class PgSource extends TableProvider with DataSourceRegister {
         s"SELECT * FROM ${PgWire.quoteIdent(opts.table)} WHERE false")
       while (res.nextRow() != null) () // drain (zero rows)
       StructType(res.cols.map(col =>
-        StructField(col.name, PgWire.oidToSpark(col.oid), nullable = true)))
+        StructField(col.name, PgWire.oidToSpark(col.oid, col.typmod), nullable = true)))
     } finally c.close()
   }
 

@@ -205,15 +205,62 @@ class PgWireSpec extends AnyFunSuite with SparkTestBase {
     } finally c.close()
   }
 
+  test("numeric/timestamptz/bytea/smallint widen the surface: catalog types map and values round-trip") {
+    val c = new PgWireClient(conn.host, conn.port, conn.user, conn.database)
+    try {
+      c.exec("DROP TABLE IF EXISTS graft_widened")
+      c.exec("CREATE TABLE graft_widened (a numeric(10,2), b numeric, " +
+        "c timestamptz, d bytea, e smallint)")
+      c.exec("INSERT INTO graft_widened VALUES " +
+        "(12345678.91, 1.5, '2026-08-14 12:34:56.123456+00', '\\x00ff7f80', 7), " +
+        "(NULL, NULL, NULL, NULL, NULL)")
+    } finally c.close()
+    val df = spark.read.format("graft_pg")
+      .option("port", conn.port.toString).option("dbtable", "graft_widened")
+      .load()
+    assert(df.schema.fields.map(f => (f.name, f.dataType)).toSeq === Seq(
+      ("a", DecimalType(10, 2)), ("b", DecimalType(38, 18)),
+      ("c", TimestampType), ("d", BinaryType), ("e", IntegerType)))
+    val rows = df.orderBy(desc("e")).collect()
+    assert(rows(0).getDecimal(0).toPlainString === "12345678.91")
+    assert(rows(0).getDecimal(1).toPlainString === "1.500000000000000000")
+    assert(rows(0).getTimestamp(2) ===
+      Timestamp.valueOf("2026-08-14 12:34:56.123456")) // UTC session
+    assert(rows(0).getAs[Array[Byte]](3).toSeq ===
+      Seq(0x00, 0xff, 0x7f, 0x80).map(_.toByte).toSeq)
+    assert(rows(0).getInt(4) === 7)
+    assert(rows(1).toSeq.forall(_ == null))
+    // write side: decimal / short / byte / binary columns create
+    // numeric/smallint/bytea and round-trip exactly
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("dec", DecimalType(12, 4)),
+      StructField("sh", ShortType), StructField("by", ByteType),
+      StructField("bin", BinaryType)))
+    val out = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, new java.math.BigDecimal("8765.4321"), 9.toShort, 3.toByte,
+          Array[Byte](1, 0, -1, 127)),
+        Row(2L, null, null, null, null)), 2), schema)
+    Postgres.overwriteTable(out, conn, "graft_widened_w")
+    val back = Postgres.readTable(spark, conn, "graft_widened_w")
+    assert(back.schema("dec").dataType === DecimalType(12, 4))
+    // smallint reads back as IntegerType (Spark's JDBC convention)
+    assert(back.schema("sh").dataType === IntegerType)
+    val r1 = back.filter(col("k") === 1L).collect()(0)
+    assert(r1.getDecimal(1).toPlainString === "8765.4321")
+    assert(r1.getInt(2) === 9 && r1.getInt(3) === 3)
+    assert(r1.getAs[Array[Byte]](4).toSeq === Seq[Byte](1, 0, -1, 127).toSeq)
+  }
+
   test("unsupported pg types fail loudly at schema conversion, never silent") {
     val c = new PgWireClient(conn.host, conn.port, conn.user, conn.database)
     try {
-      c.exec("DROP TABLE IF EXISTS graft_numeric")
-      c.exec("CREATE TABLE graft_numeric (a numeric(10,2))")
+      c.exec("DROP TABLE IF EXISTS graft_unsup")
+      c.exec("CREATE TABLE graft_unsup (a uuid)")
     } finally c.close()
     val e = intercept[Exception] {
       spark.read.format("graft_pg")
-        .option("port", conn.port.toString).option("dbtable", "graft_numeric")
+        .option("port", conn.port.toString).option("dbtable", "graft_unsup")
         .load().schema
     }
     assert(e.getMessage.contains("OID"), e.getMessage)
