@@ -172,6 +172,44 @@ class BenchGuardSpec extends AnyFunSuite {
     Metrics.clear()
   }
 
+  test("scope liveness is a REFCOUNT: nested same-name scopes keep namespacing until the last exit") {
+    // the r13-advice guard demoted stale inherited scopes to raw names
+    // via an open-set; a set loses namespacing for a scope still open
+    // when a same-name sibling exits first (round-14 review) — the
+    // refcount keeps the inner exit from stripping the outer scope
+    Metrics.clear()
+    Metrics.withScope("k") {
+      Metrics.withScope("k") { Metrics.record("inner", 1L) }
+      Metrics.record("outer", 2L) // outer "k" must STILL namespace
+    }
+    val m = Metrics.snapshot.toMap
+    assert(m("k.inner") == 1L && m("k.outer") == 2L,
+      s"refcount must survive the inner exit: $m")
+    assert(!m.contains("outer"), "outer record leaked to a raw name")
+    Metrics.clear()
+  }
+
+  test("a thread that INHERITED a scope records raw names once that scope exits (no stale attribution)") {
+    // the r13 advisory's failure mode: a long-lived thread created
+    // during key A's scope inherits it forever; a record it fires
+    // during a later key must not land under A
+    Metrics.clear()
+    val latch = new java.util.concurrent.CountDownLatch(1)
+    var t: Thread = null
+    Metrics.withScope("stale_key") {
+      Metrics.record("in_scope", 1L) // sanity: scoped while open
+      t = new Thread(() => { latch.await(); Metrics.record("late", 9L) })
+      t.start() // created inside the scope -> inherits it
+    }
+    latch.countDown()
+    t.join()
+    val m = Metrics.snapshot.toMap
+    assert(m("stale_key.in_scope") == 1L)
+    assert(m.get("late").contains(9L) && !m.contains("stale_key.late"),
+      s"an outlived inherited scope must degrade to the raw name: $m")
+    Metrics.clear()
+  }
+
   test("steal markers: /proc/stat parse and per-window fraction") {
     // the aggregate cpu line: user nice system idle iowait irq softirq STEAL
     assert(Bench.parseStealJiffies(
