@@ -298,18 +298,85 @@ object PgWire {
 final class PgWireClient(host: String, port: Int, user: String,
                          database: String,
                          password: Option[String] = None,
-                         socketTimeoutMs: Int = 600000) extends AutoCloseable {
+                         socketTimeoutMs: Int = 600000,
+                         sslMode: String = "disable",
+                         sslRootCert: Option[String] = None) extends AutoCloseable {
   import PgWire._
 
-  private val socket = new Socket()
-  socket.connect(new InetSocketAddress(host, port), 10000)
-  socket.setTcpNoDelay(true)
-  // read timeout: a stalled/hung server must surface as a loud
-  // SocketTimeoutException in the task, not an indefinite hang Spark
-  // cannot see past. Default 10 min — generous for the longest
-  // single statement this engine issues (a publish INSERT over a
-  // bulk-staged partition); raise per-client for bigger monoliths.
-  socket.setSoTimeout(socketTimeoutMs)
+  require(Set("disable", "require", "verify-ca").contains(sslMode),
+    s"graft_pg: sslMode must be disable|require|verify-ca, got $sslMode")
+  require(sslMode != "verify-ca" || sslRootCert.nonEmpty,
+    "graft_pg: sslMode=verify-ca needs a sslRootCert to verify against")
+
+  /** TLS negotiation per the protocol's SSLRequest dance: the 8-byte
+    * request goes BEFORE any startup message; 'S' means the server
+    * will speak TLS on this same connection, so the raw socket wraps
+    * in an SSLSocket and the v3 startup proceeds over it. Trust
+    * semantics mirror libpq's documented modes: `require` encrypts
+    * without verifying the peer (libpq's own `require` behaves this
+    * way), `verify-ca` validates the server certificate chain against
+    * the given root cert (verify-full's hostname check is the
+    * remaining delta — add alongside a deployment that needs it). */
+  private val socket: Socket = {
+    val raw = new Socket()
+    raw.connect(new InetSocketAddress(host, port), 10000)
+    raw.setTcpNoDelay(true)
+    // read timeout: a stalled/hung server must surface as a loud
+    // SocketTimeoutException in the task, not an indefinite hang Spark
+    // cannot see past. Default 10 min — generous for the longest
+    // single statement this engine issues (a publish INSERT over a
+    // bulk-staged partition); raise per-client for bigger monoliths.
+    raw.setSoTimeout(socketTimeoutMs)
+    if (sslMode == "disable") raw
+    else try {
+      val o = new DataOutputStream(raw.getOutputStream)
+      o.writeInt(8)
+      o.writeInt(80877103) // SSLRequest code
+      o.flush()
+      val resp = raw.getInputStream.read()
+      require(resp == 'S',
+        s"graft_pg: server declined TLS (response '${resp.toChar}') but " +
+          s"sslMode=$sslMode demands it")
+      val tms: Array[javax.net.ssl.TrustManager] = sslRootCert match {
+        case Some(path) =>
+          val cf = java.security.cert.CertificateFactory.getInstance("X.509")
+          val fin = new java.io.FileInputStream(path)
+          val cert = try cf.generateCertificate(fin) finally fin.close()
+          val ks = java.security.KeyStore.getInstance(
+            java.security.KeyStore.getDefaultType)
+          ks.load(null, null)
+          ks.setCertificateEntry("graft_pg_root", cert)
+          val tmf = javax.net.ssl.TrustManagerFactory.getInstance(
+            javax.net.ssl.TrustManagerFactory.getDefaultAlgorithm)
+          tmf.init(ks)
+          tmf.getTrustManagers
+        case None =>
+          // sslMode=require: encrypt, do not authenticate the peer —
+          // libpq's documented `require` semantics, NOT a safe default
+          // against active MITM; use verify-ca with a root cert there
+          Array(new javax.net.ssl.X509TrustManager {
+            override def checkClientTrusted(
+              c: Array[java.security.cert.X509Certificate], a: String): Unit = ()
+            override def checkServerTrusted(
+              c: Array[java.security.cert.X509Certificate], a: String): Unit = ()
+            override def getAcceptedIssuers: Array[java.security.cert.X509Certificate] =
+              Array.empty
+          })
+      }
+      val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
+      ctx.init(null, tms, null)
+      val ssl = ctx.getSocketFactory.createSocket(raw, host, port, true)
+        .asInstanceOf[javax.net.ssl.SSLSocket]
+      ssl.setUseClientMode(true)
+      ssl.setSoTimeout(socketTimeoutMs)
+      ssl.startHandshake()
+      ssl
+    } catch {
+      case e: Throwable =>
+        try raw.close() catch { case _: java.io.IOException => () }
+        throw e
+    }
+  }
   private val in = new DataInputStream(
     new BufferedInputStream(socket.getInputStream, 1 << 16))
   private val out = new DataOutputStream(
@@ -645,10 +712,16 @@ object Postgres {
   import PgWire._
 
   final case class PgConn(host: String, port: Int, database: String, user: String,
-                          password: String = "")
+                          password: String = "", sslMode: String = "disable",
+                          sslRootCert: String = "")
 
   private def pw(conn: PgConn): Option[String] =
     Option(conn.password).filter(_.nonEmpty)
+
+  private def client(conn: PgConn): PgWireClient =
+    new PgWireClient(conn.host, conn.port, conn.user, conn.database, pw(conn),
+      sslMode = conn.sslMode,
+      sslRootCert = Option(conn.sslRootCert).filter(_.nonEmpty))
 
   /** Drop-and-recreate + parallel COPY — the exact semantics of the
     * reference's `to_sql(name, engine, if_exists='replace',
@@ -726,7 +799,7 @@ object Postgres {
       }
       out.toSeq
     }
-    val c = new PgWireClient(conn.host, conn.port, conn.user, conn.database, pw(conn))
+    val c = client(conn)
     // sweep orphaned stages of this TABLE from any previous crashed or
     // zombie-outlived run, whatever its partition count or nonce
     try listStages(c, tableStagePrefix)
@@ -734,12 +807,13 @@ object Postgres {
     finally c.close()
     val types = schema.fields.map(_.dataType)
     val (h, p, db, u, pwd) = (conn.host, conn.port, conn.database, conn.user, pw(conn))
+    val (sslM, sslC) = (conn.sslMode, Option(conn.sslRootCert).filter(_.nonEmpty))
     rdd.foreachPartition { it =>
       if (it.hasNext) { // empty partitions stage nothing
         val pid = org.apache.spark.TaskContext.getPartitionId()
         val stName = s"$runStagePrefix$pid"
         val st = quoteIdent(stName)
-        val pc = new PgWireClient(h, p, u, db, pwd)
+        val pc = new PgWireClient(h, p, u, db, pwd, sslMode = sslM, sslRootCert = sslC)
         try {
           // one transaction: abort anywhere (incl. mid-COPY stream
           // failure) rolls the whole stage back; commit is the
@@ -767,7 +841,7 @@ object Postgres {
     // consumes every committed stage — readers see old-then-new,
     // never a subset, and failure before COMMIT leaves the old
     // target intact
-    val c2 = new PgWireClient(conn.host, conn.port, conn.user, conn.database, pw(conn))
+    val c2 = client(conn)
     try {
       // THIS run's stages only (the nonce excludes zombie commits
       // from prior runs)
@@ -793,7 +867,9 @@ object Postgres {
       .option("host", conn.host).option("port", conn.port.toString)
       .option("database", conn.database).option("user", conn.user)
       .option("dbtable", table)
-    val base = pw(conn).fold(base0)(p => base0.option("password", p))
+    val base1 = pw(conn).fold(base0)(p => base0.option("password", p))
+    val base = base1.option("sslmode", conn.sslMode)
+      .option("sslrootcert", conn.sslRootCert)
     partitionColumn.fold(base) { case (col, lo, hi, n) =>
       base.option("partitionColumn", col).option("lowerBound", lo.toString)
         .option("upperBound", hi.toString).option("numPartitions", n.toString)
@@ -826,7 +902,7 @@ object Postgres {
     // are namespaced graft_* and overwritten per run, so sharing a
     // server is safe for sequential runs.
     try {
-      val c = new PgWireClient(conn.host, conn.port, conn.user, conn.database, pw(conn))
+      val c = client(conn)
       try c.exec("SELECT 1") finally c.close()
       started += port
       return conn
@@ -884,7 +960,7 @@ class PgSource extends TableProvider with DataSourceRegister {
     * OIDs (the catalog-true answer, not inference). */
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val opts = PgSourceOptions(options)
-    val c = new PgWireClient(opts.host, opts.port, opts.user, opts.database, opts.password)
+    val c = opts.newClient()
     try {
       val res = c.query(
         s"SELECT * FROM ${PgWire.quoteIdent(opts.table)} WHERE false")
@@ -901,8 +977,13 @@ class PgSource extends TableProvider with DataSourceRegister {
 
 private[io] case class PgSourceOptions(host: String, port: Int, database: String,
                                        user: String, password: Option[String],
+                                       sslMode: String, sslRootCert: Option[String],
                                        table: String,
-                                       partition: Option[(String, Long, Long, Int)])
+                                       partition: Option[(String, Long, Long, Int)]) {
+  def newClient(): PgWireClient =
+    new PgWireClient(host, port, user, database, password,
+      sslMode = sslMode, sslRootCert = sslRootCert)
+}
 
 private[io] object PgSourceOptions {
   def apply(options: CaseInsensitiveStringMap): PgSourceOptions = {
@@ -919,6 +1000,9 @@ private[io] object PgSourceOptions {
       database = Option(options.get("database")).getOrElse("postgres"),
       user = Option(options.get("user")).getOrElse("graft"),
       password = Option(options.get("password")).filter(_.nonEmpty),
+      sslMode = Option(options.get("sslmode")).filter(_.nonEmpty)
+        .getOrElse("disable"),
+      sslRootCert = Option(options.get("sslrootcert")).filter(_.nonEmpty),
       table = req("dbtable"),
       partition = part)
   }
@@ -1045,7 +1129,7 @@ private[io] class PgPartitionReader(p: PgRangePartition, required: StructType,
   private var row: Array[Array[Byte]] = _
 
   private def open(): Unit = {
-    client = new PgWireClient(opts.host, opts.port, opts.user, opts.database, opts.password)
+    client = opts.newClient()
     val cols =
       if (required.isEmpty) "1" // COUNT(*)-style scans read no columns
       else required.fields.map(f => PgWire.quoteIdent(f.name)).mkString(", ")

@@ -257,13 +257,16 @@ object Dedup {
     // (measured 2.4x slower on the prefix-join sibling).
     val banded = portableBandSignatures(sh, id, shCol, numHashes, bands)
       .persist()
+    val obsCand = org.apache.spark.sql.Observation()
     val cand = banded.as("a").join(banded.as("b"),
         col("a.__band") === col("b.__band") && col("a.__key") === col("b.__key") &&
           col(s"a.$id") < col(s"b.$id"))
       .select(col(s"a.$id").as("id_a"), col(s"b.$id").as("id_b"))
       .distinct()
+      .observe(obsCand, count(lit(1)).as("__cand"))
       .localCheckpoint(true)
-    graft.Metrics.record("minhash_band_candidates", cand.count())
+    graft.Metrics.record("minhash_band_candidates",
+      observedCount(obsCand, "__cand"))
     banded.unpersist(blocking = false)
     rescoreJaccard(cand, sh, id, shCol, jaccardThreshold)
   }
@@ -607,8 +610,8 @@ object Dedup {
     * observation completes WITHOUT the metric — and pruning happens
     * only under provable emptiness, so 0 is the exact count, not a
     * guess. */
-  private def observedCount(obs: org.apache.spark.sql.Observation,
-                            name: String): Long =
+  private[graft] def observedCount(obs: org.apache.spark.sql.Observation,
+                                   name: String): Long =
     obs.get.get(name).map(_.asInstanceOf[Long]).getOrElse(0L)
 
   /** (id, 64-bit shingle hash) exploded relation — the candidate

@@ -857,12 +857,15 @@ object Multimodal {
     val n = hashed.sparkSession.sessionState.conf.numShufflePartitions
     val banded = hashed.select(col("__id"), explode(bandsU(col("__ah"))).as("__bk"))
       .repartition(n, col("__bk"))
+    val obsCand = org.apache.spark.sql.Observation()
     val cand = banded.as("a").join(banded.as("b"),
         col("a.__bk") === col("b.__bk") && col("a.__id") < col("b.__id"))
       .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
       .distinct()
+      .observe(obsCand, count(lit(1)).as("__cand"))
       .localCheckpoint(true)
-    graft.Metrics.record(candMetric, cand.count())
+    graft.Metrics.record(candMetric,
+      graft.ops.Dedup.observedCount(obsCand, "__cand"))
     cand
       .repartition(n, col("id_a"), col("id_b"))
       .join(hashed.select(col("__id").as("id_a"), col("__ah").as("__ha")), Seq("id_a"))

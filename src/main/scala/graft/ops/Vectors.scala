@@ -427,9 +427,12 @@ object Vectors {
     val pBands = probesWithSig
       .select(col(id).as("probe_id"), posexplode(col(sig)).as(Seq("__band", "__key")))
       .localCheckpoint(true)
+    val obsCand = org.apache.spark.sql.Observation()
     val cands = srpProbeCandidatesLazy(pBands, corpusSigs, id, sig)
+      .observe(obsCand, count(lit(1)).as("__cand"))
       .localCheckpoint(true)
-    graft.Metrics.record("srp_probe_candidates", cands.count())
+    graft.Metrics.record("srp_probe_candidates",
+      graft.ops.Dedup.observedCount(obsCand, "__cand"))
     cands
       .join(probesWithSig.select(col(id).as("probe_id"), col(vec).as("__va")), Seq("probe_id"))
       .join(corpusVecs.select(col(id).as("dup_id"), col(vec).as("__vb")), Seq("dup_id"))

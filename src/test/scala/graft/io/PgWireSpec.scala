@@ -316,6 +316,76 @@ class PgWireSpec extends AnyFunSuite with SparkTestBase {
     login(conn.user, None)
   }
 
+  test("TLS: SSLRequest negotiation encrypts the session; verify-ca validates the server cert; nossl rejected") {
+    // real-server TLS matrix: a self-signed cert generated into the
+    // data dir, ssl enabled by reload (SIGHUP-settable since PG 10),
+    // and pg_hba rules that FORCE a dedicated role through hostssl —
+    // so the require path, the verify-ca path (right and wrong root),
+    // and the plaintext rejection are all exercised over real sockets
+    val admin = new PgWireClient(conn.host, conn.port, conn.user, conn.database)
+    val dataDir = try {
+      admin.exec("DROP ROLE IF EXISTS graft_ssl")
+      admin.exec("CREATE ROLE graft_ssl LOGIN")
+      val r = admin.query("SHOW data_directory")
+      new String(r.nextRow()(0), "UTF-8")
+    } finally admin.close()
+    def gen(base: String): Unit = {
+      val pb = new ProcessBuilder("openssl", "req", "-new", "-x509", "-days", "2",
+        "-nodes", "-subj", "/CN=127.0.0.1",
+        "-keyout", s"$dataDir/$base.key", "-out", s"$dataDir/$base.crt")
+      pb.redirectErrorStream(true)
+      pb.redirectOutput(new java.io.File("/dev/null"))
+      assume(pb.start().waitFor() == 0, "openssl unavailable — skip TLS matrix")
+      for (f <- Seq(s"$base.key", s"$base.crt")) {
+        val path = java.nio.file.Paths.get(dataDir, f)
+        java.nio.file.Files.setPosixFilePermissions(path,
+          java.util.Set.of(java.nio.file.attribute.PosixFilePermission.OWNER_READ,
+            java.nio.file.attribute.PosixFilePermission.OWNER_WRITE))
+        if (System.getProperty("user.name") == "root")
+          java.nio.file.Files.setOwner(path, path.getFileSystem
+            .getUserPrincipalLookupService.lookupPrincipalByName("nobody"))
+      }
+    }
+    gen("graft_server") // the server's cert
+    gen("graft_other")  // an unrelated root for the negative case
+    val hba = java.nio.file.Paths.get(dataDir, "pg_hba.conf")
+    val orig = java.nio.file.Files.readString(hba)
+    val rules = "hostssl all graft_ssl 127.0.0.1/32 trust\n" +
+      "hostnossl all graft_ssl 127.0.0.1/32 reject\n"
+    if (!orig.startsWith(rules))
+      java.nio.file.Files.writeString(hba, rules + orig)
+    val admin2 = new PgWireClient(conn.host, conn.port, conn.user, conn.database)
+    try {
+      admin2.exec("ALTER SYSTEM SET ssl_cert_file = 'graft_server.crt'")
+      admin2.exec("ALTER SYSTEM SET ssl_key_file = 'graft_server.key'")
+      admin2.exec("ALTER SYSTEM SET ssl = on")
+      admin2.exec("SELECT pg_reload_conf()")
+    } finally admin2.close()
+    Thread.sleep(300)
+    def login(mode: String, root: Option[String]): Unit = {
+      val c = new PgWireClient(conn.host, conn.port, "graft_ssl", conn.database,
+        sslMode = mode, sslRootCert = root)
+      try c.exec("SELECT 1") finally c.close()
+    }
+    login("require", None)
+    login("verify-ca", Some(s"$dataDir/graft_server.crt"))
+    // wrong root: the handshake must refuse the server's chain
+    val bad = intercept[Exception] {
+      login("verify-ca", Some(s"$dataDir/graft_other.crt"))
+    }
+    assert(bad.isInstanceOf[javax.net.ssl.SSLException] ||
+      String.valueOf(bad.getMessage).toLowerCase.contains("cert"), bad.toString)
+    // plaintext attempt: pg_hba's hostnossl reject line fires
+    val rej = intercept[RuntimeException] {
+      val c = new PgWireClient(conn.host, conn.port, "graft_ssl", conn.database)
+      try c.exec("SELECT 1") finally c.close()
+    }
+    assert(rej.getMessage.contains("graft_pg:"), rej.getMessage)
+    // the trust-over-plaintext path for everyone else is untouched
+    val c3 = new PgWireClient(conn.host, conn.port, conn.user, conn.database)
+    try c3.exec("SELECT 1") finally c3.close()
+  }
+
   test("timestamp text round-trip is micros-exact across fraction shapes") {
     for (micros <- Seq(0L, 1L, 999999L, 1000000L, 1755172496123456L,
         -1L, -999999L, 86400000000L)) {
