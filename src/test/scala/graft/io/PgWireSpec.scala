@@ -386,6 +386,111 @@ class PgWireSpec extends AnyFunSuite with SparkTestBase {
     try c3.exec("SELECT 1") finally c3.close()
   }
 
+  test("concurrent staging attempts serialize on the advisory lock; the last committer wins whole") {
+    // the speculation story the staged commit rests on, driven for
+    // real: attempt A holds the per-stage advisory xact lock with an
+    // uncommitted CREATE+COPY; rival attempt B blocks ON THE LOCK
+    // (not on a duplicate-CREATE error — without the lock B's CREATE
+    // would see no table via DROP IF EXISTS and then collide), and
+    // after A commits, B's drop-and-recreate supersedes cleanly —
+    // exactly one complete copy survives
+    val stName = "graft_specstage_0"
+    val a = new PgWireClient(conn.host, conn.port, conn.user, conn.database)
+    val b = new PgWireClient(conn.host, conn.port, conn.user, conn.database)
+    try {
+      a.exec(s"DROP TABLE IF EXISTS $stName")
+      a.exec("BEGIN")
+      a.exec(s"SELECT pg_advisory_xact_lock(hashtext('$stName'))")
+      a.exec(s"DROP TABLE IF EXISTS $stName")
+      a.exec(s"CREATE TABLE $stName (k bigint)")
+      a.exec(s"INSERT INTO $stName VALUES (1), (2)") // attempt A's rows
+      val bDone = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val t = new Thread(() => {
+        b.exec("BEGIN")
+        b.exec(s"SELECT pg_advisory_xact_lock(hashtext('$stName'))") // blocks on A
+        b.exec(s"DROP TABLE IF EXISTS $stName")
+        b.exec(s"CREATE TABLE $stName (k bigint)")
+        b.exec(s"INSERT INTO $stName VALUES (10), (20), (30)") // attempt B's rows
+        b.exec("COMMIT")
+        bDone.set(true)
+      })
+      t.start()
+      Thread.sleep(500)
+      assert(!bDone.get(), "B must be blocked on the advisory lock while A is open")
+      a.exec("COMMIT") // A done -> B proceeds and supersedes
+      t.join(15000)
+      assert(bDone.get(), "B must complete once A commits")
+      val r = a.query(s"SELECT k FROM $stName ORDER BY k")
+      val rows = Iterator.continually(r.nextRow()).takeWhile(_ != null)
+        .map(row => new String(row(0), "UTF-8")).toSeq
+      assert(rows === Seq("10", "20", "30"),
+        s"the last committer must leave exactly its own complete copy, got $rows")
+    } finally { a.close(); b.close() }
+  }
+
+  test("wire client survives hostile protocol endings loudly: abrupt close, mechanism mismatch") {
+    // a fake server speaking crafted bytes: the client must surface
+    // EOF/handshake failures as exceptions, never hang or fabricate
+    def fakeServer(respond: (java.io.DataInputStream, java.io.DataOutputStream) => Unit): Int = {
+      val ss = new java.net.ServerSocket(0, 1, java.net.InetAddress.getByName("127.0.0.1"))
+      new Thread(() => {
+        try {
+          val sock = ss.accept()
+          val in = new java.io.DataInputStream(sock.getInputStream)
+          val out = new java.io.DataOutputStream(sock.getOutputStream)
+          respond(in, out)
+          sock.close()
+        } catch { case _: Exception => () } finally ss.close()
+      }).start()
+      ss.getLocalPort
+    }
+    // (1) server drops the connection right after the startup message
+    val p1 = fakeServer { (in, _) =>
+      val len = in.readInt(); in.skipBytes(len - 4) // swallow startup, then vanish
+    }
+    intercept[java.io.IOException] {
+      new PgWireClient("127.0.0.1", p1, "u", "db")
+    }
+    // (2) server offers only a SASL mechanism the client does not speak
+    val p2 = fakeServer { (in, out) =>
+      val len = in.readInt(); in.skipBytes(len - 4)
+      val mech = "SCRAM-SHA-256-PLUS\u0000\u0000".getBytes("UTF-8")
+      out.writeByte('R'); out.writeInt(4 + 4 + mech.length)
+      out.writeInt(10); out.write(mech); out.flush()
+    }
+    val e = intercept[IllegalArgumentException] {
+      new PgWireClient("127.0.0.1", p2, "u", "db", Some("pw"))
+    }
+    assert(e.getMessage.contains("SASL"), e.getMessage)
+    // (3) mid-result disconnect: rows so far are not silently returned
+    // as a complete result
+    val p3 = fakeServer { (in, out) =>
+      val len = in.readInt(); in.skipBytes(len - 4)
+      out.writeByte('R'); out.writeInt(8); out.writeInt(0)       // AuthOk
+      out.writeByte('Z'); out.writeInt(5); out.writeByte('I')    // ReadyForQuery
+      out.flush()
+      val t = in.readByte(); assert(t == 'Q')
+      val qlen = in.readInt(); in.skipBytes(qlen - 4)
+      // RowDescription with one text column, then ONE row, then vanish
+      val name = "c\u0000".getBytes("UTF-8")
+      out.writeByte('T'); out.writeInt(4 + 2 + name.length + 18)
+      out.writeShort(1); out.write(name)
+      out.writeInt(0); out.writeShort(0); out.writeInt(25)
+      out.writeShort(-1); out.writeInt(-1); out.writeShort(0)
+      out.writeByte('D'); out.writeInt(4 + 2 + 4 + 1)
+      out.writeShort(1); out.writeInt(1); out.write('x')
+      out.flush()
+    }
+    val c3 = new PgWireClient("127.0.0.1", p3, "u", "db")
+    val res = c3.query("SELECT whatever")
+    assert(new String(res.nextRow()(0), "UTF-8") === "x")
+    intercept[java.io.IOException] {
+      var r = res.nextRow()
+      while (r != null) r = res.nextRow() // truncated stream must THROW
+    }
+    c3.close()
+  }
+
   test("timestamp text round-trip is micros-exact across fraction shapes") {
     for (micros <- Seq(0L, 1L, 999999L, 1000000L, 1755172496123456L,
         -1L, -999999L, 86400000000L)) {
