@@ -215,4 +215,107 @@ class AvroInteropSpec extends AnyFunSuite with SparkTestBase {
       .map(r => if (r.isNullAt(0)) "-" else r.getString(0)).sorted.toSeq ===
       Seq("-", "neg", "ten"))
   }
+
+  test("multi-branch unions round-trip under a seeded foreign-file fuzz (branch choice per row)") {
+    // random unions over distinct branch kinds, rows picking random
+    // branches — the EXPECTED values come from the test's own model of
+    // the documented spark-avro mapping (promotion pairs widen, other
+    // multi-branch sets read as member-structs with exactly one member
+    // set), independent of the reader's implementation
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import scala.util.Random
+    sealed trait Kind
+    case object KInt extends Kind; case object KLong extends Kind
+    case object KStr extends Kind; case object KBool extends Kind
+    case object KDouble extends Kind; case object KFloat extends Kind
+    case object KRec extends Kind; case object KNull extends Kind
+    val allKinds = IndexedSeq(KInt, KLong, KStr, KBool, KDouble, KFloat, KRec, KNull)
+    def avroOf(k: Kind, recName: String): ASchema = k match {
+      case KInt => ASchema.create(ASchema.Type.INT)
+      case KLong => ASchema.create(ASchema.Type.LONG)
+      case KStr => ASchema.create(ASchema.Type.STRING)
+      case KBool => ASchema.create(ASchema.Type.BOOLEAN)
+      case KDouble => ASchema.create(ASchema.Type.DOUBLE)
+      case KFloat => ASchema.create(ASchema.Type.FLOAT)
+      case KRec => SchemaBuilder.record(recName).namespace("fz").fields()
+        .name("x").`type`().intType().noDefault().endRecord()
+      case KNull => ASchema.create(ASchema.Type.NULL)
+    }
+    def sparkOf(k: Kind): DataType = k match {
+      case KInt => IntegerType; case KLong => LongType
+      case KStr => StringType; case KBool => BooleanType
+      case KDouble => DoubleType; case KFloat => FloatType
+      case KRec => StructType(Seq(StructField("x", IntegerType, nullable = false)))
+      case KNull => fail("null has no spark type")
+    }
+    (1 to 10).foreach { seed =>
+      val rnd = new Random(seed)
+      // 2-4 DISTINCT kinds, at least one non-null
+      val kinds = rnd.shuffle(allKinds).take(2 + rnd.nextInt(3))
+      val nonNull = kinds.filterNot(_ == KNull)
+      if (nonNull.nonEmpty && kinds.size >= 2) {
+        val branches = kinds.zipWithIndex.map { case (k, i) => avroOf(k, s"rec_${seed}_$i") }
+        val schema = SchemaBuilder.record(s"row_$seed").namespace("fz").fields()
+          .name("id").`type`().longType().noDefault()
+          .name("u").`type`(ASchema.createUnion(branches.asJava)).noDefault()
+          .endRecord()
+        // the documented mapping, modeled here independently
+        val expType: DataType = nonNull match {
+          case Seq(k) => sparkOf(k)
+          case s2 if s2.toSet == Set[Kind](KInt, KLong) => LongType
+          case s2 if s2.toSet == Set[Kind](KFloat, KDouble) => DoubleType
+          case many => StructType(many.zipWithIndex.map { case (k, i) =>
+            StructField(s"member$i", sparkOf(k), nullable = true) })
+        }
+        def rawOf(k: Kind, rnd: Random, recSchema: ASchema): (AnyRef, Any) = k match {
+          case KInt => val v = rnd.nextInt(); (Int.box(v), v)
+          case KLong => val v = rnd.nextLong(); (Long.box(v), v)
+          case KStr => val v = "s" + rnd.nextInt(100); (v, v)
+          case KBool => val v = rnd.nextBoolean(); (Boolean.box(v), v)
+          case KDouble => val v = rnd.nextLong() / 1e3; (Double.box(v), v)
+          case KFloat => val v = (rnd.nextInt() / 1e2).toFloat; (Float.box(v), v)
+          case KRec =>
+            val x = rnd.nextInt()
+            val r = new GenericData.Record(recSchema); r.put("x", x)
+            (r, Row(x))
+          case KNull => (null, null)
+        }
+        val picks = (1 to 3 + rnd.nextInt(6)).map { i =>
+          val bi = rnd.nextInt(kinds.size)
+          (i.toLong, bi, kinds(bi))
+        }
+        val out = s"/tmp/graft_test/avro_union_fuzz_$seed"
+        var expected = Seq.empty[(Long, Any)]
+        writeForeign(out, schema) { sch =>
+          val uS = sch.getField("u").schema()
+          picks.map { case (id, bi, k) =>
+            val (raw, model) = rawOf(k, new Random(id * 31 + seed), uS.getTypes.get(bi))
+            val exp: Any = (k, expType) match {
+              case (KNull, _) => null
+              case (_, LongType) if k == KInt => model.asInstanceOf[Int].toLong
+              case (_, LongType) => model
+              case (_, DoubleType) if k == KFloat =>
+                model.asInstanceOf[Float].toDouble
+              case (_, DoubleType) => model
+              case (_, st: StructType) =>
+                val ord = nonNull.indexOf(k)
+                Row.fromSeq(st.fields.indices.map(j => if (j == ord) model else null))
+              case _ => model
+            }
+            expected = expected :+ (id -> exp)
+            val r = new GenericData.Record(sch)
+            r.put("id", id); r.put("u", raw); r
+          }
+        }
+        val df = spark.read.format("graft_avro").load(out)
+        assert(df.schema("u").dataType === expType,
+          s"seed $seed kinds $kinds: schema mismatch")
+        val got = df.collect().map(r => r.getLong(0) -> r.get(1)).sortBy(_._1).toSeq
+        // floats widen exactly; Rows/primitives compare structurally
+        assert(got === expected.sortBy(_._1),
+          s"seed $seed kinds $kinds: $got != $expected")
+      }
+    }
+  }
 }
