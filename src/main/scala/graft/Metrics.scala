@@ -61,6 +61,20 @@ object Metrics {
     counters.put(scope.value.filter(open.containsKey)
       .map(_ + "." + name).getOrElse(name), value)
 
+  /** Accumulate into a named counter (same scoping rules as
+    * [[record]]) — for per-task contributions that sum to a phase
+    * total, e.g. each graft_pg partition reader's wall. Atomic via the
+    * TrieMap merge loop, since parallel tasks land here together. */
+  def add(name: String, value: Long): Unit = {
+    val key = scope.value.filter(open.containsKey)
+      .map(_ + "." + name).getOrElse(name)
+    var done = false
+    while (!done) counters.get(key) match {
+      case None => done = counters.putIfAbsent(key, value).isEmpty
+      case Some(cur) => done = counters.replace(key, cur, cur + value)
+    }
+  }
+
   /** Snapshot of all recorded counters, sorted by name. */
   def snapshot: Seq[(String, Long)] = counters.toSeq.sortBy(_._1)
 

@@ -152,7 +152,16 @@ object PgWire {
     case d: java.lang.Double if java.lang.Double.isFinite(d) => Some(d.toString)
     case d: java.sql.Date => Some("'" + d.toString + "'")
     case d: java.time.LocalDate => Some("'" + d.toString + "'")
-    case t: java.sql.Timestamp => Some("'" + t.toString + "'")
+    case t: java.sql.Timestamp =>
+      // render from the UTC instant, NOT Timestamp.toString — that
+      // formats in the JVM default timezone while the stored text is
+      // UTC (the session pins TimeZone=UTC and copyCell writes UTC
+      // micros). A zone-shifted pushed literal would exclude matching
+      // rows server-side, which the residual filter cannot restore —
+      // the one failure mode that breaks "pushdown never changes the
+      // answer". DateTimeUtils.fromJavaTimestamp recovers the exact
+      // UTC micros the non-java8 filter path converted from.
+      Some("'" + formatTimestampMicros(DateTimeUtils.fromJavaTimestamp(t)) + "'")
     case t: java.time.Instant => Some("'" + formatTimestampMicros(
       Math.addExact(Math.multiplyExact(t.getEpochSecond, 1000000L),
         t.getNano / 1000L)) + "'")
@@ -192,6 +201,84 @@ object PgWire {
     }
     case other => throw new IllegalArgumentException(
       s"graft_pg: unsupported read type $other")
+  }
+
+  /** PG epoch (2000-01-01) offsets from the Unix epoch: binary date is
+    * int32 days and binary timestamp[tz] int64 micros, both from
+    * 2000-01-01 UTC. */
+  private val PgEpochDays = 10957
+  private val PgEpochMicros = 946684800000000L
+
+  /** BINARY-format value -> Catalyst, keyed by the RowDescription's
+    * type OID (the wire truth — decoding by Spark type alone would
+    * misread e.g. an int2's 2 bytes as an int4) and checked against
+    * the Spark type the scan expects. Used by the extended-query read
+    * path ([[PgWireClient.queryBinary]]); representations per the
+    * `send`/`recv` functions the protocol docs point at: network-order
+    * integers, IEEE-bits floats, PG-epoch date/timestamp offsets, raw
+    * UTF-8 text, raw bytea, base-10000 numeric. */
+  def binaryToCatalyst(oid: Int, typmod: Int, dt: DataType): Array[Byte] => Any = {
+    def i16(b: Array[Byte], o: Int): Int =
+      ((b(o) & 0xFF) << 8) | (b(o + 1) & 0xFF)
+    def i32(b: Array[Byte], o: Int): Int =
+      ((b(o) & 0xFF) << 24) | ((b(o + 1) & 0xFF) << 16) |
+        ((b(o + 2) & 0xFF) << 8) | (b(o + 3) & 0xFF)
+    def i64(b: Array[Byte]): Long =
+      (i32(b, 0).toLong << 32) | (i32(b, 4).toLong & 0xFFFFFFFFL)
+    (oid, dt) match {
+      case (OidBool, BooleanType) => b => b(0) != 0
+      case (OidInt2, IntegerType) => b => i16(b, 0).toShort.toInt
+      case (OidInt4, IntegerType) => b => i32(b, 0)
+      case (OidInt8, LongType) => b => i64(b)
+      case (OidFloat4, FloatType) => b => java.lang.Float.intBitsToFloat(i32(b, 0))
+      case (OidFloat8, DoubleType) => b => java.lang.Double.longBitsToDouble(i64(b))
+      case (OidText | OidVarchar | OidBpchar, StringType) =>
+        b => UTF8String.fromBytes(b)
+      case (OidBytea, BinaryType) => b => b
+      case (OidDate, DateType) => b => {
+        val d = i32(b, 0)
+        // PG's 'infinity'/'-infinity' sentinels have no Catalyst value;
+        // the text path fails parsing them too — stay loud, not huge
+        require(d != Int.MaxValue && d != Int.MinValue,
+          "graft_pg: infinite date has no Spark representation")
+        d + PgEpochDays
+      }
+      case (OidTimestamp | OidTimestampTz, TimestampType) => b => {
+        val t = i64(b)
+        require(t != Long.MaxValue && t != Long.MinValue,
+          "graft_pg: infinite timestamp has no Spark representation")
+        Math.addExact(t, PgEpochMicros)
+      }
+      case (OidNumeric, d: DecimalType) => b => {
+        // i16 ndigits, i16 weight (base-10000 exponent of digit 0),
+        // u16 sign, u16 dscale, then ndigits x u16 base-10000 digits
+        val nd = i16(b, 0).toShort.toInt
+        val weight = i16(b, 2).toShort.toInt
+        val sign = i16(b, 4)
+        val dscale = i16(b, 6)
+        require(sign == 0x0000 || sign == 0x4000,
+          s"graft_pg: non-finite numeric (sign word 0x${sign.toHexString}) " +
+            "has no Spark decimal representation")
+        val tenK = java.math.BigInteger.valueOf(10000L)
+        var acc = java.math.BigInteger.ZERO
+        var i = 0
+        while (i < nd) {
+          acc = acc.multiply(tenK)
+            .add(java.math.BigInteger.valueOf(i16(b, 8 + 2 * i).toLong))
+          i += 1
+        }
+        // value = acc * 10000^(weight - nd + 1), rendered at dscale
+        val exp = 4 * (weight - nd + 1)
+        var bd = new java.math.BigDecimal(acc, -exp)
+        if (sign == 0x4000) bd = bd.negate()
+        // setScale(dscale) is exact by the format (digits beyond
+        // dscale do not exist); it reproduces the text rendering
+        org.apache.spark.sql.types.Decimal(
+          bd.setScale(dscale), d.precision, d.scale)
+      }
+      case (o, t) => throw new IllegalArgumentException(
+        s"graft_pg: no binary decode from type OID $o to Spark $t")
+    }
   }
 
   /** "yyyy-MM-dd HH:mm:ss[.ffffff]" (ISO, UTC session) -> epoch
@@ -303,10 +390,10 @@ final class PgWireClient(host: String, port: Int, user: String,
                          sslRootCert: Option[String] = None) extends AutoCloseable {
   import PgWire._
 
-  require(Set("disable", "require", "verify-ca").contains(sslMode),
-    s"graft_pg: sslMode must be disable|require|verify-ca, got $sslMode")
-  require(sslMode != "verify-ca" || sslRootCert.nonEmpty,
-    "graft_pg: sslMode=verify-ca needs a sslRootCert to verify against")
+  require(Set("disable", "require", "verify-ca", "verify-full").contains(sslMode),
+    s"graft_pg: sslMode must be disable|require|verify-ca|verify-full, got $sslMode")
+  require(!sslMode.startsWith("verify-") || sslRootCert.nonEmpty,
+    s"graft_pg: sslMode=$sslMode needs a sslRootCert to verify against")
 
   /** TLS negotiation per the protocol's SSLRequest dance: the 8-byte
     * request goes BEFORE any startup message; 'S' means the server
@@ -315,8 +402,11 @@ final class PgWireClient(host: String, port: Int, user: String,
     * semantics mirror libpq's documented modes: `require` encrypts
     * without verifying the peer (libpq's own `require` behaves this
     * way), `verify-ca` validates the server certificate chain against
-    * the given root cert (verify-full's hostname check is the
-    * remaining delta — add alongside a deployment that needs it). */
+    * the given root cert, and `verify-full` additionally checks that
+    * the certificate names the host being dialed (JSSE's HTTPS
+    * endpoint-identification rules: SAN dNSName against a hostname,
+    * SAN iPAddress against an IP literal — libpq's documented
+    * verify-full matching). */
   private val socket: Socket = {
     val raw = new Socket()
     raw.connect(new InetSocketAddress(host, port), 10000)
@@ -369,6 +459,15 @@ final class PgWireClient(host: String, port: Int, user: String,
         .asInstanceOf[javax.net.ssl.SSLSocket]
       ssl.setUseClientMode(true)
       ssl.setSoTimeout(socketTimeoutMs)
+      if (sslMode == "verify-full") {
+        // hostname check on top of the chain validation: JSSE's HTTPS
+        // endpoint identification runs INSIDE the handshake, so a cert
+        // that chains to the root but names a different host fails
+        // here, before any startup byte leaves the client
+        val sp = ssl.getSSLParameters
+        sp.setEndpointIdentificationAlgorithm("HTTPS")
+        ssl.setSSLParameters(sp)
+      }
       ssl.startHandshake()
       ssl
     } catch {
@@ -394,6 +493,11 @@ final class PgWireClient(host: String, port: Int, user: String,
       s"graft_pg: server requires $mech authentication but no password " +
         "was supplied (pass option 'password')"))
 
+  /** The SASL mechanism this session authenticated with (None when the
+    * server never challenged with SASL) — observability for the spec's
+    * channel-binding pin. */
+  @volatile private[io] var saslMechanism: Option[String] = None
+
   // ---- startup -------------------------------------------------------
   // the handshake runs in the constructor: any failure (wrong
   // password, unsupported auth, server error) must close the socket
@@ -402,9 +506,16 @@ final class PgWireClient(host: String, port: Int, user: String,
     val body = new ByteArrayOutputStream()
     val w = new DataOutputStream(body)
     w.writeInt(196608) // protocol 3.0
-    // session pinned UTC + ISO so date/timestamp text is engine-exact
+    // session pinned UTC + ISO so date/timestamp text is engine-exact;
+    // standard_conforming_strings pinned ON so the '' doubling in
+    // litOf is sufficient escaping regardless of server config — under
+    // a legacy server set =off, a backslash in a pushed string value
+    // would otherwise become an escape sequence server-side (wrongly
+    // excluded rows are unrecoverable by the residual filter, and a
+    // data-derived value could break out of the literal entirely)
     Seq("user" -> user, "database" -> database, "client_encoding" -> "UTF8",
-        "TimeZone" -> "UTC", "DateStyle" -> "ISO").foreach { case (k, v) =>
+        "TimeZone" -> "UTC", "DateStyle" -> "ISO",
+        "standard_conforming_strings" -> "on").foreach { case (k, v) =>
       w.write(k.getBytes(UTF_8)); w.write(0)
       w.write(v.getBytes(UTF_8)); w.write(0)
     }
@@ -435,14 +546,33 @@ final class PgWireClient(host: String, port: Int, user: String,
           case 10 => // AuthenticationSASL: cstring mechanism list
             val mechs = new String(b, 4, b.length - 4, UTF_8)
               .split('\u0000').filter(_.nonEmpty).toSeq
-            require(mechs.contains("SCRAM-SHA-256"),
-              s"graft_pg: no shared SASL mechanism (server offers $mechs; " +
-                "client speaks SCRAM-SHA-256 — channel-binding variants " +
-                "require TLS, which this client does not open)")
-            scram = new ScramState(requirePassword("SCRAM-SHA-256"))
+            // tls-server-end-point channel binding (RFC 5929) is
+            // available exactly when this connection runs over TLS:
+            // the binding data is a hash of the server's end-entity
+            // certificate, which even `require` mode (trust-all
+            // manager) surfaces from the handshake
+            val cbind: Option[Array[Byte]] = socket match {
+              case s: javax.net.ssl.SSLSocket =>
+                Some(ScramState.tlsServerEndPoint(
+                  s.getSession.getPeerCertificates.head
+                    .asInstanceOf[java.security.cert.X509Certificate]))
+              case _ => None
+            }
+            val mech =
+              if (cbind.isDefined && mechs.contains("SCRAM-SHA-256-PLUS"))
+                "SCRAM-SHA-256-PLUS"
+              else if (mechs.contains("SCRAM-SHA-256")) "SCRAM-SHA-256"
+              else throw new IllegalArgumentException(
+                s"graft_pg: no shared SASL mechanism (server offers $mechs; " +
+                  "client speaks SCRAM-SHA-256, plus SCRAM-SHA-256-PLUS " +
+                  "when the session runs over TLS — channel binding needs " +
+                  "a TLS layer to bind to, so enable sslMode for it)")
+            saslMechanism = Some(mech)
+            scram = new ScramState(requirePassword(mech),
+              channelBinding = mech.endsWith("-PLUS"), tlsEndPoint = cbind)
             val first = scram.clientFirst
             val msg = new ByteArrayOutputStream()
-            msg.write("SCRAM-SHA-256".getBytes(UTF_8)); msg.write(0)
+            msg.write(mech.getBytes(UTF_8)); msg.write(0)
             val fb = first.getBytes(UTF_8)
             msg.write((fb.length >>> 24) & 0xFF); msg.write((fb.length >>> 16) & 0xFF)
             msg.write((fb.length >>> 8) & 0xFF); msg.write(fb.length & 0xFF)
@@ -556,35 +686,86 @@ final class PgWireClient(host: String, port: Int, user: String,
     }
   }
 
+  private def parseRowDescription(b: Array[Byte]): Array[PgCol] = {
+    val in2 = new DataInputStream(new java.io.ByteArrayInputStream(b))
+    val n = in2.readShort().toInt
+    val cols = new Array[PgCol](n)
+    var i = 0
+    while (i < n) {
+      // cstring name, then Int32 tableOID, Int16 attnum,
+      // Int32 typeOID, Int16 typlen, Int32 typmod, Int16 format
+      val name = new ByteArrayOutputStream()
+      var c = in2.readByte()
+      while (c != 0) { name.write(c); c = in2.readByte() }
+      in2.readInt(); in2.readShort()
+      val oid = in2.readInt()
+      in2.readShort()
+      val typmod = in2.readInt()
+      in2.readShort()
+      cols(i) = PgCol(new String(name.toByteArray, UTF_8), oid, typmod)
+      i += 1
+    }
+    cols
+  }
+
   /** Run one SELECT; blocks until RowDescription arrives. */
   def query(sql: String): PgResult = {
     sendQuery(sql)
     while (true) readMessage() match {
-      case ('T', b) =>
-        val in2 = new DataInputStream(new java.io.ByteArrayInputStream(b))
-        val n = in2.readShort().toInt
-        val cols = new Array[PgCol](n)
-        var i = 0
-        while (i < n) {
-          // cstring name, then Int32 tableOID, Int16 attnum,
-          // Int32 typeOID, Int16 typlen, Int32 typmod, Int16 format
-          val name = new ByteArrayOutputStream()
-          var c = in2.readByte()
-          while (c != 0) { name.write(c); c = in2.readByte() }
-          in2.readInt(); in2.readShort()
-          val oid = in2.readInt()
-          in2.readShort()
-          val typmod = in2.readInt()
-          in2.readShort()
-          cols(i) = PgCol(new String(name.toByteArray, UTF_8), oid, typmod)
-          i += 1
-        }
-        return new PgResult(cols)
+      case ('T', b) => return new PgResult(parseRowDescription(b))
       case ('E', b) => val e = pgError(b); drainToReady(); throw e
       case ('N', _) | ('S', _) => ()
       case ('Z', _) => throw new IllegalStateException(
         s"graft_pg: statement returned no result set: $sql")
       case _ => ()
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Run one SELECT through the EXTENDED-QUERY cycle
+    * (Parse/Bind/Describe/Execute/Sync) with result format BINARY —
+    * the read path's per-row floor is text parsing (every int/float/
+    * date/timestamp rendered to decimal text by the server and parsed
+    * back client-side); binary DataRow carries the server's native
+    * representations (network-order ints, IEEE floats, PG-epoch
+    * date/timestamp offsets, base-10000 numeric) and removes the text
+    * round-trip entirely — the value is decoded, never re-parsed.
+    * Same PgResult streaming contract as [[query]]; decode per
+    * [[PgWire.binaryToCatalyst]]. One unnamed statement/portal, no
+    * parameters — partition WHERE clauses are inlined at plan time. */
+  def queryBinary(sql: String): PgResult = {
+    val q = sql.getBytes(UTF_8)
+    // Parse: unnamed statement, no pre-specified parameter types
+    out.writeByte('P')
+    out.writeInt(4 + 1 + q.length + 1 + 2)
+    out.writeByte(0); out.write(q); out.writeByte(0); out.writeShort(0)
+    // Bind: unnamed portal <- unnamed statement, zero parameters, ONE
+    // result-format code (1 = binary) applying to every column
+    out.writeByte('B')
+    out.writeInt(4 + 1 + 1 + 2 + 2 + 2 + 2)
+    out.writeByte(0); out.writeByte(0)
+    out.writeShort(0); out.writeShort(0)
+    out.writeShort(1); out.writeShort(1)
+    // Describe the portal (RowDescription with the result types)
+    out.writeByte('D'); out.writeInt(4 + 1 + 1)
+    out.writeByte('P'); out.writeByte(0)
+    // Execute: no row limit; Sync closes the cycle (and recovers the
+    // connection to ReadyForQuery after any error)
+    out.writeByte('E'); out.writeInt(4 + 1 + 4)
+    out.writeByte(0); out.writeInt(0)
+    out.writeByte('S'); out.writeInt(4)
+    out.flush()
+    while (true) readMessage() match {
+      case ('T', b) => return new PgResult(parseRowDescription(b))
+      case ('1', _) | ('2', _) => () // ParseComplete / BindComplete
+      case ('n', _) => // NoData: statement produces no result set
+        drainToReady()
+        throw new IllegalStateException(
+          s"graft_pg: statement returned no result set: $sql")
+      case ('E', b) => val e = pgError(b); drainToReady(); throw e
+      case ('N', _) | ('S', _) => ()
+      case (t, _) => throw new IllegalStateException(
+        s"graft_pg: unexpected message '$t' in extended-query cycle")
     }
     throw new IllegalStateException("unreachable")
   }
@@ -638,15 +819,27 @@ final class PgWireClient(host: String, port: Int, user: String,
   }
 }
 
-/** Client side of one SCRAM-SHA-256 exchange (RFC 5802 mechanics with
-  * RFC 7677's hash, as PostgreSQL speaks it): nonce from SecureRandom,
-  * Hi() = PBKDF2-HMAC-SHA256 (the JDK's), proof = ClientKey XOR
-  * HMAC(SHA256(ClientKey), AuthMessage), and the server's signature is
-  * VERIFIED — a wire impostor that knows the username but not the
-  * verifier fails the handshake loudly. gs2 header `n,,`: channel
-  * binding declined (no TLS layer to bind to). */
-private[io] final class ScramState(password: String) {
+/** Client side of one SCRAM-SHA-256[-PLUS] exchange (RFC 5802
+  * mechanics with RFC 7677's hash, as PostgreSQL speaks it): nonce
+  * from SecureRandom, Hi() = PBKDF2-HMAC-SHA256 (the JDK's), proof =
+  * ClientKey XOR HMAC(SHA256(ClientKey), AuthMessage), and the
+  * server's signature is VERIFIED — a wire impostor that knows the
+  * username but not the verifier fails the handshake loudly.
+  *
+  * gs2 header by transport (RFC 5802 §6's downgrade-protection
+  * lattice): `p=tls-server-end-point,,` when the -PLUS mechanism was
+  * negotiated (the c= attribute then carries the gs2 header + the
+  * RFC 5929 certificate hash, so a MITM that re-terminated TLS breaks
+  * the proof), `y,,` over TLS when the server did NOT offer -PLUS (a
+  * genuine PG server always offers it over TLS, so `y` makes a
+  * stripped offer fail at the server), `n,,` over plaintext. */
+private[io] final class ScramState(password: String,
+                                   channelBinding: Boolean = false,
+                                   tlsEndPoint: Option[Array[Byte]] = None) {
   import java.util.Base64
+
+  require(!channelBinding || tlsEndPoint.nonEmpty,
+    "graft_pg: SCRAM channel binding requires the TLS certificate hash")
 
   private def hmac(key: Array[Byte], msg: Array[Byte]): Array[Byte] = {
     val m = javax.crypto.Mac.getInstance("HmacSHA256")
@@ -663,10 +856,19 @@ private[io] final class ScramState(password: String) {
   }
   // PG ignores the SCRAM username field (the startup user governs)
   private val clientFirstBare = s"n=,r=$clientNonce"
+  private val gs2Header =
+    if (channelBinding) "p=tls-server-end-point,,"
+    else if (tlsEndPoint.isDefined) "y,," else "n,,"
+  // c= carries base64(gs2-header ++ cbind-data): the binding data is
+  // present only under -PLUS; for n/y it is the bare header (b64("n,,")
+  // is the RFC's literal "biws")
+  private val cbindAttr = Base64.getEncoder.encodeToString(
+    gs2Header.getBytes(UTF_8) ++
+      (if (channelBinding) tlsEndPoint.get else Array.empty[Byte]))
   private var authMessage: String = _
   private var saltedPassword: Array[Byte] = _
 
-  def clientFirst: String = s"n,,$clientFirstBare"
+  def clientFirst: String = s"$gs2Header$clientFirstBare"
 
   /** Consume server-first (`r=...,s=...,i=...`), return client-final. */
   def clientFinal(serverFirst: String): String = {
@@ -682,7 +884,7 @@ private[io] final class ScramState(password: String) {
     saltedPassword = skf.generateSecret(new javax.crypto.spec.PBEKeySpec(
       password.toCharArray, salt, iters, 256)).getEncoded
     val clientKey = hmac(saltedPassword, "Client Key".getBytes(UTF_8))
-    val withoutProof = s"c=biws,r=$nonce" // biws = b64("n,,")
+    val withoutProof = s"c=$cbindAttr,r=$nonce"
     authMessage = s"$clientFirstBare,$serverFirst,$withoutProof"
     val clientSig = hmac(sha256(clientKey), authMessage.getBytes(UTF_8))
     val proof = clientKey.zip(clientSig).map { case (a, b) => (a ^ b).toByte }
@@ -702,6 +904,21 @@ private[io] final class ScramState(password: String) {
       expect.getBytes(UTF_8), v.getBytes(UTF_8)),
       "graft_pg: SCRAM server signature mismatch — the server does not " +
         "hold this user's verifier (possible impostor); refusing the session")
+  }
+}
+
+private[io] object ScramState {
+  /** RFC 5929 tls-server-end-point binding data: a hash of the DER
+    * server certificate using the hash of its signature algorithm,
+    * with MD5/SHA-1 upgraded to SHA-256 (the RFC's rule — and what
+    * PostgreSQL's be-secure-common computes on its side). */
+  def tlsServerEndPoint(cert: java.security.cert.X509Certificate): Array[Byte] = {
+    val sig = cert.getSigAlgName.toUpperCase.replace("-", "")
+    val alg =
+      if (sig.contains("SHA384")) "SHA-384"
+      else if (sig.contains("SHA512")) "SHA-512"
+      else "SHA-256"
+    java.security.MessageDigest.getInstance(alg).digest(cert.getEncoded)
   }
 }
 
@@ -799,63 +1016,92 @@ object Postgres {
       }
       out.toSeq
     }
+    // ONE driver connection holds a per-TABLE session advisory lock
+    // from the pre-staging sweep through the publish commit (round 15
+    // advisory): without it, two concurrent overwrites of the same
+    // table race — run B's sweep matches the table-wide stage prefix
+    // and drops run A's already-committed stages, and A's publish then
+    // lists only the survivors and silently commits a PARTIAL target.
+    // Serializing whole runs on the table lock makes concurrent
+    // overwrites last-writer-wins over COMPLETE copies (the semantics
+    // of the reference's to_sql replace), and closing the session
+    // releases the lock on any exit path, crash included. The TWO-INT
+    // lock form deliberately: it lives in a disjoint advisory space
+    // (objsubid 2) from the single-bigint per-stage xact locks
+    // (objsubid 1), so a hashtext collision between the table name and
+    // a stage name can never deadlock a partition task against the
+    // driver's session lock.
     val c = client(conn)
-    // sweep orphaned stages of this TABLE from any previous crashed or
-    // zombie-outlived run, whatever its partition count or nonce
-    try listStages(c, tableStagePrefix)
-      .foreach(s => c.exec(s"DROP TABLE ${quoteIdent(s)}"))
-    finally c.close()
-    val types = schema.fields.map(_.dataType)
-    val (h, p, db, u, pwd) = (conn.host, conn.port, conn.database, conn.user, pw(conn))
-    val (sslM, sslC) = (conn.sslMode, Option(conn.sslRootCert).filter(_.nonEmpty))
-    rdd.foreachPartition { it =>
-      if (it.hasNext) { // empty partitions stage nothing
-        val pid = org.apache.spark.TaskContext.getPartitionId()
-        val stName = s"$runStagePrefix$pid"
-        val st = quoteIdent(stName)
-        val pc = new PgWireClient(h, p, u, db, pwd, sslMode = sslM, sslRootCert = sslC)
-        try {
-          // one transaction: abort anywhere (incl. mid-COPY stream
-          // failure) rolls the whole stage back; commit is the
-          // attempt's atomic success marker; the advisory xact lock
-          // serializes rival attempts of the same partition
-          pc.exec("BEGIN")
-          pc.exec(s"SELECT pg_advisory_xact_lock(hashtext('$stName'))")
-          pc.exec(s"DROP TABLE IF EXISTS $st")
-          pc.exec(s"CREATE TABLE $st ($colsDdl)")
-          pc.copyIn(s"COPY $st ($colList) FROM STDIN", it.map { row =>
-            val sb = new java.lang.StringBuilder(64)
-            var i = 0
-            while (i < types.length) {
-              if (i > 0) sb.append('\t')
-              sb.append(PgWire.copyCell(types(i), row, i))
-              i += 1
-            }
-            sb.toString
-          })
-          pc.exec("COMMIT")
-        } finally pc.close()
-      }
-    }
-    // atomic publish: ONE transaction replaces the target and
-    // consumes every committed stage — readers see old-then-new,
-    // never a subset, and failure before COMMIT leaves the old
-    // target intact
-    val c2 = client(conn)
     try {
+      c.exec("SELECT pg_advisory_lock(hashtext('graft_overwrite'), hashtext('" +
+        table.replace("'", "''") + "'))")
+      // sweep orphaned stages of this TABLE from any previous crashed
+      // or zombie-outlived run, whatever its partition count or nonce
+      listStages(c, tableStagePrefix)
+        .foreach(s => c.exec(s"DROP TABLE ${quoteIdent(s)}"))
+      val types = schema.fields.map(_.dataType)
+      val (h, p, db, u, pwd) = (conn.host, conn.port, conn.database, conn.user, pw(conn))
+      val (sslM, sslC) = (conn.sslMode, Option(conn.sslRootCert).filter(_.nonEmpty))
+      // loud-completeness check for the publish: every partition that
+      // COMMITTED a stage also bumps this accumulator (Spark counts an
+      // action's accumulator updates once per partition, from the
+      // winning attempt), so a stage missing at publish time — however
+      // it vanished — fails the job instead of publishing a subset
+      val stagedCount = df.sparkSession.sparkContext
+        .longAccumulator("graft_pg_staged_partitions")
+      rdd.foreachPartition { it =>
+        if (it.hasNext) { // empty partitions stage nothing
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val stName = s"$runStagePrefix$pid"
+          val st = quoteIdent(stName)
+          val pc = new PgWireClient(h, p, u, db, pwd, sslMode = sslM, sslRootCert = sslC)
+          try {
+            // one transaction: abort anywhere (incl. mid-COPY stream
+            // failure) rolls the whole stage back; commit is the
+            // attempt's atomic success marker; the advisory xact lock
+            // serializes rival attempts of the same partition
+            pc.exec("BEGIN")
+            pc.exec(s"SELECT pg_advisory_xact_lock(hashtext('$stName'))")
+            pc.exec(s"DROP TABLE IF EXISTS $st")
+            pc.exec(s"CREATE TABLE $st ($colsDdl)")
+            pc.copyIn(s"COPY $st ($colList) FROM STDIN", it.map { row =>
+              val sb = new java.lang.StringBuilder(64)
+              var i = 0
+              while (i < types.length) {
+                if (i > 0) sb.append('\t')
+                sb.append(PgWire.copyCell(types(i), row, i))
+                i += 1
+              }
+              sb.toString
+            })
+            pc.exec("COMMIT")
+            stagedCount.add(1L)
+          } finally pc.close()
+        }
+      }
+      // atomic publish: ONE transaction replaces the target and
+      // consumes every committed stage — readers see old-then-new,
+      // never a subset, and failure before COMMIT leaves the old
+      // target intact. Runs on the lock-holding connection, so the
+      // sweep-to-publish window is covered end to end.
+      //
       // THIS run's stages only (the nonce excludes zombie commits
       // from prior runs)
-      val stages = listStages(c2, runStagePrefix).sorted
-      c2.exec("BEGIN")
-      c2.exec(s"DROP TABLE IF EXISTS ${quoteIdent(table)}")
-      c2.exec(s"CREATE TABLE ${quoteIdent(table)} ($colsDdl)")
+      val stages = listStages(c, runStagePrefix).sorted
+      require(stages.size.toLong == stagedCount.value,
+        s"graft_pg: publish expected ${stagedCount.value} committed stage " +
+          s"tables for '$table' but the catalog lists ${stages.size} — " +
+          "refusing to publish a partial target")
+      c.exec("BEGIN")
+      c.exec(s"DROP TABLE IF EXISTS ${quoteIdent(table)}")
+      c.exec(s"CREATE TABLE ${quoteIdent(table)} ($colsDdl)")
       stages.foreach { s =>
-        c2.exec(s"INSERT INTO ${quoteIdent(table)} ($colList) " +
+        c.exec(s"INSERT INTO ${quoteIdent(table)} ($colList) " +
           s"SELECT $colList FROM ${quoteIdent(s)}")
-        c2.exec(s"DROP TABLE ${quoteIdent(s)}")
+        c.exec(s"DROP TABLE ${quoteIdent(s)}")
       }
-      c2.exec("COMMIT")
-    } finally c2.close()
+      c.exec("COMMIT")
+    } finally c.close()
   }
 
   /** Whole-table / partitioned read through the `graft_pg` source
@@ -979,7 +1225,8 @@ private[io] case class PgSourceOptions(host: String, port: Int, database: String
                                        user: String, password: Option[String],
                                        sslMode: String, sslRootCert: Option[String],
                                        table: String,
-                                       partition: Option[(String, Long, Long, Int)]) {
+                                       partition: Option[(String, Long, Long, Int)],
+                                       readFormat: String = "binary") {
   def newClient(): PgWireClient =
     new PgWireClient(host, port, user, database, password,
       sslMode = sslMode, sslRootCert = sslRootCert)
@@ -1004,7 +1251,12 @@ private[io] object PgSourceOptions {
         .getOrElse("disable"),
       sslRootCert = Option(options.get("sslrootcert")).filter(_.nonEmpty),
       table = req("dbtable"),
-      partition = part)
+      partition = part,
+      readFormat = Option(options.get("readformat")).getOrElse("binary") match {
+        case f @ ("binary" | "text") => f
+        case other => throw new IllegalArgumentException(
+          s"graft_pg: readformat must be binary|text, got '$other'")
+      })
   }
 }
 
@@ -1117,24 +1369,42 @@ private[io] case class PgReaderFactory(required: StructType, opts: PgSourceOptio
 
 /** Executor-side reader: one wire connection streaming one slice.
   * Projection happens server-side (the SELECT list is the pruned
-  * schema), so the wire carries only the touched columns. */
+  * schema), so the wire carries only the touched columns. Default
+  * result format is BINARY over the extended-query cycle (decode
+  * instead of text re-parse — the per-row floor of the text path);
+  * `readformat=text` keeps the simple-query text cycle reachable for
+  * comparison. Each slice accumulates its wall into a
+  * `pg_read_<format>_ms` counter so a bench run splits the two read
+  * paths' cost directly. */
 private[io] class PgPartitionReader(p: PgRangePartition, required: StructType,
                                     opts: PgSourceOptions)
     extends PartitionReader[InternalRow] {
 
-  private val convs: Array[Array[Byte] => Any] =
-    required.fields.map(f => PgWire.textToCatalyst(f.dataType))
+  private val binary = opts.readFormat == "binary"
+  private var convs: Array[Array[Byte] => Any] =
+    if (binary) null // built from the RowDescription's OIDs at open()
+    else required.fields.map(f => PgWire.textToCatalyst(f.dataType))
   private var client: PgWireClient = _
   private var result: PgWireClient#PgResult = _
   private var row: Array[Array[Byte]] = _
+  private val t0 = System.nanoTime()
 
   private def open(): Unit = {
     client = opts.newClient()
     val cols =
       if (required.isEmpty) "1" // COUNT(*)-style scans read no columns
       else required.fields.map(f => PgWire.quoteIdent(f.name)).mkString(", ")
-    result = client.query(
-      s"SELECT $cols FROM ${PgWire.quoteIdent(opts.table)}${p.whereSql}")
+    val sql = s"SELECT $cols FROM ${PgWire.quoteIdent(opts.table)}${p.whereSql}"
+    if (binary) {
+      result = client.queryBinary(sql)
+      // decode by the wire's OID, checked against the scan's Spark
+      // type — except the zero-column probe row, which is never read
+      convs =
+        if (required.isEmpty) Array.empty
+        else result.cols.zip(required.fields).map { case (c, f) =>
+          PgWire.binaryToCatalyst(c.oid, c.typmod, f.dataType)
+        }
+    } else result = client.query(sql)
   }
 
   override def next(): Boolean = {
@@ -1153,5 +1423,9 @@ private[io] class PgPartitionReader(p: PgRangePartition, required: StructType,
     out
   }
 
-  override def close(): Unit = if (client != null) client.close()
+  override def close(): Unit = {
+    if (client != null) client.close()
+    graft.Metrics.add(s"pg_read_${opts.readFormat}_ms",
+      (System.nanoTime() - t0) / 1000000L)
+  }
 }

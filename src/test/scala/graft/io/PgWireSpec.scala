@@ -386,6 +386,162 @@ class PgWireSpec extends AnyFunSuite with SparkTestBase {
     try c3.exec("SELECT 1") finally c3.close()
   }
 
+  test("verify-full accepts a SAN-matching cert and refuses a hostname the cert does not name") {
+    // the libpq mode matrix's last entry: chain validation (verify-ca)
+    // PLUS the hostname check. A cert whose SAN names the dialed IP
+    // passes; a cert chaining to the SAME trusted root but naming a
+    // DIFFERENT address must fail inside the handshake — proving the
+    // endpoint identification actually runs (dialing a wrong hostname
+    // instead would risk resolving to ::1 and read as a connection
+    // refusal, not a hostname-check refusal).
+    val admin = new PgWireClient(conn.host, conn.port, conn.user, conn.database)
+    val dataDir = try {
+      val r = admin.query("SHOW data_directory")
+      new String(r.nextRow()(0), "UTF-8")
+    } finally admin.close()
+    def gen(base: String, san: String): Unit = {
+      val pb = new ProcessBuilder("openssl", "req", "-new", "-x509", "-days", "2",
+        "-nodes", "-subj", "/CN=graft-pg-test",
+        "-addext", s"subjectAltName=$san",
+        "-keyout", s"$dataDir/$base.key", "-out", s"$dataDir/$base.crt")
+      pb.redirectErrorStream(true)
+      pb.redirectOutput(new java.io.File("/dev/null"))
+      assume(pb.start().waitFor() == 0, "openssl unavailable — skip verify-full")
+      for (f <- Seq(s"$base.key", s"$base.crt")) {
+        val path = java.nio.file.Paths.get(dataDir, f)
+        java.nio.file.Files.setPosixFilePermissions(path,
+          java.util.Set.of(java.nio.file.attribute.PosixFilePermission.OWNER_READ,
+            java.nio.file.attribute.PosixFilePermission.OWNER_WRITE))
+        if (System.getProperty("user.name") == "root")
+          java.nio.file.Files.setOwner(path, path.getFileSystem
+            .getUserPrincipalLookupService.lookupPrincipalByName("nobody"))
+      }
+    }
+    gen("graft_san", "IP:127.0.0.1")
+    gen("graft_badsan", "IP:10.99.99.99")
+    def serveCert(base: String): Unit = {
+      val a = new PgWireClient(conn.host, conn.port, conn.user, conn.database)
+      try {
+        a.exec(s"ALTER SYSTEM SET ssl_cert_file = '$base.crt'")
+        a.exec(s"ALTER SYSTEM SET ssl_key_file = '$base.key'")
+        a.exec("ALTER SYSTEM SET ssl = on")
+        a.exec("SELECT pg_reload_conf()")
+      } finally a.close()
+      Thread.sleep(300)
+    }
+    // SAN names the dialed IP -> accepted
+    serveCert("graft_san")
+    val ok = new PgWireClient("127.0.0.1", conn.port, conn.user, conn.database,
+      sslMode = "verify-full", sslRootCert = Some(s"$dataDir/graft_san.crt"))
+    try ok.exec("SELECT 1") finally ok.close()
+    // trusted chain but the SAN names a different address -> the
+    // handshake itself must refuse (verify-ca, by contrast, accepts)
+    serveCert("graft_badsan")
+    val ca = new PgWireClient("127.0.0.1", conn.port, conn.user, conn.database,
+      sslMode = "verify-ca", sslRootCert = Some(s"$dataDir/graft_badsan.crt"))
+    try ca.exec("SELECT 1") finally ca.close()
+    val bad = intercept[javax.net.ssl.SSLException] {
+      val c = new PgWireClient("127.0.0.1", conn.port, conn.user, conn.database,
+        sslMode = "verify-full", sslRootCert = Some(s"$dataDir/graft_badsan.crt"))
+      try c.exec("SELECT 1") finally c.close()
+    }
+    assert(String.valueOf(bad.getMessage).toLowerCase.contains("subject") ||
+      String.valueOf(bad.getMessage).toLowerCase.contains("name") ||
+      String.valueOf(bad.getMessage).toLowerCase.contains("identi"), bad.toString)
+    // restore the matching cert for any later TLS-dependent test
+    serveCert("graft_san")
+    // config requirement: verify-full without a root cert is refused
+    // client-side before any socket opens
+    val e = intercept[IllegalArgumentException] {
+      new PgWireClient("127.0.0.1", conn.port, conn.user, conn.database,
+        sslMode = "verify-full")
+    }
+    assert(e.getMessage.contains("sslRootCert"), e.getMessage)
+  }
+
+  test("SCRAM over TLS negotiates SCRAM-SHA-256-PLUS and the server accepts the channel binding") {
+    // the -PLUS path end-to-end against the real server: over TLS,
+    // PostgreSQL advertises SCRAM-SHA-256-PLUS and VERIFIES the c=
+    // attribute's tls-server-end-point certificate hash server-side —
+    // a login that completes proves the RFC 5929 binding data is the
+    // one the server computed from its own certificate. (The previous
+    // test left ssl=on with the SAN cert; this one only needs TLS up.)
+    val admin = new PgWireClient(conn.host, conn.port, conn.user, conn.database)
+    val dataDir = try {
+      admin.exec("DROP ROLE IF EXISTS graft_cb")
+      admin.exec("CREATE ROLE graft_cb LOGIN PASSWORD 'sekret4'")
+      val r = admin.query("SHOW data_directory")
+      new String(r.nextRow()(0), "UTF-8")
+    } finally admin.close()
+    val hba = java.nio.file.Paths.get(dataDir, "pg_hba.conf")
+    val orig = java.nio.file.Files.readString(hba)
+    val rule = "hostssl all graft_cb 127.0.0.1/32 scram-sha-256\n"
+    if (!orig.startsWith(rule)) java.nio.file.Files.writeString(hba, rule + orig)
+    val admin2 = new PgWireClient(conn.host, conn.port, conn.user, conn.database)
+    try admin2.exec("SELECT pg_reload_conf()") finally admin2.close()
+    Thread.sleep(300)
+    val c = new PgWireClient(conn.host, conn.port, "graft_cb", conn.database,
+      Some("sekret4"), sslMode = "require")
+    try {
+      c.exec("SELECT 1")
+      assert(c.saslMechanism === Some("SCRAM-SHA-256-PLUS"),
+        "over TLS the client must pick the channel-binding mechanism")
+    } finally c.close()
+    // wrong password still refused through the -PLUS exchange
+    val e = intercept[RuntimeException] {
+      val c2 = new PgWireClient(conn.host, conn.port, "graft_cb", conn.database,
+        Some("wrong"), sslMode = "require")
+      try c2.exec("SELECT 1") finally c2.close()
+    }
+    assert(e.getMessage.toLowerCase.contains("password") ||
+      e.getMessage.contains("authentication"), e.getMessage)
+    // over PLAINTEXT the same role's scram login (via a host rule) must
+    // keep using the non-PLUS mechanism — no TLS layer to bind to
+    val hba2 = java.nio.file.Files.readString(hba)
+    val plainRule = "host all graft_cb 127.0.0.1/32 scram-sha-256\n"
+    if (!hba2.startsWith(plainRule))
+      java.nio.file.Files.writeString(hba, plainRule + hba2)
+    val admin3 = new PgWireClient(conn.host, conn.port, conn.user, conn.database)
+    try admin3.exec("SELECT pg_reload_conf()") finally admin3.close()
+    Thread.sleep(300)
+    val c3 = new PgWireClient(conn.host, conn.port, "graft_cb", conn.database,
+      Some("sekret4"))
+    try {
+      c3.exec("SELECT 1")
+      assert(c3.saslMechanism === Some("SCRAM-SHA-256"))
+    } finally c3.close()
+  }
+
+  test("concurrent overwriteTable runs serialize on the per-table lock; each publish is complete") {
+    // the round-15 advisory's race: without the table-scoped session
+    // advisory lock, run B's pre-staging sweep (table-wide prefix)
+    // drops run A's committed stages and A publishes a PARTIAL table.
+    // With the lock held sweep-through-publish, concurrent overwrites
+    // serialize; whichever commits last leaves ITS complete rows — and
+    // no interleaving may ever leave a mixed or partial target.
+    import spark.implicits._
+    val a = (1L to 400L).map(k => (k, "A")).toDF("k", "src").repartition(4)
+    val b = (1L to 400L).map(k => (k, "B")).toDF("k", "src").repartition(4)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      for (round <- 1 to 3) {
+        val fa = pool.submit(new Runnable {
+          override def run(): Unit = Postgres.overwriteTable(a, conn, "graft_race") })
+        val fb = pool.submit(new Runnable {
+          override def run(): Unit = Postgres.overwriteTable(b, conn, "graft_race") })
+        fa.get(120, java.util.concurrent.TimeUnit.SECONDS)
+        fb.get(120, java.util.concurrent.TimeUnit.SECONDS)
+        val rows = Postgres.readTable(spark, conn, "graft_race")
+          .collect().map(r => (r.getLong(0), r.getString(1)))
+        assert(rows.length === 400, s"round $round: partial publish (${rows.length} rows)")
+        assert(rows.map(_._2).distinct.length === 1,
+          s"round $round: mixed sources in one table: ${rows.map(_._2).distinct.toSeq}")
+        assert(rows.map(_._1).sorted.toSeq === (1L to 400L),
+          s"round $round: key set must be complete")
+      }
+    } finally pool.shutdown()
+  }
+
   test("concurrent staging attempts serialize on the advisory lock; the last committer wins whole") {
     // the speculation story the staged commit rests on, driven for
     // real: attempt A holds the per-stage advisory xact lock with an
@@ -489,6 +645,90 @@ class PgWireSpec extends AnyFunSuite with SparkTestBase {
       while (r != null) r = res.nextRow() // truncated stream must THROW
     }
     c3.close()
+  }
+
+  test("pushed timestamp literals render the UTC instant even under a non-UTC driver JVM") {
+    // the round-14 advisory's silent-exclusion scenario: the stored
+    // text is UTC (session pins TimeZone=UTC, copyCell writes UTC
+    // micros) but java.sql.Timestamp.toString formats in the JVM
+    // default zone — a zone-shifted pushed literal excludes matching
+    // rows server-side, unrecoverable by the residual filter. litOf
+    // must render from the instant, default zone irrelevant.
+    val micros = 1755172496123456L
+    val utcText = PgWire.formatTimestampMicros(micros)
+    val prior = java.util.TimeZone.getDefault
+    try {
+      for (zone <- Seq("America/New_York", "Asia/Tokyo", "UTC")) {
+        java.util.TimeZone.setDefault(java.util.TimeZone.getTimeZone(zone))
+        val ts = org.apache.spark.sql.catalyst.util.DateTimeUtils
+          .toJavaTimestamp(micros)
+        assert(PgWire.litOf(ts) === Some(s"'$utcText'"),
+          s"under default zone $zone the literal must be the UTC text")
+      }
+    } finally java.util.TimeZone.setDefault(prior)
+    // end-to-end: a timestamp filter PUSHED to the server (visible in
+    // the plan) returns exactly the matching rows
+    import spark.implicits._
+    val df = Seq(
+      (1L, Timestamp.valueOf("2026-08-14 12:34:56.123456")),
+      (2L, Timestamp.valueOf("2026-08-14 12:34:56.123457")),
+      (3L, Timestamp.valueOf("1999-01-01 00:00:00"))).toDF("k", "ts")
+    Postgres.overwriteTable(df, conn, "graft_tslit")
+    val q = Postgres.readTable(spark, conn, "graft_tslit")
+      .filter($"ts" === lit(Timestamp.valueOf("2026-08-14 12:34:56.123456")))
+      .select($"k")
+    assert(q.queryExecution.executedPlan.toString.contains("EqualTo(ts,"),
+      "the timestamp predicate must reach the scan as a pushed filter")
+    assert(q.collect().map(_.getLong(0)).toSeq === Seq(1L))
+  }
+
+  test("binary (extended-query) read decodes the full type surface identically to the text cycle") {
+    val c = new PgWireClient(conn.host, conn.port, conn.user, conn.database)
+    try {
+      c.exec("DROP TABLE IF EXISTS graft_bin")
+      c.exec("CREATE TABLE graft_bin (a integer, b bigint, c text, " +
+        "d double precision, e boolean, f date, g timestamp, h real, " +
+        "i smallint, j numeric(12,4), k numeric, l bytea, m timestamptz)")
+      c.exec("INSERT INTO graft_bin VALUES " +
+        "(42, 9007199254740993, e'txt \\t tab \\\\ back', 2.25, true, " +
+        " '2026-08-14', '2026-08-14 12:34:56.123456', -0.5, 7, " +
+        " 87654321.1234, 0.000000000000000001, '\\x00ff7f80', " +
+        " '1999-12-31 23:59:59.999999+00'), " +
+        "(NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, " +
+        " NULL, NULL, NULL), " +
+        // negative + carry shapes for the base-10000 numeric decode
+        "(-1, -1, '', 'NaN', false, '1969-12-31', '1970-01-01 00:00:00', " +
+        " 3.5, -8, -10000.0001, 123456789.5, '\\x', '1970-01-01 00:00:00+00')")
+    } finally c.close()
+    def read(fmt: String) = spark.read.format("graft_pg")
+      .option("port", conn.port.toString).option("dbtable", "graft_bin")
+      .option("readformat", fmt).load()
+    // byte arrays render by identity — normalize to value form first
+    def render(rows: Array[Row]): Seq[String] = rows.map(_.toSeq.map {
+      case b: Array[Byte] => b.toSeq.toString
+      case x => String.valueOf(x)
+    }.mkString("|")).sorted.toSeq
+    val bin = render(read("binary").collect())
+    val txt = render(read("text").collect())
+    // Row ordering is not guaranteed — compare as sorted multisets
+    assert(bin === txt,
+      s"binary and text cycles must decode identical values:\nbin=$bin\ntxt=$txt")
+    // spot-check exact values through the binary path
+    val r = read("binary").filter(col("a") === 42).collect()(0)
+    assert(r.getLong(1) === 9007199254740993L) // past double precision
+    assert(r.getString(2) === "txt \t tab \\ back")
+    assert(r.getDate(5).toString === "2026-08-14")
+    assert(r.getTimestamp(6) === Timestamp.valueOf("2026-08-14 12:34:56.123456"))
+    assert(r.getInt(8) === 7)
+    assert(r.getDecimal(9).toPlainString === "87654321.1234")
+    assert(r.getDecimal(10).toPlainString === "0.000000000000000001")
+    assert(r.getAs[Array[Byte]](11).toSeq ===
+      Seq(0x00, 0xff, 0x7f, 0x80).map(_.toByte).toSeq)
+    assert(r.getTimestamp(12) === Timestamp.valueOf("1999-12-31 23:59:59.999999"))
+    val neg = read("binary").filter(col("a") === -1).collect()(0)
+    assert(neg.getDecimal(9).toPlainString === "-10000.0001")
+    assert(neg.getDouble(3).isNaN)
+    assert(neg.getAs[Array[Byte]](11).length === 0)
   }
 
   test("timestamp text round-trip is micros-exact across fraction shapes") {
