@@ -175,6 +175,33 @@ object Temporal {
     * scheduling overhead dominates at any realistic executor count).
     * The estimate runs in double — sizing needs magnitude, not
     * exactness, and a 100 TB day-product can overflow a long sum. */
+  /** Day-explode `intervals` ONCE for both the sizing estimate and the
+    * join (round 15, VERDICT r14 #1 — the docOrd pattern from the
+    * jaccard family): the exploded relation is a LAZY local checkpoint,
+    * materialized by the estimate's first action and then read back by
+    * the join instead of re-running the explode. Lazy checkpoint (not
+    * `persist()`) deliberately: a Dataset cache entry lives in the
+    * CacheManager until an explicit unpersist the caller of a lazy
+    * join result has no hook to issue, while a checkpoint RDD is
+    * reclaimed by the ContextCleaner as soon as the returned frame is
+    * unreferenced — and it adds NO scheduled job of its own, keeping
+    * the tier at two driver actions total (estimate + the caller's),
+    * pinned by DedupSpec's action-count test. Streaming relations
+    * cannot checkpoint or estimate; they keep the raw explode and the
+    * session partition pin. */
+  private def sizedDayExplode(probes: DataFrame, intervals: DataFrame,
+                              probeDate: String, start: String, end: String,
+                              targetPairsPerPartition: Long): (DataFrame, Int) = {
+    val exploded0 = explodeDays(intervals, "__day", col(start), col(end))
+    if (probes.isStreaming || exploded0.isStreaming)
+      (exploded0, probes.sparkSession.sessionState.conf.numShufflePartitions)
+    else {
+      val exploded = exploded0.localCheckpoint(false)
+      (exploded,
+        pairExpansionPartitions(probes, exploded, probeDate, targetPairsPerPartition))
+    }
+  }
+
   private def pairExpansionPartitions(probes: DataFrame, exploded: DataFrame,
                                       probeDate: String,
                                       targetPairsPerPartition: Long): Int = {
@@ -215,10 +242,11 @@ object Temporal {
     // not AQE-coalescible and carry the day-partitioning through the
     // join. The COUNT is sized from the estimated pair volume
     // ([[pairExpansionPartitions]], round 11) so the pin that saves
-    // this join at one scale cannot strangle it at 100x.
-    val exploded = explodeDays(intervals, "__day", col(start), col(end))
-    val n = pairExpansionPartitions(probes, exploded, probeDate,
-      targetPairsPerPartition)
+    // this join at one scale cannot strangle it at 100x; the explode
+    // itself runs once and is shared estimate-to-join
+    // ([[sizedDayExplode]], round 15).
+    val (exploded, n) = sizedDayExplode(probes, intervals, probeDate,
+      start, end, targetPairsPerPartition)
     probes.repartition(n, col(probeDate))
       .join(exploded.repartition(n, col("__day")),
         col("__day") === col(probeDate)).drop("__day")
@@ -241,10 +269,10 @@ object Temporal {
                               targetPairsPerPartition: Long = 4000000L): DataFrame = {
     // volume-derived like the unsalted tier; estimated on the PRE-salt
     // day explode (salting spreads pairs across reducers, it does not
-    // change their total)
-    val dayExploded = explodeDays(intervals, "__day", col(start), col(end))
-    val n = pairExpansionPartitions(probes, dayExploded, probeDate,
-      targetPairsPerPartition)
+    // change their total), which the salt replication then reuses from
+    // the shared checkpoint instead of re-exploding
+    val (dayExploded, n) = sizedDayExplode(probes, intervals, probeDate,
+      start, end, targetPairsPerPartition)
     val exploded = dayExploded
       .withColumn("__isalt", explode(sequence(lit(0), lit(saltBuckets - 1))))
       .repartition(n, col("__day"), col("__isalt"))

@@ -716,4 +716,59 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(mhActions.size == 2,
       s"minhash probe must stay 2 driver actions, saw ${mhActions.size}: $mhActions")
   }
+
+  test("range-join tiers schedule their PINNED driver-action counts (the round-15 fused-explode contract)") {
+    // same anatomy as the jaccard de-flag above, applied to the other
+    // chronic flag-magnet family (VERDICT r14 #1): the pair-volume
+    // estimate is the tier's only pre-join action, and the day-exploded
+    // interval relation it materializes (a lazy local checkpoint) is
+    // REUSED by the join instead of re-exploded — so each bucketed tier
+    // is exactly estimate + the caller's action, and the broadcast tier
+    // schedules nothing before the caller's action at all. A regression
+    // that re-introduces a second explode pass cannot change these
+    // counts, but one that adds an eager checkpoint/count job does —
+    // and fails here instead of as a driver-bench guard flag.
+    import org.apache.spark.sql.functions._
+    val s2 = spark.newSession()
+    import s2.implicits._
+    val intervals = s2.read.parquet(sf("orders"))
+      .withColumn("start_date", to_date($"o_orderdate"))
+      .withColumn("end_date", date_add($"start_date", 2))
+      .select($"o_orderpriority", $"start_date", $"end_date")
+    val probes = s2.read.parquet(sf("lineitem"))
+      .select($"l_orderkey", $"l_linenumber", to_date($"l_shipdate").as("ship_d"))
+    val broadcastActions = actionsOf(s2) {
+      graft.ops.Temporal.rangeJoinBroadcastProbes(
+        probes.limit(50), intervals, "ship_d", "start_date", "end_date").count()
+      ()
+    }
+    assert(broadcastActions.size == 1,
+      s"broadcast tier must stay 1 driver action, saw ${broadcastActions.size}: $broadcastActions")
+    // the exact action-name sequence, not just a count: the LAZY
+    // checkpoint registers a "localCheckpoint" listener entry but
+    // schedules NO job (it materializes inside the estimate's head) —
+    // a regression to an EAGER checkpoint keeps the same names while
+    // adding a scheduled job, which the bucketed tier's wall counter
+    // (range_estimate_ms) and the r14 contention anatomy would surface;
+    // a regression adding a separate count/collect changes this list.
+    val bucketedActions = actionsOf(s2) {
+      graft.ops.Temporal.rangeJoinBucketed(
+        probes, intervals, "ship_d", "start_date", "end_date").count()
+      ()
+    }
+    assert(bucketedActions == Seq("localCheckpoint", "head", "count"),
+      s"bucketed tier must stay lazy-checkpoint + estimate + count, saw $bucketedActions")
+    val saltedActions = actionsOf(s2) {
+      graft.ops.Temporal.rangeJoinBucketedSalted(
+        probes, intervals, "ship_d", "start_date", "end_date",
+        saltBuckets = 4, probeFineGrain = Seq($"l_orderkey", $"l_linenumber")).count()
+      ()
+    }
+    assert(saltedActions == Seq("localCheckpoint", "head", "count"),
+      s"salted tier must stay lazy-checkpoint + estimate + count, saw $saltedActions")
+    // the fusion must not have cost the counters their values: the
+    // estimate still records its pair volume and partition count
+    assert(graft.Metrics.snapshot.exists(_._1.endsWith("range_est_pairs")),
+      "the estimate's volume counter must survive the fusion")
+  }
 }
