@@ -62,6 +62,21 @@ object Bench {
     }.toList.sorted
   }
 
+  /** The documented host-attribution thresholds (round 15, VERDICT
+    * r14 #2 — two consecutive driver benches adjudicated "host was
+    * busy" by hand, so the adjudication is now mechanical): a flagged
+    * key is annotated `host_attributed` when its own 1-minute load
+    * average exceeds TWICE the suite's median (the r14 flags read
+    * load 9.0-11.3 against a suite median of 3.0), or when the
+    * hypervisor stole over 5% of the key's window (the r12 forensics
+    * threshold — contention load_avg cannot see). The annotation
+    * INFORMS the reader; it never auto-waives the flag (standing
+    * steal policy, SURVEY §9). */
+  private[graft] def hostAttributed(keyLoad: Double, suiteMedianLoad: Double,
+                                    keySteal: Double): Boolean =
+    (keyLoad > 0 && suiteMedianLoad > 0 && keyLoad > 2.0 * suiteMedianLoad) ||
+      keySteal > 0.05
+
   /** Self-triaging detail for each flagged key: prior, current, raw
     * ratio, the key's own hypervisor-steal fraction, AND (round 13)
     * the key's own 1-minute load average beside the suite's median —
@@ -71,7 +86,9 @@ object Bench {
     * pre-annotated ("3.0x prior, steal 0, load 4.0 vs suite median
     * 2.9" reads as host-attributed in one glance) while STAYING
     * visible — the annotation informs the adjudication, it never
-    * auto-waives the flag (the steal policy, SURVEY §9). */
+    * auto-waives the flag (the steal policy, SURVEY §9). Round 15
+    * adds the [[hostAttributed]] verdict as its own field so the
+    * adjudication is mechanical, not a reader judgment call. */
   private[graft] def regressionsDetailJson(regressions: List[String],
                                            results: Map[String, Double],
                                            prev: Map[String, Double],
@@ -82,7 +99,9 @@ object Bench {
     regressions.map { k =>
       val p = prev.get(k).filter(_ > 0).getOrElse(-1.0)
       val r = if (p > 0) results(k) / p else -1.0
-      f"""\"$k\":{\"prior\":$p%.3f,\"cur\":${results(k)}%.3f,\"ratio\":$r%.2f,\"steal_frac\":${keySteal.getOrElse(k, -1.0)}%.4f,\"load_avg\":${keyLoad.getOrElse(k, -1.0)}%.2f,\"load_avg_suite_median\":$suiteMedianLoad%.2f}"""
+      val attributed = hostAttributed(keyLoad.getOrElse(k, -1.0),
+        suiteMedianLoad, keySteal.getOrElse(k, -1.0))
+      f"""\"$k\":{\"prior\":$p%.3f,\"cur\":${results(k)}%.3f,\"ratio\":$r%.2f,\"steal_frac\":${keySteal.getOrElse(k, -1.0)}%.4f,\"load_avg\":${keyLoad.getOrElse(k, -1.0)}%.2f,\"load_avg_suite_median\":$suiteMedianLoad%.2f,\"host_attributed\":$attributed}"""
     }.mkString("{", ",", "}")
   }
 

@@ -5,7 +5,7 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Fires the bench regression guard on planted timings — the in-repo
   * "dry run" proving both rules trip without waiting for a real
   * regression to happen in a driver bench. */
-class BenchGuardSpec extends AnyFunSuite {
+class BenchGuardSpec extends AnyFunSuite with SparkTestBase {
 
   // a committed reference shaped like the real suite: many sub-second
   // keys, a few multi-second streaming loops, mean ~0.4 s
@@ -149,6 +149,72 @@ class BenchGuardSpec extends AnyFunSuite {
       Map.empty, Map.empty)
     assert(none.contains("\"load_avg\":-1.00") &&
       none.contains("\"load_avg_suite_median\":-1.00"), none)
+  }
+
+  test("host_attributed annotation fires on the DOCUMENTED thresholds only (round 15, mechanical adjudication)") {
+    // the r14 flag anatomy made mechanical: key load > 2x suite median
+    // OR key steal > 5% annotates the flag host-attributed. It is an
+    // ANNOTATION — the flag itself stays in `regressions` either way.
+    // load 4.03 vs median 3.00 (the r13 spec's shape): NOT attributed
+    assert(!Bench.hostAttributed(4.03, 3.00, 0.0))
+    // the r14 driver shape: load 9.02 vs suite median 3.0 -> attributed
+    assert(Bench.hostAttributed(9.02, 3.00, 0.0))
+    // steal path: quiet load but the hypervisor took >5% of the window
+    assert(Bench.hostAttributed(1.0, 3.00, 0.051))
+    assert(!Bench.hostAttributed(1.0, 3.00, 0.05))
+    // unavailable markers (-1) can never attribute by themselves
+    assert(!Bench.hostAttributed(-1.0, -1.0, -1.0))
+    assert(!Bench.hostAttributed(9.0, -1.0, 0.0))
+    // and the JSON carries the verdict at the flag site
+    val res = Map("sink_z" -> 9.0)
+    val prior = Map("sink_z" -> 2.1)
+    val hot = Bench.regressionsDetailJson(List("sink_z"), res, prior,
+      Map("sink_z" -> 0.0),
+      Map("sink_z" -> 9.02, "k1" -> 2.95, "k2" -> 2.80, "k3" -> 3.00))
+    assert(hot.contains("\"host_attributed\":true"), hot)
+    val quiet = Bench.regressionsDetailJson(List("sink_z"), res, prior,
+      Map("sink_z" -> 0.0),
+      Map("sink_z" -> 3.10, "k1" -> 2.95, "k2" -> 2.80, "k3" -> 3.00))
+    assert(quiet.contains("\"host_attributed\":false"), quiet)
+  }
+
+  test("observed bench counters read EXACTLY under empty-relation pruning (round 15, VERDICT r14 #7)") {
+    // the fused gates' volume counters ride Dataset.observe; the
+    // documented assumption (Dedup.observedCount) is that a missing
+    // metric means Catalyst/AQE pruned the CollectMetrics node under
+    // PROVABLE emptiness — so defaulting to 0 is the exact count, not
+    // a guess. Plant both shapes so a Spark upgrade that changes the
+    // pruning behavior (or starts dropping metrics on NON-empty
+    // subtrees) fails here, not as a silently-zeroed bench counter.
+    import org.apache.spark.sql.functions._
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "true")
+    import s2.implicits._
+    // AQE-pruned shape: a shuffled join whose build side is empty at
+    // runtime — AQE's empty-relation propagation collapses the join
+    val a = s2.range(1000).toDF("id").repartition(4)
+    val empty = s2.range(1000).toDF("id").filter($"id" < 0L).repartition(4)
+    val obsEmpty = org.apache.spark.sql.Observation()
+    a.join(empty, "id")
+      .observe(obsEmpty, count(lit(1)).as("__n"))
+      .localCheckpoint(true)
+    assert(graft.ops.Dedup.observedCount(obsEmpty, "__n") == 0L,
+      "a pruned/empty observed subtree must read exactly 0")
+    // statically-pruned shape (Catalyst's PropagateEmptyRelation, no
+    // AQE needed): the optimizer removes the subtree at plan time
+    val obsStatic = org.apache.spark.sql.Observation()
+    a.filter(lit(false))
+      .observe(obsStatic, count(lit(1)).as("__n"))
+      .localCheckpoint(true)
+    assert(graft.ops.Dedup.observedCount(obsStatic, "__n") == 0L)
+    // non-empty control: the observed count must be EXACT, proving the
+    // default-0 path never fires outside genuine emptiness
+    val obsFull = org.apache.spark.sql.Observation()
+    a.join(a.filter($"id" < 100L), "id")
+      .observe(obsFull, count(lit(1)).as("__n"))
+      .localCheckpoint(true)
+    assert(graft.ops.Dedup.observedCount(obsFull, "__n") == 100L,
+      "a non-empty observed subtree must never default to 0")
   }
 
   test("Metrics.withScope namespaces counters by caller; unscoped records keep raw names") {
