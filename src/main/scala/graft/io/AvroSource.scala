@@ -73,21 +73,15 @@ class AvroSource extends TableProvider with DataSourceRegister {
 
   override def supportsExternalMetadata(): Boolean = true
 
-  /** Schema = the writer schema of the first file — one footer-less
-    * header read, not a data scan (Avro schemas live in the file
-    * header). All files of a dataset share one schema by construction
-    * of [[Avro.write]]; mixed-schema dirs are user error surfaced by
-    * Avro's own resolution. */
+  /** Schema = the elected DATASET reader schema
+    * ([[Avro.datasetReaderSchema]], round 15): header reads only, no
+    * data scan (Avro schemas live in the file header). A single-
+    * generation directory (everything [[Avro.write]] produces) reads
+    * its one schema; a mixed-generation directory elects the schema
+    * every generation resolves against, or fails loudly. */
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val opts = AvroSourceOptions(options)
-    val files = Avro.listFiles(opts.paths)
-    require(files.nonEmpty,
-      s"graft_avro: no .avro files under ${opts.paths.mkString(",")}")
-    val (path, _) = files.head
-    val in = new FsInput(new Path(path), new Configuration())
-    val reader = DataFileReader.openReader(in, new GenericDatumReader[GenericRecord]())
-    try AvroConversions.toSparkSchema(reader.getSchema)
-    finally reader.close()
+    AvroConversions.toSparkSchema(Avro.datasetReaderSchema(opts.paths))
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -150,14 +144,18 @@ private[io] case class AvroScan(full: StructType, required: StructType,
     }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    AvroReaderFactory(required)
+    // the dataset schema (defaults + aliases intact) rides to the
+    // executors as JSON — each split resolves its own file's writer
+    // schema against it (evolution), driver-side election once per scan
+    AvroReaderFactory(required, Avro.datasetReaderSchema(opts.paths).toString)
 }
 
-private[io] case class AvroReaderFactory(required: StructType)
+private[io] case class AvroReaderFactory(required: StructType,
+                                         datasetSchemaJson: String)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[AvroSplitPartition]
-    new AvroPartitionReader(p, required)
+    new AvroPartitionReader(p, required, datasetSchemaJson)
   }
 }
 
@@ -167,7 +165,8 @@ private[io] case class AvroReaderFactory(required: StructType)
   * analog of parquet column pruning (blocks are row-major, so skipped
   * fields still stream through IO, but they are never decoded into
   * objects — the dominant cost for string-heavy rows). */
-private[io] class AvroPartitionReader(p: AvroSplitPartition, required: StructType)
+private[io] class AvroPartitionReader(p: AvroSplitPartition, required: StructType,
+                                      datasetSchemaJson: String)
     extends PartitionReader[InternalRow] {
 
   private var reader: DataFileReader[GenericRecord] = _
@@ -220,8 +219,11 @@ private[io] class AvroPartitionReader(p: AvroSplitPartition, required: StructTyp
     val datum = new GenericDatumReader[GenericRecord]()
     reader = DataFileReader.openReader(in, datum).asInstanceOf[DataFileReader[GenericRecord]]
     // resolution target: the pruned schema, nullability mirrored from
-    // the writer so unions resolve field-by-field
-    val readerSchema = AvroConversions.pruneAvroSchema(reader.getSchema, required)
+    // the writer so unions resolve field-by-field; required fields the
+    // writer generation lacks fall back to the dataset schema's
+    // definition (default filled / alias matched — round 15 evolution)
+    val readerSchema = AvroConversions.evolvedReaderSchema(reader.getSchema,
+      new ASchema.Parser().parse(datasetSchemaJson), required)
     datum.setExpected(readerSchema)
     fieldConv = required.fields.zip(readerSchema.getFields.asScala).map {
       case (f, af) => AvroConversions.readConverter(f.dataType, af.schema())
@@ -418,6 +420,63 @@ private[io] object AvroConversions {
         s"graft_avro: projected column ${f.name} absent from writer schema $writer"))
       new ASchema.Field(wf.name(), pruneTypeSchema(wf.schema(), f.dataType),
         null, wf.defaultVal())
+    }
+    ASchema.createRecord(writer.getName, null, writer.getNamespace, false,
+      fields.toList.asJava)
+  }
+
+  /** [[pruneAvroSchema]] widened for MIXED-GENERATION directories
+    * (round 15): resolves `required` against THIS file's writer
+    * schema, falling back to the elected dataset schema
+    * ([[Avro.datasetReaderSchema]]) for fields the writer generation
+    * does not carry. Three shapes per required field, the Avro
+    * schema-resolution rules exactly:
+    *  - writer HAS the field by name: the pruned writer subtree (the
+    *    single-generation fast path — byte-identical behavior to
+    *    [[pruneAvroSchema]]);
+    *  - a dataset-schema ALIAS of the field names a writer field (the
+    *    rename evolution): the reader field takes the required name
+    *    plus that alias, over the pruned writer subtree — Avro's
+    *    ResolvingDecoder matches writer fields through reader aliases;
+    *  - absent entirely: the dataset field's schema AND DEFAULT fill
+    *    every row (the added-with-default evolution); no default =
+    *    loud failure (the same generation mix the dataset election
+    *    would have refused — reachable here only through a
+    *    user-supplied external schema).
+    * Evolution is a TOP-LEVEL-field contract; a required NESTED field
+    * absent from its writer record still fails loudly in
+    * [[pruneTypeSchema]]'s recursion — deep structural mixes are the
+    * incompatible case, not silent nulls. */
+  def evolvedReaderSchema(writer: ASchema, dataset: ASchema,
+                          required: StructType): ASchema = {
+    val byName = writer.getFields.asScala.map(f => f.name() -> f).toMap
+    val fields = required.fields.map { f =>
+      byName.get(f.name) match {
+        case Some(wf) =>
+          new ASchema.Field(wf.name(), pruneTypeSchema(wf.schema(), f.dataType),
+            null, wf.defaultVal())
+        case None =>
+          val df = dataset.getField(f.name)
+          require(df != null,
+            s"graft_avro: projected column ${f.name} absent from both the " +
+              s"writer schema $writer and the dataset schema")
+          df.aliases().asScala.collectFirst {
+            case a if byName.contains(a) => byName(a)
+          } match {
+            case Some(wf) =>
+              val nf = new ASchema.Field(f.name,
+                pruneTypeSchema(wf.schema(), f.dataType), null, df.defaultVal())
+              nf.addAlias(wf.name())
+              nf
+            case None =>
+              require(df.hasDefaultValue,
+                s"graft_avro: column ${f.name} is absent from a file's writer " +
+                  s"schema $writer and carries no default in the dataset " +
+                  "schema — an incompatible generation mix, refusing to " +
+                  "fabricate values")
+              new ASchema.Field(f.name, df.schema(), null, df.defaultVal())
+          }
+      }
     }
     ASchema.createRecord(writer.getName, null, writer.getNamespace, false,
       fields.toList.asJava)
@@ -758,6 +817,73 @@ object Avro {
         }
       case other => throw new IllegalArgumentException(
         s"graft_avro: unsupported Spark type $other")
+    }
+  }
+
+  /** Writer schema from one container file's header — a few-hundred-
+    * byte read, no data blocks touched. */
+  private[io] def headerSchema(path: String): ASchema = {
+    val in = new FsInput(new Path(path), new Configuration())
+    val r = DataFileReader.openReader(in, new GenericDatumReader[GenericRecord]())
+    try r.getSchema finally r.close()
+  }
+
+  /** THE dataset reader schema for a (possibly mixed-generation)
+    * directory — round 15: at lake scale, directories whose files
+    * carry different writer schemas are the norm (a field added with a
+    * default, a field renamed via aliases, a field dropped), and the
+    * previous first-file inference read or refused them by accident of
+    * listing order.
+    *
+    * Election rule, documented and pinned by AvroInteropSpec: collect
+    * the DISTINCT writer schemas (one header read per file — driver-
+    * side, O(files), the same cost class as the listing itself); a
+    * schema qualifies as the dataset reader iff EVERY generation
+    * resolves against it under Avro's own schema-resolution rules
+    * (`SchemaCompatibility` — aliases honored, reader-only fields need
+    * defaults, writer-only fields are skipped, int->long/float->double
+    * promotions allowed). Among qualifiers, the one exposing the MOST
+    * fields wins (no silent column loss when a superset generation can
+    * read all), ties broken by latest listing position (newest
+    * generation). NO qualifier = a genuinely incompatible mix (e.g.
+    * one generation's `x` is an int, another's a string) — that fails
+    * LOUDLY here, at schema time, with the per-generation
+    * incompatibilities, never as silently-dropped rows at read time. */
+  private[io] def datasetReaderSchema(paths: Seq[String]): ASchema = {
+    val files = listFiles(paths)
+    require(files.nonEmpty,
+      s"graft_avro: no .avro files under ${paths.mkString(",")}")
+    // LinkedHashMap keeps first-seen order of each distinct schema;
+    // full JSON as the key (parsing form would strip the defaults and
+    // aliases the election depends on)
+    val distinct = scala.collection.mutable.LinkedHashMap.empty[String, ASchema]
+    files.foreach { case (p, _) =>
+      val s = headerSchema(p)
+      distinct.getOrElseUpdate(s.toString, s)
+      ()
+    }
+    val cands = distinct.values.toIndexedSeq
+    if (cands.size == 1) cands.head
+    else {
+      import org.apache.avro.SchemaCompatibility
+      def compatible(reader: ASchema, writer: ASchema): Boolean =
+        SchemaCompatibility.checkReaderWriterCompatibility(reader, writer)
+          .getType == SchemaCompatibility.SchemaCompatibilityType.COMPATIBLE
+      val readable = cands.zipWithIndex
+        .filter { case (s, _) => cands.forall(w => compatible(s, w)) }
+      require(readable.nonEmpty, {
+        val report = cands.zipWithIndex.map { case (s, i) =>
+          val fails = cands.filterNot(w => compatible(s, w))
+            .map(w => s"cannot read generation with fields " +
+              w.getFields.asScala.map(_.name).mkString("[", ",", "]"))
+          s"  candidate $i (fields ${s.getFields.asScala.map(_.name).mkString(",")}): " +
+            fails.mkString("; ")
+        }.mkString("\n")
+        s"graft_avro: ${cands.size} writer-schema generations under " +
+          s"${paths.mkString(",")} and NO schema can read every " +
+          s"generation — refusing the mixed directory loudly:\n$report"
+      })
+      readable.maxBy { case (s, i) => (s.getFields.size, i) }._1
     }
   }
 

@@ -318,4 +318,118 @@ class AvroInteropSpec extends AnyFunSuite with SparkTestBase {
       }
     }
   }
+
+  // ---- round 15: schema evolution across mixed-generation dirs ----
+
+  private def writeGen(dir: String, fileName: String, schema: ASchema)
+                      (rows: ASchema => Seq[GenericRecord]): Unit = {
+    new File(dir).mkdirs()
+    val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
+    w.create(schema, new File(dir, fileName))
+    try rows(schema).foreach(w.append) finally w.close()
+  }
+
+  test("evolution: a field added WITH a default back-fills older generations (non-null and null defaults)") {
+    val out = "/tmp/graft_test/avro_evo_add"
+    org.apache.commons.io.FileUtils.deleteQuietly(new File(out))
+    val genA = SchemaBuilder.record("row").namespace("ext").fields()
+      .name("k").`type`().longType().noDefault()
+      .name("v").`type`().stringType().noDefault()
+      .endRecord()
+    val genB = SchemaBuilder.record("row").namespace("ext").fields()
+      .name("k").`type`().longType().noDefault()
+      .name("v").`type`().stringType().noDefault()
+      .name("score").`type`().intType().intDefault(7) // added, non-null default
+      .name("note").`type`().unionOf().nullType().and().stringType()
+      .endUnion().nullDefault() // added, null default
+      .endRecord()
+    writeGen(out, "gen-a.avro", genA) { s => Seq(
+      { val r = new GenericData.Record(s); r.put("k", 1L); r.put("v", "old1"); r },
+      { val r = new GenericData.Record(s); r.put("k", 2L); r.put("v", "old2"); r }) }
+    writeGen(out, "gen-b.avro", genB) { s => Seq(
+      { val r = new GenericData.Record(s); r.put("k", 3L); r.put("v", "new3")
+        r.put("score", 30); r.put("note", "n3"); r }) }
+    val df = spark.read.format("graft_avro").load(out)
+    // the elected dataset schema is the SUPERSET generation
+    assert(df.columns.toSeq === Seq("k", "v", "score", "note"))
+    val got = df.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.get(2), r.get(3))).sortBy(_._1).toSeq
+    assert(got === Seq((1L, "old1", 7, null), (2L, "old2", 7, null),
+      (3L, "new3", 30, "n3")),
+      s"older generations must back-fill the declared defaults, got $got")
+    // pruning a default-filled column alone still works per-file
+    assert(df.select("score").collect().map(_.getInt(0)).sorted.toSeq ===
+      Seq(7, 7, 30))
+  }
+
+  test("evolution: a renamed field reads through reader ALIASES across generations") {
+    val out = "/tmp/graft_test/avro_evo_alias"
+    org.apache.commons.io.FileUtils.deleteQuietly(new File(out))
+    val genA = SchemaBuilder.record("row").namespace("ext").fields()
+      .name("k").`type`().longType().noDefault()
+      .name("old_name").`type`().doubleType().noDefault()
+      .endRecord()
+    // gen B renamed old_name -> new_name, declaring the alias
+    val genB = {
+      val f = new ASchema.Field("new_name",
+        ASchema.create(ASchema.Type.DOUBLE), null, null.asInstanceOf[Object])
+      f.addAlias("old_name")
+      val kf = new ASchema.Field("k", ASchema.create(ASchema.Type.LONG),
+        null, null.asInstanceOf[Object])
+      ASchema.createRecord("row", null, "ext", false,
+        java.util.List.of(kf, f))
+    }
+    writeGen(out, "gen-a.avro", genA) { s => Seq(
+      { val r = new GenericData.Record(s); r.put("k", 1L); r.put("old_name", 1.5); r }) }
+    writeGen(out, "gen-b.avro", genB) { s => Seq(
+      { val r = new GenericData.Record(s); r.put("k", 2L); r.put("new_name", 2.5); r }) }
+    val df = spark.read.format("graft_avro").load(out)
+    // the aliased generation is the only one able to read BOTH
+    assert(df.columns.toSeq === Seq("k", "new_name"))
+    val got = df.collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+    assert(got === Seq((1L, 1.5), (2L, 2.5)),
+      s"the old generation's old_name must read as new_name via the alias, got $got")
+  }
+
+  test("evolution: a DROPPED required field elects the surviving generation's schema") {
+    val out = "/tmp/graft_test/avro_evo_drop"
+    org.apache.commons.io.FileUtils.deleteQuietly(new File(out))
+    val genA = SchemaBuilder.record("row").namespace("ext").fields()
+      .name("k").`type`().longType().noDefault()
+      .name("junk").`type`().stringType().noDefault() // no default -> A cannot be read FROM B
+      .endRecord()
+    val genB = SchemaBuilder.record("row").namespace("ext").fields()
+      .name("k").`type`().longType().noDefault()
+      .endRecord()
+    writeGen(out, "gen-a.avro", genA) { s => Seq(
+      { val r = new GenericData.Record(s); r.put("k", 1L); r.put("junk", "x"); r }) }
+    writeGen(out, "gen-b.avro", genB) { s => Seq(
+      { val r = new GenericData.Record(s); r.put("k", 2L); r }) }
+    val df = spark.read.format("graft_avro").load(out)
+    // only gen B can read every generation (reading B with A's schema
+    // would need a junk default); the dropped column disappears and
+    // BOTH generations' rows survive
+    assert(df.columns.toSeq === Seq("k"))
+    assert(df.collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L))
+  }
+
+  test("evolution: an INCOMPATIBLE generation mix fails loudly at schema time with the report") {
+    val out = "/tmp/graft_test/avro_evo_bad"
+    org.apache.commons.io.FileUtils.deleteQuietly(new File(out))
+    val genA = SchemaBuilder.record("row").namespace("ext").fields()
+      .name("x").`type`().intType().noDefault()
+      .endRecord()
+    val genB = SchemaBuilder.record("row").namespace("ext").fields()
+      .name("x").`type`().stringType().noDefault()
+      .endRecord()
+    writeGen(out, "gen-a.avro", genA) { s => Seq(
+      { val r = new GenericData.Record(s); r.put("x", 1); r }) }
+    writeGen(out, "gen-b.avro", genB) { s => Seq(
+      { val r = new GenericData.Record(s); r.put("x", "one"); r }) }
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("graft_avro").load(out).schema
+    }
+    assert(e.getMessage.contains("NO schema can read every") &&
+      e.getMessage.contains("generation"), e.getMessage)
+  }
 }
