@@ -124,7 +124,10 @@ object PgWire {
     case StringType => "text"
     case BinaryType => "bytea"
     case DateType => "date"
-    case TimestampType => "timestamp"
+    // PG `timestamp` IS timestamp-without-time-zone; the session-UTC
+    // pin makes instant-semantic TimestampType write the same micros
+    // text, so both Spark flavors land on the one sane column type
+    case TimestampType | TimestampNTZType => "timestamp"
     case d: DecimalType => s"numeric(${d.precision},${d.scale})"
     case other => throw new IllegalArgumentException(
       s"graft_pg: unsupported Spark type $other")
@@ -338,7 +341,7 @@ object PgWire {
       case DoubleType => row.getDouble(i).toString
       case BooleanType => if (row.getBoolean(i)) "t" else "f"
       case DateType => LocalDate.ofEpochDay(row.getInt(i).toLong).toString
-      case TimestampType => formatTimestampMicros(row.getLong(i))
+      case TimestampType | TimestampNTZType => formatTimestampMicros(row.getLong(i))
       case d: DecimalType =>
         row.getDecimal(i, d.precision, d.scale).toJavaBigDecimal.toPlainString
       case BinaryType =>
