@@ -64,7 +64,12 @@ object Metrics {
   /** Accumulate into a named counter (same scoping rules as
     * [[record]]) — for per-task contributions that sum to a phase
     * total, e.g. each graft_pg partition reader's wall. Atomic via the
-    * TrieMap merge loop, since parallel tasks land here together. */
+    * TrieMap merge loop, since parallel tasks land here together.
+    * LOCAL-MODE observability only when called from task code: this
+    * registry is a plain JVM singleton, so on a real cluster
+    * executor-side adds land in executor JVMs nothing snapshots — the
+    * bench (local[32] by design) sees them; a cluster job should not
+    * rely on them. Driver-side records are unaffected. */
   def add(name: String, value: Long): Unit = {
     val key = scope.value.filter(open.containsKey)
       .map(_ + "." + name).getOrElse(name)

@@ -517,8 +517,40 @@ private[io] object AvroConversions {
         ASchema.createArray(pruneTypeSchema(writer.getElementType, at.elementType))
       case (ASchema.Type.MAP, mt: MapType) =>
         ASchema.createMap(pruneTypeSchema(writer.getValueType, mt.valueType))
+      case _ => promoteLeaf(writer, dt)
+    }
+
+  /** Leaf promotion (round 15, review finding on the evolution work):
+    * when the required Spark type is WIDER than this writer leaf —
+    * a mixed-generation dir whose election promoted {int,long}
+    * to long, or a user-supplied widened external schema — the reader
+    * leaf must carry the PROMOTED physical type so Avro's
+    * ResolvingDecoder performs the int->long / int|long|float->double
+    * / string<->bytes conversion natively; keeping the writer's
+    * narrower leaf hands the converter an unpromoted runtime value
+    * (an Integer in a LongType slot crashes at row access; a
+    * ByteBuffer in a StringType slot would toString into garbage).
+    * Only PHYSICAL widenings remap — a writer whose physical type
+    * already matches the Spark type keeps its own node, logical
+    * annotations included, which is what lets the converter tell a
+    * timestamp-millis writer from a micros one (resolution cannot
+    * convert logical precisions, so swapping such a node would
+    * silently misread millis as micros). Promotions outside Avro's
+    * own resolution lattice pass the writer through unchanged and
+    * fail loudly in the converter, never silently. */
+  private def promoteLeaf(writer: ASchema, dt: DataType): ASchema = {
+    def to(t: ASchema.Type) = ASchema.create(t)
+    (writer.getType, dt) match {
+      case (ASchema.Type.INT, LongType) if writer.getLogicalType == null =>
+        to(ASchema.Type.LONG)
+      case (ASchema.Type.INT | ASchema.Type.LONG, FloatType) => to(ASchema.Type.FLOAT)
+      case (ASchema.Type.INT | ASchema.Type.LONG | ASchema.Type.FLOAT, DoubleType) =>
+        to(ASchema.Type.DOUBLE)
+      case (ASchema.Type.BYTES, StringType) => to(ASchema.Type.STRING)
+      case (ASchema.Type.STRING, BinaryType) => to(ASchema.Type.BYTES)
       case _ => writer
     }
+  }
 
   /** The non-null branch of a (possibly [null, T]-union) field
     * schema. */
@@ -849,10 +881,33 @@ object Avro {
     * one generation's `x` is an int, another's a string) — that fails
     * LOUDLY here, at schema time, with the per-generation
     * incompatibilities, never as silently-dropped rows at read time. */
+  /** Driver-side memo of elected dataset schemas, keyed by the exact
+    * (path, length) listing (round 15 review): inferSchema and EVERY
+    * scan's createReaderFactory need the election, and without a memo
+    * each action on a graft_avro frame would re-read one header per
+    * file — thousands of extra opens per count() on a lake-scale
+    * directory. The listing is the invalidation fingerprint: any
+    * added/removed/appended file changes it and re-elects; a
+    * same-length in-place rewrite (which no committer this engine
+    * ships performs — writes are temp+rename) is the accepted
+    * residue. Bounded: cleared wholesale past 64 entries. */
+  private val electionCache =
+    new java.util.concurrent.ConcurrentHashMap[Seq[(String, Long)], String]()
+
   private[io] def datasetReaderSchema(paths: Seq[String]): ASchema = {
     val files = listFiles(paths)
     require(files.nonEmpty,
       s"graft_avro: no .avro files under ${paths.mkString(",")}")
+    val hit = electionCache.get(files)
+    if (hit != null) return new ASchema.Parser().parse(hit)
+    val elected = electDatasetSchema(paths, files)
+    if (electionCache.size > 64) electionCache.clear()
+    electionCache.put(files, elected.toString)
+    elected
+  }
+
+  private def electDatasetSchema(paths: Seq[String],
+                                 files: Seq[(String, Long)]): ASchema = {
     // LinkedHashMap keeps first-seen order of each distinct schema;
     // full JSON as the key (parsing form would strip the defaults and
     // aliases the election depends on)
@@ -869,21 +924,64 @@ object Avro {
       def compatible(reader: ASchema, writer: ASchema): Boolean =
         SchemaCompatibility.checkReaderWriterCompatibility(reader, writer)
           .getType == SchemaCompatibility.SchemaCompatibilityType.COMPATIBLE
-      val readable = cands.zipWithIndex
-        .filter { case (s, _) => cands.forall(w => compatible(s, w)) }
-      require(readable.nonEmpty, {
-        val report = cands.zipWithIndex.map { case (s, i) =>
-          val fails = cands.filterNot(w => compatible(s, w))
-            .map(w => s"cannot read generation with fields " +
-              w.getFields.asScala.map(_.name).mkString("[", ",", "]"))
-          s"  candidate $i (fields ${s.getFields.asScala.map(_.name).mkString(",")}): " +
-            fails.mkString("; ")
-        }.mkString("\n")
-        s"graft_avro: ${cands.size} writer-schema generations under " +
-          s"${paths.mkString(",")} and NO schema can read every " +
-          s"generation — refusing the mixed directory loudly:\n$report"
-      })
-      readable.maxBy { case (s, i) => (s.getFields.size, i) }._1
+      // MERGE-FIRST (round 15 review: two generations that each add a
+      // defaulted field are MUTUALLY readable, and electing either one
+      // would silently drop the other's column): build the top-level
+      // field UNION — order of first appearance across generations,
+      // each name taking its NEWEST generation's definition (schema,
+      // default, aliases) — and use it iff it reads every generation
+      // under the same compatibility rules. Additive evolutions merge
+      // losslessly; anything the merge cannot read falls back to the
+      // single-schema election below.
+      val merged: Option[ASchema] = {
+        val fieldOrder = scala.collection.mutable.LinkedHashSet.empty[String]
+        val newestDef = scala.collection.mutable.HashMap.empty[String, ASchema.Field]
+        cands.foreach { c =>
+          c.getFields.asScala.foreach { f =>
+            fieldOrder += f.name()
+            newestDef(f.name()) = f // later (newer) generations overwrite
+          }
+        }
+        val last = cands.last
+        val rec = ASchema.createRecord(last.getName, null, last.getNamespace,
+          false, fieldOrder.toList.map { n =>
+            val f = newestDef(n)
+            val nf = new ASchema.Field(f.name(), f.schema(), null, f.defaultVal())
+            f.aliases().asScala.foreach(nf.addAlias)
+            nf
+          }.asJava)
+        if (cands.forall(w => compatible(rec, w))) Some(rec) else None
+      }
+      merged.getOrElse {
+        val readable = cands.zipWithIndex
+          .filter { case (s, _) => cands.forall(w => compatible(s, w)) }
+        require(readable.nonEmpty, {
+          val report = cands.zipWithIndex.map { case (s, i) =>
+            val fails = cands.filterNot(w => compatible(s, w))
+              .map(w => s"cannot read generation with fields " +
+                w.getFields.asScala.map(_.name).mkString("[", ",", "]"))
+            s"  candidate $i (fields ${s.getFields.asScala.map(_.name).mkString(",")}): " +
+              fails.mkString("; ")
+          }.mkString("\n")
+          s"graft_avro: ${cands.size} writer-schema generations under " +
+            s"${paths.mkString(",")} and NO schema can read every " +
+            s"generation — refusing the mixed directory loudly:\n$report"
+        })
+        val winner = readable.maxBy { case (s, i) => (s.getFields.size, i) }._1
+        // NO SILENT CAPS: when the single-schema election drops fields
+        // some generation carries (the merge above could not read
+        // everything), say which — a dropped column must be readable
+        // off the log, never discovered downstream
+        val winnerNames = winner.getFields.asScala.map(_.name).toSet
+        val dropped = cands.flatMap(_.getFields.asScala.map(_.name))
+          .distinct.filterNot(winnerNames)
+        if (dropped.nonEmpty)
+          System.err.println(s"[graft_avro] WARN: mixed-generation election " +
+            s"under ${paths.mkString(",")} drops field(s) " +
+            s"${dropped.mkString(", ")} — only the elected schema's columns " +
+            "are readable; no merged schema could read every generation")
+        winner
+      }
     }
   }
 

@@ -235,6 +235,26 @@ object PgWire {
       case (OidInt8, LongType) => b => i64(b)
       case (OidFloat4, FloatType) => b => java.lang.Float.intBitsToFloat(i32(b, 0))
       case (OidFloat8, DoubleType) => b => java.lang.Double.longBitsToDouble(i64(b))
+      // WIDENING pairs (round 15 review): the text parser accepted any
+      // user-supplied WIDER external schema ("42" parses as long or
+      // double equally well), and binary-as-default must not regress
+      // that — each narrower wire type decodes then upcasts exactly
+      case (OidInt2, LongType) => b => i16(b, 0).toShort.toLong
+      case (OidInt4, LongType) => b => i32(b, 0).toLong
+      case (OidInt2, DoubleType) => b => i16(b, 0).toShort.toDouble
+      case (OidInt4, DoubleType) => b => i32(b, 0).toDouble
+      case (OidInt8, DoubleType) => b => i64(b).toDouble
+      case (OidFloat4, DoubleType) =>
+        b => java.lang.Float.intBitsToFloat(i32(b, 0)).toDouble
+      case (OidInt2, d: DecimalType) => b =>
+        org.apache.spark.sql.types.Decimal(
+          java.math.BigDecimal.valueOf(i16(b, 0).toShort.toLong), d.precision, d.scale)
+      case (OidInt4, d: DecimalType) => b =>
+        org.apache.spark.sql.types.Decimal(
+          java.math.BigDecimal.valueOf(i32(b, 0).toLong), d.precision, d.scale)
+      case (OidInt8, d: DecimalType) => b =>
+        org.apache.spark.sql.types.Decimal(
+          java.math.BigDecimal.valueOf(i64(b)), d.precision, d.scale)
       case (OidText | OidVarchar | OidBpchar, StringType) =>
         b => UTF8String.fromBytes(b)
       case (OidBytea, BinaryType) => b => b
@@ -938,8 +958,9 @@ object Postgres {
   private def pw(conn: PgConn): Option[String] =
     Option(conn.password).filter(_.nonEmpty)
 
-  private def client(conn: PgConn): PgWireClient =
+  private def client(conn: PgConn, socketTimeoutMs: Int = 600000): PgWireClient =
     new PgWireClient(conn.host, conn.port, conn.user, conn.database, pw(conn),
+      socketTimeoutMs = socketTimeoutMs,
       sslMode = conn.sslMode,
       sslRootCert = Option(conn.sslRootCert).filter(_.nonEmpty))
 
@@ -1034,7 +1055,15 @@ object Postgres {
     // (objsubid 1), so a hashtext collision between the table name and
     // a stage name can never deadlock a partition task against the
     // driver's session lock.
-    val c = client(conn)
+    //
+    // INFINITE socket read timeout on this one driver connection
+    // (round 15 review): waiting on a rival run's table lock is the
+    // designed behavior, and a rival staging a lake-scale table can
+    // legitimately hold it longer than the 600 s default — a bounded
+    // timeout would turn "serialize behind the other writer" into a
+    // spurious SocketTimeoutException mid-wait. A dead server still
+    // surfaces through TCP (connection reset / EOF), not a hang.
+    val c = client(conn, socketTimeoutMs = 0)
     try {
       c.exec("SELECT pg_advisory_lock(hashtext('graft_overwrite'), hashtext('" +
         table.replace("'", "''") + "'))")

@@ -188,7 +188,18 @@ object Temporal {
     * the tier at two driver actions total (estimate + the caller's),
     * pinned by DedupSpec's action-count test. Streaming relations
     * cannot checkpoint or estimate; they keep the raw explode and the
-    * session partition pin. */
+    * session partition pin.
+    *
+    * Tradeoff, stated plainly: a local checkpoint's blocks live on
+    * the executors that computed them with lineage TRUNCATED, so an
+    * executor lost between the estimate and the caller's action fails
+    * the job instead of recomputing — the same tradeoff every eager
+    * localCheckpoint in the dedup family already takes, acceptable on
+    * static-allocation clusters (and definitionally on local[*]).
+    * Under aggressive dynamic allocation, prefer re-running the job
+    * over disabling the fusion: the exploded relation is
+    * interval-sized x bounded fan-out, so recomputation is cheap
+    * relative to the join it sizes. */
   private def sizedDayExplode(probes: DataFrame, intervals: DataFrame,
                               probeDate: String, start: String, end: String,
                               targetPairsPerPartition: Long): (DataFrame, Int) = {
@@ -206,10 +217,13 @@ object Temporal {
                                       probeDate: String,
                                       targetPairsPerPartition: Long): Int = {
     val base = probes.sparkSession.sessionState.conf.numShufflePartitions
-    // the estimate is an EAGER action at plan-construction time (two
-    // aggregates + a driver scalar) — impossible on a streaming
-    // relation, where the session pin is the only available answer
-    if (probes.isStreaming || exploded.isStreaming) return base
+    // streaming relations never reach here — [[sizedDayExplode]] is
+    // the single caller and gates them (its estimate is an EAGER
+    // action at plan-construction time, impossible on a stream, and a
+    // stream cannot checkpoint either); the require documents the
+    // contract instead of duplicating the fallback
+    require(!probes.isStreaming && !exploded.isStreaming,
+      "pairExpansionPartitions requires batch relations (sizedDayExplode gates streams)")
     // phase counters (round 13, the jaccard_docord_build_ms pattern):
     // this estimate action is the key's hidden first phase — two
     // day-keyed counts + a days-sized join that also pays the interval

@@ -27,7 +27,7 @@ object PgFormatBench {
       .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
         "l_shipdate", "l_returnflag")
     graft.io.Postgres.overwriteTable(li, conn, "graft_li_fmt")
-    def readOnce(fmt: String): (Double, Long) = {
+    def readOnce(fmt: String): (Double, String) = {
       val t0 = System.nanoTime()
       val n = spark.read.format("graft_pg")
         .option("port", conn.port.toString).option("dbtable", "graft_li_fmt")
@@ -41,10 +41,12 @@ object PgFormatBench {
           "sum(l_quantity + l_extendedprice)", "max(l_shipdate)",
           "max(l_returnflag)").collect()
       require(n.length == 1)
-      ((System.nanoTime() - t0) / 1e9, n(0).getLong(0))
+      // the WHOLE aggregate row is the cross-format check — a decode
+      // bug in any of the four column families must diverge here
+      ((System.nanoTime() - t0) / 1e9, n(0).toSeq.map(String.valueOf).mkString("|"))
     }
     var best = Map("text" -> Double.MaxValue, "binary" -> Double.MaxValue)
-    var check = Set.empty[Long]
+    var check = Set.empty[String]
     for (_ <- 1 to reps; fmt <- Seq("binary", "text")) {
       val (sec, chk) = readOnce(fmt)
       best += fmt -> math.min(best(fmt), sec)

@@ -432,4 +432,60 @@ class AvroInteropSpec extends AnyFunSuite with SparkTestBase {
     assert(e.getMessage.contains("NO schema can read every") &&
       e.getMessage.contains("generation"), e.getMessage)
   }
+
+  test("evolution: numeric promotion across generations decodes natively (int widens to long)") {
+    // the review finding on the round-15 evolution work: the election
+    // permits Avro's int->long promotion, so the reader leaf must
+    // carry the PROMOTED physical type — keeping the writer's int
+    // leaf hands the converter an Integer for a LongType slot and
+    // crashes at row access
+    val out = "/tmp/graft_test/avro_evo_promote"
+    org.apache.commons.io.FileUtils.deleteQuietly(new File(out))
+    val genA = SchemaBuilder.record("row").namespace("ext").fields()
+      .name("k").`type`().longType().noDefault()
+      .name("n").`type`().intType().noDefault()
+      .endRecord()
+    val genB = SchemaBuilder.record("row").namespace("ext").fields()
+      .name("k").`type`().longType().noDefault()
+      .name("n").`type`().longType().noDefault()
+      .endRecord()
+    writeGen(out, "gen-a.avro", genA) { s => Seq(
+      { val r = new GenericData.Record(s); r.put("k", 1L); r.put("n", 41); r }) }
+    writeGen(out, "gen-b.avro", genB) { s => Seq(
+      { val r = new GenericData.Record(s); r.put("k", 2L)
+        r.put("n", 9007199254740993L); r }) } // past double precision
+    val df = spark.read.format("graft_avro").load(out)
+    assert(df.schema("n").dataType === org.apache.spark.sql.types.LongType)
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(got === Seq((1L, 41L), (2L, 9007199254740993L)),
+      s"the int generation must decode PROMOTED to long, got $got")
+  }
+
+  test("evolution: mutually-readable generations MERGE instead of silently dropping a column") {
+    // {k, x default} + {k, y default}: each generation reads the
+    // other, so a single-schema election would pick one and silently
+    // lose the other's column — the merge-first rule keeps both,
+    // default-filling each generation's missing field
+    val out = "/tmp/graft_test/avro_evo_merge"
+    org.apache.commons.io.FileUtils.deleteQuietly(new File(out))
+    val genA = SchemaBuilder.record("row").namespace("ext").fields()
+      .name("k").`type`().longType().noDefault()
+      .name("x").`type`().intType().intDefault(0)
+      .endRecord()
+    val genB = SchemaBuilder.record("row").namespace("ext").fields()
+      .name("k").`type`().longType().noDefault()
+      .name("y").`type`().intType().intDefault(-1)
+      .endRecord()
+    writeGen(out, "gen-a.avro", genA) { s => Seq(
+      { val r = new GenericData.Record(s); r.put("k", 1L); r.put("x", 10); r }) }
+    writeGen(out, "gen-b.avro", genB) { s => Seq(
+      { val r = new GenericData.Record(s); r.put("k", 2L); r.put("y", 20); r }) }
+    val df = spark.read.format("graft_avro").load(out)
+    assert(df.columns.sorted.toSeq === Seq("k", "x", "y"),
+      "both generations' columns must survive the merge")
+    val got = df.collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+      .sortBy(_._1).toSeq
+    assert(got === Seq((1L, 10, -1), (2L, 0, 20)),
+      s"each generation must default-fill the field it lacks, got $got")
+  }
 }

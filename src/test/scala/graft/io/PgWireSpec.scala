@@ -731,6 +731,33 @@ class PgWireSpec extends AnyFunSuite with SparkTestBase {
     assert(neg.getAs[Array[Byte]](11).length === 0)
   }
 
+  test("user-supplied WIDER external schemas decode in binary mode like they parsed in text mode") {
+    // binary-as-default must not regress the text cycle's flexibility
+    // (round 15 review): .schema("k LONG") over an int4 column worked
+    // under text parsing, so the binary decoders carry the same
+    // widening pairs — int2/int4->long, ints/float4->double,
+    // ints->decimal — upcast exactly from the wire representation
+    val c = new PgWireClient(conn.host, conn.port, conn.user, conn.database)
+    try {
+      c.exec("DROP TABLE IF EXISTS graft_widen_bin")
+      c.exec("CREATE TABLE graft_widen_bin (a integer, b smallint, " +
+        "c real, d bigint)")
+      c.exec("INSERT INTO graft_widen_bin VALUES (42, -7, 1.5, 900719925474099)")
+    } finally c.close()
+    val widened = StructType(Seq(
+      StructField("a", LongType), StructField("b", DoubleType),
+      StructField("c", DoubleType), StructField("d", DecimalType(20, 2))))
+    for (fmt <- Seq("binary", "text")) {
+      val r = spark.read.format("graft_pg").schema(widened)
+        .option("port", conn.port.toString).option("dbtable", "graft_widen_bin")
+        .option("readformat", fmt).load().collect()(0)
+      assert(r.getLong(0) === 42L, fmt)
+      assert(r.getDouble(1) === -7.0, fmt)
+      assert(r.getDouble(2) === 1.5, fmt)
+      assert(r.getDecimal(3).toPlainString === "900719925474099.00", fmt)
+    }
+  }
+
   test("timestamp text round-trip is micros-exact across fraction shapes") {
     for (micros <- Seq(0L, 1L, 999999L, 1000000L, 1755172496123456L,
         -1L, -999999L, 86400000000L)) {
