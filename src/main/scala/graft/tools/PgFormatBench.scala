@@ -26,7 +26,19 @@ object PgFormatBench {
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
       .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
         "l_shipdate", "l_returnflag")
-    graft.io.Postgres.overwriteTable(li, conn, "graft_li_fmt")
+    // write-format A/B (interleaved, min-of-reps like the reads)
+    var wbest = Map("text" -> Double.MaxValue, "binary" -> Double.MaxValue)
+    for (_ <- 1 to reps; wfmt <- Seq("binary", "text")) {
+      val w0 = System.nanoTime()
+      graft.io.Postgres.overwriteTable(li, conn, "graft_li_fmt", copyFormat = wfmt)
+      val sec = (System.nanoTime() - w0) / 1e9
+      wbest += wfmt -> math.min(wbest(wfmt), sec)
+      println(f"[pgfmt] write-$wfmt%-6s $sec%.3f s  (" + graft.Metrics.snapshot
+        .filter(_._1.startsWith("pg_write")).map { case (k, v) => s"$k=$v" }
+        .mkString(" ") + ")")
+      graft.Metrics.clear()
+    }
+    println(f"""[pgfmt] write best: binary ${wbest("binary")}%.3f s, text ${wbest("text")}%.3f s, speedup ${wbest("text") / wbest("binary")}%.2f""")
     def readOnce(fmt: String): (Double, String) = {
       val t0 = System.nanoTime()
       val n = spark.read.format("graft_pg")

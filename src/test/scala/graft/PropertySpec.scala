@@ -674,7 +674,11 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
           .map(f => randValue(rnd, f.dataType))))
       val df = spark.createDataFrame(
         spark.sparkContext.parallelize(rows, 2), schema)
-      graft.io.Postgres.overwriteTable(df, conn, "graft_fuzz")
+      // alternate the WRITE format per trial too: binary COPY is the
+      // default but the text path (and its metachar escaping) must
+      // keep fuzz coverage
+      graft.io.Postgres.overwriteTable(df, conn, "graft_fuzz",
+        copyFormat = if (rnd.nextBoolean()) "binary" else "text")
       def canonRows(d: org.apache.spark.sql.DataFrame) = d.collect()
         .map(r => r.toSeq.map(canon).mkString("|")).sorted.toSeq
       val want = canonRows(df)

@@ -43,13 +43,17 @@ class PgWireSpec extends AnyFunSuite with SparkTestBase {
         Timestamp.valueOf("2000-02-29 23:00:00")))
     val df = spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 2), schema)
-    Postgres.overwriteTable(df, conn, "graft_types")
-    val back = Postgres.readTable(spark, conn, "graft_types")
-    assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ===
-      schema.fields.map(f => (f.name, f.dataType)).toSeq)
-    val got = back.collect().map(r => r.toSeq.toList).toSet
     val want = df.collect().map(r => r.toSeq.toList).toSet
-    assert(got === want, s"got $got")
+    // BOTH write formats: binary COPY (the default) and the text path
+    // with its metachar escaping must land identical values
+    for (wfmt <- Seq("binary", "text")) {
+      Postgres.overwriteTable(df, conn, "graft_types", copyFormat = wfmt)
+      val back = Postgres.readTable(spark, conn, "graft_types")
+      assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ===
+        schema.fields.map(f => (f.name, f.dataType)).toSeq)
+      val got = back.collect().map(r => r.toSeq.toList).toSet
+      assert(got === want, s"write=$wfmt got $got")
+    }
   }
 
   test("replace semantics: a second overwrite fully drops the first table (scraper.py to_sql 'replace')") {
