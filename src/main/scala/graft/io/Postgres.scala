@@ -910,23 +910,27 @@ final class PgWireClient(host: String, port: Int, user: String,
     * connection drop or an aborted COPY and rolls the transaction
     * back — same contract as the text path). */
   def copyInBinary(sql: String, body: DataOutputStream => Unit): Unit = {
-    sendQuery(sql)
-    var inCopy = false
-    while (!inCopy) readMessage() match {
-      case ('G', _) => inCopy = true
-      case ('E', b) => val e = pgError(b); drainToReady(); throw e
-      case ('N', _) | ('S', _) => ()
-      case (t, _) => throw new IllegalStateException(
-        s"graft_pg: unexpected message '$t' awaiting CopyInResponse")
-    }
-    val chunk = new ByteArrayOutputStream(1 << 16)
-    def flushChunk(): Unit = if (chunk.size() > 0) {
+    val st = beginCopyBinary(sql)
+    body(st.row)
+    st.finish()
+  }
+
+  /** Push-style handle over one in-flight `COPY ... (FORMAT binary)`:
+    * the DSv2 DataWriter receives rows one at a time, so it needs an
+    * OPEN copy it can feed incrementally rather than the callback form
+    * above. `row` is the chunked stream (header already written);
+    * `finish()` writes the trailer + CopyDone and drains the cycle.
+    * Abandoning the handle without finish() and closing the client
+    * aborts the COPY server-side (the transaction rolls back). */
+  final class CopyBinaryStream private[PgWireClient] () {
+    private val chunk = new ByteArrayOutputStream(1 << 16)
+    private def flushChunk(): Unit = if (chunk.size() > 0) {
       out.writeByte('d')
       out.writeInt(4 + chunk.size())
       chunk.writeTo(out)
       chunk.reset()
     }
-    val co = new DataOutputStream(new java.io.OutputStream {
+    val row: DataOutputStream = new DataOutputStream(new java.io.OutputStream {
       override def write(b: Int): Unit = {
         chunk.write(b)
         if (chunk.size() >= (1 << 16)) flushChunk()
@@ -937,24 +941,39 @@ final class PgWireClient(host: String, port: Int, user: String,
       }
     })
     // signature "PGCOPY\n\377\r\n\0", int32 flags 0, int32 extension 0
-    co.write(Array[Byte]('P', 'G', 'C', 'O', 'P', 'Y', '\n', 0xFF.toByte,
+    row.write(Array[Byte]('P', 'G', 'C', 'O', 'P', 'Y', '\n', 0xFF.toByte,
       '\r', '\n', 0x00))
-    co.writeInt(0)
-    co.writeInt(0)
-    body(co)
-    co.writeShort(-1) // file trailer
-    flushChunk()
-    out.writeByte('c') // CopyDone
-    out.writeInt(4)
-    out.flush()
-    var err: RuntimeException = null
-    var done = false
-    while (!done) readMessage() match {
-      case ('Z', _) => done = true
-      case ('E', b) => err = pgError(b)
-      case _ => ()
+    row.writeInt(0)
+    row.writeInt(0)
+
+    def finish(): Unit = {
+      row.writeShort(-1) // file trailer
+      flushChunk()
+      out.writeByte('c') // CopyDone
+      out.writeInt(4)
+      out.flush()
+      var err: RuntimeException = null
+      var done = false
+      while (!done) readMessage() match {
+        case ('Z', _) => done = true
+        case ('E', b) => err = pgError(b)
+        case _ => ()
+      }
+      if (err != null) throw err
     }
-    if (err != null) throw err
+  }
+
+  def beginCopyBinary(sql: String): CopyBinaryStream = {
+    sendQuery(sql)
+    var inCopy = false
+    while (!inCopy) readMessage() match {
+      case ('G', _) => inCopy = true
+      case ('E', b) => val e = pgError(b); drainToReady(); throw e
+      case ('N', _) | ('S', _) => ()
+      case (t, _) => throw new IllegalStateException(
+        s"graft_pg: unexpected message '$t' awaiting CopyInResponse")
+    }
+    new CopyBinaryStream()
   }
 
   override def close(): Unit = {
@@ -1083,6 +1102,30 @@ object Postgres {
   private def pw(conn: PgConn): Option[String] =
     Option(conn.password).filter(_.nonEmpty)
 
+  /** Bounded, collision-proof stage prefix for one target table (see
+    * the naming rationale in [[overwriteTable]]'s scaladoc). Shared by
+    * the API sink and the DSv2 writer so both runs' sweeps see each
+    * other's orphans. */
+  private[io] def stagePrefixFor(table: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(table.getBytes(UTF_8))
+    "graft_stage_" + md.take(8).map(b => f"$b%02x").mkString + "_"
+  }
+
+  /** Catalog listing of stage tables under `prefix` (hex digest/nonce
+    * means the only LIKE metachars are the underscores, escaped). */
+  private[io] def listStagesOf(c: PgWireClient, prefix: String): Seq[String] = {
+    val r = c.query("SELECT tablename FROM pg_tables WHERE tablename LIKE '" +
+      prefix.replace("_", "\\_") + "%' ESCAPE '\\'")
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var row = r.nextRow()
+    while (row != null) {
+      out += new String(row(0), UTF_8)
+      row = r.nextRow()
+    }
+    out.toSeq
+  }
+
   private def client(conn: PgConn, socketTimeoutMs: Int = 600000): PgWireClient =
     new PgWireClient(conn.host, conn.port, conn.user, conn.database, pw(conn),
       socketTimeoutMs = socketTimeoutMs,
@@ -1138,11 +1181,7 @@ object Postgres {
       .mkString(", ")
     val colList = schema.fields.map(f => quoteIdent(f.name)).mkString(", ")
     val rdd = df.queryExecution.toRdd
-    val tableStagePrefix = {
-      val md = java.security.MessageDigest.getInstance("MD5")
-        .digest(table.getBytes(UTF_8))
-      "graft_stage_" + md.take(8).map(b => f"$b%02x").mkString + "_"
-    }
+    val tableStagePrefix = stagePrefixFor(table)
     // a per-INVOCATION nonce scopes this run's stages (the file
     // committers' job-unique-attempt-ID discipline): a ZOMBIE task
     // from a PREVIOUS overwrite of the same table — hung in a socket
@@ -1153,21 +1192,8 @@ object Postgres {
     val runStagePrefix = tableStagePrefix +
       java.lang.Long.toHexString(
         new java.security.SecureRandom().nextLong() & 0xffffffffL) + "_"
-    // catalog pattern for stages (hex digest/nonce -> the only LIKE
-    // metachars are the underscores, escaped)
-    def stageCatalogSql(prefix: String) =
-      "SELECT tablename FROM pg_tables WHERE tablename LIKE '" +
-        prefix.replace("_", "\\_") + "%' ESCAPE '\\'"
-    def listStages(c: PgWireClient, prefix: String): Seq[String] = {
-      val r = c.query(stageCatalogSql(prefix))
-      val out = scala.collection.mutable.ArrayBuffer.empty[String]
-      var row = r.nextRow()
-      while (row != null) {
-        out += new String(row(0), UTF_8)
-        row = r.nextRow()
-      }
-      out.toSeq
-    }
+    def listStages(c: PgWireClient, prefix: String): Seq[String] =
+      listStagesOf(c, prefix)
     // ONE driver connection holds a per-TABLE session advisory lock
     // from the pre-staging sweep through the publish commit (round 15
     // advisory): without it, two concurrent overwrites of the same
@@ -1459,13 +1485,202 @@ private[io] object PgSourceOptions {
 }
 
 private[io] case class PgTable(tableSchema: StructType, opts: PgSourceOptions)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"graft_pg(${opts.table})"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
   override def newScanBuilder(caseInsensitiveStringMap: CaseInsensitiveStringMap): ScanBuilder =
     new PgScanBuilder(tableSchema, opts)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new PgWriteBuilder(info.schema(), opts)
+}
+
+/** DSv2 WRITE path (round 15): `df.write.format("graft_pg")` with
+  * `mode("append")` / `mode("overwrite")` — the idiomatic Spark write
+  * surface over the same wire machinery as [[Postgres.overwriteTable]].
+  * The staged-commit protocol maps 1:1 onto Spark's own BatchWrite
+  * contract, which makes it STRICTLY tighter than the catalog-listing
+  * form: each DataWriter COPYs its partition into a per-partition
+  * stage table (advisory-xact-lock + drop-and-recreate, so retries
+  * replace and speculative twins serialize — the [[Postgres
+  * .overwriteTable]] discipline) and returns the stage name as its
+  * commit MESSAGE; the driver publishes exactly the message-listed
+  * stages — a stage missing at publish time fails the INSERT/RENAME
+  * loudly, never a silent subset. The per-table advisory session lock
+  * spans factory creation through commit/abort (Spark guarantees one
+  * of the two), so concurrent writes to one table serialize whole. */
+private[io] class PgWriteBuilder(schema: StructType, opts: PgSourceOptions)
+    extends org.apache.spark.sql.connector.write.WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
+    doTruncate = true; this
+  }
+  override def build(): org.apache.spark.sql.connector.write.Write =
+    new org.apache.spark.sql.connector.write.Write {
+      override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
+        new PgBatchWrite(schema, opts, doTruncate)
+    }
+}
+
+private[io] final case class PgStageCommit(stage: String)
+    extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+private[io] class PgBatchWrite(schema: StructType, opts: PgSourceOptions,
+                               truncate: Boolean)
+    extends org.apache.spark.sql.connector.write.BatchWrite {
+  import PgWire._
+
+  private val tableStagePrefix = Postgres.stagePrefixFor(opts.table)
+  private val runStagePrefix = tableStagePrefix +
+    java.lang.Long.toHexString(
+      new java.security.SecureRandom().nextLong() & 0xffffffffL) + "_"
+  private val colsDdl = schema.fields
+    .map(f => s"${quoteIdent(f.name)} ${sparkToPgType(f.dataType)}")
+    .mkString(", ")
+  private val colList = schema.fields.map(f => quoteIdent(f.name)).mkString(", ")
+  // the lock-holding driver connection — opened at factory creation,
+  // closed (releasing the lock) in commit/abort; infinite read timeout
+  // for the same reason as overwriteTable's lock connection
+  @volatile private var lockClient: PgWireClient = _
+
+  override def createBatchWriterFactory(
+      info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DataWriterFactory = {
+    lockClient = new PgWireClient(opts.host, opts.port, opts.user, opts.database,
+      opts.password, socketTimeoutMs = 0, sslMode = opts.sslMode,
+      sslRootCert = opts.sslRootCert)
+    lockClient.exec(
+      "SELECT pg_advisory_lock(hashtext('graft_overwrite'), hashtext('" +
+        opts.table.replace("'", "''") + "'))")
+    // sweep orphans of any crashed prior run, under the lock
+    Postgres.listStagesOf(lockClient, tableStagePrefix)
+      .foreach(s => lockClient.exec(s"DROP TABLE ${quoteIdent(s)}"))
+    PgDataWriterFactory(schema, opts, runStagePrefix, colsDdl, colList)
+  }
+
+  override def commit(
+      messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
+    val pub0 = System.nanoTime()
+    try {
+      val stages = messages.collect {
+        case PgStageCommit(s) if s != null => s
+      }.sorted.toSeq
+      val c = lockClient
+      c.exec("BEGIN")
+      if (truncate) {
+        c.exec(s"DROP TABLE IF EXISTS ${quoteIdent(opts.table)}")
+        stages match {
+          case head +: rest =>
+            c.exec(s"ALTER TABLE ${quoteIdent(head)} RENAME TO " +
+              quoteIdent(opts.table))
+            rest.foreach { s =>
+              c.exec(s"INSERT INTO ${quoteIdent(opts.table)} ($colList) " +
+                s"SELECT $colList FROM ${quoteIdent(s)}")
+              c.exec(s"DROP TABLE ${quoteIdent(s)}")
+            }
+          case _ => c.exec(s"CREATE TABLE ${quoteIdent(opts.table)} ($colsDdl)")
+        }
+      } else {
+        // APPEND: target created on first write, then every stage's
+        // rows land in one transaction — readers see all-or-nothing
+        c.exec(s"CREATE TABLE IF NOT EXISTS ${quoteIdent(opts.table)} ($colsDdl)")
+        stages.foreach { s =>
+          c.exec(s"INSERT INTO ${quoteIdent(opts.table)} ($colList) " +
+            s"SELECT $colList FROM ${quoteIdent(s)}")
+          c.exec(s"DROP TABLE ${quoteIdent(s)}")
+        }
+      }
+      c.exec("COMMIT")
+      graft.Metrics.add("pg_write_publish_ms", (System.nanoTime() - pub0) / 1000000L)
+    } finally releaseLock()
+  }
+
+  override def abort(
+      messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit =
+    try {
+      // drop whatever this run staged (committed or not); the target
+      // is untouched — publish never started
+      Postgres.listStagesOf(lockClient, runStagePrefix)
+        .foreach(s => lockClient.exec(s"DROP TABLE ${quoteIdent(s)}"))
+    } finally releaseLock()
+
+  private def releaseLock(): Unit = {
+    val c = lockClient
+    lockClient = null
+    if (c != null) c.close()
+  }
+}
+
+private[io] case class PgDataWriterFactory(schema: StructType,
+                                           opts: PgSourceOptions,
+                                           runStagePrefix: String,
+                                           colsDdl: String, colList: String)
+    extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new PgDataWriter(schema, opts, s"$runStagePrefix$partitionId",
+      colsDdl, colList)
+}
+
+/** Executor-side writer for one partition: lazily opens its stage
+  * (BEGIN + advisory xact lock + DROP/CREATE + an open binary COPY) on
+  * the first row, so empty partitions stage nothing and commit a null
+  * stage. commit() closes the COPY and the transaction — the atomic
+  * success marker a retried attempt replaces wholesale. */
+private[io] class PgDataWriter(schema: StructType, opts: PgSourceOptions,
+                               stageName: String,
+                               colsDdl: String, colList: String)
+    extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+  import PgWire._
+
+  private val types = schema.fields.map(_.dataType)
+  private val writers = types.map(PgWire.binaryCellWriter)
+  private var client: PgWireClient = _
+  private var copy: PgWireClient#CopyBinaryStream = _
+
+  private def open(): Unit = {
+    client = opts.newClient()
+    val st = quoteIdent(stageName)
+    client.exec("BEGIN")
+    client.exec(s"SELECT pg_advisory_xact_lock(hashtext('$stageName'))")
+    client.exec(s"DROP TABLE IF EXISTS $st")
+    client.exec(s"CREATE TABLE $st ($colsDdl)")
+    copy = client.beginCopyBinary(
+      s"COPY $st ($colList) FROM STDIN (FORMAT binary)")
+  }
+
+  override def write(row: InternalRow): Unit = {
+    if (client == null) open()
+    val o = copy.row
+    o.writeShort(types.length)
+    var i = 0
+    while (i < types.length) {
+      if (row.isNullAt(i)) o.writeInt(-1) else writers(i)(row, i, o)
+      i += 1
+    }
+  }
+
+  override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage =
+    if (client == null) PgStageCommit(null) // empty partition
+    else {
+      copy.finish()
+      client.exec("COMMIT")
+      PgStageCommit(stageName)
+    }
+
+  override def abort(): Unit = close() // dropping the connection rolls back
+
+  override def close(): Unit = {
+    val c = client
+    client = null
+    if (c != null) c.close()
+  }
 }
 
 private[io] class PgScanBuilder(full: StructType, opts: PgSourceOptions)

@@ -208,6 +208,27 @@ object HarnessIO {
       graft.io.Postgres.readTable(s, conn, "graft_agg").orderBy($"o_orderpriority")
     }),
 
+    // The DSv2 WRITE surface (round 15): df.write.format("graft_pg")
+    // with mode overwrite THEN append — the staged-commit protocol
+    // mapped onto Spark's own BatchWrite contract (per-partition stage
+    // tables, message-listed publish, per-table lock across the job).
+    // The overwrite lands a low-priority slice, the append the rest;
+    // the read-back must equal the full aggregate computed from
+    // parquet — proving both modes compose value-exactly.
+    "sink_pg_dsv2" -> ((s, dir) => {
+      import s.implicits._
+      val conn = graft.io.Postgres.ensureLocalServer(s"$stage/pgserver")
+      val agg = Aggregates.countByKey(t(s, dir, "orders"), Seq($"o_orderpriority"), "n")
+      def w(df: org.apache.spark.sql.DataFrame, mode: String) =
+        df.write.format("graft_pg").option("port", conn.port.toString)
+          .option("dbtable", "graft_agg_dsv2").mode(mode).save()
+      w(agg.limit(1), "overwrite")                              // stale
+      w(agg.filter($"o_orderpriority" < "3"), "overwrite")      // replace
+      w(agg.filter(!($"o_orderpriority" < "3")), "append")      // rest
+      graft.io.Postgres.readTable(s, conn, "graft_agg_dsv2")
+        .orderBy($"o_orderpriority")
+    }),
+
     // Partitioned parquet layout: write date-partitioned, read back a
     // single partition — the layout that turns a date-ranged query on
     // a 100 TB table into a directory prune (PlanSpec asserts the
@@ -526,6 +547,8 @@ object HarnessIO {
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
         |FROM customer ORDER BY 1""".stripMargin,
     "sink_pg_replace" ->
+      "SELECT o_orderpriority, count(*) AS n FROM orders GROUP BY 1 ORDER BY 1",
+    "sink_pg_dsv2" ->
       "SELECT o_orderpriority, count(*) AS n FROM orders GROUP BY 1 ORDER BY 1",
     "meta_table_exists" ->
       "SELECT true AS exists_registered, false AS exists_missing",

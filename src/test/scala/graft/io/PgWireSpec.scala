@@ -762,6 +762,72 @@ class PgWireSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("DSv2 write: df.write.format(graft_pg) overwrite/append with staged message-listed publish") {
+    import spark.implicits._
+    def writer(df: org.apache.spark.sql.DataFrame) = df.write.format("graft_pg")
+      .option("port", conn.port.toString).option("dbtable", "graft_dsv2")
+    // overwrite drops and replaces wholesale (the to_sql semantics)
+    writer(Seq((1L, "stale")).toDF("k", "v")).mode("overwrite").save()
+    writer((1L to 100L).map(k => (k, s"v$k")).toDF("k", "v").repartition(8))
+      .mode("overwrite").save()
+    val back = Postgres.readTable(spark, conn, "graft_dsv2")
+    assert(back.count() === 100L)
+    assert(back.filter($"v" === "stale").count() === 0L)
+    // append lands on top, all-or-nothing, same txn
+    writer((101L to 120L).map(k => (k, s"v$k")).toDF("k", "v").repartition(4))
+      .mode("append").save()
+    assert(Postgres.readTable(spark, conn, "graft_dsv2").count() === 120L)
+    // append to a FRESH table creates it
+    val c0 = new PgWireClient(conn.host, conn.port, conn.user, conn.database)
+    try c0.exec("DROP TABLE IF EXISTS graft_dsv2_new") finally c0.close()
+    Seq((7L, "x")).toDF("k", "v").write.format("graft_pg")
+      .option("port", conn.port.toString).option("dbtable", "graft_dsv2_new")
+      .mode("append").save()
+    assert(Postgres.readTable(spark, conn, "graft_dsv2_new").count() === 1L)
+    // mostly-empty partitioning: empty partitions commit null stages
+    writer(spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(9L, "z")), 8),
+      StructType(Seq(StructField("k", LongType), StructField("v", StringType)))))
+      .mode("overwrite").save()
+    assert(Postgres.readTable(spark, conn, "graft_dsv2").collect()
+      .map(_.toString).toSeq === Seq("[9,z]"))
+    // no stage tables survive a publish
+    val c = new PgWireClient(conn.host, conn.port, conn.user, conn.database)
+    try {
+      val r = c.query("SELECT tablename FROM pg_tables " +
+        "WHERE tablename LIKE 'graft\\_stage\\_%' ESCAPE '\\'")
+      assert(r.nextRow() == null, "no staging tables may outlive the DSv2 publish")
+    } finally c.close()
+  }
+
+  test("DSv2 write: a failed job aborts cleanly — old table intact, stages swept, lock released") {
+    import spark.implicits._
+    def writer(df: org.apache.spark.sql.DataFrame) = df.write.format("graft_pg")
+      .option("port", conn.port.toString).option("dbtable", "graft_dsv2_abort")
+    writer(Seq((1L, "keep")).toDF("k", "v")).mode("overwrite").save()
+    val bomb = udf((k: Long) => {
+      if (k == 3L) throw new RuntimeException("boom mid-write")
+      "x"
+    })
+    intercept[Exception] {
+      writer(Seq(2L, 3L).toDF("k").withColumn("v", bomb($"k")))
+        .mode("overwrite").save()
+    }
+    // abort: the previous table untouched, no stages, and the
+    // per-table lock RELEASED (a follow-up write proceeds immediately)
+    assert(Postgres.readTable(spark, conn, "graft_dsv2_abort").collect()
+      .map(_.toString).toSeq === Seq("[1,keep]"))
+    writer(Seq((5L, "after")).toDF("k", "v")).mode("overwrite").save()
+    assert(Postgres.readTable(spark, conn, "graft_dsv2_abort").collect()
+      .map(_.toString).toSeq === Seq("[5,after]"))
+    val c = new PgWireClient(conn.host, conn.port, conn.user, conn.database)
+    try {
+      val r = c.query("SELECT tablename FROM pg_tables " +
+        "WHERE tablename LIKE 'graft\\_stage\\_%' ESCAPE '\\'")
+      assert(r.nextRow() == null, "aborted stages must be swept")
+    } finally c.close()
+  }
+
   test("timestamp text round-trip is micros-exact across fraction shapes") {
     for (micros <- Seq(0L, 1L, 999999L, 1000000L, 1755172496123456L,
         -1L, -999999L, 86400000000L)) {
