@@ -1491,13 +1491,13 @@ private[io] case class PgTable(tableSchema: StructType, opts: PgSourceOptions)
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE)
   override def newScanBuilder(caseInsensitiveStringMap: CaseInsensitiveStringMap): ScanBuilder =
     new PgScanBuilder(tableSchema, opts)
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
-    new PgWriteBuilder(info.schema(), opts)
+    new PgWriteBuilder(info.schema(), opts, info.queryId())
 }
 
 /** DSv2 WRITE path (round 15): `df.write.format("graft_pg")` with
@@ -1514,7 +1514,8 @@ private[io] case class PgTable(tableSchema: StructType, opts: PgSourceOptions)
   * loudly, never a silent subset. The per-table advisory session lock
   * spans factory creation through commit/abort (Spark guarantees one
   * of the two), so concurrent writes to one table serialize whole. */
-private[io] class PgWriteBuilder(schema: StructType, opts: PgSourceOptions)
+private[io] class PgWriteBuilder(schema: StructType, opts: PgSourceOptions,
+                                 queryId: String)
     extends org.apache.spark.sql.connector.write.WriteBuilder
     with org.apache.spark.sql.connector.write.SupportsTruncate {
   private var doTruncate = false
@@ -1525,6 +1526,9 @@ private[io] class PgWriteBuilder(schema: StructType, opts: PgSourceOptions)
     new org.apache.spark.sql.connector.write.Write {
       override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
         new PgBatchWrite(schema, opts, doTruncate)
+      override def toStreaming
+          : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+        new PgStreamingWrite(schema, opts, doTruncate, queryId)
     }
 }
 
@@ -1615,6 +1619,121 @@ private[io] class PgBatchWrite(schema: StructType, opts: PgSourceOptions,
     lockClient = null
     if (c != null) c.close()
   }
+}
+
+/** STREAMING write (round 15): `df.writeStream.format("graft_pg")` —
+  * per-epoch EXACTLY-ONCE appends over the same staged machinery. Each
+  * epoch's writers stage under a DETERMINISTIC epoch-derived prefix
+  * (a replayed epoch's attempts REPLACE the same stages instead of
+  * duplicating), and the driver-side commit is gated by a single-row
+  * HIGH-WATER-MARK ledger (`graft_epochs_<digest>` — outside the
+  * sweeps' stage prefix) updated in the publish transaction: epochs
+  * commit in order, so a recovery-replayed epoch at or below the mark
+  * drops its stages and publishes NOTHING — rows land exactly once no
+  * matter how many times Spark replays the epoch. `truncate` (complete
+  * output mode) replaces the target per epoch through the same gate.
+  * The per-table advisory lock is taken per-COMMIT (not for the
+  * stream's lifetime), so a concurrent batch job serializes against
+  * each epoch, not against the whole query. */
+private[io] class PgStreamingWrite(schema: StructType, opts: PgSourceOptions,
+                                   truncate: Boolean, queryId: String)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  import PgWire._
+
+  private val tableStagePrefix = Postgres.stagePrefixFor(opts.table)
+  private val ledger = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(opts.table.getBytes(UTF_8))
+    "graft_epochs_" + md.take(8).map(b => f"$b%02x").mkString
+  }
+  private val colsDdl = schema.fields
+    .map(f => s"${quoteIdent(f.name)} ${sparkToPgType(f.dataType)}")
+    .mkString(", ")
+  private val colList = schema.fields.map(f => quoteIdent(f.name)).mkString(", ")
+  private def epochPrefix(epochId: Long): String =
+    tableStagePrefix + "e" + java.lang.Long.toHexString(epochId) + "_"
+
+  override def createStreamingWriterFactory(
+      info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
+    PgStreamingWriterFactory(schema, opts, tableStagePrefix, colsDdl, colList)
+
+  override def commit(epochId: Long,
+      messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
+    val stages = messages.collect {
+      case PgStageCommit(s) if s != null => s
+    }.sorted.toSeq
+    val c = new PgWireClient(opts.host, opts.port, opts.user, opts.database,
+      opts.password, socketTimeoutMs = 0, sslMode = opts.sslMode,
+      sslRootCert = opts.sslRootCert)
+    try {
+      c.exec("SELECT pg_advisory_lock(hashtext('graft_overwrite'), hashtext('" +
+        opts.table.replace("'", "''") + "'))")
+      c.exec("BEGIN")
+      // the mark is scoped by the STABLE streaming query id (persisted
+      // in the checkpoint metadata, unchanged across restarts): a
+      // restarted query's replayed epoch is suppressed, while a FRESH
+      // query (new checkpoint, epochs restarting at 0) over the same
+      // table starts its own mark instead of inheriting a stale one
+      c.exec(s"CREATE TABLE IF NOT EXISTS ${quoteIdent(ledger)} " +
+        "(query_id text, last_epoch bigint)")
+      val qLit = "'" + queryId.replace("'", "''") + "'"
+      val r = c.query(s"SELECT max(last_epoch) FROM ${quoteIdent(ledger)} " +
+        s"WHERE query_id = $qLit")
+      val row = r.nextRow()
+      val mark: Option[Long] =
+        if (row == null || row(0) == null) None
+        else Some(new String(row(0), UTF_8).toLong)
+      while (r.nextRow() != null) ()
+      if (mark.exists(_ >= epochId)) {
+        // replayed epoch: its rows are already in the target — drop
+        // the re-staged copies and publish nothing (exactly-once)
+        stages.foreach(s => c.exec(s"DROP TABLE IF EXISTS ${quoteIdent(s)}"))
+      } else {
+        if (truncate) c.exec(s"DROP TABLE IF EXISTS ${quoteIdent(opts.table)}")
+        if (truncate && stages.nonEmpty) {
+          c.exec(s"ALTER TABLE ${quoteIdent(stages.head)} RENAME TO " +
+            quoteIdent(opts.table))
+          stages.tail.foreach { s =>
+            c.exec(s"INSERT INTO ${quoteIdent(opts.table)} ($colList) " +
+              s"SELECT $colList FROM ${quoteIdent(s)}")
+            c.exec(s"DROP TABLE ${quoteIdent(s)}")
+          }
+        } else {
+          c.exec(s"CREATE TABLE IF NOT EXISTS ${quoteIdent(opts.table)} ($colsDdl)")
+          stages.foreach { s =>
+            c.exec(s"INSERT INTO ${quoteIdent(opts.table)} ($colList) " +
+              s"SELECT $colList FROM ${quoteIdent(s)}")
+            c.exec(s"DROP TABLE ${quoteIdent(s)}")
+          }
+        }
+        c.exec(s"DELETE FROM ${quoteIdent(ledger)} WHERE query_id = $qLit")
+        c.exec(s"INSERT INTO ${quoteIdent(ledger)} VALUES ($qLit, $epochId)")
+      }
+      c.exec("COMMIT")
+    } finally c.close()
+  }
+
+  override def abort(epochId: Long,
+      messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
+    val c = new PgWireClient(opts.host, opts.port, opts.user, opts.database,
+      opts.password, sslMode = opts.sslMode, sslRootCert = opts.sslRootCert)
+    try Postgres.listStagesOf(c, epochPrefix(epochId))
+      .foreach(s => c.exec(s"DROP TABLE ${quoteIdent(s)}"))
+    finally c.close()
+  }
+}
+
+private[io] case class PgStreamingWriterFactory(schema: StructType,
+                                                opts: PgSourceOptions,
+                                                tableStagePrefix: String,
+                                                colsDdl: String, colList: String)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new PgDataWriter(schema, opts,
+      tableStagePrefix + "e" + java.lang.Long.toHexString(epochId) + "_" + partitionId,
+      colsDdl, colList)
 }
 
 private[io] case class PgDataWriterFactory(schema: StructType,

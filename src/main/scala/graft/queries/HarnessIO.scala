@@ -229,6 +229,39 @@ object HarnessIO {
         .orderBy($"o_orderpriority")
     }),
 
+    // The STREAMING PG sink (round 15): orders stream through
+    // writeStream.format("graft_pg") into a live table — per-epoch
+    // exactly-once appends via the query-scoped high-water-mark
+    // ledger (PgStreamingWrite) — and the read-back aggregate must
+    // equal the parquet-side oracle. Target + checkpoint reset per
+    // invocation so bench reruns append exactly once each.
+    "stream_pg_sink" -> ((s, dir) => {
+      import s.implicits._
+      val conn = graft.io.Postgres.ensureLocalServer(s"$stage/pgserver")
+      val ck = s"$stage/pg_stream_ck_${System.nanoTime()}"
+      val admin = new graft.io.PgWireClient(conn.host, conn.port, conn.user,
+        conn.database)
+      try admin.exec("DROP TABLE IF EXISTS graft_stream_orders")
+      finally admin.close()
+      val orders = t(s, dir, "orders")
+        .select($"o_orderkey", $"o_orderpriority")
+      val stream = s.readStream.schema(orders.schema)
+        .option("pathGlobFilter", "orders.parquet").parquet(dir)
+        .select($"o_orderkey", $"o_orderpriority")
+      val q = stream.writeStream.format("graft_pg")
+        .option("port", conn.port.toString)
+        .option("dbtable", "graft_stream_orders")
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      Aggregates.countByKey(
+        graft.io.Postgres.readTable(s, conn, "graft_stream_orders"),
+        Seq($"o_orderpriority"), "n")
+        .orderBy($"o_orderpriority")
+    }),
+
     // Partitioned parquet layout: write date-partitioned, read back a
     // single partition — the layout that turns a date-ranged query on
     // a 100 TB table into a directory prune (PlanSpec asserts the
@@ -549,6 +582,8 @@ object HarnessIO {
     "sink_pg_replace" ->
       "SELECT o_orderpriority, count(*) AS n FROM orders GROUP BY 1 ORDER BY 1",
     "sink_pg_dsv2" ->
+      "SELECT o_orderpriority, count(*) AS n FROM orders GROUP BY 1 ORDER BY 1",
+    "stream_pg_sink" ->
       "SELECT o_orderpriority, count(*) AS n FROM orders GROUP BY 1 ORDER BY 1",
     "meta_table_exists" ->
       "SELECT true AS exists_registered, false AS exists_missing",

@@ -828,6 +828,83 @@ class PgWireSpec extends AnyFunSuite with SparkTestBase {
     } finally c.close()
   }
 
+  test("streaming write: per-epoch appends land EXACTLY ONCE; a replayed epoch publishes nothing") {
+    import spark.implicits._
+    // clean slate: target + the digest-named epoch ledger
+    val admin = new PgWireClient(conn.host, conn.port, conn.user, conn.database)
+    try {
+      admin.exec("DROP TABLE IF EXISTS graft_stream_sink")
+      val r = admin.query("SELECT tablename FROM pg_tables " +
+        "WHERE tablename LIKE 'graft\\_epochs\\_%' ESCAPE '\\'")
+      val ledgers = Iterator.continually(r.nextRow()).takeWhile(_ != null)
+        .map(row => new String(row(0), "UTF-8")).toList
+      ledgers.foreach(l => admin.exec(s"DROP TABLE ${PgWire.quoteIdent(l)}"))
+    } finally admin.close()
+    val ck = "/tmp/graft_test/pg_stream_ck"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ck))
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)](spark)
+    val q = ms.toDF().toDF("k", "v").writeStream.format("graft_pg")
+      .option("port", conn.port.toString).option("dbtable", "graft_stream_sink")
+      .option("checkpointLocation", ck)
+      .outputMode("append").start()
+    try {
+      ms.addData((1L, "a"), (2L, "b"))
+      q.processAllAvailable()
+      ms.addData((3L, "c"))
+      q.processAllAvailable()
+      // empty micro-batches must not disturb the table either
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = Postgres.readTable(spark, conn, "graft_stream_sink").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(got === Seq((1L, "a"), (2L, "b"), (3L, "c")),
+      s"each epoch's rows must land exactly once, got $got")
+    // REPLAY the high-water mark directly: a commit at an epoch at or
+    // below the mark must drop its staged rows and publish NOTHING —
+    // the failure-recovery path Spark takes after a crash between
+    // commit and checkpoint advance
+    val opts = PgSourceOptions(host = conn.host, port = conn.port,
+      database = conn.database, user = conn.user, password = None,
+      sslMode = "disable", sslRootCert = None, table = "graft_stream_sink",
+      partition = None)
+    val sw = new PgStreamingWrite(
+      StructType(Seq(StructField("k", LongType), StructField("v", StringType))),
+      opts, truncate = false, queryId = q.id.toString)
+    val stageName = Postgres.stagePrefixFor("graft_stream_sink") + "e1_99"
+    val a2 = new PgWireClient(conn.host, conn.port, conn.user, conn.database)
+    try {
+      a2.exec(s"DROP TABLE IF EXISTS $stageName")
+      a2.exec(s"CREATE TABLE $stageName (k bigint, v text)")
+      a2.exec(s"INSERT INTO $stageName VALUES (999, 'dup')")
+    } finally a2.close()
+    sw.commit(1L, Array(PgStageCommit(stageName))) // epoch 1 <= mark -> no-op
+    val after = Postgres.readTable(spark, conn, "graft_stream_sink").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(after === got, "a replayed epoch must publish nothing")
+    // ...and the replayed epoch's stage was dropped, not leaked
+    val a3 = new PgWireClient(conn.host, conn.port, conn.user, conn.database)
+    try {
+      val r = a3.query("SELECT tablename FROM pg_tables " +
+        "WHERE tablename LIKE 'graft\\_stage\\_%' ESCAPE '\\'")
+      assert(r.nextRow() == null, "replayed-epoch stages must be dropped")
+    } finally a3.close()
+    // a FRESH query id over the same table is NOT suppressed by the
+    // old mark: its epoch 0 publishes
+    val sw2 = new PgStreamingWrite(
+      StructType(Seq(StructField("k", LongType), StructField("v", StringType))),
+      opts, truncate = false, queryId = "fresh-query-id")
+    val stage2 = Postgres.stagePrefixFor("graft_stream_sink") + "e0_0"
+    val a4 = new PgWireClient(conn.host, conn.port, conn.user, conn.database)
+    try {
+      a4.exec(s"CREATE TABLE $stage2 (k bigint, v text)")
+      a4.exec(s"INSERT INTO $stage2 VALUES (4, 'd')")
+    } finally a4.close()
+    sw2.commit(0L, Array(PgStageCommit(stage2)))
+    assert(Postgres.readTable(spark, conn, "graft_stream_sink").count() === 4L,
+      "a fresh query's epoch 0 must publish despite the old query's mark")
+  }
+
   test("timestamp text round-trip is micros-exact across fraction shapes") {
     for (micros <- Seq(0L, 1L, 999999L, 1000000L, 1755172496123456L,
         -1L, -999999L, 86400000000L)) {
