@@ -1709,6 +1709,17 @@ private[io] class PgStreamingWrite(schema: StructType, opts: PgSourceOptions,
         }
         c.exec(s"DELETE FROM ${quoteIdent(ledger)} WHERE query_id = $qLit")
         c.exec(s"INSERT INTO ${quoteIdent(ledger)} VALUES ($qLit, $epochId)")
+        // sweep orphaned stages of EARLIER epochs (a crashed attempt
+        // whose epoch never re-ran — without this, a long-running
+        // stream that hit one task crash would leak its stage until
+        // the next BATCH overwrite's table-wide sweep). Same-epoch
+        // stages are this commit's own and were just consumed.
+        Postgres.listStagesOf(c, tableStagePrefix + "e").foreach { s =>
+          val hex = s.stripPrefix(tableStagePrefix + "e").takeWhile(_ != '_')
+          val stale = try java.lang.Long.parseLong(hex, 16) < epochId
+            catch { case _: NumberFormatException => false }
+          if (stale) c.exec(s"DROP TABLE IF EXISTS ${quoteIdent(s)}")
+        }
       }
       c.exec("COMMIT")
     } finally c.close()
