@@ -1102,14 +1102,112 @@ object Postgres {
   private def pw(conn: PgConn): Option[String] =
     Option(conn.password).filter(_.nonEmpty)
 
+  /** 16-hex-char MD5 digest of a name — THE identity every bounded
+    * server-side object name derives from (stage prefixes, the epoch
+    * ledger), shared so the schemes cannot silently diverge. */
+  private[io] def tableDigest(name: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(name.getBytes(UTF_8))
+      .take(8).map(b => f"$b%02x").mkString
+
   /** Bounded, collision-proof stage prefix for one target table (see
     * the naming rationale in [[overwriteTable]]'s scaladoc). Shared by
     * the API sink and the DSv2 writer so both runs' sweeps see each
     * other's orphans. */
-  private[io] def stagePrefixFor(table: String): String = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-      .digest(table.getBytes(UTF_8))
-    "graft_stage_" + md.take(8).map(b => f"$b%02x").mkString + "_"
+  private[io] def stagePrefixFor(table: String): String =
+    "graft_stage_" + tableDigest(table) + "_"
+
+  /** The streaming epoch ledger's table name (OUTSIDE the stage prefix
+    * so sweeps never drop it). */
+  private[io] def epochLedgerFor(table: String): String =
+    "graft_epochs_" + tableDigest(table)
+
+  /** 8-hex-char scope of one streaming query id — embedded in that
+    * query's stage names so two streams on one table cannot clobber
+    * each other's stages (and each sweeps only its own lineage). */
+  private[io] def queryScope(queryId: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(queryId.getBytes(UTF_8))
+      .take(4).map(b => f"$b%02x").mkString
+
+  /** THE stage-publish transaction body, shared by the API sink, the
+    * DSv2 batch commit, and the streaming epoch commit (one
+    * definition — the rename-first fast path and the empty-input shape
+    * must never drift between them). Caller brackets with
+    * BEGIN/COMMIT. `truncate`: drop-and-replace (the first stage
+    * RENAMES into the target — O(1) catalog work — and only the rest
+    * pay the server-side row copy); else transactional append with
+    * create-on-first-write. */
+  private[io] def publishStages(c: PgWireClient, table: String,
+                                stages: Seq[String], colsDdl: String,
+                                colList: String, truncate: Boolean): Unit = {
+    def insertDrop(s: String): Unit = {
+      c.exec(s"INSERT INTO ${quoteIdent(table)} ($colList) " +
+        s"SELECT $colList FROM ${quoteIdent(s)}")
+      c.exec(s"DROP TABLE ${quoteIdent(s)}")
+    }
+    if (truncate) {
+      c.exec(s"DROP TABLE IF EXISTS ${quoteIdent(table)}")
+      stages match {
+        case head +: rest =>
+          c.exec(s"ALTER TABLE ${quoteIdent(head)} RENAME TO ${quoteIdent(table)}")
+          rest.foreach(insertDrop)
+        case _ => // empty input: the target must still exist, empty
+          c.exec(s"CREATE TABLE ${quoteIdent(table)} ($colsDdl)")
+      }
+    } else {
+      c.exec(s"CREATE TABLE IF NOT EXISTS ${quoteIdent(table)} ($colsDdl)")
+      stages.foreach(insertDrop)
+    }
+  }
+
+  /** Orphan-stage sweep for one table, STREAM-AWARE (round-15 review:
+    * a blind table-wide sweep under the batch lock would drop a
+    * concurrently-running streaming query's live epoch stages — the
+    * streaming side stages WITHOUT the table lock by design, taking it
+    * only per-epoch-commit). Batch-nonce stages always drop (their
+    * runs hold the lock end-to-end, so any present here are orphans).
+    * Streaming-scoped stages (`q<scope>e<hexEpoch>_<pid>`) drop only
+    * when the epoch ledger proves their epoch already PUBLISHED for
+    * that query scope (a replayed commit skips publishing, so the
+    * stage is dead weight either way); an epoch above the mark may be
+    * in flight and is left alone. The residue: a stream that died
+    * permanently mid-epoch leaks that epoch's stages until manual
+    * cleanup — loud in the catalog, never silent data. */
+  private[io] def sweepStages(c: PgWireClient, table: String): Unit = {
+    val prefix = stagePrefixFor(table)
+    val ledger = epochLedgerFor(table)
+    lazy val marks: Map[String, Long] = {
+      val exists = {
+        val r = c.query("SELECT 1 FROM pg_tables WHERE tablename = '" +
+          ledger + "'")
+        val row = r.nextRow()
+        while (r.nextRow() != null) ()
+        row != null
+      }
+      if (!exists) Map.empty
+      else {
+        val r = c.query(s"SELECT query_id, max(last_epoch) FROM " +
+          s"${quoteIdent(ledger)} GROUP BY query_id")
+        val out = scala.collection.mutable.HashMap.empty[String, Long]
+        var row = r.nextRow()
+        while (row != null) {
+          out(queryScope(new String(row(0), UTF_8))) =
+            new String(row(1), UTF_8).toLong
+          row = r.nextRow()
+        }
+        out.toMap
+      }
+    }
+    listStagesOf(c, prefix).foreach { s =>
+      val rest = s.stripPrefix(prefix)
+      if (rest.startsWith("q") && rest.length > 10 && rest.charAt(9) == 'e') {
+        val scope = rest.substring(1, 9)
+        val epoch = try Some(java.lang.Long.parseLong(
+          rest.substring(10).takeWhile(_ != '_'), 16))
+          catch { case _: NumberFormatException => None }
+        if (epoch.exists(e => marks.get(scope).exists(_ >= e)))
+          c.exec(s"DROP TABLE ${quoteIdent(s)}")
+      } else c.exec(s"DROP TABLE ${quoteIdent(s)}")
+    }
   }
 
   /** Catalog listing of stage tables under `prefix` (hex digest/nonce
@@ -1192,8 +1290,6 @@ object Postgres {
     val runStagePrefix = tableStagePrefix +
       java.lang.Long.toHexString(
         new java.security.SecureRandom().nextLong() & 0xffffffffL) + "_"
-    def listStages(c: PgWireClient, prefix: String): Seq[String] =
-      listStagesOf(c, prefix)
     // ONE driver connection holds a per-TABLE session advisory lock
     // from the pre-staging sweep through the publish commit (round 15
     // advisory): without it, two concurrent overwrites of the same
@@ -1223,8 +1319,8 @@ object Postgres {
         table.replace("'", "''") + "'))")
       // sweep orphaned stages of this TABLE from any previous crashed
       // or zombie-outlived run, whatever its partition count or nonce
-      listStages(c, tableStagePrefix)
-        .foreach(s => c.exec(s"DROP TABLE ${quoteIdent(s)}"))
+      // (stream-aware: a live streaming epoch's stages are spared)
+      sweepStages(c, table)
       val types = schema.fields.map(_.dataType)
       val (h, p, db, u, pwd) = (conn.host, conn.port, conn.database, conn.user, pw(conn))
       val (sslM, sslC) = (conn.sslMode, Option(conn.sslRootCert).filter(_.nonEmpty))
@@ -1297,32 +1393,20 @@ object Postgres {
       val pub0 = System.nanoTime()
       // THIS run's stages only (the nonce excludes zombie commits
       // from prior runs)
-      val stages = listStages(c, runStagePrefix).sorted
+      val stages = listStagesOf(c, runStagePrefix).sorted
       require(stages.size.toLong == stagedCount.value,
         s"graft_pg: publish expected ${stagedCount.value} committed stage " +
           s"tables for '$table' but the catalog lists ${stages.size} — " +
           "refusing to publish a partial target")
       c.exec("BEGIN")
-      c.exec(s"DROP TABLE IF EXISTS ${quoteIdent(table)}")
       // RENAME-FIRST publish (round 15, measured: the INSERT pass was
-      // ~20% of a 600k-row overwrite): the first stage — identical
-      // DDL by construction — RENAMES into the target (O(1) catalog
-      // work) and only the remaining stages pay the server-side row
-      // copy. A single-partition write (the recommended shape for
-      // modest tables: coalesce(1) against max_connections anyway)
-      // publishes with ZERO row copies. All inside the one
-      // transaction; a failure still rolls back to the old table.
-      stages match {
-        case head +: rest =>
-          c.exec(s"ALTER TABLE ${quoteIdent(head)} RENAME TO ${quoteIdent(table)}")
-          rest.foreach { s =>
-            c.exec(s"INSERT INTO ${quoteIdent(table)} ($colList) " +
-              s"SELECT $colList FROM ${quoteIdent(s)}")
-            c.exec(s"DROP TABLE ${quoteIdent(s)}")
-          }
-        case _ => // empty input: the target must still exist, empty
-          c.exec(s"CREATE TABLE ${quoteIdent(table)} ($colsDdl)")
-      }
+      // ~20% of a 600k-row overwrite; the shared [[publishStages]]
+      // renames the first stage — O(1) catalog work — so a
+      // single-partition write, the recommended coalesce(1) shape for
+      // modest tables, publishes with ZERO server-side row copies).
+      // All inside one transaction; failure rolls back to the old
+      // table.
+      publishStages(c, table, stages, colsDdl, colList, truncate = true)
       c.exec("COMMIT")
       graft.Metrics.add("pg_write_publish_ms", (System.nanoTime() - pub0) / 1000000L)
     } finally c.close()
@@ -1563,8 +1647,8 @@ private[io] class PgBatchWrite(schema: StructType, opts: PgSourceOptions,
       "SELECT pg_advisory_lock(hashtext('graft_overwrite'), hashtext('" +
         opts.table.replace("'", "''") + "'))")
     // sweep orphans of any crashed prior run, under the lock
-    Postgres.listStagesOf(lockClient, tableStagePrefix)
-      .foreach(s => lockClient.exec(s"DROP TABLE ${quoteIdent(s)}"))
+    // (stream-aware: a live streaming epoch's stages are spared)
+    Postgres.sweepStages(lockClient, opts.table)
     PgDataWriterFactory(schema, opts, runStagePrefix, colsDdl, colList)
   }
 
@@ -1577,42 +1661,31 @@ private[io] class PgBatchWrite(schema: StructType, opts: PgSourceOptions,
       }.sorted.toSeq
       val c = lockClient
       c.exec("BEGIN")
-      if (truncate) {
-        c.exec(s"DROP TABLE IF EXISTS ${quoteIdent(opts.table)}")
-        stages match {
-          case head +: rest =>
-            c.exec(s"ALTER TABLE ${quoteIdent(head)} RENAME TO " +
-              quoteIdent(opts.table))
-            rest.foreach { s =>
-              c.exec(s"INSERT INTO ${quoteIdent(opts.table)} ($colList) " +
-                s"SELECT $colList FROM ${quoteIdent(s)}")
-              c.exec(s"DROP TABLE ${quoteIdent(s)}")
-            }
-          case _ => c.exec(s"CREATE TABLE ${quoteIdent(opts.table)} ($colsDdl)")
-        }
-      } else {
-        // APPEND: target created on first write, then every stage's
-        // rows land in one transaction — readers see all-or-nothing
-        c.exec(s"CREATE TABLE IF NOT EXISTS ${quoteIdent(opts.table)} ($colsDdl)")
-        stages.foreach { s =>
-          c.exec(s"INSERT INTO ${quoteIdent(opts.table)} ($colList) " +
-            s"SELECT $colList FROM ${quoteIdent(s)}")
-          c.exec(s"DROP TABLE ${quoteIdent(s)}")
-        }
-      }
+      // truncate = drop-and-replace with the rename-first fast path;
+      // append = transactional create-on-first-write + INSERT — one
+      // shared definition ([[Postgres.publishStages]])
+      Postgres.publishStages(c, opts.table, stages, colsDdl, colList, truncate)
       c.exec("COMMIT")
       graft.Metrics.add("pg_write_publish_ms", (System.nanoTime() - pub0) / 1000000L)
     } finally releaseLock()
   }
 
   override def abort(
-      messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit =
-    try {
-      // drop whatever this run staged (committed or not); the target
-      // is untouched — publish never started
-      Postgres.listStagesOf(lockClient, runStagePrefix)
-        .foreach(s => lockClient.exec(s"DROP TABLE ${quoteIdent(s)}"))
-    } finally releaseLock()
+      messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
+    // abort may arrive with no live lock connection (a commit that
+    // failed mid-publish released it in its finally; a factory whose
+    // connect threw never set it) — the sweep must still run, and the
+    // run-nonce-scoped stages are this run's own, safe to drop
+    // lock-free
+    val c =
+      if (lockClient != null) lockClient
+      else new PgWireClient(opts.host, opts.port, opts.user, opts.database,
+        opts.password, sslMode = opts.sslMode, sslRootCert = opts.sslRootCert)
+    lockClient = null
+    try Postgres.listStagesOf(c, runStagePrefix)
+      .foreach(s => c.exec(s"DROP TABLE ${quoteIdent(s)}"))
+    finally c.close()
+  }
 
   private def releaseLock(): Unit = {
     val c = lockClient
@@ -1641,22 +1714,25 @@ private[io] class PgStreamingWrite(schema: StructType, opts: PgSourceOptions,
   import PgWire._
 
   private val tableStagePrefix = Postgres.stagePrefixFor(opts.table)
-  private val ledger = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-      .digest(opts.table.getBytes(UTF_8))
-    "graft_epochs_" + md.take(8).map(b => f"$b%02x").mkString
-  }
+  private val ledger = Postgres.epochLedgerFor(opts.table)
+  // stages are scoped by the QUERY as well as the epoch (round-15
+  // review): without the scope, two streams on one table would write
+  // identical stage names at equal epochs (last-writer-wins data
+  // swaps) and each one's stale-epoch sweep would drop the other's
+  // in-flight stages
+  private val queryPrefix = tableStagePrefix + "q" +
+    Postgres.queryScope(queryId) + "e"
   private val colsDdl = schema.fields
     .map(f => s"${quoteIdent(f.name)} ${sparkToPgType(f.dataType)}")
     .mkString(", ")
   private val colList = schema.fields.map(f => quoteIdent(f.name)).mkString(", ")
   private def epochPrefix(epochId: Long): String =
-    tableStagePrefix + "e" + java.lang.Long.toHexString(epochId) + "_"
+    queryPrefix + java.lang.Long.toHexString(epochId) + "_"
 
   override def createStreamingWriterFactory(
       info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
-    PgStreamingWriterFactory(schema, opts, tableStagePrefix, colsDdl, colList)
+    PgStreamingWriterFactory(schema, opts, queryPrefix, colsDdl, colList)
 
   override def commit(epochId: Long,
       messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
@@ -1690,32 +1766,18 @@ private[io] class PgStreamingWrite(schema: StructType, opts: PgSourceOptions,
         // the re-staged copies and publish nothing (exactly-once)
         stages.foreach(s => c.exec(s"DROP TABLE IF EXISTS ${quoteIdent(s)}"))
       } else {
-        if (truncate) c.exec(s"DROP TABLE IF EXISTS ${quoteIdent(opts.table)}")
-        if (truncate && stages.nonEmpty) {
-          c.exec(s"ALTER TABLE ${quoteIdent(stages.head)} RENAME TO " +
-            quoteIdent(opts.table))
-          stages.tail.foreach { s =>
-            c.exec(s"INSERT INTO ${quoteIdent(opts.table)} ($colList) " +
-              s"SELECT $colList FROM ${quoteIdent(s)}")
-            c.exec(s"DROP TABLE ${quoteIdent(s)}")
-          }
-        } else {
-          c.exec(s"CREATE TABLE IF NOT EXISTS ${quoteIdent(opts.table)} ($colsDdl)")
-          stages.foreach { s =>
-            c.exec(s"INSERT INTO ${quoteIdent(opts.table)} ($colList) " +
-              s"SELECT $colList FROM ${quoteIdent(s)}")
-            c.exec(s"DROP TABLE ${quoteIdent(s)}")
-          }
-        }
+        Postgres.publishStages(c, opts.table, stages, colsDdl, colList, truncate)
         c.exec(s"DELETE FROM ${quoteIdent(ledger)} WHERE query_id = $qLit")
         c.exec(s"INSERT INTO ${quoteIdent(ledger)} VALUES ($qLit, $epochId)")
-        // sweep orphaned stages of EARLIER epochs (a crashed attempt
-        // whose epoch never re-ran — without this, a long-running
-        // stream that hit one task crash would leak its stage until
-        // the next BATCH overwrite's table-wide sweep). Same-epoch
-        // stages are this commit's own and were just consumed.
-        Postgres.listStagesOf(c, tableStagePrefix + "e").foreach { s =>
-          val hex = s.stripPrefix(tableStagePrefix + "e").takeWhile(_ != '_')
+        // sweep orphaned stages of EARLIER epochs of THIS query (a
+        // crashed attempt whose epoch never re-ran — without this, a
+        // long-running stream that hit one task crash would leak its
+        // stage until the next batch overwrite's sweep). Scoped by the
+        // query prefix, so another stream's in-flight stages are
+        // untouchable; same-epoch stages are this commit's own and
+        // were just consumed.
+        Postgres.listStagesOf(c, queryPrefix).foreach { s =>
+          val hex = s.stripPrefix(queryPrefix).takeWhile(_ != '_')
           val stale = try java.lang.Long.parseLong(hex, 16) < epochId
             catch { case _: NumberFormatException => false }
           if (stale) c.exec(s"DROP TABLE IF EXISTS ${quoteIdent(s)}")
@@ -1737,13 +1799,13 @@ private[io] class PgStreamingWrite(schema: StructType, opts: PgSourceOptions,
 
 private[io] case class PgStreamingWriterFactory(schema: StructType,
                                                 opts: PgSourceOptions,
-                                                tableStagePrefix: String,
+                                                queryPrefix: String,
                                                 colsDdl: String, colList: String)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
     new PgDataWriter(schema, opts,
-      tableStagePrefix + "e" + java.lang.Long.toHexString(epochId) + "_" + partitionId,
+      queryPrefix + java.lang.Long.toHexString(epochId) + "_" + partitionId,
       colsDdl, colList)
 }
 

@@ -871,7 +871,8 @@ class PgWireSpec extends AnyFunSuite with SparkTestBase {
     val sw = new PgStreamingWrite(
       StructType(Seq(StructField("k", LongType), StructField("v", StringType))),
       opts, truncate = false, queryId = q.id.toString)
-    val stageName = Postgres.stagePrefixFor("graft_stream_sink") + "e1_99"
+    val stageName = Postgres.stagePrefixFor("graft_stream_sink") + "q" +
+      Postgres.queryScope(q.id.toString) + "e1_99"
     val a2 = new PgWireClient(conn.host, conn.port, conn.user, conn.database)
     try {
       a2.exec(s"DROP TABLE IF EXISTS $stageName")
@@ -894,7 +895,8 @@ class PgWireSpec extends AnyFunSuite with SparkTestBase {
     val sw2 = new PgStreamingWrite(
       StructType(Seq(StructField("k", LongType), StructField("v", StringType))),
       opts, truncate = false, queryId = "fresh-query-id")
-    val stage2 = Postgres.stagePrefixFor("graft_stream_sink") + "e0_0"
+    val stage2 = Postgres.stagePrefixFor("graft_stream_sink") + "q" +
+      Postgres.queryScope("fresh-query-id") + "e0_0"
     val a4 = new PgWireClient(conn.host, conn.port, conn.user, conn.database)
     try {
       a4.exec(s"CREATE TABLE $stage2 (k bigint, v text)")
@@ -903,6 +905,49 @@ class PgWireSpec extends AnyFunSuite with SparkTestBase {
     sw2.commit(0L, Array(PgStageCommit(stage2)))
     assert(Postgres.readTable(spark, conn, "graft_stream_sink").count() === 4L,
       "a fresh query's epoch 0 must publish despite the old query's mark")
+  }
+
+  test("batch sweeps are STREAM-AWARE: a live epoch's stages survive, published and batch orphans drop") {
+    // the round-15 review's cross-writer race: a batch overwrite's
+    // pre-stage sweep must not drop a concurrently-running streaming
+    // query's in-flight epoch stages (the stream stages WITHOUT the
+    // table lock by design). The ledger adjudicates: stages at or
+    // below a query's published mark are dead weight and drop; above
+    // the mark may be in flight and survive; batch-nonce orphans
+    // always drop.
+    import spark.implicits._
+    val table = "graft_sweep_aware"
+    val prefix = Postgres.stagePrefixFor(table)
+    val scope = Postgres.queryScope("some-stream-query")
+    val ledger = Postgres.epochLedgerFor(table)
+    val admin = new PgWireClient(conn.host, conn.port, conn.user, conn.database)
+    try {
+      for (t <- Seq(s"${prefix}q${scope}e2_0", s"${prefix}q${scope}e5_0",
+          s"${prefix}deadbeef_3", ledger, table))
+        admin.exec(s"DROP TABLE IF EXISTS ${PgWire.quoteIdent(t)}")
+      // a published epoch (2 <= mark 3), an in-flight epoch (5 > 3),
+      // and a batch-nonce orphan
+      admin.exec(s"CREATE TABLE ${PgWire.quoteIdent(s"${prefix}q${scope}e2_0")} (k bigint)")
+      admin.exec(s"CREATE TABLE ${PgWire.quoteIdent(s"${prefix}q${scope}e5_0")} (k bigint)")
+      admin.exec(s"CREATE TABLE ${PgWire.quoteIdent(s"${prefix}deadbeef_3")} (k bigint)")
+      admin.exec(s"CREATE TABLE ${PgWire.quoteIdent(ledger)} (query_id text, last_epoch bigint)")
+      admin.exec(s"INSERT INTO ${PgWire.quoteIdent(ledger)} VALUES ('some-stream-query', 3)")
+    } finally admin.close()
+    // the batch overwrite's pre-stage sweep runs stream-aware
+    Postgres.overwriteTable(Seq((1L, "x")).toDF("k", "v"), conn, table)
+    val a2 = new PgWireClient(conn.host, conn.port, conn.user, conn.database)
+    try {
+      def exists(t: String): Boolean = {
+        val r = a2.query("SELECT 1 FROM pg_tables WHERE tablename = '" + t + "'")
+        val row = r.nextRow(); while (r.nextRow() != null) (); row != null
+      }
+      assert(!exists(s"${prefix}q${scope}e2_0"), "published-epoch stage must drop")
+      assert(!exists(s"${prefix}deadbeef_3"), "batch-nonce orphan must drop")
+      assert(exists(s"${prefix}q${scope}e5_0"),
+        "an above-mark (possibly in-flight) epoch stage must SURVIVE the batch sweep")
+      a2.exec(s"DROP TABLE ${PgWire.quoteIdent(s"${prefix}q${scope}e5_0")}")
+      a2.exec(s"DROP TABLE IF EXISTS ${PgWire.quoteIdent(ledger)}")
+    } finally a2.close()
   }
 
   test("timestamp text round-trip is micros-exact across fraction shapes") {
