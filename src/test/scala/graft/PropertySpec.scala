@@ -605,6 +605,66 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("pg numeric binary codec round-trips seeded random decimals exactly (pure JVM, no server)") {
+    // the hand-rolled base-10000 encoder/decoder pair
+    // (PgWire.writeNumericBinary / binaryToCatalyst) must be exact
+    // inverses across scale extremes, carries, zeros, and signs —
+    // checked without a server so the property covers shapes the
+    // table fuzz's bounded generators may miss
+    import org.apache.spark.sql.types.{Decimal, DecimalType}
+    def roundTrip(bd: java.math.BigDecimal, p: Int, sc: Int): java.math.BigDecimal = {
+      val buf = new java.io.ByteArrayOutputStream()
+      graft.io.PgWire.writeNumericBinary(bd, new java.io.DataOutputStream(buf))
+      val payload = buf.toByteArray.drop(4) // decoder takes the DataRow value bytes
+      graft.io.PgWire.binaryToCatalyst(1700, -1, DecimalType(p, sc))(payload)
+        .asInstanceOf[Decimal].toJavaBigDecimal
+    }
+    // deterministic adversarial shapes first
+    for (txt <- Seq("0", "0.0000", "1", "-1", "0.0001", "-0.0001", "10000.0001",
+        "9999.9999", "123456789.5", "0.000000000000000001",
+        "99999999999999999999.999999999999999999", "-10000", "5000.5")) {
+      val bd = new java.math.BigDecimal(txt)
+      val got = roundTrip(bd, 38, bd.scale)
+      assert(got.compareTo(bd) == 0 && got.scale == bd.scale,
+        s"'$txt' -> '$got' must round-trip value AND scale")
+    }
+    trials { rnd =>
+      for (_ <- 1 to 20) {
+        val scale = rnd.nextInt(19)
+        val bits = 1 + rnd.nextInt(100)
+        var u = new java.math.BigInteger(bits, rnd.self)
+        if (rnd.nextBoolean()) u = u.negate()
+        val bd = new java.math.BigDecimal(u, scale)
+        val got = roundTrip(bd, 38, scale)
+        assert(got.compareTo(bd) == 0 && got.scale == bd.scale,
+          s"$bd (scale $scale) -> $got")
+      }
+    }
+  }
+
+  test("pg binary decode refuses non-representable values LOUDLY (infinity sentinels, NaN numeric)") {
+    import org.apache.spark.sql.types.{DateType, DecimalType, TimestampType}
+    def be32(v: Int) = Array[Byte](((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
+      ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    def be64(v: Long) = be32((v >> 32).toInt) ++ be32(v.toInt)
+    // PG 'infinity' date/timestamp sentinels have no Catalyst value
+    intercept[IllegalArgumentException] {
+      graft.io.PgWire.binaryToCatalyst(1082, -1, DateType)(be32(Int.MaxValue))
+    }
+    intercept[IllegalArgumentException] {
+      graft.io.PgWire.binaryToCatalyst(1114, -1, TimestampType)(be64(Long.MaxValue))
+    }
+    // NaN numeric (sign word 0xC000) has no Spark decimal
+    val nan = Array[Byte](0, 0, 0, 0, 0xC0.toByte, 0, 0, 0)
+    intercept[IllegalArgumentException] {
+      graft.io.PgWire.binaryToCatalyst(1700, -1, DecimalType(10, 2))(nan)
+    }
+    // unmapped OID/type pair is a loud refusal, not a silent null
+    intercept[IllegalArgumentException] {
+      graft.io.PgWire.binaryToCatalyst(23, -1, DateType)
+    }
+  }
+
   test("postgres overwrite+read round-trips random flat schemas and adversarial values") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
