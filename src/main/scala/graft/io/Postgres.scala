@@ -145,6 +145,10 @@ object PgWire {
     * construction. */
   def litOf(v: Any): Option[String] = v match {
     case null => Some("NULL")
+    // an embedded U+0000 would truncate the Query message's cstring
+    // server-side (pq_getmsgstring stops at the NUL) and error the
+    // whole scan — unrenderable, stay residual
+    case s: String if s.indexOf('\u0000') >= 0 => None
     case s: String => Some("'" + s.replace("'", "''") + "'")
     case s: UTF8String => litOf(s.toString)
     case b: Boolean => Some(if (b) "true" else "false")
@@ -153,8 +157,15 @@ object PgWire {
     case d: scala.math.BigDecimal => Some(d.underlying.toPlainString)
     case f: java.lang.Float if java.lang.Float.isFinite(f) => Some(f.toString)
     case d: java.lang.Double if java.lang.Double.isFinite(d) => Some(d.toString)
-    case d: java.sql.Date => Some("'" + d.toString + "'")
-    case d: java.time.LocalDate => Some("'" + d.toString + "'")
+    // year outside 1..9999 renders with a '+'/'-' prefix ISO text
+    // Postgres rejects — unrenderable, stay residual (the LocalDate
+    // toString contract; java.sql.Date cannot reach year 0 or 10000+
+    // through Spark's filter conversion without the java8 API, whose
+    // LocalDate case gates below)
+    case d: java.sql.Date => litOf(d.toLocalDate)
+    case d: java.time.LocalDate =>
+      if (d.getYear < 1 || d.getYear > 9999) None
+      else Some("'" + d.toString + "'")
     case t: java.sql.Timestamp =>
       // render from the UTC instant, NOT Timestamp.toString — that
       // formats in the JVM default timezone while the stored text is
@@ -164,13 +175,24 @@ object PgWire {
       // the one failure mode that breaks "pushdown never changes the
       // answer". DateTimeUtils.fromJavaTimestamp recovers the exact
       // UTC micros the non-java8 filter path converted from.
-      Some("'" + formatTimestampMicros(DateTimeUtils.fromJavaTimestamp(t)) + "'")
-    case t: java.time.Instant => Some("'" + formatTimestampMicros(
+      timestampLit(DateTimeUtils.fromJavaTimestamp(t))
+    case t: java.time.Instant => timestampLit(
       Math.addExact(Math.multiplyExact(t.getEpochSecond, 1000000L),
-        t.getNano / 1000L)) + "'")
+        t.getNano / 1000L))
     case t: java.time.LocalDateTime =>
-      Some("'" + t.toString.replace('T', ' ') + "'")
+      if (t.getYear < 1 || t.getYear > 9999) None
+      else Some("'" + t.toString.replace('T', ' ') + "'")
     case _ => None
+  }
+
+  /** Micros whose ISO text Postgres parses back exactly: years 1..9999
+    * (outside, LocalDateTime.toString grows a +/- prefix PG rejects —
+    * those literals stay residual). */
+  private def timestampLit(micros: Long): Option[String] = {
+    val y = LocalDateTime.ofEpochSecond(Math.floorDiv(micros, 1000000L), 0,
+      ZoneOffset.UTC).getYear
+    if (y < 1 || y > 9999) None
+    else Some("'" + formatTimestampMicros(micros) + "'")
   }
 
   /** Text-format value -> Catalyst, per Spark type (UTC + ISO
@@ -182,9 +204,16 @@ object PgWire {
     case FloatType => bytes => new String(bytes, UTF_8).toFloat
     case DoubleType => bytes => new String(bytes, UTF_8).toDouble
     case BooleanType => bytes => bytes.length == 1 && bytes(0) == 't'
+    // the write side maps ByteType/ShortType/TimestampNTZType onto
+    // smallint/timestamp, so an explicit user schema naming them must
+    // read back (round-15 review: the round-trip asymmetry made
+    // supportsExternalMetadata a trap for the sink's own schemas)
+    case ShortType => bytes => new String(bytes, UTF_8).toShort
+    case ByteType => bytes => new String(bytes, UTF_8).toByte
     case DateType => bytes =>
       LocalDate.parse(new String(bytes, UTF_8)).toEpochDay.toInt
-    case TimestampType => bytes => parseTimestampMicros(new String(bytes, UTF_8))
+    case TimestampType | TimestampNTZType =>
+      bytes => parseTimestampMicros(new String(bytes, UTF_8))
     case d: DecimalType => bytes =>
       org.apache.spark.sql.types.Decimal(
         new java.math.BigDecimal(new String(bytes, UTF_8)), d.precision, d.scale)
@@ -231,6 +260,13 @@ object PgWire {
     (oid, dt) match {
       case (OidBool, BooleanType) => b => b(0) != 0
       case (OidInt2, IntegerType) => b => i16(b, 0).toShort.toInt
+      case (OidInt2, ShortType) => b => i16(b, 0).toShort
+      case (OidInt2, ByteType) => b => {
+        val v = i16(b, 0).toShort
+        require(v >= Byte.MinValue && v <= Byte.MaxValue,
+          s"graft_pg: smallint value $v overflows the requested ByteType")
+        v.toByte
+      }
       case (OidInt4, IntegerType) => b => i32(b, 0)
       case (OidInt8, LongType) => b => i64(b)
       case (OidFloat4, FloatType) => b => java.lang.Float.intBitsToFloat(i32(b, 0))
@@ -266,7 +302,7 @@ object PgWire {
           "graft_pg: infinite date has no Spark representation")
         d + PgEpochDays
       }
-      case (OidTimestamp | OidTimestampTz, TimestampType) => b => {
+      case (OidTimestamp | OidTimestampTz, TimestampType | TimestampNTZType) => b => {
         val t = i64(b)
         require(t != Long.MaxValue && t != Long.MinValue,
           "graft_pg: infinite timestamp has no Spark representation")
@@ -333,17 +369,20 @@ object PgWire {
       frac)
   }
 
-  /** Epoch micros -> the ISO text Postgres parses back exactly. */
+  /** Epoch micros -> the ISO text Postgres parses back exactly.
+    * LocalTime.toString prints the fraction whenever the nano is
+    * nonzero (and PG accepts the seconds-dropped ":HH:MM" form), so
+    * the date + ' ' + time concatenation IS the exact rendering —
+    * round-15 review removed the unreachable re-append arms. */
   def formatTimestampMicros(micros: Long): String = {
     val secs = Math.floorDiv(micros, 1000000L)
     val frac = Math.floorMod(micros, 1000000L)
     val ldt = LocalDateTime.ofEpochSecond(secs, frac.toInt * 1000, ZoneOffset.UTC)
-    val base = ldt.toLocalDate.toString + " " + ldt.toLocalTime.toString
-    // LocalTime.toString drops seconds when zero — COPY accepts both,
-    // but keep the fraction explicit when present for exactness
-    if (frac == 0 || base.contains('.')) base
-    else if (base.count(_ == ':') == 1) base + f":00.$frac%06d"
-    else base + f".$frac%06d"
+    val text = ldt.toLocalDate.toString + " " + ldt.toLocalTime.toString
+    // ISO-8601 prints years past 9999 with a '+' prefix PG rejects;
+    // bare '10000-01-01' parses fine. BC years stay a loud server
+    // error on the text paths (the binary formats carry them exactly)
+    if (text.charAt(0) == '+') text.substring(1) else text
   }
 
   /** COPY BINARY cell writer for one Catalyst value (round 15 — the
@@ -380,6 +419,22 @@ object PgWire {
       writeNumericBinary(r.getDecimal(i, d.precision, d.scale).toJavaBigDecimal, o)
     case other => throw new IllegalArgumentException(
       s"graft_pg: unsupported binary COPY type $other")
+  }
+
+  /** One COPY-binary ROW: int16 field count, then per field the int32
+    * length (or -1 for NULL) + payload — shared by the API sink's
+    * partition loop and the DSv2 DataWriter so the tuple framing has
+    * one definition. */
+  def writeBinaryRow(o: DataOutputStream,
+                     row: org.apache.spark.sql.catalyst.expressions.SpecializedGetters,
+                     nFields: Int,
+                     writers: Array[(org.apache.spark.sql.catalyst.expressions.SpecializedGetters, Int, DataOutputStream) => Unit]): Unit = {
+    o.writeShort(nFields)
+    var i = 0
+    while (i < nFields) {
+      if (row.isNullAt(i)) o.writeInt(-1) else writers(i)(row, i, o)
+      i += 1
+    }
   }
 
   /** Binary `numeric` payload (the encode mirror of the decoder's
@@ -429,7 +484,9 @@ object PgWire {
       case FloatType => row.getFloat(i).toString
       case DoubleType => row.getDouble(i).toString
       case BooleanType => if (row.getBoolean(i)) "t" else "f"
-      case DateType => LocalDate.ofEpochDay(row.getInt(i).toLong).toString
+      case DateType =>
+        val t = LocalDate.ofEpochDay(row.getInt(i).toLong).toString
+        if (t.charAt(0) == '+') t.substring(1) else t // see formatTimestampMicros
       case TimestampType | TimestampNTZType => formatTimestampMicros(row.getLong(i))
       case d: DecimalType =>
         row.getDecimal(i, d.precision, d.scale).toJavaBigDecimal.toPlainString
@@ -747,14 +804,21 @@ final class PgWireClient(host: String, port: Int, user: String,
       if (done) return null
       while (true) readMessage() match {
         case ('D', b) =>
-          val in2 = new DataInputStream(new java.io.ByteArrayInputStream(b))
-          val n = in2.readShort().toInt
+          // offset cursor, not a DataInputStream: this is the per-row
+          // hot path of every scan, and two wrapper allocations plus
+          // stream virtual calls per DataRow are pure overhead for
+          // reading a short and N ints at known offsets (round 15)
+          val n = ((b(0) & 0xFF) << 8) | (b(1) & 0xFF)
+          var off = 2
           val row = new Array[Array[Byte]](n)
           var i = 0
           while (i < n) {
-            val len = in2.readInt()
+            val len = ((b(off) & 0xFF) << 24) | ((b(off + 1) & 0xFF) << 16) |
+              ((b(off + 2) & 0xFF) << 8) | (b(off + 3) & 0xFF)
+            off += 4
             if (len >= 0) {
-              val v = new Array[Byte](len); in2.readFully(v); row(i) = v
+              row(i) = java.util.Arrays.copyOfRange(b, off, off + len)
+              off += len
             }
             i += 1
           }
@@ -1159,6 +1223,23 @@ object Postgres {
     }
   }
 
+  /** Open one partition-stage TRANSACTION — the exactly-once-critical
+    * steps every stager shares (round-15 review: one definition, so
+    * the lock discipline cannot drift between the API sink and the
+    * DSv2/streaming writers): BEGIN, the per-stage advisory xact lock
+    * (rival speculative attempts serialize; the loser's
+    * drop-and-recreate supersedes), DROP IF EXISTS, CREATE. The
+    * caller streams its COPY and COMMITs (or lets close() roll
+    * back). */
+  private[io] def openStageTxn(pc: PgWireClient, stageName: String,
+                               colsDdl: String): Unit = {
+    val st = quoteIdent(stageName)
+    pc.exec("BEGIN")
+    pc.exec(s"SELECT pg_advisory_xact_lock(hashtext('$stageName'))")
+    pc.exec(s"DROP TABLE IF EXISTS $st")
+    pc.exec(s"CREATE TABLE $st ($colsDdl)")
+  }
+
   /** Orphan-stage sweep for one table, STREAM-AWARE (round-15 review:
     * a blind table-wide sweep under the batch lock would drop a
     * concurrently-running streaming query's live epoch stages — the
@@ -1346,12 +1427,9 @@ object Postgres {
           try {
             // one transaction: abort anywhere (incl. mid-COPY stream
             // failure) rolls the whole stage back; commit is the
-            // attempt's atomic success marker; the advisory xact lock
-            // serializes rival attempts of the same partition
-            pc.exec("BEGIN")
-            pc.exec(s"SELECT pg_advisory_xact_lock(hashtext('$stName'))")
-            pc.exec(s"DROP TABLE IF EXISTS $st")
-            pc.exec(s"CREATE TABLE $st ($colsDdl)")
+            // attempt's atomic success marker; the lock/drop/create
+            // discipline is the shared [[openStageTxn]]
+            openStageTxn(pc, stName, colsDdl)
             // binary COPY by default (round 15): skips the per-cell
             // text render on this side AND the server's input parse;
             // the text form stays reachable for A/B and as the
@@ -1359,15 +1437,8 @@ object Postgres {
             if (copyFormat == "binary") {
               val writers = types.map(PgWire.binaryCellWriter)
               pc.copyInBinary(s"COPY $st ($colList) FROM STDIN (FORMAT binary)",
-                o => it.foreach { row =>
-                  o.writeShort(types.length)
-                  var i = 0
-                  while (i < types.length) {
-                    if (row.isNullAt(i)) o.writeInt(-1)
-                    else writers(i)(row, i, o)
-                    i += 1
-                  }
-                })
+                o => it.foreach(row =>
+                  PgWire.writeBinaryRow(o, row, types.length, writers)))
             } else pc.copyIn(s"COPY $st ($colList) FROM STDIN", it.map { row =>
               val sb = new java.lang.StringBuilder(64)
               var i = 0
@@ -1838,24 +1909,14 @@ private[io] class PgDataWriter(schema: StructType, opts: PgSourceOptions,
 
   private def open(): Unit = {
     client = opts.newClient()
-    val st = quoteIdent(stageName)
-    client.exec("BEGIN")
-    client.exec(s"SELECT pg_advisory_xact_lock(hashtext('$stageName'))")
-    client.exec(s"DROP TABLE IF EXISTS $st")
-    client.exec(s"CREATE TABLE $st ($colsDdl)")
+    Postgres.openStageTxn(client, stageName, colsDdl)
     copy = client.beginCopyBinary(
-      s"COPY $st ($colList) FROM STDIN (FORMAT binary)")
+      s"COPY ${quoteIdent(stageName)} ($colList) FROM STDIN (FORMAT binary)")
   }
 
   override def write(row: InternalRow): Unit = {
     if (client == null) open()
-    val o = copy.row
-    o.writeShort(types.length)
-    var i = 0
-    while (i < types.length) {
-      if (row.isNullAt(i)) o.writeInt(-1) else writers(i)(row, i, o)
-      i += 1
-    }
+    PgWire.writeBinaryRow(copy.row, row, types.length, writers)
   }
 
   override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage =
@@ -1901,12 +1962,29 @@ private[io] class PgScanBuilder(full: StructType, opts: PgSourceOptions)
 private[io] object PgFilterSql {
   import PgWire.{quoteIdent, litOf}
 
+  /** String inequalities carry an explicit COLLATE "C" (round-15
+    * review): Spark compares strings in binary UTF-8 order, while a
+    * server with a linguistic default collation (the docker image's
+    * en_US.utf8, say) would order 'a' before 'A' — a pushed `< 'a'`
+    * would then exclude rows Spark's semantics keep, and the residual
+    * can only drop rows, never restore them. "C" is memcmp over the
+    * UTF-8 bytes — exactly Spark's order. Equality/IN need no pin
+    * (text equality in PG is bytewise under any collation). */
+  private def collateIfString(v: Any, lit: String): String = v match {
+    case _: String | _: UTF8String => lit + " COLLATE \"C\""
+    case _ => lit
+  }
+
   def compile(f: Filter): Option[String] = f match {
     case EqualTo(a, v) => litOf(v).map(l => s"${quoteIdent(a)} = $l")
-    case GreaterThan(a, v) => litOf(v).map(l => s"${quoteIdent(a)} > $l")
-    case GreaterThanOrEqual(a, v) => litOf(v).map(l => s"${quoteIdent(a)} >= $l")
-    case LessThan(a, v) => litOf(v).map(l => s"${quoteIdent(a)} < $l")
-    case LessThanOrEqual(a, v) => litOf(v).map(l => s"${quoteIdent(a)} <= $l")
+    case GreaterThan(a, v) =>
+      litOf(v).map(l => s"${quoteIdent(a)} > ${collateIfString(v, l)}")
+    case GreaterThanOrEqual(a, v) =>
+      litOf(v).map(l => s"${quoteIdent(a)} >= ${collateIfString(v, l)}")
+    case LessThan(a, v) =>
+      litOf(v).map(l => s"${quoteIdent(a)} < ${collateIfString(v, l)}")
+    case LessThanOrEqual(a, v) =>
+      litOf(v).map(l => s"${quoteIdent(a)} <= ${collateIfString(v, l)}")
     case In(a, vs) if vs.nonEmpty =>
       val ls = vs.map(litOf)
       if (ls.forall(_.isDefined))

@@ -950,6 +950,72 @@ class PgWireSpec extends AnyFunSuite with SparkTestBase {
     } finally a2.close()
   }
 
+  test("pushed string inequalities pin COLLATE C; NUL and far-range literals stay residual") {
+    import org.apache.spark.sql.sources.{EqualTo, GreaterThan, LessThan}
+    // Spark compares strings in binary UTF-8 order; a linguistic
+    // server collation would order 'a' before 'A' and a pushed < 'a'
+    // would silently exclude rows the residual cannot restore — the
+    // literal carries COLLATE "C" (bytewise order) to pin semantics
+    assert(PgFilterSql.compile(LessThan("v", "a"))
+      .contains("\"v\" < 'a' COLLATE \"C\""))
+    assert(PgFilterSql.compile(GreaterThan("v", "a"))
+      .contains("\"v\" > 'a' COLLATE \"C\""))
+    // equality is bytewise under ANY collation: no pin
+    assert(PgFilterSql.compile(EqualTo("v", "a")).contains("\"v\" = 'a'"))
+    // non-string inequalities: no pin
+    assert(PgFilterSql.compile(LessThan("k", 5)).contains("\"k\" < 5"))
+    // a NUL inside a string would truncate the Query cstring
+    // server-side: unrenderable, stays residual
+    assert(PgFilterSql.compile(EqualTo("v", "a\u0000b")).isEmpty)
+    // years outside 1..9999 render with a +/- prefix PG rejects
+    assert(PgFilterSql.compile(
+      LessThan("d", java.time.LocalDate.of(10000, 1, 1))).isEmpty)
+    assert(PgFilterSql.compile(
+      LessThan("d", java.time.LocalDate.of(0, 12, 31))).isEmpty)
+    // end-to-end: the pinned comparison returns Spark's binary-order
+    // answer, and a NUL-bearing filter still answers via the residual
+    import spark.implicits._
+    val df = Seq((1L, "A"), (2L, "a"), (3L, "B")).toDF("k", "v")
+    Postgres.overwriteTable(df, conn, "graft_collate")
+    val lt = Postgres.readTable(spark, conn, "graft_collate")
+      .filter($"v" < "a").select($"k").collect().map(_.getLong(0)).sorted.toSeq
+    assert(lt === Seq(1L, 3L), // binary order: 'A'(0x41) and 'B'(0x42) < 'a'(0x61)
+      s"pushed < must keep Spark's binary string order, got $lt")
+    val nul = Postgres.readTable(spark, conn, "graft_collate")
+      .filter($"v" === "a\u0000b").count()
+    assert(nul === 0L, "a NUL-bearing literal must answer correctly via the residual")
+  }
+
+  test("explicit user schemas naming the sink's own write types (short/byte/ntz) read back in both formats") {
+    val c = new PgWireClient(conn.host, conn.port, conn.user, conn.database)
+    try {
+      c.exec("DROP TABLE IF EXISTS graft_writetypes")
+      c.exec("CREATE TABLE graft_writetypes (a smallint, b smallint, c timestamp)")
+      c.exec("INSERT INTO graft_writetypes VALUES (300, 7, '2026-08-14 12:34:56.123456')")
+    } finally c.close()
+    val schema = StructType(Seq(
+      StructField("a", ShortType), StructField("b", ByteType),
+      StructField("c", TimestampNTZType)))
+    for (fmt <- Seq("binary", "text")) {
+      val r = spark.read.format("graft_pg").schema(schema)
+        .option("port", conn.port.toString).option("dbtable", "graft_writetypes")
+        .option("readformat", fmt).load().collect()(0)
+      assert(r.getShort(0) === 300.toShort, fmt)
+      assert(r.getByte(1) === 7.toByte, fmt)
+      assert(r.getAs[java.time.LocalDateTime](2) ===
+        java.time.LocalDateTime.parse("2026-08-14T12:34:56.123456"), fmt)
+    }
+    // a smallint value overflowing the requested ByteType is LOUD
+    val e = intercept[Exception] {
+      spark.read.format("graft_pg")
+        .schema(StructType(Seq(StructField("a", ByteType))))
+        .option("port", conn.port.toString).option("dbtable", "graft_writetypes")
+        .load().collect()
+    }
+    assert(String.valueOf(e.getMessage).contains("overflow") ||
+      String.valueOf(e.getCause).contains("overflow"), e.toString)
+  }
+
   test("timestamp text round-trip is micros-exact across fraction shapes") {
     for (micros <- Seq(0L, 1L, 999999L, 1000000L, 1755172496123456L,
         -1L, -999999L, 86400000000L)) {
