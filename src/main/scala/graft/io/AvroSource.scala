@@ -52,7 +52,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * (read as string), nullability via 2-branch `[null, T]` unions, and
   * — round 13 — NESTED RECORDS (struct) and MAPS (string keys, the
   * only key type Avro has), arbitrarily composed with arrays and each
-  * other. Column pruning recurses INTO nested records: Spark's nested
+  * other, plus the `decimal` logical type over bytes/fixed both
+  * directions (round 15 — unscaled big-endian two's-complement,
+  * writer-scale decode rescaled to the reader's type; previously the
+  * raw bytes leaked out as BinaryType). Column pruning recurses INTO nested records: Spark's nested
   * schema pruning hands the scan a struct containing only the touched
   * subfields, and [[AvroConversions.pruneAvroSchema]] mirrors that
   * subtree into the reader schema, so untouched sibling subfields of
@@ -66,7 +69,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * (loud failure at schema conversion, never silent null): non-string
   * map keys — absent from Avro data written by this sink and without
   * a faithful Spark analog.
-  */
+  *
+  * Documented residue: the reader does not REQUIRE the writer's
+  * `_SUCCESS` marker — foreign lakes written by other tools carry no
+  * marker, so its absence cannot distinguish "their dataset" from
+  * "our crashed write", and requiring it would refuse every interop
+  * directory. A partially-committed graft write is therefore readable;
+  * the cross-layer answer is the engine's own `meta_table_checksum`
+  * (the same division of labor as the block-boundary truncation
+  * residue below). */
 class AvroSource extends TableProvider with DataSourceRegister {
 
   override def shortName(): String = "graft_avro"
@@ -93,12 +104,25 @@ private[io] case class AvroSourceOptions(paths: Seq[String], splitBytes: Long)
 
 private[io] object AvroSourceOptions {
   def apply(options: CaseInsensitiveStringMap): AvroSourceOptions = {
-    val path = Option(options.get("path")).getOrElse(
-      throw new IllegalArgumentException("graft_avro requires a load path"))
-    AvroSourceOptions(
-      paths = path.split(',').map(_.trim).filter(_.nonEmpty).toSeq,
-      splitBytes = Option(options.get("splitbytes")).map(_.toLong)
-        .getOrElse(128L * 1024 * 1024))
+    // Spark's multi-path form load(p1, p2, ...) arrives as a JSON
+    // array under "paths" (round-15 review — it previously threw
+    // 'requires a load path'); a single load(p) arrives under "path",
+    // where comma-splitting is kept for backward compatibility
+    val paths: Seq[String] = Option(options.get("paths")) match {
+      case Some(json) =>
+        val m = new com.fasterxml.jackson.databind.ObjectMapper()
+        m.readValue(json, classOf[Array[String]]).toSeq
+      case None =>
+        Option(options.get("path")).getOrElse(
+          throw new IllegalArgumentException("graft_avro requires a load path"))
+          .split(',').map(_.trim).filter(_.nonEmpty).toSeq
+    }
+    val split = Option(options.get("splitbytes")).map(_.toLong)
+      .getOrElse(128L * 1024 * 1024)
+    // a non-positive split would plan ZERO partitions — a silently
+    // empty scan from a typo'd option, the opposite of loud
+    require(split > 0, s"graft_avro: splitBytes must be positive, got $split")
+    AvroSourceOptions(paths = paths, splitBytes = split)
   }
 }
 
@@ -146,16 +170,20 @@ private[io] case class AvroScan(full: StructType, required: StructType,
   override def createReaderFactory(): PartitionReaderFactory =
     // the dataset schema (defaults + aliases intact) rides to the
     // executors as JSON — each split resolves its own file's writer
-    // schema against it (evolution), driver-side election once per scan
-    AvroReaderFactory(required, Avro.datasetReaderSchema(opts.paths).toString)
+    // schema against it (evolution), driver-side election once per
+    // scan — together with the SESSION Hadoop conf (executors must
+    // see the same spark.hadoop.* filesystem the driver planned on)
+    AvroReaderFactory(required, Avro.datasetReaderSchema(opts.paths).toString,
+      new SerializableHadoopConf(Avro.driverConf))
 }
 
 private[io] case class AvroReaderFactory(required: StructType,
-                                         datasetSchemaJson: String)
+                                         datasetSchemaJson: String,
+                                         conf: SerializableHadoopConf)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[AvroSplitPartition]
-    new AvroPartitionReader(p, required, datasetSchemaJson)
+    new AvroPartitionReader(p, required, datasetSchemaJson, conf)
   }
 }
 
@@ -166,7 +194,8 @@ private[io] case class AvroReaderFactory(required: StructType,
   * fields still stream through IO, but they are never decoded into
   * objects — the dominant cost for string-heavy rows). */
 private[io] class AvroPartitionReader(p: AvroSplitPartition, required: StructType,
-                                      datasetSchemaJson: String)
+                                      datasetSchemaJson: String,
+                                      serConf: SerializableHadoopConf)
     extends PartitionReader[InternalRow] {
 
   private var reader: DataFileReader[GenericRecord] = _
@@ -214,10 +243,17 @@ private[io] class AvroPartitionReader(p: AvroSplitPartition, required: StructTyp
   }
 
   private def open(): Unit = {
-    val conf = new Configuration()
+    val conf = serConf.value
     val in = new FsInput(new Path(p.path), conf)
     val datum = new GenericDatumReader[GenericRecord]()
-    reader = DataFileReader.openReader(in, datum).asInstanceOf[DataFileReader[GenericRecord]]
+    reader =
+      try DataFileReader.openReader(in, datum).asInstanceOf[DataFileReader[GenericRecord]]
+      catch { case e: Throwable =>
+        // a corrupt header throws before the reader owns the input —
+        // close it here so retried tasks don't leak descriptors
+        try in.close() catch { case _: java.io.IOException => () }
+        throw e
+      }
     // resolution target: the pruned schema, nullability mirrored from
     // the writer so unions resolve field-by-field; required fields the
     // writer generation lacks fall back to the dataset schema's
@@ -243,7 +279,17 @@ private[io] class AvroPartitionReader(p: AvroSplitPartition, required: StructTyp
 
   override def next(): Boolean = {
     if (reader == null) open()
-    if (reader.hasNext && !reader.pastSync(p.end)) {
+    // the TAIL split bounds at p.end - 16 (round-15 review): its
+    // planning snapshot ends exactly at the final sync marker, and a
+    // block APPENDED concurrently starts at p.end — pastSync(p.end)
+    // would admit it (blockStart >= end + 16 is its cut), reading rows
+    // past the snapshot and, on a torn half-written block, silently
+    // truncating. No legitimate snapshot block starts inside the last
+    // 16 bytes (a block is always longer than one sync marker), so the
+    // tightened bound excludes exactly the appended blocks. Interior
+    // splits keep the standard complementary sync/pastSync contract.
+    val bound = if (p.isTail) p.end - 16 else p.end
+    if (reader.hasNext && !reader.pastSync(bound)) {
       record = reader.next(record)
       true
     } else false
@@ -321,7 +367,19 @@ private[io] object AvroConversions {
     case ASchema.Type.FLOAT => (FloatType, false)
     case ASchema.Type.DOUBLE => (DoubleType, false)
     case ASchema.Type.STRING | ASchema.Type.ENUM => (StringType, false)
-    case ASchema.Type.BYTES | ASchema.Type.FIXED => (BinaryType, false)
+    case ASchema.Type.BYTES | ASchema.Type.FIXED =>
+      s.getLogicalType match {
+        case d: LogicalTypes.Decimal =>
+          // round-15 review: silently yielding the raw unscaled
+          // two's-complement bytes as BinaryType was silent garbage;
+          // the logical type IS a number and reads as one
+          require(d.getPrecision >= 1 && d.getPrecision <= DecimalType.MAX_PRECISION
+            && d.getScale >= 0 && d.getScale <= d.getPrecision,
+            s"graft_avro: avro decimal(${d.getPrecision},${d.getScale}) " +
+              "exceeds Spark's decimal range")
+          (DecimalType(d.getPrecision, d.getScale), false)
+        case _ => (BinaryType, false)
+      }
     case ASchema.Type.ARRAY =>
       val (et, en) = toSparkType(s.getElementType)
       (ArrayType(et, en), false)
@@ -378,6 +436,8 @@ private[io] object AvroConversions {
     case DoubleType => ASchema.create(ASchema.Type.DOUBLE)
     case StringType => ASchema.create(ASchema.Type.STRING)
     case BinaryType => ASchema.create(ASchema.Type.BYTES)
+    case d: DecimalType => LogicalTypes.decimal(d.precision, d.scale)
+      .addToSchema(ASchema.create(ASchema.Type.BYTES))
     case DateType => LogicalTypes.date().addToSchema(ASchema.create(ASchema.Type.INT))
     case TimestampType =>
       LogicalTypes.timestampMicros().addToSchema(ASchema.create(ASchema.Type.LONG))
@@ -653,6 +713,27 @@ private[io] object AvroConversions {
       }
     case BooleanType | IntegerType | LongType | FloatType | DoubleType | DateType =>
       v => v
+    case d: DecimalType =>
+      // avro decimal: unscaled big-endian two's-complement over
+      // bytes/fixed, scale from the WRITER's logical type (the value's
+      // true scale), rescaled to the requested Spark type
+      val lt = nonNullBranch(avro).getLogicalType
+      require(lt.isInstanceOf[LogicalTypes.Decimal],
+        s"graft_avro: cannot read ${nonNullBranch(avro)} as $d — no decimal " +
+          "logical type on the writer schema")
+      val scale = lt.asInstanceOf[LogicalTypes.Decimal].getScale
+      v => {
+        val raw = v match {
+          case bb: java.nio.ByteBuffer =>
+            val arr = new Array[Byte](bb.remaining()); bb.duplicate().get(arr); arr
+          case f: org.apache.avro.generic.GenericFixed => f.bytes()
+          case other => throw new IllegalStateException(
+            s"graft_avro: unexpected decimal value $other")
+        }
+        org.apache.spark.sql.types.Decimal(
+          new java.math.BigDecimal(new java.math.BigInteger(raw), scale),
+          d.precision, d.scale)
+      }
     case ArrayType(et, _) =>
       val elemConv = readConverter(et, nonNullBranch(avro).getElementType)
       v => {
@@ -715,8 +796,37 @@ private[io] object AvroConversions {
   }
 }
 
+/** Hadoop Configuration shipped to tasks by its own Writable
+  * serialization (round-15 review: a bare `new Configuration()` on
+  * executors drops every `spark.hadoop.*` session setting — S3
+  * credentials, fs.defaultFS — so a write could split across two
+  * filesystems; the same wrapper shape Spark uses internally, which
+  * is private[spark] there). */
+private[io] final class SerializableHadoopConf(@transient var value: Configuration)
+    extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new Configuration(false)
+    value.readFields(in)
+  }
+}
+
 /** The distributed Avro SINK + shared file listing. */
 object Avro {
+
+  /** Driver-side Hadoop conf: the ACTIVE session's (carrying
+    * spark.hadoop.* overrides) when one exists, else vanilla — every
+    * driver-side file touch (listing, header reads, election) goes
+    * through here so the source behaves like the built-in ones on a
+    * configured filesystem. */
+  private[io] def driverConf: Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new Configuration())
 
   /** Write `df` as a directory of Avro container files, one per input
     * partition, executor-side (the write parallelizes exactly like the
@@ -732,6 +842,8 @@ object Avro {
     fs.delete(new Path(path), true)
     fs.mkdirs(new Path(path))
     val codecName = codec
+    val serConf = new SerializableHadoopConf(
+      spark.sessionState.newHadoopConf())
     df.queryExecution.toRdd.mapPartitionsWithIndex { (idx, it) =>
       if (idx == 0 || it.hasNext) {
         val avroSchema = new ASchema.Parser().parse(avroJson)
@@ -754,13 +866,16 @@ object Avro {
         val attempt = Option(org.apache.spark.TaskContext.get())
           .map(_.taskAttemptId()).getOrElse(0L)
         val tmpPath = new Path(path, f".part-$idx%05d-$attempt.avro.tmp")
-        val pfs = outPath.getFileSystem(new Configuration())
+        val pfs = outPath.getFileSystem(serConf.value)
         val out = pfs.create(tmpPath, true)
         val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](avroSchema))
         w.setCodec(codecName match {
           case "null" => CodecFactory.nullCodec()
           case "snappy" => CodecFactory.snappyCodec()
-          case _ => CodecFactory.deflateCodec(CodecFactory.DEFAULT_DEFLATE_LEVEL)
+          case "deflate" => CodecFactory.deflateCodec(CodecFactory.DEFAULT_DEFLATE_LEVEL)
+          case other => throw new IllegalArgumentException(
+            s"graft_avro: unsupported codec '$other' (deflate|snappy|null) — " +
+              "refusing to silently substitute deflate")
         })
         w.create(avroSchema, out)
         try it.foreach { row =>
@@ -806,6 +921,9 @@ object Avro {
       case DoubleType => (r, i) => java.lang.Double.valueOf(r.getDouble(i))
       case StringType => (r, i) => r.getUTF8String(i).toString
       case BinaryType => (r, i) => java.nio.ByteBuffer.wrap(r.getBinary(i))
+      case d: DecimalType => (r, i) => java.nio.ByteBuffer.wrap(
+        r.getDecimal(i, d.precision, d.scale).toJavaBigDecimal
+          .unscaledValue().toByteArray)
       case ArrayType(et, _) =>
         val elemConv = writeConverter(et, a.getElementType)
         (r, i) => {
@@ -855,8 +973,16 @@ object Avro {
   /** Writer schema from one container file's header — a few-hundred-
     * byte read, no data blocks touched. */
   private[io] def headerSchema(path: String): ASchema = {
-    val in = new FsInput(new Path(path), new Configuration())
-    val r = DataFileReader.openReader(in, new GenericDatumReader[GenericRecord]())
+    val in = new FsInput(new Path(path), driverConf)
+    val r =
+      try DataFileReader.openReader(in, new GenericDatumReader[GenericRecord]())
+      catch { case e: Throwable =>
+        // openReader throwing (corrupt header) leaves the FsInput ours
+        // to close — a driver election over thousands of files must
+        // not leak a descriptor per bad file
+        try in.close() catch { case _: java.io.IOException => () }
+        throw e
+      }
     try r.getSchema finally r.close()
   }
 
@@ -910,13 +1036,25 @@ object Avro {
                                  files: Seq[(String, Long)]): ASchema = {
     // LinkedHashMap keeps first-seen order of each distinct schema;
     // full JSON as the key (parsing form would strip the defaults and
-    // aliases the election depends on)
+    // aliases the election depends on). Header reads run on a BOUNDED
+    // POOL (round-15 review): sequential opens against an object
+    // store would stall planning by files x RTT; collection stays in
+    // listing order so the election is deterministic.
     val distinct = scala.collection.mutable.LinkedHashMap.empty[String, ASchema]
-    files.foreach { case (p, _) =>
-      val s = headerSchema(p)
-      distinct.getOrElseUpdate(s.toString, s)
-      ()
-    }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(16, math.max(1, files.size)))
+    try {
+      val futures = files.map { case (fp, _) =>
+        pool.submit(new java.util.concurrent.Callable[ASchema] {
+          override def call(): ASchema = headerSchema(fp)
+        })
+      }
+      futures.foreach { f =>
+        val sch = f.get()
+        distinct.getOrElseUpdate(sch.toString, sch)
+        ()
+      }
+    } finally pool.shutdown()
     val cands = distinct.values.toIndexedSeq
     if (cands.size == 1) cands.head
     else {
@@ -943,14 +1081,27 @@ object Avro {
           }
         }
         val last = cands.last
-        val rec = ASchema.createRecord(last.getName, null, last.getNamespace,
-          false, fieldOrder.toList.map { n =>
-            val f = newestDef(n)
-            val nf = new ASchema.Field(f.name(), f.schema(), null, f.defaultVal())
-            f.aliases().asScala.foreach(nf.addAlias)
-            nf
-          }.asJava)
-        if (cands.forall(w => compatible(rec, w))) Some(rec) else None
+        val rec = try {
+          val r = ASchema.createRecord(last.getName, null, last.getNamespace,
+            false, fieldOrder.toList.map { n =>
+              val f = newestDef(n)
+              val nf = new ASchema.Field(f.name(), f.schema(), null, f.defaultVal())
+              f.aliases().asScala.foreach(nf.addAlias)
+              nf
+            }.asJava)
+          // REPARSE GUARD (round-15 review): fields pulled from
+          // DIFFERENT generations can carry two distinct nested
+          // records under one full name (nested-record numbering is
+          // per-write), which serializes as a re-definition that
+          // Parser.parse rejects — the merged schema must survive its
+          // own JSON round-trip, because that is exactly how it ships
+          // to every scan. A failing merge falls back to the
+          // single-schema election.
+          new ASchema.Parser().parse(r.toString)
+          Some(r)
+        } catch { case _: org.apache.avro.SchemaParseException |
+                       _: org.apache.avro.AvroRuntimeException => None }
+        rec.filter(r => cands.forall(w => compatible(r, w)))
       }
       merged.getOrElse {
         val readable = cands.zipWithIndex
@@ -989,7 +1140,7 @@ object Avro {
     * directory lists its `*.avro` members, a file stands alone. Sorted
     * for deterministic partition planning. */
   private[io] def listFiles(paths: Seq[String]): Seq[(String, Long)] = {
-    val conf = new Configuration()
+    val conf = driverConf
     paths.flatMap { p =>
       val hp = new Path(p)
       val fs = hp.getFileSystem(conf)

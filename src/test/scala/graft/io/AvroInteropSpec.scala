@@ -488,4 +488,79 @@ class AvroInteropSpec extends AnyFunSuite with SparkTestBase {
     assert(got === Seq((1L, 10, -1), (2L, 0, 20)),
       s"each generation must default-fill the field it lacks, got $got")
   }
+
+  test("round-15 hardening: decimal logical type, loud codec/splitBytes, merge reparse guard, multi-path load") {
+    import org.apache.spark.sql.types.{DecimalType => SDec}
+    // (1) decimal logical type BOTH directions: engine write of a
+    // DecimalType column produces bytes+decimal avro, reads back
+    // value-exact; a FOREIGN fixed-backed decimal reads as a number,
+    // never raw unscaled bytes
+    val out = "/tmp/graft_test/avro_decimal"
+    import spark.implicits._
+    val df = Seq((1L, BigDecimal("12345.6789")), (2L, BigDecimal("-0.0001")),
+      (3L, null.asInstanceOf[BigDecimal]))
+      .toDF("k", "d").select($"k", $"d".cast(SDec(12, 4)).as("d"))
+    Avro.write(df, out)
+    val back = spark.read.format("graft_avro").load(out)
+    assert(back.schema("d").dataType === SDec(12, 4))
+    val got = back.collect().map(r => (r.getLong(0), Option(r.getDecimal(1))
+      .map(_.toPlainString).orNull)).sortBy(_._1).toSeq
+    assert(got === Seq((1L, "12345.6789"), (2L, "-0.0001"), (3L, null)), got.toString)
+    val foreign = "/tmp/graft_test/avro_decimal_foreign"
+    val fSchema = SchemaBuilder.record("row").namespace("ext").fields()
+      .name("k").`type`().longType().noDefault()
+      .name("price").`type`(org.apache.avro.LogicalTypes.decimal(10, 2)
+        .addToSchema(ASchema.createFixed("price_f", null, "ext", 5))).noDefault()
+      .endRecord()
+    writeForeign(foreign, fSchema) { sch =>
+      val fs = sch.getField("price").schema()
+      Seq({ val r = new GenericData.Record(sch)
+        r.put("k", 1L)
+        // 98765.43 = unscaled 9876543, big-endian two's-complement in 5 bytes
+        val unscaled = java.math.BigInteger.valueOf(9876543L).toByteArray
+        val padded = new Array[Byte](5)
+        System.arraycopy(unscaled, 0, padded, 5 - unscaled.length, unscaled.length)
+        r.put("price", new GenericData.Fixed(fs, padded)); r })
+    }
+    val fr = spark.read.format("graft_avro").load(foreign).collect()(0)
+    assert(fr.getDecimal(1).toPlainString === "98765.43",
+      "foreign fixed-backed decimal must read as a NUMBER")
+    // (2) unknown codec refuses loudly instead of substituting deflate
+    val e1 = intercept[Exception] { Avro.write(df, out + "_z", codec = "zstd") }
+    assert(String.valueOf(e1.getMessage).contains("codec") ||
+      String.valueOf(e1.getCause).toString.contains("codec"), e1.toString)
+    // (3) non-positive splitBytes is a loud option error, not an
+    // empty scan
+    val e2 = intercept[IllegalArgumentException] {
+      spark.read.format("graft_avro").option("splitBytes", "-1").load(out).schema
+    }
+    assert(e2.getMessage.contains("splitBytes"), e2.getMessage)
+    // (4) multi-path load reads the union of both directories
+    val out2 = "/tmp/graft_test/avro_decimal_b"
+    Avro.write(df.withColumn("k", $"k" + 10L), out2)
+    assert(spark.read.format("graft_avro").load(out, out2).count() === 6L,
+      "load(p1, p2) must read both datasets")
+    // (5) merge reparse guard: two generations whose fields carry
+    // DIFFERENT nested records under the SAME full name would merge
+    // into an unparseable schema — the election must fall back to a
+    // single readable generation instead of crashing every scan
+    val collide = "/tmp/graft_test/avro_evo_collide"
+    org.apache.commons.io.FileUtils.deleteQuietly(new File(collide))
+    def gen(field: String, sub: String) =
+      SchemaBuilder.record("row").namespace("ext").fields()
+        .name("k").`type`().longType().noDefault()
+        .name(field).`type`().optional().`type`(
+          SchemaBuilder.record("graft_rec_1").namespace("graft").fields()
+            .name(sub).`type`().intType().noDefault().endRecord())
+        .endRecord()
+    writeGen(collide, "gen-a.avro", gen("a", "x")) { sch => Seq(
+      { val r = new GenericData.Record(sch); r.put("k", 1L); r }) }
+    writeGen(collide, "gen-b.avro", gen("b", "y")) { sch => Seq(
+      { val r = new GenericData.Record(sch); r.put("k", 2L); r }) }
+    val dfc = spark.read.format("graft_avro").load(collide)
+    // a single generation won the fallback election; both rows'
+    // shared column still reads (the un-merged column is the
+    // documented stderr-warned drop)
+    assert(dfc.select("k").collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L))
+  }
 }
