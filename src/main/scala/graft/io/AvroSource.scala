@@ -473,17 +473,8 @@ private[io] object AvroConversions {
     * siblings inside a nested record are skipped by resolution like
     * dropped top-level columns (record names/namespaces are
     * preserved, which is what resolution matches records by). */
-  def pruneAvroSchema(writer: ASchema, required: StructType): ASchema = {
-    val byName = writer.getFields.asScala.map(f => f.name() -> f).toMap
-    val fields = required.fields.map { f =>
-      val wf = byName.getOrElse(f.name, throw new IllegalArgumentException(
-        s"graft_avro: projected column ${f.name} absent from writer schema $writer"))
-      new ASchema.Field(wf.name(), pruneTypeSchema(wf.schema(), f.dataType),
-        null, wf.defaultVal())
-    }
-    ASchema.createRecord(writer.getName, null, writer.getNamespace, false,
-      fields.toList.asJava)
-  }
+  def pruneAvroSchema(writer: ASchema, required: StructType): ASchema =
+    evolvedRecord(writer, None, required)
 
   /** [[pruneAvroSchema]] widened for MIXED-GENERATION directories
     * (round 15): resolves `required` against THIS file's writer
@@ -503,29 +494,49 @@ private[io] object AvroConversions {
     *    loud failure (the same generation mix the dataset election
     *    would have refused — reachable here only through a
     *    user-supplied external schema).
-    * Evolution is a TOP-LEVEL-field contract; a required NESTED field
-    * absent from its writer record still fails loudly in
-    * [[pruneTypeSchema]]'s recursion — deep structural mixes are the
-    * incompatible case, not silent nulls. */
+    * Evolution applies at EVERY record depth (round 15, closing the
+    * §9 nested-contract residue): [[pruneTypeSchema]] carries the
+    * dataset schema's matching subtree down through records, arrays,
+    * maps and nullable unions, so a field added-with-default or
+    * renamed-via-alias INSIDE a nested record resolves by the same
+    * three rules — Avro's ResolvingDecoder fills nested defaults and
+    * matches nested aliases natively. What still fails loudly is a
+    * nested field absent from BOTH the writer generation and the
+    * dataset subtree, or absent with no default — the genuinely
+    * incompatible mixes, never silent nulls. */
   def evolvedReaderSchema(writer: ASchema, dataset: ASchema,
-                          required: StructType): ASchema = {
+                          required: StructType): ASchema =
+    evolvedRecord(writer, Some(dataset), required)
+
+  /** One record level of [[evolvedReaderSchema]] (dataset = None is
+    * the strict single-generation contract [[pruneAvroSchema]]:
+    * every required field must exist in the writer record). */
+  private def evolvedRecord(writer: ASchema, dataset: Option[ASchema],
+                            required: StructType): ASchema = {
     val byName = writer.getFields.asScala.map(f => f.name() -> f).toMap
+    def datasetField(n: String): Option[ASchema.Field] =
+      dataset.flatMap(d => Option(d.getField(n)))
     val fields = required.fields.map { f =>
       byName.get(f.name) match {
         case Some(wf) =>
-          new ASchema.Field(wf.name(), pruneTypeSchema(wf.schema(), f.dataType),
+          new ASchema.Field(wf.name(),
+            pruneTypeSchema(wf.schema(), f.dataType,
+              datasetField(f.name).map(_.schema())),
             null, wf.defaultVal())
         case None =>
-          val df = dataset.getField(f.name)
-          require(df != null,
-            s"graft_avro: projected column ${f.name} absent from both the " +
-              s"writer schema $writer and the dataset schema")
+          val df = datasetField(f.name).getOrElse(
+            throw new IllegalArgumentException(if (dataset.isEmpty)
+              s"graft_avro: projected column ${f.name} absent from writer schema $writer"
+            else
+              s"graft_avro: projected column ${f.name} absent from both the " +
+                s"writer schema $writer and the dataset schema"))
           df.aliases().asScala.collectFirst {
             case a if byName.contains(a) => byName(a)
           } match {
             case Some(wf) =>
               val nf = new ASchema.Field(f.name,
-                pruneTypeSchema(wf.schema(), f.dataType), null, df.defaultVal())
+                pruneTypeSchema(wf.schema(), f.dataType, Some(df.schema())),
+                null, df.defaultVal())
               nf.addAlias(wf.name())
               nf
             case None =>
@@ -546,8 +557,13 @@ private[io] object AvroConversions {
     * schema: records prune to the required subfields (recursively),
     * arrays/maps prune their element/value subtree, unions keep their
     * [null, T] wrapper around the pruned branch, and every other type
-    * passes through unchanged. */
-  private def pruneTypeSchema(writer: ASchema, dt: DataType): ASchema =
+    * passes through unchanged. `dataset` is the elected dataset
+    * schema's subtree at the SAME position (None on the strict
+    * single-generation path): record levels hand it to
+    * [[evolvedRecord]] so nested added-with-default / renamed-via-
+    * alias fields resolve exactly like top-level ones. */
+  private def pruneTypeSchema(writer: ASchema, dt: DataType,
+                              dataset: Option[ASchema] = None): ASchema =
     (writer.getType, dt) match {
       case (ASchema.Type.UNION, _)
           if writer.getTypes.asScala.count(_.getType != ASchema.Type.NULL) == 1 =>
@@ -558,7 +574,7 @@ private[io] object AvroConversions {
         // construction for a file that read fine unpruned.
         ASchema.createUnion(writer.getTypes.asScala.map {
           case b if b.getType == ASchema.Type.NULL => b
-          case b => pruneTypeSchema(b, dt)
+          case b => pruneTypeSchema(b, dt, dataset.map(nonNullBranch))
         }.toList.asJava)
       case (ASchema.Type.UNION, _) =>
         // multi-branch non-null union (round 14): the reader schema
@@ -572,11 +588,17 @@ private[io] object AvroConversions {
         // of other branches. Pruning stops here; subtrees inside
         // branches pass through unpruned.
         writer
-      case (ASchema.Type.RECORD, st: StructType) => pruneAvroSchema(writer, st)
+      case (ASchema.Type.RECORD, st: StructType) =>
+        evolvedRecord(writer, dataset.map(nonNullBranch)
+          .filter(_.getType == ASchema.Type.RECORD), st)
       case (ASchema.Type.ARRAY, at: ArrayType) =>
-        ASchema.createArray(pruneTypeSchema(writer.getElementType, at.elementType))
+        ASchema.createArray(pruneTypeSchema(writer.getElementType, at.elementType,
+          dataset.map(nonNullBranch).filter(_.getType == ASchema.Type.ARRAY)
+            .map(_.getElementType)))
       case (ASchema.Type.MAP, mt: MapType) =>
-        ASchema.createMap(pruneTypeSchema(writer.getValueType, mt.valueType))
+        ASchema.createMap(pruneTypeSchema(writer.getValueType, mt.valueType,
+          dataset.map(nonNullBranch).filter(_.getType == ASchema.Type.MAP)
+            .map(_.getValueType)))
       case _ => promoteLeaf(writer, dt)
     }
 
@@ -1032,6 +1054,59 @@ object Avro {
     elected
   }
 
+  /** Deep merge of two same-field writer subtrees for the election's
+    * merge-first rule: same-full-name RECORDS union their fields —
+    * the newer definition wins per common field (recursively), the
+    * older generation's extra fields append after, and aliases union
+    * across generations; single-non-null UNIONS merge their non-null
+    * branch under the newer side's branch order; ARRAYS/MAPS merge
+    * their element/value subtree; every other shape takes the newer
+    * side wholesale (the pre-round-15 behavior). This only
+    * CONSTRUCTS a candidate — the election's SchemaCompatibility
+    * filter decides whether the merged schema actually reads every
+    * generation, so a structurally wrong deep merge falls back to
+    * the single-schema election, never ships. Any Avro validation
+    * error during construction (e.g. a default invalid against the
+    * merged subtree) also resolves to newer-wins. */
+  private def mergeTypeSchemas(old: ASchema, nw: ASchema): ASchema =
+    try {
+      if (old.toString == nw.toString) nw
+      else (old.getType, nw.getType) match {
+        case (ASchema.Type.UNION, ASchema.Type.UNION)
+            if old.getTypes.asScala.count(_.getType != ASchema.Type.NULL) == 1 &&
+               nw.getTypes.asScala.count(_.getType != ASchema.Type.NULL) == 1 =>
+          val oldNN = old.getTypes.asScala.find(_.getType != ASchema.Type.NULL).get
+          ASchema.createUnion(nw.getTypes.asScala.map {
+            case b if b.getType == ASchema.Type.NULL => b
+            case b => mergeTypeSchemas(oldNN, b)
+          }.toList.asJava)
+        case (ASchema.Type.RECORD, ASchema.Type.RECORD)
+            if old.getFullName == nw.getFullName =>
+          val oldByName = old.getFields.asScala.map(f => f.name() -> f).toMap
+          val newNames = nw.getFields.asScala.map(_.name()).toSet
+          val fields = nw.getFields.asScala.map { f =>
+            val mergedSchema = oldByName.get(f.name())
+              .map(of => mergeTypeSchemas(of.schema(), f.schema()))
+              .getOrElse(f.schema())
+            val nf = new ASchema.Field(f.name(), mergedSchema, null, f.defaultVal())
+            f.aliases().asScala.foreach(nf.addAlias)
+            oldByName.get(f.name()).foreach(_.aliases().asScala.foreach(nf.addAlias))
+            nf
+          } ++ old.getFields.asScala.filterNot(f => newNames(f.name())).map { f =>
+            val nf = new ASchema.Field(f.name(), f.schema(), null, f.defaultVal())
+            f.aliases().asScala.foreach(nf.addAlias)
+            nf
+          }
+          ASchema.createRecord(nw.getName, null, nw.getNamespace, false,
+            fields.toList.asJava)
+        case (ASchema.Type.ARRAY, ASchema.Type.ARRAY) =>
+          ASchema.createArray(mergeTypeSchemas(old.getElementType, nw.getElementType))
+        case (ASchema.Type.MAP, ASchema.Type.MAP) =>
+          ASchema.createMap(mergeTypeSchemas(old.getValueType, nw.getValueType))
+        case _ => nw
+      }
+    } catch { case _: org.apache.avro.AvroRuntimeException => nw }
+
   private def electDatasetSchema(paths: Seq[String],
                                  files: Seq[(String, Long)]): ASchema = {
     // LinkedHashMap keeps first-seen order of each distinct schema;
@@ -1077,7 +1152,26 @@ object Avro {
         cands.foreach { c =>
           c.getFields.asScala.foreach { f =>
             fieldOrder += f.name()
-            newestDef(f.name()) = f // later (newer) generations overwrite
+            // later (newer) generations overwrite — but same-name
+            // RECORD subtrees merge RECURSIVELY (round 15, the
+            // nested-evolution closure): two generations that each
+            // add a different defaulted field INSIDE a nested record
+            // are mutually readable, and taking either definition
+            // wholesale would silently drop the other's subfield. The
+            // compatibility filter below still validates the result
+            // against every generation, so a bad deep merge falls
+            // back, never ships.
+            newestDef(f.name()) = newestDef.get(f.name()) match {
+              case Some(old) =>
+                val ms = mergeTypeSchemas(old.schema(), f.schema())
+                if (ms eq f.schema()) f
+                else {
+                  val nf = new ASchema.Field(f.name(), ms, null, f.defaultVal())
+                  f.aliases().asScala.foreach(nf.addAlias)
+                  nf
+                }
+              case None => f
+            }
           }
         }
         val last = cands.last
@@ -1122,9 +1216,25 @@ object Avro {
         // NO SILENT CAPS: when the single-schema election drops fields
         // some generation carries (the merge above could not read
         // everything), say which — a dropped column must be readable
-        // off the log, never discovered downstream
-        val winnerNames = winner.getFields.asScala.map(_.name).toSet
-        val dropped = cands.flatMap(_.getFields.asScala.map(_.name))
+        // off the log, never discovered downstream. Paths recurse into
+        // nested records (round 15) so a subfield only one generation
+        // carries names itself as `parent.child`, not silence.
+        def fieldPaths(s: ASchema, prefix: String,
+                       seen: Set[String]): Seq[String] = s.getType match {
+          case ASchema.Type.RECORD =>
+            if (seen(s.getFullName)) Seq.empty // recursive schema guard
+            else s.getFields.asScala.toSeq.flatMap { f =>
+              val p = prefix + f.name()
+              p +: fieldPaths(f.schema(), p + ".", seen + s.getFullName)
+            }
+          case ASchema.Type.UNION =>
+            s.getTypes.asScala.toSeq.flatMap(fieldPaths(_, prefix, seen))
+          case ASchema.Type.ARRAY => fieldPaths(s.getElementType, prefix, seen)
+          case ASchema.Type.MAP => fieldPaths(s.getValueType, prefix, seen)
+          case _ => Seq.empty
+        }
+        val winnerNames = fieldPaths(winner, "", Set.empty).toSet
+        val dropped = cands.flatMap(fieldPaths(_, "", Set.empty))
           .distinct.filterNot(winnerNames)
         if (dropped.nonEmpty)
           System.err.println(s"[graft_avro] WARN: mixed-generation election " +

@@ -489,6 +489,177 @@ class AvroInteropSpec extends AnyFunSuite with SparkTestBase {
       s"each generation must default-fill the field it lacks, got $got")
   }
 
+  // ---- round 15 (late): evolution INSIDE nested records — the §9
+  // nested-contract residue. The dataset subtree now rides the
+  // pruning recursion, so added-with-default / renamed-via-alias
+  // resolve at every record depth, not just the top level. ----
+
+  test("evolution: a field added WITH a default inside a NESTED record back-fills older generations") {
+    val out = "/tmp/graft_test/avro_evo_nested_add"
+    org.apache.commons.io.FileUtils.deleteQuietly(new File(out))
+    val infoA = SchemaBuilder.record("info").namespace("ext").fields()
+      .name("a").`type`().stringType().noDefault().endRecord()
+    val infoB = SchemaBuilder.record("info").namespace("ext").fields()
+      .name("a").`type`().stringType().noDefault()
+      .name("score").`type`().intType().intDefault(7)
+      .endRecord()
+    def gen(info: ASchema) = SchemaBuilder.record("row").namespace("ext").fields()
+      .name("k").`type`().longType().noDefault()
+      .name("info").`type`(info).noDefault()
+      .endRecord()
+    writeGen(out, "gen-a.avro", gen(infoA)) { s => Seq({
+      val r = new GenericData.Record(s)
+      val i = new GenericData.Record(infoA); i.put("a", "a1")
+      r.put("k", 1L); r.put("info", i); r }) }
+    writeGen(out, "gen-b.avro", gen(infoB)) { s => Seq({
+      val r = new GenericData.Record(s)
+      val i = new GenericData.Record(infoB); i.put("a", "b2"); i.put("score", 30)
+      r.put("k", 2L); r.put("info", i); r }) }
+    val df = spark.read.format("graft_avro").load(out)
+    // the merged election carries the newest nested definition
+    assert(df.select("info.score").schema.head.dataType ===
+      org.apache.spark.sql.types.IntegerType)
+    val got = df.selectExpr("k", "info.a", "info.score")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+      .sortBy(_._1).toSeq
+    assert(got === Seq((1L, "a1", 7), (2L, "b2", 30)),
+      s"the old generation's nested record must back-fill the default, got $got")
+    // nested pruning to ONLY the default-filled subfield still
+    // resolves per-file (the old generation's record has no such
+    // field to prune TO — the dataset subtree supplies it)
+    assert(df.select("info.score").collect().map(_.getInt(0)).sorted.toSeq ===
+      Seq(7, 30))
+  }
+
+  test("evolution: a nested field RENAMED via reader alias reads both generations") {
+    val out = "/tmp/graft_test/avro_evo_nested_alias"
+    org.apache.commons.io.FileUtils.deleteQuietly(new File(out))
+    val infoA = SchemaBuilder.record("info").namespace("ext").fields()
+      .name("old_n").`type`().doubleType().noDefault().endRecord()
+    val infoB = {
+      val f = new ASchema.Field("new_n",
+        ASchema.create(ASchema.Type.DOUBLE), null, null.asInstanceOf[Object])
+      f.addAlias("old_n")
+      ASchema.createRecord("info", null, "ext", false, java.util.List.of(f))
+    }
+    def gen(info: ASchema) = SchemaBuilder.record("row").namespace("ext").fields()
+      .name("k").`type`().longType().noDefault()
+      .name("info").`type`(info).noDefault()
+      .endRecord()
+    writeGen(out, "gen-a.avro", gen(infoA)) { s => Seq({
+      val r = new GenericData.Record(s)
+      val i = new GenericData.Record(infoA); i.put("old_n", 1.5)
+      r.put("k", 1L); r.put("info", i); r }) }
+    writeGen(out, "gen-b.avro", gen(infoB)) { s => Seq({
+      val r = new GenericData.Record(s)
+      val i = new GenericData.Record(infoB); i.put("new_n", 2.5)
+      r.put("k", 2L); r.put("info", i); r }) }
+    val df = spark.read.format("graft_avro").load(out)
+    val got = df.selectExpr("k", "info.new_n")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+    assert(got === Seq((1L, 1.5), (2L, 2.5)),
+      s"the old generation's nested old_n must read as new_n via the alias, got $got")
+  }
+
+  test("evolution: nested evolution reaches through ARRAY elements and nullable union wrappers") {
+    val out = "/tmp/graft_test/avro_evo_nested_array"
+    org.apache.commons.io.FileUtils.deleteQuietly(new File(out))
+    val itemA = SchemaBuilder.record("item").namespace("ext").fields()
+      .name("a").`type`().stringType().noDefault().endRecord()
+    val itemB = SchemaBuilder.record("item").namespace("ext").fields()
+      .name("a").`type`().stringType().noDefault()
+      .name("n").`type`().intType().intDefault(1)
+      .endRecord()
+    // the array field itself is a NULLABLE union, exercising the
+    // dataset-subtree unwrap at the union level of the recursion
+    def gen(item: ASchema) = {
+      val arr = ASchema.createUnion(ASchema.create(ASchema.Type.NULL),
+        ASchema.createArray(item))
+      SchemaBuilder.record("row").namespace("ext").fields()
+        .name("k").`type`().longType().noDefault()
+        .name("items").`type`(arr).withDefault(null)
+        .endRecord()
+    }
+    writeGen(out, "gen-a.avro", gen(itemA)) { s => Seq({
+      val r = new GenericData.Record(s)
+      val i = new GenericData.Record(itemA); i.put("a", "x")
+      r.put("k", 1L)
+      r.put("items", java.util.List.of(i.asInstanceOf[AnyRef])); r }) }
+    writeGen(out, "gen-b.avro", gen(itemB)) { s => Seq({
+      val r = new GenericData.Record(s)
+      val i = new GenericData.Record(itemB); i.put("a", "y"); i.put("n", 9)
+      r.put("k", 2L)
+      r.put("items", java.util.List.of(i.asInstanceOf[AnyRef])); r }) }
+    val df = spark.read.format("graft_avro").load(out)
+    val got = df.selectExpr("k", "items[0].a", "items[0].n")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+      .sortBy(_._1).toSeq
+    assert(got === Seq((1L, "x", 1), (2L, "y", 9)),
+      s"array-element records must default-fill across generations, got $got")
+  }
+
+  test("evolution: generations adding DIFFERENT defaulted nested subfields merge losslessly") {
+    // {info{a, x default}} + {info{a, y default}}: taking either
+    // generation's nested definition wholesale would silently drop
+    // the other's subfield — the recursive merge keeps both, each
+    // generation default-filling the subfield it lacks
+    val out = "/tmp/graft_test/avro_evo_nested_merge"
+    org.apache.commons.io.FileUtils.deleteQuietly(new File(out))
+    val infoA = SchemaBuilder.record("info").namespace("ext").fields()
+      .name("a").`type`().stringType().noDefault()
+      .name("x").`type`().intType().intDefault(0)
+      .endRecord()
+    val infoB = SchemaBuilder.record("info").namespace("ext").fields()
+      .name("a").`type`().stringType().noDefault()
+      .name("y").`type`().intType().intDefault(-1)
+      .endRecord()
+    def gen(info: ASchema) = SchemaBuilder.record("row").namespace("ext").fields()
+      .name("k").`type`().longType().noDefault()
+      .name("info").`type`(info).noDefault()
+      .endRecord()
+    writeGen(out, "gen-a.avro", gen(infoA)) { s => Seq({
+      val r = new GenericData.Record(s)
+      val i = new GenericData.Record(infoA); i.put("a", "a1"); i.put("x", 10)
+      r.put("k", 1L); r.put("info", i); r }) }
+    writeGen(out, "gen-b.avro", gen(infoB)) { s => Seq({
+      val r = new GenericData.Record(s)
+      val i = new GenericData.Record(infoB); i.put("a", "b2"); i.put("y", 20)
+      r.put("k", 2L); r.put("info", i); r }) }
+    val df = spark.read.format("graft_avro").load(out)
+    assert(df.select("info.*").columns.sorted.toSeq === Seq("a", "x", "y"),
+      "both generations' nested subfields must survive the merge")
+    val got = df.selectExpr("k", "info.a", "info.x", "info.y")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3)))
+      .sortBy(_._1).toSeq
+    assert(got === Seq((1L, "a1", 10, -1), (2L, "b2", 0, 20)),
+      s"each generation must default-fill the nested subfield it lacks, got $got")
+  }
+
+  test("evolution: a NESTED type conflict still fails loudly at schema time") {
+    val out = "/tmp/graft_test/avro_evo_nested_bad"
+    org.apache.commons.io.FileUtils.deleteQuietly(new File(out))
+    val infoA = SchemaBuilder.record("info").namespace("ext").fields()
+      .name("x").`type`().intType().noDefault().endRecord()
+    val infoB = SchemaBuilder.record("info").namespace("ext").fields()
+      .name("x").`type`().stringType().noDefault().endRecord()
+    def gen(info: ASchema) = SchemaBuilder.record("row").namespace("ext").fields()
+      .name("info").`type`(info).noDefault()
+      .endRecord()
+    writeGen(out, "gen-a.avro", gen(infoA)) { s => Seq({
+      val r = new GenericData.Record(s)
+      val i = new GenericData.Record(infoA); i.put("x", 1)
+      r.put("info", i); r }) }
+    writeGen(out, "gen-b.avro", gen(infoB)) { s => Seq({
+      val r = new GenericData.Record(s)
+      val i = new GenericData.Record(infoB); i.put("x", "one")
+      r.put("info", i); r }) }
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("graft_avro").load(out).schema
+    }
+    assert(e.getMessage.contains("NO schema can read every") &&
+      e.getMessage.contains("generation"), e.getMessage)
+  }
+
   test("round-15 hardening: decimal logical type, loud codec/splitBytes, merge reparse guard, multi-path load") {
     import org.apache.spark.sql.types.{DecimalType => SDec}
     // (1) decimal logical type BOTH directions: engine write of a
