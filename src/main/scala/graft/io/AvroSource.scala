@@ -752,9 +752,23 @@ private[io] object AvroConversions {
           case other => throw new IllegalStateException(
             s"graft_avro: unexpected decimal value $other")
         }
-        org.apache.spark.sql.types.Decimal(
-          new java.math.BigDecimal(new java.math.BigInteger(raw), scale),
-          d.precision, d.scale)
+        val bd = new java.math.BigDecimal(new java.math.BigInteger(raw), scale)
+        // a reader type NARROWER than the value is a loud failure,
+        // never a silent HALF_UP round (review finding: Decimal's own
+        // rescale rounds; setScale without a rounding mode throws
+        // exactly when rescaling would change the value). Reachable
+        // via a narrower user-supplied external schema, or a mixed
+        // directory whose election landed on a narrower decimal.
+        val rescaled = try bd.setScale(d.scale)
+          catch { case _: ArithmeticException =>
+            throw new IllegalArgumentException(
+              s"graft_avro: decimal value $bd (writer scale $scale) does not " +
+                s"fit reader type $d without rounding — refusing to silently " +
+                "lose precision")
+          }
+        require(rescaled.precision <= d.precision,
+          s"graft_avro: decimal value $bd overflows reader type $d")
+        org.apache.spark.sql.types.Decimal(rescaled, d.precision, d.scale)
       }
     case ArrayType(et, _) =>
       val elemConv = readConverter(et, nonNullBranch(avro).getElementType)
@@ -860,12 +874,23 @@ object Avro {
     val schema = df.schema
     val avroJson = AvroConversions.toAvroSchema(schema).toString
     val spark = df.sparkSession
-    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // codec validated HERE, before the destructive delete below — the
+    // executor-side match would only throw after the target dataset
+    // is already gone (review finding on the loud-codec change)
+    require(Set("null", "snappy", "deflate")(codec),
+      s"graft_avro: unsupported codec '$codec' (deflate|snappy|null) — " +
+        "refusing to silently substitute deflate")
+    // ONE conf for driver-side fs ops AND the executors (review
+    // finding): resolving the target through
+    // sparkContext.hadoopConfiguration while tasks use the session
+    // conf would split the write across two filesystems under
+    // session-level spark.hadoop.* overrides
+    val driverSideConf = spark.sessionState.newHadoopConf()
+    val fs = new Path(path).getFileSystem(driverSideConf)
     fs.delete(new Path(path), true)
     fs.mkdirs(new Path(path))
     val codecName = codec
-    val serConf = new SerializableHadoopConf(
-      spark.sessionState.newHadoopConf())
+    val serConf = new SerializableHadoopConf(driverSideConf)
     df.queryExecution.toRdd.mapPartitionsWithIndex { (idx, it) =>
       if (idx == 0 || it.hasNext) {
         val avroSchema = new ASchema.Parser().parse(avroJson)
@@ -994,8 +1019,15 @@ object Avro {
 
   /** Writer schema from one container file's header — a few-hundred-
     * byte read, no data blocks touched. */
-  private[io] def headerSchema(path: String): ASchema = {
-    val in = new FsInput(new Path(path), driverConf)
+  private[io] def headerSchema(path: String): ASchema =
+    headerSchema(path, driverConf)
+
+  /** [[headerSchema]] with a CALLER-OWNED conf: the election reads
+    * thousands of headers, and cloning a full session Hadoop conf per
+    * file (what [[driverConf]] does) is pure driver overhead — hoist
+    * one and pass it (review finding). */
+  private[io] def headerSchema(path: String, conf: Configuration): ASchema = {
+    val in = new FsInput(new Path(path), conf)
     val r =
       try DataFileReader.openReader(in, new GenericDatumReader[GenericRecord]())
       catch { case e: Throwable =>
@@ -1103,6 +1135,29 @@ object Avro {
           ASchema.createArray(mergeTypeSchemas(old.getElementType, nw.getElementType))
         case (ASchema.Type.MAP, ASchema.Type.MAP) =>
           ASchema.createMap(mergeTypeSchemas(old.getValueType, nw.getValueType))
+        case (ASchema.Type.BYTES, ASchema.Type.BYTES) =>
+          // DECIMAL generations merge to the COVERING type (review
+          // finding: newer-wins on a narrower decimal(10,2) over an
+          // older decimal(12,4) passes the compatibility filter —
+          // SchemaCompatibility ignores logical types — and then the
+          // read refuses values that genuinely need the wider scale).
+          // max integer digits + max scale covers every value of
+          // both; outside Spark's precision range, newer-wins and the
+          // converter's loud guard has the last word. Restricted to
+          // BYTES-backed decimals — Avro resolution has no
+          // fixed<->bytes promotion, so widening a FIXED generation's
+          // leaf would fail the compatibility filter anyway.
+          (old.getLogicalType, nw.getLogicalType) match {
+            case (od: LogicalTypes.Decimal, nd: LogicalTypes.Decimal) =>
+              val scale = math.max(od.getScale, nd.getScale)
+              val prec = math.max(od.getPrecision - od.getScale,
+                nd.getPrecision - nd.getScale) + scale
+              if (prec == nd.getPrecision && scale == nd.getScale) nw
+              else if (prec > DecimalType.MAX_PRECISION) nw
+              else LogicalTypes.decimal(prec, scale)
+                .addToSchema(ASchema.create(ASchema.Type.BYTES))
+            case _ => nw
+          }
         case _ => nw
       }
     } catch { case _: org.apache.avro.AvroRuntimeException => nw }
@@ -1118,14 +1173,26 @@ object Avro {
     val distinct = scala.collection.mutable.LinkedHashMap.empty[String, ASchema]
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       math.min(16, math.max(1, files.size)))
+    // ONE conf for the whole election (review finding): driverConf
+    // clones the session's entire Hadoop conf, and a per-file clone
+    // over thousands of headers is pure driver overhead
+    val conf = driverConf
     try {
       val futures = files.map { case (fp, _) =>
         pool.submit(new java.util.concurrent.Callable[ASchema] {
-          override def call(): ASchema = headerSchema(fp)
+          override def call(): ASchema = headerSchema(fp, conf)
         })
       }
       futures.foreach { f =>
-        val sch = f.get()
+        // unwrap the pool's ExecutionException so a corrupt file
+        // fails with the SAME loud surface as the sequential reads
+        // did (review finding); remaining queued header reads are
+        // pointless after a failure — cancel them, don't drain them
+        val sch = try f.get() catch {
+          case e: java.util.concurrent.ExecutionException =>
+            pool.shutdownNow()
+            throw Option(e.getCause).getOrElse(e)
+        }
         distinct.getOrElseUpdate(sch.toString, sch)
         ()
       }
@@ -1163,13 +1230,21 @@ object Avro {
             // back, never ships.
             newestDef(f.name()) = newestDef.get(f.name()) match {
               case Some(old) =>
-                val ms = mergeTypeSchemas(old.schema(), f.schema())
-                if (ms eq f.schema()) f
-                else {
-                  val nf = new ASchema.Field(f.name(), ms, null, f.defaultVal())
-                  f.aliases().asScala.foreach(nf.addAlias)
-                  nf
-                }
+                // field construction validates the newer default
+                // against the MERGED subtree — an invalid combination
+                // (e.g. a record default lacking an appended older
+                // field) resolves to newer-wins like every other
+                // merge failure, so the single-schema election still
+                // gets its chance (review finding)
+                try {
+                  val ms = mergeTypeSchemas(old.schema(), f.schema())
+                  if (ms eq f.schema()) f
+                  else {
+                    val nf = new ASchema.Field(f.name(), ms, null, f.defaultVal())
+                    f.aliases().asScala.foreach(nf.addAlias)
+                    nf
+                  }
+                } catch { case _: org.apache.avro.AvroRuntimeException => f }
               case None => f
             }
           }

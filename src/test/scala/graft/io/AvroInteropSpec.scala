@@ -660,6 +660,89 @@ class AvroInteropSpec extends AnyFunSuite with SparkTestBase {
       e.getMessage.contains("generation"), e.getMessage)
   }
 
+  test("evolution: decimal generations elect the COVERING type; a narrowing read refuses loudly") {
+    import org.apache.spark.sql.types.{DecimalType => SDec}
+    val out = "/tmp/graft_test/avro_evo_decimal"
+    org.apache.commons.io.FileUtils.deleteQuietly(new File(out))
+    def decGen(p: Int, s: Int) = {
+      val dec = org.apache.avro.LogicalTypes.decimal(p, s)
+        .addToSchema(ASchema.create(ASchema.Type.BYTES))
+      SchemaBuilder.record("row").namespace("ext").fields()
+        .name("k").`type`().longType().noDefault()
+        .name("amt").`type`(dec).noDefault()
+        .endRecord()
+    }
+    def put(s: ASchema, k: Long, unscaled: Long): GenericRecord = {
+      val r = new GenericData.Record(s)
+      r.put("k", k)
+      r.put("amt", java.nio.ByteBuffer.wrap(
+        java.math.BigInteger.valueOf(unscaled).toByteArray))
+      r
+    }
+    // gen A decimal(12,4), gen B decimal(10,2): newer-wins would
+    // elect the NARROWER (10,2) — SchemaCompatibility ignores logical
+    // types — and then reject A's 4-scale values at read time; the
+    // covering merge elects (12,4): 8 integer digits + 4 scale
+    writeGen(out, "gen-a.avro", decGen(12, 4)) { s =>
+      Seq(put(s, 1L, 12345L)) } // 1.2345
+    writeGen(out, "gen-b.avro", decGen(10, 2)) { s =>
+      Seq(put(s, 2L, 250L)) }   // 2.50
+    val df = spark.read.format("graft_avro").load(out)
+    assert(df.schema("amt").dataType === SDec(12, 4),
+      "the election must cover both decimal generations")
+    val got = df.collect()
+      .map(r => (r.getLong(0), r.getDecimal(1).toPlainString)).sortBy(_._1).toSeq
+    assert(got === Seq((1L, "1.2345"), (2L, "2.5000")), s"got $got")
+    // the converter-level guard: a reader type too narrow for the
+    // value refuses loudly instead of HALF_UP rounding
+    val writerDec = org.apache.avro.LogicalTypes.decimal(12, 4)
+      .addToSchema(ASchema.create(ASchema.Type.BYTES))
+    val conv = AvroConversions.readConverter(SDec(10, 2), writerDec)
+    val narrow = intercept[IllegalArgumentException] {
+      conv(java.nio.ByteBuffer.wrap(
+        java.math.BigInteger.valueOf(12345L).toByteArray))
+    }
+    assert(narrow.getMessage.contains("without rounding"), narrow.getMessage)
+    // widening the scale is fine (a covering read of the 2-scale gen)
+    val wide = AvroConversions.readConverter(SDec(12, 4),
+      org.apache.avro.LogicalTypes.decimal(10, 2)
+        .addToSchema(ASchema.create(ASchema.Type.BYTES)))
+    assert(wide(java.nio.ByteBuffer.wrap(
+      java.math.BigInteger.valueOf(250L).toByteArray))
+      .asInstanceOf[org.apache.spark.sql.types.Decimal]
+      .toJavaBigDecimal.toPlainString === "2.5000")
+  }
+
+  test("write: an unsupported codec refuses BEFORE touching the existing dataset") {
+    import spark.implicits._
+    val out = "/tmp/graft_test/avro_codec_guard"
+    org.apache.commons.io.FileUtils.deleteQuietly(new File(out))
+    Avro.write(Seq((1L, "keep")).toDF("k", "v"), out)
+    val e = intercept[IllegalArgumentException] {
+      Avro.write(Seq((2L, "boom")).toDF("k", "v"), out, codec = "zstd")
+    }
+    assert(e.getMessage.contains("unsupported codec"), e.getMessage)
+    // the refusal must predate the destructive delete — the original
+    // dataset still reads intact
+    val back = spark.read.format("graft_avro").load(out).collect()
+    assert(back.map(r => (r.getLong(0), r.getString(1))).toSeq === Seq((1L, "keep")),
+      "a codec typo must not destroy the existing dataset")
+  }
+
+  test("election: a corrupt file fails with the underlying error, not a pool ExecutionException") {
+    import spark.implicits._
+    val out = "/tmp/graft_test/avro_corrupt_election"
+    org.apache.commons.io.FileUtils.deleteQuietly(new File(out))
+    Avro.write(Seq((1L, "ok")).toDF("k", "v"), out)
+    val bad = new java.io.FileOutputStream(new File(out, "junk.avro"))
+    try bad.write("this is not avro".getBytes) finally bad.close()
+    val e = intercept[Throwable] {
+      spark.read.format("graft_avro").load(out).schema
+    }
+    assert(!e.isInstanceOf[java.util.concurrent.ExecutionException],
+      s"the pool wrapper must be unwrapped, got ${e.getClass}")
+  }
+
   test("round-15 hardening: decimal logical type, loud codec/splitBytes, merge reparse guard, multi-path load") {
     import org.apache.spark.sql.types.{DecimalType => SDec}
     // (1) decimal logical type BOTH directions: engine write of a
