@@ -713,6 +713,86 @@ class AvroInteropSpec extends AnyFunSuite with SparkTestBase {
       .toJavaBigDecimal.toPlainString === "2.5000")
   }
 
+  test("evolution: seeded fuzz over add/rename/widen op combinations, top-level and nested") {
+    // every subset of {add top-level defaulted, add nested defaulted,
+    // rename nested via alias, widen top-level int->long} as a
+    // two-generation directory; expectations computed independently
+    // from the op set. Deterministic: seeds 0-15 enumerate the
+    // subsets exactly once each.
+    for (mask <- 0 until 16) {
+      val (addTop, addNested, renameNested, widenTop) =
+        ((mask & 1) != 0, (mask & 2) != 0, (mask & 4) != 0, (mask & 8) != 0)
+      val out = s"/tmp/graft_test/avro_evo_fuzz_$mask"
+      org.apache.commons.io.FileUtils.deleteQuietly(new File(out))
+
+      def infoSchema(newGen: Boolean): ASchema = {
+        val fs = scala.collection.mutable.ListBuffer.empty[ASchema.Field]
+        fs += new ASchema.Field("g0", ASchema.create(ASchema.Type.INT),
+          null, null.asInstanceOf[Object])
+        if (newGen && renameNested) {
+          val f = new ASchema.Field("g1r", ASchema.create(ASchema.Type.STRING),
+            null, null.asInstanceOf[Object])
+          f.addAlias("g1")
+          fs += f
+        } else fs += new ASchema.Field("g1",
+          ASchema.create(ASchema.Type.STRING), null, null.asInstanceOf[Object])
+        if (newGen && addNested)
+          fs += new ASchema.Field("g2", ASchema.create(ASchema.Type.INT),
+            null, Integer.valueOf(-5))
+        ASchema.createRecord("info", null, "ext", false, fs.toList.asJava)
+      }
+      def genSchema(newGen: Boolean): ASchema = {
+        val fs = scala.collection.mutable.ListBuffer.empty[ASchema.Field]
+        fs += new ASchema.Field("k", ASchema.create(ASchema.Type.LONG),
+          null, null.asInstanceOf[Object])
+        fs += new ASchema.Field("f0",
+          ASchema.create(if (newGen && widenTop) ASchema.Type.LONG
+                         else ASchema.Type.INT),
+          null, null.asInstanceOf[Object])
+        fs += new ASchema.Field("info", infoSchema(newGen), null,
+          null.asInstanceOf[Object])
+        if (newGen && addTop)
+          fs += new ASchema.Field("f2", ASchema.create(ASchema.Type.INT),
+            null, Integer.valueOf(100))
+        ASchema.createRecord("row", null, "ext", false, fs.toList.asJava)
+      }
+      val (sa, sb) = (genSchema(false), genSchema(true))
+      writeGen(out, "gen-a.avro", sa) { s => Seq({
+        val r = new GenericData.Record(s)
+        val i = new GenericData.Record(s.getField("info").schema())
+        i.put("g0", 1); i.put("g1", "x")
+        r.put("k", 1L); r.put("f0", 10); r.put("info", i); r }) }
+      writeGen(out, "gen-b.avro", sb) { s => Seq({
+        val r = new GenericData.Record(s)
+        val i = new GenericData.Record(s.getField("info").schema())
+        i.put("g0", 2); i.put(if (renameNested) "g1r" else "g1", "y")
+        if (addNested) i.put("g2", 7)
+        r.put("k", 2L)
+        r.put("f0", if (widenTop) java.lang.Long.valueOf(20L)
+                    else Integer.valueOf(20))
+        if (addTop) r.put("f2", 200)
+        r.put("info", i); r }) }
+
+      val df = spark.read.format("graft_avro").load(out)
+      val g1name = if (renameNested) "g1r" else "g1"
+      val expectTop = Seq("k", "f0", "info") ++ (if (addTop) Seq("f2") else Nil)
+      assert(df.columns.sorted.toSeq === expectTop.sorted,
+        s"mask $mask: top-level columns ${df.columns.toSeq}")
+      val expectNested = Seq("g0", g1name) ++ (if (addNested) Seq("g2") else Nil)
+      assert(df.select("info.*").columns.sorted.toSeq === expectNested.sorted,
+        s"mask $mask: nested columns")
+      val cols = Seq("k", "cast(f0 as long) f0", s"info.$g1name", "info.g0") ++
+        (if (addTop) Seq("f2") else Nil) ++ (if (addNested) Seq("info.g2") else Nil)
+      val got = df.selectExpr(cols: _*).collect()
+        .map(_.toSeq.toList).sortBy(_.head.asInstanceOf[Long].longValue()).toList
+      val expA = List(1L, 10L, "x", 1) ++ (if (addTop) List(100) else Nil) ++
+        (if (addNested) List(-5) else Nil)
+      val expB = List(2L, 20L, "y", 2) ++ (if (addTop) List(200) else Nil) ++
+        (if (addNested) List(7) else Nil)
+      assert(got === List(expA, expB), s"mask $mask: $got")
+    }
+  }
+
   test("write: an unsupported codec refuses BEFORE touching the existing dataset") {
     import spark.implicits._
     val out = "/tmp/graft_test/avro_codec_guard"
