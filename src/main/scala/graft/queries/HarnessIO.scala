@@ -157,6 +157,44 @@ object HarnessIO {
         .orderBy($"l_orderkey", $"l_linenumber")
     }),
 
+    // Avro MIXED-GENERATION directory (round 15 — the lake-scale
+    // norm the schema-evolution work serves, oracled end-to-end, not
+    // just spec-covered): generation A writes (o_orderkey,
+    // o_custkey AS INT) for even orderkeys; generation B writes
+    // (o_orderkey, o_custkey AS LONG, o_orderpriority) for odd ones —
+    // engine-written nullable columns carry a null default, so the
+    // files themselves declare the evolution. One directory holds
+    // both; the dataset-schema election merges to (orderkey,
+    // custkey LONG, priority), generation A decodes custkey through
+    // Avro's int->long promotion (the reader leaf is PROMOTED, no
+    // converter cast), and A's rows back-fill priority = NULL. The
+    // stage moves are driver-side renames of a handful of part
+    // files — never data.
+    "src_avro_evolution" -> ((s, dir) => {
+      import s.implicits._
+      val out = s"$stage/orders_avro_evo"
+      val tmpA = s"$stage/orders_avro_evo_genA"
+      val tmpB = s"$stage/orders_avro_evo_genB"
+      val orders = t(s, dir, "orders")
+      graft.io.Avro.write(orders.filter($"o_orderkey" % 2 === 0)
+        .select($"o_orderkey", $"o_custkey".cast("int").as("o_custkey")), tmpA)
+      graft.io.Avro.write(orders.filter($"o_orderkey" % 2 === 1)
+        .select($"o_orderkey", $"o_custkey", $"o_orderpriority"), tmpB)
+      val conf = s.sessionState.newHadoopConf()
+      val outPath = new org.apache.hadoop.fs.Path(out)
+      val fs = outPath.getFileSystem(conf)
+      fs.delete(outPath, true)
+      fs.mkdirs(outPath)
+      for ((src, tag) <- Seq(tmpA -> "a", tmpB -> "b");
+           st <- fs.listStatus(new org.apache.hadoop.fs.Path(src))
+           if st.getPath.getName.endsWith(".avro"))
+        fs.rename(st.getPath,
+          new org.apache.hadoop.fs.Path(outPath, s"gen-$tag-${st.getPath.getName}"))
+      s.read.format("graft_avro").load(out)
+        .select($"o_orderkey", $"o_custkey", $"o_orderpriority")
+        .orderBy($"o_orderkey")
+    }),
+
     // JDBC round-trip against embedded Derby (ref scraper.py:20-24
     // writes Postgres, visualization.py:14-21 reads it back): stale
     // write, full replace, then a PARTITIONED read (4 range-split
@@ -573,6 +611,11 @@ object HarnessIO {
         |       CAST(l_shipdate AS DATE) AS ship_date,
         |       l_extendedprice AS price, l_linestatus AS tag_ls
         |FROM lineitem ORDER BY 1, 2""".stripMargin,
+    "src_avro_evolution" ->
+      """SELECT o_orderkey, o_custkey,
+        |       CASE WHEN o_orderkey % 2 = 0 THEN NULL
+        |            ELSE o_orderpriority END AS o_orderpriority
+        |FROM orders ORDER BY 1""".stripMargin,
     "src_jdbc_table" ->
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
         |FROM customer ORDER BY 1""".stripMargin,
