@@ -920,9 +920,11 @@ object Avro {
           case "null" => CodecFactory.nullCodec()
           case "snappy" => CodecFactory.snappyCodec()
           case "deflate" => CodecFactory.deflateCodec(CodecFactory.DEFAULT_DEFLATE_LEVEL)
-          case other => throw new IllegalArgumentException(
-            s"graft_avro: unsupported codec '$other' (deflate|snappy|null) — " +
-              "refusing to silently substitute deflate")
+          // the loud-option contract lives in write()'s driver-side
+          // require, BEFORE the destructive delete; this arm is
+          // unreachable for any codec that passed it
+          case other => throw new IllegalStateException(
+            s"graft_avro: internal error — codec '$other' escaped driver validation")
         })
         w.create(avroSchema, out)
         try it.foreach { row =>
@@ -1019,13 +1021,10 @@ object Avro {
 
   /** Writer schema from one container file's header — a few-hundred-
     * byte read, no data blocks touched. */
-  private[io] def headerSchema(path: String): ASchema =
-    headerSchema(path, driverConf)
-
-  /** [[headerSchema]] with a CALLER-OWNED conf: the election reads
-    * thousands of headers, and cloning a full session Hadoop conf per
-    * file (what [[driverConf]] does) is pure driver overhead — hoist
-    * one and pass it (review finding). */
+  /** The conf is CALLER-OWNED: the election reads thousands of
+    * headers, and cloning a full session Hadoop conf per file (what
+    * [[driverConf]] does) is pure driver overhead — callers hoist one
+    * and pass it (review finding). */
   private[io] def headerSchema(path: String, conf: Configuration): ASchema = {
     val in = new FsInput(new Path(path), conf)
     val r =
@@ -1112,6 +1111,28 @@ object Avro {
             case b if b.getType == ASchema.Type.NULL => b
             case b => mergeTypeSchemas(oldNN, b)
           }.toList.asJava)
+        // MIXED nullability (review finding): one generation nullable,
+        // the other not — the merge must still see through to the
+        // leaves (a non-nullable decimal(12,4) + [null, decimal(10,2)]
+        // has the covering reader [null, decimal(12,4)]). The result
+        // keeps the UNION side's shape: a nullable reader resolves
+        // both generations, the non-union writer matching its non-null
+        // branch.
+        case (ASchema.Type.UNION, _)
+            if old.getTypes.asScala.count(_.getType != ASchema.Type.NULL) == 1 &&
+               nw.getType != ASchema.Type.UNION =>
+          val oldNN = old.getTypes.asScala.find(_.getType != ASchema.Type.NULL).get
+          ASchema.createUnion(old.getTypes.asScala.map {
+            case b if b.getType == ASchema.Type.NULL => b
+            case _ => mergeTypeSchemas(oldNN, nw)
+          }.toList.asJava)
+        case (_, ASchema.Type.UNION)
+            if nw.getTypes.asScala.count(_.getType != ASchema.Type.NULL) == 1 &&
+               old.getType != ASchema.Type.UNION =>
+          ASchema.createUnion(nw.getTypes.asScala.map {
+            case b if b.getType == ASchema.Type.NULL => b
+            case b => mergeTypeSchemas(old, b)
+          }.toList.asJava)
         case (ASchema.Type.RECORD, ASchema.Type.RECORD)
             if old.getFullName == nw.getFullName =>
           val oldByName = old.getFields.asScala.map(f => f.name() -> f).toMap
@@ -1143,10 +1164,10 @@ object Avro {
           // read refuses values that genuinely need the wider scale).
           // max integer digits + max scale covers every value of
           // both; outside Spark's precision range, newer-wins and the
-          // converter's loud guard has the last word. Restricted to
-          // BYTES-backed decimals — Avro resolution has no
-          // fixed<->bytes promotion, so widening a FIXED generation's
-          // leaf would fail the compatibility filter anyway.
+          // converter's loud guard has the last word. Same-shape
+          // FIXED pairs get the same treatment below; a fixed<->bytes
+          // MIX stays newer-wins — Avro resolution has no promotion
+          // between them, so no merged leaf could read both.
           (old.getLogicalType, nw.getLogicalType) match {
             case (od: LogicalTypes.Decimal, nd: LogicalTypes.Decimal) =>
               val scale = math.max(od.getScale, nd.getScale)
@@ -1156,6 +1177,28 @@ object Avro {
               else if (prec > DecimalType.MAX_PRECISION) nw
               else LogicalTypes.decimal(prec, scale)
                 .addToSchema(ASchema.create(ASchema.Type.BYTES))
+            case _ => nw
+          }
+        case (ASchema.Type.FIXED, ASchema.Type.FIXED)
+            if old.getFullName == nw.getFullName &&
+               old.getFixedSize == nw.getFixedSize =>
+          // same-shape FIXED decimals are COMPATIBLE under Avro
+          // resolution too (review finding), so they need the same
+          // covering merge; the covering precision must also fit the
+          // fixed's two's-complement capacity or the logical type
+          // refuses to attach. Decode is unaffected — per-file readers
+          // keep the WRITER's logical type and the converter rescales.
+          (old.getLogicalType, nw.getLogicalType) match {
+            case (od: LogicalTypes.Decimal, nd: LogicalTypes.Decimal) =>
+              val scale = math.max(od.getScale, nd.getScale)
+              val prec = math.max(od.getPrecision - od.getScale,
+                nd.getPrecision - nd.getScale) + scale
+              val fixedCap = (math.log10(2) * (8L * nw.getFixedSize - 1)).toInt
+              if (prec == nd.getPrecision && scale == nd.getScale) nw
+              else if (prec > DecimalType.MAX_PRECISION || prec > fixedCap) nw
+              else LogicalTypes.decimal(prec, scale).addToSchema(
+                ASchema.createFixed(nw.getName, null, nw.getNamespace,
+                  nw.getFixedSize))
             case _ => nw
           }
         case _ => nw

@@ -185,11 +185,16 @@ object HarnessIO {
       val fs = outPath.getFileSystem(conf)
       fs.delete(outPath, true)
       fs.mkdirs(outPath)
-      for ((src, tag) <- Seq(tmpA -> "a", tmpB -> "b");
-           st <- fs.listStatus(new org.apache.hadoop.fs.Path(src))
-           if st.getPath.getName.endsWith(".avro"))
-        fs.rename(st.getPath,
-          new org.apache.hadoop.fs.Path(outPath, s"gen-$tag-${st.getPath.getName}"))
+      for ((src, tag) <- Seq(tmpA -> "a", tmpB -> "b")) {
+        for (st <- fs.listStatus(new org.apache.hadoop.fs.Path(src))
+             if st.getPath.getName.endsWith(".avro")) {
+          val dest = new org.apache.hadoop.fs.Path(outPath,
+            s"gen-$tag-${st.getPath.getName}")
+          require(fs.rename(st.getPath, dest),
+            s"src_avro_evolution: staging rename ${st.getPath} -> $dest failed")
+        }
+        fs.delete(new org.apache.hadoop.fs.Path(src), true)
+      }
       s.read.format("graft_avro").load(out)
         .select($"o_orderkey", $"o_custkey", $"o_orderpriority")
         .orderBy($"o_orderkey")

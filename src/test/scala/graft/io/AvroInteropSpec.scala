@@ -713,6 +713,77 @@ class AvroInteropSpec extends AnyFunSuite with SparkTestBase {
       .toJavaBigDecimal.toPlainString === "2.5000")
   }
 
+  test("evolution: covering-decimal merge sees through MIXED nullability and FIXED pairs") {
+    import org.apache.spark.sql.types.{DecimalType => SDec}
+    // (1) mixed nullability: non-nullable decimal(12,4) + nullable
+    // decimal(10,2) — the covering reader is NULLABLE decimal(12,4);
+    // electing the narrower (what a bare newer-wins leaf rule did)
+    // would loud-reject generation A's 4-scale values at read time
+    val out = "/tmp/graft_test/avro_evo_decimal_mixed"
+    org.apache.commons.io.FileUtils.deleteQuietly(new File(out))
+    val decA = org.apache.avro.LogicalTypes.decimal(12, 4)
+      .addToSchema(ASchema.create(ASchema.Type.BYTES))
+    val decB = ASchema.createUnion(ASchema.create(ASchema.Type.NULL),
+      org.apache.avro.LogicalTypes.decimal(10, 2)
+        .addToSchema(ASchema.create(ASchema.Type.BYTES)))
+    def gen(dec: ASchema) = {
+      val kf = new ASchema.Field("k", ASchema.create(ASchema.Type.LONG),
+        null, null.asInstanceOf[Object])
+      val af = new ASchema.Field("amt", dec, null,
+        if (dec.getType == ASchema.Type.UNION) ASchema.Field.NULL_DEFAULT_VALUE
+        else null.asInstanceOf[Object])
+      ASchema.createRecord("row", null, "ext", false, java.util.List.of(kf, af))
+    }
+    def buf(unscaled: Long) = java.nio.ByteBuffer.wrap(
+      java.math.BigInteger.valueOf(unscaled).toByteArray)
+    writeGen(out, "gen-a.avro", gen(decA)) { s => Seq({
+      val r = new GenericData.Record(s)
+      r.put("k", 1L); r.put("amt", buf(12345L)); r }) } // 1.2345
+    writeGen(out, "gen-b.avro", gen(decB)) { s => Seq({
+      val r = new GenericData.Record(s)
+      r.put("k", 2L); r.put("amt", buf(250L)); r },     // 2.50
+      { val r = new GenericData.Record(s)
+        r.put("k", 3L); r.put("amt", null); r }) }
+    val df = spark.read.format("graft_avro").load(out)
+    assert(df.schema("amt").dataType === SDec(12, 4) && df.schema("amt").nullable,
+      s"the covering reader must be nullable decimal(12,4), got ${df.schema("amt")}")
+    val got = df.collect().map(r => (r.getLong(0),
+      Option(r.getDecimal(1)).map(_.toPlainString).orNull)).sortBy(_._1).toSeq
+    assert(got === Seq((1L, "1.2345"), (2L, "2.5000"), (3L, null)), s"got $got")
+
+    // (2) same-name same-size FIXED decimals merge to the covering
+    // type too — fixed-fixed resolution is COMPATIBLE, so newer-wins
+    // would elect the narrow one exactly like the bytes case
+    val out2 = "/tmp/graft_test/avro_evo_decimal_fixed"
+    org.apache.commons.io.FileUtils.deleteQuietly(new File(out2))
+    def fixedDec(p: Int, s: Int) = org.apache.avro.LogicalTypes.decimal(p, s)
+      .addToSchema(ASchema.createFixed("amt_f", null, "ext", 8))
+    def genF(dec: ASchema) = {
+      val kf = new ASchema.Field("k", ASchema.create(ASchema.Type.LONG),
+        null, null.asInstanceOf[Object])
+      val af = new ASchema.Field("amt", dec, null, null.asInstanceOf[Object])
+      ASchema.createRecord("row", null, "ext", false, java.util.List.of(kf, af))
+    }
+    def fix(s: ASchema, unscaled: Long): GenericData.Fixed = {
+      val bytes = new Array[Byte](8)
+      var v = unscaled
+      for (i <- 7 to 0 by -1) { bytes(i) = (v & 0xff).toByte; v >>= 8 }
+      new GenericData.Fixed(s, bytes)
+    }
+    writeGen(out2, "gen-a.avro", genF(fixedDec(12, 4))) { s => Seq({
+      val r = new GenericData.Record(s)
+      r.put("k", 1L); r.put("amt", fix(s.getField("amt").schema(), 12345L)); r }) }
+    writeGen(out2, "gen-b.avro", genF(fixedDec(10, 2))) { s => Seq({
+      val r = new GenericData.Record(s)
+      r.put("k", 2L); r.put("amt", fix(s.getField("amt").schema(), 250L)); r }) }
+    val df2 = spark.read.format("graft_avro").load(out2)
+    assert(df2.schema("amt").dataType === SDec(12, 4),
+      s"fixed generations must elect the covering decimal, got ${df2.schema("amt")}")
+    val got2 = df2.collect()
+      .map(r => (r.getLong(0), r.getDecimal(1).toPlainString)).sortBy(_._1).toSeq
+    assert(got2 === Seq((1L, "1.2345"), (2L, "2.5000")), s"got $got2")
+  }
+
   test("evolution: seeded fuzz over add/rename/widen op combinations, top-level and nested") {
     // every subset of {add top-level defaulted, add nested defaulted,
     // rename nested via alias, widen top-level int->long} as a
