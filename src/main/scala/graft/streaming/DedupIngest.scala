@@ -39,17 +39,18 @@ object DedupIngest {
   /** Maintain the minhash store from a document stream: each
     * micro-batch writes its signatures to `$storeDir/sigs` and its
     * shingle arrays to `$storeDir/docs`, both `__batch`-partitioned.
-    * A document lands wholly in its own batch, so both stores hold
-    * globally unique rows — compaction needs no provenance column.
-    * `compactEvery` > 0 bounds the partition count as in the text
-    * tiers. */
+    * A document lands wholly in its own batch; a doc_id RE-ingested
+    * in a later batch is an update with compaction-bounded
+    * visibility — the fold keeps only its newest batch's rows
+    * ([[TextIngest.foldNewestBatches]]). `compactEvery` > 0 bounds
+    * the partition count as in the text tiers. */
   def maintainMinhash(stream: DataFrame, id: String, text: String,
                       storeDir: String,
                       numHashes: Int = 12, bands: Int = 4,
                       trigger: Trigger = Trigger.AvailableNow(),
                       onBatch: Long => Unit = _ => (),
                       compactEvery: Int = 0): StreamingQuery = {
-    saveSigParams(storeDir, numHashes, bands)
+    saveSigParams(stream.sparkSession, storeDir, numHashes, bands)
     stream.writeStream
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val sh = shingled(batch.toDF(), id, text).persist()
@@ -92,68 +93,50 @@ object DedupIngest {
     * comparable between relations built with the SAME (numHashes,
     * bands), so a reader probing with different parameters would get a
     * silent recall-0 join, not an error. Validated by every store
-    * reader; first writer wins, a changed re-declaration throws. */
-  private def sigParamsFile(storeDir: String): java.io.File =
-    new java.io.File(s"$storeDir/_sig_params/params.txt")
+    * reader; first writer wins, a changed re-declaration throws.
+    * Round 15: through [[Sidecars]] (Hadoop-FS), so the pin actually
+    * persists on a production-URI store path. */
+  private def sigParamsFile(storeDir: String): String =
+    s"$storeDir/_sig_params/params.txt"
 
-  private def saveSigParams(storeDir: String, numHashes: Int, bands: Int): Unit =
-    loadSigParams(storeDir) match {
+  private def saveSigParams(spark: SparkSession, storeDir: String,
+                            numHashes: Int, bands: Int): Unit =
+    loadSigParams(spark, storeDir) match {
       case Some((nh, b)) =>
         require(nh == numHashes && b == bands,
           s"store $storeDir was maintained with (numHashes=$nh, bands=$b); " +
             s"re-declaring ($numHashes, $bands) would corrupt the band keyspace")
       case None =>
-        val f = sigParamsFile(storeDir)
-        f.getParentFile.mkdirs()
-        java.nio.file.Files.write(f.toPath,
-          s"numHashes=$numHashes\nbands=$bands\n".getBytes("UTF-8"))
-        ()
+        Sidecars.write(spark, sigParamsFile(storeDir),
+          s"numHashes=$numHashes\nbands=$bands\n")
     }
 
-  private def loadSigParams(storeDir: String): Option[(Int, Int)] = {
-    val f = sigParamsFile(storeDir)
-    if (!f.exists()) None
-    else {
-      val lines = java.nio.file.Files.readAllLines(f.toPath)
-      Some((lines.get(0).stripPrefix("numHashes=").toInt,
-        lines.get(1).stripPrefix("bands=").toInt))
+  private def loadSigParams(spark: SparkSession,
+                            storeDir: String): Option[(Int, Int)] = {
+    Sidecars.read(spark, sigParamsFile(storeDir)).map { txt =>
+      val lines = txt.split("\n")
+      (lines(0).stripPrefix("numHashes=").toInt,
+        lines(1).stripPrefix("bands=").toInt)
     }
   }
 
   /** The store's persisted signature parameters, falling back to the
     * given defaults for stores written before the sidecar existed. */
-  private def sigParamsOf(storeDir: String, numHashes: Int, bands: Int): (Int, Int) =
-    loadSigParams(storeDir).getOrElse((numHashes, bands))
+  private def sigParamsOf(spark: SparkSession, storeDir: String,
+                          numHashes: Int, bands: Int): (Int, Int) =
+    loadSigParams(spark, storeDir).getOrElse((numHashes, bands))
 
-  /** Fold committed sigs/docs batch partitions into `__batch=-1` —
-    * the [[TextIngest.compactInvertedIndex]] discipline: keys are
-    * globally unique (one batch per doc), so a full-row distinct makes
-    * the fold idempotent across the crash window. */
+  /** Fold committed sigs/docs batch partitions into `__batch=-1` via
+    * [[TextIngest.foldNewestBatches]]: a doc_id re-ingested with
+    * changed text resolves to its newest signatures/shingles at the
+    * fold (compaction-bounded update visibility — between re-ingest
+    * and fold a probe can transiently match the stale version too). */
   def compactMinhash(spark: SparkSession, storeDir: String,
                      upToBatch: Long, targetFiles: Int = 1): Unit = {
-    def foldOne(sub: String, dataCols: Seq[String]): Unit = {
-      val dir = s"$storeDir/$sub"
-      val fold = TextIngest.batchPartitionDirs(spark, dir)
-        .filter(_.getName.stripPrefix("__batch=").toLong < upToBatch)
-      if (fold.length > 1) {
-        val folded = spark.read.option("basePath", dir)
-          .parquet(fold.map(_.toString).toIndexedSeq: _*)
-          .select(dataCols.map(col): _*)
-          .distinct()
-          .withColumn("__batch", lit(TextIngest.CompactedBatchId))
-          .coalesce(math.max(1, targetFiles))
-          .localCheckpoint(true)
-        folded.write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("__batch")
-          .parquet(dir)
-        fold.filter(_.getName != s"__batch=${TextIngest.CompactedBatchId}")
-          .foreach(TextIngest.deleteDir(spark, _))
-        spark.catalog.refreshByPath(dir)
-      }
-    }
-    foldOne("sigs", Seq("doc_id", "__band", "__key"))
-    foldOne("docs", Seq("doc_id", "__sh"))
+    TextIngest.foldNewestBatches(spark, s"$storeDir/sigs", "doc_id",
+      Seq("doc_id", "__band", "__key"), upToBatch, targetFiles)
+    TextIngest.foldNewestBatches(spark, s"$storeDir/docs", "doc_id",
+      Seq("doc_id", "__sh"), upToBatch, targetFiles)
   }
 
   /** Probe NEW documents against the stream-maintained signature
@@ -168,7 +151,7 @@ object DedupIngest {
                             jaccardThreshold: Double = 0.5): DataFrame = {
     // probe with the parameters the STORE was built with (sidecar),
     // not the caller's defaults — mismatched band keys join to nothing
-    val (nh, b) = sigParamsOf(storeDir, numHashes, bands)
+    val (nh, b) = sigParamsOf(spark, storeDir, numHashes, bands)
     val probeSh = shingled(newDocs, id, text).localCheckpoint(true)
     val pb = Dedup.portableBandSignatures(probeSh, "doc_id", "__sh", nh, b)
       .localCheckpoint(true)
@@ -239,42 +222,69 @@ object DedupIngest {
                            batchId: Long, compactEvery: Int): Unit = {
     val ex = Dedup.hashedShingles(sh, "doc_id", "__sh")
     val dfordDir = s"$storeDir/dford"
+    val dfordFs = new org.apache.hadoop.fs.Path(dfordDir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(s"$dfordDir/_SUCCESS")
     // bootstrap: freeze the ordering authority from the first
-    // batch (first writer wins — the _SUCCESS marker is the
-    // atomic commit, a replayed batch 0 overwrites identically).
+    // NON-EMPTY batch (first writer wins — the _SUCCESS marker is the
+    // atomic commit, a replayed batch 0 overwrites identically; an
+    // empty first batch defers the freeze rather than pinning a
+    // vocab-0 authority that would cost candidate volume for the
+    // store's whole life — round-15 streaming review).
     // __gen tags the order GENERATION (0 at bootstrap, bumped by
     // [[refreshOrderAuthority]]); every docs row carries the
     // generation it was ordered under, so a serve can PROVE the
     // shared-total-order premise instead of assuming it.
-    if (!new org.apache.hadoop.fs.Path(dfordDir).getFileSystem(
-        spark.sparkContext.hadoopConfiguration).exists(
-        new org.apache.hadoop.fs.Path(s"$dfordDir/_SUCCESS"))) {
-      ex.groupBy(col("__h")).agg(count(lit(1)).as("__df"))
-        .withColumn("__gen", lit(0L))
-        .write.mode("overwrite").parquet(dfordDir)
-      // order-meta sidecar at bootstrap: generation 0 + the
-      // vocabulary size the broadcast gate sizes against (one
-      // count, once per store lifetime)
-      writeOrderMeta(spark, storeDir, 0L,
-        spark.read.parquet(dfordDir).count())
+    if (!dfordFs.exists(marker)) {
+      // a LOST authority must never silently re-freeze (round-15
+      // streaming review): re-bootstrapping stamps __gen=0 again, so
+      // on a never-refreshed store the generation proof could not
+      // tell the new authority from the vanished one the docs rows
+      // were actually ordered under — prefix completeness would break
+      // silently. The sidecar is the witness: meta without a
+      // committed dford means the authority vanished (external
+      // cleanup, or a deployment writing no _SUCCESS markers —
+      // mapreduce.fileoutputcommitter.marksuccessfuljobs=false is
+      // unsupported for this store).
+      require(readOrderMeta(spark, storeDir).isEmpty,
+        s"jaccard store $storeDir: _order_meta records a frozen ordering " +
+          "authority but dford carries no _SUCCESS commit — the authority " +
+          "was lost after docs rows were ordered under it. Refusing to " +
+          "silently re-freeze a NEW order (stored prefix arrays would no " +
+          "longer share a total order with new ones); restore dford or run " +
+          "refreshOrderAuthority to rewrite the store under one authority")
+      if (!ex.isEmpty) {
+        ex.groupBy(col("__h")).agg(count(lit(1)).as("__df"))
+          .withColumn("__gen", lit(0L))
+          .write.mode("overwrite").parquet(dfordDir)
+        // order-meta sidecar at bootstrap: generation 0 + the
+        // vocabulary size the broadcast gate sizes against (one
+        // count, once per store lifetime)
+        writeOrderMeta(spark, storeDir, 0L,
+          spark.read.parquet(dfordDir).count())
+      }
     }
-    val dford = spark.read.parquet(dfordDir)
-    val gen = orderGen(dford)
-    // the order join is per-batch: against a small vocabulary
-    // (sidecar-proven) the authority broadcasts and the batch
-    // skips the vocabulary shuffle entirely
-    Dedup.orderedByDf(ex, dfreqFor(spark, storeDir, dford), "doc_id")
-      .join(sh, "doc_id")
-      .select(col("doc_id"), col("__sh"), col("__n"), col("__ha"))
-      .withColumn("__ogen", lit(gen))
-      .withColumn("__batch", lit(batchId))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("__batch")
-      .parquet(s"$storeDir/docs")
-    if (compactEvery > 0 &&
-        TextIngest.batchPartitionDirs(spark, s"$storeDir/docs").length >= compactEvery)
-      compactJaccardStore(spark, storeDir, upToBatch = batchId)
+    // no authority yet (empty batches so far): nothing to order or
+    // store — the freeze waits for the first real batch
+    if (dfordFs.exists(marker)) {
+      val dford = spark.read.parquet(dfordDir)
+      val gen = orderGen(dford)
+      // the order join is per-batch: against a small vocabulary
+      // (sidecar-proven) the authority broadcasts and the batch
+      // skips the vocabulary shuffle entirely
+      Dedup.orderedByDf(ex, dfreqFor(spark, storeDir, dford), "doc_id")
+        .join(sh, "doc_id")
+        .select(col("doc_id"), col("__sh"), col("__n"), col("__ha"))
+        .withColumn("__ogen", lit(gen))
+        .withColumn("__batch", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__batch")
+        .parquet(s"$storeDir/docs")
+      if (compactEvery > 0 &&
+          TextIngest.batchPartitionDirs(spark, s"$storeDir/docs").length >= compactEvery)
+        compactJaccardStore(spark, storeDir, upToBatch = batchId)
+    }
   }
 
   /** JOINT maintenance of a minhash store and a jaccard store from ONE
@@ -302,20 +312,18 @@ object DedupIngest {
                           trigger: Trigger = Trigger.AvailableNow(),
                           onBatch: Long => Unit = _ => (),
                           compactEvery: Int = 0): StreamingQuery = {
-    saveSigParams(minhashDir, numHashes, bands)
+    saveSigParams(stream.sparkSession, minhashDir, numHashes, bands)
     // counter accumulates per-batch WORK time only (captured inside
     // foreachBatch) — a suite-start t0 would fold query setup, trigger
     // waits, and inter-batch idle into the "ingest wall" and make the
-    // number trigger-dependent. Replay-safe AND bounded (round-13
-    // advice + round-14 review): a checkpoint-recovery replay re-runs
-    // only the batch that was in flight, so remembering just the LAST
-    // batch's slot suffices — a replay of it subtracts the stale
-    // reading instead of double-counting, and state stays O(1) for a
-    // query that runs for months (a per-batchId map grew without
-    // bound). foreachBatch is single-threaded per query: plain vars.
+    // number trigger-dependent. No same-batchId correction slot
+    // (round-15 streaming review): within one query lifetime Spark
+    // never re-invokes foreachBatch for a batchId (a failed batch
+    // terminates the query), and a checkpoint-recovery RESTART runs a
+    // fresh closure whose counter starts at zero — so the counter
+    // reads this query run's work, which is what the bench consumes.
+    // foreachBatch is single-threaded per query: a plain var.
     var totalMs = 0L
-    var lastBatchId = -1L
-    var lastBatchMs = 0L
     stream.writeStream
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val spark = stream.sparkSession
@@ -325,9 +333,7 @@ object DedupIngest {
         try {
           minhashBatch(spark, sh, minhashDir, numHashes, bands, batchId, compactEvery)
           jaccardBatch(spark, sh, jaccardDir, batchId, compactEvery)
-          val ms = (System.nanoTime() - b0) / 1000000L
-          if (batchId == lastBatchId) { totalMs += ms - lastBatchMs; lastBatchMs = ms }
-          else { totalMs += ms; lastBatchId = batchId; lastBatchMs = ms }
+          totalMs += (System.nanoTime() - b0) / 1000000L
           graft.Metrics.record("dedup_joint_ingest_ms", totalMs)
           onBatch(batchId)
         } finally { sh.unpersist(); () }
@@ -337,37 +343,21 @@ object DedupIngest {
       .start()
   }
 
-  /** Fold committed docs batch partitions into `__batch=-1` — rows are
-    * globally unique (one batch per doc), full-row distinct makes the
-    * fold idempotent across the crash window. dford is bootstrap-frozen
-    * and untouched. */
+  /** Fold committed docs batch partitions into `__batch=-1` via
+    * [[TextIngest.foldNewestBatches]] — a re-ingested doc_id resolves
+    * to its newest ordered arrays at the fold (compaction-bounded
+    * update visibility, like every doc-grained tier). dford is
+    * bootstrap-frozen and untouched. */
   def compactJaccardStore(spark: SparkSession, storeDir: String,
                           upToBatch: Long, targetFiles: Int = 1): Unit = {
     requireNoPendingSwap(spark, storeDir)
-    val dir = s"$storeDir/docs"
-    val fold = TextIngest.batchPartitionDirs(spark, dir)
-      .filter(_.getName.stripPrefix("__batch=").toLong < upToBatch)
-    if (fold.length > 1) {
-      val loaded = spark.read.option("basePath", dir)
-        .parquet(fold.map(_.toString).toIndexedSeq: _*)
+    TextIngest.foldNewestBatches(spark, s"$storeDir/docs", "doc_id",
+      Seq("doc_id", "__sh", "__n", "__ha", "__ogen"), upToBatch, targetFiles,
       // __ogen guard for stores written before the generation stamp
       // existed (treated as generation 0, matching orderGen's fallback)
-      val withGen = if (loaded.columns.contains("__ogen")) loaded
-        else loaded.withColumn("__ogen", lit(0L))
-      val folded = withGen
-        .select(col("doc_id"), col("__sh"), col("__n"), col("__ha"), col("__ogen"))
-        .distinct()
-        .withColumn("__batch", lit(TextIngest.CompactedBatchId))
-        .coalesce(math.max(1, targetFiles))
-        .localCheckpoint(true)
-      folded.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("__batch")
-        .parquet(dir)
-      fold.filter(_.getName != s"__batch=${TextIngest.CompactedBatchId}")
-        .foreach(TextIngest.deleteDir(spark, _))
-      spark.catalog.refreshByPath(dir)
-    }
+      prep = loaded =>
+        if (loaded.columns.contains("__ogen")) loaded
+        else loaded.withColumn("__ogen", lit(0L)))
   }
 
   /** The order GENERATION a dford relation declares (0 when the
@@ -436,35 +426,25 @@ object DedupIngest {
     * provenance. */
   private[graft] case class OrderMeta(gen: Long, vocab: Long)
 
-  private def orderMetaPath(storeDir: String): org.apache.hadoop.fs.Path =
-    new org.apache.hadoop.fs.Path(s"$storeDir/_order_meta/meta.txt")
+  private def orderMetaFile(storeDir: String): String =
+    s"$storeDir/_order_meta/meta.txt"
 
+  /** Round 15 (streaming review): through [[Sidecars]]' tmp + rename
+    * swap — the previous truncate-in-place create() left a window
+    * where a crash or a racing reader saw an EMPTY/partial meta.txt,
+    * bricking every later batch and probe with an undiagnostic parse
+    * error instead of the protocol's loud refusals. */
   private[graft] def writeOrderMeta(spark: SparkSession, storeDir: String,
-                             gen: Long, vocab: Long): Unit = {
-    val out = storeFs(spark, storeDir).create(orderMetaPath(storeDir), true)
-    try out.write(s"gen=$gen\nvocab=$vocab\n".getBytes("UTF-8"))
-    finally out.close()
-  }
+                             gen: Long, vocab: Long): Unit =
+    Sidecars.write(spark, orderMetaFile(storeDir), s"gen=$gen\nvocab=$vocab\n")
 
   private[graft] def readOrderMeta(spark: SparkSession,
-                                       storeDir: String): Option[OrderMeta] = {
-    val fs = storeFs(spark, storeDir)
-    val p = orderMetaPath(storeDir)
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      val txt = try {
-        val buf = new java.io.ByteArrayOutputStream()
-        val chunk = new Array[Byte](4096)
-        var n = in.read(chunk)
-        while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
-        new String(buf.toByteArray, "UTF-8")
-      } finally in.close()
+                                       storeDir: String): Option[OrderMeta] =
+    Sidecars.read(spark, orderMetaFile(storeDir)).map { txt =>
       val lines = txt.split("\n")
-      Some(OrderMeta(lines(0).stripPrefix("gen=").trim.toLong,
-        lines(1).stripPrefix("vocab=").trim.toLong))
+      OrderMeta(lines(0).stripPrefix("gen=").trim.toLong,
+        lines(1).stripPrefix("vocab=").trim.toLong)
     }
-  }
 
   /** Broadcast bound for the dford (ordering-authority) join — the
     * [[graft.ops.Dedup.maybeBroadcast]] discipline sized for dford's

@@ -28,9 +28,11 @@ object MediaIngest {
 
   /** Maintain the image-hash store from a media stream: each
     * micro-batch writes (doc_id, __ah) for its decodable payloads to
-    * `$storeDir/hashes`, `__batch`-partitioned. Rows are globally
-    * unique (a document lands wholly in its own batch), so compaction
-    * is a full-row distinct fold. */
+    * `$storeDir/hashes`, `__batch`-partitioned. A doc_id re-ingested
+    * with corrected media is an UPDATE with compaction-bounded
+    * visibility: the fold keeps only its newest batch's hash
+    * ([[TextIngest.foldNewestBatches]]); until that fold, serves can
+    * transiently match the stale hash too. */
   def maintainImageHashes(stream: DataFrame, id: String, media: String,
                           storeDir: String,
                           trigger: Trigger = Trigger.AvailableNow(),
@@ -59,32 +61,16 @@ object MediaIngest {
       .start()
   }
 
-  /** Fold committed hash partitions into `__batch=-1` — the
-    * [[TextIngest.compactInvertedIndex]] discipline: rows are globally
-    * unique, so a full-row distinct makes the fold idempotent across
-    * the crash window. */
+  /** Fold committed hash partitions into `__batch=-1` via
+    * [[TextIngest.foldNewestBatches]]: a doc_id re-ingested with
+    * corrected media resolves to its newest hash at the fold
+    * (compaction-bounded update visibility — between re-ingest and
+    * fold, near-dup serves can transiently match the stale hash
+    * too). */
   def compactImageHashes(spark: SparkSession, storeDir: String,
-                         upToBatch: Long, targetFiles: Int = 1): Unit = {
-    val dir = s"$storeDir/hashes"
-    val fold = TextIngest.batchPartitionDirs(spark, dir)
-      .filter(_.getName.stripPrefix("__batch=").toLong < upToBatch)
-    if (fold.length > 1) {
-      val folded = spark.read.option("basePath", dir)
-        .parquet(fold.map(_.toString).toIndexedSeq: _*)
-        .select(col("doc_id"), col("__ah"))
-        .distinct()
-        .withColumn("__batch", lit(TextIngest.CompactedBatchId))
-        .coalesce(math.max(1, targetFiles))
-        .localCheckpoint(true)
-      folded.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("__batch")
-        .parquet(dir)
-      fold.filter(_.getName != s"__batch=${TextIngest.CompactedBatchId}")
-        .foreach(TextIngest.deleteDir(spark, _))
-      spark.catalog.refreshByPath(dir)
-    }
-  }
+                         upToBatch: Long, targetFiles: Int = 1): Unit =
+    TextIngest.foldNewestBatches(spark, s"$storeDir/hashes", "doc_id",
+      Seq("doc_id", "__ah"), upToBatch, targetFiles)
 
   /** Near-dup pairs served off the stream-maintained store: the shared
     * banded Hamming join over the stored hashes. Compaction-crash-window

@@ -52,7 +52,15 @@ object TextIngest {
     * micro-batch writes its own `__batch=<id>` partition.
     * `compactEvery` > 0 bounds the store's partition count: whenever
     * that many batch partitions accumulate, committed ones fold into
-    * the reserved compacted partition ([[compactTermStats]]). */
+    * the reserved compacted partition ([[compactTermStats]]).
+    *
+    * APPEND-ONLY contract (unlike the doc-grained tiers): the store's
+    * grain is (term, batch) partials with no per-document rows, so a
+    * doc_id re-ingested in a later batch double-counts into tf/df —
+    * there is nothing to fold its old contribution out of. Feed this
+    * tier exactly-once documents; updates belong to the inverted-
+    * index tier ([[maintainInvertedIndex]]), whose doc grain resolves
+    * them at compaction. */
   def maintainTermStats(stream: DataFrame, id: String, text: String,
                         storeDir: String,
                         trigger: Trigger = Trigger.AvailableNow(),
@@ -147,15 +155,68 @@ object TextIngest {
     }
   }
 
+  /** Shared fold for DOC-GRAINED store directories (round 15,
+    * streaming review — one implementation where four near-verbatim
+    * copies lived): relocate committed batch partitions
+    * (id < `upToBatch`) into the reserved `__batch=-1` partition,
+    * keeping ONLY each document's newest-batch rows.
+    *
+    * The newest-per-doc filter (not a bare full-row distinct) is what
+    * gives every doc-grained tier ONE update semantic: a doc_id
+    * re-ingested in a later batch resolves to its newest version at
+    * the fold — COMPACTION-BOUNDED visibility (until the next fold,
+    * both versions' rows serve; the vector tier alone resolves at
+    * read time via its `newestRows`, which its top-k semantics
+    * require). It is also still the compaction-crash-window guard: a
+    * stale batch partition beside its relocated `-1` copy folds back
+    * to the batch rows (−1 sorts below every real id), identical
+    * content, so the fold stays idempotent. The in-flight batch keeps
+    * its own partition, so a replayed batch still overwrites exactly
+    * itself.
+    *
+    * `prep` runs after the load, before the fold (the jaccard store
+    * uses it to default a missing `__ogen` on pre-stamp rows). */
+  private[streaming] def foldNewestBatches(spark: SparkSession, dir: String,
+      idCol: String, dataCols: Seq[String], upToBatch: Long,
+      targetFiles: Int, prep: DataFrame => DataFrame = identity): Unit = {
+    val fold = batchPartitionDirs(spark, dir)
+      .filter(_.getName.stripPrefix("__batch=").toLong < upToBatch)
+    if (fold.length > 1) {
+      import org.apache.spark.sql.expressions.Window
+      val folded = prep(spark.read.option("basePath", dir)
+          .parquet(fold.map(_.toString).toIndexedSeq: _*))
+        .withColumn("__mb", max(col("__batch"))
+          .over(Window.partitionBy(col(idCol))))
+        .filter(col("__batch") === col("__mb"))
+        .select(dataCols.map(col): _*)
+        .distinct()
+        .withColumn("__batch", lit(CompactedBatchId))
+        .coalesce(math.max(1, targetFiles))
+        // materialize BEFORE the write: the fold may read the very
+        // __batch=-1 partition the write replaces
+        .localCheckpoint(true)
+      folded.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__batch")
+        .parquet(dir)
+      fold.filter(_.getName != s"__batch=$CompactedBatchId")
+        .foreach(deleteDir(spark, _))
+      spark.catalog.refreshByPath(dir)
+    }
+  }
+
   /** Maintain a full INVERTED INDEX from a document stream — the
     * retrieval architecture rather than just corpus totals: each
     * micro-batch appends its `(term, doc_id, tf)` postings to
     * `$storeDir/postings` and its `(doc_id, dl)` lengths to
     * `$storeDir/docs`, both `__batch`-partitioned. A document's
     * postings land wholly in its own batch (no cross-batch merge is
-    * ever needed per doc), so the stores are append-only fine grains:
-    * df(term) = posting count per term, N and Σdl = one aggregate of
-    * the doc store. Serving ([[bm25FromStore]]) is term-keyed joins
+    * ever needed per doc): df(term) = posting count per term, N and
+    * Σdl = one aggregate of the doc store. A doc_id re-ingested in a
+    * later batch is an update with compaction-bounded visibility
+    * ([[foldNewestBatches]] keeps only its newest batch's rows; until
+    * that fold, [[bm25FromStore]]'s statistics transiently count both
+    * versions). Serving ([[bm25FromStore]]) is term-keyed joins
     * against the postings — the corpus text is never rescanned. */
   def maintainInvertedIndex(stream: DataFrame, id: String, text: String,
                             storeDir: String,
@@ -192,35 +253,17 @@ object TextIngest {
       .start()
 
   /** Fold committed postings/docs batch partitions into `__batch=-1`
-    * — simpler than [[compactTermStats]] because the keys are globally
-    * unique (a doc lands in exactly one batch, so (doc_id, term) and
-    * doc_id rows never repeat across batches): a full-row distinct
-    * makes the fold idempotent with no provenance column needed. */
+    * via [[foldNewestBatches]]: a doc_id re-ingested in a later batch
+    * resolves to its newest postings/length at the fold
+    * (compaction-bounded update visibility — between re-ingest and
+    * fold, [[bm25FromStore]]'s df/N/Σdl transiently count both
+    * versions). */
   def compactInvertedIndex(spark: SparkSession, storeDir: String,
                            upToBatch: Long, targetFiles: Int = 1): Unit = {
-    def foldOne(sub: String, dataCols: Seq[String]): Unit = {
-      val dir = s"$storeDir/$sub"
-      val fold = batchPartitionDirs(spark, dir)
-        .filter(_.getName.stripPrefix("__batch=").toLong < upToBatch)
-      if (fold.length > 1) {
-        val folded = spark.read.option("basePath", dir)
-          .parquet(fold.map(_.toString).toIndexedSeq: _*)
-          .select(dataCols.map(col): _*)
-          .distinct()
-          .withColumn("__batch", lit(CompactedBatchId))
-          .coalesce(math.max(1, targetFiles))
-          .localCheckpoint(true)
-        folded.write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("__batch")
-          .parquet(dir)
-        fold.filter(_.getName != s"__batch=$CompactedBatchId")
-          .foreach(deleteDir(spark, _))
-        spark.catalog.refreshByPath(dir)
-      }
-    }
-    foldOne("postings", Seq("doc_id", "term", "tf"))
-    foldOne("docs", Seq("doc_id", "dl"))
+    foldNewestBatches(spark, s"$storeDir/postings", "doc_id",
+      Seq("doc_id", "term", "tf"), upToBatch, targetFiles)
+    foldNewestBatches(spark, s"$storeDir/docs", "doc_id",
+      Seq("doc_id", "dl"), upToBatch, targetFiles)
   }
 
   /** BM25 served from the stream-maintained inverted index — the same

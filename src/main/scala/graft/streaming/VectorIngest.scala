@@ -103,40 +103,34 @@ object VectorIngest {
     * — real micro-batch ids are >= 0, so no replay ever claims it. */
   private[graft] val CompactedBatchId = -1L
 
-  private def quantizerFile(storeDir: String): java.io.File =
-    new java.io.File(s"$storeDir/_quantizer/centroids.txt")
+  private def quantizerFile(storeDir: String): String =
+    s"$storeDir/_quantizer/centroids.txt"
 
   /** Persist the CURRENT quantizer (baseline distortion + centroids)
     * to the store's sidecar — underscore-prefixed, so parquet readers
-    * skip it like `_checkpoint`. Atomic tmp-file + rename: a restart
-    * or a concurrent searcher sees the old quantizer or the new one,
-    * never a torn file. */
-  private[graft] def saveQuantizer(storeDir: String, baseline: Double,
-                                   centroids: Array[Array[Double]]): Unit = {
-    val dir = quantizerFile(storeDir).getParentFile
-    dir.mkdirs()
-    val tmp = new java.io.File(dir, ".centroids.tmp")
-    val body = (s"baseline=$baseline" +: centroids.toSeq.map(_.mkString(",")))
-      .mkString("", "\n", "\n")
-    java.nio.file.Files.write(tmp.toPath, body.getBytes("UTF-8"))
-    java.nio.file.Files.move(tmp.toPath, quantizerFile(storeDir).toPath,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    ()
-  }
+    * skip it like `_checkpoint`. Tmp-file + rename swap through
+    * [[Sidecars]] (round 15: Hadoop-FS, so a production-URI store
+    * path works — `java.io.File` silently wrote the driver's local
+    * disk there): a restart or concurrent searcher sees the old
+    * quantizer, the new one, or (mid-swap) none — never a torn
+    * file. */
+  private[graft] def saveQuantizer(spark: org.apache.spark.sql.SparkSession,
+                                   storeDir: String, baseline: Double,
+                                   centroids: Array[Array[Double]]): Unit =
+    Sidecars.write(spark, quantizerFile(storeDir),
+      (s"baseline=$baseline" +: centroids.toSeq.map(_.mkString(",")))
+        .mkString("", "\n", "\n"))
 
   /** The persisted (baseline, centroids) of a store whose quantizer
     * has been refit mid-stream; None for a store still on its
     * bootstrap quantizer. */
-  private[graft] def loadQuantizer(storeDir: String): Option[(Double, Array[Array[Double]])] = {
-    val f = quantizerFile(storeDir)
-    if (!f.exists()) None
-    else {
-      val lines = java.nio.file.Files.readAllLines(f.toPath).toArray(Array.empty[String])
-      val baseline = lines.head.stripPrefix("baseline=").toDouble
-      Some((baseline, lines.tail.map(_.split(",").map(_.toDouble))))
+  private[graft] def loadQuantizer(spark: org.apache.spark.sql.SparkSession,
+                                   storeDir: String): Option[(Double, Array[Array[Double]])] =
+    Sidecars.read(spark, quantizerFile(storeDir)).map { txt =>
+      val lines = txt.split("\n")
+      (lines.head.stripPrefix("baseline=").toDouble,
+        lines.tail.filter(_.nonEmpty).map(_.split(",").map(_.toDouble)))
     }
-  }
 
   /** Persist the SRP signature geometry beside the store (the
     * [[DedupIngest]] sig-params discipline, itself borrowed from the
@@ -145,36 +139,31 @@ object VectorIngest {
     * probe signed with different geometry would get a silent recall-0
     * join, not an error. First writer wins; a changed re-declaration
     * throws. */
-  private def srpParamsFile(storeDir: String): java.io.File =
-    new java.io.File(s"$storeDir/_srp_params/params.txt")
+  private def srpParamsFile(storeDir: String): String =
+    s"$storeDir/_srp_params/params.txt"
 
-  private def saveSrpParams(storeDir: String, b: IndexBootstrap): Unit =
-    loadSrpParams(storeDir) match {
+  private def saveSrpParams(spark: org.apache.spark.sql.SparkSession,
+                            storeDir: String, b: IndexBootstrap): Unit =
+    loadSrpParams(spark, storeDir) match {
       case Some((dim, bits, bands, seed)) =>
         require(dim == b.dim && bits == b.bits && bands == b.bands && seed == b.seed,
           s"store $storeDir was maintained with SRP (dim=$dim, bits=$bits, " +
             s"bands=$bands, seed=$seed); re-declaring (${b.dim}, ${b.bits}, " +
             s"${b.bands}, ${b.seed}) would corrupt the band keyspace")
       case None =>
-        val f = srpParamsFile(storeDir)
-        f.getParentFile.mkdirs()
-        java.nio.file.Files.write(f.toPath,
-          s"dim=${b.dim}\nbits=${b.bits}\nbands=${b.bands}\nseed=${b.seed}\n"
-            .getBytes("UTF-8"))
-        ()
+        Sidecars.write(spark, srpParamsFile(storeDir),
+          s"dim=${b.dim}\nbits=${b.bits}\nbands=${b.bands}\nseed=${b.seed}\n")
     }
 
-  private def loadSrpParams(storeDir: String): Option[(Int, Int, Int, Long)] = {
-    val f = srpParamsFile(storeDir)
-    if (!f.exists()) None
-    else {
-      val lines = java.nio.file.Files.readAllLines(f.toPath)
-      Some((lines.get(0).stripPrefix("dim=").toInt,
-        lines.get(1).stripPrefix("bits=").toInt,
-        lines.get(2).stripPrefix("bands=").toInt,
-        lines.get(3).stripPrefix("seed=").toLong))
+  private def loadSrpParams(spark: org.apache.spark.sql.SparkSession,
+                            storeDir: String): Option[(Int, Int, Int, Long)] =
+    Sidecars.read(spark, srpParamsFile(storeDir)).map { txt =>
+      val lines = txt.split("\n")
+      (lines(0).stripPrefix("dim=").toInt,
+        lines(1).stripPrefix("bits=").toInt,
+        lines(2).stripPrefix("bands=").toInt,
+        lines(3).stripPrefix("seed=").toLong)
     }
-  }
 
   /** The store's `__batch=*` partition directories (data partitions
     * only — `_checkpoint`/`_quantizer` sidecars excluded), through the
@@ -191,6 +180,60 @@ object VectorIngest {
   private def storeHasData(spark: org.apache.spark.sql.SparkSession,
                            storeDir: String): Boolean =
     batchPartitionDirs(spark, storeDir).nonEmpty
+
+  /** Refit-in-progress marker (round 15, streaming review): the
+    * mid-stream refit rewrites every stored row's `__cell` partition
+    * by partition and only then persists the new quantizer — a crash
+    * (or a concurrent reader) inside that window sees cells assigned
+    * under centroids the `_quantizer` sidecar does not hold, and IVF
+    * routing silently degrades. The marker brackets the whole
+    * reassign + save: readers refuse loudly while it exists
+    * ([[requireNoPendingRefit]]), and the maintenance stream itself
+    * HEALS an interrupted refit at its next batch — it reassigns the
+    * entire store under the sidecar's (= authoritative) quantizer,
+    * which restores cells ≡ sidecar at every crash point: pre-save
+    * crashes roll back to the old quantizer (the replayed batch then
+    * re-triggers the refit deterministically — seeded fit, same
+    * inputs), post-save crashes roll forward to the new one. */
+  private def refitMarker(storeDir: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(s"$storeDir/_refit_pending")
+
+  private def storeFs(spark: org.apache.spark.sql.SparkSession, storeDir: String) =
+    new org.apache.hadoop.fs.Path(storeDir).getFileSystem(
+      spark.sessionState.newHadoopConf())
+
+  private def requireNoPendingRefit(spark: org.apache.spark.sql.SparkSession,
+                                    storeDir: String): Unit =
+    require(!storeFs(spark, storeDir).exists(refitMarker(storeDir)),
+      s"store $storeDir has a quantizer refit in progress or interrupted " +
+        "(_refit_pending): cell assignments and the _quantizer sidecar may " +
+        "disagree, so IVF routing would be silently wrong. Wait for the " +
+        "refit, or restart the maintainIndex stream — its next batch " +
+        "reconciles the store and clears the marker")
+
+  /** Reassign every stored row's cell under `assign` — the refit's
+    * reconcile step, also the heal path for an interrupted refit.
+    * Materializes first: the write replaces the partitions the
+    * reassignment reads. Signatures and PQ/OPQ codes are
+    * frozen-parameter columns and carry through untouched. */
+  private def reassignStore(spark: org.apache.spark.sql.SparkSession,
+                            storeDir: String,
+                            assign: Column => Column): Unit = {
+    val stored = spark.read.parquet(storeDir)
+    val keep = Seq(col("cid"), col("__sig"), col("__a._1").as("__cell"),
+      col("__cv"), col("__a._2").as("__d2")) ++
+      (if (stored.columns.contains("__code")) Seq(col("__code")) else Nil) ++
+      (if (stored.columns.contains("__ocode")) Seq(col("__ocode")) else Nil) :+
+      col("__batch")
+    val reassigned = stored
+      .withColumn("__a", assign(col("__cv")))
+      .select(keep: _*)
+      .localCheckpoint(true)
+    reassigned.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("__batch")
+      .parquet(storeDir)
+  }
 
   private def distortionOf(cols: DataFrame): Option[Double] =
     cols.agg(avg(col("__d2"))).take(1).headOption
@@ -213,6 +256,7 @@ object VectorIngest {
     * self-healing. */
   def compactStore(spark: org.apache.spark.sql.SparkSession, storeDir: String,
                    upToBatch: Long, targetFiles: Int = 1): Unit = {
+    requireNoPendingRefit(spark, storeDir)
     val fold = batchPartitionDirs(spark, storeDir)
       .filter(_.getName.stripPrefix("__batch=").toLong < upToBatch)
     if (fold.length > 1) {
@@ -279,11 +323,11 @@ object VectorIngest {
     val spark = stream.sparkSession
     // pin the SRP geometry beside the store before any batch lands, so
     // every later probe signs with the store's parameters, not its own
-    saveSrpParams(storeDir, b)
+    saveSrpParams(spark, storeDir, b)
     // resume the quantizer a previous run's refit persisted; otherwise
     // start from the bootstrap. One assigner (= one centroid
     // broadcast) per quantizer generation, reused across batches.
-    var (baseline, centroids) = loadQuantizer(storeDir) match {
+    var (baseline, centroids) = loadQuantizer(spark, storeDir) match {
       case Some((base, cs)) => (Some(base), cs)
       case None => (refit.map(_.baseline), b.centroids)
     }
@@ -295,6 +339,24 @@ object VectorIngest {
     val oEncode = b.opq.map(m => Vectors.opqCodeColumn(spark, m))
     stream.writeStream
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        // heal an interrupted refit FIRST (round 15): reassign the
+        // whole store under the sidecar's quantizer — the authority —
+        // restoring cells ≡ sidecar at every crash point, then clear
+        // the marker so readers serve again. A pre-save crash rolls
+        // back (this replayed batch re-triggers the refit, seeded and
+        // deterministic); a post-save crash rolls forward.
+        if (storeFs(spark, storeDir).exists(refitMarker(storeDir))) {
+          val (hb, hc) = loadQuantizer(spark, storeDir) match {
+            case Some((base, cs)) => (Some(base), cs)
+            case None => (refit.map(_.baseline), b.centroids)
+          }
+          baseline = hb.orElse(baseline); centroids = hc
+          assign = Vectors.cellAssigner(spark, centroids)
+          if (storeHasData(spark, storeDir))
+            reassignStore(spark, storeDir, assign)
+          storeFs(spark, storeDir).delete(refitMarker(storeDir), false)
+          ()
+        }
         var cols = indexColumns(batch.toDF(), id, vec, b, assign, encode, oEncode).persist()
         try {
           var d = distortionOf(cols)
@@ -312,33 +374,19 @@ object VectorIngest {
               sampleFraction = 1.0, seed = p.seed, maxSamples = p.maxSamples,
               iters = p.iters)
             val newAssign = Vectors.cellAssigner(spark, newCentroids)
-            // 2. reconcile: reassign every stored row's cell under the
-            //    new quantizer (materialize first — the write replaces
-            //    the partitions the reassignment reads)
-            if (storeHasData(spark, storeDir)) {
-              val stored = spark.read.parquet(storeDir)
-              // cells/distances recompute; signatures and PQ codes are
-              // frozen-parameter columns and carry through untouched
-              val keep = Seq(col("cid"), col("__sig"), col("__a._1").as("__cell"),
-                col("__cv"), col("__a._2").as("__d2")) ++
-                (if (stored.columns.contains("__code")) Seq(col("__code")) else Nil) ++
-                (if (stored.columns.contains("__ocode")) Seq(col("__ocode")) else Nil) :+
-                col("__batch")
-              val reassigned = stored
-                .withColumn("__a", newAssign(col("__cv")))
-                .select(keep: _*)
-                .localCheckpoint(true)
-              reassigned.write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("__batch")
-                .parquet(storeDir)
-            }
+            // 2. reconcile under the refit marker: readers refuse
+            //    while cells and sidecar can disagree, and a crash
+            //    anywhere in here heals at the next batch (above)
+            storeFs(spark, storeDir).create(refitMarker(storeDir), true).close()
+            if (storeHasData(spark, storeDir))
+              reassignStore(spark, storeDir, newAssign)
             // 3. recompute the triggering batch under the new quantizer
             //    and reset the baseline to its post-refit distortion
             cols.unpersist()
             cols = indexColumns(batch.toDF(), id, vec, b, newAssign, encode, oEncode).persist()
             d = distortionOf(cols)
-            saveQuantizer(storeDir, d.getOrElse(base), newCentroids)
+            saveQuantizer(spark, storeDir, d.getOrElse(base), newCentroids)
+            storeFs(spark, storeDir).delete(refitMarker(storeDir), false)
             centroids = newCentroids
             assign = newAssign
             baseline = d.orElse(baseline)
@@ -381,8 +429,9 @@ object VectorIngest {
   def srpProbeFromStore(spark: org.apache.spark.sql.SparkSession, storeDir: String,
                         probes: DataFrame, id: String, vec: String,
                         b: IndexBootstrap, simThreshold: Double): DataFrame = {
+    requireNoPendingRefit(spark, storeDir)
     val (dim, bits, bands, seed) =
-      loadSrpParams(storeDir).getOrElse((b.dim, b.bits, b.bands, b.seed))
+      loadSrpParams(spark, storeDir).getOrElse((b.dim, b.bits, b.bands, b.seed))
     // two NARROW newest-version folds, one per consumer: the band join
     // shuffles (cid, __sig) only, the rescore (cid, __cv) only —
     // Catalyst cannot prune struct fields through the fold's aggregate,
@@ -428,7 +477,8 @@ object VectorIngest {
     * one newest row per cid ([[newestRows]]). */
   def indexFromStore(spark: org.apache.spark.sql.SparkSession, storeDir: String,
                      b: IndexBootstrap): Vectors.IvfIndexData = {
-    val centroids = loadQuantizer(storeDir).map(_._2).getOrElse(b.centroids)
+    requireNoPendingRefit(spark, storeDir)
+    val centroids = loadQuantizer(spark, storeDir).map(_._2).getOrElse(b.centroids)
     val cells = newestRows(spark, storeDir, Seq("__cell", "__cv"))
     Vectors.IvfIndexData(cells,
       Vectors.centroidRelation(spark, centroids), centroids)
@@ -440,6 +490,7 @@ object VectorIngest {
     * newest row per cid ([[newestRows]]). */
   def pqIndexFromStore(spark: org.apache.spark.sql.SparkSession, storeDir: String,
                        b: IndexBootstrap): Vectors.PqIndexData = {
+    requireNoPendingRefit(spark, storeDir)
     val cb = b.pq.getOrElse(throw new IllegalArgumentException(
       "pqIndexFromStore needs an IndexBootstrap with PQ codebooks"))
     Vectors.PqIndexData(newestRows(spark, storeDir, Seq("__code", "__cv")), cb)
@@ -455,6 +506,7 @@ object VectorIngest {
     * scan-local pass amortized over a serving session. */
   def opqIndexFromStore(spark: org.apache.spark.sql.SparkSession, storeDir: String,
                         b: IndexBootstrap): Vectors.PqIndexData = {
+    requireNoPendingRefit(spark, storeDir)
     val m = b.opq.getOrElse(throw new IllegalArgumentException(
       "opqIndexFromStore needs an IndexBootstrap with an OPQ model"))
     val rot = Vectors.opqRotateRaw(spark, m)

@@ -205,7 +205,12 @@ class ScaleSpec extends AnyFunSuite with SparkTestBase {
       val a = if (i % 10 != 0) (i % 100).toDouble else (i + 1) * 1e4
       (i.toLong, a, ((i * 37) % 1000).toDouble)
     }
-    val df = rows.toDF("id", "a", "b")
+    // pinned input partitioning: the quantile sketch and the range
+    // split both see a canonical layout, so the pruning margin below
+    // is stable regardless of what ambient session state earlier
+    // suites left behind (first flaked round 15 at 1.78x in-suite vs
+    // >2x isolated, same code)
+    val df = rows.toDF("id", "a", "b").repartition(8, col("id"))
     val ldir = "/tmp/graft_stage/scalespec_zlin"
     val qdir = "/tmp/graft_stage/scalespec_zq"
     Layout.writeZOrdered(df, Seq("a", "b"), ldir, numFiles = 16)

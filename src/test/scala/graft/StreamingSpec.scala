@@ -1413,6 +1413,209 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(scores(TextIngest.bm25FromStore(spark, store, queries)) === batch)
   }
 
+  test("doc re-ingest resolves to the NEWEST version at compaction (minhash + media + inverted index)") {
+    import spark.implicits._
+    import graft.streaming.{DedupIngest, MediaIngest, TextIngest}
+    // ---- minhash tier: doc 1's text changes in batch 1 ----
+    val mStore = "/tmp/graft_test/minhash_update_spec"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(mStore))
+    val ms = MemoryStream[(Long, String)](spark)
+    val q = DedupIngest.maintainMinhash(
+      ms.toDF().toDF("doc_id", "text"), "doc_id", "text", mStore,
+      trigger = Trigger.ProcessingTime(0))
+    val oldText = "the quick brown fox jumps over the lazy dog again and again"
+    val newText = "an entirely rewritten document with different token content now"
+    ms.addData((1L, oldText), (2L, "stable second document body with words"))
+    q.processAllAvailable()
+    ms.addData((1L, newText)) // UPDATE of doc 1
+    q.processAllAvailable()
+    ms.addData((3L, "third document keeps the fold honest"))
+    q.processAllAvailable()
+    q.stop()
+    // pre-fold: both versions' rows sit in their batch partitions
+    val preDocs = spark.read.parquet(s"$mStore/docs")
+      .filter($"doc_id" === 1L).count()
+    assert(preDocs == 2L, s"both versions visible pre-fold, got $preDocs")
+    DedupIngest.compactMinhash(spark, mStore, upToBatch = 3)
+    // post-fold: exactly the newest version's rows survive
+    val postSh = spark.read.parquet(s"$mStore/docs").filter($"doc_id" === 1L)
+      .select("__sh").as[Seq[String]].collect()
+    assert(postSh.length == 1, s"one version post-fold, got ${postSh.length}")
+    val expectSh = Seq((1L, newText)).toDF("doc_id", "text")
+      .select(graft.ops.Dedup.shingles($"text").as("__sh"))
+      .as[Seq[String]].head()
+    assert(postSh.head === expectSh, "the NEWEST text's shingles must win the fold")
+    val sigCount = spark.read.parquet(s"$mStore/sigs")
+      .filter($"doc_id" === 1L).count()
+    assert(sigCount == 4L, s"one band-signature set post-fold, got $sigCount")
+    // ---- media tier: doc 10's image changes ----
+    def img(seed: Int): Array[Byte] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val px = new Array[Byte](16 * 16)
+      var chunk = 0
+      while (chunk * 16 < px.length) {
+        val d = md.digest(s"update-spec:$seed:$chunk".getBytes("UTF-8"))
+        System.arraycopy(d, 0, px, chunk * 16, math.min(16, px.length - chunk * 16))
+        chunk += 1
+      }
+      graft.ops.Multimodal.pgmEncode(16, 16, px)
+    }
+    val hStore = "/tmp/graft_test/media_update_spec"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(hStore))
+    val hs = MemoryStream[(Long, Array[Byte])](spark)
+    val hq = MediaIngest.maintainImageHashes(
+      hs.toDF().toDF("doc_id", "media"), "doc_id", "media", hStore,
+      trigger = Trigger.ProcessingTime(0))
+    hs.addData((10L, img(1))); hq.processAllAvailable()
+    hs.addData((10L, img(40))); hq.processAllAvailable() // corrected media
+    hs.addData((11L, img(7))); hq.processAllAvailable()
+    hq.stop()
+    MediaIngest.compactImageHashes(spark, hStore, upToBatch = 3)
+    val hashes = spark.read.parquet(s"$hStore/hashes")
+      .filter($"doc_id" === 10L).select("__ah").as[Long].collect()
+    assert(hashes.length == 1, s"one hash post-fold, got ${hashes.length}")
+    assert(hashes.head === graft.ops.Multimodal.aHash64(img(40)).get,
+      "the corrected media's hash must win the fold")
+    // ---- inverted index: doc 20 shrinks from 5 tokens to 2 ----
+    val iStore = "/tmp/graft_test/invidx_update_spec"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(iStore))
+    val is = MemoryStream[(Long, String)](spark)
+    val iq = TextIngest.maintainInvertedIndex(
+      is.toDF().toDF("doc_id", "text"), "doc_id", "text", iStore,
+      trigger = Trigger.ProcessingTime(0))
+    is.addData((20L, "alpha beta gamma delta epsilon")); iq.processAllAvailable()
+    is.addData((20L, "alpha beta")); iq.processAllAvailable()
+    is.addData((21L, "zeta eta")); iq.processAllAvailable()
+    iq.stop()
+    TextIngest.compactInvertedIndex(spark, iStore, upToBatch = 3)
+    val terms = spark.read.parquet(s"$iStore/postings")
+      .filter($"doc_id" === 20L).select("term").as[String].collect().sorted.toSeq
+    assert(terms === Seq("alpha", "beta"),
+      s"dropped terms must not survive the fold, got $terms")
+    val dl = spark.read.parquet(s"$iStore/docs")
+      .filter($"doc_id" === 20L).select("dl").as[Long].collect().toSeq
+    assert(dl === Seq(2L), s"the newest doc length must win, got $dl")
+  }
+
+  test("jaccard authority: empty first batch defers the freeze; a LOST authority refuses loudly") {
+    import spark.implicits._
+    import graft.streaming.DedupIngest
+    val store = "/tmp/graft_test/jaccard_bootstrap_spec"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(store))
+    val ms = MemoryStream[(Long, String)](spark)
+    val q = DedupIngest.maintainJaccardStore(
+      ms.toDF().toDF("doc_id", "text"), "doc_id", "text", store,
+      trigger = Trigger.ProcessingTime(0))
+    // batch 0 is EMPTY: the authority must NOT freeze on vocab 0
+    q.processAllAvailable()
+    assert(!new java.io.File(s"$store/dford/_SUCCESS").exists(),
+      "an empty first batch must defer the authority freeze")
+    ms.addData((1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight"))
+    q.processAllAvailable()
+    q.stop()
+    assert(new java.io.File(s"$store/dford/_SUCCESS").exists(),
+      "the first NON-EMPTY batch freezes the authority")
+    assert(spark.read.parquet(s"$store/dford").count() > 0, "non-empty vocabulary")
+    // serve works off the deferred-freeze store
+    val probes = Seq((100L, "the quick brown fox jumps over the lazy dog today"))
+      .toDF("doc_id", "text")
+    val hits = DedupIngest.jaccardProbeFromStore(spark, store, probes,
+      "doc_id", "text", jaccardThreshold = 0.5).count()
+    assert(hits >= 1, "probe must match the stored near-identical doc")
+    // LOST authority: dford vanishes (external cleanup) while
+    // _order_meta still records the freeze -> the next batch must
+    // refuse loudly, never silently re-freeze a NEW order
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(s"$store/dford"))
+    // fresh deployment over the same store: new checkpoint, new query
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(s"$store/_checkpoint"))
+    val ms2 = MemoryStream[(Long, String)](spark)
+    val q2 = DedupIngest.maintainJaccardStore(
+      ms2.toDF().toDF("doc_id", "text"), "doc_id", "text", store,
+      trigger = Trigger.ProcessingTime(0))
+    ms2.addData((3L, "another document arriving after the authority vanished"))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.processAllAvailable()
+    }
+    q2.stop()
+    def rootMsg(t: Throwable): String =
+      (Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(_.getMessage)
+        .filter(_ != null)).mkString(" | ")
+    assert(rootMsg(e).contains("Refusing to") &&
+      rootMsg(e).contains("re-freeze"), rootMsg(e))
+  }
+
+  test("interrupted IVF refit: readers refuse on the marker; the next batch heals and clears it") {
+    import spark.implicits._
+    import graft.streaming.VectorIngest
+    val store = "/tmp/graft_test/refit_marker_spec"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(store))
+    val dim = 4
+    val boot = VectorIngest.IndexBootstrap(dim,
+      Array(Array(1.0, 0, 0, 0), Array(0, 1.0, 0, 0)))
+    val ms = MemoryStream[(Long, Seq[Float])](spark)
+    val q = VectorIngest.maintainIndex(
+      ms.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding", boot, store,
+      trigger = Trigger.ProcessingTime(0))
+    ms.addData((1L, Seq(1f, 0f, 0f, 0f)), (2L, Seq(0f, 1f, 0f, 0f)))
+    q.processAllAvailable()
+    q.stop()
+    // simulate a refit that died mid-reassignment: the marker survives
+    new java.io.File(s"$store/_refit_pending").createNewFile()
+    val err = intercept[IllegalArgumentException] {
+      VectorIngest.indexFromStore(spark, store, boot)
+    }
+    assert(err.getMessage.contains("_refit_pending"), err.getMessage)
+    val err2 = intercept[IllegalArgumentException] {
+      VectorIngest.srpProbeFromStore(spark, store,
+        Seq((50L, Seq(1f, 0f, 0f, 0f))).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", boot, simThreshold = 0.9)
+    }
+    assert(err2.getMessage.contains("_refit_pending"), err2.getMessage)
+    // the maintenance stream's next batch reconciles and clears it —
+    // the RESTART shape after a crashed refit: same source, same
+    // checkpoint, a new query incarnation
+    val q2 = VectorIngest.maintainIndex(
+      ms.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding", boot, store,
+      trigger = Trigger.ProcessingTime(0))
+    ms.addData((3L, Seq(0.9f, 0.1f, 0f, 0f)))
+    q2.processAllAvailable()
+    q2.stop()
+    assert(!new java.io.File(s"$store/_refit_pending").exists(),
+      "the healing batch must clear the marker")
+    val idx = VectorIngest.indexFromStore(spark, store, boot)
+    assert(idx.cells.count() == 3L, "all rows serve after the heal")
+  }
+
+  test("store sidecars land at the store's real URI location (file:// path)") {
+    import spark.implicits._
+    import graft.streaming.DedupIngest
+    // a file:// URI store path: java.io.File would silently write the
+    // params pin to a junk RELATIVE local path; the Hadoop-FS sidecar
+    // must land it inside the actual store directory
+    val local = "/tmp/graft_test/sidecar_uri_spec"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(local))
+    val store = s"file://$local"
+    val ms = MemoryStream[(Long, String)](spark)
+    val q = DedupIngest.maintainMinhash(
+      ms.toDF().toDF("doc_id", "text"), "doc_id", "text", store,
+      numHashes = 16, bands = 8, trigger = Trigger.ProcessingTime(0))
+    ms.addData((1L, "the quick brown fox jumps over the lazy dog again"))
+    q.processAllAvailable()
+    q.stop()
+    assert(new java.io.File(s"$local/_sig_params/params.txt").exists(),
+      "the sig-params sidecar must live inside the URI store")
+    // and the probe reads the pin back through the same URI (16/8
+    // geometry, NOT the 12/4 defaults it was called with)
+    val hits = DedupIngest.minhashProbeFromStore(spark, store,
+      Seq((100L, "the quick brown fox jumps over the lazy dog again today"))
+        .toDF("doc_id", "text"),
+      "doc_id", "text", jaccardThreshold = 0.3)
+    assert(hits.count() >= 1, "probe must collide under the store's pinned geometry")
+  }
+
   test("funnelSteps: strict first-touch chain on a hand-computed log") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
