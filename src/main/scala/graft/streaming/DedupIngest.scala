@@ -222,8 +222,7 @@ object DedupIngest {
                            batchId: Long, compactEvery: Int): Unit = {
     val ex = Dedup.hashedShingles(sh, "doc_id", "__sh")
     val dfordDir = s"$storeDir/dford"
-    val dfordFs = new org.apache.hadoop.fs.Path(dfordDir).getFileSystem(
-      spark.sparkContext.hadoopConfiguration)
+    val dfordFs = Sidecars.fs(spark, new org.apache.hadoop.fs.Path(dfordDir))
     val marker = new org.apache.hadoop.fs.Path(s"$dfordDir/_SUCCESS")
     // bootstrap: freeze the ordering authority from the first
     // NON-EMPTY batch (first writer wins — the _SUCCESS marker is the
@@ -263,6 +262,31 @@ object DedupIngest {
         writeOrderMeta(spark, storeDir, 0L,
           spark.read.parquet(dfordDir).count())
       }
+    } else if (readOrderMeta(spark, storeDir).isEmpty) {
+      // HEAL the crash window between the dford commit and the
+      // sidecar write (round-15 review): without the heal the store
+      // is sidecar-less forever — every batch/probe pays the
+      // un-hinted vocabulary shuffle, and worse, a later LOST dford
+      // would pass the re-freeze guard above (meta absent too) and
+      // silently re-freeze a new order. The heal self-certifies ONLY
+      // after re-proving the shared-order premise from the docs rows
+      // themselves — the same proof a sidecar-less serve runs — so an
+      // unknown-provenance store with genuinely mixed generations
+      // keeps its loud serve failure, never a silently written pin.
+      val dford0 = spark.read.parquet(dfordDir)
+      val gen0 = orderGen(dford0)
+      val docsDir = new org.apache.hadoop.fs.Path(s"$storeDir/docs")
+      val proved =
+        if (!dfordFs.exists(docsDir)) true // no docs yet: nothing ordered
+        else {
+          val docs = spark.read.parquet(docsDir.toString)
+          if (!docs.columns.contains("__ogen")) gen0 == 0L
+          else {
+            val r = docs.agg(min(col("__ogen")), max(col("__ogen"))).head()
+            r.isNullAt(0) || (r.getLong(0) == gen0 && r.getLong(1) == gen0)
+          }
+        }
+      if (proved) writeOrderMeta(spark, storeDir, gen0, dford0.count())
     }
     // no authority yet (empty batches so far): nothing to order or
     // store — the freeze waits for the first real batch
@@ -371,8 +395,7 @@ object DedupIngest {
 
   private def storeFs(spark: SparkSession,
                       storeDir: String): org.apache.hadoop.fs.FileSystem =
-    new org.apache.hadoop.fs.Path(storeDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Sidecars.fs(spark, new org.apache.hadoop.fs.Path(storeDir))
 
   private def swapMarker(storeDir: String): org.apache.hadoop.fs.Path =
     new org.apache.hadoop.fs.Path(s"$storeDir/_swap_pending")

@@ -27,7 +27,16 @@ import org.apache.spark.sql.SparkSession
   * for a single small file. */
 private[streaming] object Sidecars {
 
-  private def fs(spark: SparkSession, p: Path) =
+  /** ONE FileSystem getter for the whole streaming store layer —
+    * sidecars, partition listings, stale-dir deletes, and marker
+    * files must all resolve a store path through the SAME conf, or a
+    * session-level fs override would split the store across two
+    * filesystems (the Avro-sink lesson). Session conf: it carries
+    * spark.hadoop.* overrides and is what the stores' own DataFrame
+    * writes resolve against. The clone-per-call cost is one driver-
+    * side Configuration copy per store operation — noise beside the
+    * Spark actions around it. */
+  private[streaming] def fs(spark: SparkSession, p: Path) =
     p.getFileSystem(spark.sessionState.newHadoopConf())
 
   /** Write `body` to `file` (full path under the store), replacing any
@@ -46,14 +55,22 @@ private[streaming] object Sidecars {
   }
 
   /** The sidecar's full content, or None when absent (including the
-    * mid-swap window — callers take their absent fallback). */
+    * mid-swap window — callers take their absent fallback). The
+    * exists/open pair races the writer's delete-to-rename window, so
+    * a FileNotFoundException from open IS the absent case, not an
+    * error (round-15 review: without the catch, a reader timed
+    * exactly into the swap crashed where the contract promises the
+    * fallback). */
   def read(spark: SparkSession, file: String): Option[String] = {
     val dest = new Path(file)
     val f = fs(spark, dest)
     if (!f.exists(dest)) None
     else {
-      val in = f.open(dest)
-      try {
+      val in = try f.open(dest) catch {
+        case _: java.io.FileNotFoundException => null
+      }
+      if (in == null) None
+      else try {
         val buf = new java.io.ByteArrayOutputStream()
         val chunk = new Array[Byte](4096)
         var n = in.read(chunk)

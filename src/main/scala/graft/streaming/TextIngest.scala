@@ -107,7 +107,7 @@ object TextIngest {
   private[graft] def batchPartitionDirs(spark: SparkSession,
                                  storeDir: String): Array[org.apache.hadoop.fs.Path] = {
     val root = new org.apache.hadoop.fs.Path(storeDir)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = Sidecars.fs(spark, root)
     if (!fs.exists(root)) Array.empty
     else fs.listStatus(root)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("__batch="))
@@ -115,8 +115,7 @@ object TextIngest {
   }
 
   private[streaming] def deleteDir(spark: SparkSession, dir: org.apache.hadoop.fs.Path): Unit = {
-    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(dir, true)
+    Sidecars.fs(spark, dir).delete(dir, true)
     ()
   }
 
@@ -199,7 +198,15 @@ object TextIngest {
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("__batch")
         .parquet(dir)
+      // stale partitions delete in ASCENDING batch order (round-15
+      // review): relabeling to -1 loses provenance, so if a crash
+      // left an OLD batch partition standing while every newer one
+      // was already gone, the next fold's max(__batch) would crown
+      // the stale version — permanently reverting an update. With
+      // ascending deletes a surviving batch b implies every batch > b
+      // also survives, so the true newest always outranks it.
       fold.filter(_.getName != s"__batch=$CompactedBatchId")
+        .sortBy(_.getName.stripPrefix("__batch=").toLong)
         .foreach(deleteDir(spark, _))
       spark.catalog.refreshByPath(dir)
     }

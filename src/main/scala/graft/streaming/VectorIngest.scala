@@ -194,13 +194,19 @@ object VectorIngest {
     * which restores cells ≡ sidecar at every crash point: pre-save
     * crashes roll back to the old quantizer (the replayed batch then
     * re-triggers the refit deterministically — seeded fit, same
-    * inputs), post-save crashes roll forward to the new one. */
+    * inputs), post-save crashes roll forward to the new one.
+    *
+    * ENTRY gate, not an in-flight fence: a reader whose plan was
+    * issued before the marker appeared can still scan partitions
+    * mid-rewrite (mixed cells, or a vanished overwritten file) —
+    * the caveat every dynamic-partition-overwrite maintenance op in
+    * this layer carries; serving replicas should quiesce reads for
+    * the refit window or accept the documented transient. */
   private def refitMarker(storeDir: String): org.apache.hadoop.fs.Path =
     new org.apache.hadoop.fs.Path(s"$storeDir/_refit_pending")
 
   private def storeFs(spark: org.apache.spark.sql.SparkSession, storeDir: String) =
-    new org.apache.hadoop.fs.Path(storeDir).getFileSystem(
-      spark.sessionState.newHadoopConf())
+    Sidecars.fs(spark, new org.apache.hadoop.fs.Path(storeDir))
 
   private def requireNoPendingRefit(spark: org.apache.spark.sql.SparkSession,
                                     storeDir: String): Unit =
@@ -280,7 +286,13 @@ object VectorIngest {
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("__batch")
         .parquet(storeDir)
+      // ASCENDING batch order (round-15 review, the foldNewestBatches
+      // discipline): a crash that left an old partition standing while
+      // newer ones were gone would let max(__batch) crown a stale
+      // version; ascending deletes make a surviving batch imply every
+      // newer batch also survives
       fold.filter(_.getName != s"__batch=$CompactedBatchId")
+        .sortBy(_.getName.stripPrefix("__batch=").toLong)
         .foreach(TextIngest.deleteDir(spark, _))
       spark.catalog.refreshByPath(storeDir)
     }

@@ -1523,6 +1523,24 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     val hits = DedupIngest.jaccardProbeFromStore(spark, store, probes,
       "doc_id", "text", jaccardThreshold = 0.5).count()
     assert(hits >= 1, "probe must match the stored near-identical doc")
+    // LOST SIDECAR (the bootstrap crash window between the dford
+    // commit and the meta write): the next batch re-proves the
+    // shared-order premise from the docs rows and HEALS the sidecar —
+    // without it the store would stay sidecar-less forever and a
+    // later lost dford would silently re-freeze
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(s"$store/_order_meta"))
+    val msH = MemoryStream[(Long, String)](spark)
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(s"$store/_checkpoint"))
+    val qH = DedupIngest.maintainJaccardStore(
+      msH.toDF().toDF("doc_id", "text"), "doc_id", "text", store,
+      trigger = Trigger.ProcessingTime(0))
+    msH.addData((10L, "a brand new document arriving after the sidecar loss"))
+    qH.processAllAvailable()
+    qH.stop()
+    assert(new java.io.File(s"$store/_order_meta/meta.txt").exists(),
+      "the next batch must heal the lost order-meta sidecar")
     // LOST authority: dford vanishes (external cleanup) while
     // _order_meta still records the freeze -> the next batch must
     // refuse loudly, never silently re-freeze a NEW order
