@@ -140,7 +140,11 @@ private[io] case class HttpCsvScan(full: StructType, required: StructType,
 
   override def planInputPartitions(): Array[InputPartition] =
     opts.urls.toArray.flatMap { url =>
-      HttpLines.probe(url) match {
+      // splits=1 needs no probe (round-15 review): the result was
+      // unused, and a non-range server answers the probe with 200 +
+      // the WHOLE body, which the old path drained driver-side —
+      // planning downloaded the file just to discard it
+      (if (opts.splits > 1) HttpLines.probe(url) else None) match {
         case Some(total) if opts.splits > 1 && total > 0 =>
           val chunk = math.max(1L, (total + opts.splits - 1) / opts.splits)
           (0L until total by chunk).map(s =>
@@ -186,7 +190,7 @@ private[io] class HttpCsvPartitionReader(p: HttpRangePartition, full: StructType
   private var current: InternalRow = _
 
   private def open(): Unit = {
-    conn = new URI(p.url).toURL.openConnection().asInstanceOf[HttpURLConnection]
+    conn = HttpLines.open(p.url)
     if (p.start > 0) conn.setRequestProperty("Range", s"bytes=${p.start}-")
     conn.connect()
     in = new BufferedInputStream(conn.getInputStream, 1 << 16)
@@ -195,7 +199,12 @@ private[io] class HttpCsvPartitionReader(p: HttpRangePartition, full: StructType
       var left = p.start
       while (left > 0) {
         val n = in.skip(left)
-        if (n <= 0) { eof = true; left = 0 } else left -= n
+        if (n <= 0) {
+          // skip() may legally return 0 WITHOUT being at EOF
+          // (round-15 review: treating it as EOF silently emptied the
+          // partition) — only read() == -1 proves end-of-stream
+          if (in.read() < 0) { eof = true; left = 0 } else left -= 1
+        } else left -= n
       }
     }
     // Not the first split: discard the (possibly partial) first line —
@@ -366,24 +375,43 @@ private[graft] object HttpLines {
   def probe(url: String): Option[Long] = {
     var conn: HttpURLConnection = null
     try {
-      conn = new URI(url).toURL.openConnection().asInstanceOf[HttpURLConnection]
+      conn = open(url)
       conn.setRequestProperty("Range", "bytes=0-0")
       conn.connect()
-      val out =
-        if (conn.getResponseCode == 206)
-          Option(conn.getHeaderField("Content-Range"))
-            .flatMap(_.split('/').lastOption).flatMap(_.toLongOption)
-        else None
-      drain(conn.getInputStream)
-      out
+      if (conn.getResponseCode == 206) {
+        // the 206 body is the single requested byte — drain it so the
+        // connection can keep-alive
+        drain(conn.getInputStream)
+        Option(conn.getHeaderField("Content-Range"))
+          .flatMap(_.split('/').lastOption).flatMap(_.toLongOption)
+      } else None
+      // non-206: the body may be the WHOLE file (a server that
+      // ignores Range answers 200 + full body) — disconnect without
+      // draining (round-15 review); keep-alive is not worth a
+      // driver-side full download
     } catch { case _: Exception => None }
     finally if (conn != null) conn.disconnect()
+  }
+
+  /** Open with explicit connect/read timeouts (round-15 review): a
+    * server that accepts the TCP connection but never responds would
+    * otherwise hang schema inference and planning on the DRIVER (and
+    * reader tasks) indefinitely — there is no default timeout on
+    * HttpURLConnection. */
+  private[io] val ConnectTimeoutMs = 30000
+  private[io] val ReadTimeoutMs = 120000
+
+  private[io] def open(url: String): HttpURLConnection = {
+    val c = new URI(url).toURL.openConnection().asInstanceOf[HttpURLConnection]
+    c.setConnectTimeout(ConnectTimeoutMs)
+    c.setReadTimeout(ReadTimeoutMs)
+    c
   }
 
   def firstLine(url: String): Option[String] = {
     var conn: HttpURLConnection = null
     try {
-      conn = new URI(url).toURL.openConnection().asInstanceOf[HttpURLConnection]
+      conn = open(url)
       conn.connect()
       val in = new BufferedInputStream(conn.getInputStream)
       val buf = new ByteArrayOutputStream(128)

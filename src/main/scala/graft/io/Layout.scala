@@ -44,21 +44,28 @@ object Layout {
   }
 
   /** The z-value column over numeric columns, each scaled into
-    * [0, 2^bits) by its (min, max) range. Nulls rank 0 (cluster at the
-    * curve origin); values outside the stated range clamp. */
+    * [0, 2^bits) by its (min, max) range. Nulls and NaNs rank 0
+    * (cluster at the curve origin); values outside the stated range
+    * clamp. The clamp happens in DOUBLE space BEFORE the int cast
+    * (round-15 review): Spark 4 defaults to ANSI mode, where an
+    * out-of-range double->int cast is a runtime error, so the old
+    * cast-then-clamp shape crashed exactly the out-of-range inputs
+    * the scaladoc promises to clamp. `bits` is capped at 30 so the
+    * per-column rank mask stays in positive Int range (1 << 31 flips
+    * sign; 1 << 32 wraps to 1 and silently zeroed every rank). */
   def zValue(cols: Seq[Column], ranges: Seq[(Double, Double)],
              bits: Int = 16): Column = {
     require(cols.nonEmpty && cols.size == ranges.size,
       "one (min, max) range per z-order column")
-    require(bits >= 1 && bits * cols.size <= 63,
-      s"bits=$bits x ${cols.size} columns must fit a long z-value")
+    require(bits >= 1 && bits <= 30 && bits * cols.size <= 63,
+      s"bits=$bits x ${cols.size} columns must fit a long z-value (bits <= 30)")
     val maxRank = (1 << bits) - 1
     val ranks = cols.zip(ranges).map { case (c, (lo, hi)) =>
       val span = if (hi > lo) hi - lo else 1.0
-      coalesce(
-        least(lit(maxRank), greatest(lit(0),
-          ((c.cast("double") - lit(lo)) / lit(span) * lit(maxRank)).cast("int"))),
-        lit(0))
+      val scaled = (c.cast("double") - lit(lo)) / lit(span) * lit(maxRank)
+      val clamped = least(lit(maxRank.toDouble), greatest(lit(0.0),
+        when(isnan(scaled), lit(0.0)).otherwise(scaled)))
+      coalesce(clamped.cast("int"), lit(0))
     }
     interleaveUdf(bits, cols.size)(array(ranks: _*))
   }
@@ -127,8 +134,8 @@ object Layout {
   def writeZOrderedQuantile(df: DataFrame, zCols: Seq[String], outDir: String,
                             numFiles: Int, bits: Int = 8,
                             relErr: Double = 0.001): Unit = {
-    require(bits >= 1 && bits * zCols.size <= 63,
-      s"bits=$bits x ${zCols.size} columns must fit a long z-value")
+    require(bits >= 1 && bits <= 30 && bits * zCols.size <= 63,
+      s"bits=$bits x ${zCols.size} columns must fit a long z-value (bits <= 30)")
     val probs = (1 until (1 << bits)).map(_.toDouble / (1 << bits)).toArray
     val casted = zCols.foldLeft(df)((d, c) =>
       d.withColumn(s"__zq_$c", col(c).cast("double")))
@@ -194,8 +201,16 @@ object Layout {
                              (write: (DataFrame, Int, String) => Unit): Int = {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
     val conf = spark.sparkContext.hadoopConfiguration
+    // normalize (round-15 review): a trailing-slash dir made the
+    // string-suffixed tmp land INSIDE the table instead of beside it
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(conf)
+    // a crashed earlier rewrite's leftover tmp is ours to reclaim —
+    // without this, one crash bricked every future compact() of the
+    // dir on the flat-directory require below (round-15 review)
+    val tmp = new org.apache.hadoop.fs.Path(path.getParent,
+      path.getName + ".compact.tmp")
+    fs.delete(tmp, true)
     // FLAT directories only: the rewrite carries no partitionBy, so
     // compacting a Hive-partitioned layout here would silently flatten
     // it (and the swap would drop sidecar dirs like _quantizer) —
@@ -211,7 +226,6 @@ object Layout {
       if (s.isFile && s.getPath.getName.endsWith(".parquet")) total += s.getLen
     }
     val n = math.max(1, math.ceil(total.toDouble / targetFileBytes).toInt)
-    val tmp = new org.apache.hadoop.fs.Path(dir + ".compact.tmp")
     write(spark.read.parquet(dir), n, tmp.toString)
     // swap data files only — underscore sidecars (_SUCCESS aside, e.g.
     // a _checkpoint or _quantizer dir) survive the rewrite untouched

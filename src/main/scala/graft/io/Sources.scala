@@ -37,11 +37,32 @@ object Sources {
   /** GeoJSON FeatureCollection -> flat table: one row per feature,
     * properties lifted to columns, geometry kept as an opaque JSON
     * string (the reference never computes on it — SURVEY.md §1.1).
-    * multiLine=true because a FeatureCollection is one JSON document. */
-  def geojsonFeatures(s: SparkSession, path: String): DataFrame =
-    s.read.option("multiLine", "true").json(path)
+    * multiLine=true because a FeatureCollection is one JSON document.
+    *
+    * Geometry is GENUINELY opaque (round-15 review): the first pass
+    * infers only the properties shape, then a second pass re-reads
+    * with geometry DECLARED StringType — Spark's JSON reader captures
+    * the raw subtree text for a string-declared object field. The
+    * previous parse-and-to_json round trip silently corrupted mixed-
+    * geometry collections (Point + Polygon coordinates unify to
+    * array<string>, re-serializing numbers and rings as quoted
+    * strings) — and mixed types are the NORM in real GeoJSON. */
+  def geojsonFeatures(s: SparkSession, path: String): DataFrame = {
+    val inferred = s.read.option("multiLine", "true").json(path).schema
+    val featsType = inferred("features").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType]
+    val featStruct = featsType.elementType.asInstanceOf[StructType]
+    val opaque = StructType(featStruct.fields.map {
+      case f if f.name == "geometry" =>
+        f.copy(dataType = org.apache.spark.sql.types.StringType)
+      case f => f
+    })
+    val schema = StructType(Seq(org.apache.spark.sql.types.StructField(
+      "features", featsType.copy(elementType = opaque))))
+    s.read.option("multiLine", "true").schema(schema).json(path)
       .select(explode(col("features")).as("f"))
-      .select(col("f.properties.*"), to_json(col("f.geometry")).as("geometry"))
+      .select(col("f.properties.*"), col("f.geometry").as("geometry"))
+  }
 
   /** Full-replace parquet sink — the harness analog of
     * `to_sql(if_exists='replace')` (scraper.py:23-24). Overwrite is
@@ -84,10 +105,15 @@ object Sources {
     * a unit-testable Postgres swap needs; `derby.system.home` keeps its
     * derby.log out of the repo. */
   def embeddedDerbyUrl(dir: String): String = {
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    // absolute path (round-15 review): Derby resolves RELATIVE
+    // database paths against derby.system.home — a relative dir would
+    // nest the DB at dir/dir/graft_db, and the first-call-wins
+    // property would pin later relative dirs under the first one
+    val abs = java.nio.file.Paths.get(dir).toAbsolutePath.normalize()
+    java.nio.file.Files.createDirectories(abs)
     if (System.getProperty("derby.system.home") == null)
-      System.setProperty("derby.system.home", dir)
-    s"jdbc:derby:$dir/graft_db;create=true"
+      System.setProperty("derby.system.home", abs.toString)
+    s"jdbc:derby:$abs/graft_db;create=true"
   }
 
   /** Whole-table JDBC scan (visualization.py:14-21). For big tables

@@ -233,6 +233,70 @@ class ScaleSpec extends AnyFunSuite with SparkTestBase {
     assert(qT * 2 <= linT, s"quantile ranks must prune at least 2x better: $qT vs $linT")
   }
 
+  test("round-15 io review pins: ANSI-safe z clamp, bit-width guard, leftover compact tmp, geojson opacity, derby abs path") {
+    import graft.io.{Layout, Sources}
+    import spark.implicits._
+    // (1) out-of-range + NaN values CLAMP under Spark 4 ANSI defaults
+    // instead of crashing the int cast (values far outside the stated
+    // range, plus a NaN row)
+    val weird = Seq((1L, 1e12), (2L, -1e12), (3L, Double.NaN), (4L, 5.0))
+      .toDF("id", "a")
+    val zdir = "/tmp/graft_stage/scalespec_zclamp"
+    Layout.writeZOrdered(weird, Seq("a"), zdir, numFiles = 2)
+    val back = spark.read.parquet(zdir)
+    assert(back.count() == 4L, "clamped write must keep every row")
+    // (2) bits past Int-shift range refuse loudly instead of silently
+    // zeroing every rank
+    val e = intercept[IllegalArgumentException] {
+      Layout.zValue(Seq(org.apache.spark.sql.functions.col("a")),
+        Seq((0.0, 1.0)), bits = 32)
+    }
+    assert(e.getMessage.contains("bits"), e.getMessage)
+    // (3) a crashed rewrite's leftover tmp dir must not brick compact()
+    val cdir = "/tmp/graft_stage/scalespec_compact_tmp"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(cdir))
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(cdir + ".compact.tmp"))
+    Seq((1L, "x"), (2L, "y")).toDF("k", "v").repartition(4)
+      .write.parquet(cdir)
+    new java.io.File(cdir + ".compact.tmp").mkdirs() // the crash leftover
+    Layout.compact(spark, cdir)
+    assert(spark.read.parquet(cdir).count() == 2L,
+      "compact must reclaim a leftover tmp dir and still rewrite")
+    // ...and a trailing-slash dir keeps the tmp OUTSIDE the table
+    Layout.compact(spark, cdir + "/")
+    assert(spark.read.parquet(cdir).count() == 2L)
+    // (4) mixed-geometry GeoJSON stays VALID per-feature JSON — the
+    // parse-and-reserialize shape silently quoted coordinates
+    val gj = """{"type":"FeatureCollection","features":[
+      {"type":"Feature","properties":{"name":"pt"},
+       "geometry":{"type":"Point","coordinates":[2.35,48.85]}},
+      {"type":"Feature","properties":{"name":"poly"},
+       "geometry":{"type":"Polygon","coordinates":[[[0,0],[1,0],[1,1],[0,0]]]}}
+    ]}"""
+    val gpath = "/tmp/graft_stage/scalespec_mixed.geojson"
+    java.nio.file.Files.write(java.nio.file.Paths.get(gpath),
+      gj.getBytes("UTF-8"))
+    val feats = Sources.geojsonFeatures(spark, gpath)
+      .orderBy("name").collect()
+    val geoms = feats.map(_.getAs[String]("geometry"))
+    // both geometries must round-trip as REAL JSON with numeric
+    // coordinates — parse them back and check the types survived
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val pt = om.readTree(geoms(1))
+    assert(pt.get("type").asText() == "Point" &&
+      pt.get("coordinates").get(0).isNumber,
+      s"point coordinates must stay numeric: ${geoms(1)}")
+    val poly = om.readTree(geoms(0))
+    assert(poly.get("type").asText() == "Polygon" &&
+      poly.get("coordinates").get(0).get(0).get(0).isNumber,
+      s"polygon rings must stay numeric arrays: ${geoms(0)}")
+    // (5) relative derby dir resolves absolute (no dir/dir nesting)
+    val url = Sources.embeddedDerbyUrl("target/derby_relcheck")
+    assert(url.contains(new java.io.File("target/derby_relcheck")
+      .getAbsolutePath), url)
+  }
+
   test("compact bin-packs small files without touching rows, via a narrow coalesce") {
     import graft.io.Layout
     import spark.implicits._
