@@ -133,12 +133,17 @@ object Dedup {
     pairs
   }
 
-  /** SimHash: 64-bit locality-sensitive signature. Explode tokens,
-    * hash each (xxhash64, fixed seed), majority-vote each bit over the
-    * document, reassemble. One groupBy(doc) with 64 int sums — a
-    * partial-aggregated shuffle of 64 ints per doc, any scale. */
+  /** SimHash: 64-bit locality-sensitive signature. Explode tokens
+    * (trim + LOWER + whitespace split — the same canonicalization
+    * every content-addressed op in the dedup family uses; round-15
+    * review: the seeded tier previously skipped the lowercase, so
+    * case-variant near-identical docs bucketed apart here while the
+    * portable tier found them), hash each (xxhash64, fixed seed),
+    * majority-vote each bit over the document, reassemble. One
+    * groupBy(doc) with 64 int sums — a partial-aggregated shuffle of
+    * 64 ints per doc, any scale. */
   def simhash(df: DataFrame, id: Column, text: Column): DataFrame = {
-    val tokens = df.select(id, explode(Text.wsTokens(text)).as("__tok"))
+    val tokens = df.select(id, explode(Text.wsTokens(lower(text))).as("__tok"))
       .withColumn("__h", xxhash64(col("__tok")))
     val bitSums = (0 until 64).map { b =>
       sum(when(shiftright(col("__h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"__b$b")
@@ -880,6 +885,16 @@ object Dedup {
                        fractions: Map[String, Double], seed: Long = 42L): DataFrame =
     df.stat.sampleBy(stratumCol, fractions, seed)
 
+  /** The family's stable 32-bit id bucket: first 8 md5 hex digits of
+    * the id's string form, as a long in [0, 2^32). ONE definition
+    * (round-15 review: four verbatim copies risked silently
+    * desynchronizing the cross-engine reproducibility contract —
+    * every stable-sampling op and the packing shard derive from this
+    * exact expression, and the DuckDB oracles mirror it digit for
+    * digit). */
+  private[graft] def md5Bucket32(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("long")
+
   /** Engine-portable stable sampling: keep rows whose md5-derived
     * bucket (first 8 hex chars of md5(id) as an integer, mod 100)
     * falls below `pctOf100`. Unlike `sample()`/`rand()`, selection is
@@ -889,9 +904,7 @@ object Dedup {
     * Scan-local codegen'd expression; composes with any downstream op. */
   def stableHashSample(df: DataFrame, id: Column, pctOf100: Int): DataFrame = {
     require(pctOf100 >= 0 && pctOf100 <= 100, "pctOf100 must be in [0, 100]")
-    val bucket = pmod(
-      conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("long"),
-      lit(100L))
+    val bucket = pmod(md5Bucket32(id), lit(100L))
     df.filter(bucket < pctOf100)
   }
 
@@ -913,8 +926,7 @@ object Dedup {
     // (0, 1) and the /2^32 is a power-of-two scale, so u is EXACT in
     // both Spark and the DuckDB oracle — the only libm call either
     // engine makes is the single ln
-    val u = (conv(substring(md5(id.cast("string")), 1, 8), 16, 10)
-      .cast("long").cast("double") + lit(0.5)) / lit(4294967296.0)
+    val u = (md5Bucket32(id).cast("double") + lit(0.5)) / lit(4294967296.0)
     val key = -log(u) / weight.cast("double")
     df.filter(weight.isNotNull && weight.cast("double") > 0)
       .withColumn("__es_key", key)
@@ -934,9 +946,7 @@ object Dedup {
                              pctByStratum: Map[String, Int]): DataFrame = {
     require(pctByStratum.values.forall(p => p >= 0 && p <= 100),
       "per-stratum pct must be in [0, 100]")
-    val bucket = pmod(
-      conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("long"),
-      lit(100L))
+    val bucket = pmod(md5Bucket32(id), lit(100L))
     val pct = pctByStratum.foldLeft(lit(-1)) { case (acc, (s, p)) =>
       when(stratum === s, lit(p)).otherwise(acc)
     }

@@ -245,7 +245,7 @@ object Text {
     // the caller's `id` column after the select would only resolve when
     // it happens to be named doc_id already
     val shard = pmod(
-      conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10).cast("long"),
+      graft.ops.Dedup.md5Bucket32(col("doc_id")),
       lit(shards.toLong)).cast("int")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("shard")).orderBy(col("doc_id").asc)
@@ -259,12 +259,16 @@ object Text {
         (col("__prev") % seqLen).cast("int").as("offset"))
   }
 
-  /** Canonical-form document fingerprint: lowercase, collapse
+  /** Canonical-form document fingerprint: trim, lowercase, collapse
     * whitespace, md5. Equal fingerprints = exact near-identical dup
     * (case/spacing-insensitive); the groupBy key for exact dedup at
-    * scale (16-byte key instead of the full text). */
+    * scale (16-byte key instead of the full text). The TRIM is part
+    * of the contract (round-15 review): without it a trailing
+    * newline — ubiquitous in scraped corpora — fingerprinted
+    * differently from its newline-less twin, so the "spacing-
+    * insensitive" dedup silently kept both copies. */
   def fingerprint(df: DataFrame, text: Column, out: String): DataFrame =
-    df.withColumn(out, md5(regexp_replace(lower(text), "\\s+", " ")))
+    df.withColumn(out, md5(regexp_replace(trim(lower(text)), "\\s+", " ")))
 
   /** BM25 relevance of every document against a FIXED query term set —
     * the retrieval scorer a RAG corpus pipeline ranks passages with
@@ -291,8 +295,14 @@ object Text {
       Seq(count(lit(1)).as("__n"), sum(col("dl")).as("__sdl")) ++
         queryTerms.indices.map(i =>
           count(when(col(s"__tf_$i") > 0, 1)).as(s"__df_$i"))
-    val stats = withTf.agg(statAggs.head, statAggs.tail: _*)
-    val scored = withTf.crossJoin(broadcast(stats))
+    // ONE tokenize pass (round-15 review): the stats aggregate and
+    // the scored join are separate plan subtrees over the same
+    // tokenize + per-term tf pipeline, which executed TWICE without a
+    // materialization point — the bm25Dynamic/lmScore discipline,
+    // applied here
+    val tfed = withTf.localCheckpoint(true)
+    val stats = tfed.agg(statAggs.head, statAggs.tail: _*)
+    val scored = tfed.crossJoin(broadcast(stats))
     val score = queryTerms.indices.map { i =>
       val tf = col(s"__tf_$i").cast("double")
       val dfT = col(s"__df_$i").cast("double")

@@ -54,10 +54,17 @@ object Vectors {
 
   /** L2-normalize an array column: norm computed ONCE (not per element
     * — a lambda-captured l2norm re-evaluates per component, O(d^2));
-    * zero vectors normalize to null and are filtered by callers. */
+    * zero vectors (and vectors carrying a null element, whose norm is
+    * null) normalize to a NULL ARRAY and are filtered by callers'
+    * isNotNull guards. The when() gate is what makes that true
+    * (round-15 review): the bare transform returned a NON-null array
+    * of null elements for degenerate rows, so every downstream
+    * `.isNotNull` guard was dead and the first UDF/encoder to unbox
+    * an element crashed the job — the documented drop-degenerates
+    * contract only held where callers gated on the norm directly. */
   private[graft] def normalized(vec: Column): Column = {
     val n = nullif(l2norm(vec), lit(0.0))
-    transform(vec, x => x.cast("double") / n)
+    when(n.isNotNull, transform(vec, x => x.cast("double") / n))
   }
 
   /** Per-query top-k rank via the map-side-truncating [[TopKByValue]]
@@ -83,7 +90,13 @@ object Vectors {
                            idCol: String, k: Int): DataFrame = {
     import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
     val idType = scored.schema(idCol).dataType
-    val clean = scored.filter(col(value).isNotNull && col(idCol).isNotNull)
+    // NaN scores drop with nulls (round-15 review): NaN is not null,
+    // and feeding it to the aggregate's sortWith gives an
+    // intransitive comparator (TimSort can throw) while the window
+    // path ranks NaN FIRST — both paths must agree that a
+    // not-a-number score never ranks
+    val clean = scored.filter(col(value).isNotNull && col(idCol).isNotNull &&
+      !isnan(col(value).cast("double")))
     idType match {
       case ByteType | ShortType | IntegerType | LongType =>
         val fn = graft.functions.TopKByValue.topK(k)
@@ -348,21 +361,38 @@ object Vectors {
     // ids ONLY through the band join: carrying the vectors would
     // multiply the shuffle payload by ~bands per side; instead the
     // deduped candidate pair list re-joins the corpus to fetch the two
-    // vectors exactly once per pair for the rescore
-    val sigs = withSig.select(col(id), posexplode(col(sig)).as(Seq("__band", "__key")))
-    val a = sigs.select(col("__band"), col("__key"), col(id).as("id_a"))
-    val b = sigs.select(col("__band"), col("__key"), col(id).as("id_b"))
-    val cands = a.join(b, Seq("__band", "__key"))
-      .filter(col("id_a") < col("id_b"))
-      // a pair colliding in several bands appears once per collision;
-      // id-keyed dedup before the (more expensive) rescore
-      .dropDuplicates("id_a", "id_b")
-    cands
-      .join(withSig.select(col(id).as("id_a"), col(vec).as("__va")), Seq("id_a"))
-      .join(withSig.select(col(id).as("id_b"), col(vec).as("__vb")), Seq("id_b"))
-      .withColumn("cos_sim", cosine(col("__va"), col("__vb")))
-      .filter(col("cos_sim") >= simThreshold)
-      .select(col("id_a"), col("id_b"), col("cos_sim"))
+    // vectors exactly once per pair for the rescore.
+    // The signature relation PERSISTS across its four appearances
+    // (two band-join sides, two rescore joins — round-15 review: the
+    // siblings measured exchange reuse failing on exactly this shape
+    // and pinned persist + eager candidate checkpoint), and candidate
+    // volume rides the checkpoint action as an observed metric so the
+    // op's scale variable shows in the bench counters like the
+    // jaccard/minhash tiers'.
+    val sigRel = withSig.select(col(id), col(sig).as("__sig"), col(vec).as("__v"))
+      .persist()
+    try {
+      val sigs = sigRel.select(col(id), posexplode(col("__sig")).as(Seq("__band", "__key")))
+      val a = sigs.select(col("__band"), col("__key"), col(id).as("id_a"))
+      val b = sigs.select(col("__band"), col("__key"), col(id).as("id_b"))
+      val obs = org.apache.spark.sql.Observation()
+      val cands = a.join(b, Seq("__band", "__key"))
+        .filter(col("id_a") < col("id_b"))
+        // a pair colliding in several bands appears once per collision;
+        // id-keyed dedup before the (more expensive) rescore
+        .dropDuplicates("id_a", "id_b")
+        .observe(obs, count(lit(1)).as("__cand"))
+        .localCheckpoint(true)
+      graft.Metrics.record("srp_neardup_candidates",
+        graft.ops.Dedup.observedCount(obs, "__cand"))
+      cands
+        .join(sigRel.select(col(id).as("id_a"), col("__v").as("__va")), Seq("id_a"))
+        .join(sigRel.select(col(id).as("id_b"), col("__v").as("__vb")), Seq("id_b"))
+        .withColumn("cos_sim", cosine(col("__va"), col("__vb")))
+        .filter(col("cos_sim") >= simThreshold)
+        .select(col("id_a"), col("id_b"), col("cos_sim"))
+        .localCheckpoint(true)
+    } finally { sigRel.unpersist(); () }
   }
 
   /** One-sided SRP PROBE — the incremental-ingest shape of embedding

@@ -1920,7 +1920,7 @@ object HarnessLLM {
         | FROM documents)
         |GROUP BY 1 ORDER BY n DESC, w LIMIT 20""".stripMargin,
     "text_fingerprint" ->
-      """SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+      """SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
     "text_decontaminate" ->
       """WITH arr AS (
