@@ -21,8 +21,18 @@ import org.apache.spark.sql.functions.udaf
 case class TopKByValue(k: Int)
   extends Aggregator[(Double, Long), ArrayBuffer[(Double, Long)], Seq[(Double, Long)]] {
 
-  private def lt(a: (Double, Long), b: (Double, Long)): Boolean =
-    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+  private def lt(a: (Double, Long), b: (Double, Long)): Boolean = {
+    // java.lang.Double.compare, not primitive comparisons (round-15
+    // review): NaN is 'equal' to everything under <, so the primitive
+    // form was an intransitive comparator — TimSort can throw on
+    // buffers past 32 elements and NaN placement was arbitrary. The
+    // caller drops NaN scores; this keeps the aggregator itself a
+    // total order for any direct user (Double.compare ranks NaN
+    // greatest, so under this desc order NaN ranks first —
+    // deterministically, which is the point).
+    val c = java.lang.Double.compare(b._1, a._1) // desc by value
+    c < 0 || (c == 0 && a._2 < b._2)
+  }
 
   private def truncate(buf: ArrayBuffer[(Double, Long)]): ArrayBuffer[(Double, Long)] = {
     val sorted = buf.sortWith(lt)

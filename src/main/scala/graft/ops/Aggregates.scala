@@ -72,8 +72,17 @@ object Aggregates {
     * distinct from any real value. */
   def tableChecksum(df: DataFrame, cols: Seq[String], buckets: Int): DataFrame = {
     require(cols.nonEmpty && buckets >= 1)
-    val rowStr = concat_ws("|",
-      cols.map(c => coalesce(col(c).cast("string"), lit("\u0000null"))): _*)
+    // LENGTH-PREFIXED cells (round-15 review): the bare '|' join made
+    // ("a|b","c") and ("a","b|c") checksum-equal DETERMINISTICALLY —
+    // a replica that shifted a delimiter across a column boundary
+    // verified as identical — and a real value equal to the null
+    // sentinel collided with NULL. "len:value" decodes unambiguously
+    // left-to-right, and the bare "n" null marker is unreachable from
+    // any non-null cell (those always start with a digit).
+    val rowStr = concat_ws("|", cols.map { c =>
+      val v = col(c).cast("string")
+      coalesce(concat(length(v).cast("string"), lit(":"), v), lit("n"))
+    }: _*)
     // 15 hex digits = 60 bits: positive in a signed long in BOTH
     // engines (16 digits would overflow DuckDB's signed BIGINT cast)
     val h = conv(substring(md5(rowStr), 1, 15), 16, 10).cast("long")
@@ -97,7 +106,12 @@ object Aggregates {
     val bucket = when(value.isNull, lit(null))
       .when(value < lo, lit(-1))
       .when(value >= hi, lit(nBuckets))
-      .otherwise(floor((value - lit(lo)) / lit(width)))
+      // least() clamp (round-15 review): for values just under hi,
+      // (value - lo) can round to the same double as (hi - lo), so
+      // the floor alone would land an in-range value in the overflow
+      // bucket the >= hi branch explicitly did NOT take
+      .otherwise(least(floor((value - lit(lo)) / lit(width)),
+        lit((nBuckets - 1).toLong)))
       .cast("int")
     df.select(bucket.as("bucket"))
       .filter(col("bucket").isNotNull)

@@ -42,15 +42,17 @@ object Multimodal {
     * exercisable and oracle-checkable. PNG/JPEG/GIF/BMP/TIFF and
     * G.711 mu-law do NOT need this stub — they decode for real via
     * [[imageIoDecode]] / [[ulawWavDecode]]. */
-  def decodeStub(docId: Long, payload: Array[Byte]): MediaMeta =
+  def decodeStub(docId: Long, payload: Array[Byte]): MediaMeta = {
+    val p = if (payload == null) Array.empty[Byte] else payload
     MediaMeta(
       doc_id = docId,
-      n_bytes = payload.length.toLong,
-      width = 64 + (payload.length % 512),
+      n_bytes = p.length.toLong,
+      width = 64 + (p.length % 512),
       // Long math: length * 31 overflows Int for payloads >= ~69 MB
-      height = 64 + ((payload.length.toLong * 31) % 384).toInt,
+      height = 64 + ((p.length.toLong * 31) % 384).toInt,
       fmt = "fake/raw",
-      checksum = md5hex(payload))
+      checksum = md5hex(p))
+  }
 
   /** Attach an opaque binary media column (here: the utf-8 bytes of a
     * text column standing in for a real payload). */
@@ -110,7 +112,10 @@ object Multimodal {
     * ([[pnmFrames]]). P4 has no maxval token; P5/P6 must be 8-bit
     * (maxval <= 255). */
   private def pnmParseAt(bytes: Array[Byte], offset: Int): Option[(Pnm, Int)] = {
-    if (bytes.length - offset < 2 || bytes(offset) != 'P') return None
+    // null media cells decode to None like any undecodable payload
+    // (round-15 review: Spark does not null-short-circuit
+    // reference-typed UDFs, so a NULL cell NPE'd the whole job here)
+    if (bytes == null || bytes.length - offset < 2 || bytes(offset) != 'P') return None
     val fmt = bytes(offset + 1) match {
       case '4' => "P4"
       case '5' => "P5"
@@ -146,7 +151,17 @@ object Multimodal {
       val maxv = num()
       if (maxv <= 0 || maxv > 255) return None
     }
-    i += 1 // exactly one whitespace byte separates the header from samples
+    // exactly ONE whitespace byte separates the header from samples
+    // (netpbm spec — never two: sample data may legitimately start
+    // with 0x0A, so a CRLF-tolerant double-skip would corrupt valid
+    // binaries). VERIFY the byte is whitespace before skipping
+    // (round-15 review: a separator-less payload previously had a
+    // real sample consumed as the separator, silently shifting every
+    // pixel) — anything else is malformed and rejects.
+    if (i >= bytes.length ||
+        !(bytes(i) == ' ' || bytes(i) == '\n' || bytes(i) == '\r' || bytes(i) == '\t'))
+      return None
+    i += 1
     val n: Long = fmt match {
       case "P6" => w.toLong * h * 3
       case "P5" => w.toLong * h
@@ -166,6 +181,7 @@ object Multimodal {
     * start a valid frame end the walk (a real demuxer would surface
     * the error — here partial streams just truncate). */
   def ppmFrames(bytes: Array[Byte]): Vector[Ppm] = {
+    if (bytes == null) return Vector.empty
     val out = Vector.newBuilder[Ppm]
     var offset = 0
     var going = true
@@ -208,6 +224,7 @@ object Multimodal {
     * header. Trailing bytes that do not start a valid frame end the
     * walk. */
   def pnmFrames(bytes: Array[Byte]): Vector[Pnm] = {
+    if (bytes == null) return Vector.empty
     val out = Vector.newBuilder[Pnm]
     var offset = 0
     var going = true
@@ -450,7 +467,7 @@ object Multimodal {
     * samples. None for anything else — a compressed or 24-bit file
     * needs a real audio library and routes to the stub path. */
   def wavDecode(bytes: Array[Byte]): Option[Wav] = {
-    if (bytes.length < 44) return None
+    if (bytes == null || bytes.length < 44) return None
     if (!(bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
           bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E'))
       return None
@@ -504,7 +521,10 @@ object Multimodal {
     df.select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.flatMap { case (id, bytes) =>
-          wavDecode(bytes).map { w =>
+          // a header-only recording (zero samples) drops with the
+          // undecodables — 0/0 would emit a NaN mean that poisons any
+          // downstream aggregate (round-15 review)
+          wavDecode(bytes).filter(_.samples.nonEmpty).map { w =>
             var sum = 0L
             var k = 0
             while (k < w.samples.length) { sum += w.samples(k); k += 1 }
@@ -1047,7 +1067,8 @@ object Multimodal {
     * formats a JDK plugin might claim, e.g. WBMP, are deliberately
     * outside the contract) or that fail to decode. */
   def imageIoDecode(bytes: Array[Byte]): Option[CodecImage] =
-    withImageReader(bytes) { reader =>
+    if (bytes == null) None
+    else withImageReader(bytes) { reader =>
       // Locale.ROOT: a Turkish default locale lower-cases "GIF"/"TIFF"
       // with dotless i and every format compare goes quietly blind
       val fmt = reader.getFormatName.toLowerCase(java.util.Locale.ROOT)
@@ -1214,7 +1235,8 @@ object Multimodal {
     * Empty for payloads the GIF reader doesn't claim or that fail to
     * decode. */
   def gifFrames(bytes: Array[Byte]): Vector[GifFrame] =
-    withImageReader(bytes) { reader =>
+    if (bytes == null) Vector.empty
+    else withImageReader(bytes) { reader =>
       if (reader.getFormatName.toLowerCase(java.util.Locale.ROOT) != "gif") None
       else {
         val n = reader.getNumImages(true)
@@ -1297,7 +1319,7 @@ object Multimodal {
     // container magic so junk/cross-media payloads in the hot
     // streaming fingerprint loops reject on a byte compare instead of
     // paying the AudioSystem provider probe per row
-    if (bytes.length < 12 ||
+    if (bytes == null || bytes.length < 12 ||
         bytes(0) != 'R' || bytes(1) != 'I' || bytes(2) != 'F' || bytes(3) != 'F' ||
         bytes(8) != 'W' || bytes(9) != 'A' || bytes(10) != 'V' || bytes(11) != 'E')
       return None

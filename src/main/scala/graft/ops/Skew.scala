@@ -25,8 +25,12 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
-  def salt(fineGrainCols: Seq[Column], saltBuckets: Int): Column =
+  def salt(fineGrainCols: Seq[Column], saltBuckets: Int): Column = {
+    // loud guard (round-15 review): saltBuckets = 0 made pmod return
+    // NULL salts and every salted join silently EMPTY
+    require(saltBuckets >= 1, s"saltBuckets must be >= 1, got $saltBuckets")
     pmod(hash(fineGrainCols: _*), lit(saltBuckets))
+  }
 
   /** Two-stage salted sum/count-style aggregation.
     *

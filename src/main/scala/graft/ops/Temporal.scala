@@ -29,7 +29,13 @@ object Temporal {
     * interval length; at 100 TB keep intervals bounded (cap or bucket
     * by month) before exploding. */
   def explodeDays(df: DataFrame, out: String, start: Column, end: Column): DataFrame =
-    df.withColumn(out, explode(sequence(start, end, expr("interval 1 day"))))
+    // inverted intervals (end < start — one dirty row in a 100 TB
+    // relation) yield ZERO days instead of killing the whole job:
+    // sequence() throws on illegal boundaries, and in the bucketed
+    // range joins that crash landed in the eager sizing estimate, so
+    // even plan construction died (round-15 review)
+    df.filter(start <= end)
+      .withColumn(out, explode(sequence(start, end, expr("interval 1 day"))))
 
   /** Whole-row argmax per group with a DETERMINISTIC tiebreaker —
     * ref visualization.py:103/:130 does
@@ -124,8 +130,14 @@ object Temporal {
                leftTime: String, rightTime: String,
                rightVals: Seq[String], outPrefix: String = "asof_"): DataFrame = {
     val rvStruct = struct(rightVals.map(col): _*)
+    // NULL-keyed right rows can never match under join semantics
+    // (null != null), but the window's partitionBy groups all nulls
+    // together — dropping them here keeps a null-keyed probe
+    // unmatched (null asof_* columns) instead of silently attributing
+    // it from unrelated null-keyed right rows (round-15 review)
     val rBase = right.select(
       keys.map(col) ++ Seq(col(rightTime).as("__t"), rvStruct.as("__rv")): _*)
+      .filter(keys.map(col(_).isNotNull).reduce(_ && _))
       .withColumn("__side", lit(0))
     val lAug = left.withColumn("__t", col(leftTime)).withColumn("__side", lit(1))
       .withColumn("__rv", lit(null).cast(rBase.schema("__rv").dataType))

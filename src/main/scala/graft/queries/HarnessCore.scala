@@ -1017,18 +1017,19 @@ object HarnessCore {
         |ORDER BY 1""".stripMargin,
     // identical md5-derived 60-bit row signatures and XOR fold — XOR
     // is order-free, so no float or ordering hazards anywhere. Each
-    // column carries the NUL-prefixed null sentinel because DuckDB's
-    // concat_ws SKIPS null arguments while Spark's renders the
-    // coalesce fallback — without it the checksum diverges on any
-    // nullable column.
+    // cells are length-prefixed ("len:value", null -> 'n') so a
+    // delimiter character inside a value can never shift across a
+    // column boundary unnoticed, and DuckDB's concat_ws (which SKIPS
+    // null arguments where Spark renders the coalesce fallback)
+    // behaves identically because no argument is ever null.
     "meta_table_checksum" ->
       """WITH h AS (
         | SELECT CAST(('0x' || substr(md5(
         |    concat_ws('|',
-        |      coalesce(CAST(c_custkey AS VARCHAR), chr(0)||'null'),
-        |      coalesce(c_name, chr(0)||'null'),
-        |      coalesce(CAST(c_nationkey AS VARCHAR), chr(0)||'null'),
-        |      coalesce(c_mktsegment, chr(0)||'null'))), 1, 15)) AS BIGINT) AS h
+        |      coalesce(CAST(length(CAST(c_custkey AS VARCHAR)) AS VARCHAR) || ':' || CAST(c_custkey AS VARCHAR), 'n'),
+        |      coalesce(CAST(length(c_name) AS VARCHAR) || ':' || c_name, 'n'),
+        |      coalesce(CAST(length(CAST(c_nationkey AS VARCHAR)) AS VARCHAR) || ':' || CAST(c_nationkey AS VARCHAR), 'n'),
+        |      coalesce(CAST(length(c_mktsegment) AS VARCHAR) || ':' || c_mktsegment, 'n'))), 1, 15)) AS BIGINT) AS h
         | FROM customer)
         |SELECT CAST(h % 16 AS INT) AS bucket, bit_xor(h) AS xor_sig,
         | count(*) AS n_rows
@@ -1037,11 +1038,11 @@ object HarnessCore {
     "agg_histogram" ->
       """SELECT CAST(CASE WHEN l_extendedprice < 0.0 THEN -1
         |            WHEN l_extendedprice >= 60000.0 THEN 12
-        |            ELSE floor((l_extendedprice - 0.0) / 5000.0) END AS INT) AS bucket,
+        |            ELSE least(floor((l_extendedprice - 0.0) / 5000.0), 11) END AS INT) AS bucket,
         | count(*) AS n,
         | 0.0 + CAST(CASE WHEN l_extendedprice < 0.0 THEN -1
         |            WHEN l_extendedprice >= 60000.0 THEN 12
-        |            ELSE floor((l_extendedprice - 0.0) / 5000.0) END AS INT) * 5000.0 AS edge_lo
+        |            ELSE least(floor((l_extendedprice - 0.0) / 5000.0), 11) END AS INT) * 5000.0 AS edge_lo
         |FROM lineitem WHERE l_extendedprice IS NOT NULL
         |GROUP BY 1, 3 ORDER BY 1""".stripMargin,
     // Monday-truncated weeks both sides; day difference is an exact
