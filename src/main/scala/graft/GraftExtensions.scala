@@ -28,15 +28,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 object GraftExtensions {
 
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    // arity validated with a usage message (round-15 review: args(i)
+    // on a wrong-arity SQL call threw a bare IndexOutOfBoundsException
+    // that never named the function)
     (new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-      (args: Seq[Expression]) => DotProduct(args(0), args(1))),
+      (args: Seq[Expression]) => args match {
+        case Seq(a, b) => DotProduct(a, b)
+        case _ => throw new IllegalArgumentException(
+          s"graft_dot(a, b) expects two array columns, got ${args.size} argument(s)")
+      }),
     (new FunctionIdentifier("graft_l2norm"),
       new ExpressionInfo(classOf[L2Norm].getName, "graft_l2norm"),
-      (args: Seq[Expression]) => L2Norm(args(0))),
+      (args: Seq[Expression]) => args match {
+        case Seq(a) => L2Norm(a)
+        case _ => throw new IllegalArgumentException(
+          s"graft_l2norm(a) expects one array column, got ${args.size} argument(s)")
+      }),
     (new FunctionIdentifier("graft_nfc_clean"),
       new ExpressionInfo(classOf[NfcClean].getName, "graft_nfc_clean"),
-      (args: Seq[Expression]) => NfcClean(args(0))),
+      (args: Seq[Expression]) => args match {
+        case Seq(a) => NfcClean(a)
+        case _ => throw new IllegalArgumentException(
+          s"graft_nfc_clean(text) expects one string column, got ${args.size} argument(s)")
+      }),
     (new FunctionIdentifier("graft_shingles"),
       new ExpressionInfo(classOf[Shingles].getName, "graft_shingles"),
       (args: Seq[Expression]) => args match {

@@ -40,7 +40,16 @@ object Metrics {
     * guard: an inherited scope only namespaces while at least one
     * holder of that name is still open; records from outlived
     * inheritance fall back to raw names, which the bench reports
-    * un-attributed rather than mis-attributed. */
+    * un-attributed rather than mis-attributed.
+    *
+    * KNOWN LIMIT (round-15 review): the guard only catches OUTLIVED
+    * inheritance. Two scopes genuinely open CONCURRENTLY on one
+    * SparkSession can still cross-attribute — a shared pool thread
+    * created inside scope A records under A while A is open, even
+    * when the work belongs to B. The bench (sequential keys) and sbt
+    * test (sequential suites) never hit this; running suites in
+    * parallel against the shared session would need scope tokens
+    * threaded through the work itself, not thread inheritance. */
   private val open = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
 
   /** Run `f` with every [[record]] inside it namespaced as

@@ -77,12 +77,27 @@ final class RangeFileServer(root: Path, noRanges: Boolean = false) {
       val in = Files.newInputStream(f)
       try {
         var left = start
-        while (left > 0) left -= in.skip(left)
+        while (left > 0) {
+          val n = in.skip(left)
+          if (n <= 0) {
+            // skip() may return 0 without EOF (round-15 review: the
+            // bare loop spun a server thread forever when a rewrite
+            // raced Files.size); only read() == -1 proves EOF — and a
+            // file shorter than the declared range must ABORT the
+            // exchange, not answer short of Content-Length and leave
+            // the client waiting
+            if (in.read() < 0)
+              throw new java.io.EOFException(s"$f shorter than range start")
+            else left -= 1
+          } else left -= n
+        }
         val buf = new Array[Byte](1 << 16)
         var remain = len
         while (remain > 0) {
           val n = in.read(buf, 0, math.min(remain, buf.length.toLong).toInt)
-          if (n < 0) remain = 0
+          if (n < 0)
+            throw new java.io.EOFException(
+              s"$f truncated mid-range: $remain bytes short of Content-Length")
           else { out.write(buf, 0, n); remain -= n }
         }
       } finally { in.close(); out.close() }

@@ -289,32 +289,36 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       val q = Streams.inactivityClosedSessions(ms.toDS(), gapMinutes = 30)
         .writeStream.format("memory").queryName("inact_t")
         .outputMode("append").start()
-      // user 7 active at 10:00 and 10:05 -> timer armed at 10:35
-      ms.addData(e(1, "2024-01-01 10:00:00", uid = 7),
-        e(2, "2024-01-01 10:05:00", uid = 7))
+      // user 7 active at 12:00 -> timer armed at 12:30; wm lags at 11:50
+      ms.addData(e(1, "2024-01-01 12:00:00", uid = 7))
       q.processAllAvailable()
-      assert(spark.table("inact_t").isEmpty) // watermark has not passed 10:35
-      // user 7 re-activates far past the gap BEFORE any timer fired
-      // (the watermark still lags): the gap-crossing input must close
-      // the first session inline, not merge into it
-      ms.addData(e(3, "2024-01-01 14:00:00", uid = 7))
+      assert(spark.table("inact_t").isEmpty) // watermark has not passed 12:30
+      // a second event exactly at the gap boundary starts a NEW
+      // session — but the first session's close is WATERMARK-CONFIRMED
+      // (round 15): until wm >= 12:30, a straggler above the watermark
+      // can still arrive and BRIDGE the two, so nothing emits yet
+      // (the previous eager close emitted here and could not retract)
+      ms.addData(e(2, "2024-01-01 12:30:00", uid = 7))
       q.processAllAvailable()
-      val afterReactivation = spark.table("inact_t").collect()
-        .map(r => (r.getLong(0), r.getLong(1)))
-      assert(afterReactivation.contains((7L, 2L)),
-        s"gap-crossing input must close the first session: ${afterReactivation.toSeq}")
-      // sentinels advance the watermark past 14:30, firing the timer
-      // for the second session; the emission lands next batch
-      ms.addData(e(4, "2024-01-01 15:30:00", uid = 9))
+      assert(spark.table("inact_t").isEmpty,
+        "a gap-crossing event must not eagerly close a session the " +
+          "watermark (12:20) has not yet confirmed")
+      // the bridging straggler: 12:25 is above the watermark (12:20)
+      // so the contract admits it, and it sits within gap of BOTH
+      // sessions — ground truth collapses to ONE 3-event session
+      ms.addData(e(3, "2024-01-01 12:25:00", uid = 7))
       q.processAllAvailable()
-      ms.addData(e(5, "2024-01-01 15:40:00", uid = 9))
+      // sentinels advance the watermark past 13:00 (= merged session
+      // end 12:30 + gap), firing the timer for the merged session
+      ms.addData(e(4, "2024-01-01 13:30:00", uid = 9))
+      q.processAllAvailable()
+      ms.addData(e(5, "2024-01-01 13:40:00", uid = 9))
       q.processAllAvailable()
       q.stop()
       val rows = spark.table("inact_t").collect()
         .map(r => (r.getLong(0), r.getLong(1)))
-      assert(rows.count(_ == (7L, 2L)) == 1)
-      assert(rows.contains((7L, 1L)),
-        s"the re-activation session must close by timer with 1 event: ${rows.toSeq}")
+      assert(rows.count(_._1 == 7L) == 1 && rows.contains((7L, 3L)),
+        s"the straggler must merge the two sessions into one 3-event close: ${rows.toSeq}")
     }
   }
 
