@@ -117,7 +117,12 @@ object Bench {
     if (!prevSf.forall(_ == sfDir)) (Map.empty[String, Double], false)
     else {
       val qstart = txt.indexOf("\"queries\":{")
-      val qend = txt.indexOf("}", qstart)
+      val qend = if (qstart < 0) -1 else txt.indexOf("}", qstart)
+      // an old-format/truncated reference without a queries field must
+      // yield EMPTY priors (the documented contract) — the unguarded
+      // substring fabricated bogus priors from whatever fields came
+      // first, or threw (round-15 review)
+      if (qstart < 0 || qend < 0) return (Map.empty[String, Double], false)
       val body = txt.substring(qstart + "\"queries\":{".length, qend)
       val kv = """"([A-Za-z0-9_]+)":(-?[0-9.]+(?:[eE]-?[0-9]+)?)""".r
       (kv.findAllMatchIn(body).map(m => m.group(1) -> m.group(2).toDouble).toMap,
@@ -145,8 +150,10 @@ object Bench {
     * (non-Linux / locked-down /proc). */
   private[graft] def stealJiffies(): Long =
     try {
-      val line = java.nio.file.Files.lines(
-        java.nio.file.Paths.get("/proc/stat")).findFirst().orElse("")
+      val st = java.nio.file.Files.lines(java.nio.file.Paths.get("/proc/stat"))
+      // Files.lines holds the fd until the STREAM closes — two calls
+      // per key leaked hundreds of handles per suite (round-15 review)
+      val line = try st.findFirst().orElse("") finally st.close()
       parseStealJiffies(line)
     } catch { case _: Throwable => -1L }
 
@@ -169,6 +176,11 @@ object Bench {
     else dJiffies / (elapsedSec * 100.0 * nCpus)
 
   def main(args: Array[String]): Unit = {
+    // the f-interpolator formats through the JVM default locale — a
+    // fr_FR/de_DE host would render "4,00" and corrupt the committed
+    // JSON baseline (round-15 review). Pin ROOT for this driver-owned
+    // process before any number is formatted.
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // container is 32-way (local[32], 128 GiB) — shuffle.partitions
     // matches so every core gets exactly one shuffle partition
@@ -185,6 +197,31 @@ object Bench {
     // graft_dot / graft_l2norm SQL functions callable in this session
     // too, matching the spec-tested register path
     GraftExtensions.register(spark)
+    // In-round iteration hook: SPARK_GRAFT_BENCH_KEYS=k1,k2 times just
+    // those keys. Read HERE, before the prebuilds, so a filtered
+    // triage run skips index/bucketing builds its keys never touch
+    // (round-15 review: a one-key iteration paid the full multi-second
+    // prebuild wall every cycle). Unknown/empty filters refuse loudly
+    // — a typo'd key silently ran zero keys and wrote an
+    // empty-but-healthy-looking bench_filtered.json.
+    val keyFilter = sys.env.get("SPARK_GRAFT_BENCH_KEYS")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    keyFilter.foreach { ks =>
+      val unknown = ks.diff(SparkEntry.queries.keySet)
+      require(ks.nonEmpty && unknown.isEmpty,
+        s"SPARK_GRAFT_BENCH_KEYS names no runnable keys: " +
+          (if (ks.isEmpty) "empty filter" else s"unknown ${unknown.mkString(", ")}"))
+    }
+    // prebuild gating predicates — deliberately OVER-inclusive (an
+    // unneeded build only costs wall clock; a missed one fails keys)
+    def anySelected(p: String => Boolean): Boolean =
+      keyFilter.forall(_.exists(p))
+    val needVectors = anySelected(k => k.startsWith("sim_") ||
+      k.contains("embedding") || k.contains("pq") || k.contains("ivf") ||
+      k.contains("vector") || k.contains("srp") || k.contains("semantic"))
+    val needShingles = anySelected(k => k.contains("jaccard") ||
+      k.contains("minhash") || k.startsWith("dedup_"))
+    val needBucketed = anySelected(_.contains("bucketed"))
     // Untimed JIT/readahead warmup: whichever key happens to run first
     // otherwise eats ~5 s of one-time JVM cost and distorts per-query
     // attribution round-over-round.
@@ -196,43 +233,50 @@ object Bench {
     // written with the table at production scale) — prebuild untimed,
     // report its cost as its own field so nothing is hidden.
     val i0 = System.nanoTime()
-    try { graft.queries.HarnessLLM.ivfIndexFor(spark, sfDir) }
-    catch { case _: Throwable => () }
+    if (needVectors)
+      try { graft.queries.HarnessLLM.ivfIndexFor(spark, sfDir) }
+      catch { case _: Throwable => () }
     val ivfBuildSec = (System.nanoTime() - i0) / 1e9
     // PQ code build is likewise ingest-time (the m-byte code column is
     // written with the table) — prebuild untimed, report the cost.
     val p0 = System.nanoTime()
-    try { graft.queries.HarnessLLM.pqIndexFor(spark, sfDir) }
-    catch { case _: Throwable => () }
+    if (needVectors)
+      try { graft.queries.HarnessLLM.pqIndexFor(spark, sfDir) }
+      catch { case _: Throwable => () }
     // residual IVF-PQ build serves both PQ search keys (round 8);
     // fold its (same-kind, ingest-time) cost into the PQ build metric
-    try { graft.queries.HarnessLLM.ivfPqIndexFor(spark, sfDir) }
-    catch { case _: Throwable => () }
+    if (needVectors)
+      try { graft.queries.HarnessLLM.ivfPqIndexFor(spark, sfDir) }
+      catch { case _: Throwable => () }
     val pqBuildSec = (System.nanoTime() - p0) / 1e9
     // OPQ rotation + codebook fit is ingest-time (rotation stored with
     // the codebooks, rotated codes with the table) — prebuild untimed,
     // report the cost.
     val o0 = System.nanoTime()
-    try { graft.queries.HarnessLLM.opqModelsFor(spark, sfDir) }
-    catch { case _: Throwable => () }
+    if (needVectors)
+      try { graft.queries.HarnessLLM.opqModelsFor(spark, sfDir) }
+      catch { case _: Throwable => () }
     // the rotated code relation is the same kind of ingest-time
     // artifact; fold its build into the OPQ fit metric
-    try { graft.queries.HarnessLLM.opqAnnIndexFor(spark, sfDir) }
-    catch { case _: Throwable => () }
+    if (needVectors)
+      try { graft.queries.HarnessLLM.opqAnnIndexFor(spark, sfDir) }
+      catch { case _: Throwable => () }
     val opqFitSec = (System.nanoTime() - o0) / 1e9
     // The shingle pass is likewise an ingest-time step (the shingle
     // column persists with the corpus) shared by the shingle-family
     // keys — prebuild untimed, report the cost.
     val f0 = System.nanoTime()
-    try { graft.queries.HarnessLLM.shingledDocsFor(spark, sfDir) }
-    catch { case _: Throwable => () }
+    if (needShingles)
+      try { graft.queries.HarnessLLM.shingledDocsFor(spark, sfDir) }
+      catch { case _: Throwable => () }
     val docFeatsSec = (System.nanoTime() - f0) / 1e9
     // Bucketed table layout is likewise ingest-time (the fact table
     // lands bucketed once; every recurring join then reuses it) —
     // prebuild untimed, report the cost.
     val b0 = System.nanoTime()
-    try { graft.queries.HarnessIO.bucketedTablesFor(spark, sfDir) }
-    catch { case _: Throwable => () }
+    if (needBucketed)
+      try { graft.queries.HarnessIO.bucketedTablesFor(spark, sfDir) }
+      catch { case _: Throwable => () }
     val bucketedSec = (System.nanoTime() - b0) / 1e9
     // A failing key must fail LOUDLY: stderr gets the key + stack trace
     // and the JSON records -1 (impossible as a duration) instead of a
@@ -279,10 +323,6 @@ object Bench {
       System.err.println("[bench] WARN: bench_full.json has uncommitted changes — " +
         "priors are NOT the committed baseline; restore it (git checkout -- " +
         "bench_full.json) before trusting the regression list")
-    // In-round iteration hook: SPARK_GRAFT_BENCH_KEYS=k1,k2 times just
-    // those keys. Unset (the driver's invocation) = the full suite.
-    val keyFilter = sys.env.get("SPARK_GRAFT_BENCH_KEYS")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     // Between-key GC drain (round 11, SPARK_GRAFT_BENCH_GC=0 disables):
     // 166+ keys accumulate persists/localCheckpoints/broadcasts whose
     // async ContextCleaner reclamation lags the suite — late keys read

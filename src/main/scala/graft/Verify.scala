@@ -32,6 +32,15 @@ object Verify {
     // Verify side).
     val keyFilter = sys.env.get("SPARK_GRAFT_VERIFY_KEYS")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // a filter naming no real key (typo / empty env var) must refuse
+    // loudly, not dump zero keys that read as "nothing failed"
+    // (round-15 review; same guard in Bench)
+    keyFilter.foreach { ks =>
+      val unknown = ks.diff(SparkEntry.queries.keySet)
+      require(ks.nonEmpty && unknown.isEmpty,
+        s"SPARK_GRAFT_VERIFY_KEYS names no runnable keys: " +
+          (if (ks.isEmpty) "empty filter" else s"unknown ${unknown.mkString(", ")}"))
+    }
     val marker = Paths.get(s"$outDir/_filtered")
     // the FULL-run marker delete is deferred until after the full
     // oracle_sql.json write lands (bottom of main): deleting up front
@@ -52,6 +61,14 @@ object Verify {
     def selected(name: String) = keyFilter.forall(_.contains(name))
     SparkEntry.queries.foreach { case (name, fn) =>
       if (selected(name)) {
+        // delete the PREVIOUS run's result FIRST (round-15 review): a
+        // key failing at analysis time — before the overwrite's own
+        // delete — used to leave stale parquet behind, and the DuckDB
+        // compare silently passed a query that no longer runs. With
+        // the dir gone, a failure surfaces in the compare as "result
+        // unreadable" — machine-readable through the existing gate.
+        org.apache.commons.io.FileUtils.deleteQuietly(
+          new java.io.File(s"$outDir/$name"))
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>

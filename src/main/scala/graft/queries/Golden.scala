@@ -29,24 +29,35 @@ object Golden {
 
   private val D = Date.valueOf("1996-06-15")
 
-  private def openOrders(s: SparkSession, dir: String): DataFrame = {
+  private def openOrders(s: SparkSession, dir: String): DataFrame =
+    openOrdersOf(s, t(s, dir, "orders"))
+
+  private def openOrdersOf(s: SparkSession, orders: DataFrame): DataFrame = {
     import s.implicits._
-    val withIntervals = t(s, dir, "orders")
+    val withIntervals = orders
       .withColumn("start_date", to_date($"o_orderdate"))
       .withColumn("end_date", date_add($"start_date", 30))
     Temporal.pointInInterval(withIntervals, lit(D), "start_date", "end_date")
   }
 
-  /** Q1 (visualization.py:100-105): point-in-time filter → whole-row
-    * argmax per department → count departments per severity → sort
-    * desc. One scan-pushed filter, one window shuffle, one agg shuffle. */
-  def q1(s: SparkSession, dir: String): DataFrame = {
+  /** The Q1 pipeline body over ANY orders-shaped frame — ONE
+    * definition shared by the parquet key and the live-PG round-trip
+    * (round-15 review: the duplicated body meant a future Q1 change
+    * applied once would fail the round-trip key for a reason
+    * unrelated to the round-trip it proves). */
+  private def q1Of(s: SparkSession, orders: DataFrame): DataFrame = {
     import s.implicits._
-    val top = Temporal.argmaxPerGroup(openOrders(s, dir),
+    val top = Temporal.argmaxPerGroup(openOrdersOf(s, orders),
       Seq($"o_custkey"), Seq($"o_totalprice".desc, $"o_orderkey".asc))
     Aggregates.countByKey(top, Seq($"o_orderpriority"), "nb_customers")
       .orderBy($"nb_customers".desc, $"o_orderpriority")
   }
+
+  /** Q1 (visualization.py:100-105): point-in-time filter → whole-row
+    * argmax per department → count departments per severity → sort
+    * desc. One scan-pushed filter, one window shuffle, one agg shuffle. */
+  def q1(s: SparkSession, dir: String): DataFrame =
+    q1Of(s, t(s, dir, "orders"))
 
   /** Q2 (visualization.py:129-154): isin-restricted argmax per group,
     * then LEFT join back to the full dimension with null→0 fill so
@@ -111,17 +122,17 @@ object Golden {
     val src = t(s, dir, "orders").select($"o_orderkey", $"o_custkey",
       $"o_totalprice", $"o_orderdate", $"o_orderpriority")
     graft.io.Postgres.overwriteTable(src, conn, "graft_orders_q1")
+    // partition bounds DERIVED from the source, not pinned to one sf
+    // (round-15 review: a hardcoded sf0.1 upper bound left the
+    // open-ended last slice carrying ~93% of an sf1 table, so the
+    // "4-slice parallel read" measured one connection). One tiny
+    // min/max agg on the already-staged frame, driver-side.
+    val bounds = src.agg(min($"o_orderkey"), max($"o_orderkey")).head()
+    val (lo, hi) =
+      if (bounds.isNullAt(0)) (0L, 1L) else (bounds.getLong(0), bounds.getLong(1))
     val back = graft.io.Postgres.readTable(s, conn, "graft_orders_q1",
-      partitionColumn = Some(("o_orderkey", 1L, 600000L, 4)))
-    val withIntervals = back
-      .withColumn("start_date", to_date($"o_orderdate"))
-      .withColumn("end_date", date_add($"start_date", 30))
-    val open = Temporal.pointInInterval(withIntervals, lit(D),
-      "start_date", "end_date")
-    val top = Temporal.argmaxPerGroup(open,
-      Seq($"o_custkey"), Seq($"o_totalprice".desc, $"o_orderkey".asc))
-    Aggregates.countByKey(top, Seq($"o_orderpriority"), "nb_customers")
-      .orderBy($"nb_customers".desc, $"o_orderpriority")
+      partitionColumn = Some(("o_orderkey", lo, math.max(hi, lo + 1), 4)))
+    q1Of(s, back)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
