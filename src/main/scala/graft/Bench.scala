@@ -2,6 +2,48 @@ package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
 
+  /** Locale-ROOT decimal formatting for every number that lands in the
+    * committed JSON baseline. Round 15 pinned ROOT as the JVM DEFAULT
+    * locale for this (`Locale.setDefault(Locale.ROOT)`), which broke
+    * embedded Derby: a NEW database derives its territory from the JVM
+    * default locale, and ROOT's empty language code fails validation
+    * (`ERROR XBM0X: Supplied locale description '' is invalid`), so
+    * `src_jdbc_table` recorded -1 in both the r15 final-gate baseline
+    * and the driver bench while staying oracle-green in Verify (which
+    * never pinned the locale) — exactly the silent split a JVM-global
+    * mutation invites. ROOT is now scoped to the formatting sites; the
+    * JVM default stays whatever the host set. (stderr f-interpolations
+    * keep the default locale — a comma-decimal WARN line is cosmetic,
+    * only the JSON artifact needs byte-stable numbers.) */
+  private[graft] def jd(fmt: String, v: Double): String =
+    String.format(java.util.Locale.ROOT, fmt, Double.box(v))
+
+  /** A flagged key's load marker is the MAX of samples taken at key
+    * start and key end (round 16, VERDICT r15 #3): sampling only at
+    * key END missed the r15 `dedup_ngram_jaccard` adjudication — the
+    * 1-minute load average had already decayed below the 2x-median
+    * threshold by the time the 32 s key finished, so a contention flag
+    * the isolated rerun proved host-caused carried
+    * `host_attributed:false`. -1 markers (unavailable /proc) lose the
+    * max against any real sample and only survive when BOTH samples
+    * are missing. */
+  private[graft] def keyWindowLoad(startLoad: Double, endLoad: Double): Double =
+    math.max(startLoad, endLoad)
+
+  /** Where a run's JSON line lands (round 16, VERDICT r15 #2):
+    * `bench_full.json` is the committed baseline the regression guard
+    * reads its priors from, so ONLY a full-suite, reference-sf run
+    * with ZERO failed keys may overwrite it. The r15 final gate
+    * committed a baseline with `src_jdbc_table:-1` — the key lost its
+    * prior and the gate commit advertised "182 keys" while timing 181.
+    * A run with failures now self-marks `baseline_ineligible` and is
+    * redirected to `bench_filtered.json`, leaving the last good
+    * committed baseline (and every key's prior) intact. */
+  private[graft] def outFileFor(fullSuite: Boolean, sfMatchesRef: Boolean,
+                                failedEmpty: Boolean): String =
+    if (fullSuite && sfMatchesRef && failedEmpty) "bench_full.json"
+    else "bench_filtered.json"
+
   /** Suite-wide ambient slowdown: the MEDIAN current/prior ratio over
     * every key with a usable prior. A loaded host inflates every key
     * roughly uniformly (round 10 measured a 1.34x median with 1.5-1.8x
@@ -101,7 +143,7 @@ object Bench {
       val r = if (p > 0) results(k) / p else -1.0
       val attributed = hostAttributed(keyLoad.getOrElse(k, -1.0),
         suiteMedianLoad, keySteal.getOrElse(k, -1.0))
-      f"""\"$k\":{\"prior\":$p%.3f,\"cur\":${results(k)}%.3f,\"ratio\":$r%.2f,\"steal_frac\":${keySteal.getOrElse(k, -1.0)}%.4f,\"load_avg\":${keyLoad.getOrElse(k, -1.0)}%.2f,\"load_avg_suite_median\":$suiteMedianLoad%.2f,\"host_attributed\":$attributed}"""
+      s""""$k":{"prior":${jd("%.3f", p)},"cur":${jd("%.3f", results(k))},"ratio":${jd("%.2f", r)},"steal_frac":${jd("%.4f", keySteal.getOrElse(k, -1.0))},"load_avg":${jd("%.2f", keyLoad.getOrElse(k, -1.0))},"load_avg_suite_median":${jd("%.2f", suiteMedianLoad)},"host_attributed":$attributed}"""
     }.mkString("{", ",", "}")
   }
 
@@ -176,11 +218,6 @@ object Bench {
     else dJiffies / (elapsedSec * 100.0 * nCpus)
 
   def main(args: Array[String]): Unit = {
-    // the f-interpolator formats through the JVM default locale — a
-    // fr_FR/de_DE host would render "4,00" and corrupt the committed
-    // JSON baseline (round-15 review). Pin ROOT for this driver-owned
-    // process before any number is formatted.
-    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // container is 32-way (local[32], 128 GiB) — shuffle.partitions
     // matches so every core gets exactly one shuffle partition
@@ -332,12 +369,14 @@ object Bench {
     // per-key timings independent of suite position.
     val gcBetween = !sys.env.get("SPARK_GRAFT_BENCH_GC").contains("0")
     var failed = List.empty[String]
-    // Per-key 1-minute load average sampled as each key FINISHES
-    // (round 12, VERDICT r11 #6): the suite-level start/end markers
-    // prove a run was contended but cannot say WHICH keys overlapped
-    // the spike, so adjudicating a single flagged key (r11: flt_like)
-    // still needed a manual rerun. Key-level markers let the reader
-    // correlate a key's slowdown with the load curve directly.
+    // Per-key 1-minute load average, MAX of a sample at key START and
+    // one at key END (round 12, VERDICT r11 #6; round 16 added the
+    // start sample — see keyWindowLoad): the suite-level start/end
+    // markers prove a run was contended but cannot say WHICH keys
+    // overlapped the spike, so adjudicating a single flagged key
+    // (r11: flt_like) still needed a manual rerun. Key-level markers
+    // let the reader correlate a key's slowdown with the load curve
+    // directly.
     var keyLoad = Map.empty[String, Double]
     // Per-key hypervisor-steal fraction over the key's own wall-clock
     // window (round 12): load_avg is blind to a noisy VM neighbor —
@@ -364,6 +403,8 @@ object Bench {
       var i = 0
       val k0 = System.nanoTime()
       val s0 = stealJiffies()
+      // load sampled at key START as well as end — see keyWindowLoad
+      val l0 = loadAvg1m()
       // caller-namespaced counters (round 13): every Metrics.record
       // fired while THIS key runs lands as `<key>.<counter>`, so two
       // keys sharing a code path no longer overwrite each other's
@@ -384,7 +425,7 @@ object Bench {
           i += 1
         }
       }
-      keyLoad += name -> loadAvg1m()
+      keyLoad += name -> keyWindowLoad(l0, loadAvg1m())
       keySteal += name -> stealFrac(
         if (s0 < 0) -1L else stealJiffies() - s0,
         (System.nanoTime() - k0) / 1e9, nCpus)
@@ -416,24 +457,29 @@ object Bench {
     val countersJson = Metrics.snapshot
       .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val keyLoadJson = results.map { case (k, _) =>
-      f""""$k":${keyLoad.getOrElse(k, -1.0)}%.2f""" }.mkString("{", ",", "}")
+      s""""$k":${jd("%.2f", keyLoad.getOrElse(k, -1.0))}""" }.mkString("{", ",", "}")
     val keyStealJson = results.map { case (k, _) =>
-      f""""$k":${keySteal.getOrElse(k, -1.0)}%.4f""" }.mkString("{", ",", "}")
+      s""""$k":${jd("%.4f", keySteal.getOrElse(k, -1.0))}""" }.mkString("{", ",", "}")
     val stealSuite = stealFrac(
       if (stealStart < 0) -1L else stealJiffies() - stealStart,
       (System.nanoTime() - suiteStartNanos) / 1e9, nCpus)
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs_per_key":$runs,"stat":"median","warmup_sec":$warmupSec,"load_avg_start":$loadStart,"load_avg_end":$loadEnd,"load_avg_keys":$keyLoadJson,"steal_frac_suite":${f"$stealSuite%.4f"},"steal_frac_keys":$keyStealJson,"ambient_ratio":$ambient,"reference_dirty":${referenceDirty.map(_.toString).getOrElse("null")},"ivf_index_build_sec":$ivfBuildSec,"pq_index_build_sec":$pqBuildSec,"opq_fit_sec":$opqFitSec,"doc_feats_build_sec":$docFeatsSec,"bucketed_build_sec":$bucketedSec,"failed":$failedJson,"regressions":$regJson,"regressions_detail":$regDetail,"counters":$countersJson}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs_per_key":$runs,"stat":"median","warmup_sec":$warmupSec,"load_avg_start":$loadStart,"load_avg_end":$loadEnd,"load_avg_keys":$keyLoadJson,"steal_frac_suite":${jd("%.4f", stealSuite)},"steal_frac_keys":$keyStealJson,"ambient_ratio":$ambient,"reference_dirty":${referenceDirty.map(_.toString).getOrElse("null")},"baseline_ineligible":${failed.nonEmpty},"ivf_index_build_sec":$ivfBuildSec,"pq_index_build_sec":$pqBuildSec,"opq_fit_sec":$opqFitSec,"doc_feats_build_sec":$docFeatsSec,"bucketed_build_sec":$bucketedSec,"failed":$failedJson,"regressions":$regJson,"regressions_detail":$regDetail,"counters":$countersJson}"""
     println(line)
     // The driver keeps only a 2000-char tail of stdout, which truncates
     // the per-key map and loses the total; persist the full line so
     // round-over-round totals stay recoverable from the repo itself.
-    // ONLY for full-suite runs AT THE REFERENCE'S SF: a
-    // SPARK_GRAFT_BENCH_KEYS-filtered iteration or an off-sf smoke
-    // must not clobber the committed reference (and with it the
-    // regression guard's baseline) with a partial or wrong-scale
-    // queries map.
-    val outFile = if (keyFilter.isEmpty && sfMatchesRef) "bench_full.json"
-      else "bench_filtered.json"
+    // ONLY for full-suite runs AT THE REFERENCE'S SF with ZERO failed
+    // keys (see outFileFor): a SPARK_GRAFT_BENCH_KEYS-filtered
+    // iteration, an off-sf smoke, or a run with a dead key must not
+    // clobber the committed reference (and with it the regression
+    // guard's per-key priors) with a partial, wrong-scale, or
+    // failure-holed queries map.
+    val outFile = outFileFor(keyFilter.isEmpty, sfMatchesRef, failed.isEmpty)
+    if (keyFilter.isEmpty && sfMatchesRef && failed.nonEmpty)
+      System.err.println("[bench] REFUSING to overwrite bench_full.json: " +
+        s"failed keys ${failed.sorted.mkString(", ")} — this run is " +
+        "baseline_ineligible and lands in bench_filtered.json; fix the " +
+        "failures and rerun before committing a baseline")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (line + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"$outFile write failed: $e") }

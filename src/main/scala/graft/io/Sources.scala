@@ -113,7 +113,14 @@ object Sources {
     java.nio.file.Files.createDirectories(abs)
     if (System.getProperty("derby.system.home") == null)
       System.setProperty("derby.system.home", abs.toString)
-    s"jdbc:derby:$abs/graft_db;create=true"
+    // territory pinned explicitly (round 16): Derby derives a NEW
+    // database's territory from the JVM default locale, and a default
+    // with an empty language code — Locale.ROOT, which r15's Bench
+    // pinned JVM-globally — fails creation with `ERROR XBM0X:
+    // Supplied locale description '' is invalid`. The attribute only
+    // applies at create time and is ignored on boot, so the URL is
+    // locale-proof under ANY host default.
+    s"jdbc:derby:$abs/graft_db;create=true;territory=en_US"
   }
 
   /** Whole-table JDBC scan (visualization.py:14-21). For big tables

@@ -33,6 +33,19 @@ object HarnessIO {
     d
   }
 
+  /** Per-process parent for the streaming-sink checkpoint dirs
+    * (`stream_pg_sink` needs a FRESH checkpoint per invocation so
+    * bench reruns append exactly once each), removed on JVM exit like
+    * [[derbyDir]] — the per-run `pg_stream_ck_<nanotime>` dirs
+    * previously landed directly under the stage root and accumulated
+    * without bound (70+ after the r15 cycles, VERDICT r15 #5). */
+  private lazy val streamCkDir = {
+    val d = s"$stage/stream_ck_${ProcessHandle.current().pid()}"
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d))))
+    d
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // CSV with explicit schema (ref utils.py:18): parquet -> staged CSV
     // -> csvWithSchema -> compare against the parquet original.
@@ -281,7 +294,7 @@ object HarnessIO {
     "stream_pg_sink" -> ((s, dir) => {
       import s.implicits._
       val conn = graft.io.Postgres.ensureLocalServer(s"$stage/pgserver")
-      val ck = s"$stage/pg_stream_ck_${System.nanoTime()}"
+      val ck = s"$streamCkDir/pg_stream_ck_${System.nanoTime()}"
       val admin = new graft.io.PgWireClient(conn.host, conn.port, conn.user,
         conn.database)
       try admin.exec("DROP TABLE IF EXISTS graft_stream_orders")

@@ -276,6 +276,82 @@ class BenchGuardSpec extends AnyFunSuite with SparkTestBase {
     Metrics.clear()
   }
 
+  test("embedded Derby creates a database even under a Locale.ROOT JVM default (round 16, VERDICT r15 #1)") {
+    // the r15 regression class: Bench pinned Locale.ROOT as the JVM
+    // DEFAULT to keep comma-decimal hosts from corrupting the JSON
+    // baseline, and Derby — which derives a NEW database's territory
+    // from the default locale — failed creation with `ERROR XBM0X:
+    // Supplied locale description '' is invalid` (ROOT's language code
+    // is empty), killing src_jdbc_table in the bench while Verify
+    // stayed green. The URL now pins `;territory=en_US`, so creation
+    // must succeed under ANY default. Restore the host locale in
+    // finally — tests in this forked JVM run sequentially.
+    val saved = java.util.Locale.getDefault
+    try {
+      java.util.Locale.setDefault(java.util.Locale.ROOT)
+      val dir = java.nio.file.Files.createTempDirectory("graft_derby_root_").toString
+      val url = graft.io.Sources.embeddedDerbyUrl(dir)
+      assert(url.contains(";territory=en_US"), url)
+      val conn = java.sql.DriverManager.getConnection(url)
+      try {
+        val st = conn.createStatement()
+        st.execute("CREATE TABLE t_locale (x INT)")
+        st.execute("INSERT INTO t_locale VALUES (7)")
+        val rs = st.executeQuery("SELECT x FROM t_locale")
+        assert(rs.next() && rs.getInt(1) == 7)
+      } finally conn.close()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    } finally java.util.Locale.setDefault(saved)
+  }
+
+  test("baseline JSON numbers are ROOT-formatted at the site, not via the JVM default (round 16)") {
+    // the OTHER half of the r15 trade-off: without the global pin a
+    // comma-decimal host default must still never reach the committed
+    // JSON — jd() and every number in regressions_detail format
+    // through Locale.ROOT explicitly
+    val saved = java.util.Locale.getDefault
+    try {
+      java.util.Locale.setDefault(java.util.Locale.FRANCE)
+      assert(Bench.jd("%.2f", 4.0) == "4.00")
+      assert(Bench.jd("%.4f", 0.0051) == "0.0051")
+      val json = Bench.regressionsDetailJson(List("sink_z"),
+        Map("sink_z" -> 9.0), Map("sink_z" -> 2.1),
+        Map("sink_z" -> 0.0), Map("sink_z" -> 4.03))
+      assert(!json.contains("2,100") && !json.contains("4,29"), json)
+      assert(json.contains("\"prior\":2.100") && json.contains("\"ratio\":4.29"),
+        json)
+    } finally java.util.Locale.setDefault(saved)
+  }
+
+  test("key load marker is the MAX of start/end samples; -1 only when both missing (round 16, VERDICT r15 #3)") {
+    // r15's dedup_ngram_jaccard miss: load sampled once at key END
+    // after a 32 s key had outlived the spike -> host_attributed:false
+    // on a contention flag the isolated rerun proved. The start sample
+    // catches a spike the key began under.
+    assert(Bench.keyWindowLoad(10.5, 3.0) == 10.5)
+    assert(Bench.keyWindowLoad(3.0, 10.5) == 10.5)
+    assert(Bench.keyWindowLoad(-1.0, 3.0) == 3.0,
+      "an unavailable start sample must not mask a real end sample")
+    assert(Bench.keyWindowLoad(3.0, -1.0) == 3.0)
+    assert(Bench.keyWindowLoad(-1.0, -1.0) == -1.0,
+      "both missing stays the -1 marker, never a fabricated load")
+  }
+
+  test("a run with failed keys can never overwrite the committed baseline (round 16, VERDICT r15 #2)") {
+    // the r15 final gate committed a baseline with src_jdbc_table:-1 —
+    // the key lost its prior and the commit message advertised 182
+    // timed keys while the artifact held 181. Eligibility is now part
+    // of the output-file decision itself.
+    assert(Bench.outFileFor(fullSuite = true, sfMatchesRef = true,
+      failedEmpty = true) == "bench_full.json")
+    assert(Bench.outFileFor(fullSuite = true, sfMatchesRef = true,
+      failedEmpty = false) == "bench_filtered.json")
+    assert(Bench.outFileFor(fullSuite = false, sfMatchesRef = true,
+      failedEmpty = true) == "bench_filtered.json")
+    assert(Bench.outFileFor(fullSuite = true, sfMatchesRef = false,
+      failedEmpty = true) == "bench_filtered.json")
+  }
+
   test("steal markers: /proc/stat parse and per-window fraction") {
     // the aggregate cpu line: user nice system idle iowait irq softirq STEAL
     assert(Bench.parseStealJiffies(
