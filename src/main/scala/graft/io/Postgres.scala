@@ -1192,6 +1192,28 @@ object Postgres {
     java.security.MessageDigest.getInstance("MD5").digest(queryId.getBytes(UTF_8))
       .take(4).map(b => f"$b%02x").mkString
 
+  /** Advisory-lock argument pair for one streaming query's LIVENESS
+    * lock on one table (round 16): the writer holds this
+    * SESSION-level lock from its first epoch's factory creation until
+    * query termination (or JVM death — Postgres releases session
+    * locks when the connection dies), and [[sweepStages]] adjudicates
+    * an above-mark stage by `pg_try_advisory_lock` on the same key:
+    * busy = the owning query is live (spare), acquired = the owner is
+    * gone (collect). One definition so writer and sweep can never
+    * hash different keys. Digest+scope are hex, so the literal needs
+    * no quoting. */
+  private[io] def livenessLockArgs(table: String, scope: String): String =
+    s"hashtext('graft_stream'), hashtext('${tableDigest(table)}$scope')"
+
+  /** One-row boolean read (`t`/`f`) — the shape pg_try_advisory_lock
+    * returns over the simple-query protocol. */
+  private[io] def queryBool(c: PgWireClient, sql: String): Boolean = {
+    val r = c.query(sql)
+    val row = r.nextRow()
+    while (r.nextRow() != null) ()
+    row != null && row(0) != null && new String(row(0), UTF_8) == "t"
+  }
+
   /** THE stage-publish transaction body, shared by the API sink, the
     * DSv2 batch commit, and the streaming epoch commit (one
     * definition — the rename-first fast path and the empty-input shape
@@ -1250,9 +1272,18 @@ object Postgres {
     * when the epoch ledger proves their epoch already PUBLISHED for
     * that query scope (a replayed commit skips publishing, so the
     * stage is dead weight either way); an epoch above the mark may be
-    * in flight and is left alone. The residue: a stream that died
-    * permanently mid-epoch leaks that epoch's stages until manual
-    * cleanup — loud in the catalog, never silent data. */
+    * in flight — it drops only when the scope's LIVENESS lock
+    * (round 16, [[livenessLockArgs]]) is acquirable, i.e. the owning
+    * query's driver connection is gone. A live stream holds that
+    * session lock from before its first stage lands until query
+    * termination, so "above the mark AND lock free" proves the owner
+    * died (or terminated without abort) — the r15 residue, a
+    * permanently-dead stream leaking its mid-epoch stages until
+    * manual cleanup, is now collected by the next sweep. Remaining
+    * residue: a query that terminates without abort in a STILL-LIVE
+    * JVM whose termination listener also failed to fire keeps its
+    * lock until JVM exit — stages stay visible in the catalog, never
+    * silent data. */
   private[io] def sweepStages(c: PgWireClient, table: String): Unit = {
     val prefix = stagePrefixFor(table)
     val ledger = epochLedgerFor(table)
@@ -1278,6 +1309,8 @@ object Postgres {
         out.toMap
       }
     }
+    val aboveMark = scala.collection.mutable.HashMap
+      .empty[String, List[String]] // scope -> its possibly-in-flight stages
     listStagesOf(c, prefix).foreach { s =>
       val rest = s.stripPrefix(prefix)
       if (rest.startsWith("q") && rest.length > 10 && rest.charAt(9) == 'e') {
@@ -1287,7 +1320,21 @@ object Postgres {
           catch { case _: NumberFormatException => None }
         if (epoch.exists(e => marks.get(scope).exists(_ >= e)))
           c.exec(s"DROP TABLE ${quoteIdent(s)}")
+        else aboveMark(scope) = s :: aboveMark.getOrElse(scope, Nil)
       } else c.exec(s"DROP TABLE ${quoteIdent(s)}")
+    }
+    // above-mark stages: liveness-adjudicated per scope. A live owner
+    // holds its session liveness lock (acquired BEFORE any of its
+    // stages exist), so try-lock success here proves the owner is
+    // gone and its stages are orphans. The transient hold below is
+    // why the writer's own acquisition retries briefly instead of
+    // failing on first contention.
+    aboveMark.foreach { case (scope, stages) =>
+      val args = livenessLockArgs(table, scope)
+      if (queryBool(c, s"SELECT pg_try_advisory_lock($args)")) {
+        try stages.foreach(s => c.exec(s"DROP TABLE IF EXISTS ${quoteIdent(s)}"))
+        finally c.exec(s"SELECT pg_advisory_unlock($args)")
+      }
     }
   }
 
@@ -1800,10 +1847,101 @@ private[io] class PgStreamingWrite(schema: StructType, opts: PgSourceOptions,
   private def epochPrefix(epochId: Long): String =
     queryPrefix + java.lang.Long.toHexString(epochId) + "_"
 
+  // The query's LIVENESS lock connection (round 16): a session-level
+  // advisory lock on (table digest, query scope) held from BEFORE the
+  // first epoch's stages land until the query terminates — released by
+  // the termination listener below, or by Postgres itself when the
+  // driver JVM dies. sweepStages adjudicates above-mark stages on
+  // exactly this lock (acquirable = owner dead, collect; busy = live,
+  // spare), which closes the r15 residue of a permanently-dead stream
+  // leaking its mid-epoch stages. Held ACROSS epochs, not per epoch:
+  // in continuous mode the factory is created once, and a per-epoch
+  // release would leave later epochs unprotected.
+  @volatile private var liveness: PgWireClient = _
+
+  /** Acquire once, first factory call. try-lock with a short retry
+    * window rather than a blocking lock: the only legitimate holder
+    * is a sweep's transient adjudication probe (released in
+    * microseconds) or a just-terminated prior run of this query id
+    * whose async listener hasn't closed its connection yet — both
+    * clear well inside the window. A persistent holder (a 32-bit
+    * hashtext collision with another live stream) must DEGRADE to the
+    * pre-r16 behavior (no liveness protection, stages leak on death,
+    * loud stderr) instead of hanging every epoch of this query. */
+  private def ensureLiveness(): Unit = synchronized {
+    if (liveness == null) {
+      val c = new PgWireClient(opts.host, opts.port, opts.user, opts.database,
+        opts.password, socketTimeoutMs = 0, sslMode = opts.sslMode,
+        sslRootCert = opts.sslRootCert)
+      val args = Postgres.livenessLockArgs(opts.table,
+        Postgres.queryScope(queryId))
+      val deadline = System.nanoTime() + 5000000000L
+      var got = false
+      try {
+        got = Postgres.queryBool(c, s"SELECT pg_try_advisory_lock($args)")
+        while (!got && System.nanoTime() < deadline) {
+          Thread.sleep(50)
+          got = Postgres.queryBool(c, s"SELECT pg_try_advisory_lock($args)")
+        }
+      } catch { case e: Throwable => c.close(); throw e }
+      if (got) {
+        liveness = c
+        registerTerminationHook()
+      } else {
+        c.close()
+        System.err.println(s"[graft_pg] WARN: liveness lock for streaming " +
+          s"query $queryId on ${opts.table} is held elsewhere — proceeding " +
+          "without it (a crash may leak this query's in-flight stages " +
+          "until manual cleanup)")
+      }
+    }
+  }
+
+  private def releaseLiveness(): Unit = synchronized {
+    val c = liveness
+    liveness = null
+    if (c != null) c.close() // session lock dies with the connection
+  }
+
+  /** Close the liveness connection when THIS query terminates, so a
+    * long-lived driver JVM (bench/verify reruns) neither accumulates
+    * idle connections nor makes stopped queries look live to sweeps.
+    * Registered on the CONTEXT-WIDE listener bus, not a
+    * StreamingQueryManager: the micro-batch thread's active session is
+    * a CLONE of the user's, and a manager-level listener there never
+    * sees events for a query the ORIGINAL session started (the
+    * manager bus filters by its own runIds) — measured in
+    * PgWireSpec's liveness test. `QueryTerminatedEvent` extends
+    * `SparkListenerEvent`, so a plain SparkListener receives it
+    * unfiltered via onOtherEvent. Removal happens inside the callback
+    * (the bus is copy-on-write). If no session is reachable, skip —
+    * the lock then lives until JVM exit, which is the pre-r16 sweep
+    * posture, never worse. */
+  private def registerTerminationHook(): Unit =
+    try org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .foreach { s =>
+        val sc = s.sparkContext
+        sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+          override def onOtherEvent(
+              event: org.apache.spark.scheduler.SparkListenerEvent): Unit =
+            event match {
+              case e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent
+                  if e.id.toString == queryId =>
+                releaseLiveness()
+                sc.removeSparkListener(this)
+              case _ => ()
+            }
+        })
+      }
+    catch { case _: Throwable => () }
+
   override def createStreamingWriterFactory(
       info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
-      : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
+      : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory = {
+    ensureLiveness()
     PgStreamingWriterFactory(schema, opts, queryPrefix, colsDdl, colList)
+  }
 
   override def commit(epochId: Long,
       messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {

@@ -907,14 +907,17 @@ class PgWireSpec extends AnyFunSuite with SparkTestBase {
       "a fresh query's epoch 0 must publish despite the old query's mark")
   }
 
-  test("batch sweeps are STREAM-AWARE: a live epoch's stages survive, published and batch orphans drop") {
+  test("batch sweeps are STREAM-AWARE: a LIVE epoch's stages survive, dead/published/batch orphans drop") {
     // the round-15 review's cross-writer race: a batch overwrite's
     // pre-stage sweep must not drop a concurrently-running streaming
     // query's in-flight epoch stages (the stream stages WITHOUT the
-    // table lock by design). The ledger adjudicates: stages at or
-    // below a query's published mark are dead weight and drop; above
-    // the mark may be in flight and survive; batch-nonce orphans
-    // always drop.
+    // table lock by design). The ledger adjudicates published epochs
+    // (at or below the mark = dead weight, drop); round 16 adds the
+    // LIVENESS adjudication for above-mark epochs: the owning query
+    // holds a session advisory lock on (table digest, scope) for its
+    // lifetime, so lock-busy = in flight (survive) and lock-free =
+    // owner dead (collect — the r15 leak). Batch-nonce orphans always
+    // drop.
     import spark.implicits._
     val table = "graft_sweep_aware"
     val prefix = Postgres.stagePrefixFor(table)
@@ -933,21 +936,79 @@ class PgWireSpec extends AnyFunSuite with SparkTestBase {
       admin.exec(s"CREATE TABLE ${PgWire.quoteIdent(ledger)} (query_id text, last_epoch bigint)")
       admin.exec(s"INSERT INTO ${PgWire.quoteIdent(ledger)} VALUES ('some-stream-query', 3)")
     } finally admin.close()
-    // the batch overwrite's pre-stage sweep runs stream-aware
-    Postgres.overwriteTable(Seq((1L, "x")).toDF("k", "v"), conn, table)
-    val a2 = new PgWireClient(conn.host, conn.port, conn.user, conn.database)
+    // a LIVE owner: this connection holds the scope's liveness lock
+    // for the duration of the first sweep, like a running query would
+    val owner = new PgWireClient(conn.host, conn.port, conn.user, conn.database)
     try {
-      def exists(t: String): Boolean = {
-        val r = a2.query("SELECT 1 FROM pg_tables WHERE tablename = '" + t + "'")
-        val row = r.nextRow(); while (r.nextRow() != null) (); row != null
+      assert(Postgres.queryBool(owner,
+        s"SELECT pg_try_advisory_lock(${Postgres.livenessLockArgs(table, scope)})"))
+      // the batch overwrite's pre-stage sweep runs stream-aware
+      Postgres.overwriteTable(Seq((1L, "x")).toDF("k", "v"), conn, table)
+      val a2 = new PgWireClient(conn.host, conn.port, conn.user, conn.database)
+      try {
+        def exists(t: String): Boolean = {
+          val r = a2.query("SELECT 1 FROM pg_tables WHERE tablename = '" + t + "'")
+          val row = r.nextRow(); while (r.nextRow() != null) (); row != null
+        }
+        assert(!exists(s"${prefix}q${scope}e2_0"), "published-epoch stage must drop")
+        assert(!exists(s"${prefix}deadbeef_3"), "batch-nonce orphan must drop")
+        assert(exists(s"${prefix}q${scope}e5_0"),
+          "an above-mark stage of a LIVE query must SURVIVE the batch sweep")
+      } finally a2.close()
+    } finally owner.close() // the owner "dies": session lock released
+    // the owner is gone — the next sweep adjudicates the same
+    // above-mark stage dead and collects it (the r15 residue)
+    Postgres.overwriteTable(Seq((2L, "y")).toDF("k", "v"), conn, table)
+    val a3 = new PgWireClient(conn.host, conn.port, conn.user, conn.database)
+    try {
+      val r = a3.query("SELECT 1 FROM pg_tables WHERE tablename = '" +
+        s"${prefix}q${scope}e5_0" + "'")
+      val row = r.nextRow(); while (r.nextRow() != null) ()
+      assert(row == null,
+        "a dead query's above-mark stage must be collected once its liveness lock is gone")
+      a3.exec(s"DROP TABLE IF EXISTS ${PgWire.quoteIdent(ledger)}")
+    } finally a3.close()
+  }
+
+  test("a running streaming query holds its liveness lock; termination releases it (round 16)") {
+    // end-to-end over a real query: while the stream is active its
+    // scope's liveness lock must be busy (sweeps spare its stages);
+    // after stop() the termination listener closes the lock connection
+    // (asynchronously), so the lock frees without waiting for JVM
+    // exit — a long-lived driver neither leaks connections nor makes
+    // stopped queries look live forever.
+    import spark.implicits._
+    val admin = new PgWireClient(conn.host, conn.port, conn.user, conn.database)
+    try admin.exec("DROP TABLE IF EXISTS graft_stream_live")
+    finally admin.close()
+    val ck = "/tmp/graft_test/pg_stream_live_ck"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ck))
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)](spark)
+    val q = ms.toDF().toDF("k", "v").writeStream.format("graft_pg")
+      .option("port", conn.port.toString).option("dbtable", "graft_stream_live")
+      .option("checkpointLocation", ck)
+      .outputMode("append").start()
+    val args = Postgres.livenessLockArgs("graft_stream_live",
+      Postgres.queryScope(q.id.toString))
+    val probe = new PgWireClient(conn.host, conn.port, conn.user, conn.database)
+    try {
+      try {
+        ms.addData((1L, "a"))
+        q.processAllAvailable()
+        assert(!Postgres.queryBool(probe, s"SELECT pg_try_advisory_lock($args)"),
+          "a live query's liveness lock must be busy")
+      } finally q.stop()
+      // listener fires asynchronously after stop — poll up to 10 s
+      val deadline = System.nanoTime() + 10000000000L
+      var freed = false
+      while (!freed && System.nanoTime() < deadline) {
+        freed = Postgres.queryBool(probe, s"SELECT pg_try_advisory_lock($args)")
+        if (!freed) Thread.sleep(100)
       }
-      assert(!exists(s"${prefix}q${scope}e2_0"), "published-epoch stage must drop")
-      assert(!exists(s"${prefix}deadbeef_3"), "batch-nonce orphan must drop")
-      assert(exists(s"${prefix}q${scope}e5_0"),
-        "an above-mark (possibly in-flight) epoch stage must SURVIVE the batch sweep")
-      a2.exec(s"DROP TABLE ${PgWire.quoteIdent(s"${prefix}q${scope}e5_0")}")
-      a2.exec(s"DROP TABLE IF EXISTS ${PgWire.quoteIdent(ledger)}")
-    } finally a2.close()
+      assert(freed, "termination must release the liveness lock without JVM exit")
+      probe.exec(s"SELECT pg_advisory_unlock($args)")
+    } finally probe.close()
   }
 
   test("pushed string inequalities pin COLLATE C; NUL and far-range literals stay residual") {
