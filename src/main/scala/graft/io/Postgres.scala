@@ -1868,8 +1868,14 @@ private[io] class PgStreamingWrite(schema: StructType, opts: PgSourceOptions,
     * hashtext collision with another live stream) must DEGRADE to the
     * pre-r16 behavior (no liveness protection, stages leak on death,
     * loud stderr) instead of hanging every epoch of this query. */
+  // failed acquisition windows so far — after 3, stop retrying (a
+  // holder that survived 15 s of probes is not a sweep's transient
+  // hold; re-paying the window every epoch would tax a short-trigger
+  // stream forever for a once-in-a-universe hash collision)
+  private var livenessMisses = 0
+
   private def ensureLiveness(): Unit = synchronized {
-    if (liveness == null) {
+    if (liveness == null && livenessMisses < 3) {
       val c = new PgWireClient(opts.host, opts.port, opts.user, opts.database,
         opts.password, socketTimeoutMs = 0, sslMode = opts.sslMode,
         sslRootCert = opts.sslRootCert)
@@ -1886,13 +1892,15 @@ private[io] class PgStreamingWrite(schema: StructType, opts: PgSourceOptions,
       } catch { case e: Throwable => c.close(); throw e }
       if (got) {
         liveness = c
+        livenessMisses = 0
         registerTerminationHook()
       } else {
         c.close()
+        livenessMisses += 1
         System.err.println(s"[graft_pg] WARN: liveness lock for streaming " +
-          s"query $queryId on ${opts.table} is held elsewhere — proceeding " +
-          "without it (a crash may leak this query's in-flight stages " +
-          "until manual cleanup)")
+          s"query $queryId on ${opts.table} is held elsewhere " +
+          s"(attempt $livenessMisses/3) — proceeding without it (a crash " +
+          "may leak this query's in-flight stages until manual cleanup)")
       }
     }
   }
