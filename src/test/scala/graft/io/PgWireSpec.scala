@@ -1011,6 +1011,54 @@ class PgWireSpec extends AnyFunSuite with SparkTestBase {
     } finally probe.close()
   }
 
+  test("restart from checkpoint: stable id reacquires liveness, appends stay exactly-once (round 16)") {
+    // the restart race reasoned about in ensureLiveness's scaladoc,
+    // exercised for real: run 1 terminates (its async listener frees
+    // the liveness lock some time later), run 2 starts from the SAME
+    // checkpoint — same stable query id, so the same lock key — and
+    // must reacquire inside its retry window, then append ONLY the
+    // rows run 1 never committed.
+    import spark.implicits._
+    val admin = new PgWireClient(conn.host, conn.port, conn.user, conn.database)
+    try admin.exec("DROP TABLE IF EXISTS graft_stream_restart")
+    finally admin.close()
+    val ck = "/tmp/graft_test/pg_stream_restart_ck"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ck))
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)](spark)
+    def start() = ms.toDF().toDF("k", "v").writeStream.format("graft_pg")
+      .option("port", conn.port.toString)
+      .option("dbtable", "graft_stream_restart")
+      .option("checkpointLocation", ck)
+      .outputMode("append").start()
+    val q1 = start()
+    try {
+      ms.addData((1L, "a"), (2L, "b"))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // run 2: same checkpoint -> Spark restores the STABLE id (the
+    // ledger and liveness scopes both key on it)
+    val q2 = start()
+    try {
+      assert(q2.id == q1.id, "a checkpoint restart must keep the stable id")
+      ms.addData((3L, "c"))
+      q2.processAllAvailable()
+      // run 2 is live again: its liveness lock must be busy (we are
+      // past epoch 1's factory, so acquisition already happened —
+      // proving the handoff beat the retry window, not just luck)
+      val args = Postgres.livenessLockArgs("graft_stream_restart",
+        Postgres.queryScope(q2.id.toString))
+      val probe = new PgWireClient(conn.host, conn.port, conn.user, conn.database)
+      try assert(!Postgres.queryBool(probe, s"SELECT pg_try_advisory_lock($args)"),
+        "the restarted run must hold the liveness lock")
+      finally probe.close()
+    } finally q2.stop()
+    val got = Postgres.readTable(spark, conn, "graft_stream_restart").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(got === Seq((1L, "a"), (2L, "b"), (3L, "c")),
+      s"rows must land exactly once across the restart, got $got")
+  }
+
   test("pushed string inequalities pin COLLATE C; NUL and far-range literals stay residual") {
     import org.apache.spark.sql.sources.{EqualTo, GreaterThan, LessThan}
     // Spark compares strings in binary UTF-8 order; a linguistic
