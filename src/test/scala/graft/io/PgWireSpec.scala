@@ -1011,6 +1011,52 @@ class PgWireSpec extends AnyFunSuite with SparkTestBase {
     } finally probe.close()
   }
 
+  test("two CONCURRENT streams on one table coexist: distinct scopes, both locks held, rows exact (round 16)") {
+    // the scoping design's core multi-writer claim, previously argued
+    // in scaladoc but never run: two live queries appending to the
+    // same table must each hold their own liveness lock, interleave
+    // epoch commits through the per-table lock, sweep only their own
+    // lineage, and land every row exactly once.
+    import spark.implicits._
+    val admin = new PgWireClient(conn.host, conn.port, conn.user, conn.database)
+    try admin.exec("DROP TABLE IF EXISTS graft_stream_pair")
+    finally admin.close()
+    def start(ms: org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)],
+              ck: String) = {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ck))
+      ms.toDF().toDF("k", "v").writeStream.format("graft_pg")
+        .option("port", conn.port.toString)
+        .option("dbtable", "graft_stream_pair")
+        .option("checkpointLocation", ck)
+        .outputMode("append").start()
+    }
+    val msA = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)](spark)
+    val msB = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)](spark)
+    val qA = start(msA, "/tmp/graft_test/pg_pair_a_ck")
+    val qB = start(msB, "/tmp/graft_test/pg_pair_b_ck")
+    try {
+      // interleaved epochs from both writers
+      msA.addData((1L, "a1")); qA.processAllAvailable()
+      msB.addData((10L, "b1")); qB.processAllAvailable()
+      msA.addData((2L, "a2")); qA.processAllAvailable()
+      msB.addData((20L, "b2")); qB.processAllAvailable()
+      // both queries live -> both scope locks busy
+      val probe = new PgWireClient(conn.host, conn.port, conn.user, conn.database)
+      try for (q <- Seq(qA, qB)) {
+        val args = Postgres.livenessLockArgs("graft_stream_pair",
+          Postgres.queryScope(q.id.toString))
+        assert(!Postgres.queryBool(probe, s"SELECT pg_try_advisory_lock($args)"),
+          s"live query ${q.id} must hold its own liveness lock")
+      } finally probe.close()
+    } finally { qA.stop(); qB.stop() }
+    val got = Postgres.readTable(spark, conn, "graft_stream_pair").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(got === Seq((1L, "a1"), (2L, "a2"), (10L, "b1"), (20L, "b2")),
+      s"both writers' rows must land exactly once, got $got")
+  }
+
   test("restart from checkpoint: stable id reacquires liveness, appends stay exactly-once (round 16)") {
     // the restart race reasoned about in ensureLiveness's scaladoc,
     // exercised for real: run 1 terminates (its async listener frees
