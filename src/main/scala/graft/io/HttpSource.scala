@@ -333,7 +333,15 @@ private[graft] object HttpFilterEval {
           val lits = vs.toSeq.map(toComparable(dt, _))
           if (lits.exists(_.isEmpty)) None
           else {
-            val set = lits.flatten.toSet
+            // a java.util.HashSet, NOT a Scala Set: Scala collections
+            // compare boxed doubles through BoxesRunTime's NUMERIC
+            // equality, where NaN != NaN — so `NaN IN (NaN)` dropped
+            // the row while Spark's genEqual keeps it. Java's
+            // Double.equals goes through doubleToLongBits (NaN equals
+            // NaN), matching Spark once [[ordered]]'s negative-zero
+            // normalization has run on both sides.
+            val set = new java.util.HashSet[Any]()
+            lits.flatten.foreach(set.add)
             Some({ row: InternalRow =>
               !row.isNullAt(i) && set.contains(ordered(dt, row.get(i, dt))) })
           }
@@ -344,14 +352,15 @@ private[graft] object HttpFilterEval {
     }
   }
 
-  /** Catalyst-literal → Comparable in the column's internal encoding. */
+  /** Catalyst-literal → Comparable in the column's internal encoding.
+    * Floating literals go through [[normZero]] — see [[ordered]]. */
   private def toComparable(dt: DataType, v: Any): Option[Comparable[Any]] =
     try Some((dt match {
       case StringType => UTF8String.fromString(v.toString)
       case IntegerType => Int.box(v.asInstanceOf[Number].intValue())
       case LongType => Long.box(v.asInstanceOf[Number].longValue())
-      case DoubleType => Double.box(v.asInstanceOf[Number].doubleValue())
-      case FloatType => Float.box(v.asInstanceOf[Number].floatValue())
+      case DoubleType => Double.box(v.asInstanceOf[Number].doubleValue() + 0.0d)
+      case FloatType => Float.box(v.asInstanceOf[Number].floatValue() + 0.0f)
       case BooleanType => Boolean.box(v.asInstanceOf[Boolean])
       case DateType => Int.box(v match {
         case d: java.sql.Date => d.toLocalDate.toEpochDay.toInt
@@ -362,9 +371,22 @@ private[graft] object HttpFilterEval {
     }).asInstanceOf[Comparable[Any]])
     catch { case _: Exception => None }
 
-  /** Internal row value → the same Comparable encoding. */
-  private def ordered(dt: DataType, v: Any): Comparable[Any] =
-    v.asInstanceOf[Comparable[Any]]
+  /** Internal row value → the same Comparable encoding. Floating
+    * values are NEGATIVE-ZERO-normalized (`+ 0.0` — IEEE 754 sums
+    * opposite-signed zeros to +0.0, and leaves every other value
+    * including NaN untouched): `java.lang.Double.compareTo` orders
+    * -0.0 BELOW 0.0 while Spark's nanSafeCompareDoubles treats them
+    * EQUAL, so without the normalization `EqualTo(col, 0.0)` (or In,
+    * or a boundary <=) against a CSV cell "-0.0" dropped at the
+    * reader a row Spark's residual would have kept — an UNDER-return,
+    * the one direction this evaluator must never err (a reader-side
+    * drop is unrecoverable). NaN needs no fix-up: Double.compareTo
+    * already matches Spark's NaN-greatest, NaN-equals-NaN ordering. */
+  private def ordered(dt: DataType, v: Any): Comparable[Any] = (dt match {
+    case DoubleType => Double.box(v.asInstanceOf[Double] + 0.0d)
+    case FloatType => Float.box(v.asInstanceOf[Float] + 0.0f)
+    case _ => v
+  }).asInstanceOf[Comparable[Any]]
 }
 
 /** Driver/executor-shared HTTP line utilities. */

@@ -147,6 +147,39 @@ class HttpSourceSpec extends AnyFunSuite with SparkTestBase {
     assert(!HttpFilterEval.supported(StringContains("v", "a")))
   }
 
+  test("HttpFilterEval floats match Spark's ordering: -0.0 equals 0.0, NaN greatest (round 16)") {
+    // java.lang.Double.compareTo orders -0.0 BELOW 0.0 while Spark's
+    // nanSafeCompareDoubles treats them EQUAL — before the
+    // normalization, EqualTo(col, 0.0) against a CSV cell "-0.0"
+    // dropped at the reader a row the residual would have kept (an
+    // UNDER-return, the one unrecoverable direction for a reader-side
+    // drop). NaN needs no fix-up and must stay Spark-consistent:
+    // greatest, and equal to itself.
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.sql.sources._
+    import graft.io.HttpFilterEval
+    val sch = StructType(Seq(StructField("d", DoubleType), StructField("f", FloatType)))
+    def row(d: Double, f: Float) = new GenericInternalRow(Array[Any](d, f))
+    val eq0 = HttpFilterEval.compile(EqualTo("d", 0.0), sch).get
+    assert(eq0(row(-0.0, 0f)), "cell -0.0 must satisfy = 0.0 like Spark")
+    val eqNeg0 = HttpFilterEval.compile(EqualTo("d", -0.0), sch).get
+    assert(eqNeg0(row(0.0, 0f)), "literal -0.0 must match cell 0.0")
+    val le = HttpFilterEval.compile(LessThanOrEqual("d", -0.0), sch).get
+    assert(le(row(0.0, 0f)), "0.0 <= -0.0 is true under Spark's ordering")
+    val in = HttpFilterEval.compile(In("d", Array[Any](0.0)), sch).get
+    assert(in(row(-0.0, 0f)), "In-set membership must normalize -0.0 too")
+    val feq = HttpFilterEval.compile(EqualTo("f", 0.0f), sch).get
+    assert(feq(row(1.0, -0.0f)), "float -0.0 cell must satisfy = 0.0f")
+    // NaN: greatest and self-equal (Double.compareTo already agrees
+    // with nanSafeCompareDoubles here — pin it stays that way)
+    val gtNan = HttpFilterEval.compile(GreaterThan("d", 100.0), sch).get
+    assert(gtNan(row(Double.NaN, 0f)), "NaN > any finite value, like Spark")
+    val eqNan = HttpFilterEval.compile(EqualTo("d", Double.NaN), sch).get
+    assert(eqNan(row(Double.NaN, 0f)), "NaN = NaN is true in Spark's ordering")
+    val inNan = HttpFilterEval.compile(In("d", Array[Any](Double.NaN)), sch).get
+    assert(inNan(row(Double.NaN, 0f)))
+  }
+
   test("splitCsv round-trips arbitrary fields through RFC-4180 quoting") {
     val rng = new scala.util.Random(42)
     val alphabet = "ab,\"x\n\r\t ;|"
