@@ -95,7 +95,12 @@ case class NfcClean(child: Expression) extends UnaryExpression {
   * stay a static, stateless function. */
 object ShingleKernel {
   def shingles(s: UTF8String, n: Int): ArrayData = {
-    val toks = s.toString.toLowerCase.trim.split("\\s+")
+    // Locale.ROOT (round 16): default-locale lowercasing makes the
+    // shingle vocabulary host-dependent (Turkish 'I' -> dotless 'ı'),
+    // which breaks the engine-portable bit-exact signature property
+    // (DuckDB's lower() is non-tailored Unicode) AND cross-executor
+    // determinism on a cluster with mixed default locales
+    val toks = s.toString.toLowerCase(java.util.Locale.ROOT).trim.split("\\s+")
     if (toks.length < n) new GenericArrayData(Array.empty[Any])
     else {
       // LinkedHashSet = first-occurrence-order distinct, matching

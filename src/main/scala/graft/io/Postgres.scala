@@ -1144,7 +1144,11 @@ private[io] object ScramState {
     * with MD5/SHA-1 upgraded to SHA-256 (the RFC's rule — and what
     * PostgreSQL's be-secure-common computes on its side). */
   def tlsServerEndPoint(cert: java.security.cert.X509Certificate): Array[Byte] = {
-    val sig = cert.getSigAlgName.toUpperCase.replace("-", "")
+    // Locale.ROOT as hygiene: today's SHA384/SHA512 substring probes
+    // contain no 'i' so even a Turkish default locale (which maps
+    // "with" -> "WİTH") happens not to break them — pin ROOT anyway
+    // so a future probe containing 'I' cannot regress by locale
+    val sig = cert.getSigAlgName.toUpperCase(java.util.Locale.ROOT).replace("-", "")
     val alg =
       if (sig.contains("SHA384")) "SHA-384"
       else if (sig.contains("SHA512")) "SHA-512"

@@ -47,7 +47,12 @@ object Dedup {
     val f = udf { (s: String) =>
       if (s == null) null
       else {
-        val toks = s.toLowerCase.trim.split("\\s+")
+        // Locale.ROOT (round 16): default-locale lowercasing makes
+        // shingles host-dependent (Turkish dotless-i), breaking both
+        // the bit-exact cross-engine oracle and cross-executor
+        // determinism on mixed-locale clusters; must stay pinned
+        // equal to ShingleKernel's mapping
+        val toks = s.toLowerCase(java.util.Locale.ROOT).trim.split("\\s+")
         if (toks.length < n) Array.empty[String]
         else toks.sliding(n).map(_.mkString(" ")).distinct.toArray
       }

@@ -232,6 +232,23 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(edge.filter($"fast".isNotNull && not($"fast" <=> $"ref")).count() == 0)
   }
 
+  test("shingle lowercasing is locale-independent (Turkish dotless-i pin, round 16)") {
+    // default-locale toLowerCase maps "I" -> dotless "ı" under tr_TR,
+    // which would fork the shingle vocabulary by HOST locale — breaking
+    // the bit-exact cross-engine signature oracle and cross-executor
+    // determinism on mixed-locale clusters. The kernel (and the udf pin
+    // formulation) must map through Locale.ROOT regardless of default.
+    val saved = java.util.Locale.getDefault
+    try {
+      java.util.Locale.setDefault(new java.util.Locale("tr", "TR"))
+      val out = graft.functions.ShingleKernel.shingles(
+        org.apache.spark.unsafe.types.UTF8String.fromString("III II I"), 2)
+      val got = (0 until out.numElements()).map(out.getUTF8String(_).toString)
+      assert(got == Seq("iii ii", "ii i"),
+        s"shingles must use ROOT case mapping under any default locale, got $got")
+    } finally java.util.Locale.setDefault(saved)
+  }
+
   test("exact dedup keeps one row per fingerprint group") {
     import spark.implicits._
     val fp = Text.fingerprint(corpus(), $"text", "fp")
