@@ -75,12 +75,17 @@ object DedupIngest {
     Dedup.portableBandSignatures(sh, "doc_id", "__sh", numHashes, bands)
       .withColumn("__batch", lit(batchId))
       .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
+      // "DYNAMIC" pre-uppercased (round 16): Spark parses this option
+      // through a DEFAULT-locale toUpperCase before the enum lookup, so
+      // lowercase "dynamic" fails under tr_TR ("DYNAMİC", dotted İ);
+      // the canonical uppercase form is a fixed point of any locale's
+      // uppercasing and works everywhere
+      .option("partitionOverwriteMode", "DYNAMIC")
       .partitionBy("__batch")
       .parquet(s"$storeDir/sigs")
     sh.withColumn("__batch", lit(batchId))
       .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
+      .option("partitionOverwriteMode", "DYNAMIC")
       .partitionBy("__batch")
       .parquet(s"$storeDir/docs")
     if (compactEvery > 0 &&
@@ -302,7 +307,7 @@ object DedupIngest {
         .withColumn("__ogen", lit(gen))
         .withColumn("__batch", lit(batchId))
         .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
+        .option("partitionOverwriteMode", "DYNAMIC")
         .partitionBy("__batch")
         .parquet(s"$storeDir/docs")
       if (compactEvery > 0 &&

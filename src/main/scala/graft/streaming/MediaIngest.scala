@@ -46,7 +46,12 @@ object MediaIngest {
           .filter(col("__ah").isNotNull)
           .withColumn("__batch", lit(batchId))
           .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
+          // "DYNAMIC" pre-uppercased (round 16): Spark parses this option
+          // through a DEFAULT-locale toUpperCase before the enum lookup, so
+          // lowercase "dynamic" fails under tr_TR ("DYNAMİC", dotted İ);
+          // the canonical uppercase form is a fixed point of any locale's
+          // uppercasing and works everywhere
+          .option("partitionOverwriteMode", "DYNAMIC")
           .partitionBy("__batch")
           .parquet(s"$storeDir/hashes")
         if (compactEvery > 0 &&

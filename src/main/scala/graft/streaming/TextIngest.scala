@@ -71,7 +71,12 @@ object TextIngest {
         termPartial(batch.toDF(), id, text, batchId)
           .withColumn("__batch", lit(batchId))
           .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
+          // "DYNAMIC" pre-uppercased (round 16): Spark parses this option
+          // through a DEFAULT-locale toUpperCase before the enum lookup, so
+          // lowercase "dynamic" fails under tr_TR ("DYNAMİC", dotted İ);
+          // the canonical uppercase form is a fixed point of any locale's
+          // uppercasing and works everywhere
+          .option("partitionOverwriteMode", "DYNAMIC")
           .partitionBy("__batch")
           .parquet(storeDir)
         if (compactEvery > 0 &&
@@ -145,7 +150,7 @@ object TextIngest {
         // __batch=-1 partition the write replaces
         .localCheckpoint(true)
       folded.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
+        .option("partitionOverwriteMode", "DYNAMIC")
         .partitionBy("__batch")
         .parquet(storeDir)
       fold.filter(_.getName != s"__batch=$CompactedBatchId")
@@ -195,7 +200,7 @@ object TextIngest {
         // __batch=-1 partition the write replaces
         .localCheckpoint(true)
       folded.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
+        .option("partitionOverwriteMode", "DYNAMIC")
         .partitionBy("__batch")
         .parquet(dir)
       // stale partitions delete in ASCENDING batch order (round-15
@@ -239,14 +244,14 @@ object TextIngest {
             .agg(count(lit(1)).as("tf"))
             .withColumn("__batch", lit(batchId))
             .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
+            .option("partitionOverwriteMode", "DYNAMIC")
             .partitionBy("__batch")
             .parquet(s"$storeDir/postings")
           toks.groupBy(col("doc_id"))
             .agg(count(lit(1)).as("dl"))
             .withColumn("__batch", lit(batchId))
             .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
+            .option("partitionOverwriteMode", "DYNAMIC")
             .partitionBy("__batch")
             .parquet(s"$storeDir/docs")
           if (compactEvery > 0 &&

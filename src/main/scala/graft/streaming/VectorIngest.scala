@@ -236,7 +236,12 @@ object VectorIngest {
       .select(keep: _*)
       .localCheckpoint(true)
     reassigned.write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
+      // "DYNAMIC" pre-uppercased (round 16): Spark parses this option
+      // through a DEFAULT-locale toUpperCase before the enum lookup, so
+      // lowercase "dynamic" fails under tr_TR ("DYNAMİC", dotted İ);
+      // the canonical uppercase form is a fixed point of any locale's
+      // uppercasing and works everywhere
+      .option("partitionOverwriteMode", "DYNAMIC")
       .partitionBy("__batch")
       .parquet(storeDir)
   }
@@ -283,7 +288,7 @@ object VectorIngest {
         // __batch=-1 partition the write replaces
         .localCheckpoint(true)
       folded.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
+        .option("partitionOverwriteMode", "DYNAMIC")
         .partitionBy("__batch")
         .parquet(storeDir)
       // ASCENDING batch order (round-15 review, the foldNewestBatches
@@ -406,7 +411,7 @@ object VectorIngest {
           }
           cols.withColumn("__batch", lit(batchId))
             .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
+            .option("partitionOverwriteMode", "DYNAMIC")
             .partitionBy("__batch")
             .parquet(storeDir)
           if (compactEvery > 0 && batchPartitionDirs(spark, storeDir).length >= compactEvery)
