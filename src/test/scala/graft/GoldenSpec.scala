@@ -124,6 +124,19 @@ class GoldenSpec extends AnyFunSuite with SparkTestBase {
     assert(cell == 900.0)
   }
 
+  test("driver contract: queries and oracleSql cover exactly the same keys") {
+    // the driver compares each queries(k) result against oracleSql(k)
+    // in DuckDB — a key present on one side only either goes untested
+    // (silent coverage loss) or fails the run. Pin the alignment at
+    // sbt-test time so a drift never reaches the driver.
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert(q.diff(o).isEmpty, s"queries without an oracle: ${q.diff(o).toSeq.sorted}")
+    assert(o.diff(q).isEmpty, s"oracles without a query: ${o.diff(q).toSeq.sorted}")
+    // and the declared surface stays the full 182-key round-15 gate
+    assert(q.size == 182, s"declared surface changed: ${q.size} keys")
+  }
+
   test("Q1 at a date where only the open-ended decree is active") {
     val d = lit(Date.valueOf("2024-06-01"))
     val res = RefPipeline.q1NbDepPerAlert(prepped, d).collect()

@@ -180,6 +180,84 @@ class HttpSourceSpec extends AnyFunSuite with SparkTestBase {
     assert(inNan(row(Double.NaN, 0f)))
   }
 
+  test("HttpFilterEval differential fuzz: every compiled predicate agrees with Spark's filter") {
+    // the round-16 float fix was found pointwise; this pins the whole
+    // class — for ANY pushable (filter, literal) over adversarial cells
+    // (NaN, ±0.0, ±Inf, numeric extremes, supplementary-plane strings,
+    // nulls), the reader-side evaluator must keep exactly the rows
+    // Spark's own Catalyst filter keeps on identical data. Seeded: a
+    // failure reproduces.
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.sql.sources._
+    import org.apache.spark.sql.{Column, Row}
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.io.HttpFilterEval
+
+    val sch = StructType(Seq(
+      StructField("d", DoubleType), StructField("f", FloatType),
+      StructField("s", StringType), StructField("k", LongType)))
+    val doubles: Seq[java.lang.Double] = Seq(
+      null, Double.NaN, 0.0, -0.0, 1.5, -1.5, Double.PositiveInfinity,
+      Double.NegativeInfinity, Double.MinPositiveValue, Double.MaxValue, -Double.MaxValue)
+      .map(v => if (v == null) null else java.lang.Double.valueOf(v.asInstanceOf[Double]))
+    val floats: Seq[java.lang.Float] = Seq[Any](
+      null, Float.NaN, 0.0f, -0.0f, 2.5f, -2.5f, Float.PositiveInfinity, Float.MinValue)
+      .map(v => if (v == null) null else java.lang.Float.valueOf(v.asInstanceOf[Float]))
+    val strings: Seq[String] = Seq(
+      null, "", "a", "b", "￿", "😀" /* U+1F600, > ￿ by code point */,
+      "a b", "Ａ" /* fullwidth */)
+    val longs: Seq[java.lang.Long] = Seq[Any](
+      null, 0L, 1L, -1L, Long.MaxValue, Long.MinValue)
+      .map(v => if (v == null) null else java.lang.Long.valueOf(v.asInstanceOf[Long]))
+
+    val rng = new scala.util.Random(20260815L)
+    def pick[T](xs: Seq[T]): T = xs(rng.nextInt(xs.length))
+    val rows: Seq[(java.lang.Double, java.lang.Float, String, java.lang.Long)] =
+      (1 to 48).map(_ => (pick(doubles), pick(floats), pick(strings), pick(longs)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.zipWithIndex.map { case ((d, f, s, k), i) =>
+        Row(d, f, s, k, i.toLong) }, 2),
+      sch.add(StructField("rowid", LongType, nullable = false))).cache()
+    def internal(r: (java.lang.Double, java.lang.Float, String, java.lang.Long)) =
+      new GenericInternalRow(Array[Any](
+        r._1, r._2, if (r._3 == null) null else UTF8String.fromString(r._3), r._4))
+
+    // (source Filter, equivalent Column) generators per column
+    def litsFor(c: String): Seq[Any] = c match {
+      case "d" => doubles.filter(_ != null).map(_.doubleValue())
+      case "f" => floats.filter(_ != null).map(_.floatValue())
+      case "s" => strings.filter(_ != null)
+      case "k" => longs.filter(_ != null).map(_.longValue())
+    }
+    def gen(): (Filter, Column) = {
+      val c = pick(Seq("d", "f", "s", "k"))
+      rng.nextInt(8) match {
+        case 0 => val v = pick(litsFor(c)); (EqualTo(c, v), col(c) === lit(v))
+        case 1 => val v = pick(litsFor(c)); (GreaterThan(c, v), col(c) > lit(v))
+        case 2 => val v = pick(litsFor(c)); (GreaterThanOrEqual(c, v), col(c) >= lit(v))
+        case 3 => val v = pick(litsFor(c)); (LessThan(c, v), col(c) < lit(v))
+        case 4 => val v = pick(litsFor(c)); (LessThanOrEqual(c, v), col(c) <= lit(v))
+        case 5 =>
+          val vs = (1 to 1 + rng.nextInt(3)).map(_ => pick(litsFor(c)))
+          (In(c, vs.toArray), col(c).isin(vs: _*))
+        case 6 => (IsNull(c), col(c).isNull)
+        case _ => (IsNotNull(c), col(c).isNotNull)
+      }
+    }
+    for (trial <- 1 to 60) {
+      val (filter, column) = gen()
+      val pred = HttpFilterEval.compile(filter, sch)
+      assert(pred.nonEmpty, s"trial $trial: $filter must compile (shape is supported)")
+      val got = rows.zipWithIndex.collect {
+        case (r, i) if pred.get(internal(r)) => i.toLong }.toSet
+      val want = df.filter(column).select("rowid").collect().map(_.getLong(0)).toSet
+      assert(got === want,
+        s"trial $trial: $filter diverges from Spark — evaluator kept ${got.diff(want)} " +
+          s"extra and dropped ${want.diff(got)} (an under-return is unrecoverable)")
+    }
+    df.unpersist()
+  }
+
   test("splitCsv round-trips arbitrary fields through RFC-4180 quoting") {
     val rng = new scala.util.Random(42)
     val alphabet = "ab,\"x\n\r\t ;|"
