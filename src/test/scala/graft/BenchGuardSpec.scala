@@ -138,7 +138,8 @@ class BenchGuardSpec extends AnyFunSuite with SparkTestBase {
     val prior = Map("sink_z" -> 2.1)
     val steal = Map("sink_z" -> 0.0)
     val load = Map("sink_z" -> 4.03, "k1" -> 2.95, "k2" -> 2.80, "k3" -> 3.00)
-    val json = Bench.regressionsDetailJson(List("sink_z"), res, prior, steal, load)
+    val json = Bench.regressionsDetailJson(List("sink_z"), res, prior, steal, load,
+      Map.empty, Map.empty, Map.empty)
     assert(json.contains("\"load_avg\":4.03"), json)
     // sorted(size/2) — the ambientRatio convention (upper median)
     assert(json.contains("\"load_avg_suite_median\":3.00"), json)
@@ -146,9 +147,10 @@ class BenchGuardSpec extends AnyFunSuite with SparkTestBase {
     assert(json.contains("\"ratio\":4.29"), json)
     // unavailable markers surface as -1, never as a plausible number
     val none = Bench.regressionsDetailJson(List("sink_z"), res, prior,
-      Map.empty, Map.empty)
+      Map.empty, Map.empty, Map.empty, Map.empty, Map.empty)
     assert(none.contains("\"load_avg\":-1.00") &&
-      none.contains("\"load_avg_suite_median\":-1.00"), none)
+      none.contains("\"load_avg_suite_median\":-1.00") &&
+      none.contains("\"load_avg_baseline\":-1.00"), none)
   }
 
   test("host_attributed annotation fires on the DOCUMENTED thresholds only (round 15, mechanical adjudication)") {
@@ -156,26 +158,140 @@ class BenchGuardSpec extends AnyFunSuite with SparkTestBase {
     // OR key steal > 5% annotates the flag host-attributed. It is an
     // ANNOTATION — the flag itself stays in `regressions` either way.
     // load 4.03 vs median 3.00 (the r13 spec's shape): NOT attributed
-    assert(!Bench.hostAttributed(4.03, 3.00, 0.0))
+    assert(!Bench.hostAttributed(4.03, 3.00, 0.0, -1.0))
     // the r14 driver shape: load 9.02 vs suite median 3.0 -> attributed
-    assert(Bench.hostAttributed(9.02, 3.00, 0.0))
+    assert(Bench.hostAttributed(9.02, 3.00, 0.0, -1.0))
     // steal path: quiet load but the hypervisor took >5% of the window
-    assert(Bench.hostAttributed(1.0, 3.00, 0.051))
-    assert(!Bench.hostAttributed(1.0, 3.00, 0.05))
+    assert(Bench.hostAttributed(1.0, 3.00, 0.051, -1.0))
+    assert(!Bench.hostAttributed(1.0, 3.00, 0.05, -1.0))
     // unavailable markers (-1) can never attribute by themselves
-    assert(!Bench.hostAttributed(-1.0, -1.0, -1.0))
-    assert(!Bench.hostAttributed(9.0, -1.0, 0.0))
+    assert(!Bench.hostAttributed(-1.0, -1.0, -1.0, -1.0))
+    assert(!Bench.hostAttributed(9.0, -1.0, 0.0, -1.0))
     // and the JSON carries the verdict at the flag site
     val res = Map("sink_z" -> 9.0)
     val prior = Map("sink_z" -> 2.1)
     val hot = Bench.regressionsDetailJson(List("sink_z"), res, prior,
       Map("sink_z" -> 0.0),
-      Map("sink_z" -> 9.02, "k1" -> 2.95, "k2" -> 2.80, "k3" -> 3.00))
+      Map("sink_z" -> 9.02, "k1" -> 2.95, "k2" -> 2.80, "k3" -> 3.00),
+      Map.empty, Map.empty, Map.empty)
     assert(hot.contains("\"host_attributed\":true"), hot)
     val quiet = Bench.regressionsDetailJson(List("sink_z"), res, prior,
       Map("sink_z" -> 0.0),
-      Map("sink_z" -> 3.10, "k1" -> 2.95, "k2" -> 2.80, "k3" -> 3.00))
+      Map("sink_z" -> 3.10, "k1" -> 2.95, "k2" -> 2.80, "k3" -> 3.00),
+      Map.empty, Map.empty, Map.empty)
     assert(quiet.contains("\"host_attributed\":false"), quiet)
+  }
+
+  test("baseline-load clause: a uniformly contended run attributes against the SAME key's quiet-run load (round 17, VERDICT r16 #1)") {
+    // the r16 miss: suite median load 6.18 (whole run contended), so
+    // the 2x-median clause could not fire for a key at load 8.89 —
+    // but against a committed-baseline load of e.g. 3.0 for the same
+    // key, 8.89 is clearly external
+    assert(Bench.hostAttributed(8.89, 6.18, 0.0, 3.0))
+    // the REAL r16 dedup_ngram_jaccard shape stays unattributed on
+    // load alone (baseline load 7.66 — the key's own 32-thread run
+    // queue — and 8.89 < 2x7.66): the counter clause carries it
+    assert(!Bench.hostAttributed(8.89, 6.18, 0.0, 7.66))
+    // the REAL r16 join_range_salted shape: load 16.2 fires BOTH the
+    // median clause (>2x6.18) and the baseline clause (>2x7.66)
+    assert(Bench.hostAttributed(16.2, 6.18, 0.0, 7.66))
+    // a missing baseline load (-1 / first run) can never attribute
+    assert(!Bench.hostAttributed(5.0, -1.0, 0.0, -1.0))
+    assert(!Bench.hostAttributed(5.0, -1.0, 0.0, 0.0))
+  }
+
+  test("counter attribution: the r16 dedup_ngram_jaccard replay — same volumes, stretched walls -> attributed (round 17, VERDICT r16 #1)") {
+    // the exact committed-baseline and r16-driver counters: volume
+    // counters bit-identical, phase walls stretched 9.1x/3.9x against
+    // a 5.11x wall ratio — the uniform-contention signature that took
+    // a manual isolated rerun five rounds running
+    val prior = Map(
+      "dedup_ngram_jaccard.jaccard_docord_build_ms" -> 1321L,
+      "dedup_ngram_jaccard.jaccard_prefix_candidates" -> 124839L,
+      "dedup_ngram_jaccard.jaccard_rescore_pairs" -> 256L,
+      "dedup_ngram_jaccard.jaccard_rescore_pairs_ms" -> 2618L,
+      "join_range_salted.range_est_pairs" -> 72026560L)
+    val cur = Map(
+      "dedup_ngram_jaccard.jaccard_docord_build_ms" -> 12036L,
+      "dedup_ngram_jaccard.jaccard_prefix_candidates" -> 124839L,
+      "dedup_ngram_jaccard.jaccard_rescore_pairs" -> 256L,
+      "dedup_ngram_jaccard.jaccard_rescore_pairs_ms" -> 10219L,
+      "join_range_salted.range_est_pairs" -> 72026560L)
+    assert(Bench.counterAttributed("dedup_ngram_jaccard", 5.11, cur, prior))
+    // prefix discipline: another key's counters never leak into the
+    // evidence (dedup_ngram_jaccard. must not match dedup_ngram)
+    assert(!Bench.counterAttributed("dedup_ngram", 5.11, cur, prior))
+  }
+
+  test("counter attribution never waives a genuine regression (round 17): changed volumes, changed counter set, flat walls, no counters") {
+    def base(k: String) = Map(
+      s"$k.candidates" -> 1000L, s"$k.build_ms" -> 500L)
+    // changed volume counter = real plan/algorithm change -> false
+    assert(!Bench.counterAttributed("k", 5.0,
+      Map("k.candidates" -> 50000L, "k.build_ms" -> 2500L), base("k")))
+    // a counter appearing (or vanishing) = code-path change -> false
+    assert(!Bench.counterAttributed("k", 5.0,
+      base("k") + ("k.new_phase_ms" -> 100L), base("k")))
+    assert(!Bench.counterAttributed("k", 5.0,
+      Map("k.candidates" -> 1000L), base("k")))
+    // volumes identical but phase walls FLAT: the slowdown lives in
+    // untracked code — a genuine-regression shape, never waivable on
+    // counter evidence (the r16 join_range_salted counters read this
+    // way: range_estimate_ms 246->228 against a 5.47x wall; its
+    // attribution correctly came from the load clauses instead)
+    assert(!Bench.counterAttributed("join_range_salted", 5.47,
+      Map("join_range_salted.range_est_pairs" -> 72026560L,
+        "join_range_salted.range_partitions" -> 32L,
+        "join_range_salted.range_estimate_ms" -> 228L),
+      Map("join_range_salted.range_est_pairs" -> 72026560L,
+        "join_range_salted.range_partitions" -> 32L,
+        "join_range_salted.range_estimate_ms" -> 246L)))
+    // no counters at all = no evidence -> false
+    assert(!Bench.counterAttributed("k", 5.0, Map.empty, Map.empty))
+    // only _ms counters (no volume evidence) -> false: stretched walls
+    // alone cannot prove the WORK was unchanged
+    assert(!Bench.counterAttributed("k", 5.0,
+      Map("k.build_ms" -> 2500L), Map("k.build_ms" -> 500L)))
+    // and a sane ratio guard: nothing attributes at <=1x
+    assert(!Bench.counterAttributed("k", 1.0,
+      base("k"), base("k")))
+  }
+
+  test("regressions_detail carries the round-17 evidence fields end-to-end") {
+    val res = Map("dedup_ngram_jaccard" -> 23.44)
+    val prior = Map("dedup_ngram_jaccard" -> 4.59)
+    val counters = Map(
+      "dedup_ngram_jaccard.jaccard_docord_build_ms" -> 12036L,
+      "dedup_ngram_jaccard.jaccard_prefix_candidates" -> 124839L)
+    val priorCounters = Map(
+      "dedup_ngram_jaccard.jaccard_docord_build_ms" -> 1321L,
+      "dedup_ngram_jaccard.jaccard_prefix_candidates" -> 124839L)
+    val json = Bench.regressionsDetailJson(List("dedup_ngram_jaccard"),
+      res, prior,
+      Map("dedup_ngram_jaccard" -> 0.0),
+      Map("dedup_ngram_jaccard" -> 8.89, "k1" -> 6.18, "k2" -> 6.0, "k3" -> 6.2),
+      Map("dedup_ngram_jaccard" -> 7.66),
+      counters, priorCounters)
+    // the r16 shape arrives PRE-adjudicated: load clauses miss
+    // (8.89 < 2x6.18 and < 2x7.66) but the counter clause fires
+    assert(json.contains("\"host_attributed\":false"), json)
+    assert(json.contains("\"counter_attributed\":true"), json)
+    assert(json.contains("\"load_avg_baseline\":7.66"), json)
+  }
+
+  test("reference sections parse flat sub-objects; totals parse for the beats gate (round 17)") {
+    val ref = """{"metric":"total","value":129.341132759,"unit":"sec","queries":{"q1_agg":0.27,"sink_z":2.1},"sf":"/root/testdata/sf0.1","load_avg_keys":{"q1_agg":2.35,"sink_z":-1.00},"steal_frac_keys":{"q1_agg":0.0012},"regressions_detail":{"x":{"prior":1.0}},"counters":{"sink_z.vol":7,"sink_z.build_ms":1321}}"""
+    assert(Bench.parseNamedSection(ref, "load_avg_keys") ==
+      Map("q1_agg" -> 2.35, "sink_z" -> -1.0))
+    // counter names keep their scope dots; values round-trip as longs
+    assert(Bench.parseNamedSection(ref, "counters")
+      .map { case (k, v) => k -> v.toLong } ==
+      Map("sink_z.vol" -> 7L, "sink_z.build_ms" -> 1321L))
+    assert(Bench.parseReferenceTotal(ref).contains(129.341132759))
+    // absent/truncated fields yield empty/None, never a crash
+    assert(Bench.parseNamedSection(ref, "no_such_field").isEmpty)
+    assert(Bench.parseNamedSection("""{"counters":{""", "counters").isEmpty)
+    assert(Bench.parseReferenceTotal("""{"metric":"total"}""").isEmpty)
   }
 
   test("observed bench counters read EXACTLY under empty-relation pruning (round 15, VERDICT r14 #7)") {
@@ -316,7 +432,8 @@ class BenchGuardSpec extends AnyFunSuite with SparkTestBase {
       assert(Bench.jd("%.4f", 0.0051) == "0.0051")
       val json = Bench.regressionsDetailJson(List("sink_z"),
         Map("sink_z" -> 9.0), Map("sink_z" -> 2.1),
-        Map("sink_z" -> 0.0), Map("sink_z" -> 4.03))
+        Map("sink_z" -> 0.0), Map("sink_z" -> 4.03),
+        Map("sink_z" -> 2.35), Map.empty, Map.empty)
       assert(!json.contains("2,100") && !json.contains("4,29"), json)
       assert(json.contains("\"prior\":2.100") && json.contains("\"ratio\":4.29"),
         json)
@@ -343,13 +460,27 @@ class BenchGuardSpec extends AnyFunSuite with SparkTestBase {
     // timed keys while the artifact held 181. Eligibility is now part
     // of the output-file decision itself.
     assert(Bench.outFileFor(fullSuite = true, sfMatchesRef = true,
-      failedEmpty = true) == "bench_full.json")
+      failedEmpty = true, beatsReference = true) == "bench_full.json")
     assert(Bench.outFileFor(fullSuite = true, sfMatchesRef = true,
-      failedEmpty = false) == "bench_filtered.json")
+      failedEmpty = false, beatsReference = true) == "bench_filtered.json")
     assert(Bench.outFileFor(fullSuite = false, sfMatchesRef = true,
-      failedEmpty = true) == "bench_filtered.json")
+      failedEmpty = true, beatsReference = true) == "bench_filtered.json")
     assert(Bench.outFileFor(fullSuite = true, sfMatchesRef = false,
-      failedEmpty = true) == "bench_filtered.json")
+      failedEmpty = true, beatsReference = true) == "bench_filtered.json")
+  }
+
+  test("a clean-but-slower full run can never overwrite the committed baseline (round 17)") {
+    // the round-16 close committed the working tree wholesale — which
+    // held the contended 152.2s driver run — as bench_full.json,
+    // inflating two keys' regression priors ~5x. The fastest-clean-run
+    // policy is now part of the output-file decision itself.
+    assert(Bench.outFileFor(fullSuite = true, sfMatchesRef = true,
+      failedEmpty = true, beatsReference = false) == "bench_filtered.json")
+    // and the beats comparison itself lives on the parsed reference
+    // total: at-or-under overwrites (equal re-measurement is fine),
+    // over does not
+    assert(Bench.parseReferenceTotal(
+      """{"metric":"total","value":129.3,"queries":{}}""").contains(129.3))
   }
 
   test("steal markers: /proc/stat parse and per-window fraction") {
