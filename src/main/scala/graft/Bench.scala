@@ -41,15 +41,21 @@ object Bench {
     * committed baseline (and every key's prior) intact.
     *
     * BEATS-REFERENCE gate (round 17): eligibility now also requires
-    * the run's total to be at or under the committed reference's.
-    * The adjudication policy ("fastest clean run stands") was prose
-    * only, and the round-16 close auto-committed the working tree —
-    * which held the contended 152.2 s driver run — as the baseline,
-    * silently inflating two keys' priors ~5x. A slower full run now
-    * self-redirects to bench_filtered.json, so whatever lands in the
-    * working tree's bench_full.json IS baseline-eligible by
-    * construction. Deliberate re-baselining after an accepted
-    * slowdown: SPARK_GRAFT_BENCH_ACCEPT_SLOWER=1. */
+    * the run to be at-or-under the COMMITTED reference (read via
+    * `git show HEAD:bench_full.json`, falling back to the working
+    * tree only where git is unavailable — a dirty working-tree file
+    * must not become the yardstick, that indirection is the exact
+    * r16 hole) over the COMMON key set (see [[beatsReference]] — a
+    * raw-total ratchet would permanently block baselines the first
+    * time a round adds a key). The adjudication policy ("fastest
+    * clean run stands") was prose only, and the round-16 close
+    * auto-committed the working tree — which held the contended
+    * 152.2 s driver run — as the baseline, silently inflating two
+    * keys' priors ~5x. A slower full run now self-redirects to
+    * bench_filtered.json, so whatever lands in the working tree's
+    * bench_full.json IS baseline-eligible by construction.
+    * Deliberate re-baselining after an accepted slowdown:
+    * SPARK_GRAFT_BENCH_ACCEPT_SLOWER=1. */
   private[graft] def outFileFor(fullSuite: Boolean, sfMatchesRef: Boolean,
                                 failedEmpty: Boolean,
                                 beatsReference: Boolean): String =
@@ -126,13 +132,25 @@ object Bench {
     * hypervisor stole over 5% of the key's window (the r12 forensics
     * threshold — contention load_avg cannot see). The annotation
     * INFORMS the reader; it never auto-waives the flag (standing
-    * steal policy, SURVEY §9). */
+    * steal policy, SURVEY §9).
+    *
+    * The round-17 baseline-load clause (VERDICT r16 #1) requires TWO
+    * conjuncts: key load > 2x the SAME key's committed-quiet-run load
+    * AND key load above this run's own suite median — the key must be
+    * a load outlier within its run, not merely above a low quiet-run
+    * prior. Without the second conjunct, a genuine code regression on
+    * a mildly-loaded host self-attributes: early-suite keys baseline
+    * at loads ~1.4-2.5 (the suite's own run queue ramping), so an
+    * ambient load of ~3 — normal mid-suite in every recorded round —
+    * would clear 2x the prior for exactly the keys whose regressions
+    * most need to stay unattributed (round-17 review finding). */
   private[graft] def hostAttributed(keyLoad: Double, suiteMedianLoad: Double,
                                     keySteal: Double,
                                     baselineKeyLoad: Double): Boolean =
     (keyLoad > 0 && suiteMedianLoad > 0 && keyLoad > 2.0 * suiteMedianLoad) ||
       keySteal > 0.05 ||
-      (keyLoad > 0 && baselineKeyLoad > 0 && keyLoad > 2.0 * baselineKeyLoad)
+      (keyLoad > 0 && baselineKeyLoad > 0 && keyLoad > 2.0 * baselineKeyLoad &&
+        suiteMedianLoad > 0 && keyLoad > suiteMedianLoad)
 
   /** Counter-evidence attribution (round 17, VERDICT r16 #1): the
     * same-run-median load clause above under-attributes when the WHOLE
@@ -153,11 +171,18 @@ object Bench {
     *  - every volume counter (no `_ms` suffix) is BIT-IDENTICAL to
     *    the baseline's — the ops' volumes are seeded-deterministic,
     *    so any drift is a real plan/algorithm change, and
-    *  - the phase timers corroborate: the median `_ms` inflation
-    *    reaches at least HALF the key's wall ratio — the extra wall
-    *    demonstrably landed inside the measured phases rather than in
-    *    untracked code (a genuine regression in an untracked phase
-    *    keeps flat `_ms` counters and stays unattributed).
+    *  - the phase timers corroborate: the LOWER-median `_ms`
+    *    inflation reaches at least HALF the key's wall ratio — the
+    *    extra wall demonstrably landed inside the measured phases
+    *    rather than in untracked code (a genuine regression in an
+    *    untracked phase keeps flat `_ms` counters and stays
+    *    unattributed). Lower median, not upper (round-17 review):
+    *    contention stretches EVERY phase together (the r16 evidence:
+    *    docord 9.1x AND rescore 3.9x), while a genuine per-unit-cost
+    *    regression stretches ONE phase against flat siblings — on a
+    *    two-phase key the upper median would read the single
+    *    stretched phase as corroboration and attribute a real
+    *    regression to the host.
     *
     * Keys without counters (most of the surface) yield false — no
     * evidence is not evidence of contention; the load/steal clauses
@@ -177,7 +202,7 @@ object Bench {
     val msRatios = ms.toSeq
       .flatMap { k => if (p(k) > 0 && c(k) > 0) Some(c(k).toDouble / p(k)) else None }
       .sorted
-    msRatios.nonEmpty && msRatios(msRatios.size / 2) >= 0.5 * wallRatio
+    msRatios.nonEmpty && msRatios((msRatios.size - 1) / 2) >= 0.5 * wallRatio
   }
 
   /** Self-triaging detail for each flagged key: prior, current, raw
@@ -272,13 +297,30 @@ object Bench {
     }
   }
 
-  /** The committed reference's suite total (its `value` field, which
-    * appears exactly once, leading the line) — the yardstick for the
-    * beats-reference half of baseline eligibility (see [[outFileFor]]).
-    * None when absent/unparseable: a first run has no total to beat. */
-  private[graft] def parseReferenceTotal(txt: String): Option[Double] =
-    """"value":(-?[0-9.]+(?:[eE][+-]?[0-9]+)?)""".r.findFirstMatchIn(txt)
-      .flatMap(m => scala.util.Try(m.group(1).toDouble).toOption)
+  /** The beats-reference half of baseline eligibility (see
+    * [[outFileFor]]), compared over the COMMON key set — keys timed
+    * (>0) in BOTH this run and the committed reference. Raw suite
+    * totals would ratchet wrongly across key-set changes (round-17
+    * review): the first round to add a bench key makes every clean
+    * run's raw total structurally exceed the old reference's, locking
+    * the baseline until someone remembers the env-var escape, while
+    * the new key never earns a prior; a removed key deflates the raw
+    * total and lets a uniformly-slower run "beat" the reference. The
+    * subtotal over shared timed keys measures the same work on both
+    * sides. An empty common set (first run, corrupt reference, new
+    * sf) means there is nothing to beat — eligible, the documented
+    * first-run behavior, and CONSISTENT with the priors path: both
+    * derive from the same [[parseReference]] parse, so a reference
+    * rejected for priors cannot still gate eligibility through a
+    * separately-parsed total (the prior revision's raw-regex total
+    * did exactly that). */
+  private[graft] def beatsReference(results: Map[String, Double],
+                                    ref: Map[String, Double]): Boolean = {
+    val common = results.keySet.intersect(ref.keySet)
+      .filter(k => results(k) > 0 && ref(k) > 0)
+    common.isEmpty ||
+      common.toSeq.map(results).sum <= common.toSeq.map(ref).sum
+  }
 
   /** 1-minute load average, the host-contention marker round 10's
     * forensics had to reconstruct from warmup-time proxies. Linux-only
@@ -466,10 +508,27 @@ object Bench {
       else try parseNamedSection(refTxt, "counters")
         .map { case (k, v) => k -> v.toLong }
       catch { case _: Throwable => Map.empty }
-    val prevTotal: Option[Double] =
-      if (refTxt.isEmpty || !sfMatchesRef) None
-      else try parseReferenceTotal(refTxt)
-      catch { case _: Throwable => None }
+    // The beats-reference eligibility yardstick reads the COMMITTED
+    // bench_full.json content (round-17 review): the working-tree file
+    // is whatever the last run left there — priors deliberately read
+    // it (the round-12 provenance contract, annotated by
+    // reference_dirty below), but eligibility keyed off a dirty file
+    // re-opens the r16 hole (a dirty slower artifact becomes the bar,
+    // a contended run "beats" it, and a wholesale round-close commit
+    // baselines the contended run). Fall back to the working-tree text
+    // only where git itself is unavailable.
+    val committedRefQueries: Map[String, Double] = {
+      val committedTxt =
+        try {
+          val p = new ProcessBuilder("git", "show", "HEAD:bench_full.json")
+            .redirectErrorStream(true).start()
+          val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+          if (p.waitFor() == 0) out else refTxt
+        } catch { case _: Throwable => refTxt }
+      if (committedTxt.isEmpty) Map.empty
+      else try parseReference(committedTxt, sfDir)._1
+      catch { case _: Throwable => Map.empty }
+    }
     // Reference provenance (round 12): a second full run without an
     // intervening commit reads its priors from the FIRST run's
     // working-tree output, not the committed baseline — an empty
@@ -591,9 +650,17 @@ object Bench {
     // committed run — the round-16 close proved the prose-only policy
     // insufficient when the working tree gets committed wholesale
     val acceptSlower = sys.env.get("SPARK_GRAFT_BENCH_ACCEPT_SLOWER").contains("1")
-    val beatsRef = acceptSlower || prevTotal.forall(total <= _)
-    val baselineIneligible =
-      keyFilter.isEmpty && sfMatchesRef && (failed.nonEmpty || !beatsRef)
+    val beatsRef = acceptSlower || beatsReference(resultMap, committedRefQueries)
+    // The output-file decision IS the eligibility verdict, so the JSON
+    // field simply mirrors it (round-17 review): the previous
+    // formulation gated the field on keyFilter.isEmpty && sfMatchesRef,
+    // so a FILTERED run with a dead key — or an off-sf smoke with one —
+    // reported baseline_ineligible:false on exactly the failure-holed
+    // artifacts the flag exists to mark. Every run that does not land
+    // in bench_full.json is, as a fact, not a baseline.
+    val outFile = outFileFor(keyFilter.isEmpty, sfMatchesRef, failed.isEmpty,
+      beatsRef)
+    val baselineIneligible = outFile != "bench_full.json"
     val keyLoadJson = results.map { case (k, _) =>
       s""""$k":${jd("%.2f", keyLoad.getOrElse(k, -1.0))}""" }.mkString("{", ",", "}")
     val keyStealJson = results.map { case (k, _) =>
@@ -623,20 +690,23 @@ object Bench {
     // regression guard's per-key priors/loads/counters) with a
     // partial, wrong-scale, failure-holed, or contention-inflated
     // queries map.
-    val outFile = outFileFor(keyFilter.isEmpty, sfMatchesRef, failed.isEmpty,
-      beatsRef)
     if (keyFilter.isEmpty && sfMatchesRef && failed.nonEmpty)
       System.err.println("[bench] REFUSING to overwrite bench_full.json: " +
         s"failed keys ${failed.sorted.mkString(", ")} — this run is " +
         "baseline_ineligible and lands in bench_filtered.json; fix the " +
         "failures and rerun before committing a baseline")
-    else if (keyFilter.isEmpty && sfMatchesRef && !beatsRef)
-      System.err.println("[bench] NOT overwriting bench_full.json: total " +
-        s"${jd("%.1f", total)}s does not beat the committed baseline " +
-        s"${prevTotal.map(t => jd("%.1f", t)).getOrElse("?")}s — the " +
-        "fastest clean committed run stands and this run lands in " +
-        "bench_filtered.json (SPARK_GRAFT_BENCH_ACCEPT_SLOWER=1 to " +
-        "deliberately re-baseline after an accepted slowdown)")
+    else if (keyFilter.isEmpty && sfMatchesRef && !beatsRef) {
+      val common = resultMap.keySet.intersect(committedRefQueries.keySet)
+        .filter(k => resultMap(k) > 0 && committedRefQueries(k) > 0)
+      System.err.println("[bench] NOT overwriting bench_full.json: " +
+        s"common-key total ${jd("%.1f", common.toSeq.map(resultMap).sum)}s " +
+        "does not beat the committed baseline's " +
+        s"${jd("%.1f", common.toSeq.map(committedRefQueries).sum)}s over " +
+        s"the same ${common.size} keys — the fastest clean committed run " +
+        "stands and this run lands in bench_filtered.json " +
+        "(SPARK_GRAFT_BENCH_ACCEPT_SLOWER=1 to deliberately re-baseline " +
+        "after an accepted slowdown)")
+    }
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (line + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"$outFile write failed: $e") }

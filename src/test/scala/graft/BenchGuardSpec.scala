@@ -198,6 +198,17 @@ class BenchGuardSpec extends AnyFunSuite with SparkTestBase {
     // a missing baseline load (-1 / first run) can never attribute
     assert(!Bench.hostAttributed(5.0, -1.0, 0.0, -1.0))
     assert(!Bench.hostAttributed(5.0, -1.0, 0.0, 0.0))
+    // a GENUINE regression on a mildly-loaded host must not
+    // self-attribute (round-17 review): early-suite keys baseline at
+    // loads ~1.4-2.5, so ambient ~3 clears 2x the quiet prior — but a
+    // key AT the run's own median is not a load outlier, and the
+    // baseline clause now requires both
+    assert(!Bench.hostAttributed(3.0, 3.0, 0.0, 1.4))
+    // ...while a key above its run's median AND 2x its quiet prior
+    // still attributes (the uniform-contention shape the clause is for)
+    assert(Bench.hostAttributed(3.5, 3.0, 0.0, 1.4))
+    // an unavailable suite median cannot satisfy the outlier conjunct
+    assert(!Bench.hostAttributed(5.0, -1.0, 0.0, 2.0))
   }
 
   test("counter attribution: the r16 dedup_ngram_jaccard replay — same volumes, stretched walls -> attributed (round 17, VERDICT r16 #1)") {
@@ -255,6 +266,23 @@ class BenchGuardSpec extends AnyFunSuite with SparkTestBase {
     // and a sane ratio guard: nothing attributes at <=1x
     assert(!Bench.counterAttributed("k", 1.0,
       base("k"), base("k")))
+    // ONE stretched phase against a flat sibling (same volumes) is a
+    // genuine per-unit-cost regression, not contention — contention
+    // stretches every phase together (round-17 review: the upper
+    // median read the single stretched phase as corroboration on any
+    // two-phase key; the LOWER median requires the stretch to be
+    // suite-wide within the key)
+    assert(!Bench.counterAttributed("k", 5.0,
+      Map("k.candidates" -> 1000L, "k.build_ms" -> 5000L,
+        "k.rescore_ms" -> 500L),
+      Map("k.candidates" -> 1000L, "k.build_ms" -> 500L,
+        "k.rescore_ms" -> 500L)))
+    // both phases stretched (the r16 contention signature) attributes
+    assert(Bench.counterAttributed("k", 5.0,
+      Map("k.candidates" -> 1000L, "k.build_ms" -> 2500L,
+        "k.rescore_ms" -> 2000L),
+      Map("k.candidates" -> 1000L, "k.build_ms" -> 500L,
+        "k.rescore_ms" -> 500L)))
   }
 
   test("regressions_detail carries the round-17 evidence fields end-to-end") {
@@ -279,7 +307,7 @@ class BenchGuardSpec extends AnyFunSuite with SparkTestBase {
     assert(json.contains("\"load_avg_baseline\":7.66"), json)
   }
 
-  test("reference sections parse flat sub-objects; totals parse for the beats gate (round 17)") {
+  test("reference sections parse flat sub-objects (round 17)") {
     val ref = """{"metric":"total","value":129.341132759,"unit":"sec","queries":{"q1_agg":0.27,"sink_z":2.1},"sf":"/root/testdata/sf0.1","load_avg_keys":{"q1_agg":2.35,"sink_z":-1.00},"steal_frac_keys":{"q1_agg":0.0012},"regressions_detail":{"x":{"prior":1.0}},"counters":{"sink_z.vol":7,"sink_z.build_ms":1321}}"""
     assert(Bench.parseNamedSection(ref, "load_avg_keys") ==
       Map("q1_agg" -> 2.35, "sink_z" -> -1.0))
@@ -287,11 +315,36 @@ class BenchGuardSpec extends AnyFunSuite with SparkTestBase {
     assert(Bench.parseNamedSection(ref, "counters")
       .map { case (k, v) => k -> v.toLong } ==
       Map("sink_z.vol" -> 7L, "sink_z.build_ms" -> 1321L))
-    assert(Bench.parseReferenceTotal(ref).contains(129.341132759))
-    // absent/truncated fields yield empty/None, never a crash
+    // absent/truncated fields yield empty, never a crash
     assert(Bench.parseNamedSection(ref, "no_such_field").isEmpty)
     assert(Bench.parseNamedSection("""{"counters":{""", "counters").isEmpty)
-    assert(Bench.parseReferenceTotal("""{"metric":"total"}""").isEmpty)
+  }
+
+  test("beats-reference compares the COMMON timed-key subtotal, not raw totals (round 17)") {
+    val ref = Map("a" -> 2.0, "b" -> 3.0, "c" -> 1.0)
+    // same keys, faster or equal subtotal -> beats (equal re-measure ok)
+    assert(Bench.beatsReference(Map("a" -> 1.9, "b" -> 3.0, "c" -> 1.0), ref))
+    assert(Bench.beatsReference(Map("a" -> 2.0, "b" -> 3.0, "c" -> 1.0), ref))
+    // same keys, slower -> does not beat
+    assert(!Bench.beatsReference(Map("a" -> 2.0, "b" -> 3.0, "c" -> 1.5), ref))
+    // a NEW key must not inflate the compared subtotal: a clean run
+    // adding key d would structurally exceed a raw-total ratchet and
+    // lock the baseline forever (round-17 review) — the common-key
+    // subtotal (a+b+c) still beats
+    assert(Bench.beatsReference(
+      Map("a" -> 1.9, "b" -> 3.0, "c" -> 1.0, "d" -> 4.0), ref))
+    // a key FAILED in this run (-1) drops out of the comparison on
+    // value, not on key-set bookkeeping (the failed:[] half of
+    // eligibility separately blocks such runs from bench_full.json)
+    assert(Bench.beatsReference(Map("a" -> 1.9, "b" -> 3.0, "c" -> -1.0), ref))
+    // nothing in common = nothing to beat: first run, corrupt/empty
+    // reference — consistent with the priors path, which rejects the
+    // same reference the same way
+    assert(Bench.beatsReference(Map("a" -> 9.9), Map.empty))
+    assert(Bench.beatsReference(Map.empty, ref))
+    // a reference key recorded failed (-1) never counts against either
+    // side
+    assert(Bench.beatsReference(Map("a" -> 5.0), Map("a" -> -1.0)))
   }
 
   test("observed bench counters read EXACTLY under empty-relation pruning (round 15, VERDICT r14 #7)") {
@@ -476,11 +529,9 @@ class BenchGuardSpec extends AnyFunSuite with SparkTestBase {
     // policy is now part of the output-file decision itself.
     assert(Bench.outFileFor(fullSuite = true, sfMatchesRef = true,
       failedEmpty = true, beatsReference = false) == "bench_filtered.json")
-    // and the beats comparison itself lives on the parsed reference
-    // total: at-or-under overwrites (equal re-measurement is fine),
-    // over does not
-    assert(Bench.parseReferenceTotal(
-      """{"metric":"total","value":129.3,"queries":{}}""").contains(129.3))
+    // the comparison itself is pinned in the beats-reference spec: the
+    // COMMON timed-key subtotal of the COMMITTED reference's queries
+    // map, at-or-under overwrites (equal re-measurement is fine)
   }
 
   test("steal markers: /proc/stat parse and per-window fraction") {
