@@ -182,7 +182,9 @@ object Bench {
     *    regression stretches ONE phase against flat siblings — on a
     *    two-phase key the upper median would read the single
     *    stretched phase as corroboration and attribute a real
-    *    regression to the host.
+    *    regression to the host. At least TWO usable `_ms` ratios are
+    *    required (round 18) — with one timer the lower median is that
+    *    timer and the single-phase invariant would be vacuous.
     *
     * Keys without counters (most of the surface) yield false — no
     * evidence is not evidence of contention; the load/steal clauses
@@ -202,7 +204,15 @@ object Bench {
     val msRatios = ms.toSeq
       .flatMap { k => if (p(k) > 0 && c(k) > 0) Some(c(k).toDouble / p(k)) else None }
       .sorted
-    msRatios.nonEmpty && msRatios((msRatios.size - 1) / 2) >= 0.5 * wallRatio
+    // >= TWO usable phase ratios (round 18, r17 advice): on a key with
+    // exactly one `_ms` counter the lower median IS that single phase,
+    // so the "single stretched phase never attributes" invariant was
+    // vacuous for the one-timer shape (join_range_bigbig:
+    // range_estimate_ms beside two volume counters) — a genuine
+    // per-unit-cost regression in the one tracked phase would have
+    // self-attributed. Corroboration requires a second, independently
+    // stretched phase; one-timer keys stay on the load/steal clauses.
+    msRatios.size >= 2 && msRatios((msRatios.size - 1) / 2) >= 0.5 * wallRatio
   }
 
   /** Self-triaging detail for each flagged key: prior, current, raw
@@ -245,6 +255,26 @@ object Bench {
       s""""$k":{"prior":${jd("%.3f", p)},"cur":${jd("%.3f", results(k))},"ratio":${jd("%.2f", r)},"steal_frac":${jd("%.4f", keySteal.getOrElse(k, -1.0))},"load_avg":${jd("%.2f", keyLoad.getOrElse(k, -1.0))},"load_avg_suite_median":${jd("%.2f", suiteMedianLoad)},"load_avg_baseline":${jd("%.2f", baseLoad)},"host_attributed":$attributed,"counter_attributed":$counterAttr}"""
     }.mkString("{", ",", "}")
   }
+
+  /** Resolve the committed-reference text from a bounded `git show
+    * HEAD:bench_full.json` outcome (round 18, r17 advice; factored for
+    * BenchGuardSpec). `Some((0, txt))` — the committed text stands.
+    * `Some((nonzero, _))` — git ran and said the file is absent at
+    * HEAD: there IS no committed reference, so the result is EMPTY
+    * (first-run eligibility, no priors/loads/counters), never the
+    * working-tree fallback — a dirty working-tree artifact standing in
+    * for a nonexistent committed one is exactly the provenance hole
+    * the committed read exists to close. `None` — git itself was
+    * unavailable or wedged past the subprocess bound: the working-tree
+    * text is the documented last resort (reference_dirty annotates its
+    * provenance). */
+  private[graft] def committedTextOf(gitOutcome: Option[(Int, String)],
+                                     workingTreeTxt: String): String =
+    gitOutcome match {
+      case Some((0, txt)) => txt
+      case Some(_) => ""
+      case None => workingTreeTxt
+    }
 
   /** Parse the committed reference's per-key medians, gated on its sf
     * matching this run's (factored out for BenchGuardSpec): on a
@@ -496,39 +526,68 @@ object Bench {
       if (refTxt.isEmpty) (Map.empty[String, Double], true)
       else try parseReference(refTxt, sfDir)
       catch { case _: Throwable => (Map.empty[String, Double], true) }
-    // the widened attribution evidence (round 17) reads the committed
-    // baseline's per-key loads and counters; cross-sf numbers would be
-    // meaningless on both axes, so gate on the same sf match as priors
-    val prevLoads: Map[String, Double] =
-      if (refTxt.isEmpty || !sfMatchesRef) Map.empty
-      else try parseNamedSection(refTxt, "load_avg_keys")
-      catch { case _: Throwable => Map.empty }
-    val prevCounters: Map[String, Long] =
-      if (refTxt.isEmpty || !sfMatchesRef) Map.empty
-      else try parseNamedSection(refTxt, "counters")
-        .map { case (k, v) => k -> v.toLong }
-      catch { case _: Throwable => Map.empty }
-    // The beats-reference eligibility yardstick reads the COMMITTED
-    // bench_full.json content (round-17 review): the working-tree file
-    // is whatever the last run left there — priors deliberately read
-    // it (the round-12 provenance contract, annotated by
-    // reference_dirty below), but eligibility keyed off a dirty file
+    // The COMMITTED bench_full.json content (round-17 review; widened
+    // round 18): BOTH the beats-reference eligibility yardstick and
+    // the attribution evidence below read it. The working-tree file is
+    // whatever the last run left there — priors deliberately read it
+    // (the round-12 provenance contract, annotated by reference_dirty
+    // below), but eligibility or attribution keyed off a dirty file
     // re-opens the r16 hole (a dirty slower artifact becomes the bar,
     // a contended run "beats" it, and a wholesale round-close commit
-    // baselines the contended run). Fall back to the working-tree text
-    // only where git itself is unavailable.
-    val committedRefQueries: Map[String, Double] = {
-      val committedTxt =
+    // baselines the contended run). Outcome handling (round 18, r17
+    // advice): git ran and exited 0 -> the committed text; git ran and
+    // exited NONZERO (bench_full.json absent at HEAD) -> there IS no
+    // committed reference — empty text, first-run eligibility, never
+    // the working-tree fallback that partially re-opened the hole;
+    // only where git itself is unavailable or wedged (no binary, an
+    // index.lock hang — the subprocess is bounded by a 10 s waitFor,
+    // where the old unbounded read could hang the whole bench) does
+    // the working-tree text stand in, the documented fallback.
+    val committedTxt: String = {
+      val outcome: Option[(Int, String)] =
         try {
           val p = new ProcessBuilder("git", "show", "HEAD:bench_full.json")
             .redirectErrorStream(true).start()
-          val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
-          if (p.waitFor() == 0) out else refTxt
-        } catch { case _: Throwable => refTxt }
-      if (committedTxt.isEmpty) Map.empty
-      else try parseReference(committedTxt, sfDir)._1
-      catch { case _: Throwable => Map.empty }
+          // drain on a daemon thread so a reference larger than the
+          // pipe buffer cannot deadlock against the bounded waitFor
+          val buf = new java.io.ByteArrayOutputStream()
+          val drain = new Thread(() => {
+            try p.getInputStream.transferTo(buf)
+            catch { case _: Throwable => () }
+          })
+          drain.setDaemon(true)
+          drain.start()
+          if (!p.waitFor(10, java.util.concurrent.TimeUnit.SECONDS)) {
+            p.destroyForcibly()
+            None
+          } else {
+            drain.join(2000)
+            Some(p.exitValue() -> buf.toString("UTF-8"))
+          }
+        } catch { case _: Throwable => None }
+      committedTextOf(outcome, refTxt)
     }
+    val (committedRefQueries: Map[String, Double], committedSfOk: Boolean) =
+      if (committedTxt.isEmpty) (Map.empty[String, Double], true)
+      else try parseReference(committedTxt, sfDir)
+      catch { case _: Throwable => (Map.empty[String, Double], true) }
+    // The widened attribution evidence (round 17) is the committed
+    // baseline's per-key quiet-run loads and counters — parsed from
+    // the SAME committed text as the eligibility yardstick (round 18,
+    // r17 advice: the code read the working-tree refTxt while every
+    // doc described the committed baseline, so a dirty artifact
+    // silently became the attribution yardstick). Cross-sf numbers
+    // would be meaningless on both axes, so gate on the committed
+    // text's OWN sf match.
+    val prevLoads: Map[String, Double] =
+      if (committedTxt.isEmpty || !committedSfOk) Map.empty
+      else try parseNamedSection(committedTxt, "load_avg_keys")
+      catch { case _: Throwable => Map.empty }
+    val prevCounters: Map[String, Long] =
+      if (committedTxt.isEmpty || !committedSfOk) Map.empty
+      else try parseNamedSection(committedTxt, "counters")
+        .map { case (k, v) => k -> v.toLong }
+      catch { case _: Throwable => Map.empty }
     // Reference provenance (round 12): a second full run without an
     // intervening commit reads its priors from the FIRST run's
     // working-tree output, not the committed baseline — an empty
@@ -710,6 +769,23 @@ object Bench {
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (line + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"$outFile write failed: $e") }
+    // Per-round forensics (round 18, VERDICT r17 #2): a FULL-suite run
+    // that lands in bench_filtered.json — the driver's contended runs,
+    // exactly the artifacts a later adjudication needs — ALSO writes a
+    // timestamped copy, because bench_filtered.json is clobbered by
+    // any later run: the r17 judge's own isolated rerun overwrote the
+    // round's driver-run per-key record minutes after extracting it.
+    // Key-filtered triage iterations stay single-file (dozens per
+    // round; their detail is never the round's forensic record).
+    if (baselineIneligible && keyFilter.isEmpty) {
+      val stamp = java.time.format.DateTimeFormatter
+        .ofPattern("yyyyMMdd_HHmmss").withZone(java.time.ZoneOffset.UTC)
+        .format(java.time.Instant.now())
+      val keep = s"bench_filtered_$stamp.json"
+      try java.nio.file.Files.write(java.nio.file.Paths.get(keep),
+        (line + "\n").getBytes("UTF-8"))
+      catch { case e: Throwable => System.err.println(s"$keep write failed: $e") }
+    }
     spark.stop()
   }
 }

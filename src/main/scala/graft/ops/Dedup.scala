@@ -453,7 +453,34 @@ object Dedup {
     // the gate's eager checkpoint was the last consumer of both caches
     probes.unpersist(blocking = false)
     docOrd.unpersist(blocking = false)
-    rescoreJaccard(rescorable, sh, id, shCol, threshold)
+    timedStringRescore(rescoreJaccard(rescorable, sh, id, shCol, threshold),
+      "jaccard_string_rescore_ms")
+  }
+
+  /** Eagerly materialize the final STRING rescore under its own phase
+    * timer (round 18, VERDICT r17 #1): the docord-build and fused
+    * candidates+gate jobs already report `_ms` phase walls, but the
+    * string rescore ran lazily inside the CALLER's first action, so
+    * ~a third of the key's quiet wall sat in no phase counter — on the
+    * real r17 driver run `dedup_ngram_jaccard` flagged 12.36x with
+    * bit-identical volume counters yet `counter_attributed:false`,
+    * because the two reported timers could not corroborate a stretch
+    * that mostly landed in the untimed tail. With this third timer the
+    * phase walls cover ~95% of the key's quiet wall and the
+    * contention-vs-regression adjudication is mechanical.
+    *
+    * Eagerness is safe at scale: the output is the true near-dup pair
+    * set — a SUBSET of the gate's already-localCheckpointed candidate
+    * relation — so this introduces no storage ceiling the gate did not
+    * already have; downstream semantics are unchanged (checkpoint
+    * preserves rows/schema). One extra scheduled job per call, against
+    * a rescore phase measured in seconds (the r13 job-overhead concern
+    * applied to ~0.1 s jobs). */
+  private def timedStringRescore(scored: DataFrame, counter: String): DataFrame = {
+    val t0 = System.nanoTime()
+    val out = scored.localCheckpoint(eager = true)
+    graft.Metrics.record(counter, (System.nanoTime() - t0) / 1000000L)
+    out
   }
 
   /** Shared exact-Jaccard rescore: join candidate (id_a, id_b) pairs
@@ -506,7 +533,11 @@ object Dedup {
     val rescorable = probePairsOnOrdered(pOrd, cOrd, id, threshold)
     cOrd.unpersist(blocking = false)
     pOrd.unpersist(blocking = false)
-    rescoreJaccardTwoSided(rescorable, probeSh, corpusSh, id, shCol, threshold)
+    // same timed-eager final phase as the self-join tier (round 18) —
+    // the probe key has the identical untimed-tail shape
+    timedStringRescore(
+      rescoreJaccardTwoSided(rescorable, probeSh, corpusSh, id, shCol, threshold),
+      "jaccard_probe_string_rescore_ms")
   }
 
   /** Partition count for a prefix-collision self-join, derived from

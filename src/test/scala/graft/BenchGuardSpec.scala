@@ -234,6 +234,73 @@ class BenchGuardSpec extends AnyFunSuite with SparkTestBase {
     assert(!Bench.counterAttributed("dedup_ngram", 5.11, cur, prior))
   }
 
+  test("counter attribution: the r17 driver-run replay with the round-18 string-rescore timer — three stretched phases attribute; one stretched phase never does") {
+    // the real r17 driver shape: wall 12.36x, volume counters
+    // bit-identical (124,839 candidates / 256 gated pairs), docord
+    // 8.95x, fused gate 3.05x — and the stretch that actually landed
+    // in the previously-untimed string-rescore tail, now reported by
+    // jaccard_string_rescore_ms (round 18, VERDICT r17 #1). With the
+    // old two-timer coverage the lower-median ratio (3.05) fell short
+    // of half the wall ratio (6.18) and the canonical recurring
+    // contention flag arrived counter_attributed:false.
+    def k(c: String) = s"dedup_ngram_jaccard.$c"
+    val prior = Map(
+      k("jaccard_docord_build_ms") -> 1106L,
+      k("jaccard_prefix_candidates") -> 124839L,
+      k("jaccard_rescore_pairs") -> 256L,
+      k("jaccard_rescore_pairs_ms") -> 2268L,
+      k("jaccard_string_rescore_ms") -> 1500L)
+    val contended = Map(
+      k("jaccard_docord_build_ms") -> 9899L,   // 8.95x
+      k("jaccard_prefix_candidates") -> 124839L,
+      k("jaccard_rescore_pairs") -> 256L,
+      k("jaccard_rescore_pairs_ms") -> 6917L,  // 3.05x
+      k("jaccard_string_rescore_ms") -> 18540L) // 12.36x, the tail
+    // lower median of [3.05, 8.95, 12.36] = 8.95 >= 0.5 * 12.36
+    assert(Bench.counterAttributed("dedup_ngram_jaccard", 12.36,
+      contended, prior))
+    // a genuine per-unit-cost regression in ONE phase against two
+    // flat siblings (same volumes) still never attributes: lower
+    // median of [1.0, 1.0, 12.36] = 1.0
+    val oneStretched = prior +
+      (k("jaccard_string_rescore_ms") -> 18540L)
+    assert(!Bench.counterAttributed("dedup_ngram_jaccard", 12.36,
+      oneStretched, prior))
+  }
+
+  test("counter attribution requires >= 2 usable phase ratios (round 18): the one-_ms-counter shape never attributes") {
+    // join_range_bigbig's real counter shape: two volume counters plus
+    // exactly ONE _ms phase — the lower median IS that phase, so
+    // before the >=2 floor a genuine per-unit-cost regression in the
+    // one tracked phase would have self-attributed, contradicting the
+    // single-stretched-phase invariant (r17 advice).
+    val prior = Map(
+      "join_range_bigbig.range_est_pairs" -> 108046638L,
+      "join_range_bigbig.range_partitions" -> 32L,
+      "join_range_bigbig.range_estimate_ms" -> 326L)
+    val cur = Map(
+      "join_range_bigbig.range_est_pairs" -> 108046638L,
+      "join_range_bigbig.range_partitions" -> 32L,
+      "join_range_bigbig.range_estimate_ms" -> 3260L)
+    // the single phase stretched right at the wall ratio — maximal
+    // single-timer "corroboration", still refused
+    assert(!Bench.counterAttributed("join_range_bigbig", 10.0, cur, prior))
+  }
+
+  test("committed-reference text resolution (round 18, r17 advice): nonzero git exit means NO committed reference, not a working-tree fallback") {
+    val workingTree = """{"queries":{"q":9.9}}"""
+    // git ran, exit 0: the committed text stands
+    assert(Bench.committedTextOf(Some(0 -> """{"queries":{"q":1.0}}"""),
+      workingTree) == """{"queries":{"q":1.0}}""")
+    // git ran, nonzero exit (file absent at HEAD): empty — first-run
+    // eligibility, never the dirty working-tree yardstick
+    assert(Bench.committedTextOf(Some(128 -> "fatal: path not in HEAD"),
+      workingTree) == "")
+    // git itself unavailable/wedged: the documented last-resort
+    // working-tree fallback (reference_dirty annotates provenance)
+    assert(Bench.committedTextOf(None, workingTree) == workingTree)
+  }
+
   test("counter attribution never waives a genuine regression (round 17): changed volumes, changed counter set, flat walls, no counters") {
     def base(k: String) = Map(
       s"$k.candidates" -> 1000L, s"$k.build_ms" -> 500L)
@@ -288,11 +355,16 @@ class BenchGuardSpec extends AnyFunSuite with SparkTestBase {
   test("regressions_detail carries the round-17 evidence fields end-to-end") {
     val res = Map("dedup_ngram_jaccard" -> 23.44)
     val prior = Map("dedup_ngram_jaccard" -> 4.59)
+    // two stretched phases beside the identical volume counter — the
+    // >=2-ratio floor (round 18) makes a single timer insufficient,
+    // so the end-to-end shape carries both
     val counters = Map(
       "dedup_ngram_jaccard.jaccard_docord_build_ms" -> 12036L,
+      "dedup_ngram_jaccard.jaccard_rescore_pairs_ms" -> 10219L,
       "dedup_ngram_jaccard.jaccard_prefix_candidates" -> 124839L)
     val priorCounters = Map(
       "dedup_ngram_jaccard.jaccard_docord_build_ms" -> 1321L,
+      "dedup_ngram_jaccard.jaccard_rescore_pairs_ms" -> 2618L,
       "dedup_ngram_jaccard.jaccard_prefix_candidates" -> 124839L)
     val json = Bench.regressionsDetailJson(List("dedup_ngram_jaccard"),
       res, prior,

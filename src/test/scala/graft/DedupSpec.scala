@@ -709,21 +709,26 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     val probes = sh.limit(5)
       .select(($"doc_id" + 500000L).as("doc_id"), $"__sh").localCheckpoint(true)
     // one-way probe: pCounts count + collision-estimate head + the
-    // fused candidates+gate checkpoint = 3 (r13: 6)
+    // fused candidates+gate checkpoint + the timed string-rescore
+    // checkpoint (round 18: the rescore phase — a seconds-scale job,
+    // not the r13 ~0.1 s overhead pattern — materializes under its
+    // own `_ms` timer so phase walls cover the key's wall) = 4
+    // (r13: 6)
     val probeActions = actionsOf(s2) {
       Dedup.jaccardProbeOnShingles(sh, probes, "doc_id", "__sh", 0.5)
       ()
     }
-    assert(probeActions.size == 3,
-      s"probe gate must stay 3 driver actions, saw ${probeActions.size}: $probeActions")
+    assert(probeActions.size == 4,
+      s"probe gate must stay 4 driver actions, saw ${probeActions.size}: $probeActions")
     // self-join: collision-estimate head + the fused candidates+gate
-    // checkpoint = 2 (r12 shape: 4)
+    // checkpoint + the timed string-rescore checkpoint = 3
+    // (r12 shape: 4 with two of them pure scheduling overhead)
     val selfActions = actionsOf(s2) {
       Dedup.jaccardPairsExactOnShingles(sh, "doc_id", "__sh", 0.5)
       ()
     }
-    assert(selfActions.size == 2,
-      s"self-join gate must stay 2 driver actions, saw ${selfActions.size}: $selfActions")
+    assert(selfActions.size == 3,
+      s"self-join gate must stay 3 driver actions, saw ${selfActions.size}: $selfActions")
     // minhash probe: band-vocab broadcast-gate count + the observed
     // candidate checkpoint = 2 (r13: 3)
     val mhActions = actionsOf(s2) {

@@ -311,6 +311,15 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       // has none at all
       assert(!p.contains("BroadcastNestedLoopJoin"), p)
     }
+    // the jaccard tiers' final outputs arrive checkpointed since round
+    // 18 (the timed string-rescore phase), which hides their rescore
+    // joins from the plans above — pin the LAZY rescore shape
+    // directly: id-keyed equi-joins only, no cartesian/nested-loop
+    val cand = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val rescorePlan = plan(graft.ops.Dedup.rescoreJaccardTwoSided(
+      cand, sh, sh, "doc_id", "__sh", 0.5))
+    assert(!rescorePlan.contains("CartesianProduct"), rescorePlan)
+    assert(!rescorePlan.contains("BroadcastNestedLoopJoin"), rescorePlan)
   }
 
   test("probe joins broadcast-prune the corpus side below its exchange (LeftSemi)") {
