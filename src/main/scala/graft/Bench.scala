@@ -238,6 +238,7 @@ object Bench {
   private[graft] def regressionsDetailJson(regressions: List[String],
                                            results: Map[String, Double],
                                            prev: Map[String, Double],
+                                           committedPrev: Map[String, Double],
                                            keySteal: Map[String, Double],
                                            keyLoad: Map[String, Double],
                                            prevLoad: Map[String, Double],
@@ -248,11 +249,23 @@ object Bench {
     regressions.map { k =>
       val p = prev.get(k).filter(_ > 0).getOrElse(-1.0)
       val r = if (p > 0) results(k) / p else -1.0
+      // counter attribution compares SELF-CONSISTENTLY against the
+      // committed baseline (round-18 review): its `_ms`/volume priors
+      // are the committed text's, so its wall ratio must be the
+      // committed prior's too — when bench_full.json is dirty
+      // (ACCEPT_SLOWER residue, consecutive uncommitted runs), the
+      // working-tree ratio `r` above is a DIFFERENT yardstick and
+      // mixing them could annotate a partially-regressed run as
+      // contention. `ratio_committed` lands in the JSON so the
+      // attribution is recomputable from the artifact alone; on a
+      // clean tree it equals `ratio`.
+      val pCom = committedPrev.get(k).filter(_ > 0).getOrElse(-1.0)
+      val rCom = if (pCom > 0) results(k) / pCom else -1.0
       val baseLoad = prevLoad.get(k).filter(_ > 0).getOrElse(-1.0)
       val attributed = hostAttributed(keyLoad.getOrElse(k, -1.0),
         suiteMedianLoad, keySteal.getOrElse(k, -1.0), baseLoad)
-      val counterAttr = counterAttributed(k, r, curCounters, prevCounters)
-      s""""$k":{"prior":${jd("%.3f", p)},"cur":${jd("%.3f", results(k))},"ratio":${jd("%.2f", r)},"steal_frac":${jd("%.4f", keySteal.getOrElse(k, -1.0))},"load_avg":${jd("%.2f", keyLoad.getOrElse(k, -1.0))},"load_avg_suite_median":${jd("%.2f", suiteMedianLoad)},"load_avg_baseline":${jd("%.2f", baseLoad)},"host_attributed":$attributed,"counter_attributed":$counterAttr}"""
+      val counterAttr = counterAttributed(k, rCom, curCounters, prevCounters)
+      s""""$k":{"prior":${jd("%.3f", p)},"cur":${jd("%.3f", results(k))},"ratio":${jd("%.2f", r)},"ratio_committed":${jd("%.2f", rCom)},"steal_frac":${jd("%.4f", keySteal.getOrElse(k, -1.0))},"load_avg":${jd("%.2f", keyLoad.getOrElse(k, -1.0))},"load_avg_suite_median":${jd("%.2f", suiteMedianLoad)},"load_avg_baseline":${jd("%.2f", baseLoad)},"host_attributed":$attributed,"counter_attributed":$counterAttr}"""
     }.mkString("{", ",", "}")
   }
 
@@ -275,6 +288,33 @@ object Bench {
       case Some(_) => ""
       case None => workingTreeTxt
     }
+
+  /** Run a git subprocess with a BOUNDED wall (round 18, review: the
+    * unbounded readAllBytes+waitFor pattern could hang the whole bench
+    * on a wedged git — index.lock, hung NFS): stdout+stderr drained on
+    * a daemon thread (output larger than the pipe buffer cannot
+    * deadlock the bounded wait), 10 s waitFor, destroyForcibly on
+    * timeout. None = git could not run or did not finish (unavailable
+    * / wedged); Some((exit, output)) otherwise. */
+  private def boundedGit(args: String*): Option[(Int, String)] =
+    try {
+      val p = new ProcessBuilder(("git" +: args): _*)
+        .redirectErrorStream(true).start()
+      val buf = new java.io.ByteArrayOutputStream()
+      val drain = new Thread(() => {
+        try { p.getInputStream.transferTo(buf); () }
+        catch { case _: Throwable => () }
+      })
+      drain.setDaemon(true)
+      drain.start()
+      if (!p.waitFor(10, java.util.concurrent.TimeUnit.SECONDS)) {
+        p.destroyForcibly()
+        None
+      } else {
+        drain.join(2000)
+        Some(p.exitValue() -> buf.toString("UTF-8"))
+      }
+    } catch { case _: Throwable => None }
 
   /** Parse the committed reference's per-key medians, gated on its sf
     * matching this run's (factored out for BenchGuardSpec): on a
@@ -544,27 +584,24 @@ object Bench {
     // where the old unbounded read could hang the whole bench) does
     // the working-tree text stand in, the documented fallback.
     val committedTxt: String = {
-      val outcome: Option[(Int, String)] =
-        try {
-          val p = new ProcessBuilder("git", "show", "HEAD:bench_full.json")
-            .redirectErrorStream(true).start()
-          // drain on a daemon thread so a reference larger than the
-          // pipe buffer cannot deadlock against the bounded waitFor
-          val buf = new java.io.ByteArrayOutputStream()
-          val drain = new Thread(() => {
-            try p.getInputStream.transferTo(buf)
-            catch { case _: Throwable => () }
-          })
-          drain.setDaemon(true)
-          drain.start()
-          if (!p.waitFor(10, java.util.concurrent.TimeUnit.SECONDS)) {
-            p.destroyForcibly()
-            None
-          } else {
-            drain.join(2000)
-            Some(p.exitValue() -> buf.toString("UTF-8"))
-          }
-        } catch { case _: Throwable => None }
+      val outcome = boundedGit("show", "HEAD:bench_full.json")
+      // A nonzero exit is USUALLY "file absent at HEAD" (first run
+      // before any committed baseline) but can also be a git
+      // environment error — dubious ownership, wrong CWD — where a
+      // committed reference EXISTS (round-18 review). The gate still
+      // treats both as "no committed reference" (the dirty
+      // working-tree fallback is the worse failure mode), but the
+      // suspicious shape — git failed while the working-tree file
+      // exists — warns loudly so a disarmed beats gate is never
+      // silent.
+      outcome.collect { case (code, out) if code != 0 && refTxt.nonEmpty =>
+        System.err.println("[bench] WARN: `git show HEAD:bench_full.json` " +
+          s"exited $code while the working-tree file exists — treating as " +
+          "NO committed reference (first-run eligibility). If this is a " +
+          "git environment error rather than a genuinely uncommitted " +
+          s"first baseline, fix it before trusting the beats gate. git " +
+          s"said: ${out.trim.take(200)}")
+      }
       committedTextOf(outcome, refTxt)
     }
     val (committedRefQueries: Map[String, Double], committedSfOk: Boolean) =
@@ -596,12 +633,9 @@ object Bench {
     // whether the reference file was git-clean at prior-load time;
     // the adjudicating reader (and the commit discipline) key off it.
     val referenceDirty: Option[Boolean] =
-      try {
-        val p = new ProcessBuilder("git", "status", "--porcelain", "--", "bench_full.json")
-          .redirectErrorStream(true).start()
-        val out = new String(p.getInputStream.readAllBytes(), "UTF-8").trim
-        if (p.waitFor() == 0) Some(out.nonEmpty) else None
-      } catch { case _: Throwable => None }
+      boundedGit("status", "--porcelain", "--", "bench_full.json").collect {
+        case (0, out) => out.trim.nonEmpty
+      }
     if (referenceDirty.contains(true))
       System.err.println("[bench] WARN: bench_full.json has uncommitted changes — " +
         "priors are NOT the committed baseline; restore it (git checkout -- " +
@@ -695,7 +729,8 @@ object Bench {
     // snapshot feeds the counter-attribution evidence at the flag site
     val counterSnapshot = Metrics.snapshot
     val regDetail = regressionsDetailJson(regressions, resultMap, prevQueries,
-      keySteal, keyLoad, prevLoads, counterSnapshot.toMap, prevCounters)
+      committedRefQueries, keySteal, keyLoad, prevLoads,
+      counterSnapshot.toMap, prevCounters)
     val loadEnd = loadAvg1m()
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -776,8 +811,13 @@ object Bench {
     // any later run: the r17 judge's own isolated rerun overwrote the
     // round's driver-run per-key record minutes after extracting it.
     // Key-filtered triage iterations stay single-file (dozens per
-    // round; their detail is never the round's forensic record).
-    if (baselineIneligible && keyFilter.isEmpty) {
+    // round; their detail is never the round's forensic record), and
+    // so do CROSS-SF runs (round-18 review: a routine verify-skill
+    // sf0.01 smoke is full-suite and always ineligible against an
+    // sf0.1 reference — without the sf gate every smoke would litter
+    // the repo root with a stamped copy the round-close wholesale
+    // commit then sweeps in).
+    if (baselineIneligible && keyFilter.isEmpty && sfMatchesRef) {
       val stamp = java.time.format.DateTimeFormatter
         .ofPattern("yyyyMMdd_HHmmss").withZone(java.time.ZoneOffset.UTC)
         .format(java.time.Instant.now())

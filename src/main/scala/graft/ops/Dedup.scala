@@ -475,7 +475,15 @@ object Dedup {
     * already have; downstream semantics are unchanged (checkpoint
     * preserves rows/schema). One extra scheduled job per call, against
     * a rescore phase measured in seconds (the r13 job-overhead concern
-    * applied to ~0.1 s jobs). */
+    * applied to ~0.1 s jobs). Deliberate in the LIBRARY, not the bench
+    * harness (round-18 review weighed the alternative): both tiers
+    * were already eager at construction — the collision estimate and
+    * the gate's checkpoint run jobs before the caller's first action —
+    * so this does not change the API's laziness class, and putting the
+    * timer here means every caller (harness, streaming stores, a
+    * library consumer) reports the phase, not just bench keys. The
+    * plan-audit evidence the checkpoint hides is re-pinned lazily
+    * (PlanSpec) and re-dumped (DumpPlans). */
   private def timedStringRescore(scored: DataFrame, counter: String): DataFrame = {
     val t0 = System.nanoTime()
     val out = scored.localCheckpoint(eager = true)

@@ -138,15 +138,15 @@ class BenchGuardSpec extends AnyFunSuite with SparkTestBase {
     val prior = Map("sink_z" -> 2.1)
     val steal = Map("sink_z" -> 0.0)
     val load = Map("sink_z" -> 4.03, "k1" -> 2.95, "k2" -> 2.80, "k3" -> 3.00)
-    val json = Bench.regressionsDetailJson(List("sink_z"), res, prior, steal, load,
-      Map.empty, Map.empty, Map.empty)
+    val json = Bench.regressionsDetailJson(List("sink_z"), res, prior, prior,
+      steal, load, Map.empty, Map.empty, Map.empty)
     assert(json.contains("\"load_avg\":4.03"), json)
     // sorted(size/2) — the ambientRatio convention (upper median)
     assert(json.contains("\"load_avg_suite_median\":3.00"), json)
     assert(json.contains("\"steal_frac\":0.0000"), json)
     assert(json.contains("\"ratio\":4.29"), json)
     // unavailable markers surface as -1, never as a plausible number
-    val none = Bench.regressionsDetailJson(List("sink_z"), res, prior,
+    val none = Bench.regressionsDetailJson(List("sink_z"), res, prior, prior,
       Map.empty, Map.empty, Map.empty, Map.empty, Map.empty)
     assert(none.contains("\"load_avg\":-1.00") &&
       none.contains("\"load_avg_suite_median\":-1.00") &&
@@ -170,12 +170,12 @@ class BenchGuardSpec extends AnyFunSuite with SparkTestBase {
     // and the JSON carries the verdict at the flag site
     val res = Map("sink_z" -> 9.0)
     val prior = Map("sink_z" -> 2.1)
-    val hot = Bench.regressionsDetailJson(List("sink_z"), res, prior,
+    val hot = Bench.regressionsDetailJson(List("sink_z"), res, prior, prior,
       Map("sink_z" -> 0.0),
       Map("sink_z" -> 9.02, "k1" -> 2.95, "k2" -> 2.80, "k3" -> 3.00),
       Map.empty, Map.empty, Map.empty)
     assert(hot.contains("\"host_attributed\":true"), hot)
-    val quiet = Bench.regressionsDetailJson(List("sink_z"), res, prior,
+    val quiet = Bench.regressionsDetailJson(List("sink_z"), res, prior, prior,
       Map("sink_z" -> 0.0),
       Map("sink_z" -> 3.10, "k1" -> 2.95, "k2" -> 2.80, "k3" -> 3.00),
       Map.empty, Map.empty, Map.empty)
@@ -367,7 +367,7 @@ class BenchGuardSpec extends AnyFunSuite with SparkTestBase {
       "dedup_ngram_jaccard.jaccard_rescore_pairs_ms" -> 2618L,
       "dedup_ngram_jaccard.jaccard_prefix_candidates" -> 124839L)
     val json = Bench.regressionsDetailJson(List("dedup_ngram_jaccard"),
-      res, prior,
+      res, prior, prior,
       Map("dedup_ngram_jaccard" -> 0.0),
       Map("dedup_ngram_jaccard" -> 8.89, "k1" -> 6.18, "k2" -> 6.0, "k3" -> 6.2),
       Map("dedup_ngram_jaccard" -> 7.66),
@@ -377,6 +377,45 @@ class BenchGuardSpec extends AnyFunSuite with SparkTestBase {
     assert(json.contains("\"host_attributed\":false"), json)
     assert(json.contains("\"counter_attributed\":true"), json)
     assert(json.contains("\"load_avg_baseline\":7.66"), json)
+    // clean tree: committed prior == working-tree prior, so the two
+    // ratios agree in the artifact
+    assert(json.contains("\"ratio\":5.11"), json)
+    assert(json.contains("\"ratio_committed\":5.11"), json)
+  }
+
+  test("counter attribution is committed-consistent when the working tree is dirty (round 18, review)") {
+    // ACCEPT_SLOWER residue: the working-tree prior is a SLOWER dirty
+    // run (9.0 s) while the committed baseline says 4.59 s. The key's
+    // committed wall ratio is 23.44/4.59 = 5.11x; the dirty ratio is
+    // only 2.60x. The counter evidence (phase _ms priors) is the
+    // COMMITTED text's, so the corroboration bar must use the
+    // committed ratio — against the dirty 2.60x, a lower-median _ms
+    // inflation of 1.5x would wrongly clear 0.5*2.60 = 1.30.
+    val res = Map("dedup_ngram_jaccard" -> 23.44)
+    val dirtyPrior = Map("dedup_ngram_jaccard" -> 9.0)
+    val committedPrior = Map("dedup_ngram_jaccard" -> 4.59)
+    // phases stretched only ~1.6x/1.5x against a committed 5.11x wall:
+    // the stretch did NOT land in the measured phases — a genuine
+    // regression shape that must stay unattributed
+    val counters = Map(
+      "dedup_ngram_jaccard.jaccard_docord_build_ms" -> 2100L,
+      "dedup_ngram_jaccard.jaccard_rescore_pairs_ms" -> 3900L,
+      "dedup_ngram_jaccard.jaccard_prefix_candidates" -> 124839L)
+    val priorCounters = Map(
+      "dedup_ngram_jaccard.jaccard_docord_build_ms" -> 1321L,
+      "dedup_ngram_jaccard.jaccard_rescore_pairs_ms" -> 2618L,
+      "dedup_ngram_jaccard.jaccard_prefix_candidates" -> 124839L)
+    val json = Bench.regressionsDetailJson(List("dedup_ngram_jaccard"),
+      res, dirtyPrior, committedPrior,
+      Map("dedup_ngram_jaccard" -> 0.0),
+      Map("dedup_ngram_jaccard" -> 2.0, "k1" -> 2.0, "k2" -> 2.0),
+      Map.empty, counters, priorCounters)
+    // lower-median _ms ratio 1.49 < 0.5*5.11 = 2.55 -> unattributed;
+    // against the dirty 2.60x it would have cleared 1.30 and
+    // mis-attributed a real regression to the host
+    assert(json.contains("\"counter_attributed\":false"), json)
+    assert(json.contains("\"ratio\":2.60"), json)
+    assert(json.contains("\"ratio_committed\":5.11"), json)
   }
 
   test("reference sections parse flat sub-objects (round 17)") {
@@ -556,7 +595,7 @@ class BenchGuardSpec extends AnyFunSuite with SparkTestBase {
       assert(Bench.jd("%.2f", 4.0) == "4.00")
       assert(Bench.jd("%.4f", 0.0051) == "0.0051")
       val json = Bench.regressionsDetailJson(List("sink_z"),
-        Map("sink_z" -> 9.0), Map("sink_z" -> 2.1),
+        Map("sink_z" -> 9.0), Map("sink_z" -> 2.1), Map("sink_z" -> 2.1),
         Map("sink_z" -> 0.0), Map("sink_z" -> 4.03),
         Map("sink_z" -> 2.35), Map.empty, Map.empty)
       assert(!json.contains("2,100") && !json.contains("4,29"), json)
