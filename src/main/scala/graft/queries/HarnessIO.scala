@@ -350,7 +350,12 @@ object HarnessIO {
           Files.write(Paths.get(f"$stage/bin/doc_${r.getLong(0)}%05d.bin"),
             r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
         }
-      s.read.format("binaryFile").load(s"$stage/bin/*.bin")
+      // directory + pathGlobFilter, not a glob PATH (round 19): Spark's
+      // FileStreamSink.hasMetadata stats the load path literally during
+      // analysis, so a glob path plants a caught-but-logged
+      // FileNotFoundException stack trace in every driver run
+      s.read.format("binaryFile").option("pathGlobFilter", "*.bin")
+        .load(s"$stage/bin")
         .select(
           regexp_extract($"path", "doc_(\\d+)\\.bin", 1).cast("long").as("doc_id"),
           $"length".as("n_bytes"),

@@ -292,13 +292,86 @@ class BenchGuardSpec extends AnyFunSuite with SparkTestBase {
     // git ran, exit 0: the committed text stands
     assert(Bench.committedTextOf(Some(0 -> """{"queries":{"q":1.0}}"""),
       workingTree) == """{"queries":{"q":1.0}}""")
-    // git ran, nonzero exit (file absent at HEAD): empty — first-run
-    // eligibility, never the dirty working-tree yardstick
-    assert(Bench.committedTextOf(Some(128 -> "fatal: path not in HEAD"),
+    // git ran, nonzero exit (real absent-at-HEAD message): empty —
+    // first-run eligibility, never the dirty working-tree yardstick
+    assert(Bench.committedTextOf(
+      Some(128 -> "fatal: path 'bench_full.json' does not exist in 'HEAD'"),
+      workingTree) == "")
+    // nonzero with an ENVIRONMENT error: still empty text (a dirty
+    // working-tree yardstick is never substituted) — eligibility is
+    // separately blocked by committedGateUnverifiable below
+    assert(Bench.committedTextOf(
+      Some(128 -> "fatal: detected dubious ownership in repository"),
       workingTree) == "")
     // git itself unavailable/wedged: the documented last-resort
     // working-tree fallback (reference_dirty annotates provenance)
     assert(Bench.committedTextOf(None, workingTree) == workingTree)
+  }
+
+  test("beats-gate verifiability (round 19, r18 advice): ambiguous git errors block eligibility; genuinely-absent shapes grant it") {
+    // the three genuinely-absent shapes, verified against this repo's
+    // git: first-run eligibility stands
+    assert(!Bench.committedGateUnverifiable(
+      Some(128 -> "fatal: path 'bench_full.json' does not exist in 'HEAD'")))
+    assert(!Bench.committedGateUnverifiable(
+      Some(128 -> "fatal: path 'bench_full.json' exists on disk, but not in 'HEAD'")))
+    assert(!Bench.committedGateUnverifiable(
+      Some(128 -> "fatal: invalid object name 'HEAD'.")))
+    // git environment errors while a committed baseline may exist:
+    // the r18 hole shape — these must NOT grant trivial first-run
+    // eligibility (empty map -> beatsReference true -> a contended
+    // run overwrites bench_full.json)
+    assert(Bench.committedGateUnverifiable(
+      Some(128 -> "fatal: detected dubious ownership in repository at '/root/repo'")))
+    assert(Bench.committedGateUnverifiable(
+      Some(128 -> "fatal: not a git repository (or any of the parent directories): .git")))
+    assert(Bench.committedGateUnverifiable(
+      Some(128 -> "error: object file .git/objects/ab/cd is empty\nfatal: loose object abcd is corrupt")))
+    // exit 0 and wedged-git are verifiable paths: exit 0 compares
+    // against real committed text; None falls back to the documented
+    // working-tree comparison (still a real yardstick, unlike the
+    // trivially-true empty map)
+    assert(!Bench.committedGateUnverifiable(Some(0 -> """{"queries":{}}""")))
+    assert(!Bench.committedGateUnverifiable(None))
+  }
+
+  test("same-tree self-adjudication (round 19): same source tree + clean trees concludes host-by-construction; anything less concludes nothing or false") {
+    // identity = src/ tree object + build.sbt blob, NOT the commit
+    // hash: the baseline lands in a later artifact-only commit and
+    // the driver benches after further doc commits, so head_rev
+    // always differs while the source is byte-identical — the r18
+    // driver shape this mechanism exists to recognize
+    val tree = "0123456789abcdef0123456789abcdef01234567" +
+      "+fedcba9876543210fedcba9876543210fedcba98"
+    val otherTree = "1111111111111111111111111111111111111111" +
+      "+fedcba9876543210fedcba9876543210fedcba98"
+    def ref(t: String, dirty: Boolean) =
+      s"""{"queries":{"q":1.0},"src_tree":"$t","src_dirty":$dirty}"""
+    // both provenances present, same source objects, both clean: any
+    // regression flag on this run is host contention by construction
+    assert(Bench.sameTreeAsBaseline(Some(tree), Some(false),
+      ref(tree, dirty = false)).contains(true))
+    // different source: flags may be real
+    assert(Bench.sameTreeAsBaseline(Some(otherTree), Some(false),
+      ref(tree, dirty = false)).contains(false))
+    // either side's working tree dirty: the recorded objects no
+    // longer name the code that ran — never conclude same-tree
+    assert(Bench.sameTreeAsBaseline(Some(tree), Some(true),
+      ref(tree, dirty = false)).contains(false))
+    assert(Bench.sameTreeAsBaseline(Some(tree), Some(false),
+      ref(tree, dirty = true)).contains(false))
+    // provenance missing on either side (pre-round-19 baseline, git
+    // unavailable): no conclusion, never a guess
+    assert(Bench.sameTreeAsBaseline(Some(tree), Some(false),
+      """{"queries":{"q":1.0}}""").isEmpty)
+    assert(Bench.sameTreeAsBaseline(None, Some(false),
+      ref(tree, dirty = false)).isEmpty)
+    assert(Bench.sameTreeAsBaseline(Some(tree), None,
+      ref(tree, dirty = false)).isEmpty)
+    // the field parsers themselves
+    assert(Bench.parseSrcTree(ref(tree, dirty = false)).contains(tree))
+    assert(Bench.parseSrcDirty(ref(tree, dirty = true)).contains(true))
+    assert(Bench.parseSrcTree("{}").isEmpty && Bench.parseSrcDirty("{}").isEmpty)
   }
 
   test("counter attribution never waives a genuine regression (round 17): changed volumes, changed counter set, flat walls, no counters") {
