@@ -335,8 +335,16 @@ object Bench {
     * / wedged); Some((exit, output)) otherwise. */
   private def boundedGit(args: String*): Option[(Int, String)] =
     try {
-      val p = new ProcessBuilder(("git" +: args): _*)
-        .redirectErrorStream(true).start()
+      val pb = new ProcessBuilder(("git" +: args): _*)
+        .redirectErrorStream(true)
+      // C-locale messages (round 19): committedRefAbsentOutput matches
+      // git's English text literally — under a localized git (user
+      // LANG/LC_ALL) a genuinely-absent message would read as an
+      // unrecognized environment error. That degrades fail-safe
+      // (ineligible + loud warning, never baseline pollution), but
+      // pinning the subprocess locale removes the misread entirely.
+      pb.environment().put("LC_ALL", "C")
+      val p = pb.start()
       val buf = new java.io.ByteArrayOutputStream()
       val drain = new Thread(() => {
         try { p.getInputStream.transferTo(buf); () }
