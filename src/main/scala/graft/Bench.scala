@@ -291,38 +291,52 @@ object Bench {
       case None => workingTreeTxt
     }
 
-  /** True when a nonzero `git show HEAD:bench_full.json` exit means
-    * "there genuinely is no committed reference" — the only nonzero
-    * shapes that may grant first-run baseline eligibility (round 19,
-    * r18 advice). Matched against git's own messages (verified on the
-    * repo's git): path absent at HEAD ("does not exist in"), tracked
-    * working-tree file never committed ("exists on disk, but not
-    * in"), and a repo with no commits yet ("invalid object name").
-    * Everything else — dubious ownership, not-a-repository (wrong
-    * CWD), corrupt objects — is a git ENVIRONMENT error behind which
-    * a committed baseline may well exist. */
+  /** True when a nonzero `git show HEAD:bench_full.json` output
+    * matches git's path-absent messages (round 19, r18 advice):
+    * "does not exist in" (path not at HEAD) and "exists on disk, but
+    * not in" (working-tree file never committed). These messages are
+    * NECESSARY but not SUFFICIENT evidence of a genuinely absent
+    * committed reference: a corrupt repo emits the SAME second
+    * message when HEAD's ref is garbage or the commit object is
+    * missing (verified empirically in a scratch repo — in-round
+    * review of the first revision of this gate), so the caller must
+    * additionally require that HEAD peels to a real commit
+    * ([[committedGateUnverifiable]]'s `headResolves`). "invalid
+    * object name" is deliberately NOT matched: a no-commits repo and
+    * a garbage-HEAD repo emit it identically, and only the second
+    * may hide a committed baseline — establishing a first baseline
+    * therefore requires at least one commit (or the ACCEPT_SLOWER
+    * escape), the conservative trade. */
   private[graft] def committedRefAbsentOutput(out: String): Boolean =
     out.contains("does not exist in") ||
-      out.contains("exists on disk, but not in") ||
-      out.contains("invalid object name")
+      out.contains("exists on disk, but not in")
 
   /** The fail-safe half of the round-19 fix (r18 advice): `git show`
-    * ran but exited nonzero with output that does NOT match the
-    * genuinely-absent shapes — a git environment error while a
+    * ran but exited nonzero in a way that does not PROVE the
+    * committed reference absent — a git environment error while a
     * committed baseline may exist. The beats gate cannot be evaluated
     * against a reference we cannot read, and treating the error as
     * "no committed reference" would grant trivial first-run
     * eligibility (empty map → beatsReference true), letting a
     * contended/slower run overwrite bench_full.json — the r16 hole
     * class this gate exists to close. Such a run is marked
-    * baseline-INELIGIBLE (redirected to bench_filtered.json). Exit 0
-    * and the genuinely-absent shapes are verifiable; `None` (git
+    * baseline-INELIGIBLE (redirected to bench_filtered.json; the
+    * documented ACCEPT_SLOWER=1 operator escape still overrides).
+    * Proof of absence = the path-absent message AND `headResolves`
+    * (HEAD peels to a real commit via `git rev-parse HEAD^{commit}`):
+    * a garbage ref or missing commit object emits the same
+    * "exists on disk, but not in 'HEAD'" message as a genuinely
+    * uncommitted file, and only the rev-parse probe separates them
+    * (both corrupt shapes fail it, the healthy repo passes —
+    * verified empirically). Exit 0 is verifiable; `None` (git
     * unavailable/wedged) keeps the documented working-tree-fallback
     * path, where beatsReference still compares against real text. */
   private[graft] def committedGateUnverifiable(
-      gitOutcome: Option[(Int, String)]): Boolean =
+      gitOutcome: Option[(Int, String)],
+      headResolves: Boolean): Boolean =
     gitOutcome match {
-      case Some((code, out)) if code != 0 => !committedRefAbsentOutput(out)
+      case Some((code, out)) if code != 0 =>
+        !(committedRefAbsentOutput(out) && headResolves)
       case _ => false
     }
 
@@ -691,42 +705,49 @@ object Bench {
     // r18 shape where the warning annotated but did not prevent the
     // overwrite). Both shapes yield empty committed text — a dirty
     // working-tree yardstick is never substituted for a committed one.
-    val (committedTxt: String, gateUnverifiable: Boolean) = {
-      val outcome = boundedGit("show", "HEAD:bench_full.json")
-      val unverifiable = committedGateUnverifiable(outcome)
-      if (unverifiable)
-        outcome.foreach { case (code, out) =>
-          System.err.println("[bench] WARN: `git show HEAD:bench_full.json` " +
-            s"exited $code with an unrecognized error (working-tree file " +
-            s"${if (refTxt.nonEmpty) "exists" else "absent"}) — the " +
-            "committed reference cannot be verified, so this run is " +
-            "baseline-INELIGIBLE (bench_filtered.json). Fix the git " +
-            s"environment to re-arm the beats gate. git said: " +
-            s"${out.trim.take(200)}")
-        }
-      (committedTextOf(outcome, refTxt), unverifiable)
-    }
     // Run provenance (round 19): the source tree this bench executed
     // on — the src/ tree object + build.sbt blob at HEAD (commit
     // hashes would differ across the artifact-only commits that
     // bracket every baseline) plus working-tree dirtiness — so a
     // later reader, or this run itself against a baseline that
     // recorded the same fields, can adjudicate regression flags
-    // mechanically. head_rev is recorded too, as pure forensics.
-    // See sameTreeAsBaseline.
-    val headRev: Option[String] =
-      boundedGit("rev-parse", "HEAD").collect {
-        case (0, out) if out.trim.matches("[0-9a-f]{7,40}") => out.trim
-      }
-    val srcTree: Option[String] =
-      boundedGit("rev-parse", "HEAD:src", "HEAD:build.sbt")
+    // mechanically (see sameTreeAsBaseline). ONE combined rev-parse
+    // resolves the HEAD commit (peeled — the ^{commit} read is also
+    // the corrupt-repo probe committedGateUnverifiable requires,
+    // since a garbage ref or missing commit object fails it while
+    // plain ref-resolution would not) plus both source objects;
+    // three sequential bounded subprocesses would stall up to 30 s
+    // in the wedged-git environment this code designs for (in-round
+    // review). A repo whose HEAD lacks src/ or build.sbt reads as
+    // unresolved — conservative: provenance and first-baseline
+    // eligibility both require the committed source layout.
+    val provenance: Option[Seq[String]] =
+      boundedGit("rev-parse", "HEAD^{commit}", "HEAD:src", "HEAD:build.sbt")
         .collect { case (0, out) => out.trim.split("\\s+").toSeq }
-        .collect { case Seq(t, b) if (t + b).matches("[0-9a-f]{80}") =>
-          s"$t+$b" }
+        .filter(s => s.length == 3 && s.forall(_.matches("[0-9a-f]{40}")))
+    val headRev: Option[String] = provenance.map(_.head)
+    val srcTree: Option[String] = provenance.map(s => s(1) + "+" + s(2))
     val srcDirty: Option[Boolean] =
       boundedGit("status", "--porcelain", "--", "src", "build.sbt").collect {
         case (0, out) => out.trim.nonEmpty
       }
+    val (committedTxt: String, gateUnverifiable: Boolean) = {
+      val outcome = boundedGit("show", "HEAD:bench_full.json")
+      val unverifiable = committedGateUnverifiable(outcome, headRev.isDefined)
+      if (unverifiable)
+        outcome.foreach { case (code, out) =>
+          System.err.println("[bench] WARN: `git show HEAD:bench_full.json` " +
+            s"exited $code without proving the committed reference absent " +
+            s"(working-tree file ${if (refTxt.nonEmpty) "exists" else "absent"}, " +
+            s"HEAD ${if (headRev.isDefined) "resolves" else "does NOT resolve"}) " +
+            "— the reference cannot be verified, so this run is " +
+            "baseline-INELIGIBLE (bench_filtered.json) unless " +
+            "SPARK_GRAFT_BENCH_ACCEPT_SLOWER=1 deliberately overrides. Fix " +
+            s"the git environment to re-arm the beats gate. git said: " +
+            s"${out.trim.take(200)}")
+        }
+      (committedTextOf(outcome, refTxt), unverifiable)
+    }
     val baselineSameTree: Option[Boolean] =
       sameTreeAsBaseline(srcTree, srcDirty, committedTxt)
     val (committedRefQueries: Map[String, Double], committedSfOk: Boolean) =
@@ -911,7 +932,16 @@ object Bench {
     // (round 19) — say so next to the flags themselves, where the r18
     // driver shape (three unattributed flags, steal ~0, loads at
     // baseline) left a human to reconstruct the provenance by hand.
-    if (regressions.nonEmpty && baselineSameTree.contains(true))
+    // ONLY when the reference was loaded git-clean (in-round review):
+    // the flag list derives from the WORKING-TREE priors, so with a
+    // dirty bench_full.json the flags measure against a different
+    // yardstick than the committed baseline the same-tree conclusion
+    // is about — e.g. an uncommitted-speedup run baselined into the
+    // dirty file, then reverted: flags vs its fast priors are a REAL
+    // code delta, while src_tree still equals the committed
+    // baseline's.
+    if (regressions.nonEmpty && baselineSameTree.contains(true) &&
+        referenceDirty.contains(false))
       println(s"[bench] note: ${regressions.size} regression flag(s) on " +
         "the SAME SOURCE TREE as the committed baseline (identical " +
         "src/ + build.sbt objects, both working trees clean) — host " +
@@ -934,16 +964,30 @@ object Bench {
         "baseline_ineligible and lands in bench_filtered.json; fix the " +
         "failures and rerun before committing a baseline")
     else if (keyFilter.isEmpty && sfMatchesRef && !beatsRef) {
-      val common = resultMap.keySet.intersect(committedRefQueries.keySet)
-        .filter(k => resultMap(k) > 0 && committedRefQueries(k) > 0)
-      System.err.println("[bench] NOT overwriting bench_full.json: " +
-        s"common-key total ${jd("%.1f", common.toSeq.map(resultMap).sum)}s " +
-        "does not beat the committed baseline's " +
-        s"${jd("%.1f", common.toSeq.map(committedRefQueries).sum)}s over " +
-        s"the same ${common.size} keys — the fastest clean committed run " +
-        "stands and this run lands in bench_filtered.json " +
-        "(SPARK_GRAFT_BENCH_ACCEPT_SLOWER=1 to deliberately re-baseline " +
-        "after an accepted slowdown)")
+      // two distinct refusal reasons (in-round review): a gate left
+      // unverifiable by a git environment error must not print the
+      // lost-the-comparison message — with empty committed queries it
+      // would read "0.0s does not beat 0.0s over the same 0 keys"
+      // and advise re-baselining after a slowdown that never happened
+      if (gateUnverifiable)
+        System.err.println("[bench] NOT overwriting bench_full.json: the " +
+          "committed reference could not be verified (git environment " +
+          "error — see the WARN above), so there is no yardstick to beat " +
+          "and this run lands in bench_filtered.json; fix the git " +
+          "environment, or SPARK_GRAFT_BENCH_ACCEPT_SLOWER=1 to " +
+          "deliberately baseline without one")
+      else {
+        val common = resultMap.keySet.intersect(committedRefQueries.keySet)
+          .filter(k => resultMap(k) > 0 && committedRefQueries(k) > 0)
+        System.err.println("[bench] NOT overwriting bench_full.json: " +
+          s"common-key total ${jd("%.1f", common.toSeq.map(resultMap).sum)}s " +
+          "does not beat the committed baseline's " +
+          s"${jd("%.1f", common.toSeq.map(committedRefQueries).sum)}s over " +
+          s"the same ${common.size} keys — the fastest clean committed run " +
+          "stands and this run lands in bench_filtered.json " +
+          "(SPARK_GRAFT_BENCH_ACCEPT_SLOWER=1 to deliberately re-baseline " +
+          "after an accepted slowdown)")
+      }
     }
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (line + "\n").getBytes("UTF-8"))

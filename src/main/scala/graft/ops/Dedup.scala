@@ -466,11 +466,13 @@ object Dedup {
     * bit-identical volume counters yet `counter_attributed:false`,
     * because the two reported timers could not corroborate a stretch
     * that mostly landed in the untimed tail. With this third timer the
-    * phase walls cover ~86% of the key's quiet wall (round-18 quiet
-    * measurement, same figure in SURVEY §8: 1166+2507+197 ms of a
-    * 4472 ms wall at sf0.1; the committed round-18 baseline reads
-    * 1075+2090+148 of 3861 ms = 85.8%) and the
-    * contention-vs-regression adjudication is mechanical.
+    * phase walls cover ≳85% of the key's quiet wall — the share moves
+    * with the untimed candidate/gate fraction between runs: the
+    * committed round-18 baseline reads 1075+2090+148 of 3861 ms =
+    * 85.8%, the round-19 one 1080+2165+144 of 3562 ms = 95.2% (the
+    * round-18 in-round quiet measurement was 1166+2507+197 of
+    * 4472 ms = 86%, SURVEY §8) — and the contention-vs-regression
+    * adjudication is mechanical.
     *
     * Eagerness is safe at scale: the output is the true near-dup pair
     * set — a SUBSET of the gate's already-localCheckpointed candidate

@@ -308,31 +308,52 @@ class BenchGuardSpec extends AnyFunSuite with SparkTestBase {
     assert(Bench.committedTextOf(None, workingTree) == workingTree)
   }
 
-  test("beats-gate verifiability (round 19, r18 advice): ambiguous git errors block eligibility; genuinely-absent shapes grant it") {
-    // the three genuinely-absent shapes, verified against this repo's
-    // git: first-run eligibility stands
+  test("beats-gate verifiability (round 19, r18 advice): absence needs the path-absent message AND a resolving HEAD; everything else blocks eligibility") {
+    // the genuinely-absent shapes on a HEALTHY repo (HEAD peels to a
+    // commit), verified against this repo's git: first-run
+    // eligibility stands
     assert(!Bench.committedGateUnverifiable(
-      Some(128 -> "fatal: path 'bench_full.json' does not exist in 'HEAD'")))
+      Some(128 -> "fatal: path 'bench_full.json' does not exist in 'HEAD'"),
+      headResolves = true))
     assert(!Bench.committedGateUnverifiable(
-      Some(128 -> "fatal: path 'bench_full.json' exists on disk, but not in 'HEAD'")))
-    assert(!Bench.committedGateUnverifiable(
-      Some(128 -> "fatal: invalid object name 'HEAD'.")))
+      Some(128 -> "fatal: path 'bench_full.json' exists on disk, but not in 'HEAD'"),
+      headResolves = true))
+    // the SAME messages with HEAD unresolvable are the CORRUPT-repo
+    // shapes (in-round review, verified in a scratch repo: a garbage
+    // ref and a missing commit object both emit "exists on disk, but
+    // not in 'HEAD'" while `git rev-parse HEAD^{commit}` fails) — a
+    // committed baseline may exist behind them, so no eligibility
+    assert(Bench.committedGateUnverifiable(
+      Some(128 -> "fatal: path 'bench_full.json' exists on disk, but not in 'HEAD'"),
+      headResolves = false))
+    assert(Bench.committedGateUnverifiable(
+      Some(128 -> "fatal: path 'bench_full.json' does not exist in 'HEAD'"),
+      headResolves = false))
+    // "invalid object name" is ambiguous (no-commits repo vs garbage
+    // HEAD) and HEAD never resolves in either — always unverifiable;
+    // a first baseline requires at least one commit (or ACCEPT_SLOWER)
+    assert(Bench.committedGateUnverifiable(
+      Some(128 -> "fatal: invalid object name 'HEAD'."), headResolves = false))
     // git environment errors while a committed baseline may exist:
     // the r18 hole shape — these must NOT grant trivial first-run
     // eligibility (empty map -> beatsReference true -> a contended
-    // run overwrites bench_full.json)
+    // run overwrites bench_full.json), even when HEAD resolves
     assert(Bench.committedGateUnverifiable(
-      Some(128 -> "fatal: detected dubious ownership in repository at '/root/repo'")))
+      Some(128 -> "fatal: detected dubious ownership in repository at '/root/repo'"),
+      headResolves = true))
     assert(Bench.committedGateUnverifiable(
-      Some(128 -> "fatal: not a git repository (or any of the parent directories): .git")))
+      Some(128 -> "fatal: not a git repository (or any of the parent directories): .git"),
+      headResolves = false))
     assert(Bench.committedGateUnverifiable(
-      Some(128 -> "error: object file .git/objects/ab/cd is empty\nfatal: loose object abcd is corrupt")))
+      Some(128 -> "error: object file .git/objects/ab/cd is empty\nfatal: loose object abcd is corrupt"),
+      headResolves = true))
     // exit 0 and wedged-git are verifiable paths: exit 0 compares
     // against real committed text; None falls back to the documented
     // working-tree comparison (still a real yardstick, unlike the
     // trivially-true empty map)
-    assert(!Bench.committedGateUnverifiable(Some(0 -> """{"queries":{}}""")))
-    assert(!Bench.committedGateUnverifiable(None))
+    assert(!Bench.committedGateUnverifiable(Some(0 -> """{"queries":{}}"""),
+      headResolves = true))
+    assert(!Bench.committedGateUnverifiable(None, headResolves = false))
   }
 
   test("same-tree self-adjudication (round 19): same source tree + clean trees concludes host-by-construction; anything less concludes nothing or false") {
