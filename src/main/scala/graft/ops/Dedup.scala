@@ -466,12 +466,15 @@ object Dedup {
     * bit-identical volume counters yet `counter_attributed:false`,
     * because the two reported timers could not corroborate a stretch
     * that mostly landed in the untimed tail. With this third timer the
-    * phase walls cover ≳85% of the key's quiet wall — the share moves
-    * with the untimed candidate/gate fraction between runs: the
-    * committed round-18 baseline reads 1075+2090+148 of 3861 ms =
-    * 85.8%, the round-19 one 1080+2165+144 of 3562 ms = 95.2% (the
-    * round-18 in-round quiet measurement was 1166+2507+197 of
-    * 4472 ms = 86%, SURVEY §8) — and the contention-vs-regression
+    * phase walls cover the large majority (~79-95% observed) of the
+    * key's quiet wall — the share moves with the untimed
+    * candidate/gate fraction between runs: the committed round-18
+    * baseline read 1075+2090+148 of 3861 ms = 85.8%, the round-19
+    * final one reads 842+2219+133 of 3376 ms = 94.6%, and the floor
+    * so far is a superseded round-19 quiet run at 79.2% (git history,
+    * commit "Re-baseline on the final round-19 tree"; the earlier
+    * drifting single figures — 95.2%, 86% — were each real readings
+    * of their own runs, SURVEY §8) — and the contention-vs-regression
     * adjudication is mechanical.
     *
     * Eagerness is safe at scale: the output is the true near-dup pair
