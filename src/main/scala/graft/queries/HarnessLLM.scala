@@ -1087,10 +1087,25 @@ object HarnessLLM {
       val mk = udf { (docId: Long) =>
         graft.ops.Multimodal.imageIoEncode("png", 16, 16, tripletRaster(docId / 3))
       }
+      // Phase walls (round 20, VERDICT r19 #1): the r19 driver flags
+      // on this key could not counter-attribute — it carried only the
+      // candidate volume counter, and counterAttributed needs >=2
+      // phase `_ms` ratios to corroborate "same work, slower clock".
+      // The encode staging materializes first (a stored corpus
+      // arrives encoded — the gifMediaFor rationale; the checkpoint
+      // is the bench's phase-attribution boundary, not an operator
+      // shape), so the two walls split cleanly: PNG-encode staging
+      // vs DEFLATE-decode + aHash + banded join.
+      val t0 = System.nanoTime()
       val imgs = t(s, dir, "documents").filter($"doc_id" < 300)
         .select($"doc_id", mk($"doc_id").as("media"))
-      Multimodal.imageNearDups(imgs, "doc_id", "media", maxHamming = 3)
-        .orderBy($"id_a", $"id_b")
+        .localCheckpoint(true)
+      graft.Metrics.record("codec_encode_ms", (System.nanoTime() - t0) / 1000000)
+      val t1 = System.nanoTime()
+      val pairs = Multimodal.imageNearDups(imgs, "doc_id", "media", maxHamming = 3)
+        .localCheckpoint(true)
+      graft.Metrics.record("codec_dedup_ms", (System.nanoTime() - t1) / 1000000)
+      pairs.orderBy($"id_a", $"id_b")
     }),
     "stream_image_ingest" -> ((s, dir) => {
       import s.implicits._
@@ -1389,9 +1404,27 @@ object HarnessLLM {
       // lossless (roundtrip_ok pinned TRUE). The resampled mean is
       // closed-form: the oracle walks the same 8x8x3 index arithmetic
       // over the digest cycle in SQL.
-      Multimodal.resizeImagePartitions(
-        withCodecImageMedia(t(s, dir, "documents"), "png"), 8, 8).toDF()
-        .orderBy($"doc_id")
+      //
+      // Phase walls + row volume (round 20, VERDICT r19 #1): this key
+      // flagged 3.93x in the r19 driver run with NO counters at all,
+      // so neither clause of counterAttributed could read it. Encode
+      // staging materializes first (stored corpora arrive encoded —
+      // the gifMediaFor rationale; the checkpoint is the bench's
+      // phase-attribution boundary), then the decode+resample+
+      // re-encode chain gets its own wall; the resized row count is
+      // the seeded-deterministic volume counter the bit-identical
+      // clause needs (a count over the already-materialized result —
+      // no extra computation).
+      val t0 = System.nanoTime()
+      val staged = withCodecImageMedia(t(s, dir, "documents"), "png")
+        .localCheckpoint(true)
+      graft.Metrics.record("codec_encode_ms", (System.nanoTime() - t0) / 1000000)
+      val t1 = System.nanoTime()
+      val out = Multimodal.resizeImagePartitions(staged, 8, 8).toDF()
+        .localCheckpoint(true)
+      graft.Metrics.record("codec_resize_ms", (System.nanoTime() - t1) / 1000000)
+      graft.Metrics.record("codec_resize_rows", out.count())
+      out.orderBy($"doc_id")
     }),
     "multimodal_gif_frames" -> ((s, dir) => {
       implicit val sp: SparkSession = s

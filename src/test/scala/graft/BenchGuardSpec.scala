@@ -287,6 +287,57 @@ class BenchGuardSpec extends AnyFunSuite with SparkTestBase {
     assert(!Bench.counterAttributed("join_range_bigbig", 10.0, cur, prior))
   }
 
+  test("counter attribution: the r19 multimodal-codec driver-flag replay (round 20, VERDICT r19 #1) — uniform phase stretch attributes, one stretched phase never does") {
+    // The real r19 shape: multimodal_codec_image_dedup arrived flagged
+    // 4.8x with host_attributed:false AND counter_attributed:false —
+    // structurally, because the key carried only the candidate volume
+    // counter (bit-identical at 300) and zero phase walls, so the
+    // >=2-_ms-ratio clause could never read it; the manual isolated
+    // rerun (0.95 s quiet vs 3.29 s driver) was the only adjudication
+    // path. With the round-20 encode/dedup walls the same evidence
+    // self-adjudicates: volumes bit-identical + both phases stretched
+    // ~uniformly to the wall ratio = contention.
+    def k(c: String) = s"multimodal_codec_image_dedup.$c"
+    val prior = Map(
+      k("image_ahash_candidates") -> 300L,
+      k("codec_encode_ms") -> 410L,
+      k("codec_dedup_ms") -> 240L)
+    val contended = Map(
+      k("image_ahash_candidates") -> 300L,
+      k("codec_encode_ms") -> 1970L, // 4.80x
+      k("codec_dedup_ms") -> 1080L)  // 4.50x
+    // lower median of [4.50, 4.80] = 4.50 >= 0.5 * 4.8
+    assert(Bench.counterAttributed("multimodal_codec_image_dedup", 4.8,
+      contended, prior))
+    // a genuine per-unit-cost regression in ONE phase (a slower
+    // DEFLATE/aHash path) against a flat encode wall stays visible:
+    // lower median of [1.0, 4.5] = 1.0 < 2.4
+    val oneStretched = prior + (k("codec_dedup_ms") -> 1080L)
+    assert(!Bench.counterAttributed("multimodal_codec_image_dedup", 4.8,
+      oneStretched, prior))
+    // candidate-volume drift is a real plan/algorithm change — never
+    // waivable on counter evidence even with uniform phase stretch
+    assert(!Bench.counterAttributed("multimodal_codec_image_dedup", 4.8,
+      contended + (k("image_ahash_candidates") -> 301L), prior))
+
+    // multimodal_codec_resize (flagged 3.93x in r19) had NO counters
+    // at all; round 20 gives it the two walls plus the resized-row
+    // volume. Same invariants.
+    def r(c: String) = s"multimodal_codec_resize.$c"
+    val rPrior = Map(
+      r("codec_resize_rows") -> 5000L,
+      r("codec_encode_ms") -> 350L,
+      r("codec_resize_ms") -> 280L)
+    val rContended = Map(
+      r("codec_resize_rows") -> 5000L,
+      r("codec_encode_ms") -> 1376L, // 3.93x
+      r("codec_resize_ms") -> 1022L) // 3.65x
+    assert(Bench.counterAttributed("multimodal_codec_resize", 3.93,
+      rContended, rPrior))
+    assert(!Bench.counterAttributed("multimodal_codec_resize", 3.93,
+      rPrior + (r("codec_resize_ms") -> 1022L), rPrior))
+  }
+
   test("committed-reference text resolution (round 18, r17 advice): nonzero git exit means NO committed reference, not a working-tree fallback") {
     val workingTree = """{"queries":{"q":9.9}}"""
     // git ran, exit 0: the committed text stands
