@@ -234,6 +234,30 @@ object HarnessLLM {
     df.withColumn("media", mk(col("doc_id"), col("text")))
   }
 
+  /** [[withCodecImageMedia]] over the documents table in LAZY form —
+    * one definition shared by `multimodal_codec_resize` (which
+    * eagerly checkpoints it under its encode-staging phase wall,
+    * round 20) and DumpPlans (which audits the un-checkpointed
+    * chain: the point is the ABSENCE of any exchange before the
+    * partition-wise decode). */
+  private[graft] def codecImageMedia(s: SparkSession, dir: String,
+                                     fmt: String): DataFrame =
+    withCodecImageMedia(t(s, dir, "documents"), fmt)
+
+  /** The codec-dedup corpus in LAZY form — the planted triplet
+    * groups PNG-encoded per row (docs 0-299, group = doc_id/3).
+    * Shared by `multimodal_codec_image_dedup` (eagerly checkpointed
+    * under its encode wall) and DumpPlans (lazy audit), so the two
+    * can never drift. */
+  private[graft] def codecDedupCorpus(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val mk = udf { (docId: Long) =>
+      graft.ops.Multimodal.imageIoEncode("png", 16, 16, tripletRaster(docId / 3))
+    }
+    t(s, dir, "documents").filter($"doc_id" < 300)
+      .select($"doc_id", mk($"doc_id").as("media"))
+  }
+
   /** The exact digest-byte mean as a Spark Column over `text` —
     * the same closed form the DuckDB oracles spell, for keys that
     * need it ENGINE-side (the JPEG bound check). */
@@ -1084,9 +1108,6 @@ object HarnessLLM {
       // (Hamming 0 deterministic) and the closed-form pair list
       // carries over verbatim; a JPEG corpus would rely on decode
       // determinism instead (spec-pinned, not oracled).
-      val mk = udf { (docId: Long) =>
-        graft.ops.Multimodal.imageIoEncode("png", 16, 16, tripletRaster(docId / 3))
-      }
       // Phase walls (round 20, VERDICT r19 #1): the r19 driver flags
       // on this key could not counter-attribute — it carried only the
       // candidate volume counter, and counterAttributed needs >=2
@@ -1095,11 +1116,11 @@ object HarnessLLM {
       // arrives encoded — the gifMediaFor rationale; the checkpoint
       // is the bench's phase-attribution boundary, not an operator
       // shape), so the two walls split cleanly: PNG-encode staging
-      // vs DEFLATE-decode + aHash + banded join.
+      // vs DEFLATE-decode + aHash + banded join. The lazy corpus
+      // definition is shared with DumpPlans (codecDedupCorpus), which
+      // keeps the un-checkpointed chain in the committed plan audit.
       val t0 = System.nanoTime()
-      val imgs = t(s, dir, "documents").filter($"doc_id" < 300)
-        .select($"doc_id", mk($"doc_id").as("media"))
-        .localCheckpoint(true)
+      val imgs = codecDedupCorpus(s, dir).localCheckpoint(true)
       graft.Metrics.record("codec_encode_ms", (System.nanoTime() - t0) / 1000000)
       val t1 = System.nanoTime()
       val pairs = Multimodal.imageNearDups(imgs, "doc_id", "media", maxHamming = 3)
@@ -1416,8 +1437,7 @@ object HarnessLLM {
       // clause needs (a count over the already-materialized result —
       // no extra computation).
       val t0 = System.nanoTime()
-      val staged = withCodecImageMedia(t(s, dir, "documents"), "png")
-        .localCheckpoint(true)
+      val staged = codecImageMedia(s, dir, "png").localCheckpoint(true)
       graft.Metrics.record("codec_encode_ms", (System.nanoTime() - t0) / 1000000)
       val t1 = System.nanoTime()
       val out = Multimodal.resizeImagePartitions(staged, 8, 8).toDF()
