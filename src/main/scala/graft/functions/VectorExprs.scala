@@ -70,6 +70,22 @@ object VectorExprs {
   def pqAdc(codes: Column, lut: Column, ksub: Int): Column =
     GraftColumnBridge.column(PqAdcScore(
       GraftColumnBridge.expression(codes), GraftColumnBridge.expression(lut), ksub))
+
+  /** L2-normalize in ONE expression (optimization round 21). The
+    * `transform(vec, x => x / l2norm(vec))` formulation it replaces
+    * embedded the norm subtree INSIDE the lambda, and higher-order
+    * lambdas get no common-subexpression elimination — Catalyst
+    * re-evaluated the entire child expression (the norm, and with it
+    * any UDF the column was computed by, e.g. the OPQ rotation) once
+    * PER ELEMENT: O(d²) interpreted work on plain columns, ~d UDF
+    * invocations per row when composed over one (measured ~1 ms/row on
+    * the 64-d corpus — the dominant cost of every vector-family key).
+    * Here the child evaluates once, the norm once, one divide pass —
+    * bit-identical values (same left-to-right double accumulation,
+    * same per-element `toDouble / norm`), same null semantics (null
+    * input, null element, or zero norm → null array). */
+  def normalize(vec: Column): Column =
+    GraftColumnBridge.column(L2Normalize(GraftColumnBridge.expression(vec)))
 }
 
 /** Sequential-order dot product of two equal-typed float/double
@@ -296,6 +312,92 @@ case class PqAdcScore(left: Expression, right: Expression, ksub: Int)
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+/** Whole-array L2 normalization: out[i] = v[i] / sqrt(Σ v[j]²), norm
+  * accumulated left-to-right in double exactly like [[L2Norm]]. Null
+  * input → null; a null ELEMENT → null; zero norm → null (so zero
+  * vectors never rank — the callers' isNotNull-guard contract). The
+  * static type matches the transform() formulation this replaces
+  * (ArrayType(Double, containsNull = true)); produced arrays never
+  * actually hold null elements. */
+case class L2Normalize(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_l2normalize"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorExprs.checkVec(prettyName, child.dataType, child.dataType)
+
+  private def isFloat = VectorExprs.elemOf(child.dataType) == FloatType
+
+  private def elemsNullable: Boolean = child.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => true
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    val checkNulls = elemsNullable
+    var s = 0.0
+    var i = 0
+    if (isFloat) while (i < n) {
+      if (checkNulls && a.isNullAt(i)) return null
+      val v = a.getFloat(i).toDouble; s += v * v; i += 1
+    }
+    else while (i < n) {
+      if (checkNulls && a.isNullAt(i)) return null
+      val v = a.getDouble(i); s += v * v; i += 1
+    }
+    val norm = math.sqrt(s)
+    if (norm == 0.0) return null
+    val out = new Array[Double](n)
+    i = 0
+    if (isFloat) while (i < n) { out(i) = a.getFloat(i).toDouble / norm; i += 1 }
+    else while (i < n) { out(i) = a.getDouble(i) / norm; i += 1 }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val get = if (isFloat) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, c => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val v = ctx.freshName("v")
+      val norm = ctx.freshName("norm")
+      val out = ctx.freshName("out")
+      val bad = ctx.freshName("bad")
+      val nullCheck =
+        if (elemsNullable) s"if ($c.isNullAt($i)) { $bad = true; break; }"
+        else ""
+      s"""
+        int $n = $c.numElements();
+        double $s = 0.0;
+        boolean $bad = false;
+        for (int $i = 0; $i < $n; $i++) {
+          $nullCheck
+          double $v = (double) $c.$get($i);
+          $s += $v * $v;
+        }
+        double $norm = java.lang.Math.sqrt($s);
+        if ($bad || $norm == 0.0) {
+          ${ev.isNull} = true;
+        } else {
+          double[] $out = new double[$n];
+          for (int $i = 0; $i < $n; $i++) {
+            $out[$i] = (double) $c.$get($i) / $norm;
+          }
+          ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+        }
+      """
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** Banded sign-random-projection signature: for each band b,

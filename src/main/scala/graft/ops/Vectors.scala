@@ -52,18 +52,27 @@ object Vectors {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / nullif(l2norm(a) * l2norm(b), lit(0.0))
 
-  /** L2-normalize an array column: norm computed ONCE (not per element
-    * — a lambda-captured l2norm re-evaluates per component, O(d^2));
-    * zero vectors (and vectors carrying a null element, whose norm is
-    * null) normalize to a NULL ARRAY and are filtered by callers'
-    * isNotNull guards. The when() gate is what makes that true
-    * (round-15 review): the bare transform returned a NON-null array
-    * of null elements for degenerate rows, so every downstream
-    * `.isNotNull` guard was dead and the first UDF/encoder to unbox
-    * an element crashed the job — the documented drop-degenerates
-    * contract only held where callers gated on the norm directly. */
-  private[graft] def normalized(vec: Column): Column = {
-    val n = nullif(l2norm(vec), lit(0.0))
+  /** L2-normalize an array column — the codegen
+    * [[graft.functions.L2Normalize]] expression (optimization round
+    * 21). The previous `when(n.isNotNull, transform(vec, x => x / n))`
+    * formulation embedded the norm subtree inside the transform
+    * LAMBDA, and higher-order lambdas get no common-subexpression
+    * elimination: Catalyst re-evaluated the whole child per element —
+    * O(d²) interpreted work on plain columns, and ~d full UDF
+    * invocations per row when composed over one (the OPQ rotate path
+    * measured ~1 ms/row from exactly this). One expression = child
+    * once, norm once, one divide pass; bit-identical values and null
+    * semantics (zero vectors and null-element vectors normalize to a
+    * NULL ARRAY, filtered by callers' isNotNull guards — the
+    * round-15 drop-degenerates contract; [[normalizedHof]] pins the
+    * equivalence in VectorsSpec). */
+  private[graft] def normalized(vec: Column): Column =
+    graft.functions.VectorExprs.normalize(vec)
+
+  /** The replaced HOF formulation, kept ONLY to pin [[normalized]]'s
+    * exact semantics in VectorsSpec (the dotHof/l2normHof pattern). */
+  private[graft] def normalizedHof(vec: Column): Column = {
+    val n = nullif(l2normHof(vec), lit(0.0))
     when(n.isNotNull, transform(vec, x => x.cast("double") / n))
   }
 
@@ -634,7 +643,11 @@ object Vectors {
   private[graft] def cellAssigner(spark: org.apache.spark.sql.SparkSession,
                                   centroidArr: Array[Array[Double]]): Column => Column = {
     val bc = spark.sparkContext.broadcast(centroidArr)
-    val assign = udf { (v: Seq[Double]) =>
+    val assign = udf { (vs: Seq[Double]) =>
+      // unbox ONCE (optimization round 21): Seq[Double].apply boxes per
+      // access, and the assignment loop indexes nlist*d times per row —
+      // one primitive copy up front keeps the hot loop box-free
+      val v = vs.toArray
       val cs = bc.value
       var best = 0
       var bestD = Double.MaxValue
@@ -839,7 +852,10 @@ object Vectors {
   private[graft] def pqEncoder(spark: org.apache.spark.sql.SparkSession,
                                cb: PqCodebooks): Column => Column = {
     val bc = spark.sparkContext.broadcast(cb)
-    val enc = udf { (v: Seq[Double]) =>
+    val enc = udf { (vs: Seq[Double]) =>
+      // unbox ONCE (optimization round 21): the encode loop indexes the
+      // vector m*ksub*dsub times per row, and Seq.apply boxes per access
+      val v = vs.toArray
       val b = bc.value
       val codes = new Array[Byte](b.m)
       var s = 0

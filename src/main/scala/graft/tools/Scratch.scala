@@ -1,0 +1,66 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Optimization-round bisection scratchpad (round 21) — times isolated
+  * pieces of hot paths with the noop sink. Not part of any query path;
+  * deleted or ignored at round close. */
+object Scratch {
+  def time(label: String)(f: => Unit): Unit = {
+    val t0 = System.nanoTime()
+    f
+    println(f"[scratch] $label%-55s ${(System.nanoTime() - t0) / 1e9}%8.3f s")
+  }
+
+  def noop(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.GraftExtensions.register(spark)
+    import spark.implicits._
+
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    noop(emb) // warm
+
+    val ivf = graft.queries.HarnessLLM.ivfIndexFor(spark, sfDir)
+    val opq = graft.queries.HarnessLLM.opqModelsFor(spark, sfDir)._1
+    val boot0 = graft.streaming.VectorIngest.bootstrapFrom(ivf, dim = 64)
+    val boot = boot0.copy(opq = Some(opq))
+
+    (1 to 3).foreach { r =>
+      println(s"--- round $r")
+      time("read only")(noop(emb))
+      time("srp sig") {
+        noop(emb.select($"vec_id",
+          graft.ops.Vectors.srpSignatureCol($"embedding", 64, boot.bits, boot.bands, boot.seed).as("__sig")))
+      }
+      time("normalized") {
+        noop(emb.select($"vec_id",
+          graft.ops.Vectors.normalized($"embedding").as("__na")))
+      }
+      time("sig+norm+assign") {
+        val assign = graft.ops.Vectors.cellAssigner(spark, boot.centroids)
+        noop(emb.select($"vec_id",
+          graft.ops.Vectors.srpSignatureCol($"embedding", 64, boot.bits, boot.bands, boot.seed).as("__sig"),
+          graft.ops.Vectors.normalized($"embedding").as("__na"))
+          .withColumn("__a", assign($"__na")))
+      }
+      time("full indexColumns (opq)") {
+        noop(graft.streaming.VectorIngest.indexColumns(emb, "vec_id", "embedding", boot))
+      }
+    }
+    spark.stop()
+  }
+}

@@ -177,6 +177,38 @@ class VectorsSpec extends AnyFunSuite with SparkTestBase {
     assert(bad == 0)
   }
 
+  test("codegen L2Normalize is bit-identical to the HOF transform it replaced") {
+    import spark.implicits._
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // real corpus: every element bitwise-equal both ways
+    val emb = spark.read.parquet(sf("embeddings"))
+    val cmp = emb.select(
+      Vectors.normalized($"embedding").as("nn"),
+      Vectors.normalizedHof($"embedding").as("nh"))
+    val bad = cmp.filter(!($"nn" <=> $"nh")).count()
+    assert(bad == 0, "normalized() must equal the transform/lambda formulation bitwise")
+    // degenerate shapes: null input, null element, zero vector -> null
+    // ARRAY in both forms (the round-15 drop-degenerates contract)
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("v", ArrayType(FloatType, containsNull = true))))
+    val rows = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(0L, Seq(3.0f, 4.0f)),
+        Row(1L, null),
+        Row(2L, Seq(1.0f, null)),
+        Row(3L, Seq(0.0f, 0.0f))),
+      schema)
+    val got = rows.select($"id",
+      Vectors.normalized($"v").as("nn"), Vectors.normalizedHof($"v").as("nh"))
+      .orderBy($"id").collect()
+    assert(got(0).getSeq[Double](1) == Seq(0.6, 0.8) &&
+      got(0).getSeq[Double](1) == got(0).getSeq[Double](2))
+    for (i <- 1 to 3; c <- 1 to 2)
+      assert(got(i).isNullAt(c), s"row $i col $c: degenerate vector must normalize to null")
+  }
+
   test("graft_dot / graft_l2norm are SQL-callable after registration") {
     import spark.implicits._
     GraftExtensions.register(spark)
