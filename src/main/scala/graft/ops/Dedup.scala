@@ -644,10 +644,22 @@ object Dedup {
     // post-filter rows the count() did.
     val g0 = System.nanoTime()
     val obsGate = org.apache.spark.sql.Observation()
+    // explicit-count repartition AFTER the attach joins, BEFORE the
+    // intersect (optimization round 21): the old pre-join placement
+    // pinned only the candidate shuffle — each equi-join then inserted
+    // its OWN exchange on its single key, and AQE coalesced that
+    // byte-tiny post-join stage to ONE task, so the CPU-dense hash
+    // intersect over every candidate pair ran single-threaded (profiled
+    // ~2 s on one core at sf0.1 while 31 idled — the r8/r9 serialization
+    // shape, resurfacing downstream of where the old pin could reach).
+    // REPARTITION_BY_NUM shuffles are exempt from AQE coalescing, and
+    // the computed projection above it cannot be pushed below (the
+    // repartition keys are plain columns), so the intersect now runs at
+    // the volume-derived `parts` regardless of join strategy.
     val gated = cand
-      .repartition(parts, col("id_a"), col("id_b"))
       .join(aOrd.select(col(id).as("id_a"), col("__ha").as("__hha")), "id_a")
       .join(bOrd.select(col(id).as("id_b"), col("__ha").as("__hhb")), "id_b")
+      .repartition(parts, col("id_a"), col("id_b"))
       .withColumn("__ih", size(array_intersect(col("__hha"), col("__hhb"))).cast("double"))
       .filter(col("__ih") / (size(col("__hha")) + size(col("__hhb")) - col("__ih")) >=
         lit(threshold))
@@ -902,12 +914,20 @@ object Dedup {
   private[graft] def rescoreJaccardTwoSided(cand: DataFrame, aSh: DataFrame,
                                             bSh: DataFrame, id: String,
                                             shCol: String, threshold: Double): DataFrame =
-    // explicit count: a keys-only repartition is AQE-coalescible right
-    // back to the single partition this exists to avoid
-    cand.repartition(cand.sparkSession.sessionState.conf.numShufflePartitions,
-        col("id_a"), col("id_b"))
+    // explicit count (a keys-only repartition is AQE-coalescible right
+    // back to the single partition this exists to avoid), placed AFTER
+    // the attach joins (optimization round 21): pre-join placement
+    // pinned only the candidate shuffle — each equi-join re-exchanged
+    // on its own key and AQE coalesced that byte-tiny post-join stage
+    // to one task, serializing the string-set intersect (see
+    // hashOverlapGate for the measured anatomy). REPARTITION_BY_NUM is
+    // exempt from coalescing, so the intersect runs at session
+    // parallelism regardless of join strategy.
+    cand
       .join(aSh.select(col(id).as("id_a"), col(shCol).as("__sa")), "id_a")
       .join(bSh.select(col(id).as("id_b"), col(shCol).as("__sb")), "id_b")
+      .repartition(cand.sparkSession.sessionState.conf.numShufflePartitions,
+        col("id_a"), col("id_b"))
       .withColumn("__i", size(array_intersect(col("__sa"), col("__sb"))).cast("double"))
       .withColumn("jaccard",
         col("__i") / (size(col("__sa")) + size(col("__sb")) - col("__i")))

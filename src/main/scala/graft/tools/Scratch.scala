@@ -34,6 +34,32 @@ object Scratch {
       .select($"vec_id", $"embedding")
     noop(emb) // warm
 
+    if (args.contains("avro")) {
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_returnflag",
+          $"l_shipdate",
+          struct($"l_extendedprice".as("price"), $"l_discount".as("disc"),
+            struct($"l_tax".as("tax")).as("inner")).as("pricing"),
+          map(lit("rf"), $"l_returnflag", lit("ls"), $"l_linestatus").as("tags"))
+      noop(li)
+      (1 to 2).foreach { _ =>
+        for (c <- Seq("deflate", "snappy", "null")) {
+          val out = s"/tmp/graft_stage/avro_ab_$c"
+          time(s"avro write codec=$c")(graft.io.Avro.write(li, out, codec = c))
+          time(s"avro read  codec=$c")(noop(
+            spark.read.format("graft_avro").option("splitBytes", 256 * 1024).load(out)))
+          val sz = new java.io.File(out).listFiles().filter(_.getName.endsWith(".avro"))
+            .map(_.length()).sum
+          println(s"[scratch]   codec=$c bytes=$sz")
+        }
+      }
+      // read-back equality across codecs
+      val a = spark.read.format("graft_avro").load("/tmp/graft_stage/avro_ab_deflate")
+      val b = spark.read.format("graft_avro").load("/tmp/graft_stage/avro_ab_snappy")
+      println(s"[scratch] deflate-vs-snappy diff rows: ${a.exceptAll(b).count()} / ${b.exceptAll(a).count()}")
+      spark.stop(); return
+    }
+
     val ivf = graft.queries.HarnessLLM.ivfIndexFor(spark, sfDir)
     val opq = graft.queries.HarnessLLM.opqModelsFor(spark, sfDir)._1
     val boot0 = graft.streaming.VectorIngest.bootstrapFrom(ivf, dim = 64)
