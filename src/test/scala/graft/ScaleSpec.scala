@@ -163,8 +163,16 @@ class ScaleSpec extends AnyFunSuite with SparkTestBase {
   test("z-ordered layout: box predicates on EITHER column prune files; linear layout can't") {
     import graft.io.Layout
     import spark.implicits._
+    // pinned input partitioning (the quantile-test discipline below):
+    // repartitionByRange samples per input partition, so the scan's
+    // ambient split — which drifts with session state earlier suites
+    // leave behind — moved one z-file boundary and flaked the margin
+    // assertion (9 of 16 touched vs the <=8 bound, in-suite only;
+    // isolated runs pass). A canonical layout makes the range split,
+    // and therefore the per-file stat boxes, deterministic.
     val li = spark.read.parquet(sf("lineitem"))
       .select($"l_orderkey", $"l_linenumber", $"l_partkey")
+      .repartition(8, $"l_orderkey")
     val zdir = "/tmp/graft_stage/scalespec_zorder"
     val ldir = "/tmp/graft_stage/scalespec_linear"
     Layout.writeZOrdered(li, Seq("l_partkey", "l_orderkey"), zdir, numFiles = 16)
