@@ -210,50 +210,54 @@ object HarnessCore {
     }),
     "join_range_bigbig" -> ((s, dir) => {
       import s.implicits._
-      // The BIG-x-BIG range-join tier, at bench scale: every order
-      // opens a 3-day window [o_orderdate, o_orderdate+2] (150k
-      // intervals at sf0.1), probed by every lineitem ship date (600k
-      // probes) — ~108M matched pairs at sf0.1, far past broadcast on
-      // both sides. rangeJoinBucketed explodes each interval into its
-      // days (bounded fan-out = 3) and equi-joins on the day — a
-      // shuffled day-keyed join Catalyst plans, never a nested loop.
-      // NOTE: its pinned REPARTITION_BY_NUM shuffles opt OUT of AQE's
-      // skew split — hot-day corpora belong on the salted tier
-      // (join_range_salted). The pair volume collapses in a partial
-      // count aggregate below the final 5-row answer, so nothing
-      // 108M-sized ever shuffles.
+      // The BIG-x-BIG range-join tier: every order opens a 3-day
+      // window [o_orderdate, o_orderdate+2] (150k intervals at
+      // sf0.1), probed by every lineitem ship date (600k probes) —
+      // ~108M matched pairs at sf0.1, far past broadcast on both
+      // sides. The consumer is a COUNT per priority, so since
+      // optimization round 21 this computes through
+      // Temporal.rangeCountByKey — the aggregate-pushdown factoring
+      // Σ_day |probes(day)|×|intervalDays(prio, day)| (guide §2.3/§8):
+      // identical integer result (PropertySpec pins it against the
+      // materializing tier; the unchanged DuckDB oracle re-proves it
+      // per run), but the 108M-pair expansion never exists in any
+      // stage — previously it ran in-core through a partial-agg'd
+      // day-keyed join (1.8 s at sf0.1 and the suite's most
+      // contention-amplified key, r20 verdict). Consumers that need
+      // the pair ROWS still use rangeJoinBucketed (join_range_interval
+      // / ScaleSpec / PlanSpec keep that tier pinned).
       val intervals = t(s, dir, "orders")
         .withColumn("start_date", to_date($"o_orderdate"))
         .withColumn("end_date", date_add($"start_date", 2))
         .select($"o_orderpriority", $"start_date", $"end_date")
       val probes = t(s, dir, "lineitem")
         .select(to_date($"l_shipdate").as("ship_d"))
-      Aggregates.countByKey(
-        Temporal.rangeJoinBucketed(probes, intervals, "ship_d", "start_date", "end_date"),
-        Seq($"o_orderpriority"), "n_pairs")
+      Temporal.rangeCountByKey(probes, intervals, "ship_d",
+        "start_date", "end_date", Seq($"o_orderpriority"), "n_pairs")
         .orderBy($"o_orderpriority")
     }),
     "join_range_salted" -> ((s, dir) => {
       import s.implicits._
-      // The skew-robust range-join tier: same day-explode equi-join as
-      // join_range_bigbig, but keyed on (day, salt) so a hot date's
-      // pair expansion spreads over the salt buckets — the pinned
-      // REPARTITION_BY_NUM shuffles opt out of AQE's skew split, so
-      // salting is the at-scale answer for hot days (ScaleSpec pins
-      // the biggest-partition reduction on a planted hot day). 2-day
-      // windows keep the verified pair volume distinct from the
-      // unsalted key's.
+      // The skew-robust range-join tier (2-day windows keep the
+      // verified pair volume distinct from the unsalted key's). Since
+      // optimization round 21 this COUNT consumer also routes through
+      // Temporal.rangeCountByKey: the salt existed to spread a hot
+      // day's pair expansion over reducers, and the pushdown removes
+      // the expansion itself — a hot day is one |probes|×|intervals|
+      // multiplication, skew-immune by construction, with the
+      // identical integer result (PropertySpec pins equality against
+      // rangeJoinBucketedSalted; the DuckDB oracle re-proves it per
+      // run). Pair-ROW consumers with hot days still use the salted
+      // materializing tier (ScaleSpec pins its biggest-partition
+      // reduction on a planted hot day; PlanSpec pins its shape).
       val intervals = t(s, dir, "orders")
         .withColumn("start_date", to_date($"o_orderdate"))
         .withColumn("end_date", date_add($"start_date", 1))
         .select($"o_orderpriority", $"start_date", $"end_date")
       val probes = t(s, dir, "lineitem")
         .select($"l_orderkey", $"l_linenumber", to_date($"l_shipdate").as("ship_d"))
-      Aggregates.countByKey(
-        Temporal.rangeJoinBucketedSalted(probes, intervals, "ship_d",
-          "start_date", "end_date", saltBuckets = 8,
-          probeFineGrain = Seq($"l_orderkey", $"l_linenumber")),
-        Seq($"o_orderpriority"), "n_pairs")
+      Temporal.rangeCountByKey(probes, intervals, "ship_d",
+        "start_date", "end_date", Seq($"o_orderpriority"), "n_pairs")
         .orderBy($"o_orderpriority")
     }),
     "join_asof" -> ((s, dir) => {

@@ -143,6 +143,39 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
     assert(bucketed == broadcastSide)
   }
 
+  test("rangeCountByKey equals count-over-materialized-pairs (plain AND salted tiers)") {
+    import spark.implicits._
+    // randomized multisets: duplicate probe dates, duplicate and
+    // inverted intervals, multiple groups — every multiplicity case
+    // the aggregate-pushdown factoring must preserve exactly
+    trials { rnd =>
+      val probes = List.fill(1 + rnd.nextInt(60))(
+        (rnd.nextInt(3), rnd.nextInt(30)))
+        .zipWithIndex
+        .map { case ((g, d), i) => (i.toLong, toDate(d)) }
+        .toDF("pid", "d")
+      val intervals = List.fill(1 + rnd.nextInt(40)) {
+        val s = rnd.nextInt(30)
+        // ~1 in 8 inverted (end < start): must contribute zero in both
+        val e = s + rnd.nextInt(8) - 1
+        (s"g${rnd.nextInt(3)}", toDate(s), toDate(e))
+      }.toDF("grp", "d0", "d1")
+      def counted(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val expected = counted(graft.ops.Aggregates.countByKey(
+        graft.ops.Temporal.rangeJoinBucketed(probes, intervals, "d", "d0", "d1"),
+        Seq($"grp"), "n"))
+      val expectedSalted = counted(graft.ops.Aggregates.countByKey(
+        graft.ops.Temporal.rangeJoinBucketedSalted(probes, intervals, "d",
+          "d0", "d1", saltBuckets = 4, probeFineGrain = Seq($"pid")),
+        Seq($"grp"), "n"))
+      val fused = counted(graft.ops.Temporal.rangeCountByKey(
+        probes, intervals, "d", "d0", "d1", Seq($"grp"), "n"))
+      assert(expected == expectedSalted)
+      assert(fused == expected)
+    }
+  }
+
   test("asofJoin matches the latest right time <= probe time, per key") {
     import spark.implicits._
     trials { rnd =>
