@@ -26,5 +26,15 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+  // 24g default (optimization round 21): local[$SPARK_GRAFT_CPUS] runs
+  // up to 32 task slots inside this ONE JVM — 8g was executor-sized
+  // for 4-8 cores and G1 collected constantly under 32 concurrent
+  // allocation-heavy tasks (dedup_ngram_jaccard: stage executorRunTime
+  // 5x its cpuTime at 8g; the key measured 5.7s at 8g vs 3.5s at 24g,
+  // dedup_minhash 2.0s vs 1.0s, same tree, same host). Pro-rata for
+  // the 128 GiB sandbox and still right at lower $SPARK_GRAFT_CPUS;
+  // SPARK_DRIVER_MEM stays the override for smaller hosts.
+  // (-XX:+UseParallelGC was measured WORSE than default G1 here:
+  // 5.2-9.1s on the same key/heap — keep G1.)
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+) ++ sys.env.get("SPARK_JVM_EXTRA").toSeq.flatMap(_.split("\\s+").filter(_.nonEmpty))

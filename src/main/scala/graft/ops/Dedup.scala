@@ -204,7 +204,20 @@ object Dedup {
     // a named column it is ceil(numHashes/4) md5 calls per shingle, as
     // the family was designed to cost
     val numDigests = (numHashes + 3) / 4
-    val ex = sh.select(col(id), explode(col(shCol)).as("__g"))
+    // fan out before the explode (optimization round 21): the md5
+    // min-hash pass below is THE heavy per-row kernel of the minhash
+    // family (~2.2 s CPU at sf0.1) and fused into a one-real-task
+    // stage on narrow inputs — single-row-group corpus files, narrow
+    // persisted batch relations (graft.ops.Par scaladoc). Proven both
+    // ways: dedup_minhash 1.64->1.03 s in a steal-free full suite, and
+    // the streaming minhash ingest 2.4-2.9 -> 1.4-1.8 s in a same-JVM
+    // A/B. The fan-out deliberately sits INSIDE this operator, not on
+    // the shared shingle relation: the jaccard family's candidate
+    // machinery runs many tiny stages whose per-job scheduling cost
+    // GROWS with partition count (measured 4.12->6.18 s when the
+    // shared checkpoint itself was fanned), while this op is one heavy
+    // aggregate that only benefits.
+    val ex = Par.fanOut(sh, col(id)).select(col(id), explode(col(shCol)).as("__g"))
       .select(col(id) +: (0 until numDigests).map(j =>
         md5(concat(lit(s"$j:"), col("__g"))).as(s"__d$j")): _*)
     // min over the 7-char hex SUBSTRING, not its numeric conversion:

@@ -487,7 +487,12 @@ object HarnessIO {
       val frag = s"$stage/compact_lineitem"
       t(s, dir, "lineitem")
         .select($"l_orderkey", $"l_linenumber", $"l_quantity")
-        .repartition(64)
+        // deterministic hash fragmentation (round 21): keyless
+        // repartition(64) paid a full local sort of the stage input
+        // (sortBeforeRepartition, guide §2.5) just to scatter rows
+        // into the 64-tiny-file scenario; a hash repartition scatters
+        // without the sort and stays deterministic under retry
+        .repartition(64, $"l_orderkey", $"l_linenumber")
         .write.mode("overwrite").parquet(frag)
       graft.io.Layout.compact(s, frag, targetFileBytes = 64L << 20)
       s.read.parquet(frag).orderBy($"l_orderkey", $"l_linenumber")
@@ -505,7 +510,11 @@ object HarnessIO {
       val out = s"$stage/compactz_lineitem"
       val li = t(s, dir, "lineitem")
         .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey")
-      li.repartition(64).write.mode("overwrite").parquet(out)
+      // hash fragmentation, not keyless round-robin — the sink_compact
+      // note: same 64-tiny-file scenario without the sort-before-
+      // repartition pass
+      li.repartition(64, $"l_orderkey", $"l_linenumber")
+        .write.mode("overwrite").parquet(out)
       graft.io.Layout.compactZOrdered(s, out, Seq("l_partkey", "l_suppkey"),
         targetFileBytes = 256L << 10)
       s.read.parquet(out).orderBy($"l_orderkey", $"l_linenumber")

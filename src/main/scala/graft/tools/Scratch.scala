@@ -60,6 +60,32 @@ object Scratch {
       spark.stop(); return
     }
 
+    if (args.contains("jingest")) {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      noop(docs)
+      for (r <- 1 to 3; fan <- Seq("off", "on")) {
+        sys.props("graft.par.fanout") = fan
+        val store = s"/tmp/graft_stage/scratch_jac_$fan"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(store))
+        time(s"maintainJaccardStore fan=$fan run=$r") {
+          val stream = spark.readStream.schema(docs.schema)
+            .option("pathGlobFilter", "documents.parquet").parquet(sfDir)
+          graft.streaming.DedupIngest.maintainJaccardStore(
+            stream, "doc_id", "text", store).awaitTermination()
+        }
+        val mstore = s"/tmp/graft_stage/scratch_min_$fan"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(mstore))
+        time(s"maintainMinhash fan=$fan run=$r") {
+          val stream = spark.readStream.schema(docs.schema)
+            .option("pathGlobFilter", "documents.parquet").parquet(sfDir)
+          graft.streaming.DedupIngest.maintainMinhash(
+            stream, "doc_id", "text", mstore).awaitTermination()
+        }
+      }
+      sys.props.remove("graft.par.fanout")
+      spark.stop(); return
+    }
+
     val ivf = graft.queries.HarnessLLM.ivfIndexFor(spark, sfDir)
     val opq = graft.queries.HarnessLLM.opqModelsFor(spark, sfDir)._1
     val boot0 = graft.streaming.VectorIngest.bootstrapFrom(ivf, dim = 64)
