@@ -23,18 +23,31 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Default heap: 24g, CAPPED at 60% of physical RAM (r22, closing the
+// r21 advice: the flat 24g default silently exceeded smaller
+// contributor/CI hosts' memory and could swap or OOM). Rationale for
+// 24g on big hosts is unchanged from r21: local[$SPARK_GRAFT_CPUS]
+// runs up to 32 task slots inside this ONE JVM — 8g was executor-sized
+// for 4-8 cores and G1 collected constantly under 32 concurrent
+// allocation-heavy tasks (dedup_ngram_jaccard: stage executorRunTime
+// 5x its cpuTime at 8g; the key measured 5.7s at 8g vs 3.5s at 24g,
+// dedup_minhash 2.0s vs 1.0s, same tree, same host). On the 128 GiB
+// sandbox the cap is not binding, so the bench JVM is byte-identical
+// to r21's. SPARK_DRIVER_MEM stays the explicit override.
+// (-XX:+UseParallelGC was measured WORSE than default G1 here:
+// 5.2-9.1s on the same key/heap — keep G1.)
+val defaultHeap: String = {
+  val memGb =
+    try scala.io.Source.fromFile("/proc/meminfo").getLines()
+      .find(_.startsWith("MemTotal:"))
+      .map(_.replaceAll("[^0-9]", "").toLong / (1024 * 1024))
+      .getOrElse(0L)
+    catch { case _: Throwable => 0L }
+  if (memGb <= 0) "8g" // unreadable meminfo (non-Linux): conservative
+  else s"${math.max(4L, math.min(24L, memGb * 6 / 10))}g"
+}
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // 24g default (optimization round 21): local[$SPARK_GRAFT_CPUS] runs
-  // up to 32 task slots inside this ONE JVM — 8g was executor-sized
-  // for 4-8 cores and G1 collected constantly under 32 concurrent
-  // allocation-heavy tasks (dedup_ngram_jaccard: stage executorRunTime
-  // 5x its cpuTime at 8g; the key measured 5.7s at 8g vs 3.5s at 24g,
-  // dedup_minhash 2.0s vs 1.0s, same tree, same host). Pro-rata for
-  // the 128 GiB sandbox and still right at lower $SPARK_GRAFT_CPUS;
-  // SPARK_DRIVER_MEM stays the override for smaller hosts.
-  // (-XX:+UseParallelGC was measured WORSE than default G1 here:
-  // 5.2-9.1s on the same key/heap — keep G1.)
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", defaultHeap)}",
 ) ++ sys.env.get("SPARK_JVM_EXTRA").toSeq.flatMap(_.split("\\s+").filter(_.nonEmpty))

@@ -197,35 +197,65 @@ object Dedup {
                                             bands: Int = 4): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rows = numHashes / bands
-    // project each digest ONCE on the exploded relation — Catalyst does
-    // not reliably CSE a common md5 across sibling aggregate
-    // expressions, so inlining it in every min() re-hashed each shingle
-    // up to `numHashes` times (r8 plan audit: 2.2x the whole key); off
-    // a named column it is ceil(numHashes/4) md5 calls per shingle, as
-    // the family was designed to cost
-    val numDigests = (numHashes + 3) / 4
-    // fan out before the explode (optimization round 21): the md5
+    // fan out before the kernel (optimization round 21): the md5
     // min-hash pass below is THE heavy per-row kernel of the minhash
-    // family (~2.2 s CPU at sf0.1) and fused into a one-real-task
-    // stage on narrow inputs — single-row-group corpus files, narrow
-    // persisted batch relations (graft.ops.Par scaladoc). Proven both
-    // ways: dedup_minhash 1.64->1.03 s in a steal-free full suite, and
-    // the streaming minhash ingest 2.4-2.9 -> 1.4-1.8 s in a same-JVM
-    // A/B. The fan-out deliberately sits INSIDE this operator, not on
-    // the shared shingle relation: the jaccard family's candidate
-    // machinery runs many tiny stages whose per-job scheduling cost
-    // GROWS with partition count (measured 4.12->6.18 s when the
-    // shared checkpoint itself was fanned), while this op is one heavy
-    // aggregate that only benefits.
-    val ex = Par.fanOut(sh, col(id)).select(col(id), explode(col(shCol)).as("__g"))
+    // family and fused into a one-real-task stage on narrow inputs —
+    // single-row-group corpus files, narrow persisted batch relations
+    // (graft.ops.Par scaladoc). Proven both ways: dedup_minhash
+    // 1.64->1.03 s in a steal-free full suite, and the streaming
+    // minhash ingest 2.4-2.9 -> 1.4-1.8 s in a same-JVM A/B. The
+    // fan-out deliberately sits INSIDE this operator, not on the
+    // shared shingle relation (fanning that was measured harmful).
+    //
+    // Fused native kernel (optimization round 22): the minima come
+    // from ONE codegen'd pass per doc
+    // ([[graft.functions.MinHashExprs.minhashMinima]]) instead of the
+    // exploded md5-hex + string-min-aggregate pipeline — profiled 13.3 s
+    // of task CPU at sf0.1 for ~0.4 s of raw md5 arithmetic; the rest
+    // was per-(shingle, digest) hex/substring/UTF8String allocation and
+    // the exploded-row exchange. Values are pinned bit-identical to the
+    // kept exploded formulation ([[portableBandSignaturesExploded]]) in
+    // DedupSpec; a null result marks an empty shingle array, whose
+    // exploded form produced no aggregate row — the filter keeps row
+    // parity exact.
+    // A/B kill switch (-Dgraft.minhash.kernel=exploded) runs the kept
+    // SQL formulation for interleaved bisection — values bit-identical
+    // (DedupSpec pin), only the execution shape differs
+    if (sys.props.get("graft.minhash.kernel").contains("exploded"))
+      return portableBandSignaturesExploded(
+        Par.fanOut(sh, col(id)), id, shCol, numHashes, bands)
+    val sig = Par.fanOut(sh, col(id))
+      .select(col(id),
+        graft.functions.MinHashExprs.minhashMinima(col(shCol), numHashes)
+          .as("__mins"))
+      .filter(col("__mins").isNotNull)
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws(",", (0 until rows).map(r =>
+          col("__mins").getItem(b * rows + r).cast("string")): _*).as("key"))
+    }
+    sig.select(col(id), explode(array(bandCols: _*)).as("__b"))
+      .select(col(id), col("__b.band").as("__band"), col("__b.key").as("__key"))
+  }
+
+  /** The prior exploded-SQL formulation of [[portableBandSignatures]],
+    * kept ONLY to pin the native kernel's bit-exact equivalence in
+    * DedupSpec (the [[shinglesUdf]] precedent): explode the shingle
+    * array, project `ceil(numHashes/4)` md5 hex digests per instance
+    * (named columns — Catalyst does not reliably CSE a common md5
+    * across sibling aggregates; r8 plan audit), then `numHashes`
+    * string-min aggregates over fixed-width 7-char hex substrings
+    * (which order identically to their numeric values). */
+  private[graft] def portableBandSignaturesExploded(sh: DataFrame, id: String,
+                                                    shCol: String,
+                                                    numHashes: Int = 12,
+                                                    bands: Int = 4): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rows = numHashes / bands
+    val numDigests = (numHashes + 3) / 4
+    val ex = sh.select(col(id), explode(col(shCol)).as("__g"))
       .select(col(id) +: (0 until numDigests).map(j =>
         md5(concat(lit(s"$j:"), col("__g"))).as(s"__d$j")): _*)
-    // min over the 7-char hex SUBSTRING, not its numeric conversion:
-    // fixed-width lowercase hex orders identically to its value, so
-    // the aggregate is unchanged while the (comparatively expensive)
-    // base conversion moves from per-shingle-per-hash (numHashes x
-    // exploded rows) to per-doc-per-hash on the 12 winners below —
-    // ~50x fewer conv() calls at this corpus's shingles/doc
     val minAggs = (0 until numHashes).map { i =>
       val j = i / 4 // digest index
       val c = i % 4 // 7-hex-digit chunk within the digest
@@ -288,10 +318,10 @@ object Dedup {
       .distinct()
       .observe(obsCand, count(lit(1)).as("__cand"))
       .localCheckpoint(true)
-    graft.Metrics.record("minhash_band_candidates",
-      observedCount(obsCand, "__cand"))
+    val candRows = observedCount(obsCand, "__cand")
+    graft.Metrics.record("minhash_band_candidates", candRows)
     banded.unpersist(blocking = false)
-    rescoreJaccard(cand, sh, id, shCol, jaccardThreshold)
+    rescoreJaccard(cand, sh, id, shCol, jaccardThreshold, candRows)
   }
 
   /** Prefix-filtered EXACT all-pairs Jaccard join (AllPairs/PPJoin,
@@ -385,7 +415,6 @@ object Dedup {
     val d0 = System.nanoTime()
     val shufflePartitions = collisionPartitions(
       prefixPostings(docOrd, id, threshold),
-      sh.sparkSession.sessionState.conf.numShufflePartitions,
       CollisionTargetPerPartition)
     graft.Metrics.record("jaccard_docord_build_ms",
       (System.nanoTime() - d0) / 1000000L)
@@ -459,14 +488,15 @@ object Dedup {
     // candidate (124,839 at sf0.1) to ~the true pair set, and the long
     // arrays this prune joins are ~3x smaller per row than the shingle
     // strings.
-    val rescorable = hashOverlapGate(cand, docOrd, docOrd, id, threshold,
-      shufflePartitions, "jaccard_rescore_pairs")
+    val (rescorable, gatedRows) = hashOverlapGate(cand, docOrd, docOrd, id,
+      threshold, shufflePartitions, "jaccard_rescore_pairs")
     graft.Metrics.record("jaccard_prefix_candidates",
       observedCount(obsCand, "__cand"))
     // the gate's eager checkpoint was the last consumer of both caches
     probes.unpersist(blocking = false)
     docOrd.unpersist(blocking = false)
-    timedStringRescore(rescoreJaccard(rescorable, sh, id, shCol, threshold),
+    timedStringRescore(
+      rescoreJaccard(rescorable, sh, id, shCol, threshold, gatedRows),
       "jaccard_string_rescore_ms")
   }
 
@@ -527,8 +557,9 @@ object Dedup {
     * |A∪B| = |A|+|B|−|A∩B| for the distinct shingle arrays, saving
     * the second per-pair hash set + array allocation. */
   private[graft] def rescoreJaccard(cand: DataFrame, sh: DataFrame, id: String,
-                                    shCol: String, threshold: Double): DataFrame =
-    rescoreJaccardTwoSided(cand, sh, sh, id, shCol, threshold)
+                                    shCol: String, threshold: Double,
+                                    candRows: Long): DataFrame =
+    rescoreJaccardTwoSided(cand, sh, sh, id, shCol, threshold, candRows)
 
   /** One-way EXACT prefix-filtered Jaccard PROBE (round 11) — the
     * deterministic-complete sibling of [[minhashProbeOnShingles]],
@@ -559,13 +590,14 @@ object Dedup {
     val dfreq = cEx.groupBy(col("__h")).agg(count(lit(1)).as("__df"))
     val cOrd = orderedByDf(cEx, dfreq, id).persist()
     val pOrd = orderedByDf(hashedShingles(probeSh, id, shCol), dfreq, id).persist()
-    val rescorable = probePairsOnOrdered(pOrd, cOrd, id, threshold)
+    val (rescorable, gatedRows) = probePairsOnOrdered(pOrd, cOrd, id, threshold)
     cOrd.unpersist(blocking = false)
     pOrd.unpersist(blocking = false)
     // same timed-eager final phase as the self-join tier (round 18) —
     // the probe key has the identical untimed-tail shape
     timedStringRescore(
-      rescoreJaccardTwoSided(rescorable, probeSh, corpusSh, id, shCol, threshold),
+      rescoreJaccardTwoSided(rescorable, probeSh, corpusSh, id, shCol, threshold,
+        gatedRows),
       "jaccard_probe_string_rescore_ms")
   }
 
@@ -577,23 +609,58 @@ object Dedup {
     * AQE (bytes-driven) is wrong in the other direction. One aggregate
     * over the postings (callers pass a projection of an
     * already-persisted relation), double accumulation (magnitude, not
-    * exactness), floor at the session count, cap 4096. */
-  private[graft] def collisionPartitions(postings: DataFrame, base: Int,
+    * exactness), floor 1, cap 4096. */
+  private[graft] def collisionPartitions(postings: DataFrame,
                                          targetCollisionsPerPartition: Long): Int = {
     val row = postings.groupBy(col("__h")).agg(count(lit(1)).as("__c"))
       .agg(sum(col("__c").cast("double") * col("__c")).as("__v"))
       .head()
     val est = if (row.isNullAt(0)) 0.0 else row.getDouble(0)
-    clampPartitions(est, base, targetCollisionsPerPartition)
+    clampPartitions(est, target = targetCollisionsPerPartition)
   }
 
   /** Shared clamp of every volume-derived partition count in this
-    * family: floor at the session base, cap at 4096. */
-  private def clampPartitions(est: Double, base: Int, target: Long): Int =
-    math.max(base, math.min(4096.0, est / target).toInt)
+    * family: ceil(est/target) floored at 1 and capped at 4096.
+    *
+    * NO session floor (optimization round 22, VERDICT r21 #1): the old
+    * `max(sessionParallelism, …)` floor fanned every few-hundred-pair
+    * stage of this family to the full session width, and the r21
+    * driver measured the two jaccard keys 3x FASTER at 8 cores than 32
+    * (scaling ratios 0.34/0.36) — each tiny stage paid 32-way task
+    * scheduling + exchange overhead, which additionally amplified any
+    * host contention super-linearly (interleaved A/B at local[32]:
+    * parts=32 medians 17.4/13.7 s vs parts=8 medians 4.1/2.3 s under
+    * ambient load; quiet-window runs were a wash). The volume estimate
+    * alone now sizes the stage: tiny work gets few tasks, and the same
+    * formula still derives thousands of partitions at 100 TB collision
+    * volumes, so scale feasibility is untouched. */
+  private def clampPartitions(est: Double, target: Long): Int = {
+    // A/B kill switch (-Dgraft.dedup.clamp=floor) restores the r21
+    // session floor for interleaved bisection — placement-only, never
+    // results (the graft.par.fanout precedent)
+    val base =
+      if (sys.props.get("graft.dedup.clamp").contains("floor"))
+        org.apache.spark.sql.SparkSession.active
+          .sessionState.conf.numShufflePartitions
+      else 1
+    math.max(base.toDouble, math.min(4096.0, math.ceil(est / target))).toInt
+  }
 
-  /** The collision-volume target both jaccard tiers size against. */
-  private[graft] val CollisionTargetPerPartition = 2000000L
+  /** The collision-volume target both jaccard tiers size against:
+    * ~125k collision rows of join+distinct work per task (tens of ms).
+    * Recalibrated when the session floor was removed (round 22) — the
+    * old 2M target only ever mattered past 64 session-widths of
+    * volume; this one derives the ACTUAL counts at any scale: at
+    * sf0.1 the self-join estimate of 994,869 gives 8 partitions and
+    * the probe serve's 2,111 gives 1, and a 10^12-collision corpus
+    * still caps at 4096. */
+  private[graft] val CollisionTargetPerPartition = 125000L
+
+  /** Pair-volume target for the string-rescore repartition: one task
+    * per ~4096 candidate pairs (~40 µs of hash-set intersect per pair,
+    * r9 measurement — ~160 ms tasks). The r21 session-width pin ran
+    * every 256-pair rescore at 32 tasks; see [[clampPartitions]]. */
+  private[graft] val RescorePairsPerPartition = 4096L
 
   /** THE broadcast-feasibility row bound of this family's probe-side
     * key prunes (one definition — [[maybeBroadcast]]'s default, the
@@ -638,7 +705,7 @@ object Dedup {
     * (124,839 pairs at sf0.1 vs ~60k docs). */
   private def hashOverlapGate(cand: DataFrame, aOrd: DataFrame, bOrd: DataFrame,
                               id: String, threshold: Double, parts: Int,
-                              counter: String): DataFrame = {
+                              counter: String): (DataFrame, Long) = {
     // phase timer beside the volume counter (round 12, VERDICT r11 #4):
     // whether this gate's cost is the array shuffle or the intersect
     // compute decides whether a fused counting expression is worth
@@ -679,9 +746,13 @@ object Dedup {
       .select(col("id_a"), col("id_b"))
       .observe(obsGate, count(lit(1)).as("__gated"))
       .localCheckpoint(true)
-    graft.Metrics.record(counter, observedCount(obsGate, "__gated"))
+    // the observed survivor count doubles as the string-rescore's
+    // pair-volume sizing input (round 22) — already in hand from the
+    // checkpoint's own job, no extra count() scheduled
+    val gatedRows = observedCount(obsGate, "__gated")
+    graft.Metrics.record(counter, gatedRows)
     graft.Metrics.record(counter + "_ms", (System.nanoTime() - g0) / 1000000L)
-    gated
+    (gated, gatedRows)
   }
 
   /** Blocking read of an observed row-count metric (round 14 — the
@@ -796,10 +867,11 @@ object Dedup {
     * (the [[graft.streaming.DedupIngest]] store) serves probes at any
     * threshold without re-deriving anything. Returns the gated
     * (id_a = probe, id_b = corpus) pairs ready for the exact string
-    * rescore; records both scale counters. */
+    * rescore plus their count (the rescore's pair-volume sizing
+    * input); records both scale counters. */
   private[graft] def probePairsOnOrdered(pOrd: DataFrame, cOrd: DataFrame,
                                          id: String,
-                                         threshold: Double): DataFrame = {
+                                         threshold: Double): (DataFrame, Long) = {
     require(threshold > 0.0 && threshold <= 1.0)
     val c0 = System.nanoTime()
     // THREE scheduled jobs end-to-end (round 14, VERDICT r13 #1 — the
@@ -839,8 +911,7 @@ object Dedup {
         .agg(sum(col("__pc").cast("double") * col("__cc")).as("__v"))
         .head()
       val est = if (row.isNullAt(0)) 0.0 else row.getDouble(0)
-      clampPartitions(est, pOrd.sparkSession.sessionState.conf.numShufflePartitions,
-        CollisionTargetPerPartition)
+      clampPartitions(est, CollisionTargetPerPartition)
     }
     pCounts.unpersist(blocking = false)
     // sizing-phase timer: jobs 1+2. The candidate join's wall, which
@@ -894,11 +965,12 @@ object Dedup {
     val cand = bandProbeCandidatesLazy(pb, cb, id)
       .observe(obsCand, count(lit(1)).as("__cand"))
       .localCheckpoint(true)
-    graft.Metrics.record("minhash_probe_candidates",
-      observedCount(obsCand, "__cand"))
+    val candRows = observedCount(obsCand, "__cand")
+    graft.Metrics.record("minhash_probe_candidates", candRows)
     cb.unpersist(blocking = false)
     pb.unpersist(blocking = false)
-    rescoreJaccardTwoSided(cand, probeSh, corpusSh, id, shCol, jaccardThreshold)
+    rescoreJaccardTwoSided(cand, probeSh, corpusSh, id, shCol, jaccardThreshold,
+      candRows)
   }
 
   /** The LAZY band-collision join of the one-way minhash probe (shared
@@ -926,7 +998,8 @@ object Dedup {
     * cannot match). */
   private[graft] def rescoreJaccardTwoSided(cand: DataFrame, aSh: DataFrame,
                                             bSh: DataFrame, id: String,
-                                            shCol: String, threshold: Double): DataFrame =
+                                            shCol: String, threshold: Double,
+                                            candRows: Long): DataFrame =
     // explicit count (a keys-only repartition is AQE-coalescible right
     // back to the single partition this exists to avoid), placed AFTER
     // the attach joins (optimization round 21): pre-join placement
@@ -934,12 +1007,17 @@ object Dedup {
     // on its own key and AQE coalesced that byte-tiny post-join stage
     // to one task, serializing the string-set intersect (see
     // hashOverlapGate for the measured anatomy). REPARTITION_BY_NUM is
-    // exempt from coalescing, so the intersect runs at session
-    // parallelism regardless of join strategy.
+    // exempt from coalescing. The COUNT is pair-volume-derived
+    // (optimization round 22, VERDICT r21 #1): the r21 session-width
+    // pin fanned every few-hundred-pair intersect to 32 tasks, the
+    // anatomy behind the driver's 0.34/0.36 core-scaling ratios on the
+    // two jaccard keys — callers pass the candidate count they already
+    // hold (observed metric or checkpoint-time count), so tiny rescores
+    // run in one task and a 10M-pair rescore still fans to thousands.
     cand
       .join(aSh.select(col(id).as("id_a"), col(shCol).as("__sa")), "id_a")
       .join(bSh.select(col(id).as("id_b"), col(shCol).as("__sb")), "id_b")
-      .repartition(cand.sparkSession.sessionState.conf.numShufflePartitions,
+      .repartition(clampPartitions(candRows.toDouble, RescorePairsPerPartition),
         col("id_a"), col("id_b"))
       .withColumn("__i", size(array_intersect(col("__sa"), col("__sb"))).cast("double"))
       .withColumn("jaccard",

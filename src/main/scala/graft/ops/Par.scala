@@ -41,6 +41,14 @@ object Par {
     // kill switch for A/B bisection (-Dgraft.par.fanout=off): fanOut
     // changes wall-clock shape, never results, so a toggle is safe
     if (sys.props.get("graft.par.fanout").contains("off")) return df
+    // streaming guard (r21 ADVICE): the width probe below throws
+    // AnalysisException on a streaming DataFrame — pass it through
+    // untouched (the sizedDayExplode discipline). Note the probe is
+    // "no job scheduled", not "no work": under AQE, planning a subtree
+    // that already CONTAINS an exchange can materialize query stages;
+    // current call sites are scan/checkpoint-shaped where it is
+    // microseconds, and new call sites must keep that property.
+    if (df.isStreaming) return df
     val n = df.sparkSession.sessionState.conf.numShufflePartitions
     // queryExecution.toRdd, not .rdd: same planned partitioning, but no
     // row-deserializer subtree and no QueryExecutionListener "action"

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Dedup, Multimodal, Par, Text, Vectors}
+import graft.ops.{Dedup, Multimodal, Text, Vectors}
 
 /** Harness keys for the LLM-training-data-pipeline operators
   * (north-star ExtOps): dedup, similarity search, text analysis,

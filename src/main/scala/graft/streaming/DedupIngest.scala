@@ -168,8 +168,13 @@ object DedupIngest {
     val storedBands = spark.read.parquet(s"$storeDir/sigs")
       .select(col("doc_id"), col("__band"), col("__key"))
       .distinct()
+    // candidate count observed during the checkpoint's own job — the
+    // rescore's pair-volume sizing input (round 22), no extra count()
+    val obsCand = org.apache.spark.sql.Observation()
     val cand = Dedup.bandProbeCandidatesLazy(pb, storedBands, "doc_id")
+      .observe(obsCand, count(lit(1)).as("__cand"))
       .localCheckpoint(true)
+    val candRows = Dedup.observedCount(obsCand, "__cand")
     val storedDocs = spark.read.parquet(s"$storeDir/docs")
       .select(col("doc_id"), col("__sh"))
     // two-sided rescore: id_a only ever matches probe shingles, id_b
@@ -178,7 +183,7 @@ object DedupIngest {
     // shuffle): crash-window duplicates are full-row-identical
     // relocation copies, collapsed on the match-sized output instead.
     Dedup.rescoreJaccardTwoSided(cand, probeSh, storedDocs,
-      "doc_id", "__sh", jaccardThreshold)
+      "doc_id", "__sh", jaccardThreshold, candRows)
       .dropDuplicates("id_a", "id_b")
   }
 
@@ -814,12 +819,12 @@ object DedupIngest {
     // output: duplicate store rows only ever produce duplicate
     // (id_a, id_b) result rows, collapsed below on a relation the size
     // of the match set.
-    val rescorable = Dedup.probePairsOnOrdered(
+    val (rescorable, gatedRows) = Dedup.probePairsOnOrdered(
       pOrd, storedRaw.select(col("doc_id"), col("__n"), col("__ha")),
       "doc_id", jaccardThreshold)
     val out = Dedup.rescoreJaccardTwoSided(rescorable, probeSh,
       storedRaw.select(col("doc_id"), col("__sh")), "doc_id", "__sh",
-      jaccardThreshold)
+      jaccardThreshold, gatedRows)
       .dropDuplicates("id_a", "id_b")
     pOrd.unpersist(blocking = false)
     out
@@ -849,14 +854,19 @@ object DedupIngest {
     // match-sized output
     val docs = spark.read.parquet(s"$storeDir/docs")
       .select(col("doc_id"), col("__sh"))
+    // candidate count observed during the checkpoint's own job — the
+    // rescore's pair-volume sizing input (round 22), no extra count()
+    val obsCand = org.apache.spark.sql.Observation()
     val cand = banded.as("a").join(banded.as("b"),
         col("a.__band") === col("b.__band") && col("a.__key") === col("b.__key") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
+      .observe(obsCand, count(lit(1)).as("__cand"))
       .localCheckpoint(true)
+    val candRows = Dedup.observedCount(obsCand, "__cand")
     banded.unpersist(blocking = false)
-    Dedup.rescoreJaccard(cand, docs, "doc_id", "__sh", jaccardThreshold)
+    Dedup.rescoreJaccard(cand, docs, "doc_id", "__sh", jaccardThreshold, candRows)
       .dropDuplicates("id_a", "id_b")
   }
 }

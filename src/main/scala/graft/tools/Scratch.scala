@@ -7,10 +7,19 @@ import org.apache.spark.sql.functions._
   * pieces of hot paths with the noop sink. Not part of any query path;
   * deleted or ignored at round close. */
 object Scratch {
+  private def stealJiffies(): Long =
+    try {
+      val l = scala.io.Source.fromFile("/proc/stat").getLines().next()
+      l.trim.split("\\s+")(8).toLong
+    } catch { case _: Throwable => -1L }
+
   def time(label: String)(f: => Unit): Unit = {
+    val s0 = stealJiffies()
     val t0 = System.nanoTime()
     f
-    println(f"[scratch] $label%-55s ${(System.nanoTime() - t0) / 1e9}%8.3f s")
+    val el = (System.nanoTime() - t0) / 1e9
+    val ds = stealJiffies() - s0
+    println(f"[scratch] $label%-55s $el%8.3f s  steal=${ds}%d jiffies (${ds / (el * 100.0 * 32) * 100}%.2f%%)")
   }
 
   def noop(df: DataFrame): Unit =
@@ -57,6 +66,82 @@ object Scratch {
       val a = spark.read.format("graft_avro").load("/tmp/graft_stage/avro_ab_deflate")
       val b = spark.read.format("graft_avro").load("/tmp/graft_stage/avro_ab_snappy")
       println(s"[scratch] deflate-vs-snappy diff rows: ${a.exceptAll(b).count()} / ${b.exceptAll(a).count()}")
+      spark.stop(); return
+    }
+
+    if (args.contains("jacparts")) {
+      // r22: separate partition-count overhead from 32-core contention —
+      // same JVM, same master, interleaved shuffle.partitions A/B over
+      // the two anti-scaling keys (driver scaling ratios 0.34/0.36)
+      try { graft.queries.HarnessLLM.shingledDocsFor(spark, sfDir) }
+      catch { case _: Throwable => () }
+      val keys = Seq("dedup_ngram_jaccard", "dedup_jaccard_probe")
+      keys.foreach(k => graft.SparkEntry.queries(k)(spark, sfDir).count()) // warm
+      for (r <- 1 to 3; parts <- Seq("32", "8", "4")) {
+        spark.conf.set("spark.sql.shuffle.partitions", parts)
+        keys.foreach { k =>
+          time(s"$k parts=$parts run=$r")(
+            graft.SparkEntry.queries(k)(spark, sfDir).count())
+        }
+      }
+      spark.conf.set("spark.sql.shuffle.partitions", cpus)
+      spark.stop(); return
+    }
+
+    if (args.contains("jacest")) {
+      // r22: print the collision-volume estimates the jaccard tiers
+      // derive partition counts from, so the clamp targets are
+      // calibrated from data instead of guessed
+      val sh = graft.queries.HarnessLLM.shingledDocsFor(spark, sfDir)
+      val ex = graft.ops.Dedup.hashedShingles(sh, "doc_id", "__sh")
+      val dfreq = ex.groupBy($"__h").agg(count(lit(1)).as("__df"))
+      val docOrd = graft.ops.Dedup.orderedByDf(ex, dfreq, "doc_id").persist()
+      val post = graft.ops.Dedup.prefixPostings(docOrd, "doc_id", 0.5)
+      val selfEst = post.groupBy($"__h").agg(count(lit(1)).as("__c"))
+        .agg(sum($"__c".cast("double") * $"__c")).head().getDouble(0)
+      println(s"[scratch] self-join collision est = $selfEst -> parts(target=2M) = ${selfEst / 2e6}")
+      println(s"[scratch] docOrd rows = ${docOrd.count()}, postings rows = ${post.count()}")
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val probes = docs.filter($"doc_id" < 10)
+        .select(($"doc_id" + 100000L).as("doc_id"), $"text")
+      val pSh = probes.select($"doc_id", graft.ops.Dedup.shingles($"text").as("__sh"))
+        .filter(size($"__sh") > 0)
+      val pOrd = graft.ops.Dedup.orderedByDf(
+        graft.ops.Dedup.hashedShingles(pSh, "doc_id", "__sh"), dfreq, "doc_id").persist()
+      val pPost = graft.ops.Dedup.prefixPostings(pOrd, "doc_id", 0.5)
+      val pc = pPost.groupBy($"__h").agg(count(lit(1)).as("__pc"))
+      val probeEst = post.groupBy($"__h").agg(count(lit(1)).as("__cc"))
+        .join(pc, "__h").agg(sum($"__pc".cast("double") * $"__cc")).head().getDouble(0)
+      println(s"[scratch] probe collision est = $probeEst")
+      spark.stop(); return
+    }
+
+    if (args.contains("dedupab")) {
+      // r22: interleaved old/new A/B of the volume clamp + native
+      // min-hash kernel over the touched keys, one JVM (contention-
+      // robust, the r21 discipline)
+      try { graft.queries.HarnessLLM.shingledDocsFor(spark, sfDir) }
+      catch { case _: Throwable => () }
+      val keys = sys.env.get("SCRATCH_KEYS")
+        .map(_.split(",").toSeq)
+        .getOrElse(Seq("dedup_ngram_jaccard", "dedup_jaccard_probe",
+          "dedup_minhash", "dedup_minhash_probe", "dedup_cluster",
+          "stream_minhash_ingest", "stream_jaccard_probe"))
+      val cycles = sys.env.get("SCRATCH_CYCLES").map(_.toInt).getOrElse(3)
+      keys.foreach(k => graft.SparkEntry.queries(k)(spark, sfDir).count()) // warm
+      for (r <- 1 to cycles; mode <- Seq("old", "new")) {
+        if (mode == "old") {
+          sys.props("graft.dedup.clamp") = "floor"
+          sys.props("graft.minhash.kernel") = "exploded"
+        } else {
+          sys.props.remove("graft.dedup.clamp")
+          sys.props.remove("graft.minhash.kernel")
+        }
+        keys.foreach { k =>
+          time(s"$k mode=$mode run=$r")(
+            graft.SparkEntry.queries(k)(spark, sfDir).count())
+        }
+      }
       spark.stop(); return
     }
 

@@ -88,20 +88,51 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
-  test("collision-join partition count scales with estimated collision volume, floors at base") {
+  test("native min-hash kernel matches the exploded md5 formulation bit for bit") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // real corpus text PLUS planted edge cases: an empty shingle array
+    // (doc must be ABSENT from the banded relation, matching the
+    // exploded form's no-aggregate-row behavior) and a one-shingle doc
+    val docs = spark.read.parquet(sf("documents"))
+      .select($"doc_id", Dedup.shingles($"text").as("__sh"))
+      .union(Seq(
+        (900001L, Seq.empty[String]),
+        (900002L, Seq("one two three"))).toDF("doc_id", "__sh"))
+    for ((nh, b) <- Seq((12, 4), (8, 2))) {
+      val native = Dedup.portableBandSignatures(docs, "doc_id", "__sh", nh, b)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+      val exploded = Dedup.portableBandSignaturesExploded(docs, "doc_id", "__sh", nh, b)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+      assert(native == exploded,
+        s"(numHashes=$nh, bands=$b): native kernel must reproduce the " +
+          s"exploded md5 pipeline exactly; diff = " +
+          s"${(native -- exploded).take(3)} / ${(exploded -- native).take(3)}")
+      assert(!native.exists(_._1 == 900001L), "empty-shingle doc must be absent")
+      assert(native.exists(_._1 == 900002L), "one-shingle doc must be signed")
+    }
+  }
+
+  test("collision-join partition count scales with estimated collision volume, no session floor") {
     import spark.implicits._
     // one hot shingle shared by 2000 docs -> 4M estimated collisions;
     // at 10k per partition the derived count is 400, not the session's
     val hot = (1 to 2000).map(i => (i.toLong, 5, 0, 42L)).toDF("doc_id", "__n", "__p", "__h")
-    assert(Dedup.collisionPartitions(hot, base = 32,
+    assert(Dedup.collisionPartitions(hot,
       targetCollisionsPerPartition = 10000L) == 400)
-    // a tiny corpus keeps the session base exactly
+    // a tiny corpus gets FEW partitions, not the session width (round
+    // 22, VERDICT r21 #1: the session floor fanned few-hundred-pair
+    // stages to 32 tasks and the keys ran 3x faster at 8 cores than 32)
     val cold = (1 to 10).map(i => (i.toLong, 5, 0, i.toLong)).toDF("doc_id", "__n", "__p", "__h")
-    assert(Dedup.collisionPartitions(cold, base = 32,
-      targetCollisionsPerPartition = 10000L) == 32)
-    // empty postings (all-empty shingle corpus) must not throw
-    assert(Dedup.collisionPartitions(hot.filter($"__n" < 0), base = 32,
-      targetCollisionsPerPartition = 10000L) == 32)
+    assert(Dedup.collisionPartitions(cold,
+      targetCollisionsPerPartition = 10000L) == 1)
+    // empty postings (all-empty shingle corpus) must not throw, and
+    // must still derive a legal (>= 1) count
+    assert(Dedup.collisionPartitions(hot.filter($"__n" < 0),
+      targetCollisionsPerPartition = 10000L) == 1)
+    // the cap holds at absurd volumes (100 TB feasibility)
+    assert(Dedup.collisionPartitions(hot,
+      targetCollisionsPerPartition = 1L) == 4096)
   }
 
   test("probe collision estimate over pruned corpus postings equals the full-corpus estimate") {

@@ -317,7 +317,7 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     // directly: id-keyed equi-joins only, no cartesian/nested-loop
     val cand = Seq((1L, 2L)).toDF("id_a", "id_b")
     val rescorePlan = plan(graft.ops.Dedup.rescoreJaccardTwoSided(
-      cand, sh, sh, "doc_id", "__sh", 0.5))
+      cand, sh, sh, "doc_id", "__sh", 0.5, candRows = 1L))
     assert(!rescorePlan.contains("CartesianProduct"), rescorePlan)
     assert(!rescorePlan.contains("BroadcastNestedLoopJoin"), rescorePlan)
   }
