@@ -891,61 +891,127 @@ object Avro {
     fs.mkdirs(new Path(path))
     val codecName = codec
     val serConf = new SerializableHadoopConf(driverSideConf)
-    df.queryExecution.toRdd.mapPartitionsWithIndex { (idx, it) =>
-      if (idx == 0 || it.hasNext) {
-        val avroSchema = new ASchema.Parser().parse(avroJson)
-        // converters built HERE, per partition, against the parsed
-        // schema instance — nested records need their exact Avro
-        // schema node to construct GenericData.Record, and building
-        // executor-side avoids shipping Schema objects in the closure
-        val writeConv: Array[(SpecializedGetters, Int) => AnyRef] =
-          schema.fields.zip(avroSchema.getFields.asScala).map {
-            case (f, af) => writeConverter(f.dataType, af.schema())
-          }.toArray
-        val outPath = new Path(path, f"part-$idx%05d.avro")
-        // task-attempt-private temp + rename-to-commit: a retried or
-        // speculative attempt must never interleave bytes with another
-        // attempt writing the SAME final path (the per-task analog of
-        // the parquet committer's staging). The temp name fails the
-        // `.avro` listing filter, so a crashed attempt's leftover is
-        // invisible to readers; on rename loss the other attempt's
-        // committed (identical-content) file satisfies the partition.
-        val attempt = Option(org.apache.spark.TaskContext.get())
-          .map(_.taskAttemptId()).getOrElse(0L)
-        val tmpPath = new Path(path, f".part-$idx%05d-$attempt.avro.tmp")
-        val pfs = outPath.getFileSystem(serConf.value)
-        val out = pfs.create(tmpPath, true)
-        val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](avroSchema))
-        w.setCodec(codecName match {
-          case "null" => CodecFactory.nullCodec()
-          case "snappy" => CodecFactory.snappyCodec()
-          case "deflate" => CodecFactory.deflateCodec(CodecFactory.DEFAULT_DEFLATE_LEVEL)
-          // the loud-option contract lives in write()'s driver-side
-          // require, BEFORE the destructive delete; this arm is
-          // unreachable for any codec that passed it
-          case other => throw new IllegalStateException(
-            s"graft_avro: internal error — codec '$other' escaped driver validation")
-        })
-        w.create(avroSchema, out)
-        try it.foreach { row =>
-          val rec = new GenericData.Record(avroSchema)
+    // -Dgraft.avro.writer=generic restores the GenericRecord encode
+    // path for A/B bisection (values identical; IoSpec pins it)
+    val partFn: (Int, Iterator[InternalRow]) => Iterator[Int] =
+      if (sys.props.get("graft.avro.writer").contains("generic"))
+        writeGeneric(path, avroJson, schema, codecName, serConf)
+      else
+        writeDirect(path, avroJson, schema, codecName, serConf)
+    df.queryExecution.toRdd.mapPartitionsWithIndex(partFn).count()
+    fs.create(new Path(path, "_SUCCESS"), true).close()
+    ()
+  }
+
+  /** The GenericRecord encode path — kept for A/B bisection and as the
+    * value-semantics reference the direct path is pinned against. */
+  private def writeGeneric(path: String, avroJson: String, schema: StructType,
+                           codecName: String,
+                           serConf: SerializableHadoopConf)(
+                           idx: Int, it: Iterator[InternalRow]): Iterator[Int] = {
+    if (idx == 0 || it.hasNext) {
+      val avroSchema = new ASchema.Parser().parse(avroJson)
+      // converters built HERE, per partition, against the parsed
+      // schema instance — nested records need their exact Avro
+      // schema node to construct GenericData.Record, and building
+      // executor-side avoids shipping Schema objects in the closure
+      val writeConv: Array[(SpecializedGetters, Int) => AnyRef] =
+        schema.fields.zip(avroSchema.getFields.asScala).map {
+          case (f, af) => writeConverter(f.dataType, af.schema())
+        }.toArray
+      val outPath = new Path(path, f"part-$idx%05d.avro")
+      // task-attempt-private temp + rename-to-commit: a retried or
+      // speculative attempt must never interleave bytes with another
+      // attempt writing the SAME final path (the per-task analog of
+      // the parquet committer's staging). The temp name fails the
+      // `.avro` listing filter, so a crashed attempt's leftover is
+      // invisible to readers; on rename loss the other attempt's
+      // committed (identical-content) file satisfies the partition.
+      val attempt = Option(org.apache.spark.TaskContext.get())
+        .map(_.taskAttemptId()).getOrElse(0L)
+      val tmpPath = new Path(path, f".part-$idx%05d-$attempt.avro.tmp")
+      val pfs = outPath.getFileSystem(serConf.value)
+      val out = pfs.create(tmpPath, true)
+      val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](avroSchema))
+      w.setCodec(avroCodec(codecName))
+      w.create(avroSchema, out)
+      try it.foreach { row =>
+        val rec = new GenericData.Record(avroSchema)
+        var i = 0
+        while (i < writeConv.length) {
+          rec.put(i, if (row.isNullAt(i)) null else writeConv(i)(row, i))
+          i += 1
+        }
+        w.append(rec)
+      } finally w.close()
+      commit(pfs, tmpPath, outPath)
+    }
+    Iterator.single(0)
+  }
+
+  /** Codec factory off the already-validated name (the loud-option
+    * contract lives in write()'s driver-side require, BEFORE the
+    * destructive delete; the error arm is unreachable for any codec
+    * that passed it). */
+  private def avroCodec(codecName: String): CodecFactory = codecName match {
+    case "null" => CodecFactory.nullCodec()
+    case "snappy" => CodecFactory.snappyCodec()
+    case "deflate" => CodecFactory.deflateCodec(CodecFactory.DEFAULT_DEFLATE_LEVEL)
+    case other => throw new IllegalStateException(
+      s"graft_avro: internal error — codec '$other' escaped driver validation")
+  }
+
+  /** The default encode path (optimization round 22): stream each row
+    * straight into the Avro binary [[org.apache.avro.io.Encoder]] via
+    * a converter tree compiled from the (Spark, Avro) schema pair — no
+    * GenericRecord / ArrayList / HashMap intermediates, no
+    * UTF8String→String→Utf8 re-encode per string. Profiled at sf0.1
+    * the GenericRecord path was ~25 µs/row (1.5 s of the src_avro
+    * key's ~1.9 s); byte-level output is the same container format
+    * with identical values (the oracle round-trips it), pinned
+    * value-identical to the generic path in IoSpec. */
+  private def writeDirect(path: String, avroJson: String, schema: StructType,
+                          codecName: String,
+                          serConf: SerializableHadoopConf)(
+                          idx: Int, it: Iterator[InternalRow]): Iterator[Int] = {
+    if (idx == 0 || it.hasNext) {
+      val avroSchema = new ASchema.Parser().parse(avroJson)
+      val fieldEnc: Array[(SpecializedGetters, Int, org.apache.avro.io.Encoder) => Unit] =
+        schema.fields.zip(avroSchema.getFields.asScala).map {
+          case (f, af) => encodeField(f.dataType, af.schema())
+        }.toArray
+      val datumWriter = new org.apache.avro.io.DatumWriter[InternalRow] {
+        override def setSchema(s: ASchema): Unit = ()
+        override def write(row: InternalRow,
+                           e: org.apache.avro.io.Encoder): Unit = {
           var i = 0
-          while (i < writeConv.length) {
-            rec.put(i, if (row.isNullAt(i)) null else writeConv(i)(row, i))
-            i += 1
-          }
-          w.append(rec)
-        } finally w.close()
-        pfs.delete(outPath, false)
-        if (!pfs.rename(tmpPath, outPath)) {
-          pfs.delete(tmpPath, false)
-          require(pfs.exists(outPath),
-            s"graft_avro: commit rename failed and no attempt landed $outPath")
+          while (i < fieldEnc.length) { fieldEnc(i)(row, i, e); i += 1 }
         }
       }
-      Iterator.single(0)
-    }.count()
-    fs.create(new Path(path, "_SUCCESS"), true).close()
+      val outPath = new Path(path, f"part-$idx%05d.avro")
+      val attempt = Option(org.apache.spark.TaskContext.get())
+        .map(_.taskAttemptId()).getOrElse(0L)
+      val tmpPath = new Path(path, f".part-$idx%05d-$attempt.avro.tmp")
+      val pfs = outPath.getFileSystem(serConf.value)
+      val out = pfs.create(tmpPath, true)
+      val w = new DataFileWriter(datumWriter)
+      w.setCodec(avroCodec(codecName))
+      w.create(avroSchema, out)
+      try it.foreach(w.append) finally w.close()
+      commit(pfs, tmpPath, outPath)
+    }
+    Iterator.single(0)
+  }
+
+  /** Rename-to-commit shared by both write paths (see the staging
+    * comment at the generic path's temp-file creation). */
+  private def commit(pfs: FileSystem, tmpPath: Path, outPath: Path): Unit = {
+    pfs.delete(outPath, false)
+    if (!pfs.rename(tmpPath, outPath)) {
+      pfs.delete(tmpPath, false)
+      require(pfs.exists(outPath),
+        s"graft_avro: commit rename failed and no attempt landed $outPath")
+    }
     ()
   }
 
@@ -1017,6 +1083,88 @@ object Avro {
       case other => throw new IllegalArgumentException(
         s"graft_avro: unsupported Spark type $other")
     }
+  }
+
+  /** Catalyst slot -> Avro BINARY ENCODER writes, for the direct
+    * encode path ([[writeDirect]]): the per-slot function streams the
+    * value straight into the encoder. Union slots ([null, T] — the
+    * only union shape [[AvroConversions.toAvroSchema]] emits) write
+    * their branch index then the value; the value tree mirrors
+    * [[writeConverter]] case for case, minus every intermediate object
+    * (GenericData.Record per struct, ArrayList/HashMap per collection,
+    * and the UTF8String→String→Utf8 round trip per string — Utf8 wraps
+    * the UTF-8 bytes Spark already holds). */
+  private def encodeField(dt: DataType, avro: ASchema)
+      : (SpecializedGetters, Int, org.apache.avro.io.Encoder) => Unit =
+    if (avro.getType == ASchema.Type.UNION) {
+      val branches = avro.getTypes.asScala
+      val nullIdx = branches.indexWhere(_.getType == ASchema.Type.NULL)
+      val tIdx = branches.indexWhere(_.getType != ASchema.Type.NULL)
+      require(nullIdx >= 0 && tIdx >= 0 && branches.size == 2,
+        s"graft_avro: writer unions are always [null, T], got $avro")
+      val base = encodeValue(dt, branches(tIdx))
+      (r, i, e) =>
+        if (r.isNullAt(i)) { e.writeIndex(nullIdx); e.writeNull() }
+        else { e.writeIndex(tIdx); base(r, i, e) }
+    } else encodeValue(dt, avro)
+
+  private def encodeValue(dt: DataType, a: ASchema)
+      : (SpecializedGetters, Int, org.apache.avro.io.Encoder) => Unit = dt match {
+    case BooleanType => (r, i, e) => e.writeBoolean(r.getBoolean(i))
+    case IntegerType | DateType => (r, i, e) => e.writeInt(r.getInt(i))
+    case LongType | TimestampType | TimestampNTZType =>
+      (r, i, e) => e.writeLong(r.getLong(i))
+    case FloatType => (r, i, e) => e.writeFloat(r.getFloat(i))
+    case DoubleType => (r, i, e) => e.writeDouble(r.getDouble(i))
+    case StringType => (r, i, e) =>
+      e.writeString(new org.apache.avro.util.Utf8(r.getUTF8String(i).getBytes))
+    case BinaryType => (r, i, e) =>
+      e.writeBytes(java.nio.ByteBuffer.wrap(r.getBinary(i)))
+    case d: DecimalType => (r, i, e) =>
+      e.writeBytes(java.nio.ByteBuffer.wrap(
+        r.getDecimal(i, d.precision, d.scale).toJavaBigDecimal
+          .unscaledValue().toByteArray))
+    case ArrayType(et, _) =>
+      val elem = encodeField(et, a.getElementType)
+      (r, i, e) => {
+        val ad = r.getArray(i)
+        val n = ad.numElements()
+        e.writeArrayStart()
+        e.setItemCount(n.toLong)
+        var j = 0
+        while (j < n) { e.startItem(); elem(ad, j, e); j += 1 }
+        e.writeArrayEnd()
+      }
+    case st: StructType =>
+      val subs = st.fields.zip(a.getFields.asScala).map {
+        case (f, af) => encodeField(f.dataType, af.schema())
+      }.toArray
+      val n = subs.length
+      (r, i, e) => {
+        val row = r.getStruct(i, n)
+        var j = 0
+        while (j < n) { subs(j)(row, j, e); j += 1 }
+      }
+    case MapType(StringType, vt, _) =>
+      val valEnc = encodeField(vt, a.getValueType)
+      (r, i, e) => {
+        val m = r.getMap(i)
+        val ks = m.keyArray()
+        val vs = m.valueArray()
+        val n = m.numElements()
+        e.writeMapStart()
+        e.setItemCount(n.toLong)
+        var j = 0
+        while (j < n) {
+          e.startItem()
+          e.writeString(new org.apache.avro.util.Utf8(ks.getUTF8String(j).getBytes))
+          valEnc(vs, j, e)
+          j += 1
+        }
+        e.writeMapEnd()
+      }
+    case other => throw new IllegalArgumentException(
+      s"graft_avro: unsupported Spark type $other")
   }
 
   /** Writer schema from one container file's header — a few-hundred-

@@ -197,16 +197,6 @@ object Dedup {
                                             bands: Int = 4): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rows = numHashes / bands
-    // fan out before the kernel (optimization round 21): the md5
-    // min-hash pass below is THE heavy per-row kernel of the minhash
-    // family and fused into a one-real-task stage on narrow inputs —
-    // single-row-group corpus files, narrow persisted batch relations
-    // (graft.ops.Par scaladoc). Proven both ways: dedup_minhash
-    // 1.64->1.03 s in a steal-free full suite, and the streaming
-    // minhash ingest 2.4-2.9 -> 1.4-1.8 s in a same-JVM A/B. The
-    // fan-out deliberately sits INSIDE this operator, not on the
-    // shared shingle relation (fanning that was measured harmful).
-    //
     // Fused native kernel (optimization round 22): the minima come
     // from ONE codegen'd pass per doc
     // ([[graft.functions.MinHashExprs.minhashMinima]]) instead of the
@@ -218,13 +208,25 @@ object Dedup {
     // DedupSpec; a null result marks an empty shingle array, whose
     // exploded form produced no aggregate row — the filter keeps row
     // parity exact.
+    //
+    // The r21 Par.fanOut that parallelized the EXPLODED kernel is GONE
+    // from this path (kept under the kill switch below, which restores
+    // the full r21 shape): with the kernel ~10x cheaper the fan-out's
+    // 32-way exchange + 32-file store writes cost more than the
+    // remaining 1-task compute — interleaved A/B at local[32]:
+    // stream_minhash_ingest 2.81-2.90 s fan=off vs 3.02-3.61 s fan=on,
+    // dedup_minhash a wash (0.82-0.97 vs 0.90-0.96). This is the Par
+    // scaladoc's own boundary ("fan-out pays only where a single heavy
+    // kernel dominates") re-measured after the kernel stopped
+    // dominating.
+    //
     // A/B kill switch (-Dgraft.minhash.kernel=exploded) runs the kept
-    // SQL formulation for interleaved bisection — values bit-identical
-    // (DedupSpec pin), only the execution shape differs
+    // r21 SQL formulation (fan-out included) for interleaved bisection
+    // — values bit-identical (DedupSpec pin), only execution differs.
     if (sys.props.get("graft.minhash.kernel").contains("exploded"))
       return portableBandSignaturesExploded(
         Par.fanOut(sh, col(id)), id, shCol, numHashes, bands)
-    val sig = Par.fanOut(sh, col(id))
+    val sig = sh
       .select(col(id),
         graft.functions.MinHashExprs.minhashMinima(col(shCol), numHashes)
           .as("__mins"))

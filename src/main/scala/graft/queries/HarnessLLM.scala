@@ -244,6 +244,32 @@ object HarnessLLM {
                                      fmt: String): DataFrame =
     withCodecImageMedia(t(s, dir, "documents"), fmt)
 
+  /** Session-cached ENCODED codec corpora for the two pure-decode keys
+    * (optimization round 22, VERDICT r21 #6 — the [[gifMediaFor]]
+    * rationale verbatim: per-row ImageIO ENCODING costs more than the
+    * decode the key exists to measure, and a stored corpus arrives
+    * encoded, so the media column is an ingest-time artifact built
+    * once per (session, dir, fmt) and eagerly checkpointed). Build
+    * cost lands in the `codec_media_build_ms` bench counter (first
+    * run; the median-of-3 then reads the decode-only cost).
+    * `multimodal_codec_resize` / `multimodal_codec_image_dedup` keep
+    * their OWN per-run in-key staging: their r20 phase-wall split
+    * (`codec_encode_ms` per run) is load-bearing for the driver's
+    * counter attribution and is not weakened here. */
+  private val codecMediaCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  def codecMediaFor(s: SparkSession, dir: String, fmt: String): DataFrame = {
+    pruneStopped(codecMediaCache)
+    codecMediaCache.getOrElseUpdate((s, s"$dir#$fmt"), {
+      val t0 = System.nanoTime()
+      val df = codecImageMedia(s, dir, fmt).localCheckpoint(true)
+      graft.Metrics.record("codec_media_build_ms",
+        (System.nanoTime() - t0) / 1000000)
+      df
+    })
+  }
+
   /** The codec-dedup corpus in LAZY form — the planted triplet
     * groups PNG-encoded per row (docs 0-299, group = doc_id/3).
     * Shared by `multimodal_codec_image_dedup` (eagerly checkpointed
@@ -1389,8 +1415,9 @@ object HarnessLLM {
       // the decoded raster. PNG is byte-lossless, so the mean is the
       // same exact digest-sum/16 dyadic rational as the netpbm tier —
       // a hash-exact oracle over a genuinely compressed payload.
-      Multimodal.decodeImagePartitions(
-        withCodecImageMedia(t(s, dir, "documents"), "png")).toDF()
+      // staged encoded corpus (round 22): the key times the DEFLATE
+      // decode, not the per-run re-encode — see codecMediaFor
+      Multimodal.decodeImagePartitions(codecMediaFor(s, dir, "png")).toDF()
         .orderBy($"doc_id")
     }),
     "multimodal_jpeg_decode" -> ((s, dir) => {
@@ -1407,8 +1434,9 @@ object HarnessLLM {
       // Multimodal.imageIoEncode (r13) — the encoder side can no
       // longer drift under a JDK default change; residual exposure is
       // a decoder (IDCT) change only, which the 3x margin absorbs.
-      Multimodal.decodeImagePartitions(
-        withCodecImageMedia(t(s, dir, "documents"), "jpg")).toDF()
+      // staged encoded corpus (round 22): the key times the JPEG
+      // decode, not the per-run re-encode — see codecMediaFor
+      Multimodal.decodeImagePartitions(codecMediaFor(s, dir, "jpg")).toDF()
         .join(t(s, dir, "documents").select($"doc_id", digestMeanCol.as("__exact")),
           Seq("doc_id"))
         .select($"doc_id", $"format", $"width", $"height",

@@ -87,6 +87,15 @@ object DumpR22 {
         graft.ops.Dedup.rescoreJaccardTwoSided(
             cand, sh, sh, "doc_id", "__sh", 0.5, candRows = 1L)
           .queryExecution.explainString(FormattedMode))
+      // the codec decode chain in its UN-STAGED form (the pre-r22 key
+      // body: per-run ImageIO encode feeding the decode) — the staged
+      // keys' own plans end at Scan ExistingRDD, so this is the
+      // before-shape evidence for multimodal_{jpeg,png}_decode
+      if (tag == "before")
+        dump("codec_decode_unstaged",
+          graft.ops.Multimodal.decodeImagePartitions(
+              graft.queries.HarnessLLM.codecImageMedia(spark, sfDir, "jpg"))(spark)
+            .toDF().queryExecution.explainString(FormattedMode))
     }
     spark.stop()
   }

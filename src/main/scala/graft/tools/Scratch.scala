@@ -51,21 +51,25 @@ object Scratch {
             struct($"l_tax".as("tax")).as("inner")).as("pricing"),
           map(lit("rf"), $"l_returnflag", lit("ls"), $"l_linestatus").as("tags"))
       noop(li)
-      (1 to 2).foreach { _ =>
-        for (c <- Seq("deflate", "snappy", "null")) {
-          val out = s"/tmp/graft_stage/avro_ab_$c"
-          time(s"avro write codec=$c")(graft.io.Avro.write(li, out, codec = c))
-          time(s"avro read  codec=$c")(noop(
+      (1 to 3).foreach { r =>
+        for (mode <- Seq("generic", "direct")) {
+          if (mode == "generic") sys.props("graft.avro.writer") = "generic"
+          else sys.props.remove("graft.avro.writer")
+          val out = s"/tmp/graft_stage/avro_ab_$mode"
+          time(s"avro write snappy writer=$mode run=$r")(
+            graft.io.Avro.write(li, out, codec = "snappy"))
+          time(s"avro read  snappy writer=$mode run=$r")(noop(
             spark.read.format("graft_avro").option("splitBytes", 256 * 1024).load(out)))
           val sz = new java.io.File(out).listFiles().filter(_.getName.endsWith(".avro"))
             .map(_.length()).sum
-          println(s"[scratch]   codec=$c bytes=$sz")
+          println(s"[scratch]   writer=$mode bytes=$sz")
         }
       }
-      // read-back equality across codecs
-      val a = spark.read.format("graft_avro").load("/tmp/graft_stage/avro_ab_deflate")
-      val b = spark.read.format("graft_avro").load("/tmp/graft_stage/avro_ab_snappy")
-      println(s"[scratch] deflate-vs-snappy diff rows: ${a.exceptAll(b).count()} / ${b.exceptAll(a).count()}")
+      sys.props.remove("graft.avro.writer")
+      // read-back equality across writer paths
+      val a = spark.read.format("graft_avro").load("/tmp/graft_stage/avro_ab_generic")
+      val b = spark.read.format("graft_avro").load("/tmp/graft_stage/avro_ab_direct")
+      println(s"[scratch] generic-vs-direct diff rows: ${a.exceptAll(b).count()} / ${b.exceptAll(a).count()}")
       spark.stop(); return
     }
 
@@ -142,6 +146,27 @@ object Scratch {
             graft.SparkEntry.queries(k)(spark, sfDir).count())
         }
       }
+      spark.stop(); return
+    }
+
+    if (args.contains("fanab")) {
+      // r22: does Par.fanOut still pay for the minhash family now that
+      // the kernel is ~10x cheaper? Interleaved off/on, one JVM.
+      try { graft.queries.HarnessLLM.shingledDocsFor(spark, sfDir) }
+      catch { case _: Throwable => () }
+      val keys = sys.env.get("SCRATCH_KEYS").map(_.split(",").toSeq)
+        .getOrElse(Seq("dedup_minhash", "stream_minhash_ingest"))
+      val cycles = sys.env.get("SCRATCH_CYCLES").map(_.toInt).getOrElse(3)
+      keys.foreach(k => graft.SparkEntry.queries(k)(spark, sfDir).count()) // warm
+      for (r <- 1 to cycles; fan <- Seq("off", "on")) {
+        if (fan == "off") sys.props("graft.par.fanout") = "off"
+        else sys.props.remove("graft.par.fanout")
+        keys.foreach { k =>
+          time(s"$k fan=$fan run=$r")(
+            graft.SparkEntry.queries(k)(spark, sfDir).count())
+        }
+      }
+      sys.props.remove("graft.par.fanout")
       spark.stop(); return
     }
 

@@ -110,6 +110,46 @@ class AvroSpec extends AnyFunSuite with SparkTestBase {
     assert(canon(back) === canon(df))
   }
 
+  test("direct-encoder write path is value-identical to the GenericRecord path") {
+    // round 22: the default write streams rows straight into the Avro
+    // binary encoder (no GenericRecord); -Dgraft.avro.writer=generic
+    // keeps the reference path — this pin reads BOTH back and compares
+    // every value, nulls at every level, nested + map + array included
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("s", StringType),
+      StructField("pricing", StructType(Seq(
+        StructField("price", DoubleType),
+        StructField("inner", StructType(Seq(
+          StructField("tax", DoubleType))))))),
+      StructField("tags", MapType(StringType, StringType, valueContainsNull = true)),
+      StructField("legs", ArrayType(StructType(Seq(
+        StructField("src", StringType),
+        StructField("n", IntegerType))), containsNull = true)),
+      StructField("af", ArrayType(FloatType, containsNull = false))))
+    val rows = Seq(
+      Row(1L, "alpha", Row(9.5, Row(0.07)), Map("a" -> "x", "b" -> null),
+        Seq(Row("x", 1), null, Row(null, 3)), Seq(1.0f, -2.5f)),
+      Row(2L, null, null, null, null, Seq.empty[Float]),
+      Row(3L, "", Row(null, null), Map.empty[String, String], Seq.empty[Row],
+        Seq(Float.NaN, Float.MinPositiveValue)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toIndexedSeq, 2), schema)
+    val dOut = "/tmp/graft_test/avro_direct"
+    val gOut = "/tmp/graft_test/avro_generic"
+    Avro.write(df, dOut, codec = "snappy")
+    sys.props("graft.avro.writer") = "generic"
+    try Avro.write(df, gOut, codec = "snappy")
+    finally sys.props.remove("graft.avro.writer")
+    val d = spark.read.format("graft_avro").load(dOut)
+    val g = spark.read.format("graft_avro").load(gOut)
+    assert(d.schema === g.schema)
+    def canon(x: org.apache.spark.sql.DataFrame) = collectSet(
+      x.withColumn("tags", expr(
+        "array_sort(transform(map_entries(tags), e -> concat(e.key, '=', coalesce(e.value, 'null'))))")))
+    assert(canon(d) === canon(g))
+  }
+
   test("nested pruning reaches INSIDE the record at the avro reader schema") {
     import spark.implicits._
     // self-contained write (no dependence on another test's output dir)
